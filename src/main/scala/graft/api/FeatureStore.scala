@@ -1,0 +1,276 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+
+import graft.catalog.{Catalog, Feature, Namespace, TransformSpec}
+import graft.ops.TimeseriesOps
+import graft.store.TimeseriesStore
+import graft.transform.TransformRegistry
+
+/** The user-facing facade, mirroring the reference API surface
+  * (`/root/reference/bytehub/_base.py`, Core impls in `core.py`):
+  * namespace/feature CRUD, clone, clean, transforms, and the three data
+  * verbs `loadDataFrame` / `saveDataFrame` / `last`.
+  *
+  * Everything data-shaped is a lazy DataFrame plan: a `loadDataFrame`
+  * call builds `scan → time-travel filter → last-writer-wins dedup →
+  * resample/ffill → align join` as ONE Catalyst plan; nothing executes
+  * until the caller acts on it (the reference's dask mode; its pandas
+  * mode is simply `.collect()`).
+  */
+class FeatureStore(val spark: SparkSession, catalogLocation: String) {
+  import Catalog.parseName
+
+  val catalog = new Catalog(catalogLocation, spark.sparkContext.hadoopConfiguration)
+
+  private def store(ns: Namespace): TimeseriesStore = new TimeseriesStore(spark, ns.url)
+
+  private def namespaceOf(name: String): Namespace =
+    catalog.getNamespace(name).getOrElse(
+      throw new NoSuchElementException(s"namespace '$name' does not exist"))
+
+  // -------------------------------------------------------------- catalog
+
+  def createNamespace(
+      name: String,
+      url: String,
+      description: String = "",
+      storageOptions: Map[String, String] = Map.empty,
+      meta: Map[String, String] = Map.empty): Unit =
+    catalog.createNamespace(Namespace(name, url, description, storageOptions, "spark", meta))
+
+  def listNamespaces(regex: Option[String] = None): Seq[Namespace] = catalog.listNamespaces(regex)
+
+  def updateNamespace(
+      name: String,
+      description: Option[String] = None,
+      meta: Map[String, Option[String]] = Map.empty): Unit =
+    catalog.updateNamespace(name, description, meta)
+
+  def deleteNamespace(name: String): Unit = catalog.deleteNamespace(name)
+
+  /** GC data directories with no catalog entry (core.py:151-158). */
+  def cleanNamespace(name: String): Seq[String] = {
+    val ns = namespaceOf(name)
+    val st = store(ns)
+    val live = catalog.listFeatures(namespace = Some(name)).map(_.name).toSet
+    val orphans = st.ls().filterNot(live.contains)
+    orphans.foreach(st.delete)
+    orphans
+  }
+
+  def createFeature(
+      fullName: String,
+      namespace: Option[String] = None,
+      description: String = "",
+      partition: String = "date",
+      serialized: Boolean = false,
+      meta: Map[String, String] = Map.empty): Unit = {
+    val (ns, name) = parseName(fullName, namespace)
+    catalog.createFeature(Feature(ns, name, description, partition, serialized, meta = meta))
+  }
+
+  def listFeatures(
+      namespace: Option[String] = None,
+      regex: Option[String] = None): Seq[Feature] =
+    catalog.listFeatures(namespace, regex)
+
+  def updateFeature(
+      fullName: String,
+      description: Option[String] = None,
+      meta: Map[String, Option[String]] = Map.empty): Unit = {
+    val (ns, name) = parseName(fullName)
+    catalog.updateFeature(ns, name, description, meta)
+  }
+
+  def deleteFeature(fullName: String, deleteData: Boolean = false): Unit = {
+    val (ns, name) = parseName(fullName)
+    val nsObj = namespaceOf(ns)
+    catalog.deleteFeature(ns, name)
+    if (deleteData) store(nsObj).delete(name)
+  }
+
+  /** Metadata clone + data copy (core.py:180-208). */
+  def cloneFeature(destFullName: String, srcFullName: String): Unit = {
+    val (sNs, sName) = parseName(srcFullName)
+    val (dNs, dName) = parseName(destFullName)
+    catalog.cloneFeature(sNs, sName, dNs, dName)
+    store(namespaceOf(sNs)).copy(sName, dName, store(namespaceOf(dNs)))
+  }
+
+  // ----------------------------------------------------------- transforms
+
+  /** Declare a virtual feature computed by a SQL expression over its arg
+    * features; args appear as columns `f0..fN` in declaration order.
+    * e.g. `transformSql("t/squared", Seq("t/raw"), "f0 * f0")`.
+    */
+  def transformSql(fullName: String, fromFeatures: Seq[String], sqlExpr: String): Unit =
+    declareTransform(fullName, TransformSpec("sql", sqlExpr, fromFeatures))
+
+  /** Declare a virtual feature backed by a registered function key. */
+  def transformFn(fullName: String, fromFeatures: Seq[String], registryKey: String): Unit =
+    declareTransform(fullName, TransformSpec("registry", registryKey, fromFeatures))
+
+  private def declareTransform(fullName: String, spec: TransformSpec): Unit = {
+    val (ns, name) = parseName(fullName)
+    catalog.getFeature(ns, name) match {
+      case Some(_) => catalog.updateFeature(ns, name, transform = Some(spec))
+      case None    => catalog.createFeature(Feature(ns, name, transform = Some(spec)))
+    }
+  }
+
+  // ------------------------------------------------------------ data verbs
+
+  private def featureOf(full: String): (Namespace, Feature) = {
+    val (ns, name) = parseName(full)
+    val nsObj = namespaceOf(ns)
+    val f = catalog.getFeature(ns, name).getOrElse(
+      throw new NoSuchElementException(s"feature '$full' does not exist"))
+    (nsObj, f)
+  }
+
+  private def valueTypeOf(f: Feature): DataType =
+    if (f.serialized) StringType
+    else f.valueType.map(DataType.fromJson).getOrElse(DoubleType)
+
+  /** One feature's deduped (time, value) series; recursive for transforms
+    * with cycle detection (_model.py:186-228). `clipFrom` is deferred when
+    * the caller needs pre-range rows as the forward-fill seed (J3).
+    */
+  private def loadSeries(
+      full: String,
+      from: Option[Timestamp],
+      to: Option[Timestamp],
+      timeTravel: Option[String],
+      clipFrom: Boolean,
+      callers: Seq[String]): DataFrame = {
+    if (callers.contains(full))
+      throw new IllegalStateException(
+        s"circular transform dependency: ${(callers :+ full).mkString(" -> ")}")
+    val (nsObj, f) = featureOf(full)
+    f.transform match {
+      case Some(spec) =>
+        val argDfs = spec.args.zipWithIndex.map { case (arg, i) =>
+          loadSeries(arg, from, to, timeTravel, clipFrom, callers :+ full)
+            .withColumnRenamed("value", s"f$i")
+        }
+        val wide = TimeseriesOps.alignJoin(argDfs)
+        val out = spec.kind match {
+          case "sql"      => wide.withColumn("value", expr(spec.body))
+          case "registry" => TransformRegistry.get(spec.body)(wide)
+          case other => throw new IllegalArgumentException(s"unknown transform kind: $other")
+        }
+        out.select("time", "value")
+      case None =>
+        // Scale note: when a seed row is needed (clipFrom=false) we still
+        // bound the scan above by `to`; partition pruning keeps the read to
+        // the feature's history ≤ to. A tail-partition lookback (the
+        // reference's widen-from-last trick, dask.py:142-148) is a further
+        // optimization once catalogs record partition stats.
+        val raw = store(nsObj).read(
+          f.name,
+          from = if (clipFrom) from else None,
+          to = to,
+          valueType = valueTypeOf(f),
+          partitionStyle = f.partition)
+        val traveled = timeTravel.map(d => TimeseriesOps.timeTravel(raw, d)).getOrElse(raw)
+        TimeseriesOps.dedupLatest(traveled).select("time", "value")
+    }
+  }
+
+  /** Flagship read (core.py:246-276): wide frame, one column per feature
+    * named `namespace/name`, outer-joined on time and forward-filled;
+    * optional resample onto a regular [from, to] grid step `freq`.
+    */
+  def loadDataFrame(
+      features: Seq[String],
+      fromDate: Option[Timestamp] = None,
+      toDate: Option[Timestamp] = None,
+      freq: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame = {
+    require(features.nonEmpty, "no features requested")
+    val series = features.map { full =>
+      val s = loadSeries(full, fromDate, toDate, timeTravel, clipFrom = freq.isEmpty, Nil)
+      freq match {
+        case Some(fq) =>
+          // per-feature range defaults from its own bounds (dask.py:150-153)
+          val (lo, hi) = (fromDate, toDate) match {
+            case (Some(a), Some(b)) => (a, b)
+            case _ =>
+              val (mn, mx) = TimeseriesOps.timeBounds(s)
+              (fromDate.orElse(mn).getOrElse(new Timestamp(0)),
+               toDate.orElse(mx).getOrElse(new Timestamp(0)))
+          }
+          // to < from clamps to a single grid point (dask.py:154-155)
+          val hiClamped = if (hi.before(lo)) lo else hi
+          TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"))
+        case None => s
+      }
+    }
+    val renamed = series.zip(features).map { case (s, full) =>
+      s.withColumnRenamed("value", full)
+    }
+    val wide = TimeseriesOps.alignJoin(renamed)
+    // when not resampling, rows outside [from, to] were already clipped at
+    // scan time; resampled grids are exactly [from, to] by construction
+    wide
+  }
+
+  /** Write path (core.py:278-313). Accepts:
+    *  - `time` + `value` (+ optional `created_time`) with `name` given;
+    *  - `time` + single `namespace/feature` column (auto-named);
+    *  - `time` + many `namespace/feature` columns → per-column fan-out.
+    */
+  def saveDataFrame(
+      df: DataFrame,
+      name: Option[String] = None,
+      namespace: Option[String] = None): Unit = {
+    val envelope = Set("time", "created_time")
+    val dataCols = df.columns.filterNot(envelope.contains).toSeq
+    if (dataCols == Seq("value")) {
+      val full = name.getOrElse(throw new IllegalArgumentException(
+        "name= is required when saving a raw 'value' column"))
+      saveOne(full, namespace, df)
+    } else if (dataCols.size == 1) {
+      saveOne(dataCols.head, namespace, df.withColumnRenamed(dataCols.head, "value"))
+    } else {
+      dataCols.foreach { c =>
+        val cols = df.columns.filter(x => envelope.contains(x) || x == c).map(col).toSeq
+        saveOne(c, namespace, df.select(cols: _*).withColumnRenamed(c, "value")
+          .filter(col("value").isNotNull))
+      }
+    }
+  }
+
+  private def saveOne(full: String, namespace: Option[String], df: DataFrame): Unit = {
+    val (ns, nm) = parseName(full, namespace)
+    val (nsObj, f) = featureOf(s"$ns/$nm")
+    require(f.transform.isEmpty, s"cannot save data to transformed feature '$full'")
+    val prepared =
+      if (f.serialized) df.withColumn("value", to_json(struct(col("value").as("v"))))
+      else df
+    val vt = prepared.schema("value").dataType
+    f.valueType match {
+      case Some(json) if !f.serialized =>
+        require(DataType.fromJson(json) == vt,
+          s"schema change on append to '$full': stored ${json}, got ${vt.json} " +
+            "(create the feature with serialized=true to allow drift)")
+      case _ => catalog.pinValueType(ns, nm, vt.json)
+    }
+    store(nsObj).save(nm, prepared, f.partition)
+  }
+
+  /** Point lookup for inference (core.py:315-331): last value per feature,
+    * transforms evaluated at the tail (tested test_featurestore.py:665-672).
+    */
+  def last(features: Seq[String], timeTravel: Option[String] = None): Map[String, Option[Any]] =
+    features.map { full =>
+      val s = loadSeries(full, None, None, timeTravel, clipFrom = true, Nil)
+      val row = TimeseriesOps.lastRow(s).collect().headOption
+      full -> row.map(_.get(1)).filter(_ != null)
+    }.toMap
+}

@@ -1,0 +1,215 @@
+package graft.catalog
+
+import com.fasterxml.jackson.databind.json.JsonMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Metadata catalog: namespaces + features with versioning, mirroring the
+  * reference's SQLAlchemy model (`/root/reference/bytehub/_model.py`) —
+  * but as a small JSON document on any Hadoop-reachable filesystem.
+  * This is bookkeeping, not dataflow: catalog CRUD never launches a
+  * Spark job, so FeatureStore metadata calls stay O(ms) regardless of
+  * data scale.
+  */
+
+/** A transform: how a virtual feature computes its data from others
+  * (_model.py:133,186-228). Two portable kinds replace cloudpickle:
+  *  - "sql":      a Spark SQL expression over the arg feature columns
+  *  - "registry": a key into a session-registered DataFrame => DataFrame
+  */
+case class TransformSpec(kind: String, body: String, args: Seq[String])
+
+case class Namespace(
+    name: String,
+    url: String,
+    description: String = "",
+    storageOptions: Map[String, String] = Map.empty,
+    backend: String = "spark",
+    meta: Map[String, String] = Map.empty,
+    version: Int = 1)
+
+case class Feature(
+    namespace: String,
+    name: String,
+    description: String = "",
+    partition: String = "date", // "date" | "year" (_model.py:19)
+    serialized: Boolean = false,
+    transform: Option[TransformSpec] = None,
+    valueType: Option[String] = None, // Spark DataType JSON, pinned at first write
+    meta: Map[String, String] = Map.empty,
+    version: Int = 1) {
+  def fullName: String = s"$namespace/$name"
+}
+
+case class CatalogState(
+    namespaces: Seq[Namespace] = Seq.empty,
+    features: Seq[Feature] = Seq.empty)
+
+object Catalog {
+  /** Identity charset from _model.py:18,28-32. */
+  val NamePattern = "^[a-zA-Z0-9.#_-]+$".r
+
+  def validName(s: String): Boolean = NamePattern.matches(s)
+
+  /** "ns/name" split on the FIRST '/' (_base.py:8-14). */
+  def parseName(full: String, namespace: Option[String] = None): (String, String) =
+    full.indexOf('/') match {
+      case -1 =>
+        (namespace.getOrElse(throw new IllegalArgumentException(
+          s"feature name '$full' has no namespace and none was given")), full)
+      case i => (full.substring(0, i), full.substring(i + 1))
+    }
+}
+
+class Catalog(location: String, hadoopConf: Configuration = new Configuration()) {
+  import Catalog._
+
+  private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
+  private val path = new Path(location)
+  private def fs = path.getFileSystem(hadoopConf)
+
+  private var state: CatalogState = loadState()
+
+  private def loadState(): CatalogState =
+    if (!fs.exists(path)) CatalogState()
+    else {
+      val in = fs.open(path)
+      try mapper.readValue(in: java.io.InputStream, classOf[CatalogState]) finally in.close()
+    }
+
+  private def persist(): Unit = {
+    val out = fs.create(path, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(state))
+    finally out.close()
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  def listNamespaces(regex: Option[String] = None): Seq[Namespace] = {
+    val r = regex.map(_.r)
+    state.namespaces.filter(ns => r.forall(_.findFirstIn(ns.name).isDefined))
+  }
+
+  def getNamespace(name: String): Option[Namespace] =
+    state.namespaces.find(_.name == name)
+
+  def createNamespace(ns: Namespace): Unit = synchronized {
+    require(validName(ns.name), s"invalid namespace name: '${ns.name}'")
+    require(ns.url.nonEmpty, "namespace url is mandatory") // core.py:129-135
+    require(getNamespace(ns.name).isEmpty, s"namespace '${ns.name}' already exists")
+    state = state.copy(namespaces = state.namespaces :+ ns)
+    persist()
+  }
+
+  /** Meta merge with None-delete semantics + version bump
+    * (_model.py:41-45,58-68).
+    */
+  def updateNamespace(
+      name: String,
+      description: Option[String] = None,
+      meta: Map[String, Option[String]] = Map.empty): Unit = synchronized {
+    val ns = getNamespace(name).getOrElse(
+      throw new NoSuchElementException(s"namespace '$name' does not exist"))
+    val merged = mergeMeta(ns.meta, meta)
+    val updated = ns.copy(
+      description = description.getOrElse(ns.description),
+      meta = merged,
+      version = ns.version + 1)
+    state = state.copy(namespaces = state.namespaces.map(n => if (n.name == name) updated else n))
+    persist()
+  }
+
+  def deleteNamespace(name: String): Unit = synchronized {
+    require(getNamespace(name).isDefined, s"namespace '$name' does not exist")
+    // refuse if non-empty (core.py:144-149)
+    require(listFeatures(namespace = Some(name)).isEmpty,
+      s"namespace '$name' still contains features")
+    state = state.copy(namespaces = state.namespaces.filterNot(_.name == name))
+    persist()
+  }
+
+  // ------------------------------------------------------------- features
+
+  def listFeatures(
+      namespace: Option[String] = None,
+      regex: Option[String] = None): Seq[Feature] = {
+    val r = regex.map(_.r)
+    state.features
+      .filter(f => namespace.forall(_ == f.namespace))
+      .filter(f => r.forall(_.findFirstIn(f.name).isDefined))
+  }
+
+  def getFeature(namespace: String, name: String): Option[Feature] =
+    state.features.find(f => f.namespace == namespace && f.name == name)
+
+  def createFeature(f: Feature): Unit = synchronized {
+    require(validName(f.name), s"invalid feature name: '${f.name}'")
+    require(Set("date", "year").contains(f.partition),
+      s"partition must be 'date' or 'year', got '${f.partition}'")
+    require(getNamespace(f.namespace).isDefined,
+      s"namespace '${f.namespace}' does not exist")
+    require(getFeature(f.namespace, f.name).isEmpty,
+      s"feature '${f.fullName}' already exists")
+    state = state.copy(features = state.features :+ f)
+    persist()
+  }
+
+  def updateFeature(
+      namespace: String,
+      name: String,
+      description: Option[String] = None,
+      meta: Map[String, Option[String]] = Map.empty,
+      transform: Option[TransformSpec] = None,
+      valueType: Option[String] = None): Unit = synchronized {
+    val f = getFeature(namespace, name).getOrElse(
+      throw new NoSuchElementException(s"feature '$namespace/$name' does not exist"))
+    val updated = f.copy(
+      description = description.getOrElse(f.description),
+      meta = mergeMeta(f.meta, meta),
+      transform = transform.orElse(f.transform),
+      valueType = valueType.orElse(f.valueType),
+      version = f.version + 1)
+    replaceFeature(updated)
+  }
+
+  /** Internal: pin the inferred value type at first write (the Spark
+    * analogue of the reference's write-schema pinning, dask.py:66-69).
+    */
+  private[graft] def pinValueType(namespace: String, name: String, dtJson: String): Unit =
+    synchronized {
+      val f = getFeature(namespace, name).get
+      replaceFeature(f.copy(valueType = Some(dtJson))) // no version bump: not a user edit
+    }
+
+  private def replaceFeature(updated: Feature): Unit = {
+    state = state.copy(features = state.features.map(f =>
+      if (f.namespace == updated.namespace && f.name == updated.name) updated else f))
+    persist()
+  }
+
+  def deleteFeature(namespace: String, name: String): Unit = synchronized {
+    require(getFeature(namespace, name).isDefined,
+      s"feature '$namespace/$name' does not exist")
+    state = state.copy(features = state.features.filterNot(f =>
+      f.namespace == namespace && f.name == name))
+    persist()
+  }
+
+  def cloneFeature(srcNs: String, srcName: String, dstNs: String, dstName: String): Feature =
+    synchronized {
+      val src = getFeature(srcNs, srcName).getOrElse(
+        throw new NoSuchElementException(s"feature '$srcNs/$srcName' does not exist"))
+      val clone = src.copy(namespace = dstNs, name = dstName, version = 1)
+      createFeature(clone)
+      clone
+    }
+
+  private def mergeMeta(
+      base: Map[String, String],
+      patch: Map[String, Option[String]]): Map[String, String] =
+    patch.foldLeft(base) {
+      case (m, (k, Some(v))) => m + (k -> v)
+      case (m, (k, None))    => m - k
+    }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, quality signals, language-ID heuristics and
+  * document fingerprints. Everything is a Catalyst `Column` expression
+  * (array lambdas + built-ins — no UDFs), so the whole pipeline stays
+  * inside whole-stage codegen and scales linearly with input splits:
+  * no shuffle is introduced by any function here.
+  *
+  * Determinism note: scoring functions use only rational arithmetic
+  * (+,-,*,/) on IEEE doubles — no transcendentals — so results are
+  * bit-identical across engines (the DuckDB oracle reproduces them).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** k-word shingles: ["a","b","c","d"] k=3 -> ["a b c", "b c d"]. */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+
+  /** Token count of a document. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that belong to `set`. */
+  def tokenHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set.map(lit): _*)))
+
+  /** Stopword ratio — classic quality signal. */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    tokenHits(toks, stopwords).cast("double") / size(toks).cast("double")
+
+  /** Mean token length (chars excluding separators / token count). */
+  def avgTokenLen(text: Column, toks: Column): Column =
+    (length(text) - (size(toks) - lit(1))).cast("double") / size(toks).cast("double")
+
+  /** Ratio of alphabetic chars to all chars. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]-ish: rational ops only. */
+  def qualityScore(text: Column, toks: Column, stopwords: Seq[String]): Column = {
+    val stop = stopwordRatio(toks, stopwords)
+    val len = size(toks).cast("double")
+    // reward presence of stopwords and longer docs, cap via x/(x+50)
+    stop * lit(0.5) + (len / (len + lit(50.0))) * lit(0.5)
+  }
+
+  /** Language-ID: n-gram/stopword-hit heuristic — the language whose
+    * marker-token set scores the most hits wins; ties broken by the
+    * fixed language order. Marker sets are deliberately tiny: this is
+    * the classic cheap LID pre-filter, not a model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "了", "是", "我", "不"))
+
+  def langId(toks: Column): Column = {
+    val scored = LangMarkers.map { case (lang, markers) =>
+      (lang, tokenHits(toks, markers))
+    }
+    // arg-max with first-wins tie-break: fold a (bestLang, bestScore) pair
+    val (l0, s0) = scored.head
+    val init = struct(lit(l0).as("lang"), s0.as("score"))
+    scored.tail.foldLeft(init) { case (best, (lang, score)) =>
+      when(score > best.getField("score"),
+        struct(lit(lang).as("lang"), score.as("score"))).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Document fingerprint: hash of the sorted distinct token set — robust
+    * to word order and repetition (a cheap canonical-form rolling hash).
+    */
+  def fingerprint(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pandas-style frequency / timedelta alias parser.
+  *
+  * The reference accepts pandas offset aliases ("1d", "10min", "-15min",
+  * "2h", "1w") for both `freq` (resample grid step) and `time_travel`
+  * deltas (see /root/reference/bytehub/_storage/dask.py:121,172 and
+  * tests/test_featurestore.py:583-587). Spark has no pandas-alias parser,
+  * so this maps the alias onto a Catalyst interval expression / micros.
+  *
+  * Only calendar-stable units are supported (week and below), which is
+  * what the reference's test matrix uses; month/quarter aliases would
+  * need CalendarInterval arithmetic and are rejected explicitly.
+  */
+object Freq {
+  private val Pattern = """^\s*(-?)(\d*)\s*([a-zA-Z]+)\s*$""".r
+
+  private val unitMicros: Map[String, Long] = Map(
+    "us" -> 1L, "micros" -> 1L,
+    "ms" -> 1000L, "millis" -> 1000L, "l" -> 1000L,
+    "s" -> 1000000L, "sec" -> 1000000L, "second" -> 1000000L, "seconds" -> 1000000L,
+    "min" -> 60000000L, "t" -> 60000000L, "minute" -> 60000000L, "minutes" -> 60000000L,
+    "h" -> 3600000000L, "hour" -> 3600000000L, "hours" -> 3600000000L,
+    "d" -> 86400000000L, "day" -> 86400000000L, "days" -> 86400000000L,
+    "w" -> 604800000000L, "week" -> 604800000000L, "weeks" -> 604800000000L
+  )
+
+  /** "10min" -> 600000000 micros; "-15min" -> -900000000. */
+  def toMicros(alias: String): Long = alias match {
+    case Pattern(sign, num, unit) =>
+      val micros = unitMicros.getOrElse(
+        unit.toLowerCase,
+        throw new IllegalArgumentException(s"unsupported frequency alias: '$alias'"))
+      val n = if (num.isEmpty) 1L else num.toLong
+      (if (sign == "-") -1L else 1L) * n * micros
+    case _ =>
+      throw new IllegalArgumentException(s"unsupported frequency alias: '$alias'")
+  }
+
+  /** Column interval usable in timestamp arithmetic and `sequence()`. */
+  def toInterval(alias: String): Column =
+    expr(s"INTERVAL ${toMicros(alias)} MICROSECOND")
+}

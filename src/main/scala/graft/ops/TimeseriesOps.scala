@@ -1,0 +1,192 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's dataflow kernel: every nontrivial semantic of the reference
+  * feature store (`/root/reference/bytehub/_storage/dask.py`,
+  * `_timeseries.py`) re-expressed as a pure `DataFrame => DataFrame`
+  * function on Catalyst built-ins — no RDDs, no UDFs, fully
+  * whole-stage-codegen-able and shuffle-aware.
+  *
+  * Scale notes (100 TB design):
+  *  - dedupLatest is a hash aggregation with map-side partial aggregation
+  *    (one shuffle on `time`), not a window sort.
+  *  - forward-fill has two forms: a global-window form (exact, single
+  *    task — fine for a single feature load) and a two-phase bucketed
+  *    form (`ffillBucketed`) that parallelizes across time buckets and
+  *    propagates per-bucket boundary values through a tiny broadcast —
+  *    the distributed generalization of the reference's carry-over trick
+  *    (dask.py:142-148).
+  *  - resample builds its spine with `spark.range` (O(1) driver memory,
+  *    arbitrarily long grids) instead of materializing a date_range.
+  */
+object TimeseriesOps {
+
+  val TimeCol = "time"
+  val CreatedCol = "created_time"
+  val ValueCol = "value"
+
+  // ---------------------------------------------------------------------
+  // A1: last-writer-wins dedup — per `time`, keep the row with the max
+  // `created_time` (dask.py:156-165). Hash-agg via max_by: one shuffle,
+  // partial aggregation on the map side, no global sort.
+  // ---------------------------------------------------------------------
+  def dedupLatest(
+      df: DataFrame,
+      timeCol: String = TimeCol,
+      createdCol: String = CreatedCol,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val others = df.columns.filterNot(_ == timeCol).toSeq
+    val ordKey =
+      if (tieBreak.isEmpty) col(createdCol)
+      else struct((createdCol +: tieBreak).map(col): _*)
+    df.groupBy(col(timeCol))
+      .agg(max_by(struct(others.map(col): _*), ordKey).as("__r"))
+      .select(col(timeCol) +: others.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // P3: time travel — "as known at time + delta" (dask.py:119-122).
+  // delta is a pandas-style alias, e.g. "-15min". Applied BEFORE dedup.
+  // ---------------------------------------------------------------------
+  def timeTravel(
+      df: DataFrame,
+      delta: String,
+      timeCol: String = TimeCol,
+      createdCol: String = CreatedCol): DataFrame =
+    df.filter(col(createdCol) <= col(timeCol) + Freq.toInterval(delta))
+
+  // ---------------------------------------------------------------------
+  // P1/P4: inclusive time-range predicate; pushed to parquet by Catalyst.
+  // ---------------------------------------------------------------------
+  def rangeFilter(
+      df: DataFrame,
+      from: Option[Timestamp],
+      to: Option[Timestamp],
+      timeCol: String = TimeCol): DataFrame = {
+    val lo = from.map(f => col(timeCol) >= lit(f))
+    val hi = to.map(t => col(timeCol) <= lit(t))
+    (lo ++ hi).reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.5: forward fill — analytic window `last(ignoreNulls)` over a
+  // running frame. Global ordering ⇒ single task; exact semantics for
+  // per-feature loads (matches pandas .ffill()).
+  // ---------------------------------------------------------------------
+  def ffill(
+      df: DataFrame,
+      valueCols: Seq[String],
+      orderCols: Seq[String] = Seq(TimeCol),
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Distributed forward fill: phase 1 fills within each time bucket in
+    * parallel; phase 2 computes each bucket's last non-null value (a tiny
+    * one-row-per-bucket aggregate), forward-fills THAT with a driver-size
+    * window, and broadcasts the per-bucket seed back. Equivalent to the
+    * global ffill for any bucketing that is monotone in the order column.
+    */
+  def ffillBucketed(
+      df: DataFrame,
+      valueCols: Seq[String],
+      bucket: Column,
+      orderCols: Seq[String] = Seq(TimeCol)): DataFrame = {
+    val B = "__ffill_bucket"
+    val withB = df.withColumn(B, bucket)
+    val wIn = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(withB)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wIn)))
+    // last non-null value per bucket: max over (orderKey, value) restricted
+    // to non-null values — deterministic, partial-agg friendly.
+    val ordStruct = struct(orderCols.map(col): _*)
+    val bucketAggs = valueCols.map(c =>
+      max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
+        .getField("v").as(c))
+    val perBucket = withB.groupBy(col(B)).agg(bucketAggs.head, bucketAggs.tail: _*)
+    // seed for bucket b = last non-null among all earlier buckets
+    val wSeed = Window.orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = valueCols.foldLeft(perBucket)((d, c) =>
+      d.withColumn(s"__seed_$c", last(col(c), ignoreNulls = true).over(wSeed)))
+      .select(col(B) +: valueCols.map(c => col(s"__seed_$c")): _*)
+    filled
+      .join(broadcast(seeds), Seq(B), "left")
+      .select(filled.columns.filterNot(_ == B).map { c =>
+        if (valueCols.contains(c)) coalesce(col(c), col(s"__seed_$c")).as(c) else col(c)
+      }.toSeq: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // J2: resample onto a regular grid [from, to] step `freq`, forward-
+  // filling from the data (dask.py:169-188). Rows before `from` act as
+  // the carry-in seed (J3, dask.py:142-148): no two-phase trick needed —
+  // they participate in the fill and are dropped with the non-grid rows.
+  // Spine via spark.range: no driver-side materialization, no sequence()
+  // element-count cap.
+  // ---------------------------------------------------------------------
+  def resample(
+      df: DataFrame,
+      from: Timestamp,
+      to: Timestamp,
+      freq: String,
+      valueCols: Seq[String],
+      timeCol: String = TimeCol): DataFrame = {
+    val stepUs = Freq.toMicros(freq)
+    require(stepUs > 0, s"resample freq must be positive, got '$freq'")
+    val startUs = from.getTime * 1000L + (from.getNanos / 1000L) % 1000L
+    val endUs = to.getTime * 1000L + (to.getNanos / 1000L) % 1000L
+    // reference clamps to_date < from_date up to from_date (dask.py:154-155)
+    val n = math.max((endUs - startUs) / stepUs, 0L) + 1L
+    val spark = df.sparkSession
+    val spine = spark.range(n).select(
+      timestamp_micros(lit(startUs) + col("id") * lit(stepUs)).as(timeCol))
+    val S = "__spine"
+    val data = df.select(col(timeCol) +: valueCols.map(col): _*).withColumn(S, lit(0))
+    val union = spine
+      .select(col(timeCol) +: valueCols.map(c => lit(null).cast(data.schema(c).dataType).as(c)): _*)
+      .withColumn(S, lit(1))
+      .unionByName(data)
+    // at equal timestamps the data row must precede the spine row so the
+    // fill picks up the exact-time value
+    ffill(union, valueCols, orderCols = Seq(timeCol, S))
+      .filter(col(S) === 1)
+      .drop(S)
+  }
+
+  // ---------------------------------------------------------------------
+  // J1: multi-feature alignment — N-way full outer join on time, then
+  // forward-fill every value column (_timeseries.py:11-26).
+  // ---------------------------------------------------------------------
+  def alignJoin(dfs: Seq[DataFrame], timeCol: String = TimeCol): DataFrame = {
+    require(dfs.nonEmpty, "alignJoin needs at least one input")
+    val joined = dfs.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
+    val valueCols = joined.columns.filterNot(_ == timeCol).toSeq
+    ffill(joined, valueCols, orderCols = Seq(timeCol)).orderBy(col(timeCol))
+  }
+
+  // ---------------------------------------------------------------------
+  // A3/O3: last row by time (point lookup for inference, dask.py:196-221).
+  // Top-k with k=1 — Spark plans a TakeOrderedAndProject, no full sort.
+  // ---------------------------------------------------------------------
+  def lastRow(df: DataFrame, timeCol: String = TimeCol): DataFrame =
+    df.orderBy(col(timeCol).desc).limit(1)
+
+  // ---------------------------------------------------------------------
+  // A2: time bounds of a feature (dask.py:150-153) — tiny agg job used to
+  // default a load's date range.
+  // ---------------------------------------------------------------------
+  def timeBounds(df: DataFrame, timeCol: String = TimeCol): (Option[Timestamp], Option[Timestamp]) = {
+    val row = df.agg(min(col(timeCol)), max(col(timeCol))).head()
+    (Option(row.getTimestamp(0)), Option(row.getTimestamp(1)))
+  }
+}

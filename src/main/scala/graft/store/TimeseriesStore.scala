@@ -1,0 +1,150 @@
+package graft.store
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.TimeseriesOps._
+
+/** Physical storage of one namespace: each feature is a hive-partitioned
+  * snappy-parquet directory `<url>/feature/<name>/partition=<p>/...`,
+  * mirroring the reference layout (`/root/reference/bytehub/_storage/
+  * dask.py:62-83`). All IO through the Hadoop FileSystem API so any
+  * `fs.defaultFS`-reachable store works (local, HDFS, S3A, ...).
+  *
+  * Scale notes: reads carry BOTH the `time` range predicate (parquet
+  * row-group pushdown) and the derived `partition` predicate (directory
+  * pruning) — the derived-predicate rewrite the reference hand-rolls at
+  * dask.py:89-106. Writes append hive partitions so a 100 TB feature is
+  * split across ~days × files and a bounded load touches only its range.
+  */
+class TimeseriesStore(spark: SparkSession, url: String) {
+
+  private def featurePath(name: String): String = s"$url/feature/$name"
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = {
+    val p = featurePath(name)
+    fs(p).exists(new Path(p))
+  }
+
+  /** Empty-feature fallback schema (dask.py:110-115 semantics). */
+  def emptySchema(valueType: DataType): StructType = StructType(Seq(
+    StructField(TimeCol, TimestampType),
+    StructField(CreatedCol, TimestampType),
+    StructField(ValueCol, valueType)))
+
+  /** S3 (save validation + normalization, dask.py:223-263):
+    *  - `time` and `value` columns required, nothing else but
+    *    `created_time` allowed;
+    *  - timestamps cast; `created_time` defaults to now();
+    *  - `partition` derived from `time` ("date" → yyyy-MM-dd string,
+    *    "year" → int year).
+    */
+  def normalizeForSave(df: DataFrame, partitionStyle: String): DataFrame = {
+    val cols = df.columns.toSet
+    require(cols.contains(TimeCol), s"DataFrame must contain a '$TimeCol' column")
+    require(cols.contains(ValueCol), s"DataFrame must contain a '$ValueCol' column")
+    val extraneous = cols -- Set(TimeCol, CreatedCol, ValueCol)
+    require(extraneous.isEmpty, s"DataFrame contains extraneous columns: ${extraneous.mkString(", ")}")
+    val withCreated =
+      if (cols.contains(CreatedCol)) df.withColumn(CreatedCol, col(CreatedCol).cast(TimestampType))
+      else df.withColumn(CreatedCol, current_timestamp())
+    val partitionCol = partitionStyle match {
+      case "date" => date_format(col(TimeCol), "yyyy-MM-dd")
+      case "year" => year(col(TimeCol))
+      case other  => throw new IllegalArgumentException(s"unknown partition style: $other")
+    }
+    withCreated
+      .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
+      .withColumn("partition", partitionCol)
+      .select(TimeCol, CreatedCol, ValueCol, "partition")
+  }
+
+  /** S2: hive-partitioned snappy parquet append. */
+  def write(name: String, normalized: DataFrame): Unit =
+    normalized.write
+      .mode("append")
+      .option("compression", "snappy")
+      .partitionBy("partition")
+      .parquet(featurePath(name))
+
+  def save(name: String, df: DataFrame, partitionStyle: String = "date"): Unit = {
+    if (df.isEmpty) return // no-op on empty, dask.py:231-232
+    write(name, normalizeForSave(df, partitionStyle))
+  }
+
+  /** S1 + P1/P2: scan with time-range predicate AND the derived partition
+    * predicate so directory pruning kicks in before row-group pushdown.
+    * Returns the 3-column envelope (partition dropped, dask.py:116-117).
+    */
+  def read(
+      name: String,
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None,
+      valueType: DataType = DoubleType,
+      partitionStyle: String = "date"): DataFrame = {
+    if (!exists(name)) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
+    }
+    val df = spark.read.parquet(featurePath(name))
+    val partOf: Timestamp => Column = partitionStyle match {
+      // partition column type is inferred on read (string date / int year);
+      // compare through a cast of the derived literal to the read type
+      case "date" => ts => date_format(lit(ts), "yyyy-MM-dd").cast(df.schema("partition").dataType)
+      case _      => ts => year(lit(ts)).cast(df.schema("partition").dataType)
+    }
+    val preds =
+      from.map(f => col(TimeCol) >= lit(f) && col("partition") >= partOf(f)) ++
+      to.map(t => col(TimeCol) <= lit(t) && col("partition") <= partOf(t))
+    preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
+      .select(TimeCol, CreatedCol, ValueCol)
+  }
+
+  /** S4: feature directories present in storage. */
+  def ls(): Seq[String] = {
+    val base = new Path(s"$url/feature")
+    val f = fs(url)
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** S4: hive partition values for a feature, sorted; `reverse` + `n` give
+    * the "last n partitions" read used by last() (dask.py:38-50).
+    */
+  def listPartitions(name: String, n: Int = Int.MaxValue, reverse: Boolean = false): Seq[String] = {
+    val p = new Path(featurePath(name))
+    val f = fs(url)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val parts = f.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("partition="))
+        .map(_.stripPrefix("partition=")).toSeq.sorted
+      (if (reverse) parts.reverse else parts).take(n)
+    }
+  }
+
+  /** S5: recursive delete of a feature's data. */
+  def delete(name: String): Unit = {
+    val p = new Path(featurePath(name))
+    val f = fs(url)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** S6: clone data between stores (export/import, _base.py:46-57). */
+  def copy(name: String, toName: String, dest: TimeseriesStore): Unit = {
+    if (exists(name)) {
+      val df = spark.read.parquet(featurePath(name))
+      df.write.mode("append").option("compression", "snappy")
+        .partitionBy("partition").parquet(dest.featurePathPublic(toName))
+    }
+  }
+
+  private[store] def featurePathPublic(name: String): String = featurePath(name)
+}
