@@ -178,7 +178,14 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
           valueType = valueTypeOf(f),
           partitionStyle = f.partition)
         val traveled = timeTravel.map(d => TimeseriesOps.timeTravel(raw, d)).getOrElse(raw)
-        TimeseriesOps.dedupLatest(traveled).select("time", "value")
+        val deduped = TimeseriesOps.dedupLatest(traveled)
+        // serialized features wrap value as {"v": ...} at save; unwrap on
+        // read so round-trips return the original value's JSON text, not
+        // the envelope (reference deserializes on load, dask.py:123-131)
+        val unwrapped =
+          if (f.serialized) deduped.withColumn("value", get_json_object(col("value"), "$.v"))
+          else deduped
+        unwrapped.select("time", "value")
     }
   }
 

@@ -78,10 +78,30 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       try mapper.readValue(in: java.io.InputStream, classOf[CatalogState]) finally in.close()
     }
 
+  /** Concurrency contract: each mutation re-reads the persisted state
+    * under the lock before applying its change (read-modify-write), so
+    * two FeatureStore instances on one catalog file no longer clobber
+    * each other's unrelated entries; and the write goes to a temp file
+    * followed by a rename, so a crash mid-write leaves either the old
+    * or the new catalog, never a torn file. Single-writer-per-mutation
+    * is still assumed across PROCESSES for same-entry conflicts (the
+    * reference delegates this to a transactional SQL DB, core.py:38-43).
+    */
+  private def mutate[A](f: => A): A = synchronized {
+    state = loadState()
+    val result = f
+    persist()
+    result
+  }
+
   private def persist(): Unit = {
-    val out = fs.create(path, true)
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(state))
     finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"catalog persist failed: rename $tmp -> $path")
   }
 
   // ------------------------------------------------------------ namespaces
@@ -94,12 +114,11 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
   def getNamespace(name: String): Option[Namespace] =
     state.namespaces.find(_.name == name)
 
-  def createNamespace(ns: Namespace): Unit = synchronized {
+  def createNamespace(ns: Namespace): Unit = mutate {
     require(validName(ns.name), s"invalid namespace name: '${ns.name}'")
     require(ns.url.nonEmpty, "namespace url is mandatory") // core.py:129-135
     require(getNamespace(ns.name).isEmpty, s"namespace '${ns.name}' already exists")
     state = state.copy(namespaces = state.namespaces :+ ns)
-    persist()
   }
 
   /** Meta merge with None-delete semantics + version bump
@@ -108,7 +127,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
   def updateNamespace(
       name: String,
       description: Option[String] = None,
-      meta: Map[String, Option[String]] = Map.empty): Unit = synchronized {
+      meta: Map[String, Option[String]] = Map.empty): Unit = mutate {
     val ns = getNamespace(name).getOrElse(
       throw new NoSuchElementException(s"namespace '$name' does not exist"))
     val merged = mergeMeta(ns.meta, meta)
@@ -117,16 +136,14 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       meta = merged,
       version = ns.version + 1)
     state = state.copy(namespaces = state.namespaces.map(n => if (n.name == name) updated else n))
-    persist()
   }
 
-  def deleteNamespace(name: String): Unit = synchronized {
+  def deleteNamespace(name: String): Unit = mutate {
     require(getNamespace(name).isDefined, s"namespace '$name' does not exist")
     // refuse if non-empty (core.py:144-149)
     require(listFeatures(namespace = Some(name)).isEmpty,
       s"namespace '$name' still contains features")
     state = state.copy(namespaces = state.namespaces.filterNot(_.name == name))
-    persist()
   }
 
   // ------------------------------------------------------------- features
@@ -143,7 +160,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
   def getFeature(namespace: String, name: String): Option[Feature] =
     state.features.find(f => f.namespace == namespace && f.name == name)
 
-  def createFeature(f: Feature): Unit = synchronized {
+  def createFeature(f: Feature): Unit = mutate {
     require(validName(f.name), s"invalid feature name: '${f.name}'")
     require(Set("date", "year").contains(f.partition),
       s"partition must be 'date' or 'year', got '${f.partition}'")
@@ -152,7 +169,6 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     require(getFeature(f.namespace, f.name).isEmpty,
       s"feature '${f.fullName}' already exists")
     state = state.copy(features = state.features :+ f)
-    persist()
   }
 
   def updateFeature(
@@ -161,7 +177,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       description: Option[String] = None,
       meta: Map[String, Option[String]] = Map.empty,
       transform: Option[TransformSpec] = None,
-      valueType: Option[String] = None): Unit = synchronized {
+      valueType: Option[String] = None): Unit = mutate {
     val f = getFeature(namespace, name).getOrElse(
       throw new NoSuchElementException(s"feature '$namespace/$name' does not exist"))
     val updated = f.copy(
@@ -177,31 +193,31 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     * analogue of the reference's write-schema pinning, dask.py:66-69).
     */
   private[graft] def pinValueType(namespace: String, name: String, dtJson: String): Unit =
-    synchronized {
+    mutate {
       val f = getFeature(namespace, name).get
       replaceFeature(f.copy(valueType = Some(dtJson))) // no version bump: not a user edit
     }
 
-  private def replaceFeature(updated: Feature): Unit = {
+  private def replaceFeature(updated: Feature): Unit =
     state = state.copy(features = state.features.map(f =>
       if (f.namespace == updated.namespace && f.name == updated.name) updated else f))
-    persist()
-  }
 
-  def deleteFeature(namespace: String, name: String): Unit = synchronized {
+  def deleteFeature(namespace: String, name: String): Unit = mutate {
     require(getFeature(namespace, name).isDefined,
       s"feature '$namespace/$name' does not exist")
     state = state.copy(features = state.features.filterNot(f =>
       f.namespace == namespace && f.name == name))
-    persist()
   }
 
   def cloneFeature(srcNs: String, srcName: String, dstNs: String, dstName: String): Feature =
-    synchronized {
+    mutate {
       val src = getFeature(srcNs, srcName).getOrElse(
         throw new NoSuchElementException(s"feature '$srcNs/$srcName' does not exist"))
+      require(validName(dstName), s"invalid feature name: '$dstName'")
+      require(getNamespace(dstNs).isDefined, s"namespace '$dstNs' does not exist")
+      require(getFeature(dstNs, dstName).isEmpty, s"feature '$dstNs/$dstName' already exists")
       val clone = src.copy(namespace = dstNs, name = dstName, version = 1)
-      createFeature(clone)
+      state = state.copy(features = state.features :+ clone)
       clone
     }
 

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** The engine's dataflow kernel: every nontrivial semantic of the reference
   * feature store (`/root/reference/bytehub/_storage/dask.py`,
@@ -30,23 +31,38 @@ object TimeseriesOps {
   val CreatedCol = "created_time"
   val ValueCol = "value"
 
+  /** Whether Spark can ORDER BY this type (maps cannot be compared). */
+  private[graft] def isOrderable(dt: DataType): Boolean = dt match {
+    case _: MapType    => false
+    case s: StructType => s.fields.forall(f => isOrderable(f.dataType))
+    case a: ArrayType  => isOrderable(a.elementType)
+    case _             => true
+  }
+
   // ---------------------------------------------------------------------
   // A1: last-writer-wins dedup — per `time`, keep the row with the max
   // `created_time` (dask.py:156-165). Hash-agg via max_by: one shuffle,
   // partial aggregation on the map side, no global sort.
+  // Determinism: rows tied on `created_time` resolve by the remaining
+  // orderable columns (value first), so repeated runs agree — the moral
+  // equivalent of the reference's stable sort + groupby.last.
   // ---------------------------------------------------------------------
   def dedupLatest(
       df: DataFrame,
       timeCol: String = TimeCol,
       createdCol: String = CreatedCol,
-      tieBreak: Seq[String] = Nil): DataFrame = {
-    val others = df.columns.filterNot(_ == timeCol).toSeq
-    val ordKey =
-      if (tieBreak.isEmpty) col(createdCol)
-      else struct((createdCol +: tieBreak).map(col): _*)
-    df.groupBy(col(timeCol))
+      tieBreak: Seq[String] = Nil,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val groupCols = keyCols :+ timeCol
+    val others = df.columns.filterNot(groupCols.contains).toSeq
+    val tie =
+      if (tieBreak.nonEmpty) tieBreak
+      else others.filterNot(_ == createdCol)
+        .filter(c => isOrderable(df.schema(c).dataType))
+    val ordKey = struct((createdCol +: tie).distinct.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), ordKey).as("__r"))
-      .select(col(timeCol) +: others.map(c => col(s"__r.`$c`").as(c)): _*)
+      .select(groupCols.map(col) ++ others.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 
   // ---------------------------------------------------------------------
@@ -126,6 +142,27 @@ object TimeseriesOps {
       }.toSeq: _*)
   }
 
+  /** Default fill bucket: calendar month of the order column — coarse
+    * enough that the per-bucket seed table stays tiny, fine enough that a
+    * year of data fans out across 12+ tasks (and a decade across 120).
+    */
+  def monthBucket(timeCol: String = TimeCol): Column = date_trunc("month", col(timeCol))
+
+  /** Forward fill, distributed when possible: routes through
+    * `ffillBucketed` (parallel across time buckets) whenever every value
+    * column is orderable — the per-bucket "last non-null" aggregate needs
+    * an ordering on the value. Map-typed values fall back to the exact
+    * global-window form.
+    */
+  def ffillAuto(
+      df: DataFrame,
+      valueCols: Seq[String],
+      orderCols: Seq[String] = Seq(TimeCol),
+      bucket: Option[Column] = None): DataFrame =
+    if (valueCols.forall(c => isOrderable(df.schema(c).dataType)))
+      ffillBucketed(df, valueCols, bucket.getOrElse(monthBucket(orderCols.head)), orderCols)
+    else ffill(df, valueCols, orderCols)
+
   // ---------------------------------------------------------------------
   // J2: resample onto a regular grid [from, to] step `freq`, forward-
   // filling from the data (dask.py:169-188). Rows before `from` act as
@@ -157,8 +194,8 @@ object TimeseriesOps {
       .withColumn(S, lit(1))
       .unionByName(data)
     // at equal timestamps the data row must precede the spine row so the
-    // fill picks up the exact-time value
-    ffill(union, valueCols, orderCols = Seq(timeCol, S))
+    // fill picks up the exact-time value; fill is bucket-parallel
+    ffillAuto(union, valueCols, orderCols = Seq(timeCol, S), bucket = Some(monthBucket(timeCol)))
       .filter(col(S) === 1)
       .drop(S)
   }
@@ -171,7 +208,7 @@ object TimeseriesOps {
     require(dfs.nonEmpty, "alignJoin needs at least one input")
     val joined = dfs.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
     val valueCols = joined.columns.filterNot(_ == timeCol).toSeq
-    ffill(joined, valueCols, orderCols = Seq(timeCol)).orderBy(col(timeCol))
+    ffillAuto(joined, valueCols, orderCols = Seq(timeCol)).orderBy(col(timeCol))
   }
 
   // ---------------------------------------------------------------------

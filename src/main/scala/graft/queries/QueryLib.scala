@@ -1,0 +1,591 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimilarityOps, TextOps}
+import graft.ops.TimeseriesOps
+
+/** The driver-verified query inventory: one entry per operator family of
+  * SURVEY.md §2 plus the training-data extensions (dedup, similarity,
+  * text analysis, multimodal plumbing). Every query is a pure
+  * `(SparkSession, sfDir) => DataFrame` over the driver's parquet
+  * testdata, paired (where ANSI-expressible) with DuckDB oracle SQL that
+  * computes the SAME result — numeric determinism comes from doing all
+  * aggregate arithmetic in decimal (exact) or integer space and casting
+  * to double only at the end, and from rounding before any ranking cut.
+  *
+  * Feature-store semantics (dedup-latest, time travel, resample+ffill,
+  * align join, last) are phrased over the `events` table: `ts` is event
+  * time, `event_id`/`ts` stand in for `created_time`.
+  */
+object QueryLib {
+
+  final case class Q(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.table(s, dir, name)
+
+  private def ts(iso: String): Column = lit(iso).cast("timestamp")
+  private def jts(isoDate: String): Timestamp =
+    Timestamp.from(Instant.parse(isoDate + "T00:00:00Z"))
+
+  /** Exact money arithmetic: decimal-cast before multiplying/summing so
+    * Spark and DuckDB agree bit-for-bit after the final double cast.
+    */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def discPrice: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec(col("l_discount")).cast("decimal(4,2)"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is")
+
+  // =====================================================================
+  // Feature-store core (SURVEY §2.1-2.6) over `events`
+  // =====================================================================
+
+  private val fsScanRange = Q(
+    "fs_scan_range",
+    (s, dir) =>
+      TimeseriesOps.rangeFilter(
+        T(s, dir, "events"),
+        Some(jts("2024-01-05")), Some(jts("2024-01-10")), timeCol = "ts")
+        .select("event_id", "ts", "value"),
+    Some("""SELECT event_id, ts, value FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-10'""".stripMargin))
+
+  private val fsDedupLatest = Q(
+    "fs_dedup_latest",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(
+        col("user_id"),
+        date_trunc("hour", col("ts")).as("time"),
+        col("ts").as("created_time"),
+        col("value"))
+      TimeseriesOps.dedupLatest(e, keyCols = Seq("user_id"))
+    },
+    Some("""SELECT user_id, date_trunc('hour', ts) AS time,
+           |       max(ts) AS created_time, arg_max(value, ts) AS value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  private val fsTimeTravel = Q(
+    "fs_time_travel",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(
+        col("user_id"),
+        date_trunc("hour", col("ts")).as("time"),
+        col("ts").as("created_time"),
+        col("value"))
+      TimeseriesOps.dedupLatest(
+        TimeseriesOps.timeTravel(e, "45min"), keyCols = Seq("user_id"))
+    },
+    Some("""WITH v AS (SELECT user_id, date_trunc('hour', ts) AS time,
+           |                  ts AS created_time, value FROM events)
+           |SELECT user_id, time, max(created_time) AS created_time,
+           |       arg_max(value, created_time) AS value
+           |FROM v WHERE created_time <= time + INTERVAL 45 MINUTE
+           |GROUP BY 1, 2""".stripMargin))
+
+  private val fsResample1d = Q(
+    "fs_resample_1d",
+    (s, dir) => {
+      val data = T(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      TimeseriesOps.resample(data, jts("2024-01-01"), jts("2024-01-30"), "1d", Seq("value"))
+    },
+    Some("""WITH data AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
+  private val fsAlign2 = Q(
+    "fs_align_2",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val a = e.filter(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value").as("click_v"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value").as("purchase_v"))
+      TimeseriesOps.alignJoin(Seq(a, b))
+    },
+    Some("""WITH a AS (SELECT ts AS time, value AS click_v FROM events WHERE event_type='click'),
+           |b AS (SELECT ts AS time, value AS purchase_v FROM events WHERE event_type='purchase'),
+           |j AS (SELECT coalesce(a.time, b.time) AS time, a.click_v, b.purchase_v
+           |      FROM a FULL JOIN b ON a.time = b.time)
+           |SELECT time,
+           |  last_value(click_v IGNORE NULLS) OVER
+           |    (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_v,
+           |  last_value(purchase_v IGNORE NULLS) OVER
+           |    (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_v
+           |FROM j""".stripMargin))
+
+  private val fsLast = Q(
+    "fs_last",
+    (s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type")).agg(
+        max_by(col("value"), col("ts")).as("last_value"),
+        max(col("ts")).as("last_time")),
+    Some("""SELECT event_type, arg_max(value, ts) AS last_value, max(ts) AS last_time
+           |FROM events GROUP BY 1""".stripMargin))
+
+  private val fsBounds = Q(
+    "fs_bounds",
+    (s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type")).agg(
+        min(col("ts")).as("first_time"),
+        max(col("ts")).as("last_time"),
+        count(lit(1)).as("n")),
+    Some("""SELECT event_type, min(ts) AS first_time, max(ts) AS last_time, count(*) AS n
+           |FROM events GROUP BY 1""".stripMargin))
+
+  private val fsJsonProps = Q(
+    "fs_json_props",
+    (s, dir) =>
+      T(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |FROM events""".stripMargin))
+
+  // =====================================================================
+  // Relational coverage: aggregation, joins, windows, set ops, top-k
+  // =====================================================================
+
+  private val q1Pricing = Q(
+    "q1_pricing",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2001-06-30 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(discPrice * (lit(1).cast("decimal(4,2)") + dec(col("l_tax")).cast("decimal(4,2)")))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(l_quantity) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |           (1 - CAST(l_discount AS DECIMAL(4,2))) *
+           |           (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           |  sum(l_quantity) / count(*) AS avg_qty,
+           |  count(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+           |GROUP BY 1, 2""".stripMargin))
+
+  private val q3Top10 = Q(
+    "q3_top10",
+    (s, dir) =>
+      T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < ts("2000-01-01 00:00:00"))
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > ts("2000-01-01 00:00:00"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_orderdate,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '2000-01-01'
+           |  AND l_shipdate > TIMESTAMP '2000-01-01'
+           |GROUP BY 1, 2
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  private val q5NationRev = Q(
+    "q5_nation_rev",
+    (s, dir) =>
+      T(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(T(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("2000-01-01 00:00:00"))
+        .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "supplier"),
+          col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast("double").as("revenue")),
+    Some("""SELECT n_name,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           |FROM region
+           |JOIN nation ON n_regionkey = r_regionkey
+           |JOIN customer ON c_nationkey = n_nationkey
+           |JOIN orders ON o_custkey = c_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '2000-01-01'
+           |GROUP BY 1""".stripMargin))
+
+  private val qWindowRunning = Q(
+    "q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      T(s, dir, "events").select(
+        col("user_id"), col("ts"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_sum"))
+    },
+    Some("""SELECT user_id, ts,
+           |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+           |       OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS running_sum
+           |FROM events""".stripMargin))
+
+  private val qLagGap = Q(
+    "q_lag_gap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      T(s, dir, "events").select(
+        col("user_id"), col("ts"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+    },
+    Some("""SELECT user_id, ts,
+           |  date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap_us
+           |FROM events""".stripMargin))
+
+  private val qAntiJoin = Q(
+    "q_anti_join",
+    (s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+
+  private val qSetopExcept = Q(
+    "q_setop_except",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "P").select("o_custkey").distinct()
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    },
+    Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+           |EXCEPT
+           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin))
+
+  private val qRollupOrders = Q(
+    "q_rollup_orders",
+    (s, dir) =>
+      T(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin))
+
+  private val qTopkOrders = Q(
+    "q_topk_orders",
+    (s, dir) =>
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .limit(15),
+    Some("""SELECT o_orderkey, c_name, o_totalprice
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin))
+
+  // =====================================================================
+  // Text analysis over `documents`
+  // =====================================================================
+
+  private def toks: Column = TextOps.tokens(col("text"))
+
+  private val txtStats = Q(
+    "txt_stats",
+    (s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")).cast("double")).as("alpha_ratio"),
+        ((length(col("text")) - (size(toks) - lit(1))).cast("double") /
+          size(toks).cast("double")).as("avg_token_len")),
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+           |    CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+           |FROM documents""".stripMargin))
+
+  private val txtLangid = Q(
+    "txt_langid",
+    (s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"), col("lang"), TextOps.langId(toks).as("lang_pred")),
+    Some("""WITH h AS (SELECT doc_id, lang,
+           |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','is'))) AS en,
+           |  len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y'))) AS es,
+           |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS de,
+           |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est'))) AS fr,
+           |  len(list_filter(string_split(text,' '), x -> x IN ('的','了','是','我','不'))) AS zh
+           |FROM documents)
+           |SELECT doc_id, lang,
+           |  CASE WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
+           |       WHEN es >= de AND es >= fr AND es >= zh THEN 'es'
+           |       WHEN de >= fr AND de >= zh THEN 'de'
+           |       WHEN fr >= zh THEN 'fr'
+           |       ELSE 'zh' END AS lang_pred
+           |FROM h""".stripMargin))
+
+  private val txtFingerprint = Q(
+    "txt_fingerprint",
+    (s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint(toks).as("fp")),
+    Some("""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+           |FROM documents""".stripMargin))
+
+  private val txtQuality = Q(
+    "txt_quality",
+    (s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.stopwordRatio(toks, Stopwords).as("stop_ratio"),
+        TextOps.qualityScore(col("text"), toks, Stopwords).as("quality")),
+    Some("""WITH t AS (SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text,' '),
+           |       x -> x IN ('the','a','of','and','is'))) AS DOUBLE) AS hits,
+           |  CAST(len(string_split(text,' ')) AS DOUBLE) AS n
+           |FROM documents)
+           |SELECT doc_id, hits / n AS stop_ratio,
+           |  (hits / n) * 0.5 + (n / (n + 50.0)) * 0.5 AS quality
+           |FROM t""".stripMargin))
+
+  // =====================================================================
+  // Deduplication & similarity (training-data extensions)
+  // =====================================================================
+
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id")),
+    Some("""SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+           |FROM documents GROUP BY 1""".stripMargin))
+
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val t = T(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sha"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("shb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          SimilarityOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, source,
+           |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
+           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
+           |  FROM documents),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+           |      FROM t a JOIN t b
+           |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
+           |  CAST(len(sha) + len(shb)
+           |       - len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) AS jaccard
+           |FROM p
+           |WHERE CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
+           |      CAST(len(sha) + len(shb)
+           |           - len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) >= 0.5""".stripMargin))
+
+  private val dedupMinhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val base = T(s, dir, "documents").select(
+        col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
+      val sig = SimilarityOps.minhashSig(col("sh"), 6)
+      val withSig = base.select(
+        col("doc_id") +: col("sh") +: sig.zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)
+      val bands = (0 until 3).map { bi =>
+        withSig.select(col("doc_id"), lit(bi).as("band"),
+          md5(concat(col(s"m${2 * bi}"), lit("|"), col(s"m${2 * bi + 1}"))).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          SimilarityOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
+           |sig AS (SELECT doc_id, sh,
+           |  list_min(list_transform(sh, s -> md5(concat('0|', s)))) AS m0,
+           |  list_min(list_transform(sh, s -> md5(concat('1|', s)))) AS m1,
+           |  list_min(list_transform(sh, s -> md5(concat('2|', s)))) AS m2,
+           |  list_min(list_transform(sh, s -> md5(concat('3|', s)))) AS m3,
+           |  list_min(list_transform(sh, s -> md5(concat('4|', s)))) AS m4,
+           |  list_min(list_transform(sh, s -> md5(concat('5|', s)))) AS m5
+           | FROM base),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(concat(m2, '|', m3)) FROM sig
+           |  UNION ALL SELECT doc_id, 2, md5(concat(m4, '|', m5)) FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |j AS (SELECT doc_a, doc_b,
+           |        CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
+           |        CAST(len(x.sh) + len(y.sh)
+           |             - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) AS jaccard
+           |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin))
+
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val t = T(s, dir, "documents").select(
+        col("doc_id"), SimilarityOps.simhash16(toks).as("fp"))
+      val a = t.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      val b = t.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          SimilarityOps.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+        .filter(col("hamming") <= 2)
+    },
+    None) // engine-internal sketch; verified by ScalaTest, rows-only here
+
+  private val simCosineTopk = Q(
+    "sim_cosine_topk",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val scored = c.crossJoin(broadcast(q)).select(
+        col("q_id"), col("c_id"),
+        round(SimilarityOps.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 10),
+           |s AS (SELECT q_id, c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cosine
+           |  FROM c, q)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT q_id, c_id, cosine,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin))
+
+  private val simEmbedDedup = Q(
+    "sim_embed_dedup",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(SimilarityOps.cosine(col("va"), col("vb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500),
+           |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+           |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6) AS cosine
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin))
+
+  private val simAnnLsh = Q(
+    "sim_ann_lsh",
+    (s, dir) => {
+      val planes = SimilarityOps.hyperplanes(8, 64)
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucketed = e.withColumn("bucket", SimilarityOps.signBucket(col("v"), planes))
+      val q = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      val c = bucketed.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("bucket"))
+      val scored = c.join(broadcast(q), Seq("bucket")).select(
+        col("q_id"), col("c_id"),
+        round(SimilarityOps.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    },
+    None) // approximate by construction; recall vs brute force in ScalaTest
+
+  // =====================================================================
+  // Multimodal plumbing: opaque binary payloads + typed metadata
+  // =====================================================================
+
+  private val mmBinaryMeta = Q(
+    "mm_binary_meta",
+    (s, dir) => {
+      val payload = col("text").cast("binary")
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        length(payload).cast("long").as("n_bytes"),
+        sha2(payload, 256).as("digest"),
+        (pmod(length(payload).cast("long") * 7, lit(640)) + 1).as("fake_width"),
+        (pmod(length(payload).cast("long") * 13, lit(480)) + 1).as("fake_height"))
+    },
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           |  sha256(text) AS digest,
+           |  (octet_length(CAST(text AS BLOB)) * 7) % 640 + 1 AS fake_width,
+           |  (octet_length(CAST(text AS BLOB)) * 13) % 480 + 1 AS fake_height
+           |FROM documents""".stripMargin))
+
+  // =====================================================================
+
+  val all: Seq[Q] = Seq(
+    fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsAlign2,
+    fsLast, fsBounds, fsJsonProps,
+    q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
+    qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders,
+    txtStats, txtLangid, txtFingerprint, txtQuality,
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    simCosineTopk, simEmbedDedup, simAnnLsh,
+    mmBinaryMeta)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -94,15 +94,25 @@ class TimeseriesStore(spark: SparkSession, url: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
     }
     val df = spark.read.parquet(featurePath(name))
-    val partOf: Timestamp => Column = partitionStyle match {
-      // partition column type is inferred on read (string date / int year);
-      // compare through a cast of the derived literal to the read type
-      case "date" => ts => date_format(lit(ts), "yyyy-MM-dd").cast(df.schema("partition").dataType)
-      case _      => ts => year(lit(ts)).cast(df.schema("partition").dataType)
+    // Partition bounds are widened by one unit on each side so that a
+    // reader whose session timezone differs from the writer's (partition
+    // strings are derived via session-TZ date_format at save) can never
+    // prune a boundary partition that still holds in-range rows; the
+    // exact `time` predicate then drops any extra rows. The expressions
+    // are foldable, so Catalyst constant-folds them into prunable
+    // partition literals.
+    val ptype = df.schema("partition").dataType
+    val partLo: Timestamp => Column = partitionStyle match {
+      case "date" => ts => date_format(lit(ts) - expr("INTERVAL 1 DAY"), "yyyy-MM-dd").cast(ptype)
+      case _      => ts => (year(lit(ts)) - 1).cast(ptype)
+    }
+    val partHi: Timestamp => Column = partitionStyle match {
+      case "date" => ts => date_format(lit(ts) + expr("INTERVAL 1 DAY"), "yyyy-MM-dd").cast(ptype)
+      case _      => ts => (year(lit(ts)) + 1).cast(ptype)
     }
     val preds =
-      from.map(f => col(TimeCol) >= lit(f) && col("partition") >= partOf(f)) ++
-      to.map(t => col(TimeCol) <= lit(t) && col("partition") <= partOf(t))
+      from.map(f => col(TimeCol) >= lit(f) && col("partition") >= partLo(f)) ++
+      to.map(t => col(TimeCol) <= lit(t) && col("partition") <= partHi(t))
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
       .select(TimeCol, CreatedCol, ValueCol)
   }
