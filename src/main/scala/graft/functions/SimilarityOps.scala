@@ -25,22 +25,34 @@ object SimilarityOps {
 
   // ------------------------------------------------------------ MinHash
 
-  /** K min-hash values of a shingle-set column. Each hash family member
-    * is `md5(i + "|" + shingle)`; the minimum is taken in STRING order,
-    * which is a uniform random permutation of the shingle universe just
-    * like a numeric minhash. Returns one Column per hash function.
+  /** K min-hash values of a shingle-set column, as ONE array<string>
+    * column. A single md5 per shingle is sliced into K disjoint
+    * 5-hex-digit (20-bit) chunks — K nearly independent uniform hashes
+    * for the cost of ONE digest per shingle. The per-chunk minimum is
+    * taken in STRING order, a uniform random permutation of the shingle
+    * universe just like a numeric minhash. K <= 6 (30 hex digits used).
+    *
+    * Shape note: the digest is bound as the lambda variable of a single
+    * `aggregate` fold, so md5 runs exactly once per shingle no matter
+    * how many chunks read it — a naive `(0 until k).map(i => min(md5(
+    * seed_i ++ s)))` re-hashes the whole array K times. Callers that fan
+    * the signature out into several projections (band keys!) should
+    * materialize it behind a shuffle or the optimizer will inline and
+    * recompute the fold per use.
     */
-  def minhashSig(shingles: Column, k: Int): Seq[Column] =
-    (0 until k).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))
-    }
+  def minhashSig(shingles: Column, k: Int): Column = {
+    require(k <= 6, s"minhashSig slices one md5 into at most 6 chunks, got $k")
+    aggregate(
+      transform(shingles, s => md5(s)),
+      array_repeat(lit("g"), k), // "g" sorts after any hex digit
+      (acc, h) => transform(acc, (m, i) => least(m, h.substr(lit(1) + i * lit(5), lit(5)))))
+  }
 
-  /** LSH band keys: the signature grouped into bands of `rowsPerBand`,
-    * each band hashed to one bucket key. Docs sharing ANY band key are
-    * candidate pairs.
+  /** LSH band key: rows [lo, hi] (1-based) of a signature array hashed
+    * to one bucket value. Docs sharing ANY band key are candidate pairs.
     */
-  def bandKeys(sig: Seq[Column], rowsPerBand: Int): Seq[Column] =
-    sig.grouped(rowsPerBand).map(g => md5(g.reduce((a, b) => concat(a, lit("|"), b)))).toSeq
+  def bandKey(sig: Column, lo: Int, hi: Int): Column =
+    md5((lo to hi).map(i => element_at(sig, i)).reduce((a, b) => concat(a, lit("|"), b)))
 
   // ------------------------------------------------------------ Jaccard
 
@@ -56,19 +68,43 @@ object SimilarityOps {
 
   /** 16-bit SimHash of a token array: bit j of the fingerprint is set
     * iff the sum over tokens of ±1 (sign = bit j of md5(token)) is
-    * positive. 16 bits keeps the expression tree small while still
-    * demonstrating the sketch; widen by calling twice with different
-    * seeds and concatenating.
+    * positive. Single `aggregate` fold with a 16-int vote accumulator —
+    * md5 runs once per token. Fine for per-row use; for corpus-scale
+    * fingerprinting prefer `simhashAgg` (explode + hash-agg: one shuffle,
+    * map-side partial aggregation).
     */
   def simhash16(toks: Column, seed: String = ""): Column = {
-    // per-token 16-bit hash from the md5 hex prefix
-    val h = transform(toks, t => conv(substring(md5(concat(lit(seed), t)), 1, 4), 16, 10).cast("int"))
-    val bits = (0 until 16).map { j =>
-      val votes = aggregate(h, lit(0),
-        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1 << j)).otherwise(lit(0))
+    val votes = aggregate(
+      transform(toks, t => conv(substring(md5(concat(lit(seed), t)), 1, 4), 16, 10).cast("int")),
+      array_repeat(lit(0), 16),
+      (acc, h) => transform(acc, (v, j) =>
+        v + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    (0 until 16).map { j =>
+      when(element_at(votes, j + 1) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Corpus-scale SimHash: explode tokens, hash each ONCE, and reduce
+    * the ±1 bit votes with a hash aggregation keyed on `idCol` — the
+    * MapReduce formulation that partial-aggregates map-side and shuffles
+    * only (id, 16 ints) per document. Returns (idCol, fp).
+    */
+  def simhashAgg(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      toksCol: Column,
+      seed: String = ""): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(toksCol).as("__tok"))
+      .withColumn("__h",
+        conv(substring(md5(concat(lit(seed), col("__tok"))), 1, 4), 16, 10).cast("int"))
+    val votes = (0 until 16).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$j")
     }
-    bits.reduce(_ + _)
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map { j =>
+          when(col(s"__v$j") > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).as("fp"))
   }
 
   /** Hamming distance between two small integer fingerprints. */

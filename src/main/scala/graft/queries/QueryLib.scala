@@ -424,12 +424,15 @@ object QueryLib {
     (s, dir) => {
       val base = T(s, dir, "documents").select(
         col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
-      val sig = SimilarityOps.minhashSig(col("sh"), 6)
-      val withSig = base.select(
-        col("doc_id") +: col("sh") +: sig.zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)
+      // signature computed ONCE behind a shuffle barrier; the 3 band
+      // projections below then read the materialized array instead of
+      // re-running the md5 fold per band
+      val withSig = base
+        .select(col("doc_id"), SimilarityOps.minhashSig(col("sh"), 6).as("sig"))
+        .repartition(col("doc_id"))
       val bands = (0 until 3).map { bi =>
         withSig.select(col("doc_id"), lit(bi).as("band"),
-          md5(concat(col(s"m${2 * bi}"), lit("|"), col(s"m${2 * bi + 1}"))).as("bkey"))
+          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
       }.reduce(_ unionByName _)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -447,12 +450,12 @@ object QueryLib {
            |base AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
            |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
            |sig AS (SELECT doc_id, sh,
-           |  list_min(list_transform(sh, s -> md5(concat('0|', s)))) AS m0,
-           |  list_min(list_transform(sh, s -> md5(concat('1|', s)))) AS m1,
-           |  list_min(list_transform(sh, s -> md5(concat('2|', s)))) AS m2,
-           |  list_min(list_transform(sh, s -> md5(concat('3|', s)))) AS m3,
-           |  list_min(list_transform(sh, s -> md5(concat('4|', s)))) AS m4,
-           |  list_min(list_transform(sh, s -> md5(concat('5|', s)))) AS m5
+           |  list_min(list_transform(sh, s -> substr(md5(s),  1, 5))) AS m0,
+           |  list_min(list_transform(sh, s -> substr(md5(s),  6, 5))) AS m1,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 11, 5))) AS m2,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 16, 5))) AS m3,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 21, 5))) AS m4,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 26, 5))) AS m5
            | FROM base),
            |bands AS (
            |  SELECT doc_id, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
@@ -471,13 +474,22 @@ object QueryLib {
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      val t = T(s, dir, "documents").select(
-        col("doc_id"), SimilarityOps.simhash16(toks).as("fp"))
-      val a = t.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      val b = t.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          SimilarityOps.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      // Banded candidate generation (pigeonhole: hamming <= 2 over 3 bit
+      // bands means at least one band is identical), so the pair search
+      // is 3 equi-joins on band values — shuffle-partitionable at any
+      // corpus size — instead of an O(n^2) cartesian. Fingerprints via
+      // the explode+hash-agg path: one md5 per token, one shuffle.
+      val t = SimilarityOps.simhashAgg(T(s, dir, "documents"), "doc_id", toks)
+      val bands = (0 until 3).map { bi =>
+        t.select(col("doc_id"), col("fp"), lit(bi).as("band"),
+          shiftright(col("fp"), bi * 6).bitwiseAND(lit(0x3F)).as("bkey"))
+      }.reduce(_ unionByName _)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          SimilarityOps.hamming(col("x.fp"), col("y.fp")).as("hamming"))
+        .distinct()
         .filter(col("hamming") <= 2)
     },
     None) // engine-internal sketch; verified by ScalaTest, rows-only here

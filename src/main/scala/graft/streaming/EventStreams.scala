@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming extension (SURVEY §2.10: the reference has no streaming —
+  * this is additive scope mapping the `events` table onto Structured
+  * Streaming). All functions take an unbounded DataFrame with the
+  * events schema (`ts timestamp, user_id long, event_type string,
+  * value double, ...`) and return transformed streaming frames; the
+  * caller picks the sink. Watermarks bound state so a 100 TB/day
+  * stream's window state stays proportional to (watermark / slide),
+  * not to history.
+  */
+object EventStreams {
+
+  /** Tumbling (or sliding, when `slide` is given) windowed aggregates
+    * per event type: count + exact decimal sum.
+    */
+  def windowedStats(
+      events: DataFrame,
+      windowDur: String,
+      slide: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("ts"), windowDur, s)
+      case None    => window(col("ts"), windowDur)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Session windows per user: activity separated by >= `gap` starts a
+    * new session (the streaming generalization of sessionization).
+    */
+  def sessionStats(
+      events: DataFrame,
+      gap: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("win.start").as("session_start"), col("win.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  /** Streaming ingest into the feature-store layout: normalizes the
+    * envelope exactly like the batch writer (partition derivation,
+    * created_time default) and appends hive-partitioned parquet — the
+    * continuous version of `TimeseriesStore.save`.
+    */
+  def featureSink(
+      series: DataFrame, // time, value (+ optional created_time)
+      featureDir: String,
+      checkpointDir: String,
+      watermark: String = "10 minutes"): DataStreamWriter[Row] = {
+    val withCreated =
+      if (series.columns.contains("created_time")) series
+      else series.withColumn("created_time", current_timestamp())
+    withCreated
+      .withWatermark("time", watermark)
+      .withColumn("partition", date_format(col("time"), "yyyy-MM-dd"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .partitionBy("partition")
+      .option("path", featureDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+  }
+}

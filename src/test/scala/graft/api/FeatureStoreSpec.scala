@@ -1,0 +1,197 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.transform.TransformRegistry
+
+/** End-to-end facade scenarios ported from the reference suite
+  * (`/root/reference/tests/test_featurestore.py`): save/load round
+  * trips, multi-column fan-out, resampled loads, time travel,
+  * serialized schema drift, empty/out-of-range loads, last values,
+  * transform DAGs with cycle detection, namespace GC.
+  */
+class FeatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): FeatureStore = {
+    val dir = tmpDir("graft-fs")
+    val fs = new FeatureStore(spark, s"$dir/catalog.json")
+    fs.createNamespace("test", s"$dir/warehouse")
+    fs
+  }
+
+  private def dailySeries(from: String, days: Int, f: Int => Double) =
+    (0 until days).map { i =>
+      (new java.sql.Timestamp(ts(from).getTime + i * 86400000L), f(i))
+    }.toDF("time", "value")
+
+  test("save/load round trip with dedup on rewrite (test :350-402)") {
+    val fs = freshStore()
+    fs.createFeature("test/df1")
+    fs.saveDataFrame(dailySeries("2021-01-01", 10, _.toDouble), Some("test/df1"))
+    val out = fs.loadDataFrame(Seq("test/df1"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-10")))
+    assert(out.count() == 10)
+    assert(out.columns.toSeq == Seq("time", "test/df1"))
+    // rewrite the same range with new values: load must dedup to latest
+    fs.saveDataFrame(dailySeries("2021-01-01", 10, i => i * 100.0), Some("test/df1"))
+    val re = fs.loadDataFrame(Seq("test/df1"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-10")))
+    assert(re.count() == 10)
+    assert(re.orderBy("time").collect().map(_.getDouble(1)).toSeq ==
+      (0 until 10).map(_ * 100.0))
+  }
+
+  test("multi-column save fans out per feature (core.py:303-313)") {
+    val fs = freshStore()
+    fs.createFeature("test/df3")
+    fs.createFeature("test/df4", partition = "year")
+    val wide = (0 until 5).map { i =>
+      (new java.sql.Timestamp(ts("2021-01-01").getTime + i * 86400000L),
+        i.toDouble, s"s$i")
+    }.toDF("time", "test/df3", "test/df4")
+    fs.saveDataFrame(wide)
+    val out = fs.loadDataFrame(Seq("test/df3", "test/df4"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-05"))).orderBy("time").collect()
+    assert(out.length == 5)
+    assert(out.map(_.getDouble(1)).toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    assert(out.map(_.getString(2)).toSeq == Seq("s0", "s1", "s2", "s3", "s4"))
+  }
+
+  test("resampled load forward-fills onto the grid (test :405-491)") {
+    val fs = freshStore()
+    fs.createFeature("test/rs")
+    // data on days 0,1,2,...9 with a gap: only even days
+    val df = (0 until 10 by 2).map { i =>
+      (new java.sql.Timestamp(ts("2021-01-01").getTime + i * 86400000L), i.toDouble)
+    }.toDF("time", "value")
+    fs.saveDataFrame(df, Some("test/rs"))
+    val out = fs.loadDataFrame(Seq("test/rs"),
+      Some(ts("2021-01-02")), Some(ts("2021-01-06")), freq = Some("1d"))
+      .orderBy("time").collect()
+    // 02..06 inclusive; carry-over from 01-01 seeds day 02 (J3 semantics)
+    assert(out.map(_.getDouble(1)).toSeq == Seq(0.0, 2.0, 2.0, 4.0, 4.0))
+  }
+
+  test("time travel reconstructs what was known (test :550-590)") {
+    val fs = freshStore()
+    fs.createFeature("test/tt")
+    def version(offsetMin: Int, v: Double) =
+      (0 until 3).map { i =>
+        val t = ts("2021-06-01").getTime + i * 86400000L
+        (new java.sql.Timestamp(t), new java.sql.Timestamp(t - offsetMin * 60000L), v)
+      }.toDF("time", "created_time", "value")
+    fs.saveDataFrame(version(60, 1.0), Some("test/tt"))
+    fs.saveDataFrame(version(30, 2.0), Some("test/tt"))
+    fs.saveDataFrame(version(10, 3.0), Some("test/tt"))
+    def vals(tt: Option[String]) =
+      fs.loadDataFrame(Seq("test/tt"), Some(ts("2021-06-01")), Some(ts("2021-06-03")),
+        timeTravel = tt).collect().map(_.getDouble(1)).toSet
+    assert(vals(None) == Set(3.0))
+    assert(vals(Some("-15min")) == Set(2.0))
+    assert(vals(Some("-45min")) == Set(1.0))
+    assert(fs.loadDataFrame(Seq("test/tt"), Some(ts("2021-06-01")), Some(ts("2021-06-03")),
+      timeTravel = Some("-120min")).count() == 0)
+  }
+
+  test("serialized features allow schema drift and unwrap on load (test :494-521)") {
+    val fs = freshStore()
+    fs.createFeature("test/ser", serialized = true)
+    fs.saveDataFrame(dailySeries("2021-01-01", 3, _.toDouble), Some("test/ser"))
+    // drift: now save struct values under the same feature
+    val structs = (3 until 5).map { i =>
+      (new java.sql.Timestamp(ts("2021-01-01").getTime + i * 86400000L), (i, s"x$i"))
+    }.toDF("time", "value")
+    fs.saveDataFrame(structs, Some("test/ser"))
+    val out = fs.loadDataFrame(Seq("test/ser"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-05"))).orderBy("time").collect()
+    assert(out.length == 5)
+    val vs = out.map(_.getString(1))
+    assert(vs(0) == "0.0") // scalar round-trips to its JSON text, not {"v":...}
+    assert(vs(3).contains("\"x3\"")) // struct round-trips to its JSON object
+  }
+
+  test("non-serialized schema change on append is rejected (test :512-514)") {
+    val fs = freshStore()
+    fs.createFeature("test/pin")
+    fs.saveDataFrame(dailySeries("2021-01-01", 2, _.toDouble), Some("test/pin"))
+    val strs = Seq((ts("2021-01-03"), "oops")).toDF("time", "value")
+    intercept[IllegalArgumentException](fs.saveDataFrame(strs, Some("test/pin")))
+  }
+
+  test("empty feature and out-of-range loads (test :524-547)") {
+    val fs = freshStore()
+    fs.createFeature("test/empty")
+    assert(fs.loadDataFrame(Seq("test/empty"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-03"))).count() == 0)
+    // with freq: all-null spine of expected length (test :535-538)
+    val spined = fs.loadDataFrame(Seq("test/empty"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-03")), freq = Some("1d")).collect()
+    assert(spined.length == 3 && spined.forall(_.isNullAt(1)))
+    // out-of-range: data in 2021, query 2020 -> empty, no carry-in
+    fs.createFeature("test/oor")
+    fs.saveDataFrame(dailySeries("2021-01-01", 5, _.toDouble), Some("test/oor"))
+    assert(fs.loadDataFrame(Seq("test/oor"),
+      Some(ts("2020-01-01")), Some(ts("2020-03-01"))).count() == 0)
+  }
+
+  test("last values incl. empty feature (test :593-624)") {
+    val fs = freshStore()
+    fs.createFeature("test/last1")
+    fs.createFeature("test/last3")
+    fs.saveDataFrame(dailySeries("2021-01-01", 5, _ * 2.0), Some("test/last1"))
+    val last = fs.last(Seq("test/last1", "test/last3"))
+    assert(last("test/last1").contains(8.0))
+    assert(last("test/last3").isEmpty)
+  }
+
+  test("transform DAG: sql + registry, recursion, cycle detection (test :627-695)") {
+    val fs = freshStore()
+    fs.createFeature("test/raw")
+    fs.saveDataFrame(dailySeries("2021-01-01", 5, _.toDouble), Some("test/raw"))
+    fs.transformSql("test/squared", Seq("test/raw"), "f0 * f0")
+    // transform-of-transform (combined = raw + squared)
+    fs.transformSql("test/combined", Seq("test/raw", "test/squared"), "f0 + f1")
+    val out = fs.loadDataFrame(Seq("test/combined"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-05"))).orderBy("time").collect()
+    assert(out.map(_.getDouble(1)).toSeq == (0 until 5).map(i => i + i.toDouble * i))
+    // registry transform
+    TransformRegistry.register("double-it", df => df.withColumn("value", col("f0") * 2))
+    fs.transformFn("test/doubled", Seq("test/raw"), "double-it")
+    val dbl = fs.loadDataFrame(Seq("test/doubled"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-05"))).orderBy("time").collect()
+    assert(dbl.map(_.getDouble(1)).toSeq == (0 until 5).map(_ * 2.0))
+    // last() evaluates transforms at the tail (test :665-672)
+    assert(fs.last(Seq("test/squared"))("test/squared").contains(16.0))
+    // cycle: A depends on B depends on A
+    fs.transformSql("test/cycA", Seq("test/cycB"), "f0")
+    fs.transformSql("test/cycB", Seq("test/cycA"), "f0")
+    intercept[IllegalStateException](
+      fs.loadDataFrame(Seq("test/cycA"), Some(ts("2021-01-01")), Some(ts("2021-01-02")))
+        .count())
+  }
+
+  test("cloneFeature copies metadata and data; cleanNamespace GCs orphans") {
+    val fs = freshStore()
+    fs.createFeature("test/src")
+    fs.saveDataFrame(dailySeries("2021-01-01", 3, _.toDouble), Some("test/src"))
+    fs.cloneFeature("test/dst", "test/src")
+    val out = fs.loadDataFrame(Seq("test/dst"), Some(ts("2021-01-01")), Some(ts("2021-01-03")))
+    assert(out.count() == 3)
+    // deleting the catalog entry but keeping data leaves an orphan dir
+    fs.deleteFeature("test/dst", deleteData = false)
+    assert(fs.cleanNamespace("test") == Seq("dst"))
+    assert(fs.cleanNamespace("test").isEmpty)
+  }
+
+  test("save validation: extraneous columns rejected, empty save is a no-op") {
+    val fs = freshStore()
+    fs.createFeature("test/val")
+    val bad = Seq((ts("2021-01-01"), 1.0, "extra")).toDF("time", "value", "junk")
+    intercept[IllegalArgumentException](fs.saveDataFrame(bad, Some("test/val")))
+    fs.saveDataFrame(dailySeries("2021-01-01", 0, _.toDouble), Some("test/val"))
+    assert(fs.loadDataFrame(Seq("test/val"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-02"))).count() == 0)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog CRUD semantics from the reference (`core.py`, `_model.py`):
+  * validation, version bump on update, meta merge with None-delete,
+  * delete guards, clone, and crash-safe concurrent persistence.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  private def fresh(): (Catalog, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val loc = s"$dir/catalog.json"
+    (new Catalog(loc), loc)
+  }
+
+  test("namespace CRUD + versioning + meta merge (test_featurestore.py:145-231)") {
+    val (c, _) = fresh()
+    c.createNamespace(Namespace("test", "file:///tmp/x", meta = Map("key1" -> "value1")))
+    assert(c.getNamespace("test").get.version == 1)
+    intercept[IllegalArgumentException](c.createNamespace(Namespace("test", "file:///tmp/y")))
+    intercept[IllegalArgumentException](c.createNamespace(Namespace("bad name!", "u")))
+    intercept[IllegalArgumentException](c.createNamespace(Namespace("nourl", "")))
+    c.updateNamespace("test", meta = Map("key2" -> Some("value2")))
+    val ns = c.getNamespace("test").get
+    assert(ns.version == 2 && ns.meta == Map("key1" -> "value1", "key2" -> "value2"))
+    // None deletes a key (_model.py:58-68)
+    c.updateNamespace("test", meta = Map("key1" -> None))
+    assert(c.getNamespace("test").get.meta == Map("key2" -> "value2"))
+  }
+
+  test("feature CRUD, regex listing, delete guards (test :233-271)") {
+    val (c, _) = fresh()
+    c.createNamespace(Namespace("ns", "file:///tmp/ns"))
+    c.createFeature(Feature("ns", "feature1"))
+    c.createFeature(Feature("ns", "feature2"))
+    c.createFeature(Feature("ns", "other3"))
+    intercept[IllegalArgumentException](c.createFeature(Feature("ns", "feature1")))
+    intercept[IllegalArgumentException](c.createFeature(Feature("missing", "f")))
+    intercept[IllegalArgumentException](c.createFeature(Feature("ns", "f", partition = "weird")))
+    assert(c.listFeatures(Some("ns"), regex = Some("feature.")).map(_.name).sorted ==
+      Seq("feature1", "feature2"))
+    // namespace with features refuses deletion (core.py:144-149)
+    intercept[IllegalArgumentException](c.deleteNamespace("ns"))
+    c.deleteFeature("ns", "feature1")
+    c.deleteFeature("ns", "feature2")
+    c.deleteFeature("ns", "other3")
+    c.deleteNamespace("ns")
+    assert(c.listNamespaces().isEmpty)
+  }
+
+  test("update bumps feature version; clone resets it (core.py:180-208)") {
+    val (c, _) = fresh()
+    c.createNamespace(Namespace("ns", "file:///tmp/ns2"))
+    c.createFeature(Feature("ns", "src", meta = Map("m" -> "1")))
+    c.updateFeature("ns", "src", description = Some("d"))
+    assert(c.getFeature("ns", "src").get.version == 2)
+    val clone = c.cloneFeature("ns", "src", "ns", "dst")
+    assert(clone.version == 1 && clone.meta == Map("m" -> "1"))
+    intercept[IllegalArgumentException](c.cloneFeature("ns", "src", "ns", "dst"))
+  }
+
+  test("parseName splits on first slash; validates charset (_base.py:8-14)") {
+    assert(Catalog.parseName("ns/feat") == ("ns", "feat"))
+    assert(Catalog.parseName("ns/a/b") == ("ns", "a/b"))
+    assert(Catalog.parseName("feat", Some("ns")) == ("ns", "feat"))
+    intercept[IllegalArgumentException](Catalog.parseName("feat"))
+    assert(Catalog.validName("a.B#_-9"))
+    assert(!Catalog.validName("has space"))
+  }
+
+  test("two instances on one file see each other's writes (read-modify-write)") {
+    val (c1, loc) = fresh()
+    val c2 = new Catalog(loc)
+    c1.createNamespace(Namespace("from1", "file:///tmp/a"))
+    c2.createNamespace(Namespace("from2", "file:///tmp/b"))
+    // c2's mutate re-read c1's namespace before writing — nothing lost
+    val c3 = new Catalog(loc)
+    assert(c3.listNamespaces().map(_.name).toSet == Set("from1", "from2"))
+  }
+
+  test("state survives reload (persistence round trip)") {
+    val (c, loc) = fresh()
+    c.createNamespace(Namespace("p", "file:///tmp/p"))
+    c.createFeature(Feature("p", "f", serialized = true,
+      transform = Some(TransformSpec("sql", "f0 * 2", Seq("p/raw")))))
+    val reloaded = new Catalog(loc)
+    val f = reloaded.getFeature("p", "f").get
+    assert(f.serialized && f.transform.contains(TransformSpec("sql", "f0 * 2", Seq("p/raw"))))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccard on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(SimilarityOps.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+    val dup = Seq((Seq("a", "a", "b"), Seq("b", "a"))).toDF("x", "y")
+    assert(dup.select(SimilarityOps.jaccard(col("x"), col("y"))).head().getDouble(0) == 1.0)
+  }
+
+  test("minhash signatures are deterministic and identical sets collide") {
+    val df = Seq(
+      (1L, Seq("x y z", "y z w")),
+      (2L, Seq("y z w", "x y z")), // same set, different order
+      (3L, Seq("completely", "different"))).toDF("id", "sh")
+    val rows = df.select(col("id"), SimilarityOps.minhashSig(col("sh"), 4).as("sig"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(rows(0) == rows(1)) // order-insensitive
+    assert(rows(0) != rows(2))
+    assert(rows(0).length == 4 && rows(0).forall(_.length == 5))
+    // band keys over equal signatures are equal
+    val keys = df.select(SimilarityOps.bandKey(
+      SimilarityOps.minhashSig(col("sh"), 4), 1, 2)).collect().map(_.getString(0))
+    assert(keys(0) == keys(1) && keys(0) != keys(2))
+  }
+
+  test("simhashAgg matches the per-row simhash16 expression") {
+    val df = Seq(
+      (1L, Seq("spark", "scala", "data", "data")),
+      (2L, Seq("entirely", "other", "words"))).toDF("id", "toks")
+    val expr16 = df.select(col("id"), SimilarityOps.simhash16(col("toks")).as("fp"))
+      .orderBy("id").collect().map(_.getInt(1))
+    val agg16 = SimilarityOps.simhashAgg(df, "id", col("toks"))
+      .orderBy("id").collect().map(_.getInt(1))
+    assert(expr16.toSeq == agg16.toSeq)
+  }
+
+  test("simhash: identical token sets get identical fingerprints; hamming 0") {
+    val df = Seq(
+      (1L, Seq("spark", "scala", "data")),
+      (2L, Seq("spark", "scala", "data")),
+      (3L, Seq("entirely", "other", "words"))).toDF("id", "toks")
+    val fp = df.select(col("id"), SimilarityOps.simhash16(col("toks")).as("fp"))
+      .orderBy("id").collect().map(_.getInt(1))
+    assert(fp(0) == fp(1))
+    val ham = df.select(SimilarityOps.hamming(lit(fp(0)), lit(fp(2)))).head().getInt(0)
+    assert(ham >= 0 && ham <= 16)
+  }
+
+  test("cosine matches hand computation") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val cs = df.select(SimilarityOps.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(cs(0)) < 1e-12)
+    assert(math.abs(cs(1) - 1.0) < 1e-12)
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    val a = SimilarityOps.hyperplanes(4, 16)
+    val b = SimilarityOps.hyperplanes(4, 16)
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(a.flatten.toSet == Set(-1.0, 1.0))
+  }
+
+  test("sign-LSH ANN returns correctly-scored candidate pairs") {
+    // the testdata embeddings are uniform random (no planted clusters),
+    // so recall@k is not a meaningful bar — what must hold is that the
+    // ANN path returns real bucket-mates with exactly the same cosine
+    // the exhaustive scorer computes for those pairs
+    val dir = "/root/testdata/sf0.001"
+    val ann = graft.queries.QueryLib.queries("sim_ann_lsh")(spark, dir)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    assert(ann.nonEmpty)
+    assert(ann.values.forall(c => c >= -1.0 && c <= 1.0))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val b = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val exact = a.join(b, col("q_id") < col("c_id"))
+      .filter(col("q_id").isin(ann.keys.map(_._2).toSeq: _*))
+      .select(col("q_id"), col("c_id"),
+        round(SimilarityOps.cosine(col("qv"), col("cv")), 6).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ann.foreach { case ((c_id, q_id), cos) =>
+      assert(exact((q_id, c_id)) == cos, s"pair ($q_id,$c_id)")
+    }
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Kernel semantics ported from the reference pytest suite
+  * (`/root/reference/tests/test_featurestore.py`) — dedup, time travel,
+  * resample grid edges, forward-fill equivalence, align join.
+  */
+class TimeseriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: (String, String, Double)*) =
+    rows.toSeq.toDF("t", "c", "value")
+      .select(col("t").cast("timestamp").as("time"),
+        col("c").cast("timestamp").as("created_time"), col("value"))
+
+  test("dedupLatest keeps max created_time per time (last-writer-wins)") {
+    val df = series(
+      ("2021-01-01 00:00:00", "2021-01-01 01:00:00", 1.0),
+      ("2021-01-01 00:00:00", "2021-01-01 02:00:00", 2.0),
+      ("2021-01-02 00:00:00", "2021-01-01 01:00:00", 3.0))
+    val out = TimeseriesOps.dedupLatest(df).orderBy("time").collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(2.0, 3.0))
+  }
+
+  test("dedupLatest ties on created_time resolve deterministically (max value)") {
+    val df = series(
+      ("2021-01-01 00:00:00", "2021-01-01 01:00:00", 5.0),
+      ("2021-01-01 00:00:00", "2021-01-01 01:00:00", 9.0),
+      ("2021-01-01 00:00:00", "2021-01-01 01:00:00", 7.0))
+    val out = (1 to 3).map(_ => TimeseriesOps.dedupLatest(df).collect().head.getDouble(2))
+    assert(out.toSet == Set(9.0))
+  }
+
+  test("timeTravel keeps rows known at time + delta (test_featurestore.py:550-590)") {
+    // version v saved with created_time = time - offset
+    val t = "2021-01-01 12:00:00"
+    val df = series(
+      (t, "2021-01-01 11:50:00", 3.0), // -10min (latest knowledge)
+      (t, "2021-01-01 11:30:00", 2.0), // -30min
+      (t, "2021-01-01 11:00:00", 1.0)) // -60min
+    def load(tt: Option[String]): Seq[Double] = {
+      val base = tt.map(d => TimeseriesOps.timeTravel(df, d)).getOrElse(df)
+      TimeseriesOps.dedupLatest(base).collect().map(_.getDouble(2)).toSeq
+    }
+    assert(load(None) == Seq(3.0))
+    assert(load(Some("-15min")) == Seq(2.0)) // as known 15min before event time
+    assert(load(Some("-45min")) == Seq(1.0))
+    assert(load(Some("-120min")) == Seq.empty)
+  }
+
+  test("resample: inclusive grid, ffill, carry-in seed, clamp (dask.py:154-188)") {
+    val df = series(
+      ("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0),
+      ("2021-01-03 00:00:00", "2021-01-01 00:00:00", 3.0))
+    // grid starting after the data begins: first point seeds from carry-in
+    val out = TimeseriesOps.resample(df, ts("2021-01-02"), ts("2021-01-05"), "1d", Seq("value"))
+      .orderBy("time").collect()
+    assert(out.length == 4) // 02,03,04,05 inclusive
+    assert(out.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some(1.0), Some(3.0), Some(3.0), Some(3.0)))
+    // to < from clamps to a single grid point
+    val one = TimeseriesOps.resample(df, ts("2021-01-02"), ts("2021-01-01"), "1d", Seq("value"))
+    assert(one.count() == 1)
+    // grid before any data: all-null
+    val pre = TimeseriesOps.resample(df, ts("2020-12-01"), ts("2020-12-03"), "1d", Seq("value"))
+      .collect()
+    assert(pre.length == 3 && pre.forall(_.isNullAt(1)))
+  }
+
+  test("resample sub-day frequency matches pandas semantics (test :405-465)") {
+    val df = series(
+      ("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0),
+      ("2021-01-01 00:25:00", "2021-01-01 00:00:00", 2.0))
+    val out = TimeseriesOps.resample(
+      df, ts("2021-01-01T00:00:00"), ts("2021-01-01T01:00:00"), "10min", Seq("value"))
+      .orderBy("time").collect()
+    assert(out.length == 7)
+    assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0))
+  }
+
+  test("ffillBucketed equals global ffill for any monotone bucketing") {
+    val n = 500
+    val df = (0 until n).map { i =>
+      (new Timestamp(1609459200000L + i * 3600000L),
+        if (i % 7 == 0) Some(i.toDouble) else None)
+    }.toDF("time", "value")
+    val globalF = TimeseriesOps.ffill(df, Seq("value")).orderBy("time")
+      .collect().map(r => Option(r.get(1)))
+    val bucketF = TimeseriesOps.ffillBucketed(
+      df, Seq("value"), date_trunc("day", col("time"))).orderBy("time")
+      .collect().map(r => Option(r.get(1)))
+    assert(globalF.toSeq == bucketF.toSeq)
+  }
+
+  test("alignJoin outer-joins on time and forward-fills (_timeseries.py:11-26)") {
+    val a = Seq(("2021-01-01 00:00:00", 1.0), ("2021-01-03 00:00:00", 3.0))
+      .toDF("t", "a").select(col("t").cast("timestamp").as("time"), col("a"))
+    val b = Seq(("2021-01-02 00:00:00", 20.0), ("2021-01-04 00:00:00", 40.0))
+      .toDF("t", "b").select(col("t").cast("timestamp").as("time"), col("b"))
+    val out = TimeseriesOps.alignJoin(Seq(a, b)).collect()
+    assert(out.length == 4)
+    assert(out.map(r => (Option(r.get(1)), Option(r.get(2)))).toSeq == Seq(
+      (Some(1.0), None), (Some(1.0), Some(20.0)),
+      (Some(3.0), Some(20.0)), (Some(3.0), Some(40.0))))
+  }
+
+  test("lastRow and timeBounds") {
+    val df = series(
+      ("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0),
+      ("2021-01-05 00:00:00", "2021-01-01 00:00:00", 5.0))
+    assert(TimeseriesOps.lastRow(df).collect().head.getDouble(2) == 5.0)
+    val (lo, hi) = TimeseriesOps.timeBounds(df)
+    assert(lo.contains(ts("2021-01-01")) && hi.contains(ts("2021-01-05")))
+    assert(TimeseriesOps.timeBounds(df.filter(lit(false))) == (None, None))
+  }
+
+  test("Freq parses pandas offset aliases") {
+    assert(Freq.toMicros("10min") == 600000000L)
+    assert(Freq.toMicros("-15min") == -900000000L)
+    assert(Freq.toMicros("1d") == 86400000000L)
+    assert(Freq.toMicros("h") == 3600000000L)
+    assert(Freq.toMicros("2w") == 2 * 604800000000L)
+    intercept[IllegalArgumentException](Freq.toMicros("3months"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: (String, Long, String, Double)*): Seq[Ev] =
+    rows.map { case (t, u, e, v) => Ev(ts(t), u, e, v) }
+
+  test("windowedStats: tumbling counts + exact sums with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.windowedStats(mem.toDF(), "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("ws").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:01:00", 1, "click", 1.5),
+      ("2024-01-01T00:02:00", 2, "click", 2.5),
+      ("2024-01-01T00:07:00", 1, "view", 10.0)): _*)
+    q.processAllAvailable()
+    val out = spark.table("ws").orderBy("window_start", "event_type").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out(0).getString(2) == "click" && out(0).getLong(3) == 2 && out(0).getDouble(4) == 4.0)
+    assert(out(1).getString(2) == "view" && out(1).getLong(3) == 1)
+  }
+
+  test("sessionStats: gap-separated sessions per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionStats(mem.toDF(), "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("ss").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:00:00", 7, "click", 1.0),
+      ("2024-01-01T00:03:00", 7, "click", 2.0),  // same session (gap 3m)
+      ("2024-01-01T01:00:00", 7, "click", 4.0)): _*) // new session
+    q.processAllAvailable()
+    val out = spark.table("ss").orderBy("session_start").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 2 && out(0).getDouble(4) == 3.0)
+    assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 4.0)
+  }
+
+  test("featureSink writes the feature-store envelope continuously") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft-stream")
+    val mem = MemoryStream[Ev]
+    val series = mem.toDF().select(col("ts").as("time"), col("value"))
+    val q = EventStreams.featureSink(series, s"$dir/feature/s1", s"$dir/ckpt").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:01:00", 1, "x", 1.0),
+      ("2024-01-02T00:01:00", 1, "x", 2.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$dir/feature/s1")
+    assert(written.count() == 2)
+    assert(written.columns.toSet == Set("time", "created_time", "value", "partition"))
+    // hive partition dirs derived from event time, like the batch writer
+    val parts = new java.io.File(s"$dir/feature/s1").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("partition=")).sorted
+    assert(parts.toSeq == Seq("partition=2024-01-01", "partition=2024-01-02"))
+  }
+}
