@@ -19,12 +19,20 @@ object TextOps {
   /** Whitespace tokenization (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** k-word shingles: ["a","b","c","d"] k=3 -> ["a b c", "b c d"]. */
-  def wordShingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array())
+  /** k-word shingles: ["a","b","c","d"] k=3 -> ["a b c", "b c d"].
+    *
+    * Implemented as k shifted slices zipped together. The naive
+    * formulation — indexing `toks` inside a per-position lambda — makes
+    * Catalyst re-evaluate the tokenizer expression for every element
+    * reference, turning shingling O(n^2) per document; slicing touches
+    * the array expression only O(k) times per ROW.
+    */
+  def wordShingles(toks: Column, k: Int): Column = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val len = greatest(size(toks) - (k - 1), lit(0))
+    (0 until k).map(j => slice(toks, lit(j + 1), len))
+      .reduce((x, y) => zip_with(x, y, (a, b) => concat(a, lit(" "), b)))
+  }
 
   /** Token count of a document. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -395,12 +395,20 @@ object QueryLib {
       val t = T(s, dir, "documents").select(
         col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sha"))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("shb"))
+        .withColumn("sz", size(col("sh")))
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+        col("sh").as("sha"), col("sz").as("sza"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+        col("sh").as("shb"), col("sz").as("szb"))
       a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
+        // necessary size condition for jaccard >= 0.5 (j <= min/max):
+        // prunes most pairs before the expensive set intersection
+        .filter(least(col("sza"), col("szb")) * 2 >= greatest(col("sza"), col("szb")))
         .select(col("doc_a"), col("doc_b"),
-          SimilarityOps.jaccard(col("sha"), col("shb")).as("jaccard"))
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            (col("sza") + col("szb") -
+              size(array_intersect(col("sha"), col("shb")))).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
     Some("""WITH t AS (SELECT doc_id, lang, source,
@@ -497,15 +505,20 @@ object QueryLib {
   private val simCosineTopk = Q(
     "sim_cosine_topk",
     (s, dir) => {
+      // norms are precomputed per side so each of the |q| x |c| pairs
+      // costs ONE dot product, not three
       val e = T(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          sqrt(SimilarityOps.dot(col("v"), col("v"))).as("qn"))
       val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          sqrt(SimilarityOps.dot(col("v"), col("v"))).as("cn"))
       val scored = c.crossJoin(broadcast(q)).select(
         col("q_id"), col("c_id"),
-        round(SimilarityOps.cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(SimilarityOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     },
@@ -526,12 +539,15 @@ object QueryLib {
     "sim_embed_dedup",
     (s, dir) => {
       val e = T(s, dir, "embeddings").filter(col("vec_id") < 500)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          sqrt(SimilarityOps.dot(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"))).as("nrm"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(SimilarityOps.cosine(col("va"), col("vb")), 6).as("cosine"))
+          round(SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cosine"))
         .filter(col("cosine") >= 0.4)
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500),
