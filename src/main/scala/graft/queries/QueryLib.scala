@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{SimilarityOps, TextOps}
 import graft.ops.TimeseriesOps
+import graft.plans.CosineSimilarity
 
 /** The driver-verified query inventory: one entry per operator family of
   * SURVEY.md §2 plus the training-data extensions (dedup, similarity,
@@ -505,20 +506,18 @@ object QueryLib {
   private val simCosineTopk = Q(
     "sim_cosine_topk",
     (s, dir) => {
-      // norms are precomputed per side so each of the |q| x |c| pairs
-      // costs ONE dot product, not three
+      // scored with the native fused expression (graft.plans.
+      // CosineSimilarity): one primitive loop per pair inside
+      // whole-stage codegen, bit-identical to the built-in composition
       val e = T(s, dir, "embeddings").select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          sqrt(SimilarityOps.dot(col("v"), col("v"))).as("qn"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"),
-          sqrt(SimilarityOps.dot(col("v"), col("v"))).as("cn"))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
       val scored = c.crossJoin(broadcast(q)).select(
         col("q_id"), col("c_id"),
-        round(SimilarityOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-          .as("cosine"))
+        round(CosineSimilarity.cosineSim(col("qv"), col("cv")), 6).as("cosine"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     },
@@ -539,15 +538,12 @@ object QueryLib {
     "sim_embed_dedup",
     (s, dir) => {
       val e = T(s, dir, "embeddings").filter(col("vec_id") < 500)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-          sqrt(SimilarityOps.dot(col("embedding").cast("array<double>"),
-            col("embedding").cast("array<double>"))).as("nrm"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-            .as("cosine"))
+          round(CosineSimilarity.cosineSim(col("va"), col("vb")), 6).as("cosine"))
         .filter(col("cosine") >= 0.4)
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500),
@@ -571,7 +567,7 @@ object QueryLib {
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("bucket"))
       val scored = c.join(broadcast(q), Seq("bucket")).select(
         col("q_id"), col("c_id"),
-        round(SimilarityOps.cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(CosineSimilarity.cosineSim(col("qv"), col("cv")), 6).as("cosine"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     },
