@@ -212,6 +212,41 @@ object TimeseriesOps {
   }
 
   // ---------------------------------------------------------------------
+  // As-of join: for each left row, attach the latest right value with
+  // right.time <= left.time, matched within `by` keys (pandas
+  // merge_asof / DuckDB ASOF JOIN semantics — the reference's carry-over
+  // trick generalized to two tables, dask.py:142-148). Implemented as a
+  // union + keyed running last-non-null window: one shuffle on the `by`
+  // keys, no range-join explosion; with empty `by` the window is global
+  // (single task) — pass entity keys at scale.
+  // ---------------------------------------------------------------------
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      rightValueCols: Seq[String],
+      timeCol: String = TimeCol,
+      by: Seq[String] = Nil): DataFrame = {
+    val collisions = rightValueCols.filter(left.columns.contains)
+    require(collisions.isEmpty, s"right value columns collide with left: $collisions")
+    val M = "__asof_side"
+    val leftOnly = left.columns.filterNot(c => by.contains(c) || c == timeCol).toSeq
+    val l2 = rightValueCols.foldLeft(left.withColumn(M, lit(1)))((d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val r2 = leftOnly.foldLeft(
+      right.select((by :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
+        .withColumn(M, lit(0)))((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    // at equal time the right row (M=0) precedes the left row, so the
+    // fill is inclusive of right.time == left.time
+    val w = (if (by.isEmpty) Window.orderBy(col(timeCol), col(M))
+             else Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValueCols.foldLeft(l2.unionByName(r2))((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col(M) === 1).drop(M)
+  }
+
+  // ---------------------------------------------------------------------
   // A3/O3: last row by time (point lookup for inference, dask.py:196-221).
   // Top-k with k=1 — Spark plans a TakeOrderedAndProject, no full sort.
   // ---------------------------------------------------------------------

@@ -155,6 +155,47 @@ object QueryLib {
     Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events""".stripMargin))
 
+  private val fsAsofJoin = Q(
+    "fs_asof_join",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("value").as("purchase_v"))
+      TimeseriesOps.asofJoin(clicks, purchases,
+        rightValueCols = Seq("purchase_v"), by = Seq("user_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, ts AS time, event_id FROM events
+           |           WHERE event_type = 'click'),
+           |p AS (SELECT user_id, ts AS time, value AS purchase_v FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT c.user_id, c.time, c.event_id, p.purchase_v
+           |FROM c ASOF LEFT JOIN p
+           |  ON p.user_id = c.user_id AND p.time <= c.time""".stripMargin))
+
+  private val qStatsVar = Q(
+    "q_stats_var",
+    // mean/variance from exact decimal moment sums: sums are exact in
+    // both engines, the closing double arithmetic is identical IEEE ops
+    (s, dir) => {
+      val v = col("value").cast("decimal(18,2)")
+      T(s, dir, "events").groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        (sum(v).cast("double") / count(lit(1))).as("mean"),
+        ((sum((v * v).cast("decimal(28,4)")).cast("double") * count(lit(1)) -
+          sum(v).cast("double") * sum(v).cast("double")) /
+          (count(lit(1)) * (count(lit(1)) - 1)).cast("double")).as("variance"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+           |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+           |            AS DECIMAL(28,4))) AS DOUBLE) * count(*) -
+           |   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) *
+           |   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) /
+           |  CAST(count(*) * (count(*) - 1) AS DOUBLE) AS variance
+           |FROM events GROUP BY 1""".stripMargin))
+
   // =====================================================================
   // Relational coverage: aggregation, joins, windows, set ops, top-k
   // =====================================================================
@@ -599,9 +640,9 @@ object QueryLib {
 
   val all: Seq[Q] = Seq(
     fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsAlign2,
-    fsLast, fsBounds, fsJsonProps,
+    fsLast, fsBounds, fsJsonProps, fsAsofJoin,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
-    qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders,
+    qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar,
     txtStats, txtLangid, txtFingerprint, txtQuality,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     simCosineTopk, simEmbedDedup, simAnnLsh,

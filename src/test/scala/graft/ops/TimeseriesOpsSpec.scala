@@ -120,6 +120,22 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(TimeseriesOps.timeBounds(df.filter(lit(false))) == (None, None))
   }
 
+  test("asofJoin attaches latest right value at-or-before each left row, per key") {
+    val clicks = Seq((1L, "2021-01-01 10:00:00", 100L), (1L, "2021-01-01 12:00:00", 101L),
+      (2L, "2021-01-01 11:00:00", 200L))
+      .toDF("k", "t", "click_id")
+      .select(col("k"), col("t").cast("timestamp").as("time"), col("click_id"))
+    val buys = Seq((1L, "2021-01-01 09:30:00", 5.0), (1L, "2021-01-01 12:00:00", 7.0),
+      (2L, "2021-01-01 11:30:00", 9.0))
+      .toDF("k", "t", "buy_v")
+      .select(col("k"), col("t").cast("timestamp").as("time"), col("buy_v"))
+    val out = TimeseriesOps.asofJoin(clicks, buys, Seq("buy_v"), by = Seq("k"))
+      .orderBy("k", "time").collect()
+    // user 1 @10:00 -> 5.0 (09:30); @12:00 -> 7.0 (equal time inclusive);
+    // user 2 @11:00 -> none yet (buy at 11:30 is later)
+    assert(out.map(r => Option(r.get(3))).toSeq == Seq(Some(5.0), Some(7.0), None))
+  }
+
   test("Freq parses pandas offset aliases") {
     assert(Freq.toMicros("10min") == 600000000L)
     assert(Freq.toMicros("-15min") == -900000000L)
