@@ -273,11 +273,35 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
 
   /** Point lookup for inference (core.py:315-331): last value per feature,
     * transforms evaluated at the tail (tested test_featurestore.py:665-672).
+    *
+    * Plain features read tail partitions only, widening (1, 4, all) until
+    * a surviving row appears — a point lookup on a years-deep feature
+    * touches one day's directory instead of scanning history. Transformed
+    * features fall back to the full DAG load.
     */
   def last(features: Seq[String], timeTravel: Option[String] = None): Map[String, Option[Any]] =
     features.map { full =>
-      val s = loadSeries(full, None, None, timeTravel, clipFrom = true, Nil)
-      val row = TimeseriesOps.lastRow(s).collect().headOption
+      val (nsObj, f) = featureOf(full)
+      val row = f.transform match {
+        case Some(_) =>
+          TimeseriesOps.lastRow(
+            loadSeries(full, None, None, timeTravel, clipFrom = true, Nil))
+            .collect().headOption
+        case None =>
+          val st = store(nsObj)
+          val parts = st.listPartitions(f.name, reverse = true)
+          val widths = Seq(1, 4, parts.length).distinct.filter(_ > 0)
+          widths.iterator.map { w =>
+            val raw = st.readPartitions(f.name, parts.take(w), valueTypeOf(f))
+            val traveled = timeTravel.map(d => TimeseriesOps.timeTravel(raw, d)).getOrElse(raw)
+            val deduped = TimeseriesOps.dedupLatest(traveled)
+            val unwrapped =
+              if (f.serialized)
+                deduped.withColumn("value", get_json_object(col("value"), "$.v"))
+              else deduped
+            TimeseriesOps.lastRow(unwrapped.select("time", "value")).collect().headOption
+          }.collectFirst { case Some(r) => r }
+      }
       full -> row.map(_.get(1)).filter(_ != null)
     }.toMap
 }

@@ -194,8 +194,13 @@ object TimeseriesOps {
       .withColumn(S, lit(1))
       .unionByName(data)
     // at equal timestamps the data row must precede the spine row so the
-    // fill picks up the exact-time value; fill is bucket-parallel
-    ffillAuto(union, valueCols, orderCols = Seq(timeCol, S), bucket = Some(monthBucket(timeCol)))
+    // fill picks up the exact-time value; fill is bucket-parallel with a
+    // granularity chosen from the known grid span (a one-month grid in
+    // month buckets would collapse to a single fill task)
+    val spanDays = (endUs - startUs) / 86400000000L
+    val bucketUnit = if (spanDays <= 120) "day" else if (spanDays <= 1830) "month" else "year"
+    ffillAuto(union, valueCols, orderCols = Seq(timeCol, S),
+      bucket = Some(date_trunc(bucketUnit, col(timeCol))))
       .filter(col(S) === 1)
       .drop(S)
   }

@@ -349,6 +349,22 @@ object QueryLib {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin))
 
+  private val qMedian = Q(
+    "q_median",
+    // exact interpolated percentiles; inputs are 2-decimal doubles so the
+    // interpolated medians/quartiles carry <= 4 decimals — rounding at 4
+    // absorbs any last-ulp formula difference between engines
+    (s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.5)"), 4).as("median"),
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75")),
+    Some("""SELECT event_type,
+           |  round(quantile_cont(value, 0.5), 4) AS median,
+           |  round(quantile_cont(value, 0.25), 4) AS p25,
+           |  round(quantile_cont(value, 0.75), 4) AS p75
+           |FROM events GROUP BY 1""".stripMargin))
+
   // =====================================================================
   // Text analysis over `documents`
   // =====================================================================
@@ -642,7 +658,7 @@ object QueryLib {
     fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
-    qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar,
+    qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     txtStats, txtLangid, txtFingerprint, txtQuality,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     simCosineTopk, simEmbedDedup, simAnnLsh,

@@ -117,6 +117,21 @@ class TimeseriesStore(spark: SparkSession, url: String) {
       .select(TimeCol, CreatedCol, ValueCol)
   }
 
+  /** Scan restricted to an explicit partition subset — the tail-read
+    * primitive behind `last()` (the reference's "restrict scan to the
+    * final partition(s)" intent, _model.py:251-254): a point lookup on a
+    * 100 TB feature touches one day's directory, not the history.
+    */
+  def readPartitions(name: String, parts: Seq[String], valueType: DataType): DataFrame = {
+    if (!exists(name) || parts.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
+    }
+    val df = spark.read.parquet(featurePath(name))
+    df.filter(col("partition").cast(StringType).isin(parts: _*))
+      .select(TimeCol, CreatedCol, ValueCol)
+  }
+
   /** S4: feature directories present in storage. */
   def ls(): Seq[String] = {
     val base = new Path(s"$url/feature")
