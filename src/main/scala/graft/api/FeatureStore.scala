@@ -280,16 +280,29 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     * features fall back to the full DAG load.
     */
   def last(features: Seq[String], timeTravel: Option[String] = None): Map[String, Option[Any]] =
+    endpoint(features, timeTravel, fromTail = true)
+
+  /** Mirror of `last()` at the head of each series (Store.first,
+    * _storage/_base.py:33-39).
+    */
+  def first(features: Seq[String], timeTravel: Option[String] = None): Map[String, Option[Any]] =
+    endpoint(features, timeTravel, fromTail = false)
+
+  private def endpoint(
+      features: Seq[String],
+      timeTravel: Option[String],
+      fromTail: Boolean): Map[String, Option[Any]] =
     features.map { full =>
       val (nsObj, f) = featureOf(full)
+      def pick(df: DataFrame) =
+        if (fromTail) TimeseriesOps.lastRow(df) else TimeseriesOps.firstRow(df)
       val row = f.transform match {
         case Some(_) =>
-          TimeseriesOps.lastRow(
-            loadSeries(full, None, None, timeTravel, clipFrom = true, Nil))
+          pick(loadSeries(full, None, None, timeTravel, clipFrom = true, Nil))
             .collect().headOption
         case None =>
           val st = store(nsObj)
-          val parts = st.listPartitions(f.name, reverse = true)
+          val parts = st.listPartitions(f.name, reverse = fromTail)
           val widths = Seq(1, 4, parts.length).distinct.filter(_ > 0)
           widths.iterator.map { w =>
             val raw = st.readPartitions(f.name, parts.take(w), valueTypeOf(f))
@@ -299,7 +312,7 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
               if (f.serialized)
                 deduped.withColumn("value", get_json_object(col("value"), "$.v"))
               else deduped
-            TimeseriesOps.lastRow(unwrapped.select("time", "value")).collect().headOption
+            pick(unwrapped.select("time", "value")).collect().headOption
           }.collectFirst { case Some(r) => r }
       }
       full -> row.map(_.get(1)).filter(_ != null)

@@ -258,6 +258,10 @@ object TimeseriesOps {
   def lastRow(df: DataFrame, timeCol: String = TimeCol): DataFrame =
     df.orderBy(col(timeCol).desc).limit(1)
 
+  /** First row by time (Store.first, _storage/_base.py:33-39). */
+  def firstRow(df: DataFrame, timeCol: String = TimeCol): DataFrame =
+    df.orderBy(col(timeCol).asc).limit(1)
+
   // ---------------------------------------------------------------------
   // A2: time bounds of a feature (dask.py:150-153) — tiny agg job used to
   // default a load's date range.

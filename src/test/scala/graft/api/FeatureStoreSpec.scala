@@ -144,6 +144,11 @@ class FeatureStoreSpec extends SparkSpec {
     val last = fs.last(Seq("test/last1", "test/last3"))
     assert(last("test/last1").contains(8.0))
     assert(last("test/last3").isEmpty)
+    val first = fs.first(Seq("test/last1", "test/last3"))
+    assert(first("test/last1").contains(0.0))
+    assert(first("test/last3").isEmpty)
+    // time travel threads through the pruned endpoint path
+    assert(fs.last(Seq("test/last1"), timeTravel = Some("-120min"))("test/last1").isEmpty)
   }
 
   test("transform DAG: sql + registry, recursion, cycle detection (test :627-695)") {
