@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location utilities — the knobs a 100 TB deployment turns
+  * when AQE's automatic skew handling isn't enough or when repeated
+  * joins justify physical co-location.
+  */
+object Scale {
+
+  /** Two-phase salted last-writer-wins dedup for pathologically hot
+    * keys (one `time`/entity receiving millions of upserts). Phase 1
+    * aggregates per (keys, salt) — spreading one hot key over `salts`
+    * reducers; phase 2 merges the per-salt winners. Correct because
+    * max_by is associative: the winner of winners is the global winner.
+    * Same contract as `TimeseriesOps.dedupLatest`; prefer the unsalted
+    * form until a key is provably hot (it is one shuffle, this is two).
+    */
+  def dedupLatestSalted(
+      df: DataFrame,
+      salts: Int,
+      timeCol: String = TimeseriesOps.TimeCol,
+      createdCol: String = TimeseriesOps.CreatedCol,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    val S = "__salt"
+    // deterministic spread: hash of all non-key columns mod salts
+    val others = df.columns.filterNot(c => (keyCols :+ timeCol).contains(c)).toSeq
+    val salted = df.withColumn(S, pmod(hash(others.map(col): _*), lit(salts)))
+    val phase1 = TimeseriesOps.dedupLatest(
+      salted, timeCol, createdCol, keyCols = keyCols :+ S)
+    TimeseriesOps.dedupLatest(phase1.drop(S), timeCol, createdCol, keyCols = keyCols)
+  }
+
+  /** Write a DataFrame as a bucketed+sorted table so repeated equi-joins
+    * and aggregations on `keys` run with NO shuffle (bucket-local).
+    * Bucketing requires the table catalog (`saveAsTable`), not a bare
+    * path — Spark's shuffle-free co-location lives in table metadata.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keys: Seq[String]): Unit = {
+    val w: DataFrameWriter[Row] = df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+    w.saveAsTable(table)
+  }
+}

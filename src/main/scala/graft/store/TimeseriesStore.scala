@@ -155,6 +155,43 @@ class TimeseriesStore(spark: SparkSession, url: String) {
     }
   }
 
+  /** Compaction: collapse a feature's append history to one deduped row
+    * per time (the reference never compacts and pays the dedup on every
+    * read, SURVEY §7.5.3). Restricted to `partitions` when given, so a
+    * years-deep feature with a few fresh appends rewrites only the
+    * affected day directories, never the history. The deduped output is
+    * staged in a sibling directory and swapped in per partition; a crash
+    * mid-swap leaves each partition either old or new — both dedup to
+    * the same logical result on read.
+    */
+  def compact(name: String, partitions: Seq[String] = Nil): Unit = {
+    if (!exists(name)) return
+    val targetParts = if (partitions.nonEmpty) partitions else listPartitions(name)
+    if (targetParts.isEmpty) return
+    val src = spark.read.parquet(featurePath(name))
+      .filter(col("partition").cast(StringType).isin(targetParts: _*))
+    // group by (partition, time): time determines partition, so this is
+    // plain per-time dedup with the partition column carried through
+    val deduped = graft.ops.TimeseriesOps.dedupLatest(src, keyCols = Seq("partition"))
+    val f = fs(url)
+    // staged outside feature/ so listings and namespace GC never see it
+    val tmp = new Path(s"$url/.compact/$name")
+    f.delete(tmp, true)
+    deduped.select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
+      .write.option("compression", "snappy")
+      .partitionBy("partition")
+      .parquet(tmp.toString)
+    targetParts.foreach { p =>
+      val newDir = new Path(tmp, s"partition=$p")
+      val liveDir = new Path(featurePath(name), s"partition=$p")
+      if (f.exists(newDir)) {
+        f.delete(liveDir, true)
+        f.rename(newDir, liveDir)
+      }
+    }
+    f.delete(tmp, true)
+  }
+
   /** S5: recursive delete of a feature's data. */
   def delete(name: String): Unit = {
     val p = new Path(featurePath(name))

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted dedup equals unsalted dedup (max_by associativity)") {
+    val df = (0 until 5000).map { i =>
+      // heavy skew: 90% of rows hit one (user, time) key
+      val k = if (i % 10 == 0) i % 7 else 0
+      (k.toLong,
+        new java.sql.Timestamp(ts("2021-01-01").getTime + (k % 3) * 3600000L),
+        new java.sql.Timestamp(ts("2021-01-01").getTime + i * 1000L),
+        i.toDouble)
+    }.toDF("user_id", "time", "created_time", "value")
+    val plain = TimeseriesOps.dedupLatest(df, keyCols = Seq("user_id"))
+      .orderBy("user_id", "time").collect().toSeq
+    val salted = Scale.dedupLatestSalted(df, salts = 8, keyCols = Seq("user_id"))
+      .orderBy("user_id", "time").collect().toSeq
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val a = (0L until 1000L).map(i => (i, i * 2.0)).toDF("k", "va")
+    val b = (0L until 1000L).map(i => (i, s"s$i")).toDF("k", "vb")
+    Scale.writeBucketed(a, "bkt_a", 8, Seq("k"))
+    Scale.writeBucketed(b, "bkt_b", 8, Seq("k"))
+    // disable auto-broadcast so the sort-merge path is exercised (at
+    // real scale neither side broadcasts); bucketing must then align
+    // both sides with no shuffle exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected bucket-local SMJ:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("compaction collapses history and preserves the deduped view") {
+    val dir = tmpDir("graft-compact")
+    val st = new graft.store.TimeseriesStore(spark, dir)
+    def save(v: Double) = st.save("f", (0 until 10).map { i =>
+      (new java.sql.Timestamp(ts("2021-01-01").getTime + i * 86400000L),
+        new java.sql.Timestamp(ts("2021-06-01").getTime + v.toLong), v)
+    }.toDF("time", "created_time", "value"))
+    save(1.0); save(2.0); save(3.0) // three append generations
+    def files() = new java.io.File(s"$dir/feature/f").listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles).count(_.getName.endsWith(".parquet"))
+    val before = files()
+    val expected = TimeseriesOps.dedupLatest(st.read("f")).orderBy("time")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(expected == Seq.fill(10)(3.0))
+    st.compact("f")
+    assert(files() < before)
+    val after = TimeseriesOps.dedupLatest(st.read("f")).orderBy("time")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(after == expected)
+    // raw row count is now one per time (history collapsed)
+    assert(st.read("f").count() == 10)
+    // subset compaction: only named partitions rewritten
+    save(4.0)
+    st.compact("f", partitions = Seq("2021-01-01"))
+    val counts = st.read("f").groupBy(date_format(col("time"), "yyyy-MM-dd").as("d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("2021-01-01") == 1) // compacted day
+    assert(counts("2021-01-02") == 2) // untouched day still has 2 generations
+  }
+}
