@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.CosineSimilarity
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the classic scale path beyond sign-LSH: a KMeans coarse
+  * quantizer partitions the corpus into `k` cells; a query probes its
+  * `nProbe` nearest cells and exact-scores only those candidates. At
+  * 100 TB the corpus assignment is a one-time narrow pass, the probe
+  * join is an equi-join on the cell id (shuffle-partitionable), and the
+  * exact re-rank touches ~nProbe/k of the data.
+  */
+object AnnIvf {
+
+  final case class Index(model: KMeansModel, assigned: DataFrame, embCol: String)
+
+  /** Cluster the corpus and attach a `cell` column. `df` must carry an
+    * `array<float|double>` embedding column.
+    */
+  def build(df: DataFrame, embCol: String, k: Int, seed: Long = 42L): Index = {
+    val feat = df.withColumn("__fv", array_to_vector(col(embCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(k).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(feat)
+    Index(model, model.transform(feat).drop("__fv"), embCol)
+  }
+
+  /** Expression: the `nProbe` nearest cell ids for a query embedding,
+    * ranked by L2 distance to each centroid (centroids ride along as
+    * literals — they are tiny). Returns array<int>.
+    */
+  private def probeCells(index: Index, q: Column, nProbe: Int): Column = {
+    val scored = index.model.clusterCenters.zipWithIndex.map { case (c, j) =>
+      val cArr = array(c.toArray.map(lit): _*)
+      val negHalfDist = SimilarityOps.dot(q, cArr) - lit(c.toArray.map(x => x * x).sum / 2)
+      struct(negHalfDist.as("s"), lit(j).as("j"))
+    }
+    // sort ascending by score, take the top nProbe from the tail
+    transform(
+      slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      s => s.getField("j"))
+  }
+
+  /** Top-`topK` candidates per query by exact cosine, searched only in
+    * each query's `nProbe` nearest cells.
+    */
+  def query(
+      index: Index,
+      queries: DataFrame, // (qIdCol, embCol)
+      qIdCol: String,
+      topK: Int,
+      nProbe: Int,
+      cIdCol: String): DataFrame = {
+    val q = queries.select(
+      col(qIdCol), col(index.embCol).cast("array<double>").as("__qv"),
+      explode(probeCells(index, col(index.embCol).cast("array<double>"), nProbe)).as("cell"))
+    val c = index.assigned.select(
+      col(cIdCol), col("cell"), col(index.embCol).cast("array<double>").as("__cv"))
+    val scored = c.join(broadcast(q), Seq("cell")).select(
+      col(qIdCol), col(cIdCol),
+      round(CosineSimilarity.cosineSim(col("__qv"), col("__cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(cIdCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+}

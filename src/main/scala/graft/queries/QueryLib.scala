@@ -630,6 +630,21 @@ object QueryLib {
     },
     None) // approximate by construction; recall vs brute force in ScalaTest
 
+  private val simAnnIvf = Q(
+    "sim_ann_ivf",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val index = graft.functions.AnnIvf.build(
+        e.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "c_id"),
+        "embedding", k = 16)
+      graft.functions.AnnIvf.query(
+        index,
+        e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        qIdCol = "q_id", topK = 5, nProbe = 4, cIdCol = "c_id")
+        .select("q_id", "c_id", "cosine", "rank")
+    },
+    None) // approximate + iterative-trained index: recall asserted in spec
+
   // =====================================================================
   // Multimodal plumbing: opaque binary payloads + typed metadata
   // =====================================================================
@@ -661,7 +676,7 @@ object QueryLib {
     qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     txtStats, txtLangid, txtFingerprint, txtQuality,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    simCosineTopk, simEmbedDedup, simAnnLsh,
+    simCosineTopk, simEmbedDedup, simAnnLsh, simAnnIvf,
     mmBinaryMeta)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

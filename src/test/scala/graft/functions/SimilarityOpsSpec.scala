@@ -69,6 +69,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(a.flatten.toSet == Set(-1.0, 1.0))
   }
 
+  test("IVF ANN: probing more cells converges to brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val index = AnnIvf.build(
+      e.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "c_id"),
+      "embedding", k = 16)
+    def hits(nProbe: Int): Set[(Long, Long)] =
+      AnnIvf.query(index, e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        "q_id", topK = 5, nProbe = nProbe, cIdCol = "c_id")
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val brute = graft.queries.QueryLib.queries("sim_cosine_topk")(spark, dir)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallAll = (hits(16).map(_.swap) intersect brute).size.toDouble / brute.size
+    assert(recallAll == 1.0, s"nProbe=k must equal brute force, got $recallAll")
+    val r4 = (hits(4).map(_.swap) intersect brute).size.toDouble / brute.size
+    val r8 = (hits(8).map(_.swap) intersect brute).size.toDouble / brute.size
+    assert(r8 >= r4, s"recall must be monotone in nProbe: r4=$r4 r8=$r8")
+    assert(r4 > 0.0)
+  }
+
   test("sign-LSH ANN returns correctly-scored candidate pairs") {
     // the testdata embeddings are uniform random (no planted clusters),
     // so recall@k is not a meaningful bar — what must hold is that the
