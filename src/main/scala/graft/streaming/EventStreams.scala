@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Streaming extension (SURVEY §2.10: the reference has no streaming —
   * this is additive scope mapping the `events` table onto Structured
@@ -51,6 +52,32 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("win.start").as("session_start"), col("win.end").as("session_end"),
         col("user_id"), col("n_events"), col("total"))
+
+  /** Streaming last-writer-wins: the continuous analogue of
+    * `TimeseriesOps.dedupLatest` — per key, emit the newest (time,
+    * value) seen so far whenever it changes. Custom state via
+    * `mapGroupsWithState`: state per key is one (time, value) pair, so
+    * memory is O(keys) regardless of stream length. Run with
+    * OutputMode.Update.
+    */
+  def runningLatest(
+      events: DataFrame, // ts timestamp, event_type string, value double
+      keyCol: String = "event_type"): Dataset[(String, Timestamp, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"$keyCol AS k", "ts", "value")
+      .as[(String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String,
+         rows: Iterator[(String, Timestamp, Double)],
+         state: GroupState[(Timestamp, Double)]) =>
+          val newest = (state.getOption.iterator ++ rows.map(r => (r._2, r._3)))
+            .maxBy(_._1.getTime)
+          state.update(newest)
+          (key, newest._1, newest._2)
+      }
+  }
 
   /** Streaming ingest into the feature-store layout: normalizes the
     * envelope exactly like the batch writer (partition derivation,

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 4.0)
   }
 
+  test("runningLatest keeps one (time,value) state per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningLatest(mem.toDF())
+      .toDF("k", "last_time", "last_value")
+      .writeStream.outputMode("update").format("memory").queryName("rl").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:01:00", 1, "click", 1.0),
+      ("2024-01-01T00:05:00", 1, "click", 5.0),
+      ("2024-01-01T00:02:00", 2, "view", 2.0)): _*)
+    q.processAllAvailable()
+    // second batch: an OLDER click must not displace state; a newer view must
+    mem.addData(mkEvents(
+      ("2024-01-01T00:03:00", 3, "click", 99.0),
+      ("2024-01-01T00:09:00", 3, "view", 9.0)): _*)
+    q.processAllAvailable()
+    val out = spark.table("rl").orderBy("k", "last_time")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    q.stop()
+    // update sink appends each emitted update; the LAST update per key wins
+    val latest = out.groupBy(_._1).map { case (k, v) => k -> v.last }.toMap
+    assert(latest("click") == (("click", ts("2024-01-01T00:05:00"), 5.0)))
+    assert(latest("view") == (("view", ts("2024-01-01T00:09:00"), 9.0)))
+  }
+
   test("featureSink writes the feature-store envelope continuously") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("graft-stream")
