@@ -174,6 +174,30 @@ object QueryLib {
            |FROM c ASOF LEFT JOIN p
            |  ON p.user_id = c.user_id AND p.time <= c.time""".stripMargin))
 
+  private val fsStoreRoundtrip = Q(
+    "fs_store_roundtrip",
+    // the FULL facade path under the oracle gate: catalog + normalizing
+    // writer + hive-partitioned parquet + pruned scan + dedup + resample
+    // must reproduce what DuckDB computes directly from the raw events
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("rt", s"$tmp/warehouse")
+      fs.createFeature("rt/purchase")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("ts").as("time"), col("value")),
+        name = Some("rt/purchase"))
+      fs.loadDataFrame(Seq("rt/purchase"),
+          fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
+          freq = Some("1d"))
+        .withColumnRenamed("rt/purchase", "value")
+    },
+    Some("""WITH data AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
   private val qStatsVar = Q(
     "q_stats_var",
     // mean/variance from exact decimal moment sums: sums are exact in
@@ -671,7 +695,7 @@ object QueryLib {
 
   val all: Seq[Q] = Seq(
     fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsAlign2,
-    fsLast, fsBounds, fsJsonProps, fsAsofJoin,
+    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     txtStats, txtLangid, txtFingerprint, txtQuality,
