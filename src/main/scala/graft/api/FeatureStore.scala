@@ -31,7 +31,7 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
 
   private def namespaceOf(name: String): Namespace =
     catalog.getNamespace(name).getOrElse(
-      throw new NoSuchElementException(s"namespace '$name' does not exist"))
+      throw new MissingFeatureException(s"namespace '$name' does not exist"))
 
   // -------------------------------------------------------------- catalog
 
@@ -129,7 +129,7 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     val (ns, name) = parseName(full)
     val nsObj = namespaceOf(ns)
     val f = catalog.getFeature(ns, name).getOrElse(
-      throw new NoSuchElementException(s"feature '$full' does not exist"))
+      throw new MissingFeatureException(s"feature '$full' does not exist"))
     (nsObj, f)
   }
 
@@ -226,6 +226,16 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     // scan time; resampled grids are exactly [from, to] by construction
     wide
   }
+
+  /** Single-feature convenience overload. */
+  def loadDataFrame(
+      feature: String,
+      fromDate: Option[Timestamp],
+      toDate: Option[Timestamp]): DataFrame =
+    loadDataFrame(Seq(feature), fromDate, toDate)
+
+  /** Single-feature point lookup. */
+  def last(feature: String): Option[Any] = last(Seq(feature))(feature)
 
   /** Write path (core.py:278-313). Accepts:
     *  - `time` + `value` (+ optional `created_time`) with `name` given;

@@ -102,13 +102,16 @@ object CosineSimilarity {
 }
 
 /** `spark.sql.extensions`-installable registration of the engine's
-  * native expressions (SparkSessionExtensions is the public plug-in
-  * point, so user sessions get `cosine_sim` in SQL without code).
+  * native expressions and optimizer rules (SparkSessionExtensions is
+  * the public plug-in point, so user sessions get `cosine_sim` in SQL
+  * and feature-envelope partition-filter derivation without code).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => DerivePartitionFilters)
+  }
 }

@@ -1,0 +1,80 @@
+package graft.plans
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: rewrite `time` range predicates over a feature-store
+  * envelope relation (`time: timestamp` + hive `partition` column) into
+  * additional `partition` predicates, so directory pruning fires even
+  * for ad-hoc `spark.read.parquet(featureDir).filter($"time" ...)`
+  * reads that bypass `TimeseriesStore.read` (which adds the derived
+  * predicate itself — this is the same rewrite, SURVEY §4, as a
+  * `Rule[LogicalPlan]`). Bounds are widened one unit per side, matching
+  * the store's timezone-skew guard.
+  *
+  * Conservative by construction: fires only on a Filter directly over a
+  * relation exposing exactly our envelope column shapes, only for
+  * literal timestamp bounds, and never twice (the rewritten condition
+  * references `partition`, which disables the match).
+  */
+object DerivePartitionFilters extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: LogicalRelation) =>
+      val timeAttr = rel.output.find(a => a.name == "time" && a.dataType == TimestampType)
+      val partAttr = rel.output.find(a => a.name == "partition" &&
+        (a.dataType == StringType || a.dataType == DateType || a.dataType == IntegerType))
+      (timeAttr, partAttr) match {
+        case (Some(t), Some(p)) if !cond.references.contains(p) =>
+          val derived = derive(splitConjunctivePredicates(cond), t, p)
+          if (derived.isEmpty) f
+          else Filter(derived.foldLeft(cond)(And), rel)
+        case _ => f
+      }
+  }
+
+  private def derive(
+      preds: Seq[Expression],
+      t: Attribute,
+      p: Attribute): Seq[Expression] = preds.flatMap {
+    case GreaterThanOrEqual(a: Attribute, Literal(us: Long, TimestampType)) if a.semanticEquals(t) =>
+      Seq(GreaterThanOrEqual(p, partLit(p, us, -1)))
+    case GreaterThan(a: Attribute, Literal(us: Long, TimestampType)) if a.semanticEquals(t) =>
+      Seq(GreaterThanOrEqual(p, partLit(p, us, -1)))
+    case LessThanOrEqual(a: Attribute, Literal(us: Long, TimestampType)) if a.semanticEquals(t) =>
+      Seq(LessThanOrEqual(p, partLit(p, us, 1)))
+    case LessThan(a: Attribute, Literal(us: Long, TimestampType)) if a.semanticEquals(t) =>
+      Seq(LessThanOrEqual(p, partLit(p, us, 1)))
+    case EqualTo(a: Attribute, Literal(us: Long, TimestampType)) if a.semanticEquals(t) =>
+      Seq(GreaterThanOrEqual(p, partLit(p, us, -1)), LessThanOrEqual(p, partLit(p, us, 1)))
+    // literal-first orientation
+    case LessThanOrEqual(Literal(us: Long, TimestampType), a: Attribute) if a.semanticEquals(t) =>
+      Seq(GreaterThanOrEqual(p, partLit(p, us, -1)))
+    case GreaterThanOrEqual(Literal(us: Long, TimestampType), a: Attribute) if a.semanticEquals(t) =>
+      Seq(LessThanOrEqual(p, partLit(p, us, 1)))
+    case _ => Nil
+  }
+
+  /** Partition literal for the instant `us` micros, widened by `skew`
+    * units (computed in UTC; the ±1 widening absorbs any writer-session
+    * timezone offset).
+    */
+  private def partLit(p: Attribute, us: Long, skew: Int): Literal = {
+    val date = LocalDate.ofInstant(Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L)), ZoneOffset.UTC)
+    p.dataType match {
+      case StringType =>
+        Literal(UTF8String.fromString(date.plusDays(skew).toString), StringType)
+      case DateType => // hive partition inference parses date-shaped dirs
+        Literal(date.plusDays(skew).toEpochDay.toInt, DateType)
+      case _ =>
+        Literal(date.getYear + skew, IntegerType)
+    }
+  }
+}
