@@ -37,6 +37,18 @@ object TextOps {
   /** Token count of a document. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, letter
+    * runs, digit runs, punctuation runs (each optionally space-prefixed),
+    * and residual whitespace. A cheap, deterministic stand-in for BPE
+    * token counting when budgeting training data.
+    */
+  val BpePattern: String =
+    "('s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+)"
+
+  /** BPE-ish token count via the pre-tokenizer regex. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(1)))
+
   /** Count of tokens that belong to `set`. */
   def tokenHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isin(set.map(lit): _*)))

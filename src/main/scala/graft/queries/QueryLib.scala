@@ -401,12 +401,16 @@ object QueryLib {
       T(s, dir, "documents").select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
         (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
           length(col("text")).cast("double")).as("alpha_ratio"),
         ((length(col("text")) - (size(toks) - lit(1))).cast("double") /
           size(toks).cast("double")).as("avg_token_len")),
     Some("""SELECT doc_id,
            |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text,
+           |    '(''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+)', 1))
+           |    AS BIGINT) AS n_bpe_tokens,
            |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
            |    CAST(length(text) AS DOUBLE) AS alpha_ratio,
            |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
