@@ -111,6 +111,38 @@ object SimilarityOps {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  // ---------------------------------------------------------- Winnowing
+
+  /** Winnowing document sketches (the MOSS rolling-hash fingerprint):
+    * hash every char k-gram, slide a w-wide window, keep each window's
+    * minimum — guaranteeing any match of length >= w+k-1 shares a
+    * selected hash. MapReduce formulation: explode k-gram positions
+    * (narrow), hash each gram ONCE, take the windowed min with a
+    * per-document frame, and collect the distinct selections — one
+    * shuffle on the id, no per-row re-hashing of the whole document.
+    * Returns (idCol, sketch array<string>).
+    */
+  def winnowSketch(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: Column,
+      k: Int = 5,
+      w: Int = 8): org.apache.spark.sql.DataFrame = {
+    val positions = df.select(
+      col(idCol), textCol.as("__t"),
+      explode(sequence(lit(1), greatest(length(textCol) - (k - 1), lit(0)))).as("__p"))
+    val hashed = positions.select(
+      col(idCol), col("__p"),
+      substring(md5(col("__t").substr(col("__p"), lit(k))), 1, 8).as("__h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(0, w - 1)
+    hashed
+      .withColumn("__wmin", min(col("__h")).over(win))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("__wmin"))).as("sketch"))
+  }
+
   // ------------------------------------------------------------- Cosine
 
   /** Dot product of two double-array columns (sequential left fold —

@@ -565,6 +565,51 @@ object QueryLib {
            |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin))
 
+  private val dedupWinnow = Q(
+    "dedup_winnow",
+    (s, dir) => {
+      val docs = T(s, dir, "documents").filter(length(col("text")) >= 5)
+      val sk = SimilarityOps.winnowSketch(docs.select(col("doc_id"), col("text")),
+          "doc_id", col("text"), k = 5, w = 8)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      val a = sk.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+        col("sketch").as("ska"))
+      val b = sk.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+        col("sketch").as("skb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("ska"), col("skb"))).cast("double") /
+            (size(col("ska")) + size(col("skb")) -
+              size(array_intersect(col("ska"), col("skb")))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+    Some("""WITH pos AS (
+           |  SELECT doc_id, lang, source, text,
+           |         unnest(range(1, length(text) - 4 + 1)) AS p
+           |  FROM documents WHERE length(text) >= 5),
+           |hashed AS (
+           |  SELECT doc_id, lang, source, p,
+           |         substr(md5(substr(text, p, 5)), 1, 8) AS h FROM pos),
+           |wm AS (
+           |  SELECT doc_id, lang, source,
+           |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+           |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+           |  FROM hashed),
+           |sk AS (
+           |  SELECT doc_id, lang, source,
+           |         list_sort(list_distinct(list(wmin))) AS sketch
+           |  FROM wm GROUP BY 1, 2, 3),
+           |p2 AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(len(list_filter(a.sketch, x -> list_contains(b.sketch, x))) AS DOUBLE) /
+           |    CAST(len(a.sketch) + len(b.sketch)
+           |         - len(list_filter(a.sketch, x -> list_contains(b.sketch, x))) AS DOUBLE)
+           |      AS jaccard
+           |  FROM sk a JOIN sk b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM p2 WHERE jaccard >= 0.5""".stripMargin))
+
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
@@ -703,7 +748,7 @@ object QueryLib {
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     txtStats, txtLangid, txtFingerprint, txtQuality,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     simCosineTopk, simEmbedDedup, simAnnLsh, simAnnIvf,
     mmBinaryMeta)
 
