@@ -53,6 +53,29 @@ object EventStreams {
       .select(col("win.start").as("session_start"), col("win.end").as("session_end"),
         col("user_id"), col("n_events"), col("total"))
 
+  /** Stream-stream attribution join: each click joined to the same
+    * user's purchases within `horizon` after it. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered state — the state-bounded form of a
+    * stream-stream join (unconstrained joins buffer forever).
+    */
+  def attributionJoin(
+      events: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("ts").as("buy_ts"), col("value"))
+      .withWatermark("buy_ts", watermark)
+    clicks.join(buys,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
+  }
+
   /** Streaming last-writer-wins: the continuous analogue of
     * `TimeseriesOps.dedupLatest` — per key, emit the newest (time,
     * value) seen so far whenever it changes. Custom state via

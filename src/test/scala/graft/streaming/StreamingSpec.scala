@@ -47,6 +47,23 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 4.0)
   }
 
+  test("attributionJoin matches purchases to prior clicks within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.attributionJoin(mem.toDF(), horizon = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T10:00:00", 1, "click", 0.0),
+      ("2024-01-01T10:30:00", 1, "purchase", 42.0), // within horizon -> joins
+      ("2024-01-01T13:00:00", 1, "purchase", 99.0), // 3h later -> outside
+      ("2024-01-01T10:10:00", 2, "purchase", 7.0)): _*) // no click for user 2
+    q.processAllAvailable()
+    val out = spark.table("attr").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    q.stop()
+    assert(out.toSeq == Seq((1L, 42.0)))
+  }
+
   test("runningLatest keeps one (time,value) state per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
