@@ -211,7 +211,27 @@ object TimeseriesOps {
   // ---------------------------------------------------------------------
   def alignJoin(dfs: Seq[DataFrame], timeCol: String = TimeCol): DataFrame = {
     require(dfs.nonEmpty, "alignJoin needs at least one input")
-    val joined = dfs.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
+    val singleValued = dfs.forall(_.columns.length == 2)
+    val valueTypes = dfs.map(df =>
+      df.schema.fields.filterNot(_.name == timeCol).map(_.dataType).toSeq)
+    // Wide loads of same-typed series align with ONE shuffle: tag each
+    // series, union, and pivot on the tag — versus a chain of N-1 full
+    // outer joins (N-1 shuffles) that dominates a 100-feature load.
+    // Mixed value types (or multi-column inputs) keep the join chain,
+    // since a union would coerce them.
+    val joined =
+      if (dfs.length > 2 && singleValued && valueTypes.distinct.size == 1) {
+        val names = dfs.map(_.columns.filterNot(_ == timeCol).head)
+        require(names.distinct.size == names.size, s"duplicate series names: $names")
+        val tagged = dfs.zip(names).map { case (df, n) =>
+          df.select(col(timeCol), lit(n).as("__series"),
+            col(s"`$n`").as("__value"))
+        }
+        tagged.reduce(_ unionByName _)
+          .groupBy(col(timeCol))
+          .pivot("__series", names)
+          .agg(first(col("__value")))
+      } else dfs.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
     val valueCols = joined.columns.filterNot(_ == timeCol).toSeq
     ffillAuto(joined, valueCols, orderCols = Seq(timeCol)).orderBy(col(timeCol))
   }

@@ -110,6 +110,26 @@ class TimeseriesOpsSpec extends SparkSpec {
       (Some(3.0), Some(20.0)), (Some(3.0), Some(40.0))))
   }
 
+  test("alignJoin pivot path (3+ same-typed series) equals the join chain") {
+    def s(name: String, points: (Int, Double)*) =
+      points.map { case (d, v) =>
+        (new Timestamp(ts("2021-01-01").getTime + d * 86400000L), v)
+      }.toDF("time", name)
+    val dfs = Seq(
+      s("a", 0 -> 1.0, 2 -> 3.0),
+      s("b", 1 -> 10.0),
+      s("c", 0 -> 100.0, 3 -> 300.0),
+      s("d", 2 -> 7.0))
+    val viaPivot = TimeseriesOps.alignJoin(dfs)
+    assert(viaPivot.columns.toSeq == Seq("time", "a", "b", "c", "d"))
+    // same-typed 4-way alignment goes through ONE grouping shuffle, not
+    // a chain of 3 full-outer joins
+    assert(!viaPivot.queryExecution.optimizedPlan.toString.contains("FullOuter"))
+    val viaJoin = dfs.reduce((x, y) => x.join(y, Seq("time"), "full_outer"))
+    val filled = TimeseriesOps.ffill(viaJoin, Seq("a", "b", "c", "d")).orderBy("time")
+    assert(viaPivot.collect().map(_.toSeq).toSeq == filled.collect().map(_.toSeq).toSeq)
+  }
+
   test("lastRow and timeBounds") {
     val df = series(
       ("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0),
