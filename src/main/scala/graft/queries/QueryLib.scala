@@ -570,14 +570,17 @@ object QueryLib {
     (s, dir) => {
       val docs = T(s, dir, "documents").filter(length(col("text")) >= 5)
       val sk = SimilarityOps.winnowSketch(docs.select(col("doc_id"), col("text")),
-          "doc_id", col("text"), k = 5, w = 8)
+          "doc_id", col("text"), k = 5, w = 16)
         .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       val a = sk.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("sketch").as("ska"))
+        col("sketch").as("ska"), size(col("sketch")).as("sza"))
       val b = sk.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-        col("sketch").as("skb"))
+        col("sketch").as("skb"), size(col("sketch")).as("szb"))
       a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
+        // necessary size condition for jaccard >= 0.5: skips the set
+        // intersection for most pairs
+        .filter(least(col("sza"), col("szb")) * 2 >= greatest(col("sza"), col("szb")))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("ska"), col("skb"))).cast("double") /
             (size(col("ska")) + size(col("skb")) -
@@ -594,7 +597,7 @@ object QueryLib {
            |wm AS (
            |  SELECT doc_id, lang, source,
            |         min(h) OVER (PARTITION BY doc_id ORDER BY p
-           |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+           |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
            |  FROM hashed),
            |sk AS (
            |  SELECT doc_id, lang, source,
