@@ -102,6 +102,16 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     store(namespaceOf(sNs)).copy(sName, dName, store(namespaceOf(dNs)))
   }
 
+  /** Collapse a feature's append history to one row per time (optionally
+    * only in the given partitions) — bounds the read-side dedup cost the
+    * reference pays forever (SURVEY §7.5.3).
+    */
+  def compactFeature(fullName: String, partitions: Seq[String] = Nil): Unit = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot compact transformed feature '$fullName'")
+    store(nsObj).compact(f.name, partitions)
+  }
+
   // ----------------------------------------------------------- transforms
 
   /** Declare a virtual feature computed by a SQL expression over its arg

@@ -339,6 +339,17 @@ object QueryLib {
     Some("""SELECT c_custkey, c_name FROM customer
            |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
 
+  private val qSemiJoin = Q(
+    "q_semi_join",
+    (s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin))
+
   private val qSetopExcept = Q(
     "q_setop_except",
     (s, dir) => {
@@ -749,7 +760,7 @@ object QueryLib {
     fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
-    qAntiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
+    qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     txtStats, txtLangid, txtFingerprint, txtQuality,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     simCosineTopk, simEmbedDedup, simAnnLsh, simAnnIvf,

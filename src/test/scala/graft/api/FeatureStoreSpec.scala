@@ -190,6 +190,19 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.cleanNamespace("test").isEmpty)
   }
 
+  test("compactFeature collapses history through the facade") {
+    val fs = freshStore()
+    fs.createFeature("test/cmp")
+    fs.saveDataFrame(dailySeries("2021-01-01", 5, _.toDouble), Some("test/cmp"))
+    fs.saveDataFrame(dailySeries("2021-01-01", 5, _ * 10.0), Some("test/cmp"))
+    fs.compactFeature("test/cmp")
+    val out = fs.loadDataFrame(Seq("test/cmp"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-05"))).orderBy("time").collect()
+    assert(out.map(_.getDouble(1)).toSeq == (0 until 5).map(_ * 10.0))
+    fs.transformSql("test/cmpT", Seq("test/cmp"), "f0")
+    intercept[IllegalArgumentException](fs.compactFeature("test/cmpT"))
+  }
+
   test("save validation: extraneous columns rejected, empty save is a no-op") {
     val fs = freshStore()
     fs.createFeature("test/val")
