@@ -244,6 +244,22 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       toDate: Option[Timestamp]): DataFrame =
     loadDataFrame(Seq(feature), fromDate, toDate)
 
+  /** Typed load of a `serialized` feature: parses the JSON value text
+    * into `valueSchema` — the schema-on-read half of P7 (the reference
+    * gets typed objects back from json.loads, dask.py:123-131; a static
+    * engine asks the caller for the expected shape).
+    */
+  def loadDataFrameTyped(
+      feature: String,
+      valueSchema: DataType,
+      fromDate: Option[Timestamp] = None,
+      toDate: Option[Timestamp] = None): DataFrame = {
+    val (_, f) = featureOf(feature)
+    require(f.serialized, s"'$feature' is not a serialized feature")
+    loadDataFrame(Seq(feature), fromDate, toDate)
+      .withColumn(feature, from_json(col(s"`$feature`"), valueSchema))
+  }
+
   /** Single-feature point lookup. */
   def last(feature: String): Option[Any] = last(Seq(feature))(feature)
 

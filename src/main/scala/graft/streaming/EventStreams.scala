@@ -102,6 +102,14 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded event stream with a
+    * static dimension frame (broadcast every micro-batch) — no state,
+    * no watermark needed; the standard pattern for attaching reference
+    * data to a firehose.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming ingest into the feature-store layout: normalizes the
     * envelope exactly like the batch writer (partition derivation,
     * created_time default) and appends hive-partitioned parquet — the

@@ -112,6 +112,26 @@ class FeatureStoreSpec extends SparkSpec {
     assert(vs(3).contains("\"x3\"")) // struct round-trips to its JSON object
   }
 
+  test("loadDataFrameTyped parses serialized values with a caller schema") {
+    val fs = freshStore()
+    fs.createFeature("test/typed", serialized = true)
+    val structs = (0 until 3).map { i =>
+      (new java.sql.Timestamp(ts("2021-01-01").getTime + i * 86400000L), (i, s"x$i"))
+    }.toDF("time", "value")
+    fs.saveDataFrame(structs, Some("test/typed"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_1", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_2", org.apache.spark.sql.types.StringType)))
+    val out = fs.loadDataFrameTyped("test/typed", schema,
+      Some(ts("2021-01-01")), Some(ts("2021-01-03"))).orderBy("time").collect()
+    assert(out.map(_.getStruct(1).getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getStruct(1).getString(1)).toSeq == Seq("x0", "x1", "x2"))
+    intercept[IllegalArgumentException] {
+      fs.createFeature("test/plain2")
+      fs.loadDataFrameTyped("test/plain2", schema)
+    }
+  }
+
   test("non-serialized schema change on append is rejected (test :512-514)") {
     val fs = freshStore()
     fs.createFeature("test/pin")

@@ -41,6 +41,28 @@ class DerivePartitionFiltersSpec extends SparkSpec {
     }
   }
 
+  test("year-style integer partitions derive widened year bounds") {
+    val dir = tmpDir("graft-dpf-y")
+    val st = new TimeseriesStore(spark, dir)
+    st.save("f", (0 until 8).map { i =>
+      (new java.sql.Timestamp(ts("2015-06-01").getTime + i * 365L * 86400000L),
+        new java.sql.Timestamp(0L), i.toDouble)
+    }.toDF("time", "created_time", "value"), partitionStyle = "year")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DerivePartitionFilters
+    try {
+      val q = spark.read.parquet(s"$dir/feature/f")
+        .filter(col("time") >= lit("2019-01-01 00:00:00").cast("timestamp"))
+      val pf = q.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains(">= 2018"), s"got: $pf")
+      assert(q.count() == 4) // 2019..2022 midyears
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DerivePartitionFilters)
+    }
+  }
+
   test("rule leaves filters that already mention partition untouched") {
     val path = writeFeature()
     val df = spark.read.parquet(path)

@@ -89,6 +89,22 @@ class StreamingSpec extends SparkSpec {
     assert(latest("view") == (("view", ts("2024-01-01T00:09:00"), 9.0)))
   }
 
+  test("enrich joins the stream to a broadcast static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enr").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:01:00", 1, "click", 1.0),
+      ("2024-01-01T00:02:00", 9, "click", 2.0)): _*) // 9 has no dim row
+    q.processAllAvailable()
+    val out = spark.table("enr").orderBy("user_id")
+      .collect().map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier"))))
+    q.stop()
+    assert(out.toSeq == Seq((1L, Some("gold")), (9L, None)))
+  }
+
   test("featureSink writes the feature-store envelope continuously") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("graft-stream")
