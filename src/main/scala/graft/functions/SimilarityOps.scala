@@ -128,9 +128,11 @@ object SimilarityOps {
       textCol: Column,
       k: Int = 5,
       w: Int = 8): org.apache.spark.sql.DataFrame = {
-    val positions = df.select(
+    // texts shorter than k have no k-grams: filter rather than letting
+    // sequence(1, 0) produce a DESCENDING [1, 0] position list
+    val positions = df.filter(length(textCol) >= k).select(
       col(idCol), textCol.as("__t"),
-      explode(sequence(lit(1), greatest(length(textCol) - (k - 1), lit(0)))).as("__p"))
+      explode(sequence(lit(1), length(textCol) - (k - 1))).as("__p"))
     val hashed = positions.select(
       col(idCol), col("__p"),
       substring(md5(col("__t").substr(col("__p"), lit(k))), 1, 8).as("__h"))
