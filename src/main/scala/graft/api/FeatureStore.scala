@@ -187,16 +187,25 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
           to = to,
           valueType = valueTypeOf(f),
           partitionStyle = f.partition)
-        val traveled = timeTravel.map(d => TimeseriesOps.timeTravel(raw, d)).getOrElse(raw)
-        val deduped = TimeseriesOps.dedupLatest(traveled)
-        // serialized features wrap value as {"v": ...} at save; unwrap on
-        // read so round-trips return the original value's JSON text, not
-        // the envelope (reference deserializes on load, dask.py:123-131)
-        val unwrapped =
-          if (f.serialized) deduped.withColumn("value", get_json_object(col("value"), "$.v"))
-          else deduped
-        unwrapped.select("time", "value")
+        postProcess(raw, f, timeTravel)
     }
+  }
+
+  /** Shared read-side pipeline: time travel -> last-writer-wins dedup ->
+    * serialized-envelope unwrap (reference deserializes on load,
+    * dask.py:123-131). Used by loadSeries and the first/last endpoint
+    * lookups so the two paths can never drift.
+    */
+  private def postProcess(
+      raw: DataFrame,
+      f: Feature,
+      timeTravel: Option[String]): DataFrame = {
+    val traveled = timeTravel.map(d => TimeseriesOps.timeTravel(raw, d)).getOrElse(raw)
+    val deduped = TimeseriesOps.dedupLatest(traveled)
+    val unwrapped =
+      if (f.serialized) deduped.withColumn("value", get_json_object(col("value"), "$.v"))
+      else deduped
+    unwrapped.select("time", "value")
   }
 
   /** Flagship read (core.py:246-276): wide frame, one column per feature
@@ -302,7 +311,8 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
         require(DataType.fromJson(json) == vt,
           s"schema change on append to '$full': stored ${json}, got ${vt.json} " +
             "(create the feature with serialized=true to allow drift)")
-      case _ => catalog.pinValueType(ns, nm, vt.json)
+      case Some(_) => // serialized: already pinned to string, nothing to update
+      case None => catalog.pinValueType(ns, nm, vt.json)
     }
     store(nsObj).save(nm, prepared, f.partition)
   }
@@ -342,13 +352,7 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
           val widths = Seq(1, 4, parts.length).distinct.filter(_ > 0)
           widths.iterator.map { w =>
             val raw = st.readPartitions(f.name, parts.take(w), valueTypeOf(f))
-            val traveled = timeTravel.map(d => TimeseriesOps.timeTravel(raw, d)).getOrElse(raw)
-            val deduped = TimeseriesOps.dedupLatest(traveled)
-            val unwrapped =
-              if (f.serialized)
-                deduped.withColumn("value", get_json_object(col("value"), "$.v"))
-              else deduped
-            pick(unwrapped.select("time", "value")).collect().headOption
+            pick(postProcess(raw, f, timeTravel)).collect().headOption
           }.collectFirst { case Some(r) => r }
       }
       full -> row.map(_.get(1)).filter(_ != null)

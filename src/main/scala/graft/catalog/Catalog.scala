@@ -99,9 +99,11 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(state))
     finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"catalog persist failed: rename $tmp -> $path")
+    // overwrite-rename (FileContext, atomic on local/HDFS): there is no
+    // window where the live file is absent, so a crash leaves either the
+    // old or the new catalog — never nothing
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
+    fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // ------------------------------------------------------------ namespaces

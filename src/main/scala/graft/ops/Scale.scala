@@ -25,9 +25,14 @@ object Scale {
       keyCols: Seq[String] = Nil): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
     val S = "__salt"
-    // deterministic spread: hash of all non-key columns mod salts
+    // deterministic spread: hash of the non-key columns mod salts;
+    // hash() rejects MapType, so map-typed columns ride through to_json
     val others = df.columns.filterNot(c => (keyCols :+ timeCol).contains(c)).toSeq
-    val salted = df.withColumn(S, pmod(hash(others.map(col): _*), lit(salts)))
+    val saltInputs = others.map { c =>
+      if (TimeseriesOps.isOrderable(df.schema(c).dataType)) col(c)
+      else to_json(col(c))
+    }
+    val salted = df.withColumn(S, pmod(hash(saltInputs: _*), lit(salts)))
     val phase1 = TimeseriesOps.dedupLatest(
       salted, timeCol, createdCol, keyCols = keyCols :+ S)
     TimeseriesOps.dedupLatest(phase1.drop(S), timeCol, createdCol, keyCols = keyCols)

@@ -218,9 +218,14 @@ object TimeseriesOps {
     // series, union, and pivot on the tag — versus a chain of N-1 full
     // outer joins (N-1 shuffles) that dominates a 100-feature load.
     // Mixed value types (or multi-column inputs) keep the join chain,
-    // since a union would coerce them.
+    // since a union would coerce them. Inputs are expected deduplicated
+    // per time (every loadDataFrame series is); the pivot collapses any
+    // residual duplicate deterministically via max, where the join
+    // chain would instead multiply rows.
+    val pivotable = dfs.length > 2 && singleValued &&
+      valueTypes.distinct.size == 1 && valueTypes.head.forall(isOrderable)
     val joined =
-      if (dfs.length > 2 && singleValued && valueTypes.distinct.size == 1) {
+      if (pivotable) {
         val names = dfs.map(_.columns.filterNot(_ == timeCol).head)
         require(names.distinct.size == names.size, s"duplicate series names: $names")
         val tagged = dfs.zip(names).map { case (df, n) =>
@@ -230,7 +235,7 @@ object TimeseriesOps {
         tagged.reduce(_ unionByName _)
           .groupBy(col(timeCol))
           .pivot("__series", names)
-          .agg(first(col("__value")))
+          .agg(max(col("__value")))
       } else dfs.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
     val valueCols = joined.columns.filterNot(_ == timeCol).toSeq
     ffillAuto(joined, valueCols, orderCols = Seq(timeCol)).orderBy(col(timeCol))

@@ -25,8 +25,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DerivePartitionFilters extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Only the EXACT feature-store envelope qualifies: (time,
+    * created_time, value, partition). Requiring the full shape keeps
+    * the rule from firing on unrelated tables that merely happen to
+    * have `time` and `partition` columns (where `partition` may not be
+    * derived from `time` and pruning would drop correct rows).
+    */
+  private def isEnvelope(rel: LogicalRelation): Boolean =
+    rel.output.length == 4 &&
+      rel.output.exists(a => a.name == "created_time" && a.dataType == TimestampType) &&
+      rel.output.exists(_.name == "value")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, rel: LogicalRelation) =>
+    case f @ Filter(cond, rel: LogicalRelation) if isEnvelope(rel) =>
       val timeAttr = rel.output.find(a => a.name == "time" && a.dataType == TimestampType)
       val partAttr = rel.output.find(a => a.name == "partition" &&
         (a.dataType == StringType || a.dataType == DateType || a.dataType == IntegerType))

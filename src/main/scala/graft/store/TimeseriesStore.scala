@@ -160,9 +160,14 @@ class TimeseriesStore(spark: SparkSession, url: String) {
     * read, SURVEY §7.5.3). Restricted to `partitions` when given, so a
     * years-deep feature with a few fresh appends rewrites only the
     * affected day directories, never the history. The deduped output is
-    * staged in a sibling directory and swapped in per partition; a crash
-    * mid-swap leaves each partition either old or new — both dedup to
-    * the same logical result on read.
+    * staged in a sibling directory and swapped in per partition through
+    * a trash dir, so no committed row is ever deleted before its
+    * replacement exists: a crash mid-swap can leave a partition
+    * temporarily missing from listings but its bytes recoverable from
+    * `.compact-trash`. Contract: single writer per feature during
+    * compaction — an append racing the swap can be trashed with the old
+    * generation (the reference has no compaction at all; full
+    * transactionality is table-format territory, e.g. Delta).
     */
   def compact(name: String, partitions: Seq[String] = Nil): Unit = {
     if (!exists(name)) return
@@ -181,15 +186,19 @@ class TimeseriesStore(spark: SparkSession, url: String) {
       .write.option("compression", "snappy")
       .partitionBy("partition")
       .parquet(tmp.toString)
+    val trash = new Path(s"$url/.compact-trash/$name")
+    f.delete(trash, true)
+    f.mkdirs(trash)
     targetParts.foreach { p =>
       val newDir = new Path(tmp, s"partition=$p")
       val liveDir = new Path(featurePath(name), s"partition=$p")
       if (f.exists(newDir)) {
-        f.delete(liveDir, true)
+        if (f.exists(liveDir)) f.rename(liveDir, new Path(trash, s"partition=$p"))
         f.rename(newDir, liveDir)
       }
     }
     f.delete(tmp, true)
+    f.delete(trash, true)
   }
 
   /** S5: recursive delete of a feature's data. */

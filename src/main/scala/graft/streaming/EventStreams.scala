@@ -95,8 +95,11 @@ object EventStreams {
         (key: String,
          rows: Iterator[(String, Timestamp, Double)],
          state: GroupState[(Timestamp, Double)]) =>
-          val newest = (state.getOption.iterator ++ rows.map(r => (r._2, r._3)))
-            .maxBy(_._1.getTime)
+          // tie semantics match dedupLatest: equal timestamps resolve by
+          // max value (maxBy keeps the FIRST max, so new rows go first —
+          // a same-timestamp correction displaces stale state)
+          val newest = (rows.map(r => (r._2, r._3)) ++ state.getOption.iterator)
+            .maxBy(r => (r._1.getTime, r._2))
           state.update(newest)
           (key, newest._1, newest._2)
       }

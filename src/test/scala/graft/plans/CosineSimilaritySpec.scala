@@ -29,6 +29,13 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out(0).getDouble(0) == 0.0 && out(1).getDouble(0) == 1.0)
     val n = spark.sql("SELECT cosine_sim(a, CAST(NULL AS ARRAY<DOUBLE>)) FROM vecs").collect()
     assert(n.forall(_.isNullAt(0)))
+    // builtin-composition parity: mismatched lengths and null ELEMENTS
+    // are NULL, not a truncated/zero-padded number
+    val edge = spark.sql(
+      """SELECT cosine_sim(array(1.0d), array(1.0d, 5.0d)) AS mism,
+        |       cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS nullel
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
   }
 
   test("installs via SparkSessionExtensions") {
