@@ -272,6 +272,25 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   /** Single-feature point lookup. */
   def last(feature: String): Option[Any] = last(Seq(feature))(feature)
 
+  /** Point-in-time-correct training frame: for every labeled example
+    * (a row with a `time` column), attach each feature's value AS OF
+    * that example's time — never a later observation, so no target
+    * leakage. `timeTravel` additionally restricts to what was KNOWN at
+    * ingestion time (created_time), reproducing the training data an
+    * online system would actually have had.
+    */
+  def trainingFrame(
+      labels: DataFrame,
+      features: Seq[String],
+      timeTravel: Option[String] = None): DataFrame = {
+    require(labels.columns.contains("time"), "labels need a 'time' column")
+    features.foldLeft(labels) { (acc, full) =>
+      val s = loadSeries(full, None, None, timeTravel, clipFrom = true, Nil)
+        .withColumnRenamed("value", full)
+      TimeseriesOps.asofJoin(acc, s, rightValueCols = Seq(full))
+    }
+  }
+
   /** Write path (core.py:278-313). Accepts:
     *  - `time` + `value` (+ optional `created_time`) with `name` given;
     *  - `time` + single `namespace/feature` column (auto-named);

@@ -210,6 +210,28 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.cleanNamespace("test").isEmpty)
   }
 
+  test("trainingFrame: as-of feature values per label, no future leakage") {
+    val fs = freshStore()
+    fs.createFeature("test/f1")
+    fs.createFeature("test/f2")
+    fs.saveDataFrame(dailySeries("2021-01-01", 10, _ * 1.0), Some("test/f1"))
+    fs.saveDataFrame(dailySeries("2021-01-01", 10, _ * 100.0), Some("test/f2"))
+    // labels at mid-day offsets: strictly between feature observations
+    val labels = Seq(0, 3, 7).map { d =>
+      (new java.sql.Timestamp(ts("2021-01-01").getTime + d * 86400000L + 43200000L), s"y$d")
+    }.toDF("time", "label")
+    val out = fs.trainingFrame(labels, Seq("test/f1", "test/f2"))
+      .orderBy("time").collect()
+    // as-of 12:00 on day d the latest observation is day d's (00:00)
+    assert(out.map(r => (r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq ==
+      Seq(("y0", 0.0, 0.0), ("y3", 3.0, 300.0), ("y7", 7.0, 700.0)))
+    // a label before any observation gets null, never a future value
+    val early = Seq((new java.sql.Timestamp(ts("2021-01-01").getTime - 86400000L), "pre"))
+      .toDF("time", "label")
+    val pre = fs.trainingFrame(early, Seq("test/f1")).collect().head
+    assert(pre.isNullAt(2))
+  }
+
   test("compactFeature collapses history through the facade") {
     val fs = freshStore()
     fs.createFeature("test/cmp")
