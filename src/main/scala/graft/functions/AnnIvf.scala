@@ -38,13 +38,13 @@ object AnnIvf {
     */
   private def probeCells(index: Index, q: Column, nProbe: Int): Column = {
     val scored = index.model.clusterCenters.zipWithIndex.map { case (c, j) =>
-      val cArr = array(c.toArray.map(lit): _*)
+      val cArr = array(c.toArray.toIndexedSeq.map(lit): _*)
       val negHalfDist = SimilarityOps.dot(q, cArr) - lit(c.toArray.map(x => x * x).sum / 2)
       struct(negHalfDist.as("s"), lit(j).as("j"))
     }
     // sort ascending by score, take the top nProbe from the tail
     transform(
-      slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe),
       s => s.getField("j"))
   }
 

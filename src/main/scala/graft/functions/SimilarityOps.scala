@@ -179,7 +179,7 @@ object SimilarityOps {
     */
   def signBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, planeCol) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 }
