@@ -106,6 +106,27 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsResampleYears = Q(
+    "fs_resample_years",
+    // multi-year weekly grid: exercises the month-granularity branch of
+    // the adaptive fill bucketing (a 5.5-year span in day buckets would
+    // make the per-bucket seed table needlessly wide)
+    (s, dir) => {
+      val data = TimeseriesOps.dedupLatest(
+        T(s, dir, "orders").select(
+          col("o_orderdate").as("time"),
+          col("o_orderkey").as("created_time"),
+          col("o_totalprice").as("value")))
+        .select("time", "value")
+      TimeseriesOps.resample(data, jts("1995-01-01"), jts("2001-06-30"), "7d", Seq("value"))
+    },
+    Some("""WITH data AS (
+           |  SELECT o_orderdate AS time, arg_max(o_totalprice, o_orderkey) AS value
+           |  FROM orders GROUP BY 1),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+           |                 TIMESTAMP '2001-06-30', INTERVAL 7 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
   private val fsAlign2 = Q(
     "fs_align_2",
     (s, dir) => {
@@ -757,7 +778,7 @@ object QueryLib {
   // =====================================================================
 
   val all: Seq[Q] = Seq(
-    fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsAlign2,
+    fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsResampleYears, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
