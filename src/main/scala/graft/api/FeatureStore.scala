@@ -272,6 +272,21 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   /** Single-feature point lookup. */
   def last(feature: String): Option[Any] = last(Seq(feature))(feature)
 
+  /** Backfill: evaluate a virtual (transformed) feature over a range
+    * and persist the result as a real stored feature — trading the
+    * per-read DAG evaluation for storage, the standard materialization
+    * step before serving a derived feature at scale.
+    */
+  def materializeFeature(
+      sourceFull: String,
+      targetFull: String,
+      fromDate: Option[Timestamp] = None,
+      toDate: Option[Timestamp] = None): Unit = {
+    val series = loadSeries(sourceFull, fromDate, toDate, None, clipFrom = true, Nil)
+    val clipped = TimeseriesOps.rangeFilter(series, fromDate, toDate)
+    saveDataFrame(clipped, name = Some(targetFull))
+  }
+
   /** Point-in-time-correct training frame: for every labeled example
     * (a row with a `time` column), attach each feature's value AS OF
     * that example's time — never a later observation, so no target

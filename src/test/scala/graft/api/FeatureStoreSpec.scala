@@ -210,6 +210,19 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.cleanNamespace("test").isEmpty)
   }
 
+  test("materializeFeature persists a transform's output as real data") {
+    val fs = freshStore()
+    fs.createFeature("test/mraw")
+    fs.saveDataFrame(dailySeries("2021-01-01", 5, _.toDouble), Some("test/mraw"))
+    fs.transformSql("test/mvirt", Seq("test/mraw"), "f0 * 3")
+    fs.createFeature("test/mreal")
+    fs.materializeFeature("test/mvirt", "test/mreal",
+      Some(ts("2021-01-01")), Some(ts("2021-01-05")))
+    val out = fs.loadDataFrame(Seq("test/mreal"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-05"))).orderBy("time").collect()
+    assert(out.map(_.getDouble(1)).toSeq == (0 until 5).map(_ * 3.0))
+  }
+
   test("trainingFrame: as-of feature values per label, no future leakage") {
     val fs = freshStore()
     fs.createFeature("test/f1")
