@@ -1,0 +1,61 @@
+package graft.tools
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeseriesOps
+
+/** Synthetic scale probe: N upsert rows (4 generations per timestamp)
+  * through the kernel's hot path — dedup-latest then daily
+  * resample+ffill — entirely from `spark.range` (no IO), to measure how
+  * the operators themselves behave beyond the driver's sf0.1.
+  * `runMain graft.tools.ScaleProbe [rows]`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Instant.parse("2015-01-01T00:00:00Z").toEpochMilli
+    // n rows over ~n/4 distinct minutes spanning years: every timestamp
+    // written 4 times (created_time generations), values vary
+    val df = spark.range(n).select(
+      timestamp_millis(lit(base) + (col("id") / 4).cast("long") * 60000L).as("time"),
+      timestamp_millis(lit(base) + col("id") * 7L).as("created_time"),
+      (col("id") % 1000).cast("double").as("value"))
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    timed(s"dedupLatest over $n rows") {
+      TimeseriesOps.dedupLatest(df).count()
+    }
+    val spanEnd = base + (n / 4) * 60000L
+    timed(s"dedup + daily resample+ffill over $n rows") {
+      TimeseriesOps.resample(
+        TimeseriesOps.dedupLatest(df),
+        new Timestamp(base), new Timestamp(spanEnd), "1d", Seq("value")).count()
+    }
+    timed(s"asofJoin $n-row left against itself") {
+      TimeseriesOps.asofJoin(
+        df.select(col("time"), col("value").as("left_v")).limit(1000000),
+        TimeseriesOps.dedupLatest(df).select(col("time"), col("value").as("right_v")),
+        rightValueCols = Seq("right_v"),
+        by = Nil).count()
+    }
+    spark.stop()
+  }
+}
