@@ -282,9 +282,9 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       targetFull: String,
       fromDate: Option[Timestamp] = None,
       toDate: Option[Timestamp] = None): Unit = {
+    // clipFrom=true applies both bounds at scan time already
     val series = loadSeries(sourceFull, fromDate, toDate, None, clipFrom = true, Nil)
-    val clipped = TimeseriesOps.rangeFilter(series, fromDate, toDate)
-    saveDataFrame(clipped, name = Some(targetFull))
+    saveDataFrame(series, name = Some(targetFull))
   }
 
   /** Point-in-time-correct training frame: for every labeled example
@@ -299,11 +299,17 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       features: Seq[String],
       timeTravel: Option[String] = None): DataFrame = {
     require(labels.columns.contains("time"), "labels need a 'time' column")
-    features.foldLeft(labels) { (acc, full) =>
-      val s = loadSeries(full, None, None, timeTravel, clipFrom = true, Nil)
+    // align all features FIRST (one shuffle on the pivot path), then a
+    // single as-of pass: the wide frame carries every feature's running
+    // value at each observation time, so its as-of row at a label time
+    // equals each feature's own as-of value — versus N chained as-of
+    // joins, each a separate global sort
+    val series = features.map { full =>
+      loadSeries(full, None, None, timeTravel, clipFrom = true, Nil)
         .withColumnRenamed("value", full)
-      TimeseriesOps.asofJoin(acc, s, rightValueCols = Seq(full))
     }
+    val wide = TimeseriesOps.alignJoin(series)
+    TimeseriesOps.asofJoin(labels, wide, rightValueCols = features)
   }
 
   /** Write path (core.py:278-313). Accepts:

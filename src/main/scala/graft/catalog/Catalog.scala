@@ -99,11 +99,28 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(state))
     finally out.close()
-    // overwrite-rename (FileContext, atomic on local/HDFS): there is no
-    // window where the live file is absent, so a crash leaves either the
-    // old or the new catalog — never nothing
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
-    fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // overwrite-rename with the strongest primitive the scheme offers:
+    // POSIX atomic move for local files, FileContext overwrite-rename
+    // for HDFS-like stores, and a (windowed) delete+rename fallback for
+    // connectors with no AbstractFileSystem binding
+    val scheme = Option(path.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val local = new java.io.File(path.toUri.getPath)
+      java.nio.file.Files.move(
+        new java.io.File(tmp.toUri.getPath).toPath, local.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
+        fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(path)) fs.delete(path, false)
+          if (!fs.rename(tmp, path))
+            throw new java.io.IOException(s"catalog persist failed: rename $tmp -> $path")
+      }
+    }
   }
 
   // ------------------------------------------------------------ namespaces

@@ -108,9 +108,10 @@ object QueryLib {
 
   private val fsResampleYears = Q(
     "fs_resample_years",
-    // multi-year weekly grid: exercises the month-granularity branch of
-    // the adaptive fill bucketing (a 5.5-year span in day buckets would
-    // make the per-bucket seed table needlessly wide)
+    // three-year weekly grid (~1095 days): exercises the MONTH branch of
+    // the adaptive fill bucketing (spans <= 120d use day buckets,
+    // > ~5y use year buckets — that branch is covered by the
+    // bucketed-vs-global ffill property tests)
     (s, dir) => {
       val data = TimeseriesOps.dedupLatest(
         T(s, dir, "orders").select(
@@ -118,13 +119,13 @@ object QueryLib {
           col("o_orderkey").as("created_time"),
           col("o_totalprice").as("value")))
         .select("time", "value")
-      TimeseriesOps.resample(data, jts("1995-01-01"), jts("2001-06-30"), "7d", Seq("value"))
+      TimeseriesOps.resample(data, jts("1995-01-01"), jts("1997-12-31"), "7d", Seq("value"))
     },
     Some("""WITH data AS (
            |  SELECT o_orderdate AS time, arg_max(o_totalprice, o_orderkey) AS value
            |  FROM orders GROUP BY 1),
            |grid AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
-           |                 TIMESTAMP '2001-06-30', INTERVAL 7 DAY)) AS time)
+           |                 TIMESTAMP '1997-12-31', INTERVAL 7 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
   private val fsAlign2 = Q(

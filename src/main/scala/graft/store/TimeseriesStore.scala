@@ -192,9 +192,20 @@ class TimeseriesStore(spark: SparkSession, url: String) {
     targetParts.foreach { p =>
       val newDir = new Path(tmp, s"partition=$p")
       val liveDir = new Path(featurePath(name), s"partition=$p")
+      val trashDir = new Path(trash, s"partition=$p")
       if (f.exists(newDir)) {
-        if (f.exists(liveDir)) f.rename(liveDir, new Path(trash, s"partition=$p"))
-        f.rename(newDir, liveDir)
+        // FileSystem.rename signals failure by RETURNING false, not by
+        // throwing — every step is checked so a failed swap aborts with
+        // the data intact (restored from trash if already moved) rather
+        // than silently deleting a partition's only copy
+        if (f.exists(liveDir) && !f.rename(liveDir, trashDir))
+          throw new java.io.IOException(
+            s"compact aborted: could not stage $liveDir to $trashDir")
+        if (!f.rename(newDir, liveDir)) {
+          if (f.exists(trashDir)) f.rename(trashDir, liveDir) // restore
+          throw new java.io.IOException(
+            s"compact aborted: could not install $newDir as $liveDir (old data restored)")
+        }
       }
     }
     f.delete(tmp, true)

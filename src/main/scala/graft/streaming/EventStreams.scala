@@ -95,9 +95,11 @@ object EventStreams {
         (key: String,
          rows: Iterator[(String, Timestamp, Double)],
          state: GroupState[(Timestamp, Double)]) =>
-          // tie semantics match dedupLatest: equal timestamps resolve by
-          // max value (maxBy keeps the FIRST max, so new rows go first —
-          // a same-timestamp correction displaces stale state)
+          // tie semantics match dedupLatest's default tie-break: equal
+          // timestamps resolve by MAX VALUE (deterministic) — a same-
+          // timestamp correction only displaces state when it orders
+          // higher, exactly like the batch dedup of two equal
+          // created_time rows
           val newest = (rows.map(r => (r._2, r._3)) ++ state.getOption.iterator)
             .maxBy(r => (r._1.getTime, r._2))
           state.update(newest)

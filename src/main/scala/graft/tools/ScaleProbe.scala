@@ -49,7 +49,7 @@ object ScaleProbe {
         TimeseriesOps.dedupLatest(df),
         new Timestamp(base), new Timestamp(spanEnd), "1d", Seq("value")).count()
     }
-    timed(s"asofJoin $n-row left against itself") {
+    timed(s"asofJoin 1M-row left against the deduped $n-row series") {
       TimeseriesOps.asofJoin(
         df.select(col("time"), col("value").as("left_v")).limit(1000000),
         TimeseriesOps.dedupLatest(df).select(col("time"), col("value").as("right_v")),

@@ -92,17 +92,21 @@ class KernelPropertiesSpec extends SparkSpec {
       t <- Gen.choose(0, 200)
       v <- Gen.option(Gen.choose(-50, 50).map(_.toDouble))
     } yield (t, v))
-    forAll(sparseGen, n = 6) { rows =>
+    forAll(sparseGen, n = 4) { rows =>
       if (rows.nonEmpty) {
+        // hour offsets spread over ~3 years so day, month AND year
+        // bucketings all genuinely partition the series
         val df = rows.distinctBy(_._1).map { case (t, v) =>
-          (new Timestamp(base + t * 3600000L), v)
+          (new Timestamp(base + t * 130L * 3600000L), v)
         }.toDF("time", "value")
         val g = TimeseriesOps.ffill(df, Seq("value")).orderBy("time")
           .collect().map(r => Option(r.get(1))).toSeq
-        val b = TimeseriesOps.ffillBucketed(df, Seq("value"),
-            date_trunc("day", col("time"))).orderBy("time")
-          .collect().map(r => Option(r.get(1))).toSeq
-        assert(g == b)
+        for (unit <- Seq("day", "month", "year")) {
+          val b = TimeseriesOps.ffillBucketed(df, Seq("value"),
+              date_trunc(unit, col("time"))).orderBy("time")
+            .collect().map(r => Option(r.get(1))).toSeq
+          assert(g == b, s"bucket unit $unit diverged")
+        }
       }
     }
   }
