@@ -43,4 +43,23 @@ object Freq {
   /** Column interval usable in timestamp arithmetic and `sequence()`. */
   def toInterval(alias: String): Column =
     expr(s"INTERVAL ${toMicros(alias)} MICROSECOND")
+
+  private val CalendarPattern = """^\s*(\d*)\s*(mo|month|months|M|y|yr|year|years|Y)\s*$""".r
+
+  /** Calendar-stepped aliases ("1mo", "M", "2y") as a month count —
+    * these cannot be a fixed micros step (months vary in length), so
+    * `resample` builds their spine with calendar arithmetic instead.
+    * Distinct from the fixed-duration aliases above ("min" is minutes;
+    * only uppercase M means month, as in pandas).
+    */
+  def calendarMonths(alias: String): Option[Int] = alias match {
+    case CalendarPattern(num, unit) =>
+      val n = if (num.isEmpty) 1 else num.toInt
+      val months = unit match {
+        case "mo" | "month" | "months" | "M" => n
+        case _                               => 12 * n
+      }
+      Some(months)
+    case _ => None
+  }
 }

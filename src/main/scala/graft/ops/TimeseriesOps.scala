@@ -178,15 +178,33 @@ object TimeseriesOps {
       freq: String,
       valueCols: Seq[String],
       timeCol: String = TimeCol): DataFrame = {
-    val stepUs = Freq.toMicros(freq)
-    require(stepUs > 0, s"resample freq must be positive, got '$freq'")
+    val spark = df.sparkSession
     val startUs = from.getTime * 1000L + (from.getNanos / 1000L) % 1000L
     val endUs = to.getTime * 1000L + (to.getNanos / 1000L) % 1000L
-    // reference clamps to_date < from_date up to from_date (dask.py:154-155)
-    val n = math.max((endUs - startUs) / stepUs, 0L) + 1L
-    val spark = df.sparkSession
-    val spine = spark.range(n).select(
-      timestamp_micros(lit(startUs) + col("id") * lit(stepUs)).as(timeCol))
+    // calendar-stepped grids (months/years) need calendar arithmetic;
+    // fixed-duration aliases use pure micros math. Both spines come
+    // from spark.range: O(1) driver memory at any grid length.
+    val spine = Freq.calendarMonths(freq) match {
+      case Some(stepMonths) =>
+        require(stepMonths > 0, s"resample freq must be positive, got '$freq'")
+        // count clamped additions (Jan 31 + 1mo = Feb 28): MONTHS.between
+        // undercounts whenever clamping shortens the day-of-month, so
+        // walk the (tiny) grid driver-side instead
+        val fromOdt = from.toInstant.atOffset(java.time.ZoneOffset.UTC)
+        val toOdt = to.toInstant.atOffset(java.time.ZoneOffset.UTC)
+        var n = 1L // the `from` point itself (to < from clamps to it)
+        while (!fromOdt.plusMonths(n * stepMonths).isAfter(toOdt)) n += 1
+        spark.range(n).select(
+          expr(s"timestampadd(MONTH, cast(id * $stepMonths AS INT), " +
+            s"timestamp_micros(${startUs}L))").as(timeCol))
+      case None =>
+        val stepUs = Freq.toMicros(freq)
+        require(stepUs > 0, s"resample freq must be positive, got '$freq'")
+        // reference clamps to_date < from_date up to from_date (dask.py:154-155)
+        val n = math.max((endUs - startUs) / stepUs, 0L) + 1L
+        spark.range(n).select(
+          timestamp_micros(lit(startUs) + col("id") * lit(stepUs)).as(timeCol))
+    }
     val S = "__spine"
     val data = df.select(col(timeCol) +: valueCols.map(col): _*).withColumn(S, lit(0))
     val union = spine

@@ -128,6 +128,26 @@ object QueryLib {
            |                 TIMESTAMP '1997-12-31', INTERVAL 7 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsResampleMonthly = Q(
+    "fs_resample_monthly",
+    // calendar-month grid (month-start anchored, so Spark's
+    // timestampadd and DuckDB's month-interval series agree exactly)
+    (s, dir) => {
+      val data = TimeseriesOps.dedupLatest(
+        T(s, dir, "orders").select(
+          col("o_orderdate").as("time"),
+          col("o_orderkey").as("created_time"),
+          col("o_totalprice").as("value")))
+        .select("time", "value")
+      TimeseriesOps.resample(data, jts("1995-01-01"), jts("1999-12-01"), "1mo", Seq("value"))
+    },
+    Some("""WITH data AS (
+           |  SELECT o_orderdate AS time, arg_max(o_totalprice, o_orderkey) AS value
+           |  FROM orders GROUP BY 1),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+           |                 TIMESTAMP '1999-12-01', INTERVAL 1 MONTH)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
   private val fsAlign2 = Q(
     "fs_align_2",
     (s, dir) => {
@@ -779,7 +799,8 @@ object QueryLib {
   // =====================================================================
 
   val all: Seq[Q] = Seq(
-    fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsResampleYears, fsAlign2,
+    fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsResampleYears,
+    fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,

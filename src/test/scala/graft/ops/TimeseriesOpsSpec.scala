@@ -156,6 +156,19 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(out.map(r => Option(r.get(3))).toSeq == Seq(Some(5.0), Some(7.0), None))
   }
 
+  test("resample supports calendar month/year grids with end-of-month clamping") {
+    val df = series(("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0))
+    val out = TimeseriesOps.resample(df,
+      ts("2021-01-31"), ts("2021-04-30"), "1mo", Seq("value")).orderBy("time").collect()
+    assert(out.map(_.getTimestamp(0).toString).toSeq == Seq(
+      "2021-01-31 00:00:00.0", "2021-02-28 00:00:00.0",
+      "2021-03-31 00:00:00.0", "2021-04-30 00:00:00.0"))
+    assert(out.forall(_.getDouble(1) == 1.0))
+    val yearly = TimeseriesOps.resample(df,
+      ts("2021-01-01"), ts("2024-06-01"), "1y", Seq("value"))
+    assert(yearly.count() == 4) // 2021..2024 starts
+  }
+
   test("Freq parses pandas offset aliases") {
     assert(Freq.toMicros("10min") == 600000000L)
     assert(Freq.toMicros("-15min") == -900000000L)
@@ -163,5 +176,9 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(Freq.toMicros("h") == 3600000000L)
     assert(Freq.toMicros("2w") == 2 * 604800000000L)
     intercept[IllegalArgumentException](Freq.toMicros("3months"))
+    assert(Freq.calendarMonths("3months").contains(3))
+    assert(Freq.calendarMonths("M").contains(1))
+    assert(Freq.calendarMonths("2y").contains(24))
+    assert(Freq.calendarMonths("min").isEmpty) // minutes, not months
   }
 }
