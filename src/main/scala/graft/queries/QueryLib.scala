@@ -774,6 +774,58 @@ object QueryLib {
     },
     None) // approximate + iterative-trained index: recall asserted in spec
 
+  private val curateDocs = Q(
+    "curate_docs",
+    // the end-to-end curation pipeline in one plan: quality gate ->
+    // exact dedup (keep lowest id per content hash) -> near-dedup (drop
+    // the higher id of every blocked bigram-jaccard >= 0.5 pair)
+    (s, dir) => {
+      val base = T(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"), col("text"),
+        size(toks).as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
+          length(col("text")).cast("double")).as("alpha_ratio"))
+      val quality = base.filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.8)
+      val exact = quality
+        .withColumn("h", md5(col("text")))
+        .withColumn("keep", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("keep") === 1).drop("h", "keep")
+      val sh = exact.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("shb"))
+      val dropIds = a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      exact.join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, lang, source, text,
+           |    len(string_split(text, ' ')) AS n_tokens,
+           |    CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) /
+           |      CAST(length(text) AS DOUBLE) AS alpha_ratio
+           |  FROM documents),
+           |quality AS (SELECT * FROM base WHERE n_tokens >= 20 AND alpha_ratio >= 0.8),
+           |exact AS (
+           |  SELECT * FROM (SELECT *, row_number() OVER
+           |      (PARTITION BY md5(text) ORDER BY doc_id) AS keep FROM quality)
+           |  WHERE keep = 1),
+           |sh AS (SELECT doc_id, lang, source,
+           |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
+           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
+           |  FROM exact),
+           |drops AS (
+           |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+           |        CAST(len(a.sh) + len(b.sh)
+           |             - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.5)
+           |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM exact
+           |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin))
+
   // =====================================================================
   // Multimodal plumbing: opaque binary payloads + typed metadata
   // =====================================================================
@@ -806,6 +858,7 @@ object QueryLib {
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     txtStats, txtLangid, txtFingerprint, txtQuality,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
+    curateDocs,
     simCosineTopk, simEmbedDedup, simAnnLsh, simAnnIvf,
     mmBinaryMeta)
 
