@@ -17,9 +17,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampType
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // DuckDB reads Spark's instant-semantics timestamps (parquet
+      // isAdjustedToUTC=true) as TIMESTAMPTZ while the oracle SQL yields
+      // naive TIMESTAMP → schema/hash mismatch. Session TZ is UTC, so
+      // casting to timestamp_ntz preserves values and fixes the annotation.
+      try {
+        val df = fn(spark, sfDir)
+        val naive = df.select(df.schema.fields.map { f =>
+          if (f.dataType == TimestampType)
+            col(f.name).cast("timestamp_ntz").as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+        naive.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

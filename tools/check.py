@@ -21,8 +21,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             s = pd.to_datetime(df[c])
             if getattr(s.dt, 'tz', None) is not None:
-                s = s.dt.tz_convert('UTC').dt.tz_localize(None)
-            df[c] = s.astype('datetime64[us]')
+                # keep tz-awareness VISIBLE: the driver treats TIMESTAMPTZ vs
+                # naive TIMESTAMP as a schema mismatch — never normalize it away
+                df[c] = s.dt.tz_convert('UTC').astype('datetime64[us, UTC]')
+            else:
+                df[c] = s.astype('datetime64[us]')
     df = df.sort_values(by=list(df.columns), na_position='first').reset_index(drop=True)
     return df
 
@@ -31,6 +34,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"SCHEMA cols spark={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS spark={len(a)} oracle={len(b)}"
+    for c in a.columns:
+        ta, tb = str(a[c].dtype), str(b[c].dtype)
+        if ('datetime' in ta or 'datetime' in tb) and ta != tb:
+            return f"SCHEMA dtype col {c} spark={ta} oracle={tb}"
     for c in a.columns:
         x, y = a[c], b[c]
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
@@ -67,7 +74,7 @@ def main(sf_dir: str, out_dir: str):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(f"{d}/*.parquet") or glob.glob(f"{d}/**/*.parquet")
+        files = glob.glob(f"{d}/*.parquet") or glob.glob(f"{d}/**/*.parquet", recursive=True)
         spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
             results[name] = f"NO-ORACLE rows={len(spark_df)}"
