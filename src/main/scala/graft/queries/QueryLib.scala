@@ -530,23 +530,35 @@ object QueryLib {
 
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
+    // bigram-Jaccard near-dup pairs within (lang, source). Candidates
+    // come from MinHash-LSH banding — an equi-join on (band, bkey) that
+    // shuffle-partitions at any corpus size — and the exact bigram
+    // Jaccard verifies candidates only, never blocked all pairs.
     (s, dir) => {
-      val t = T(s, dir, "documents").select(
+      val base = T(s, dir, "documents").select(
         col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
-        .withColumn("sz", size(col("sh")))
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("sh").as("sha"), col("sz").as("sza"))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-        col("sh").as("shb"), col("sz").as("szb"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b"))
-        // necessary size condition for jaccard >= 0.5 (j <= min/max):
-        // prunes most pairs before the expensive set intersection
-        .filter(least(col("sza"), col("szb")) * 2 >= greatest(col("sza"), col("szb")))
+        .filter(size(col("sh")) > 0)
+      val withSig = base
+        .select(col("doc_id"), col("lang"), col("source"),
+          SimilarityOps.minhashSig(col("sh"), 6).as("sig"))
+        .repartition(col("doc_id"))
+      val bands = (0 until 3).map { bi =>
+        withSig.select(col("doc_id"), col("lang"), col("source"), lit(bi).as("band"),
+          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            (col("sza") + col("szb") -
+            (size(col("sha")) + size(col("shb")) -
               size(array_intersect(col("sha"), col("shb")))).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
@@ -554,17 +566,33 @@ object QueryLib {
            |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
            |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
            |  FROM documents),
-           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
-           |      FROM t a JOIN t b
-           |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+           |base AS (SELECT * FROM t WHERE len(sh) > 0),
+           |sig AS (SELECT doc_id, lang, source,
+           |  list_min(list_transform(sh, s -> substr(md5(s),  1, 5))) AS m0,
+           |  list_min(list_transform(sh, s -> substr(md5(s),  6, 5))) AS m1,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 11, 5))) AS m2,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 16, 5))) AS m3,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 21, 5))) AS m4,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 26, 5))) AS m5
+           | FROM base),
+           |bands AS (
+           |  SELECT doc_id, lang, source, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
+           |  UNION ALL SELECT doc_id, lang, source, 1, md5(concat(m2, '|', m3)) FROM sig
+           |  UNION ALL SELECT doc_id, lang, source, 2, md5(concat(m4, '|', m5)) FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.bkey = b.bkey
+           |          AND a.lang = b.lang AND a.source = b.source
+           |          AND a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b,
-           |  CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
-           |  CAST(len(sha) + len(shb)
-           |       - len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) AS jaccard
-           |FROM p
-           |WHERE CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
-           |      CAST(len(sha) + len(shb)
-           |           - len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) >= 0.5""".stripMargin))
+           |  CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
+           |  CAST(len(x.sh) + len(y.sh)
+           |       - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) AS jaccard
+           |FROM cand JOIN base x ON x.doc_id = cand.doc_a
+           |          JOIN base y ON y.doc_id = cand.doc_b
+           |WHERE CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
+           |      CAST(len(x.sh) + len(y.sh)
+           |           - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) >= 0.5""".stripMargin))
 
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
@@ -620,20 +648,33 @@ object QueryLib {
 
   private val dedupWinnow = Q(
     "dedup_winnow",
+    // winnowing-sketch near-dup pairs within (lang, source). The sketch
+    // build is MapReduce-clean (explode + windowed min, one shuffle);
+    // pair candidates come from MinHash-LSH banding over the sketch
+    // sets — no blocked all-pairs join — with exact sketch Jaccard
+    // verifying candidates only.
     (s, dir) => {
       val docs = T(s, dir, "documents").filter(length(col("text")) >= 5)
       val sk = SimilarityOps.winnowSketch(docs.select(col("doc_id"), col("text")),
           "doc_id", col("text"), k = 5, w = 16)
         .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
-      val a = sk.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("sketch").as("ska"), size(col("sketch")).as("sza"))
-      val b = sk.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-        col("sketch").as("skb"), size(col("sketch")).as("szb"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b"))
-        // necessary size condition for jaccard >= 0.5: skips the set
-        // intersection for most pairs
-        .filter(least(col("sza"), col("szb")) * 2 >= greatest(col("sza"), col("szb")))
+      val withSig = sk
+        .select(col("doc_id"), col("lang"), col("source"),
+          SimilarityOps.minhashSig(col("sketch"), 6).as("sig"))
+        .repartition(col("doc_id"))
+      val bands = (0 until 3).map { bi =>
+        withSig.select(col("doc_id"), col("lang"), col("source"), lit(bi).as("band"),
+          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sk.select(col("doc_id").as("doc_a"), col("sketch").as("ska")), Seq("doc_a"))
+        .join(sk.select(col("doc_id").as("doc_b"), col("sketch").as("skb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("ska"), col("skb"))).cast("double") /
             (size(col("ska")) + size(col("skb")) -
@@ -656,15 +697,34 @@ object QueryLib {
            |  SELECT doc_id, lang, source,
            |         list_sort(list_distinct(list(wmin))) AS sketch
            |  FROM wm GROUP BY 1, 2, 3),
-           |p2 AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    CAST(len(list_filter(a.sketch, x -> list_contains(b.sketch, x))) AS DOUBLE) /
-           |    CAST(len(a.sketch) + len(b.sketch)
-           |         - len(list_filter(a.sketch, x -> list_contains(b.sketch, x))) AS DOUBLE)
-           |      AS jaccard
-           |  FROM sk a JOIN sk b
-           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, jaccard FROM p2 WHERE jaccard >= 0.5""".stripMargin))
+           |sig AS (SELECT doc_id, lang, source,
+           |  list_min(list_transform(sketch, s -> substr(md5(s),  1, 5))) AS m0,
+           |  list_min(list_transform(sketch, s -> substr(md5(s),  6, 5))) AS m1,
+           |  list_min(list_transform(sketch, s -> substr(md5(s), 11, 5))) AS m2,
+           |  list_min(list_transform(sketch, s -> substr(md5(s), 16, 5))) AS m3,
+           |  list_min(list_transform(sketch, s -> substr(md5(s), 21, 5))) AS m4,
+           |  list_min(list_transform(sketch, s -> substr(md5(s), 26, 5))) AS m5
+           | FROM sk),
+           |bands AS (
+           |  SELECT doc_id, lang, source, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
+           |  UNION ALL SELECT doc_id, lang, source, 1, md5(concat(m2, '|', m3)) FROM sig
+           |  UNION ALL SELECT doc_id, lang, source, 2, md5(concat(m4, '|', m5)) FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.bkey = b.bkey
+           |          AND a.lang = b.lang AND a.source = b.source
+           |          AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE) /
+           |  CAST(len(x.sketch) + len(y.sketch)
+           |       - len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE)
+           |    AS jaccard
+           |FROM cand JOIN sk x ON x.doc_id = cand.doc_a
+           |          JOIN sk y ON y.doc_id = cand.doc_b
+           |WHERE CAST(len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE) /
+           |      CAST(len(x.sketch) + len(y.sketch)
+           |           - len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE)
+           |      >= 0.5""".stripMargin))
 
   private val dedupSimhash = Q(
     "dedup_simhash",
@@ -778,7 +838,12 @@ object QueryLib {
     "curate_docs",
     // the end-to-end curation pipeline in one plan: quality gate ->
     // exact dedup (keep lowest id per content hash) -> near-dedup (drop
-    // the higher id of every blocked bigram-jaccard >= 0.5 pair)
+    // the higher id of every bigram-jaccard >= 0.5 candidate pair).
+    // Near-dedup candidates come from MinHash-LSH banding (the same
+    // formulation as dedup_minhash_lsh): candidate generation is an
+    // equi-join on (band, bkey, lang, source) whose key space grows with
+    // the corpus — shuffle-partitionable at any scale — and the exact
+    // Jaccard verification runs on candidates only, never all pairs.
     (s, dir) => {
       val base = T(s, dir, "documents").select(
         col("doc_id"), col("lang"), col("source"), col("text"),
@@ -793,10 +858,25 @@ object QueryLib {
         .filter(col("keep") === 1).drop("h", "keep")
       val sh = exact.select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sha"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("shb"))
-      val dropIds = a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b"))
+      // signature materialized once behind a shuffle so the band
+      // projections share one exchange instead of re-running the fold
+      val withSig = sh
+        .select(col("doc_id"), col("lang"), col("source"),
+          SimilarityOps.minhashSig(col("sh"), 6).as("sig"))
+        .repartition(col("doc_id"))
+      val bands = (0 until 3).map { bi =>
+        withSig.select(col("doc_id"), col("lang"), col("source"), lit(bi).as("band"),
+          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val dropIds = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       exact.join(dropIds, Seq("doc_id"), "left_anti")
@@ -817,12 +897,30 @@ object QueryLib {
            |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
            |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
            |  FROM exact),
+           |sig AS (SELECT doc_id, lang, source,
+           |  list_min(list_transform(sh, s -> substr(md5(s),  1, 5))) AS m0,
+           |  list_min(list_transform(sh, s -> substr(md5(s),  6, 5))) AS m1,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 11, 5))) AS m2,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 16, 5))) AS m3,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 21, 5))) AS m4,
+           |  list_min(list_transform(sh, s -> substr(md5(s), 26, 5))) AS m5
+           | FROM sh),
+           |bands AS (
+           |  SELECT doc_id, lang, source, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
+           |  UNION ALL SELECT doc_id, lang, source, 1, md5(concat(m2, '|', m3)) FROM sig
+           |  UNION ALL SELECT doc_id, lang, source, 2, md5(concat(m4, '|', m5)) FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.bkey = b.bkey
+           |          AND a.lang = b.lang AND a.source = b.source
+           |          AND a.doc_id < b.doc_id),
            |drops AS (
-           |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
-           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           |  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-           |        CAST(len(a.sh) + len(b.sh)
-           |             - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.5)
+           |  SELECT DISTINCT doc_b AS doc_id
+           |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+           |            JOIN sh y ON y.doc_id = cand.doc_b
+           |  WHERE CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
+           |        CAST(len(x.sh) + len(y.sh)
+           |             - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) >= 0.5)
            |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM exact
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin))
 
