@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -18,7 +18,7 @@ import graft.plans.CosineSimilarity
   */
 object AnnIvf {
 
-  final case class Index(model: KMeansModel, assigned: DataFrame, embCol: String)
+  final case class Index(centers: Seq[Array[Double]], assigned: DataFrame, embCol: String)
 
   /** Cluster the corpus and attach a `cell` column. `df` must carry an
     * `array<float|double>` embedding column.
@@ -29,7 +29,29 @@ object AnnIvf {
       .setK(k).setSeed(seed)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(feat)
-    Index(model, model.transform(feat).drop("__fv"), embCol)
+    Index(model.clusterCenters.map(_.toArray).toSeq,
+      model.transform(feat).drop("__fv"), embCol)
+  }
+
+  /** Deterministic codebook: the `k` lowest-`idCol` rows become the
+    * centroids — IVF with sampled initialization and zero Lloyd
+    * iterations. Quantization quality sits below a converged KMeans,
+    * but every step (codebook, assignment, probe, re-rank) is
+    * closed-form and engine-independent, so the whole ANN pipeline can
+    * be recomputed — and oracle-checked bit-for-bit — by any SQL
+    * engine; `build` remains the quality option where verification is
+    * statistical (recall) rather than exact. The codebook fetch is a
+    * TakeOrdered of k rows; assignment is the same narrow nearest-
+    * centroid expression the probe side uses.
+    */
+  def buildFixed(df: DataFrame, embCol: String, idCol: String, k: Int): Index = {
+    val centers = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    val bare = Index(centers, df, embCol)
+    val assigned = df.withColumn("cell",
+      element_at(probeCells(bare, col(embCol).cast("array<double>"), 1), 1))
+    Index(centers, assigned, embCol)
   }
 
   /** Expression: the `nProbe` nearest cell ids for a query embedding,
@@ -37,9 +59,9 @@ object AnnIvf {
     * literals — they are tiny). Returns array<int>.
     */
   private def probeCells(index: Index, q: Column, nProbe: Int): Column = {
-    val scored = index.model.clusterCenters.zipWithIndex.map { case (c, j) =>
-      val cArr = array(c.toArray.toIndexedSeq.map(lit): _*)
-      val negHalfDist = SimilarityOps.dot(q, cArr) - lit(c.toArray.map(x => x * x).sum / 2)
+    val scored = index.centers.zipWithIndex.map { case (c, j) =>
+      val cArr = array(c.toIndexedSeq.map(lit): _*)
+      val negHalfDist = SimilarityOps.dot(q, cArr) - lit(c.map(x => x * x).sum / 2)
       struct(negHalfDist.as("s"), lit(j).as("j"))
     }
     // sort ascending by score, take the top nProbe from the tail

@@ -69,9 +69,9 @@ object SimilarityOps {
   /** 16-bit SimHash of a token array: bit j of the fingerprint is set
     * iff the sum over tokens of ±1 (sign = bit j of md5(token)) is
     * positive. Single `aggregate` fold with a 16-int vote accumulator —
-    * md5 runs once per token. Fine for per-row use; for corpus-scale
-    * fingerprinting prefer `simhashAgg` (explode + hash-agg: one shuffle,
-    * map-side partial aggregation).
+    * md5 runs once per token. A narrow-width demonstration variant for
+    * per-row use; corpus-scale banding needs `simhashAgg60` (64 buckets
+    * per 6-bit band here vs 2^15 per 15-bit band there).
     */
   def simhash16(toks: Column, seed: String = ""): Column = {
     val votes = aggregate(
@@ -106,6 +106,50 @@ object SimilarityOps {
           when(col(s"__v$j") > 0, lit(1 << j)).otherwise(lit(0))
         }.reduce(_ + _).as("fp"))
   }
+
+  /** Corpus-scale 60-bit SimHash: explode tokens, md5 each ONCE, and
+    * reduce the ±1 bit votes with a hash aggregation keyed on `idCol` —
+    * the MapReduce formulation that partial-aggregates map-side and
+    * shuffles only (id, 60 ints) per document. Returns (idCol, fp).
+    *
+    * Width rationale: 60 bits = the first 15 hex nibbles of one md5,
+    * read as two conv() chunks (8 + 7 hex digits) so every intermediate
+    * fits a signed long, and bit 59 is the highest bit ever set — no
+    * sign-bit shifts anywhere, which keeps the fingerprint arithmetic
+    * portable across engines (a 64-bit fp would need `1 << 63`, which
+    * overflows DuckDB's checked left shift and ANSI long sums). Four
+    * 15-bit bands give 2^15 buckets per band, so banded candidate
+    * generation stays an equi-join with a corpus-sized key space — the
+    * 16-bit variant's 64 buckets/band collapse into quadratic
+    * within-bucket joins at scale.
+    */
+  def simhashAgg60(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      toksCol: Column,
+      seed: String = ""): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(toksCol).as("__tok"))
+      .withColumn("__m", md5(concat(lit(seed), col("__tok"))))
+      .select(col(idCol),
+        conv(substring(col("__m"), 1, 8), 16, 10).cast("long").as("__h0"),
+        conv(substring(col("__m"), 9, 7), 16, 10).cast("long").as("__h1"))
+    val votes = (0 until 60).map { j =>
+      val h = if (j < 32) shiftright(col("__h0"), j) else shiftright(col("__h1"), j - 32)
+      sum(when(h.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$j")
+    }
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map { j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _).as("fp"))
+  }
+
+  /** 15-bit LSH band key of a 60-bit fingerprint: band `bi` (0..3)
+    * covers bits [15*bi, 15*bi+14]. Pigeonhole: hamming <= 3 over 4
+    * bands implies at least one identical band key.
+    */
+  def simhashBandKey(fp: Column, bi: Int): Column =
+    shiftright(fp, bi * 15).bitwiseAND(lit(0x7FFFL))
 
   /** Hamming distance between two small integer fingerprints. */
   def hamming(a: Column, b: Column): Column =

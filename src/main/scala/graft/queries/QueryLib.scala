@@ -726,28 +726,58 @@ object QueryLib {
            |           - len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE)
            |      >= 0.5""".stripMargin))
 
+  /** DuckDB recomputation of the 60-bit SimHash pipeline, generated
+    * bit-for-bit against `SimilarityOps.simhashAgg60`: bit j of the
+    * fingerprint reads hex nibble 8 - j/4 (j < 32) or 15 - (j-32)/4 of
+    * md5(token) — exactly the nibbles Spark's conv() chunks expose.
+    */
+  private val simhashOracleSql: String = {
+    val votes = (0 until 60).map { j =>
+      val (p, b) = if (j < 32) (8 - j / 4, j % 4) else (15 - (j - 32) / 4, (j - 32) % 4)
+      s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(m, $p, 1)) - 1) >> $b) & 1) = 1" +
+        s" THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n")
+    val fpBits = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)").mkString(" | ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+       |votes AS (SELECT doc_id,
+       |$votes
+       |FROM h GROUP BY doc_id),
+       |fps AS (SELECT doc_id, $fpBits AS fp FROM votes),
+       |bands AS (SELECT doc_id, fp, b.band, (fp >> (b.band * 15)) & 32767 AS bkey
+       |          FROM fps, (VALUES (0), (1), (2), (3)) b(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+  }
+
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      // Banded candidate generation (pigeonhole: hamming <= 2 over 3 bit
-      // bands means at least one band is identical), so the pair search
-      // is 3 equi-joins on band values — shuffle-partitionable at any
-      // corpus size — instead of an O(n^2) cartesian. Fingerprints via
-      // the explode+hash-agg path: one md5 per token, one shuffle.
-      val t = SimilarityOps.simhashAgg(T(s, dir, "documents"), "doc_id", toks)
-      val bands = (0 until 3).map { bi =>
+      // Banded candidate generation (pigeonhole: hamming <= 3 over 4
+      // 15-bit bands means at least one band is identical), so the pair
+      // search is 4 equi-joins on band values with 2^15 buckets each —
+      // shuffle-partitionable at any corpus size — instead of an O(n^2)
+      // cartesian. Fingerprints via the explode+hash-agg path: one md5
+      // per token, one shuffle; deterministic across engines, so the
+      // DuckDB oracle recomputes the identical fingerprints.
+      val t = SimilarityOps.simhashAgg60(T(s, dir, "documents"), "doc_id", toks)
+      val bands = (0 until 4).map { bi =>
         t.select(col("doc_id"), col("fp"), lit(bi).as("band"),
-          shiftright(col("fp"), bi * 6).bitwiseAND(lit(0x3F)).as("bkey"))
+          SimilarityOps.simhashBandKey(col("fp"), bi).as("bkey"))
       }.reduce(_ unionByName _)
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          SimilarityOps.hamming(col("x.fp"), col("y.fp")).as("hamming"))
+          SimilarityOps.hamming(col("x.fp"), col("y.fp")).cast("long").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 3)
     },
-    None) // engine-internal sketch; verified by ScalaTest, rows-only here
+    Some(simhashOracleSql))
 
   private val simCosineTopk = Q(
     "sim_cosine_topk",
@@ -817,22 +847,85 @@ object QueryLib {
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     },
-    None) // approximate by construction; recall vs brute force in ScalaTest
+    // approximate by construction, but fully deterministic: the ±1
+    // hyperplanes derive from md5 parity (SimilarityOps.hyperplanes),
+    // so DuckDB recomputes the identical buckets — h(0) & 1 == 1 is
+    // "second hex digit of md5 is odd"
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |planes AS (SELECT j, list_transform(range(0, 64), d ->
+           |    CASE WHEN substr(md5(concat(j, '_', d)), 2, 1)
+           |              IN ('1','3','5','7','9','b','d','f')
+           |         THEN 1.0 ELSE -1.0 END) AS w
+           |  FROM range(0, 8) t(j)),
+           |buckets AS (SELECT vec_id,
+           |    sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * w[i])) > 0
+           |             THEN (1 << j) ELSE 0 END) AS bucket
+           |  FROM e CROSS JOIN planes GROUP BY vec_id),
+           |q AS (SELECT e.vec_id AS q_id, e.v AS qv, b.bucket
+           |      FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id < 10),
+           |c AS (SELECT e.vec_id AS c_id, e.v AS cv, b.bucket
+           |      FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id >= 10),
+           |s AS (SELECT q_id, c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cosine
+           |  FROM c JOIN q USING (bucket))
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT q_id, c_id, cosine,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin))
 
   private val simAnnIvf = Q(
     "sim_ann_ivf",
+    // the deterministic-codebook IVF configuration (AnnIvf.buildFixed:
+    // k lowest-id candidates as centroids, zero Lloyd iterations) so
+    // the whole pipeline — codebook, nearest-centroid assignment,
+    // nProbe cell probe, exact cosine re-rank — is recomputable by the
+    // DuckDB oracle. The KMeans-trained variant (AnnIvf.build) is the
+    // quality path, verified statistically in ScalaTest (recall
+    // converges to brute force as nProbe -> k).
     (s, dir) => {
       val e = T(s, dir, "embeddings")
-      val index = graft.functions.AnnIvf.build(
+      val index = graft.functions.AnnIvf.buildFixed(
         e.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "c_id"),
-        "embedding", k = 16)
+        "embedding", idCol = "c_id", k = 16)
       graft.functions.AnnIvf.query(
         index,
         e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
         qIdCol = "q_id", topK = 5, nProbe = 4, cIdCol = "c_id")
         .select("q_id", "c_id", "cosine", "rank")
     },
-    None) // approximate + iterative-trained index: recall asserted in spec
+    // mirrors buildFixed + probeCells exactly: centroid j = rank of its
+    // id among candidates; scores are negHalfDist = dot - |c|^2/2; the
+    // probe takes the 4 best cells with ties broken toward larger j
+    // (probeCells reverses an ascending (s, j) sort)
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv,
+           |         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) / 2 AS half
+           |  FROM e WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+           |assign AS (SELECT vec_id AS c_id, v AS cv, j AS cell FROM (
+           |    SELECT e.vec_id, e.v, cent.j,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |         - cent.half) DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id >= 10)
+           |  WHERE rr = 1),
+           |probe AS (SELECT q_id, qv, cell FROM (
+           |    SELECT e.vec_id AS q_id, e.v AS qv, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |         - cent.half) DESC, cent.j DESC) AS pr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id < 10)
+           |  WHERE pr <= 4),
+           |s AS (SELECT q_id, c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cosine
+           |  FROM assign JOIN probe USING (cell))
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT q_id, c_id, cosine,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin))
 
   private val curateDocs = Q(
     "curate_docs",

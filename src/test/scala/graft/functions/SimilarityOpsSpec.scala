@@ -42,6 +42,33 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(expr16.toSeq == agg16.toSeq)
   }
 
+  test("simhashAgg60: identical docs collide, sub-quadratic band candidates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val fps = SimilarityOps.simhashAgg60(docs, "doc_id", split(col("text"), " "))
+    val n = fps.count()
+    // fingerprints span well beyond 16 bits (the old width): some doc
+    // must set a bit above 2^16
+    assert(fps.filter(col("fp") > (1L << 16)).count() > 0)
+    // determinism: recomputation is identical
+    val a = fps.orderBy("doc_id").collect().map(_.getLong(1))
+    val b = SimilarityOps.simhashAgg60(docs, "doc_id", split(col("text"), " "))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(a.toSeq == b.toSeq)
+    // banded candidate generation must stay far below all-pairs: with
+    // 2^15 buckets per band, unrelated docs almost never collide (the
+    // 16-bit/64-bucket variant put ~n/64 docs in EVERY bucket)
+    val bands = (0 until 4).map { bi =>
+      fps.select(col("doc_id"), lit(bi).as("band"),
+        SimilarityOps.simhashBandKey(col("fp"), bi).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select("x.doc_id", "y.doc_id").distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(cand < allPairs / 20, s"candidates $cand vs all pairs $allPairs")
+  }
+
   test("simhash: identical token sets get identical fingerprints; hamming 0") {
     val df = Seq(
       (1L, Seq("spark", "scala", "data")),
