@@ -19,7 +19,15 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize EVERY output column, not a count: a count() lets
+      // Catalyst prune projections the query is supposed to pay for
+      // (expression-heavy selects would be measured as near-free).
+      // bit_xor of xxhash64 over the whole row forces full evaluation
+      // and cannot overflow (unlike an ANSI sum of hashes).
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(struct(*)))")).collect()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
