@@ -303,7 +303,9 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     // single as-of pass: the wide frame carries every feature's running
     // value at each observation time, so its as-of row at a label time
     // equals each feature's own as-of value — versus N chained as-of
-    // joins, each a separate global sort
+    // joins. The un-keyed as-of itself runs bucketed (parallel across
+    // time buckets with broadcast boundary seeds, TimeseriesOps.asofJoin
+    // -> ffillBucketed), never as one global-sort task.
     val series = features.map { full =>
       loadSeries(full, None, None, timeTravel, clipFrom = true, Nil)
         .withColumnRenamed("value", full)

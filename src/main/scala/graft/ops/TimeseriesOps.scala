@@ -264,9 +264,13 @@ object TimeseriesOps {
   // right.time <= left.time, matched within `by` keys (pandas
   // merge_asof / DuckDB ASOF JOIN semantics — the reference's carry-over
   // trick generalized to two tables, dask.py:142-148). Implemented as a
-  // union + keyed running last-non-null window: one shuffle on the `by`
-  // keys, no range-join explosion; with empty `by` the window is global
-  // (single task) — pass entity keys at scale.
+  // union + running last-non-null fill: with `by` keys the window
+  // shuffles once on the keys (parallel across keys); with empty `by`
+  // the fill routes through the two-phase bucketed form — parallel
+  // across time buckets, per-bucket boundary values propagated via a
+  // tiny broadcast — instead of a single global-sort task, so the
+  // un-keyed as-of (the training-frame flagship path) scales with the
+  // cluster. Map-typed values fall back to the exact global window.
   // ---------------------------------------------------------------------
   def asofJoin(
       left: DataFrame,
@@ -286,11 +290,17 @@ object TimeseriesOps {
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     // at equal time the right row (M=0) precedes the left row, so the
     // fill is inclusive of right.time == left.time
-    val w = (if (by.isEmpty) Window.orderBy(col(timeCol), col(M))
-             else Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M)))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(l2.unionByName(r2))((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val union = l2.unionByName(r2)
+    val filled =
+      if (by.isEmpty)
+        ffillAuto(union, rightValueCols, orderCols = Seq(timeCol, M),
+          bucket = Some(monthBucket(timeCol)))
+      else {
+        val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rightValueCols.foldLeft(union)((d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      }
     filled.filter(col(M) === 1).drop(M)
   }
 
