@@ -22,12 +22,58 @@ import graft.transform.TransformRegistry
   * until the caller acts on it (the reference's dask mode; its pandas
   * mode is simply `.collect()`).
   */
+/** Polymorphic feature-list unpacking, mirroring the reference's
+  * `_unpack_list` input shapes (`/root/reference/bytehub/_base.py:25-59`,
+  * tested at `tests/test_featurestore.py:128-142`): plain names, name
+  * lists, dict-style specs, and a DataFrame of specs all normalize to
+  * (namespace, name) pairs.
+  */
+object FeatureStore {
+  import Catalog.parseName
+
+  /** "ns/name" strings or unqualified names + a default namespace. */
+  def unpackList(names: Seq[String], namespace: Option[String] = None): Seq[(String, String)] =
+    names.map(n => parseName(n, namespace))
+
+  /** Dict-style specs: "name" (required), "namespace" (optional) —
+    * like the reference, an unqualified dict name resolves against the
+    * DICT's namespace only (_base.py:46-50).
+    */
+  def unpackSpecs(specs: Seq[Map[String, String]]): Seq[(String, String)] =
+    specs.map { m =>
+      val n = m.getOrElse("name",
+        throw new IllegalArgumentException("feature spec must have a 'name'"))
+      parseName(n, m.get("namespace"))
+    }
+
+  /** Spec DataFrame with a `name` column and optional `namespace`
+    * column; `namespace` arg is the per-row fallback (_base.py:33-41).
+    * Collected driver-side — spec frames are metadata-sized.
+    */
+  def unpackFrame(specs: DataFrame, namespace: Option[String] = None): Seq[(String, String)] = {
+    require(specs.columns.contains("name"), "spec DataFrame must have a 'name' column")
+    val hasNs = specs.columns.contains("namespace")
+    specs.collect().toSeq.map { r =>
+      val rowNs =
+        if (hasNs) Option(r.getAs[String]("namespace")).orElse(namespace) else namespace
+      parseName(r.getAs[String]("name"), rowNs)
+    }
+  }
+
+  private[api] def specNames(specs: Seq[Map[String, String]]): Seq[String] =
+    unpackSpecs(specs).map { case (ns, n) => s"$ns/$n" }
+
+  private[api] def frameNames(specs: DataFrame, namespace: Option[String]): Seq[String] =
+    unpackFrame(specs, namespace).map { case (ns, n) => s"$ns/$n" }
+}
+
 class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   import Catalog.parseName
 
   val catalog = new Catalog(catalogLocation, spark.sparkContext.hadoopConfiguration)
 
-  private def store(ns: Namespace): TimeseriesStore = new TimeseriesStore(spark, ns.url)
+  private[graft] def store(ns: Namespace): TimeseriesStore =
+    new TimeseriesStore(spark, ns.url, ns.storageOptions)
 
   private def namespaceOf(name: String): Namespace =
     catalog.getNamespace(name).getOrElse(
@@ -252,6 +298,38 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       fromDate: Option[Timestamp],
       toDate: Option[Timestamp]): DataFrame =
     loadDataFrame(Seq(feature), fromDate, toDate)
+
+  /** Dict-style selection (the reference's list-of-dicts input shape,
+    * _base.py:42-52): each spec carries "name" and optionally
+    * "namespace" (an unqualified name resolves against the spec's own
+    * namespace, like the reference — the call has no outer default).
+    */
+  def loadDataFrameSpecs(
+      specs: Seq[Map[String, String]],
+      fromDate: Option[Timestamp] = None,
+      toDate: Option[Timestamp] = None,
+      freq: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame =
+    loadDataFrame(FeatureStore.specNames(specs), fromDate, toDate, freq, timeTravel)
+
+  /** Spec-DataFrame selection (the reference's DataFrame input shape,
+    * _base.py:33-41): a metadata-sized frame with a `name` column and
+    * optional `namespace` column, collected driver-side exactly like
+    * the reference's iterrows.
+    */
+  def loadDataFrame(
+      specs: DataFrame,
+      fromDate: Option[Timestamp],
+      toDate: Option[Timestamp],
+      freq: Option[String],
+      timeTravel: Option[String],
+      namespace: Option[String]): DataFrame =
+    loadDataFrame(FeatureStore.frameNames(specs, namespace),
+      fromDate, toDate, freq, timeTravel)
+
+  /** Spec-DataFrame selection with defaults. */
+  def loadDataFrame(specs: DataFrame): DataFrame =
+    loadDataFrame(specs, None, None, None, None, None)
 
   /** Typed load of a `serialized` feature: parses the JSON value text
     * into `valueSchema` — the schema-on-read half of P7 (the reference

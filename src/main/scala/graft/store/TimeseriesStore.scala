@@ -21,12 +21,31 @@ import graft.ops.TimeseriesOps._
   * dask.py:89-106. Writes append hive partitions so a 100 TB feature is
   * split across ~days × files and a bounded load touches only its range.
   */
-class TimeseriesStore(spark: SparkSession, url: String) {
+class TimeseriesStore(
+    spark: SparkSession,
+    url: String,
+    storageOptions: Map[String, String] = Map.empty) {
+
+  /** Per-namespace Hadoop configuration: the namespace's storage
+    * options laid over the session conf. The reference threads
+    * `storage_options` into fsspec per namespace (`/root/reference/
+    * bytehub/_model.py:102-112`); here they become Hadoop conf keys
+    * (e.g. `fs.s3a.access.key`) scoped to THIS store only — two
+    * namespaces on different buckets with different credentials
+    * coexist in one session. DataFrame reads/writes get the same
+    * options via `.options(...)`, which Spark folds into the
+    * relation-scoped Hadoop conf.
+    */
+  private[graft] val hadoopConf: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    storageOptions.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   private def featurePath(name: String): String = s"$url/feature/$name"
 
   private def fs(p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(p).getFileSystem(hadoopConf)
 
   def exists(name: String): Boolean = {
     val p = featurePath(name)
@@ -69,6 +88,7 @@ class TimeseriesStore(spark: SparkSession, url: String) {
   /** S2: hive-partitioned snappy parquet append. */
   def write(name: String, normalized: DataFrame): Unit =
     normalized.write
+      .options(storageOptions)
       .mode("append")
       .option("compression", "snappy")
       .partitionBy("partition")
@@ -93,7 +113,7 @@ class TimeseriesStore(spark: SparkSession, url: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
     }
-    val df = spark.read.parquet(featurePath(name))
+    val df = spark.read.options(storageOptions).parquet(featurePath(name))
     // Partition bounds are widened by one unit on each side so that a
     // reader whose session timezone differs from the writer's (partition
     // strings are derived via session-TZ date_format at save) can never
@@ -127,7 +147,7 @@ class TimeseriesStore(spark: SparkSession, url: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
     }
-    val df = spark.read.parquet(featurePath(name))
+    val df = spark.read.options(storageOptions).parquet(featurePath(name))
     df.filter(col("partition").cast(StringType).isin(parts: _*))
       .select(TimeCol, CreatedCol, ValueCol)
   }
@@ -173,7 +193,7 @@ class TimeseriesStore(spark: SparkSession, url: String) {
     if (!exists(name)) return
     val targetParts = if (partitions.nonEmpty) partitions else listPartitions(name)
     if (targetParts.isEmpty) return
-    val src = spark.read.parquet(featurePath(name))
+    val src = spark.read.options(storageOptions).parquet(featurePath(name))
       .filter(col("partition").cast(StringType).isin(targetParts: _*))
     // group by (partition, time): time determines partition, so this is
     // plain per-time dedup with the partition column carried through
@@ -183,7 +203,7 @@ class TimeseriesStore(spark: SparkSession, url: String) {
     val tmp = new Path(s"$url/.compact/$name")
     f.delete(tmp, true)
     deduped.select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
-      .write.option("compression", "snappy")
+      .write.options(storageOptions).option("compression", "snappy")
       .partitionBy("partition")
       .parquet(tmp.toString)
     val trash = new Path(s"$url/.compact-trash/$name")
@@ -222,11 +242,14 @@ class TimeseriesStore(spark: SparkSession, url: String) {
   /** S6: clone data between stores (export/import, _base.py:46-57). */
   def copy(name: String, toName: String, dest: TimeseriesStore): Unit = {
     if (exists(name)) {
-      val df = spark.read.parquet(featurePath(name))
-      df.write.mode("append").option("compression", "snappy")
+      val df = spark.read.options(storageOptions).parquet(featurePath(name))
+      df.write.mode("append").options(dest.storageOptionsPublic)
+        .option("compression", "snappy")
         .partitionBy("partition").parquet(dest.featurePathPublic(toName))
     }
   }
 
   private[store] def featurePathPublic(name: String): String = featurePath(name)
+
+  private[store] def storageOptionsPublic: Map[String, String] = storageOptions
 }

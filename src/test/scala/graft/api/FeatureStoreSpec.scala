@@ -258,6 +258,67 @@ class FeatureStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](fs.compactFeature("test/cmpT"))
   }
 
+  test("feature-list polymorphism mirrors _unpack_list (test :128-142)") {
+    import FeatureStore._
+    assert(unpackList(Seq("test/test1")) == Seq(("test", "test1")))
+    assert(unpackList(Seq("test1"), Some("test")) == Seq(("test", "test1")))
+    assert(unpackList(Seq("test1", "test2"), Some("test")) ==
+      Seq(("test", "test1"), ("test", "test2")))
+    assert(unpackList(Seq("test/test1", "test/test2")) ==
+      Seq(("test", "test1"), ("test", "test2")))
+    assert(unpackSpecs(Seq(
+      Map("name" -> "test/test1"),
+      Map("name" -> "test2", "namespace" -> "test"))) ==
+      Seq(("test", "test1"), ("test", "test2")))
+    val specDf = Seq(("test", "test1"), ("test", "test2")).toDF("namespace", "name")
+    assert(unpackFrame(specDf) == Seq(("test", "test1"), ("test", "test2")))
+    // name-only frame resolves against the call's default namespace
+    val nameOnly = Seq("test1", "test/test2").toDF("name")
+    assert(unpackFrame(nameOnly, Some("test")) ==
+      Seq(("test", "test1"), ("test", "test2")))
+    intercept[IllegalArgumentException](unpackFrame(Seq(1).toDF("id")))
+    intercept[IllegalArgumentException](unpackSpecs(Seq(Map("namespace" -> "x"))))
+  }
+
+  test("loadDataFrame accepts dict-style and DataFrame spec selections") {
+    val fs = freshStore()
+    fs.createFeature("test/poly_a")
+    fs.createFeature("test/poly_b")
+    fs.saveDataFrame(dailySeries("2024-01-01", 5, _.toDouble), name = Some("test/poly_a"))
+    fs.saveDataFrame(dailySeries("2024-01-01", 5, _ * 2.0), name = Some("test/poly_b"))
+    val byNames = fs.loadDataFrame(Seq("test/poly_a", "test/poly_b"))
+      .orderBy("time").collect().toSeq
+    val bySpecs = fs.loadDataFrameSpecs(Seq(
+      Map("name" -> "test/poly_a"),
+      Map("name" -> "poly_b", "namespace" -> "test"))).orderBy("time").collect().toSeq
+    val byFrame = fs.loadDataFrame(
+      Seq("poly_a", "poly_b").toDF("name"),
+      None, None, None, None, Some("test")).orderBy("time").collect().toSeq
+    assert(bySpecs == byNames)
+    assert(byFrame == byNames)
+  }
+
+  test("namespace storage options reach the per-namespace Hadoop conf") {
+    val dir = tmpDir("graft-fs-opts")
+    val fs = new FeatureStore(spark, s"$dir/catalog.json")
+    fs.createNamespace("opts", s"$dir/warehouse",
+      storageOptions = Map("graft.test.credential" -> "sesame"))
+    fs.createFeature("opts/f")
+    // the catalog round-trips the options and the store lays them over
+    // the session conf (reference: _model.py:102-112 passes them to
+    // fsspec per namespace; here they become namespace-scoped Hadoop
+    // conf keys, e.g. fs.s3a credentials)
+    val ns = fs.listNamespaces(Some("^opts$")).head
+    assert(ns.storageOptions == Map("graft.test.credential" -> "sesame"))
+    val st = fs.store(ns)
+    assert(st.hadoopConf.get("graft.test.credential") == "sesame")
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.credential") == null,
+      "options must stay namespace-scoped, never leak into the session conf")
+    // data path still works end-to-end with options applied
+    fs.saveDataFrame(dailySeries("2024-01-01", 3, _.toDouble), name = Some("opts/f"))
+    assert(fs.loadDataFrame(Seq("opts/f")).count() == 3)
+  }
+
   test("save validation: extraneous columns rejected, empty save is a no-op") {
     val fs = freshStore()
     fs.createFeature("test/val")
