@@ -454,6 +454,17 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   def first(features: Seq[String], timeTravel: Option[String] = None): Map[String, Option[Any]] =
     endpoint(features, timeTravel, fromTail = false)
 
+  // polymorphic selections for the endpoint verbs — the reference's
+  // last() runs the same _unpack_list shapes as load (core.py:315-331)
+  def lastSpecs(specs: Seq[Map[String, String]]): Map[String, Option[Any]] =
+    last(FeatureStore.specNames(specs))
+  def last(specs: DataFrame): Map[String, Option[Any]] =
+    last(FeatureStore.frameNames(specs, None))
+  def firstSpecs(specs: Seq[Map[String, String]]): Map[String, Option[Any]] =
+    first(FeatureStore.specNames(specs))
+  def first(specs: DataFrame): Map[String, Option[Any]] =
+    first(FeatureStore.frameNames(specs, None))
+
   private def endpoint(
       features: Seq[String],
       timeTravel: Option[String],

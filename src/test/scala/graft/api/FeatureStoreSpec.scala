@@ -296,6 +296,12 @@ class FeatureStoreSpec extends SparkSpec {
       None, None, None, None, Some("test")).orderBy("time").collect().toSeq
     assert(bySpecs == byNames)
     assert(byFrame == byNames)
+    // endpoint verbs accept the same shapes
+    val lastByName = fs.last(Seq("test/poly_a", "test/poly_b"))
+    assert(fs.lastSpecs(Seq(Map("name" -> "test/poly_a"),
+      Map("name" -> "test/poly_b"))) == lastByName)
+    assert(fs.last(Seq("test/poly_a", "test/poly_b").toDF("name")) == lastByName)
+    assert(fs.firstSpecs(Seq(Map("name" -> "test/poly_a")))("test/poly_a").contains(0.0))
   }
 
   test("namespace storage options reach the per-namespace Hadoop conf") {
