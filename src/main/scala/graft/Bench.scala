@@ -23,10 +23,13 @@ object Bench {
       // Catalyst prune projections the query is supposed to pay for
       // (expression-heavy selects would be measured as near-free).
       // bit_xor of xxhash64 over the whole row forces full evaluation
-      // and cannot overflow (unlike an ANSI sum of hashes).
+      // and cannot overflow (unlike an ANSI sum of hashes). Schemas
+      // xxhash64 cannot hash (e.g. map-typed columns) fall back to
+      // count() rather than silently timing an analysis error as ~0s.
       try {
         val df = fn(spark, sfDir)
-        df.agg(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(struct(*)))")).collect()
+        try df.agg(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(struct(*)))")).collect()
+        catch { case _: org.apache.spark.sql.AnalysisException => df.count() }
       } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -52,11 +52,17 @@ object FeatureStore {
     */
   def unpackFrame(specs: DataFrame, namespace: Option[String] = None): Seq[(String, String)] = {
     require(specs.columns.contains("name"), "spec DataFrame must have a 'name' column")
+    require(specs.schema("name").dataType == StringType,
+      s"spec 'name' column must be string, got ${specs.schema("name").dataType.simpleString}")
     val hasNs = specs.columns.contains("namespace")
+    if (hasNs) require(specs.schema("namespace").dataType == StringType,
+      s"spec 'namespace' column must be string, got ${specs.schema("namespace").dataType.simpleString}")
     specs.collect().toSeq.map { r =>
+      val n = r.getAs[String]("name")
+      require(n != null, "spec row has a null 'name'")
       val rowNs =
         if (hasNs) Option(r.getAs[String]("namespace")).orElse(namespace) else namespace
-      parseName(r.getAs[String]("name"), rowNs)
+      parseName(n, rowNs)
     }
   }
 
@@ -455,15 +461,19 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     endpoint(features, timeTravel, fromTail = false)
 
   // polymorphic selections for the endpoint verbs — the reference's
-  // last() runs the same _unpack_list shapes as load (core.py:315-331)
+  // last() runs the same _unpack_list shapes as load (core.py:315-331);
+  // the namespace overloads keep name-only spec frames valid on every
+  // verb, exactly as on loadDataFrame
   def lastSpecs(specs: Seq[Map[String, String]]): Map[String, Option[Any]] =
     last(FeatureStore.specNames(specs))
-  def last(specs: DataFrame): Map[String, Option[Any]] =
-    last(FeatureStore.frameNames(specs, None))
+  def last(specs: DataFrame): Map[String, Option[Any]] = last(specs, None)
+  def last(specs: DataFrame, namespace: Option[String]): Map[String, Option[Any]] =
+    last(FeatureStore.frameNames(specs, namespace))
   def firstSpecs(specs: Seq[Map[String, String]]): Map[String, Option[Any]] =
     first(FeatureStore.specNames(specs))
-  def first(specs: DataFrame): Map[String, Option[Any]] =
-    first(FeatureStore.frameNames(specs, None))
+  def first(specs: DataFrame): Map[String, Option[Any]] = first(specs, None)
+  def first(specs: DataFrame, namespace: Option[String]): Map[String, Option[Any]] =
+    first(FeatureStore.frameNames(specs, namespace))
 
   private def endpoint(
       features: Seq[String],

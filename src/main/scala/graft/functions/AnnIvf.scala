@@ -56,12 +56,16 @@ object AnnIvf {
 
   /** Expression: the `nProbe` nearest cell ids for a query embedding,
     * ranked by L2 distance to each centroid (centroids ride along as
-    * literals — they are tiny). Returns array<int>.
+    * literals — they are tiny). Returns array<int>. The score is
+    * rounded to 6 decimals BEFORE the rank cut (the repo's
+    * oracle-determinism invariant): a last-ulp summation difference
+    * between engines can never reorder two centroids.
     */
   private def probeCells(index: Index, q: Column, nProbe: Int): Column = {
     val scored = index.centers.zipWithIndex.map { case (c, j) =>
       val cArr = array(c.toIndexedSeq.map(lit): _*)
-      val negHalfDist = SimilarityOps.dot(q, cArr) - lit(c.map(x => x * x).sum / 2)
+      val negHalfDist = round(
+        SimilarityOps.dot(q, cArr) - lit(c.map(x => x * x).sum / 2), 6)
       struct(negHalfDist.as("s"), lit(j).as("j"))
     }
     // sort ascending by score, take the top nProbe from the tail

@@ -54,6 +54,44 @@ object SimilarityOps {
   def bandKey(sig: Column, lo: Int, hi: Int): Column =
     md5((lo to hi).map(i => element_at(sig, i)).reduce((a, b) => concat(a, lit("|"), b)))
 
+  /** MinHash-LSH candidate pair generation — the one shared formulation
+    * behind every near-dedup query: a 6-chunk signature materialized
+    * once behind a shuffle (so the band projections share one exchange
+    * instead of re-running the fold), banded 3 × 2 rows, candidates
+    * from the equi-join on (band, bkey) plus any `blockKeys`. Returns
+    * DISTINCT (`aName`, `bName`) id pairs with a < b. Callers verify
+    * with exact similarity on candidates only, joining the set column
+    * back by id — the thin band shuffle beats carrying sets through
+    * the self-join (measured at sf0.1: fat bands save < 5% locally and
+    * triple the band shuffle bytes at scale).
+    *
+    * Scale: the (band, bkey) key space grows with the corpus, so the
+    * candidate join shuffle-partitions across executors at any size —
+    * never a blocked all-pairs join.
+    */
+  def lshCandidatePairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      setCol: String,
+      blockKeys: Seq[String] = Nil,
+      aName: String = "id_a",
+      bName: String = "id_b"): org.apache.spark.sql.DataFrame = {
+    val keyCols = idCol +: blockKeys
+    val withSig = df
+      .select(keyCols.map(col) :+ minhashSig(col(setCol), 6).as("__sig"): _*)
+      .repartition(col(idCol))
+    val bands = (0 until 3).map { bi =>
+      withSig.select(keyCols.map(col) ++ Seq(lit(bi).as("__band"),
+        bandKey(col("__sig"), 2 * bi + 1, 2 * bi + 2).as("__bkey")): _*)
+    }.reduce(_ unionByName _)
+    val joinCond = (Seq("__band", "__bkey") ++ blockKeys)
+      .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+      col(s"x.$idCol") < col(s"y.$idCol")
+    bands.as("x").join(bands.as("y"), joinCond)
+      .select(col(s"x.$idCol").as(aName), col(s"y.$idCol").as(bName))
+      .distinct()
+  }
+
   // ------------------------------------------------------------ Jaccard
 
   /** Exact Jaccard similarity of two array columns treated as sets. */
@@ -219,11 +257,14 @@ object SimilarityOps {
 
   /** Sign-LSH bucket id of an embedding: one bit per hyperplane (sign of
     * the dot product), packed into an int. Vectors in the same bucket
-    * are ANN candidates.
+    * are ANN candidates. The dot is rounded to 6 decimals BEFORE the
+    * sign cut — the repo's oracle-determinism invariant (round before
+    * any ranking/threshold cut) — so a last-ulp summation difference
+    * between engines can never flip a bucket bit.
     */
   def signBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val planeCol = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(v, planeCol) > 0, lit(1 << j)).otherwise(lit(0))
+      when(round(dot(v, planeCol), 6) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 }

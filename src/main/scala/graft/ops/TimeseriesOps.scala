@@ -119,13 +119,22 @@ object TimeseriesOps {
       orderCols: Seq[String] = Seq(TimeCol)): DataFrame = {
     val B = "__ffill_bucket"
     val withB = df.withColumn(B, bucket)
+    val ordStruct = struct(orderCols.map(col): _*)
     val wIn = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // in-bucket fill as a running max over (orderKey, value) — NOT
+    // last(ignoreNulls), which at duplicate orderKey values picks the
+    // physically-last row (nondeterministic, and resolved differently
+    // from the cross-bucket seed below). The running max resolves an
+    // orderKey tie to the max value, exactly like the seed aggregate,
+    // so the fill is deterministic and bucket-boundary-consistent even
+    // on inputs with duplicate timestamps.
     val filled = valueCols.foldLeft(withB)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(wIn)))
+      d.withColumn(c,
+        max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
+          .over(wIn).getField("v")))
     // last non-null value per bucket: max over (orderKey, value) restricted
     // to non-null values — deterministic, partial-agg friendly.
-    val ordStruct = struct(orderCols.map(col): _*)
     val bucketAggs = valueCols.map(c =>
       max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
         .getField("v").as(c))

@@ -528,6 +528,36 @@ object QueryLib {
     Some("""SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
            |FROM documents GROUP BY 1""".stripMargin))
 
+  /** Shared DuckDB mirror of `SimilarityOps.lshCandidatePairs`: the
+    * sig/bands/cand CTE chain over `src`, which must expose `doc_id`,
+    * the `blockKeys`, and the set column `setCol`. Generated from one
+    * place so the four LSH query oracles can never drift from each
+    * other (or from the Scala formulation).
+    */
+  private def lshOracleCtes(src: String, setCol: String, blockKeys: Seq[String]): String = {
+    val keys = ("doc_id" +: blockKeys).mkString(", ")
+    val mins = (0 until 6).map(i =>
+      s"  list_min(list_transform($setCol, s -> substr(md5(s), ${1 + 5 * i}, 5))) AS m$i")
+      .mkString(",\n")
+    val joinKeys = (Seq("band", "bkey") ++ blockKeys).map(k => s"a.$k = b.$k").mkString(" AND ")
+    s"""sig AS (SELECT $keys,
+       |$mins
+       | FROM $src),
+       |bands AS (
+       |  SELECT $keys, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
+       |  UNION ALL SELECT $keys, 1, md5(concat(m2, '|', m3)) FROM sig
+       |  UNION ALL SELECT $keys, 2, md5(concat(m4, '|', m5)) FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON $joinKeys AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Exact-Jaccard verification fragment over candidate pairs. */
+  private def lshVerifySql(src: String, setCol: String): String =
+    s"""CAST(len(list_filter(x.$setCol, t -> list_contains(y.$setCol, t))) AS DOUBLE) /
+       |  CAST(len(x.$setCol) + len(y.$setCol)
+       |       - len(list_filter(x.$setCol, t -> list_contains(y.$setCol, t))) AS DOUBLE)""".stripMargin
+
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
     // bigram-Jaccard near-dup pairs within (lang, source). Candidates
@@ -539,21 +569,8 @@ object QueryLib {
         col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
         .filter(size(col("sh")) > 0)
-      val withSig = base
-        .select(col("doc_id"), col("lang"), col("source"),
-          SimilarityOps.minhashSig(col("sh"), 6).as("sig"))
-        .repartition(col("doc_id"))
-      val bands = (0 until 3).map { bi =>
-        withSig.select(col("doc_id"), col("lang"), col("source"), lit(bi).as("band"),
-          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
-      }.reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
+      SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -562,87 +579,40 @@ object QueryLib {
               size(array_intersect(col("sha"), col("shb")))).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
-    Some("""WITH t AS (SELECT doc_id, lang, source,
+    Some(s"""WITH t AS (SELECT doc_id, lang, source,
            |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
            |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
            |  FROM documents),
            |base AS (SELECT * FROM t WHERE len(sh) > 0),
-           |sig AS (SELECT doc_id, lang, source,
-           |  list_min(list_transform(sh, s -> substr(md5(s),  1, 5))) AS m0,
-           |  list_min(list_transform(sh, s -> substr(md5(s),  6, 5))) AS m1,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 11, 5))) AS m2,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 16, 5))) AS m3,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 21, 5))) AS m4,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 26, 5))) AS m5
-           | FROM base),
-           |bands AS (
-           |  SELECT doc_id, lang, source, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
-           |  UNION ALL SELECT doc_id, lang, source, 1, md5(concat(m2, '|', m3)) FROM sig
-           |  UNION ALL SELECT doc_id, lang, source, 2, md5(concat(m4, '|', m5)) FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.bkey = b.bkey
-           |          AND a.lang = b.lang AND a.source = b.source
-           |          AND a.doc_id < b.doc_id)
+           |${lshOracleCtes("base", "sh", Seq("lang", "source"))}
            |SELECT doc_a, doc_b,
-           |  CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
-           |  CAST(len(x.sh) + len(y.sh)
-           |       - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) AS jaccard
+           |  ${lshVerifySql("base", "sh")} AS jaccard
            |FROM cand JOIN base x ON x.doc_id = cand.doc_a
            |          JOIN base y ON y.doc_id = cand.doc_b
-           |WHERE CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
-           |      CAST(len(x.sh) + len(y.sh)
-           |           - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) >= 0.5""".stripMargin))
+           |WHERE ${lshVerifySql("base", "sh")} >= 0.5""".stripMargin))
 
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
+    // trigram MinHash-LSH over the whole corpus (no blocking): the
+    // scale-safe template every near-dedup query reuses via
+    // SimilarityOps.lshCandidatePairs
     (s, dir) => {
       val base = T(s, dir, "documents").select(
         col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
-      // signature computed ONCE behind a shuffle barrier; the 3 band
-      // projections below then read the materialized array instead of
-      // re-running the md5 fold per band
-      val withSig = base
-        .select(col("doc_id"), SimilarityOps.minhashSig(col("sh"), 6).as("sig"))
-        .repartition(col("doc_id"))
-      val bands = (0 until 3).map { bi =>
-        withSig.select(col("doc_id"), lit(bi).as("band"),
-          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
-      }.reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
+      SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          aName = "doc_a", bName = "doc_b")
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           SimilarityOps.jaccard(col("sha"), col("shb")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
            |base AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
            |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
-           |sig AS (SELECT doc_id, sh,
-           |  list_min(list_transform(sh, s -> substr(md5(s),  1, 5))) AS m0,
-           |  list_min(list_transform(sh, s -> substr(md5(s),  6, 5))) AS m1,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 11, 5))) AS m2,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 16, 5))) AS m3,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 21, 5))) AS m4,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 26, 5))) AS m5
-           | FROM base),
-           |bands AS (
-           |  SELECT doc_id, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
-           |  UNION ALL SELECT doc_id, 1, md5(concat(m2, '|', m3)) FROM sig
-           |  UNION ALL SELECT doc_id, 2, md5(concat(m4, '|', m5)) FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |${lshOracleCtes("base", "sh", Nil)},
            |j AS (SELECT doc_a, doc_b,
-           |        CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
-           |        CAST(len(x.sh) + len(y.sh)
-           |             - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) AS jaccard
+           |        ${lshVerifySql("base", "sh")} AS jaccard
            |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin))
 
@@ -658,21 +628,8 @@ object QueryLib {
       val sk = SimilarityOps.winnowSketch(docs.select(col("doc_id"), col("text")),
           "doc_id", col("text"), k = 5, w = 16)
         .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
-      val withSig = sk
-        .select(col("doc_id"), col("lang"), col("source"),
-          SimilarityOps.minhashSig(col("sketch"), 6).as("sig"))
-        .repartition(col("doc_id"))
-      val bands = (0 until 3).map { bi =>
-        withSig.select(col("doc_id"), col("lang"), col("source"), lit(bi).as("band"),
-          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
-      }.reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
+      SimilarityOps.lshCandidatePairs(sk, "doc_id", "sketch",
+          blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
         .join(sk.select(col("doc_id").as("doc_a"), col("sketch").as("ska")), Seq("doc_a"))
         .join(sk.select(col("doc_id").as("doc_b"), col("sketch").as("skb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -681,7 +638,7 @@ object QueryLib {
               size(array_intersect(col("ska"), col("skb")))).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
-    Some("""WITH pos AS (
+    Some(s"""WITH pos AS (
            |  SELECT doc_id, lang, source, text,
            |         unnest(range(1, length(text) - 4 + 1)) AS p
            |  FROM documents WHERE length(text) >= 5),
@@ -697,34 +654,12 @@ object QueryLib {
            |  SELECT doc_id, lang, source,
            |         list_sort(list_distinct(list(wmin))) AS sketch
            |  FROM wm GROUP BY 1, 2, 3),
-           |sig AS (SELECT doc_id, lang, source,
-           |  list_min(list_transform(sketch, s -> substr(md5(s),  1, 5))) AS m0,
-           |  list_min(list_transform(sketch, s -> substr(md5(s),  6, 5))) AS m1,
-           |  list_min(list_transform(sketch, s -> substr(md5(s), 11, 5))) AS m2,
-           |  list_min(list_transform(sketch, s -> substr(md5(s), 16, 5))) AS m3,
-           |  list_min(list_transform(sketch, s -> substr(md5(s), 21, 5))) AS m4,
-           |  list_min(list_transform(sketch, s -> substr(md5(s), 26, 5))) AS m5
-           | FROM sk),
-           |bands AS (
-           |  SELECT doc_id, lang, source, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
-           |  UNION ALL SELECT doc_id, lang, source, 1, md5(concat(m2, '|', m3)) FROM sig
-           |  UNION ALL SELECT doc_id, lang, source, 2, md5(concat(m4, '|', m5)) FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.bkey = b.bkey
-           |          AND a.lang = b.lang AND a.source = b.source
-           |          AND a.doc_id < b.doc_id)
+           |${lshOracleCtes("sk", "sketch", Seq("lang", "source"))}
            |SELECT doc_a, doc_b,
-           |  CAST(len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE) /
-           |  CAST(len(x.sketch) + len(y.sketch)
-           |       - len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE)
-           |    AS jaccard
+           |  ${lshVerifySql("sk", "sketch")} AS jaccard
            |FROM cand JOIN sk x ON x.doc_id = cand.doc_a
            |          JOIN sk y ON y.doc_id = cand.doc_b
-           |WHERE CAST(len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE) /
-           |      CAST(len(x.sketch) + len(y.sketch)
-           |           - len(list_filter(x.sketch, t -> list_contains(y.sketch, t))) AS DOUBLE)
-           |      >= 0.5""".stripMargin))
+           |WHERE ${lshVerifySql("sk", "sketch")} >= 0.5""".stripMargin))
 
   /** DuckDB recomputation of the 60-bit SimHash pipeline, generated
     * bit-for-bit against `SimilarityOps.simhashAgg60`: bit j of the
@@ -858,7 +793,7 @@ object QueryLib {
            |         THEN 1.0 ELSE -1.0 END) AS w
            |  FROM range(0, 8) t(j)),
            |buckets AS (SELECT vec_id,
-           |    sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * w[i])) > 0
+           |    sum(CASE WHEN round(list_sum(list_transform(range(1, 65), i -> v[i] * w[i])), 6) > 0
            |             THEN (1 << j) ELSE 0 END) AS bucket
            |  FROM e CROSS JOIN planes GROUP BY vec_id),
            |q AS (SELECT e.vec_id AS q_id, e.v AS qv, b.bucket
@@ -906,15 +841,15 @@ object QueryLib {
            |assign AS (SELECT vec_id AS c_id, v AS cv, j AS cell FROM (
            |    SELECT e.vec_id, e.v, cent.j,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        (list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
-           |         - cent.half) DESC, cent.j DESC) AS rr
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS rr
            |    FROM e CROSS JOIN cent WHERE e.vec_id >= 10)
            |  WHERE rr = 1),
            |probe AS (SELECT q_id, qv, cell FROM (
            |    SELECT e.vec_id AS q_id, e.v AS qv, cent.j AS cell,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        (list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
-           |         - cent.half) DESC, cent.j DESC) AS pr
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS pr
            |    FROM e CROSS JOIN cent WHERE e.vec_id < 10)
            |  WHERE pr <= 4),
            |s AS (SELECT q_id, c_id, round(
@@ -951,23 +886,8 @@ object QueryLib {
         .filter(col("keep") === 1).drop("h", "keep")
       val sh = exact.select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
-      // signature materialized once behind a shuffle so the band
-      // projections share one exchange instead of re-running the fold
-      val withSig = sh
-        .select(col("doc_id"), col("lang"), col("source"),
-          SimilarityOps.minhashSig(col("sh"), 6).as("sig"))
-        .repartition(col("doc_id"))
-      val bands = (0 until 3).map { bi =>
-        withSig.select(col("doc_id"), col("lang"), col("source"), lit(bi).as("band"),
-          SimilarityOps.bandKey(col("sig"), 2 * bi + 1, 2 * bi + 2).as("bkey"))
-      }.reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val dropIds = cand
+      val dropIds = SimilarityOps.lshCandidatePairs(sh, "doc_id", "sh",
+          blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
@@ -975,7 +895,7 @@ object QueryLib {
       exact.join(dropIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"))
     },
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
            |  SELECT doc_id, lang, source, text,
            |    len(string_split(text, ' ')) AS n_tokens,
            |    CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) /
@@ -990,30 +910,12 @@ object QueryLib {
            |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
            |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
            |  FROM exact),
-           |sig AS (SELECT doc_id, lang, source,
-           |  list_min(list_transform(sh, s -> substr(md5(s),  1, 5))) AS m0,
-           |  list_min(list_transform(sh, s -> substr(md5(s),  6, 5))) AS m1,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 11, 5))) AS m2,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 16, 5))) AS m3,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 21, 5))) AS m4,
-           |  list_min(list_transform(sh, s -> substr(md5(s), 26, 5))) AS m5
-           | FROM sh),
-           |bands AS (
-           |  SELECT doc_id, lang, source, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
-           |  UNION ALL SELECT doc_id, lang, source, 1, md5(concat(m2, '|', m3)) FROM sig
-           |  UNION ALL SELECT doc_id, lang, source, 2, md5(concat(m4, '|', m5)) FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.bkey = b.bkey
-           |          AND a.lang = b.lang AND a.source = b.source
-           |          AND a.doc_id < b.doc_id),
+           |${lshOracleCtes("sh", "sh", Seq("lang", "source"))},
            |drops AS (
            |  SELECT DISTINCT doc_b AS doc_id
            |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
            |            JOIN sh y ON y.doc_id = cand.doc_b
-           |  WHERE CAST(len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) /
-           |        CAST(len(x.sh) + len(y.sh)
-           |             - len(list_filter(x.sh, t -> list_contains(y.sh, t))) AS DOUBLE) >= 0.5)
+           |  WHERE ${lshVerifySql("sh", "sh")} >= 0.5)
            |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM exact
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin))
 
