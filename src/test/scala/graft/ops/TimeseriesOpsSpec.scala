@@ -156,6 +156,20 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(out.map(r => Option(r.get(3))).toSeq == Seq(Some(5.0), Some(7.0), None))
   }
 
+  test("un-keyed asofJoin: bucket-parallel, consistent on duplicate right times") {
+    // left rows both in-bucket (Jan) and cross-bucket (Feb) relative to
+    // a duplicate right timestamp must resolve the tie the SAME way
+    // (max value), regardless of bucket boundaries or physical order
+    val left = Seq("2024-01-31 12:00:00", "2024-02-01 00:00:00", "2024-03-15 00:00:00")
+      .toDF("t").select(col("t").cast("timestamp").as("time"))
+    val right = Seq(("2024-01-31 10:00:00", 1.0), ("2024-01-31 10:00:00", 2.0))
+      .toDF("t", "v")
+      .select(col("t").cast("timestamp").as("time"), col("v"))
+    val out = TimeseriesOps.asofJoin(left, right, Seq("v"))
+      .orderBy("time").collect().map(_.getDouble(1)).toSeq
+    assert(out == Seq(2.0, 2.0, 2.0))
+  }
+
   test("resample supports calendar month/year grids with end-of-month clamping") {
     val df = series(("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0))
     val out = TimeseriesOps.resample(df,
