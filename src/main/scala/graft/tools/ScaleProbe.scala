@@ -56,6 +56,26 @@ object ScaleProbe {
         rightValueCols = Seq("right_v"),
         by = Nil).count()
     }
+    // LSH near-dedup at 200x the sf0.1 corpus: 1M synthetic shingle
+    // sets (~1% planted near-duplicates share their set with a source
+    // doc), candidates via the banded equi-join, exact Jaccard verify.
+    // All generated from spark.range — the probe measures the operator,
+    // not IO.
+    val nDocs = 1000000L
+    timed(s"MinHash-LSH near-dedup over $nDocs synthetic docs") {
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        transform(
+          sequence(lit(0), lit(19)),
+          i => concat((col("id") % 990000L + (col("id") % 100) * 7L).cast("string"),
+            lit("_"), i)).as("sh"))
+      val pairs = graft.functions.SimilarityOps
+        .lshCandidatePairs(docs, "doc_id", "sh", aName = "doc_a", bName = "doc_b")
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .filter(graft.functions.SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
+      pairs.count()
+    }
     spark.stop()
   }
 }
