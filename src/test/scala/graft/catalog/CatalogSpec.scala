@@ -79,6 +79,45 @@ class CatalogSpec extends AnyFunSuite {
     assert(c3.listNamespaces().map(_.name).toSet == Set("from1", "from2"))
   }
 
+  test("namespace url is unique at create (_model.py:86)") {
+    val (c, _) = fresh()
+    c.createNamespace(Namespace("a", "file:///tmp/shared-url"))
+    // two namespaces on one directory would cross-GC each other's
+    // features via cleanNamespace — refused like the reference's
+    // unique=True column
+    intercept[IllegalArgumentException](
+      c.createNamespace(Namespace("b", "file:///tmp/shared-url")))
+    c.createNamespace(Namespace("b", "file:///tmp/other-url"))
+    assert(c.listNamespaces().size == 2)
+  }
+
+  test("updateNamespace replaces storage_options wholesale (core.py:136-142)") {
+    val (c, _) = fresh()
+    c.createNamespace(Namespace("s", "file:///tmp/s-opts",
+      storageOptions = Map("key" -> "old-credential", "region" -> "r1")))
+    c.updateNamespace("s", storageOptions = Some(Map("key" -> "rotated")))
+    val ns = c.getNamespace("s").get
+    // plain assignment, not a merge: rotation must be able to DROP keys
+    assert(ns.storageOptions == Map("key" -> "rotated"))
+    assert(ns.version == 2)
+    // omitting the parameter leaves options untouched
+    c.updateNamespace("s", description = Some("d"))
+    assert(c.getNamespace("s").get.storageOptions == Map("key" -> "rotated"))
+  }
+
+  test("reads see other instances' writes without mutating first (mtime stamp)") {
+    val (c1, loc) = fresh()
+    val c2 = new Catalog(loc) // constructed before any write exists
+    c1.createNamespace(Namespace("n1", "file:///tmp/n1"))
+    // pure read path on c2 — no mutate — must observe c1's create
+    assert(c2.getNamespace("n1").isDefined)
+    c1.createFeature(Feature("n1", "f1"))
+    assert(c2.listFeatures(namespace = Some("n1")).map(_.name) == Seq("f1"))
+    // and updates, not just creates
+    c1.updateNamespace("n1", description = Some("fresh"))
+    assert(c2.getNamespace("n1").get.description == "fresh")
+  }
+
   test("state survives reload (persistence round trip)") {
     val (c, loc) = fresh()
     c.createNamespace(Namespace("p", "file:///tmp/p"))

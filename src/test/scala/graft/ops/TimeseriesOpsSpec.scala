@@ -170,6 +170,26 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(out == Seq(2.0, 2.0, 2.0))
   }
 
+  test("keyed asofJoin resolves duplicate right timestamps like the un-keyed path") {
+    // identical duplicate-(time) right rows fed through BOTH branches:
+    // the keyed window fill and the un-keyed bucketed fill must resolve
+    // the tie the same way (max value), so semantics don't depend on
+    // which code path a `by` clause happens to select
+    val left = Seq("2024-01-31 12:00:00", "2024-02-01 00:00:00")
+      .toDF("t").select(col("t").cast("timestamp").as("time"))
+    val right = Seq(("2024-01-31 10:00:00", 1.0), ("2024-01-31 10:00:00", 2.0))
+      .toDF("t", "v")
+      .select(col("t").cast("timestamp").as("time"), col("v"))
+    val unkeyed = TimeseriesOps.asofJoin(left, right, Seq("v"))
+      .orderBy("time").collect().map(_.getDouble(1)).toSeq
+    val keyed = TimeseriesOps.asofJoin(
+      left.withColumn("k", lit("x")), right.withColumn("k", lit("x")),
+      Seq("v"), by = Seq("k"))
+      .orderBy("time").collect().map(r => r.getDouble(r.fieldIndex("v"))).toSeq
+    assert(unkeyed == Seq(2.0, 2.0))
+    assert(keyed == unkeyed)
+  }
+
   test("resample supports calendar month/year grids with end-of-month clamping") {
     val df = series(("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0))
     val out = TimeseriesOps.resample(df,
