@@ -79,7 +79,7 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   val catalog = new Catalog(catalogLocation, spark.sparkContext.hadoopConfiguration)
 
   private[graft] def store(ns: Namespace): TimeseriesStore =
-    new TimeseriesStore(spark, ns.url, ns.storageOptions)
+    new TimeseriesStore(spark, ns.url, ns.storageOptions, ns.backend)
 
   private def namespaceOf(name: String): Namespace =
     catalog.getNamespace(name).getOrElse(
@@ -92,8 +92,9 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       url: String,
       description: String = "",
       storageOptions: Map[String, String] = Map.empty,
-      meta: Map[String, String] = Map.empty): Unit =
-    catalog.createNamespace(Namespace(name, url, description, storageOptions, "spark", meta))
+      meta: Map[String, String] = Map.empty,
+      backend: String = "spark"): Unit =
+    catalog.createNamespace(Namespace(name, url, description, storageOptions, backend, meta))
 
   def listNamespaces(regex: Option[String] = None): Seq[Namespace] = catalog.listNamespaces(regex)
 
@@ -162,6 +163,16 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     val (nsObj, f) = featureOf(fullName)
     require(f.transform.isEmpty, s"cannot compact transformed feature '$fullName'")
     store(nsObj).compact(f.name, partitions)
+  }
+
+  /** Garbage-collect data files retired by compaction. Only meaningful
+    * on a txlog-backed namespace, where compaction retires files
+    * logically (readers with older snapshots keep working) and vacuum
+    * reclaims the bytes; returns the number of files deleted.
+    */
+  def vacuumFeature(fullName: String): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    store(nsObj).vacuum(f.name)
   }
 
   // ----------------------------------------------------------- transforms

@@ -251,6 +251,36 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsStoreTxlog = Q(
+    "fs_store_txlog",
+    // the SAME facade path as fs_store_roundtrip but on the
+    // transaction-log backend (TxLog: Delta-protocol-style atomic
+    // commits over the hive parquet layout), with a transactional
+    // compaction + vacuum in the middle of the lifecycle: normalizing
+    // writer -> atomic append commit -> compact (retire + publish in
+    // one commit) -> vacuum -> snapshot read with log-metadata pruning
+    // must reproduce what DuckDB computes directly from raw events
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txrt").toString
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("rt", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("rt/purchase")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("ts").as("time"), col("value")),
+        name = Some("rt/purchase"))
+      fs.compactFeature("rt/purchase")
+      fs.vacuumFeature("rt/purchase")
+      fs.loadDataFrame(Seq("rt/purchase"),
+          fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
+          freq = Some("1d"))
+        .withColumnRenamed("rt/purchase", "value")
+    },
+    Some("""WITH data AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
   private val qStatsVar = Q(
     "q_stats_var",
     // mean/variance from exact decimal moment sums: sums are exact in
@@ -974,7 +1004,7 @@ object QueryLib {
   val all: Seq[Q] = Seq(
     fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsResampleYears,
     fsResampleMonthly, fsAlign2,
-    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip,
+    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     txtStats, txtLangid, txtFingerprint, txtQuality,

@@ -20,11 +20,25 @@ import graft.ops.TimeseriesOps._
   * pruning) — the derived-predicate rewrite the reference hand-rolls at
   * dask.py:89-106. Writes append hive partitions so a 100 TB feature is
   * split across ~days × files and a bounded load touches only its range.
+  *
+  * Backends: `"spark"` (default) is the plain hive-layout store above.
+  * `"txlog"` layers a per-feature transaction log ([[TxLog]], the
+  * Delta-protocol idea) over the SAME file layout: appends and
+  * compactions become atomic commits, readers replay the log to a
+  * consistent file set (never a half-applied compaction), old versions
+  * stay readable until `vacuum`, and partition pruning happens against
+  * log metadata instead of directory listings (one small-file read vs
+  * an object-store LIST per load). A log-backed feature directory must
+  * be read THROUGH the store — raw `spark.read.parquet` on it would
+  * see compacted-away duplicates that the log has retired.
   */
 class TimeseriesStore(
     spark: SparkSession,
     url: String,
-    storageOptions: Map[String, String] = Map.empty) {
+    storageOptions: Map[String, String] = Map.empty,
+    backend: String = "spark") {
+
+  private val logBacked = backend == "txlog"
 
   /** Per-namespace Hadoop configuration: the namespace's storage
     * options laid over the session conf. The reference threads
@@ -85,14 +99,54 @@ class TimeseriesStore(
       .select(TimeCol, CreatedCol, ValueCol, "partition")
   }
 
-  /** S2: hive-partitioned snappy parquet append. */
+  private def txLog(name: String): TxLog = new TxLog(hadoopConf, featurePath(name))
+
+  /** Write `normalized` (with its `partition` column) as new parquet
+    * files INSIDE the feature's hive layout and return the log actions
+    * describing them: the batch is staged in `<url>/.stage/`, then each
+    * part file is moved into its `partition=<p>/` directory under its
+    * job-unique name. Files are invisible to log readers until the
+    * caller commits the returned adds — the stage/install split is what
+    * makes append and compaction atomic.
+    */
+  private def stageInstall(name: String, normalized: DataFrame): Seq[TxAdd] = {
+    val stage = new Path(s"$url/.stage/$name/${java.util.UUID.randomUUID()}")
+    normalized.write.options(storageOptions).option("compression", "snappy")
+      .partitionBy("partition").parquet(stage.toString)
+    val f = fs(url)
+    val featureRoot = new Path(featurePath(name))
+    val adds = Seq.newBuilder[TxAdd]
+    f.listStatus(stage).filter(_.isDirectory).foreach { pdir =>
+      val pname = pdir.getPath.getName // "partition=<p>"
+      val destDir = new Path(featureRoot, pname)
+      if (!f.exists(destDir)) f.mkdirs(destDir)
+      f.listStatus(pdir.getPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val dest = new Path(destDir, st.getPath.getName)
+          if (!f.rename(st.getPath, dest))
+            throw new java.io.IOException(s"stage install failed: ${st.getPath} -> $dest")
+          adds += TxAdd(s"$pname/${st.getPath.getName}", pname.stripPrefix("partition="))
+        }
+    }
+    f.delete(stage, true)
+    adds.result()
+  }
+
+  /** S2: hive-partitioned snappy parquet append; on the txlog backend
+    * the new files become visible in ONE atomic log commit.
+    */
   def write(name: String, normalized: DataFrame): Unit =
-    normalized.write
-      .options(storageOptions)
-      .mode("append")
-      .option("compression", "snappy")
-      .partitionBy("partition")
-      .parquet(featurePath(name))
+    if (logBacked) {
+      val adds = stageInstall(name, normalized)
+      if (adds.nonEmpty) { txLog(name).commit(adds); () }
+    } else
+      normalized.write
+        .options(storageOptions)
+        .mode("append")
+        .option("compression", "snappy")
+        .partitionBy("partition")
+        .parquet(featurePath(name))
 
   def save(name: String, df: DataFrame, partitionStyle: String = "date"): Unit = {
     if (df.isEmpty) return // no-op on empty, dask.py:231-232
@@ -108,11 +162,14 @@ class TimeseriesStore(
       from: Option[Timestamp] = None,
       to: Option[Timestamp] = None,
       valueType: DataType = DoubleType,
-      partitionStyle: String = "date"): DataFrame = {
+      partitionStyle: String = "date",
+      asOfVersion: Option[Long] = None): DataFrame = {
     if (!exists(name)) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
     }
+    if (logBacked) return txRead(name, from, to, valueType, partitionStyle, asOfVersion)
+    require(asOfVersion.isEmpty, "asOfVersion requires the txlog backend")
     val df = spark.read.options(storageOptions).parquet(featurePath(name))
     // Partition bounds are widened by one unit on each side so that a
     // reader whose session timezone differs from the writer's (partition
@@ -137,6 +194,55 @@ class TimeseriesStore(
       .select(TimeCol, CreatedCol, ValueCol)
   }
 
+  /** Log-backed scan: the live file set comes from a snapshot replay,
+    * and file-level partition pruning happens against the LOG's
+    * partition values (Delta-style metadata skipping) before Spark ever
+    * lists or opens anything — the widened ±1-unit bounds mirror the
+    * directory-pruning path below. Old snapshots stay readable through
+    * `asOfVersion` until vacuumed.
+    */
+  private def txRead(
+      name: String,
+      from: Option[Timestamp],
+      to: Option[Timestamp],
+      valueType: DataType,
+      partitionStyle: String,
+      asOfVersion: Option[Long]): DataFrame = {
+    val adds = txLog(name).snapshot(asOfVersion)
+    val pruned = prunePartitionValues(adds, from, to, partitionStyle)
+    if (pruned.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
+    }
+    val paths = pruned.map(a => s"${featurePath(name)}/${a.path}")
+    val df = spark.read.options(storageOptions)
+      .option("basePath", featurePath(name)).parquet(paths: _*)
+    val preds = from.map(f => col(TimeCol) >= lit(f)) ++ to.map(t => col(TimeCol) <= lit(t))
+    preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
+      .select(TimeCol, CreatedCol, ValueCol)
+  }
+
+  /** Driver-side partition-value pruning over log metadata, widened one
+    * unit each side for writer/reader timezone skew (UTC-interpreted
+    * bounds ±1 day cover any session zone, same contract as the
+    * foldable-predicate path).
+    */
+  private def prunePartitionValues(
+      adds: Seq[TxAdd],
+      from: Option[Timestamp],
+      to: Option[Timestamp],
+      partitionStyle: String): Seq[TxAdd] = partitionStyle match {
+    case "date" =>
+      val lo = from.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.minusDays(1).toString)
+      val hi = to.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.plusDays(1).toString)
+      adds.filter(a => lo.forall(a.partition >= _) && hi.forall(a.partition <= _))
+    case "year" =>
+      val lo = from.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).getYear - 1)
+      val hi = to.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).getYear + 1)
+      adds.filter(a => lo.forall(a.partition.toInt >= _) && hi.forall(a.partition.toInt <= _))
+    case other => throw new IllegalArgumentException(s"unknown partition style: $other")
+  }
+
   /** Scan restricted to an explicit partition subset — the tail-read
     * primitive behind `last()` (the reference's "restrict scan to the
     * final partition(s)" intent, _model.py:251-254): a point lookup on a
@@ -146,6 +252,18 @@ class TimeseriesStore(
     if (!exists(name) || parts.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
+    }
+    if (logBacked) {
+      val wanted = parts.toSet
+      val adds = txLog(name).snapshot().filter(a => wanted(a.partition))
+      if (adds.isEmpty) {
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
+      }
+      return spark.read.options(storageOptions)
+        .option("basePath", featurePath(name))
+        .parquet(adds.map(a => s"${featurePath(name)}/${a.path}"): _*)
+        .select(TimeCol, CreatedCol, ValueCol)
     }
     val df = spark.read.options(storageOptions).parquet(featurePath(name))
     df.filter(col("partition").cast(StringType).isin(parts: _*))
@@ -167,7 +285,13 @@ class TimeseriesStore(
     val p = new Path(featurePath(name))
     val f = fs(url)
     if (!f.exists(p)) Seq.empty
-    else {
+    else if (logBacked) {
+      // log metadata, not directory listing: one small-file replay
+      // instead of an object-store LIST, and retired partitions (all
+      // files removed) disappear from the listing immediately
+      val parts = txLog(name).snapshot().map(_.partition).distinct.sorted
+      (if (reverse) parts.reverse else parts).take(n)
+    } else {
       val parts = f.listStatus(p).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith("partition="))
         .map(_.stripPrefix("partition=")).toSeq.sorted
@@ -191,6 +315,7 @@ class TimeseriesStore(
     */
   def compact(name: String, partitions: Seq[String] = Nil): Unit = {
     if (!exists(name)) return
+    if (logBacked) return compactTx(name, partitions)
     val targetParts = if (partitions.nonEmpty) partitions else listPartitions(name)
     if (targetParts.isEmpty) return
     val src = spark.read.options(storageOptions).parquet(featurePath(name))
@@ -232,6 +357,48 @@ class TimeseriesStore(
     f.delete(trash, true)
   }
 
+  /** Transactional compaction (txlog backend): dedup the target
+    * partitions' live files into new files, then retire old + publish
+    * new in ONE commit — a reader replaying the log sees the
+    * pre-compaction or post-compaction file set, never a partition with
+    * its replacement missing (the window the rename-swap protocol below
+    * documents away). Old files stay on disk for time travel until
+    * `vacuum`.
+    */
+  private def compactTx(name: String, partitions: Seq[String]): Unit = {
+    val log = txLog(name)
+    val all = log.snapshot()
+    if (all.isEmpty) return
+    val targetParts: Set[String] =
+      if (partitions.nonEmpty) partitions.toSet else all.map(_.partition).toSet
+    val victims = all.filter(a => targetParts(a.partition))
+    if (victims.isEmpty) return
+    val src = spark.read.options(storageOptions)
+      .option("basePath", featurePath(name))
+      .parquet(victims.map(a => s"${featurePath(name)}/${a.path}"): _*)
+    val deduped = graft.ops.TimeseriesOps.dedupLatest(src, keyCols = Seq("partition"))
+    val adds = stageInstall(name,
+      deduped.select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition")))
+    log.commit(adds, victims.map(a => TxRemove(a.path)))
+  }
+
+  /** Garbage-collect files retired by compaction (txlog backend):
+    * deletes bytes unreferenced by the LATEST snapshot. Time travel to
+    * vacuumed versions stops working — the standard retention trade.
+    */
+  def vacuum(name: String): Long = {
+    require(logBacked, "vacuum requires the txlog backend")
+    if (!exists(name)) 0L else txLog(name).vacuum()
+  }
+
+  /** Latest committed table version of a log-backed feature (-1 if no
+    * commits yet) — the handle `read(asOfVersion = ...)` time-travels to.
+    */
+  def tableVersion(name: String): Long = {
+    require(logBacked, "tableVersion requires the txlog backend")
+    txLog(name).latestVersion()
+  }
+
   /** S5: recursive delete of a feature's data. */
   def delete(name: String): Unit = {
     val p = new Path(featurePath(name))
@@ -239,17 +406,25 @@ class TimeseriesStore(
     if (f.exists(p)) { f.delete(p, true); () }
   }
 
-  /** S6: clone data between stores (export/import, _base.py:46-57). */
+  /** S6: clone data between stores (export/import, _base.py:46-57).
+    * Backend-aware on both ends: a log-backed source reads its LIVE
+    * snapshot (raw directory parquet would resurrect compacted-away
+    * duplicates), and the destination's `write` commits through its own
+    * backend.
+    */
   def copy(name: String, toName: String, dest: TimeseriesStore): Unit = {
     if (exists(name)) {
-      val df = spark.read.options(storageOptions).parquet(featurePath(name))
-      df.write.mode("append").options(dest.storageOptionsPublic)
-        .option("compression", "snappy")
-        .partitionBy("partition").parquet(dest.featurePathPublic(toName))
+      val df =
+        if (logBacked) {
+          val adds = txLog(name).snapshot()
+          if (adds.isEmpty) return
+          spark.read.options(storageOptions)
+            .option("basePath", featurePath(name))
+            .parquet(adds.map(a => s"${featurePath(name)}/${a.path}"): _*)
+        } else spark.read.options(storageOptions).parquet(featurePath(name))
+      dest.write(toName, df.select(
+        col(TimeCol), col(CreatedCol), col(ValueCol), col("partition")))
     }
   }
 
-  private[store] def featurePathPublic(name: String): String = featurePath(name)
-
-  private[store] def storageOptionsPublic: Map[String, String] = storageOptions
 }

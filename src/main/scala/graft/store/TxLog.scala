@@ -1,0 +1,197 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.json.JsonMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** One file added to the table: `path` is RELATIVE to the table root
+  * (`partition=<p>/<file>.parquet`), `partition` is the hive partition
+  * value it belongs to (file-level pruning reads the log, not the
+  * directory tree).
+  */
+final case class TxAdd(path: String, partition: String)
+
+/** One file logically deleted from the table (bytes stay on disk until
+  * `vacuum`, so readers holding an older snapshot keep working).
+  */
+final case class TxRemove(path: String)
+
+/** One log line: exactly one of add/remove/checkpoint markers. A
+  * `checkpoint` line (only ever the first line of a checkpoint file)
+  * carries the full live-file set at that version, so replay cost stays
+  * O(commits since last checkpoint), not O(table history).
+  */
+final case class TxAction(
+    add: Option[TxAdd] = None,
+    remove: Option[TxRemove] = None)
+
+/** Minimal single-table transaction log — the Delta-protocol idea
+  * (Armbrust et al., "Delta Lake: High-Performance ACID Table Storage
+  * over Cloud Object Stores", VLDB 2020) reduced to what a feature
+  * store needs, with no external dependency:
+  *
+  *  - the table's state is the REPLAY of numbered JSON commit files in
+  *    `<table>/_txlog/` (`%020d.json`, each line one add/remove action);
+  *  - a commit becomes visible atomically: the file is staged hidden in
+  *    the log dir and installed with a no-overwrite rename, so readers
+  *    see all of a commit or none of it — there is no moment where a
+  *    compaction's removes are visible but its adds are not;
+  *  - writers are optimistic: losing the rename race means the version
+  *    was taken — re-read, bump, retry (append-only commits never
+  *    conflict semantically, so blind retry is sound);
+  *  - every Nth commit also writes a `%020d.checkpoint.json` holding
+  *    the full live set, bounding replay cost for long-lived tables;
+  *  - old versions remain readable (time travel) until `vacuum` deletes
+  *    unreferenced bytes.
+  *
+  * Same durability envelope as the paper's HDFS story: rename-based
+  * commits are atomic on POSIX/HDFS; an eventually-consistent object
+  * store would need a CAS'ing log service on the side (exactly Delta's
+  * S3 LogStore caveat). Single table, single JVM-cluster writer group.
+  */
+class TxLog(hadoopConf: Configuration, tableDir: String) {
+  import TxLog._
+
+  private val logDir = new Path(tableDir, LogDirName)
+  private def fs = logDir.getFileSystem(hadoopConf)
+
+  private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
+
+  /** Numbered versions present in the log, ascending. */
+  private def versions(): Seq[(Long, Boolean)] = { // (version, isCheckpoint)
+    if (!fs.exists(logDir)) return Seq.empty
+    fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .collect {
+        case CommitName(v)     => (v.toLong, false)
+        case CheckpointName(v) => (v.toLong, true)
+      }
+      .sortBy(t => (t._1, t._2))
+  }
+
+  def latestVersion(): Long =
+    versions().filterNot(_._2).lastOption.map(_._1).getOrElse(-1L)
+
+  /** Live file set at `asOf` (default: latest), replayed from the most
+    * recent checkpoint at-or-before it. Deterministic: adds/removes
+    * apply in version order, and within a commit in line order.
+    */
+  def snapshot(asOf: Option[Long] = None): Seq[TxAdd] = {
+    val vs = versions()
+    val upTo = asOf.getOrElse(Long.MaxValue)
+    val commits = vs.filterNot(_._2).map(_._1).filter(_ <= upTo)
+    if (commits.isEmpty) return Seq.empty
+    val ckpt = vs.filter(_._2).map(_._1).filter(_ <= commits.last).lastOption
+    val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
+    ckpt.foreach { cv =>
+      readActions(new Path(logDir, f"$cv%020d.checkpoint.json"))
+        .foreach(a => a.add.foreach(ad => live(ad.path) = ad))
+    }
+    commits.filter(c => ckpt.forall(_ < c)).foreach { v =>
+      readActions(new Path(logDir, f"$v%020d.json")).foreach { a =>
+        a.add.foreach(ad => live(ad.path) = ad)
+        a.remove.foreach(rm => live.remove(rm.path))
+      }
+    }
+    live.values.toSeq
+  }
+
+  private def readActions(p: Path): Seq[TxAction] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(mapper.readValue(_, classOf[TxAction])).toList
+    finally in.close()
+  }
+
+  /** Append one atomic commit; returns the committed version. Retries
+    * (fresh version number) when the optimistic rename loses the race.
+    */
+  def commit(adds: Seq[TxAdd], removes: Seq[TxRemove] = Nil, maxAttempts: Int = 20): Long = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+    val lines = (adds.map(a => TxAction(add = Some(a))) ++
+      removes.map(r => TxAction(remove = Some(r))))
+      .map(mapper.writeValueAsString).mkString("", "\n", "\n")
+    if (!fs.exists(logDir)) fs.mkdirs(logDir)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = latestVersion() + 1
+      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(tmp, true)
+      try out.write(lines.getBytes("UTF-8")) finally out.close()
+      if (installNoOverwrite(tmp, new Path(logDir, f"$v%020d.json"))) {
+        maybeCheckpoint(v)
+        return v
+      }
+      fs.delete(tmp, false)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"tx commit failed after $maxAttempts attempts (writer contention on $logDir)")
+  }
+
+  /** No-overwrite install: FileContext.rename with Rename.NONE refuses
+    * an existing destination (the commit-uniqueness primitive); the
+    * plain-FileSystem fallback does an exists-check + rename, the same
+    * window Delta's HDFSLogStore accepts on filesystems without an
+    * AbstractFileSystem binding.
+    */
+  private def installNoOverwrite(tmp: Path, dst: Path): Boolean =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, hadoopConf)
+      fc.rename(tmp, dst) // Rename.NONE: fails if dst exists
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(dst)) false else fs.rename(tmp, dst)
+      case _: java.io.IOException => false
+    }
+
+  private def maybeCheckpoint(v: Long): Unit =
+    if (v > 0 && v % CheckpointEvery == 0) {
+      val lines = snapshot(Some(v))
+        .map(a => mapper.writeValueAsString(TxAction(add = Some(a))))
+        .mkString("", "\n", "\n")
+      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(tmp, true)
+      try out.write(lines.getBytes("UTF-8")) finally out.close()
+      // best-effort: a lost race or crash just means replay starts from
+      // the previous checkpoint
+      if (!installNoOverwrite(tmp, new Path(logDir, f"$v%020d.checkpoint.json")))
+        fs.delete(tmp, false)
+    }
+
+  /** Physically delete data files no longer referenced by the LATEST
+    * snapshot. Time travel to vacuumed versions stops working — same
+    * retention trade as the reference paper's VACUUM.
+    */
+  def vacuum(): Long = {
+    val live = snapshot().map(_.path).toSet
+    val table = new Path(tableDir)
+    var removed = 0L
+    def walk(dir: Path, prefix: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val rel = if (prefix.isEmpty) st.getPath.getName else s"$prefix/${st.getPath.getName}"
+        if (st.isDirectory) { if (st.getPath.getName != LogDirName) walk(st.getPath, rel) }
+        else if (!live.contains(rel) && !rel.startsWith(LogDirName)) {
+          if (fs.delete(st.getPath, false)) removed += 1
+        }
+      }
+    if (fs.exists(table)) walk(table, "")
+    removed
+  }
+}
+
+object TxLog {
+  val LogDirName = "_txlog"
+  val CheckpointEvery = 10
+  private val CommitName = raw"(\d{20})\.json".r
+  private val CheckpointName = raw"(\d{20})\.checkpoint\.json".r
+
+  /** A table is log-backed iff its log dir exists. */
+  def isLogTable(hadoopConf: Configuration, tableDir: String): Boolean = {
+    val p = new Path(tableDir, LogDirName)
+    p.getFileSystem(hadoopConf).exists(p)
+  }
+}

@@ -76,6 +76,61 @@ object ScaleProbe {
         .filter(graft.functions.SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
       pairs.count()
     }
+    // Winnowing near-dedup at scale, the post-fix (pinned sketch)
+    // formulation of dedup_winnow: ~1% of docs are byte-identical to a
+    // source doc, text is 96 synthetic chars, so the sketch explode is
+    // ~93 positions per doc. The sketch frame is persisted exactly like
+    // QueryLib.mat — built once, read by the band fan-out and both
+    // verification join-backs.
+    val nWinnow = 300000L
+    timed(s"winnowing near-dedup over $nWinnow synthetic docs (~29M k-gram positions)") {
+      val docs = spark.range(nWinnow).select(
+        col("id").as("doc_id"),
+        concat(
+          md5((col("id") % 297000L).cast("string")),
+          md5(((col("id") % 297000L) + 1000000L).cast("string")),
+          md5(((col("id") % 297000L) + 2000000L).cast("string"))).as("text"))
+      val sk = graft.functions.SimilarityOps
+        .winnowSketch(docs, "doc_id", col("text"), k = 5, w = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = graft.functions.SimilarityOps
+        .lshCandidatePairs(sk, "doc_id", "sketch", aName = "doc_a", bName = "doc_b")
+        .join(sk.select(col("doc_id").as("doc_a"), col("sketch").as("ska")), Seq("doc_a"))
+        .join(sk.select(col("doc_id").as("doc_b"), col("sketch").as("skb")), Seq("doc_b"))
+        .filter(graft.functions.SimilarityOps.jaccard(col("ska"), col("skb")) >= 0.5)
+        .count()
+      sk.unpersist()
+      n
+    }
+    // SimHash near-dedup at scale, the post-fix (pinned fingerprint)
+    // formulation of dedup_simhash: 1M docs x 20 tokens through the
+    // explode + md5 + 60-vote hash-agg, fingerprints persisted once,
+    // then the 4-band self-join + hamming verify.
+    timed(s"SimHash near-dedup over $nDocs synthetic docs (20M token votes)") {
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        transform(
+          sequence(lit(0), lit(19)),
+          i => concat((col("id") % 990000L).cast("string"), lit("_"),
+            (i + (col("id") % 100) / 90).cast("string"))).as("toks"))
+      val t = graft.functions.SimilarityOps
+        .simhashAgg60(docs, "doc_id", col("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = (0 until 4).map { bi =>
+        t.select(col("doc_id"), col("fp"), lit(bi).as("band"),
+          graft.functions.SimilarityOps.simhashBandKey(col("fp"), bi).as("bkey"))
+      }.reduce(_ unionByName _)
+      val n = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          graft.functions.SimilarityOps.hamming(col("x.fp"), col("y.fp")).as("h"))
+        .distinct()
+        .filter(col("h") <= 3)
+        .count()
+      t.unpersist()
+      n
+    }
     spark.stop()
   }
 }

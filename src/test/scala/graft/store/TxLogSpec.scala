@@ -1,0 +1,125 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.SparkSpec
+
+/** The transaction-log backend: append/read parity with the plain
+  * parquet store, atomic compaction (retire + publish in one commit),
+  * time travel by version, vacuum, optimistic commit-conflict retry,
+  * and log-metadata partition pruning.
+  */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: (String, String, Double)*) =
+    rows.toSeq.toDF("t", "ct", "v").select(
+      col("t").cast("timestamp").as("time"),
+      col("ct").cast("timestamp").as("created_time"),
+      col("v").as("value"))
+
+  private def freshStores(): (TimeseriesStore, TimeseriesStore) = {
+    val dir = tmpDir("graft-tx")
+    (new TimeseriesStore(spark, s"$dir/plain"),
+      new TimeseriesStore(spark, s"$dir/tx", backend = "txlog"))
+  }
+
+  test("append + ranged read parity with the parquet backend") {
+    val (plain, tx) = freshStores()
+    val batch1 = series(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      ("2024-01-02 10:00:00", "2024-01-02 10:00:00", 2.0))
+    val batch2 = series(("2024-01-03 10:00:00", "2024-01-03 10:00:00", 3.0))
+    Seq(plain, tx).foreach { st =>
+      st.save("f", batch1); st.save("f", batch2)
+    }
+    val q = (st: TimeseriesStore) =>
+      st.read("f", from = Some(ts("2024-01-02")), to = Some(ts("2024-01-03T23:00:00")))
+        .orderBy("time").collect().map(r => (r.getTimestamp(0), r.getDouble(2))).toSeq
+    assert(q(tx) == q(plain))
+    assert(q(tx).map(_._2) == Seq(2.0, 3.0))
+    assert(tx.listPartitions("f") == Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+  }
+
+  test("log-metadata pruning: out-of-range files never reach the scan") {
+    val (_, tx) = freshStores()
+    tx.save("f", series(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      ("2024-06-01 10:00:00", "2024-06-01 10:00:00", 6.0)))
+    val df = tx.read("f", from = Some(ts("2024-05-01")), to = Some(ts("2024-07-01")))
+    // the January file is pruned from the plan's file list entirely
+    val files = df.queryExecution.executedPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+      case _ => Nil
+    }
+    assert(files.nonEmpty && files.forall(_.contains("partition=2024-06-01")))
+    assert(df.collect().map(_.getDouble(2)).toSeq == Seq(6.0))
+  }
+
+  test("compaction is one atomic commit; time travel + vacuum") {
+    val (_, tx) = freshStores()
+    // two generations of the same timestamp across two appends
+    tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
+    tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 11:00:00", 9.0)))
+    val preCompact = tx.tableVersion("f")
+    tx.compact("f")
+    // post-compaction: one deduped row, last writer wins
+    val after = tx.read("f").collect().map(r => (r.getTimestamp(1), r.getDouble(2))).toSeq
+    assert(after == Seq((ts("2024-01-01T11:00:00"), 9.0)))
+    // the compaction was exactly one commit on top of the appends
+    assert(tx.tableVersion("f") == preCompact + 1)
+    // time travel: the pre-compaction snapshot still reads BOTH rows
+    val old = tx.read("f", asOfVersion = Some(preCompact))
+      .orderBy("created_time").collect().map(_.getDouble(2)).toSeq
+    assert(old == Seq(1.0, 9.0))
+    // vacuum deletes the two retired files; latest read unaffected
+    assert(tx.vacuum("f") == 2L)
+    assert(tx.read("f").collect().map(_.getDouble(2)).toSeq == Seq(9.0))
+  }
+
+  test("optimistic commits: racing writers all land, versions distinct") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val dir = tmpDir("graft-race")
+    // hammer one log from parallel threads: every commit must get its
+    // own version (the no-overwrite rename is the uniqueness gate)
+    val versions = Await.result(
+      Future.sequence((1 to 8).map { i =>
+        Future {
+          new TxLog(spark.sparkContext.hadoopConfiguration, dir)
+            .commit(Seq(TxAdd(s"partition=2024-01-0$i/fake-$i.parquet", s"2024-01-0$i")))
+        }
+      }), 2.minutes)
+    assert(versions.distinct.size == 8)
+    assert(new TxLog(spark.sparkContext.hadoopConfiguration, dir).snapshot().size == 8)
+  }
+
+  test("checkpoint bounds replay and preserves the snapshot") {
+    val dir = tmpDir("graft-ckpt")
+    val log = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
+    (0 until 23).foreach { i =>
+      log.commit(Seq(TxAdd(s"partition=p/f$i.parquet", "p")),
+        if (i >= 3 && i % 3 == 0) Seq(TxRemove(s"partition=p/f${i - 3}.parquet")) else Nil)
+    }
+    val snap = log.snapshot().map(_.path).toSet
+    // independent replayer (fresh instance) agrees — checkpoint at v10
+    // and v20 didn't lose or resurrect anything
+    val snap2 = new TxLog(spark.sparkContext.hadoopConfiguration, dir).snapshot().map(_.path).toSet
+    assert(snap == snap2)
+    assert(snap.size == 23 - 7)
+    assert((0 until 23).filter(i => i >= 3 && i % 3 == 0).forall(i => !snap(s"partition=p/f${i - 3}.parquet")))
+  }
+
+  test("copy from a log-backed store carries the LIVE snapshot only") {
+    val (plain, tx) = freshStores()
+    tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
+    tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 11:00:00", 9.0)))
+    tx.compact("f")
+    tx.copy("f", "g", plain)
+    // a raw-directory copy would have resurrected both generations
+    assert(plain.read("g").collect().map(_.getDouble(2)).toSeq == Seq(9.0))
+  }
+}
