@@ -49,6 +49,15 @@ object FeatureStore {
   /** Spec DataFrame with a `name` column and optional `namespace`
     * column; `namespace` arg is the per-row fallback (_base.py:33-41).
     * Collected driver-side — spec frames are metadata-sized.
+    *
+    * Ordering contract: the returned sequence (and therefore the wide
+    * frame's COLUMN ORDER in `loadDataFrame`) follows the spec frame's
+    * row order, which Spark only guarantees for locally-constructed
+    * frames (`Seq(...).toDF`, `spark.createDataFrame`) — the intended
+    * shape, mirroring the reference's order-stable `iterrows`. A spec
+    * frame that went through a shuffle or join can return rows in any
+    * order; positional consumers must add an explicit ordering column
+    * and sort before passing such a frame in.
     */
   def unpackFrame(specs: DataFrame, namespace: Option[String] = None): Seq[(String, String)] = {
     require(specs.columns.contains("name"), "spec DataFrame must have a 'name' column")

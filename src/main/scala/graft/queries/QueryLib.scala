@@ -593,8 +593,12 @@ object QueryLib {
        |           ON $joinKeys AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Exact-Jaccard verification fragment over candidate pairs. */
-  private def lshVerifySql(src: String, setCol: String): String =
+  /** Exact-Jaccard verification fragment over candidate pairs. Alias
+    * contract: the two joined set-bearing tables MUST be aliased `x`
+    * (the doc_a side) and `y` (the doc_b side) — the fragment binds
+    * those names directly.
+    */
+  private def lshVerifySql(setCol: String): String =
     s"""CAST(len(list_filter(x.$setCol, t -> list_contains(y.$setCol, t))) AS DOUBLE) /
        |  CAST(len(x.$setCol) + len(y.$setCol)
        |       - len(list_filter(x.$setCol, t -> list_contains(y.$setCol, t))) AS DOUBLE)""".stripMargin
@@ -627,10 +631,10 @@ object QueryLib {
            |base AS (SELECT * FROM t WHERE len(sh) > 0),
            |${lshOracleCtes("base", "sh", Seq("lang", "source"))}
            |SELECT doc_a, doc_b,
-           |  ${lshVerifySql("base", "sh")} AS jaccard
+           |  ${lshVerifySql("sh")} AS jaccard
            |FROM cand JOIN base x ON x.doc_id = cand.doc_a
            |          JOIN base y ON y.doc_id = cand.doc_b
-           |WHERE ${lshVerifySql("base", "sh")} >= 0.5""".stripMargin))
+           |WHERE ${lshVerifySql("sh")} >= 0.5""".stripMargin))
 
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
@@ -659,7 +663,7 @@ object QueryLib {
            |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
            |${lshOracleCtes("base", "sh", Nil)},
            |j AS (SELECT doc_a, doc_b,
-           |        ${lshVerifySql("base", "sh")} AS jaccard
+           |        ${lshVerifySql("sh")} AS jaccard
            |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin))
 
@@ -706,10 +710,10 @@ object QueryLib {
            |  FROM wm GROUP BY 1, 2, 3),
            |${lshOracleCtes("sk", "sketch", Seq("lang", "source"))}
            |SELECT doc_a, doc_b,
-           |  ${lshVerifySql("sk", "sketch")} AS jaccard
+           |  ${lshVerifySql("sketch")} AS jaccard
            |FROM cand JOIN sk x ON x.doc_id = cand.doc_a
            |          JOIN sk y ON y.doc_id = cand.doc_b
-           |WHERE ${lshVerifySql("sk", "sketch")} >= 0.5""".stripMargin))
+           |WHERE ${lshVerifySql("sketch")} >= 0.5""".stripMargin))
 
   /** DuckDB recomputation of the 60-bit SimHash pipeline, generated
     * bit-for-bit against `SimilarityOps.simhashAgg60`: bit j of the
@@ -973,7 +977,7 @@ object QueryLib {
            |  SELECT DISTINCT doc_b AS doc_id
            |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
            |            JOIN sh y ON y.doc_id = cand.doc_b
-           |  WHERE ${lshVerifySql("sh", "sh")} >= 0.5)
+           |  WHERE ${lshVerifySql("sh")} >= 0.5)
            |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM exact
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin))
 
