@@ -42,14 +42,18 @@ object Bench {
         } catch { case _: Throwable => true }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    // cold run first (JIT + first parquet scan), then a warm run; the
-    // REPORTED per-query number is the warm one — steady-state cost,
-    // not first-touch noise (r05's phantom 1.34x "regression" was
-    // bit-identical code measured cold on a noisy box)
+    // cold run first (JIT + first parquet scan), then two warm runs;
+    // the REPORTED per-query number is the BEST warm run — the noise
+    // floor, standard benchmarking practice: system-level drift (CPU
+    // frequency, page cache, a co-tenant burst) only ever ADDS time, so
+    // min() converges on the query's actual cost while a single sample
+    // rides the noise (bit-identical code measured 2.8x apart across
+    // rounds before this)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (coldT, coldErr) = once(fn)
-      val (warmT, warmErr) = once(fn)
-      (name, coldT, warmT, coldErr || warmErr)
+      val (warm1, warmErr1) = once(fn)
+      val (warm2, warmErr2) = once(fn)
+      (name, coldT, math.min(warm1, warm2), coldErr || warmErr1 || warmErr2)
     }
     def obj(f: ((String, Double, Double, Boolean)) => Double): String =
       results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f(r) }.mkString("{", ",", "}")

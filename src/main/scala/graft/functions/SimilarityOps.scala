@@ -79,13 +79,19 @@ object SimilarityOps {
     * is (id, blockKeys, 6 strings) per doc — tiny relative to the
     * corpus — and spills to disk if it outgrows executor memory.
     *
-    * Recall bound (3 bands × 2 rows): a pair with true Jaccard J
-    * becomes a candidate with probability 1 - (1 - J^2)^3 — ~58% at
-    * J = 0.5, ~88% at J = 0.7, ~99.9% at J = 0.9. Near-threshold
-    * duplicates are missed with known probability; the DuckDB oracles
-    * mirror the identical banding, so CORRECTNESS compares like with
-    * like. LshRecallSpec asserts the realized recall at sf0.001
-    * against the exact all-pairs result.
+    * Recall bound: with `bands` bands of `rowsPerBand` rows, a pair
+    * with true Jaccard J becomes a candidate with probability
+    * 1 - (1 - J^rowsPerBand)^bands. At the default 3 × 2 that is ~58%
+    * at J = 0.5, ~88% at J = 0.7, ~99.9% at J = 0.9; near-threshold
+    * duplicates are missed with known probability, and the DuckDB
+    * oracles mirror the identical banding, so CORRECTNESS compares
+    * like with like. The S-curve is tunable within the 6-chunk
+    * signature budget (`bands * rowsPerBand <= 6`): 6 × 1 lifts recall
+    * at J = 0.5 to ~98% at the cost of candidate volume (each band
+    * then buckets on a single minhash, so weakly-similar pairs join
+    * too — pay it when the verify step is cheap relative to a miss);
+    * 2 × 3 goes the other way. LshRecallSpec measures both 3 × 2 and
+    * 6 × 1 against exact all-pairs ground truth.
     */
   def lshCandidatePairs(
       df: org.apache.spark.sql.DataFrame,
@@ -93,20 +99,24 @@ object SimilarityOps {
       setCol: String,
       blockKeys: Seq[String] = Nil,
       aName: String = "id_a",
-      bName: String = "id_b"): org.apache.spark.sql.DataFrame = {
+      bName: String = "id_b",
+      bands: Int = 3,
+      rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 6,
+      s"bands * rowsPerBand must fit the 6-chunk signature, got $bands x $rowsPerBand")
     val keyCols = idCol +: blockKeys
     val withSig = df
       .filter(size(col(setCol)) > 0)
-      .select(keyCols.map(col) :+ minhashSig(col(setCol), 6).as("__sig"): _*)
+      .select(keyCols.map(col) :+ minhashSig(col(setCol), bands * rowsPerBand).as("__sig"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until 3).map { bi =>
+    val bandFrames = (0 until bands).map { bi =>
       withSig.select(keyCols.map(col) ++ Seq(lit(bi).as("__band"),
-        bandKey(col("__sig"), 2 * bi + 1, 2 * bi + 2).as("__bkey")): _*)
+        bandKey(col("__sig"), rowsPerBand * bi + 1, rowsPerBand * (bi + 1)).as("__bkey")): _*)
     }.reduce(_ unionByName _)
     val joinCond = (Seq("__band", "__bkey") ++ blockKeys)
       .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
       col(s"x.$idCol") < col(s"y.$idCol")
-    bands.as("x").join(bands.as("y"), joinCond)
+    bandFrames.as("x").join(bandFrames.as("y"), joinCond)
       .select(col(s"x.$idCol").as(aName), col(s"y.$idCol").as(bName))
       .distinct()
   }

@@ -55,5 +55,16 @@ class LshRecallSpec extends SparkSpec {
     // so a band/row regression fails loudly
     assert(exact.size == 70, s"ground truth should be the 70 planted twins, got ${exact.size}")
     assert(recall >= 0.6, f"LSH recall $recall%.3f fell below the pinned floor 0.6")
+
+    // the 6x1 configuration trades candidate volume for recall:
+    // 1-(1-J)^6 >= 0.99 across the whole J >= 0.538 corpus — near-exact
+    // on the planted twins, at the cost of weakly-similar pairs also
+    // becoming candidates (verified-then-dropped)
+    val candHi = SimilarityOps.lshCandidatePairs(df, "doc_id", "sh",
+        bands = 6, rowsPerBand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallHi = (exact intersect candHi).size.toDouble / exact.size
+    assert(recallHi >= 0.95, f"6x1 LSH recall $recallHi%.3f below 0.95")
+    assert(recallHi >= recall, "more bands can never lower recall on this corpus")
   }
 }
