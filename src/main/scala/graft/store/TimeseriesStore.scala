@@ -153,6 +153,24 @@ class TimeseriesStore(
     write(name, normalizeForSave(df, partitionStyle))
   }
 
+  /** Idempotent transactional append (txlog backend): commits the batch
+    * tagged with `txnId` UNLESS a commit with that id already landed —
+    * the exactly-once primitive for restartable writers (a streaming
+    * micro-batch re-delivered after a checkpoint recovery re-offers the
+    * same txnId and becomes a no-op). Returns true iff this call
+    * committed.
+    */
+  def writeTx(name: String, normalized: DataFrame, txnId: String): Boolean = {
+    require(logBacked, "writeTx requires the txlog backend")
+    val log = txLog(name)
+    if (log.txnSeen(txnId)) false
+    else {
+      val adds = stageInstall(name, normalized)
+      if (adds.nonEmpty) { log.commit(adds, Nil, Some(txnId)); true }
+      else false
+    }
+  }
+
   /** S1 + P1/P2: scan with time-range predicate AND the derived partition
     * predicate so directory pruning kicks in before row-group pushdown.
     * Returns the 3-column envelope (partition dropped, dask.py:116-117).

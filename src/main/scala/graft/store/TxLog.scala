@@ -17,14 +17,16 @@ final case class TxAdd(path: String, partition: String)
   */
 final case class TxRemove(path: String)
 
-/** One log line: exactly one of add/remove/checkpoint markers. A
-  * `checkpoint` line (only ever the first line of a checkpoint file)
-  * carries the full live-file set at that version, so replay cost stays
-  * O(commits since last checkpoint), not O(table history).
+/** One log line: an add, a remove, or a transaction marker. `txn`
+  * records an application-level transaction id with the commit (the
+  * Delta `SetTransaction` idea): an idempotent writer — e.g. a
+  * streaming micro-batch — checks `txnSeen` before re-committing, so a
+  * replayed batch after a restart is a no-op instead of a duplicate.
   */
 final case class TxAction(
     add: Option[TxAdd] = None,
-    remove: Option[TxRemove] = None)
+    remove: Option[TxRemove] = None,
+    txn: Option[String] = None)
 
 /** Minimal single-table transaction log — the Delta-protocol idea
   * (Armbrust et al., "Delta Lake: High-Performance ACID Table Storage
@@ -77,24 +79,33 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
     * recent checkpoint at-or-before it. Deterministic: adds/removes
     * apply in version order, and within a commit in line order.
     */
-  def snapshot(asOf: Option[Long] = None): Seq[TxAdd] = {
+  def snapshot(asOf: Option[Long] = None): Seq[TxAdd] = replay(asOf)._1
+
+  /** Has a commit carrying this application transaction id ever landed?
+    * The restart-idempotence primitive for streaming writers.
+    */
+  def txnSeen(id: String): Boolean = replay(None)._2.contains(id)
+
+  private def replay(asOf: Option[Long]): (Seq[TxAdd], Set[String]) = {
     val vs = versions()
     val upTo = asOf.getOrElse(Long.MaxValue)
     val commits = vs.filterNot(_._2).map(_._1).filter(_ <= upTo)
-    if (commits.isEmpty) return Seq.empty
+    if (commits.isEmpty) return (Seq.empty, Set.empty)
     val ckpt = vs.filter(_._2).map(_._1).filter(_ <= commits.last).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
+    val txns = scala.collection.mutable.Set[String]()
+    def apply(a: TxAction): Unit = {
+      a.add.foreach(ad => live(ad.path) = ad)
+      a.remove.foreach(rm => live.remove(rm.path))
+      a.txn.foreach(txns += _)
+    }
     ckpt.foreach { cv =>
-      readActions(new Path(logDir, f"$cv%020d.checkpoint.json"))
-        .foreach(a => a.add.foreach(ad => live(ad.path) = ad))
+      readActions(new Path(logDir, f"$cv%020d.checkpoint.json")).foreach(apply)
     }
     commits.filter(c => ckpt.forall(_ < c)).foreach { v =>
-      readActions(new Path(logDir, f"$v%020d.json")).foreach { a =>
-        a.add.foreach(ad => live(ad.path) = ad)
-        a.remove.foreach(rm => live.remove(rm.path))
-      }
+      readActions(new Path(logDir, f"$v%020d.json")).foreach(apply)
     }
-    live.values.toSeq
+    (live.values.toSeq, txns.toSet)
   }
 
   private def readActions(p: Path): Seq[TxAction] = {
@@ -107,10 +118,15 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
   /** Append one atomic commit; returns the committed version. Retries
     * (fresh version number) when the optimistic rename loses the race.
     */
-  def commit(adds: Seq[TxAdd], removes: Seq[TxRemove] = Nil, maxAttempts: Int = 20): Long = {
+  def commit(
+      adds: Seq[TxAdd],
+      removes: Seq[TxRemove] = Nil,
+      txnId: Option[String] = None,
+      maxAttempts: Int = 20): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     val lines = (adds.map(a => TxAction(add = Some(a))) ++
-      removes.map(r => TxAction(remove = Some(r))))
+      removes.map(r => TxAction(remove = Some(r))) ++
+      txnId.map(t => TxAction(txn = Some(t))))
       .map(mapper.writeValueAsString).mkString("", "\n", "\n")
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -130,28 +146,52 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
       s"tx commit failed after $maxAttempts attempts (writer contention on $logDir)")
   }
 
-  /** No-overwrite install: FileContext.rename with Rename.NONE refuses
-    * an existing destination (the commit-uniqueness primitive); the
-    * plain-FileSystem fallback does an exists-check + rename, the same
-    * window Delta's HDFSLogStore accepts on filesystems without an
-    * AbstractFileSystem binding.
+  /** No-overwrite install — the commit-uniqueness primitive. Local
+    * filesystems claim the version with a POSIX hard link: link(2)
+    * fails EEXIST ATOMICALLY, with no exists-check window and no
+    * checksum-sidecar hazard (ChecksumFs's rename moves the `.crc`
+    * separately from the data file, so two racing renames that both
+    * pass its non-atomic exists check can interleave into a torn
+    * json/crc pair — caught by the racing-writers spec). Non-local
+    * schemes use FileContext.rename with Rename.NONE, atomic
+    * server-side on HDFS; the plain-FileSystem fallback keeps the same
+    * exists-check window Delta's HDFSLogStore accepts on connectors
+    * without an AbstractFileSystem binding.
     */
-  private def installNoOverwrite(tmp: Path, dst: Path): Boolean =
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, hadoopConf)
-      fc.rename(tmp, dst) // Rename.NONE: fails if dst exists
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(dst)) false else fs.rename(tmp, dst)
-      case _: java.io.IOException => false
-    }
+  private def installNoOverwrite(tmp: Path, dst: Path): Boolean = {
+    val scheme = Option(dst.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, hadoopConf)
+        fc.rename(tmp, dst) // Rename.NONE: fails if dst exists
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(dst)) false else fs.rename(tmp, dst)
+        case _: java.io.IOException => false
+      }
+  }
 
   private def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
-      val lines = snapshot(Some(v))
-        .map(a => mapper.writeValueAsString(TxAction(add = Some(a))))
+      // a checkpoint carries the live files AND the seen txn ids, so
+      // restart-idempotence survives the replay horizon
+      val (adds, txns) = replay(Some(v))
+      val lines = (adds.map(a => TxAction(add = Some(a))) ++
+        txns.toSeq.sorted.map(t => TxAction(txn = Some(t))))
+        .map(mapper.writeValueAsString)
         .mkString("", "\n", "\n")
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = fs.create(tmp, true)

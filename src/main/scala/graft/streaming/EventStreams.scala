@@ -115,6 +115,36 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming ingest into a txlog-backed feature with exactly-once
+    * table semantics: each micro-batch is normalized like the batch
+    * writer and committed atomically via `TimeseriesStore.writeTx`,
+    * tagged `<streamId>#<batchId>`. Structured Streaming re-delivers
+    * the in-flight batch after a checkpoint recovery (at-least-once at
+    * the sink boundary); the txn tag makes the re-delivery a no-op, so
+    * the TABLE sees each batch exactly once — the foreachBatch +
+    * SetTransaction pattern from the Delta paper. Readers never see a
+    * torn batch: the files land invisibly and one commit publishes
+    * them.
+    */
+  def featureSinkTx(
+      series: DataFrame, // time, value (+ optional created_time)
+      store: graft.store.TimeseriesStore,
+      featureName: String,
+      checkpointDir: String,
+      streamId: String,
+      partitionStyle: String = "date"): DataStreamWriter[Row] =
+    series.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          store.writeTx(featureName,
+            store.normalizeForSave(batch, partitionStyle),
+            s"$streamId#$batchId")
+          ()
+        }
+      }
+
   /** Streaming ingest into the feature-store layout: normalizes the
     * envelope exactly like the batch writer (partition derivation,
     * created_time default) and appends hive-partitioned parquet — the

@@ -124,4 +124,31 @@ class StreamingSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("partition=")).sorted
     assert(parts.toSeq == Seq("partition=2024-01-01", "partition=2024-01-02"))
   }
+
+  test("featureSinkTx: exactly-once micro-batch commits into the txlog table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft-stream-tx")
+    val store = new graft.store.TimeseriesStore(spark, dir, backend = "txlog")
+    val mem = MemoryStream[Ev]
+    val series = mem.toDF().select(col("ts").as("time"), col("value"))
+    val q = EventStreams.featureSinkTx(series, store, "s1", s"$dir/ckpt", "specstream").start()
+    mem.addData(mkEvents(("2024-01-01T00:01:00", 1, "x", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData(mkEvents(("2024-01-02T00:01:00", 1, "x", 2.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // two micro-batches -> two commits, both rows visible via snapshot
+    assert(store.read("s1").orderBy("time").collect().map(_.getDouble(2)).toSeq == Seq(1.0, 2.0))
+    assert(store.tableVersion("s1") == 1L)
+    // a re-delivered batch (checkpoint recovery replays the last one)
+    // re-offers its txn id and must be a NO-OP, not a duplicate
+    val replay = mkEvents(("2024-01-02T00:01:00", 1, "x", 2.0))
+      .toDF().select(col("ts").as("time"), col("value"))
+    val committed = store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream#1")
+    assert(!committed)
+    assert(store.read("s1").count() == 2)
+    // a NEW txn id commits normally
+    assert(store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream#2"))
+    assert(store.read("s1").count() == 3)
+  }
 }
