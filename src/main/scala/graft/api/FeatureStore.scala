@@ -179,9 +179,9 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     * logically (readers with older snapshots keep working) and vacuum
     * reclaims the bytes; returns the number of files deleted.
     */
-  def vacuumFeature(fullName: String): Long = {
+  def vacuumFeature(fullName: String, retentionMs: Long = 3600000L): Long = {
     val (nsObj, f) = featureOf(fullName)
-    store(nsObj).vacuum(f.name)
+    store(nsObj).vacuum(f.name, retentionMs)
   }
 
   // ----------------------------------------------------------- transforms

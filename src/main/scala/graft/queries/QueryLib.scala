@@ -270,7 +270,7 @@ object QueryLib {
           .select(col("ts").as("time"), col("value")),
         name = Some("rt/purchase"))
       fs.compactFeature("rt/purchase")
-      fs.vacuumFeature("rt/purchase")
+      fs.vacuumFeature("rt/purchase", retentionMs = 0L) // reclaim NOW: no concurrent writers here
       fs.loadDataFrame(Seq("rt/purchase"),
           fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
           freq = Some("1d"))
@@ -555,6 +555,38 @@ object QueryLib {
            |SELECT doc_id, hits / n AS stop_ratio,
            |  (hits / n) * 0.5 + (n / (n + 50.0)) * 0.5 AS quality
            |FROM t""".stripMargin))
+
+  private val txtRepetition = Q(
+    "txt_repetition",
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 /
+    // RefinedWeb): duplicate-token ratio is a narrow per-row expression;
+    // top-bigram fraction is the MapReduce formulation — explode
+    // bigrams, hash-agg (doc, bigram) counts map-side, then one more
+    // partial-agg max/sum per doc. Both shuffles carry O(distinct
+    // bigrams) rows, never the corpus text.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val dup = d.select(col("doc_id"),
+        ((size(toks) - size(array_distinct(toks))).cast("double") /
+          size(toks).cast("double")).as("dup_token_ratio"))
+      val top = d.select(col("doc_id"), explode(TextOps.wordShingles(toks, 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_frac"))
+      dup.join(top, Seq("doc_id"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |dup AS (SELECT doc_id,
+           |  CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+           |    AS dup_token_ratio FROM tk),
+           |bg AS (SELECT doc_id,
+           |  unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))) AS bg
+           |  FROM tk),
+           |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+           |top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |          AS top_bigram_frac FROM cnt GROUP BY 1)
+           |SELECT doc_id, dup_token_ratio, top_bigram_frac
+           |FROM dup JOIN top USING (doc_id)""".stripMargin))
 
   // =====================================================================
   // Deduplication & similarity (training-data extensions)
@@ -1011,7 +1043,7 @@ object QueryLib {
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
-    txtStats, txtLangid, txtFingerprint, txtQuality,
+    txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, simAnnLsh, simAnnIvf,

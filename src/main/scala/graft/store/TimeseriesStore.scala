@@ -404,9 +404,9 @@ class TimeseriesStore(
     * deletes bytes unreferenced by the LATEST snapshot. Time travel to
     * vacuumed versions stops working — the standard retention trade.
     */
-  def vacuum(name: String): Long = {
+  def vacuum(name: String, retentionMs: Long = 3600000L): Long = {
     require(logBacked, "vacuum requires the txlog backend")
-    if (!exists(name)) 0L else txLog(name).vacuum()
+    if (!exists(name)) 0L else txLog(name).vacuum(retentionMs)
   }
 
   /** Latest committed table version of a log-backed feature (-1 if no

@@ -204,17 +204,25 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
 
   /** Physically delete data files no longer referenced by the LATEST
     * snapshot. Time travel to vacuumed versions stops working — same
-    * retention trade as the reference paper's VACUUM.
+    * retention trade as the reference paper's VACUUM. `retentionMs`
+    * spares files younger than the horizon: a concurrent writer
+    * between its stage-install rename and its commit has files on disk
+    * that no snapshot references yet, and deleting them would commit a
+    * dangling add — the mtime guard (Delta's retention-period answer to
+    * the same race) keeps vacuum safe to run alongside writers as long
+    * as install→commit completes within the horizon.
     */
-  def vacuum(): Long = {
+  def vacuum(retentionMs: Long = 3600000L): Long = {
     val live = snapshot().map(_.path).toSet
     val table = new Path(tableDir)
+    val horizon = System.currentTimeMillis() - retentionMs
     var removed = 0L
     def walk(dir: Path, prefix: String): Unit =
       fs.listStatus(dir).foreach { st =>
         val rel = if (prefix.isEmpty) st.getPath.getName else s"$prefix/${st.getPath.getName}"
         if (st.isDirectory) { if (st.getPath.getName != LogDirName) walk(st.getPath, rel) }
-        else if (!live.contains(rel) && !rel.startsWith(LogDirName)) {
+        else if (!live.contains(rel) && !rel.startsWith(LogDirName) &&
+          st.getModificationTime <= horizon) {
           if (fs.delete(st.getPath, false)) removed += 1
         }
       }

@@ -74,8 +74,10 @@ class TxLogSpec extends SparkSpec {
     val old = tx.read("f", asOfVersion = Some(preCompact))
       .orderBy("created_time").collect().map(_.getDouble(2)).toSeq
     assert(old == Seq(1.0, 9.0))
-    // vacuum deletes the two retired files; latest read unaffected
-    assert(tx.vacuum("f") == 2L)
+    // with a retention horizon the fresh retired files are SPARED (the
+    // concurrent-writer guard); retention 0 reclaims them
+    assert(tx.vacuum("f") == 0L)
+    assert(tx.vacuum("f", retentionMs = 0L) == 2L)
     assert(tx.read("f").collect().map(_.getDouble(2)).toSeq == Seq(9.0))
   }
 
