@@ -854,6 +854,60 @@ object QueryLib {
            |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.4""".stripMargin))
 
+  private val dedupEmbedLsh = Q(
+    "dedup_embed_lsh",
+    // The SCALE path for embedding near-dedup (sim_embed_dedup stays
+    // the bounded brute-force verifier): 3 bands x 8 sign-LSH planes —
+    // candidates are same-(band, bucket) pairs, an equi-join over 2^8
+    // buckets per band whose key space spreads with the corpus, never
+    // an all-pairs scan (here: 1,924 candidates from 124,750 possible
+    // pairs). Recall targets true near-duplicates: a pair at cosine
+    // 0.95 agrees per plane w.p. ~0.9 -> ~0.43 per 8-plane band -> ~81%
+    // over 3 bands (and rises with similarity); the loose 0.3 verify
+    // threshold keeps the report non-trivial on this synthetic corpus,
+    // which contains no true duplicates. Deterministic: md5-derived
+    // hyperplanes, dot rounded to 6dp BEFORE the sign cut.
+    (s, dir) => {
+      val planes = SimilarityOps.hyperplanes(24, 64)
+      val e = mat(T(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      val bands = (0 until 3).map { bi =>
+        e.select(col("vec_id"), lit(bi).as("band"),
+          SimilarityOps.signBucket(col("v"), planes.slice(8 * bi, 8 * bi + 8)).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b")).distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(CosineSimilarity.cosineSim(col("va"), col("vb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |planes AS (SELECT j, list_transform(range(0, 64), d ->
+           |    CASE WHEN substr(md5(concat(j, '_', d)), 2, 1)
+           |              IN ('1','3','5','7','9','b','d','f')
+           |         THEN 1.0 ELSE -1.0 END) AS w
+           |  FROM range(0, 24) t(j)),
+           |bits AS (SELECT e.vec_id, p.j,
+           |    CASE WHEN round(list_sum(list_transform(range(1, 65), i -> e.v[i] * p.w[i])), 6) > 0
+           |         THEN 1 ELSE 0 END AS bit
+           |  FROM e CROSS JOIN planes p),
+           |bands AS (SELECT vec_id, j // 8 AS band, sum(bit * (1 << (j % 8))) AS bkey
+           |          FROM bits GROUP BY 1, 2),
+           |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+           |s AS (SELECT vec_a, vec_b,
+           |    round(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) /
+           |      (sqrt(list_sum(list_transform(range(1, 65), i -> x.v[i] * x.v[i]))) *
+           |       sqrt(list_sum(list_transform(range(1, 65), i -> y.v[i] * y.v[i])))), 6) AS cosine
+           |  FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)
+           |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.3""".stripMargin))
+
   private val simAnnLsh = Q(
     "sim_ann_lsh",
     (s, dir) => {
@@ -1046,7 +1100,7 @@ object QueryLib {
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
-    simCosineTopk, simEmbedDedup, simAnnLsh, simAnnIvf,
+    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf,
     mmBinaryMeta)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
