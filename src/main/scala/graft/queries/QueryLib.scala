@@ -869,11 +869,18 @@ object QueryLib {
     // hyperplanes, dot rounded to 6dp BEFORE the sign cut.
     (s, dir) => {
       val planes = SimilarityOps.hyperplanes(24, 64)
+      // all 24 sign bits fold into ONE pinned bucket column; the band
+      // keys are then 8-bit slices of it — so the heavy 24-dot
+      // expression exists once in the plan instead of being replicated
+      // into every band projection x join side (6 copies of a
+      // 24-plane x 64-literal tree made planning/codegen the dominant
+      // cost, not execution)
       val e = mat(T(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("b24", SimilarityOps.signBucket(col("v"), planes)))
       val bands = (0 until 3).map { bi =>
         e.select(col("vec_id"), lit(bi).as("band"),
-          SimilarityOps.signBucket(col("v"), planes.slice(8 * bi, 8 * bi + 8)).as("bkey"))
+          shiftright(col("b24"), 8 * bi).bitwiseAND(lit(255)).as("bkey"))
       }.reduce(_ unionByName _)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -115,6 +115,26 @@ class TxLogSpec extends SparkSpec {
     assert((0 until 23).filter(i => i >= 3 && i % 3 == 0).forall(i => !snap(s"partition=p/f${i - 3}.parquet")))
   }
 
+  test("year-style partitions: log-metadata pruning widens one year each side") {
+    val (_, tx) = freshStores()
+    tx.save("f", series(
+      ("2019-06-01 00:00:00", "2019-06-01 00:00:00", 1.0),
+      ("2021-06-01 00:00:00", "2021-06-01 00:00:00", 2.0),
+      ("2024-06-01 00:00:00", "2024-06-01 00:00:00", 3.0)), partitionStyle = "year")
+    assert(tx.listPartitions("f") == Seq("2019", "2021", "2024"))
+    val df = tx.read("f", from = Some(ts("2021-01-01")), to = Some(ts("2021-12-31")),
+      partitionStyle = "year")
+    val files = df.queryExecution.executedPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+      case _ => Nil
+    }
+    // ±1-year widening keeps 2021 (and would keep 2020/2022 if present)
+    // but prunes 2019 and 2024 from the file list entirely
+    assert(files.nonEmpty && files.forall(_.contains("partition=2021")))
+    assert(df.collect().map(_.getDouble(2)).toSeq == Seq(2.0))
+  }
+
   test("copy from a log-backed store carries the LIVE snapshot only") {
     val (plain, tx) = freshStores()
     tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
