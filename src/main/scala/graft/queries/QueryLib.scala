@@ -588,6 +588,42 @@ object QueryLib {
            |SELECT doc_id, dup_token_ratio, top_bigram_frac
            |FROM dup JOIN top USING (doc_id)""".stripMargin))
 
+  private val txtKeywords = Q(
+    "txt_keywords",
+    // top-3 TF-IDF keywords per document. Scored as tf * N / df with
+    // EXACT integer tf/N/df — one float multiply+divide per term, so
+    // Spark and DuckDB produce bit-identical doubles (a log-based idf
+    // would hash-diverge: libm ln() is not bit-stable across engines).
+    // Shape: explode -> (doc, term) hash-agg -> term-level df hash-agg
+    // joined back on term -> per-doc WindowGroupLimit top-k; every
+    // shuffle carries O(distinct terms), never the corpus text.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val tf = d.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = d.select(count(lit(1)).as("n"))
+      val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") * col("n").cast("double") /
+            col("df").cast("double")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rank"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (SELECT doc_id, term,
+           |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+           |  FROM tf JOIN df USING (term) CROSS JOIN n)
+           |SELECT doc_id, term, score, rank FROM (
+           |  SELECT doc_id, term, score,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           |  FROM scored) WHERE rank <= 3""".stripMargin))
+
   // =====================================================================
   // Deduplication & similarity (training-data extensions)
   // =====================================================================
@@ -1104,7 +1140,7 @@ object QueryLib {
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
-    txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition,
+    txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf,
