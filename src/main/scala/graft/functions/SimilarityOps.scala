@@ -296,4 +296,53 @@ object SimilarityOps {
       val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(round(dot(v, planeCol), 6) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Long-packed variant for > 30 planes (wide multi-band keys). */
+  def signBucketLong(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
+      when(round(dot(v, planeCol), 6) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Banded sign-LSH candidate pairs over an embedding column — the
+    * scale path for embedding near-dedup. All `bands * planesPerBand`
+    * sign bits fold into ONE pinned packed column (replicating the
+    * plane-dot tree into each band projection makes planning/codegen
+    * dominate); each band key is a bit-slice of it, and candidates come
+    * from the (band, bkey) equi-join.
+    *
+    * SIZE the band width to the corpus: per-band bucket occupancy is
+    * ~n / 2^planesPerBand and the within-bucket join is quadratic in
+    * it, so planesPerBand ≈ log2(n) keeps occupancy O(1) — 8 bits
+    * carries ~10^4-10^5 vectors, 1M wants ~20, billions want ~30.
+    * Recall per pair at angle θ: [1 - (1 - (1-θ/π)^planesPerBand)
+    * ^bands] — wider bands lower per-band recall, so raise `bands`
+    * together with width when near-threshold recall matters.
+    */
+  def signLshCandidatePairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bands: Int = 3,
+      planesPerBand: Int = 8,
+      aName: String = "id_a",
+      bName: String = "id_b"): org.apache.spark.sql.DataFrame = {
+    val nPlanes = bands * planesPerBand
+    require(nPlanes <= 60, s"at most 60 planes (long packing), got $nPlanes")
+    val planes = hyperplanes(nPlanes, dim)
+    val mask = (1L << planesPerBand) - 1
+    val bucketed = df
+      .select(col(idCol), signBucketLong(col(vecCol), planes).as("__bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandFrames = (0 until bands).map { bi =>
+      bucketed.select(col(idCol), lit(bi).as("__band"),
+        shiftright(col("__bits"), planesPerBand * bi).bitwiseAND(lit(mask)).as("__bkey"))
+    }.reduce(_ unionByName _)
+    bandFrames.as("x").join(bandFrames.as("y"),
+        col("x.__band") === col("y.__band") && col("x.__bkey") === col("y.__bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as(aName), col(s"y.$idCol").as(bName))
+      .distinct()
+  }
 }

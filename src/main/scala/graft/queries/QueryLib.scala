@@ -904,25 +904,14 @@ object QueryLib {
     // which contains no true duplicates. Deterministic: md5-derived
     // hyperplanes, dot rounded to 6dp BEFORE the sign cut.
     (s, dir) => {
-      val planes = SimilarityOps.hyperplanes(24, 64)
-      // all 24 sign bits fold into ONE pinned bucket column; the band
-      // keys are then 8-bit slices of it — so the heavy 24-dot
-      // expression exists once in the plan instead of being replicated
-      // into every band projection x join side (6 copies of a
-      // 24-plane x 64-literal tree made planning/codegen the dominant
-      // cost, not execution)
+      // SimilarityOps.signLshCandidatePairs folds all 24 sign bits into
+      // one pinned packed column and slices band keys out of it; the
+      // 3 x 8-bit configuration fits this corpus size (planesPerBand
+      // should grow as log2(n) — see the function's occupancy note)
       val e = mat(T(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("b24", SimilarityOps.signBucket(col("v"), planes)))
-      val bands = (0 until 3).map { bi =>
-        e.select(col("vec_id"), lit(bi).as("band"),
-          shiftright(col("b24"), 8 * bi).bitwiseAND(lit(255)).as("bkey"))
-      }.reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b")).distinct()
-      cand
+        col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      SimilarityOps.signLshCandidatePairs(e, "vec_id", "v", dim = 64,
+          bands = 3, planesPerBand = 8, aName = "vec_a", bName = "vec_b")
         .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
         .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"),

@@ -227,6 +227,14 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
         }
       }
     if (fs.exists(table)) walk(table, "")
+    // crashed committers leave hidden .tmp files in the log dir (the
+    // install itself is atomic, so they are never part of any commit):
+    // reclaim the stale ones on the same retention horizon
+    if (fs.exists(logDir))
+      fs.listStatus(logDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime <= horizon)
+        .foreach(st => if (fs.delete(st.getPath, false)) removed += 1)
     removed
   }
 }

@@ -131,6 +131,26 @@ object ScaleProbe {
       t.unpersist()
       n
     }
+    // Sign-LSH embedding near-dedup at 1M vectors with the band width
+    // SIZED TO THE CORPUS (3 bands x 20 planes -> 2^20 buckets/band,
+    // occupancy ~1): the 8-bit driver-query configuration would put
+    // ~3,900 vectors in every bucket here and the within-bucket join
+    // would quadratically explode — the probe demonstrates the
+    // planesPerBand ≈ log2(n) sizing rule holding at scale.
+    val nVecs = 1000000L
+    timed(s"sign-LSH embedding near-dedup candidates over $nVecs synthetic vectors") {
+      // md5-derived components: genuinely pseudo-random vectors (a
+      // smooth generator like sin(a*id + b*d) produces a 1-parameter
+      // family — huge near-duplicate clusters that no banding survives)
+      val e = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          conv(substring(md5(concat(col("id").cast("string"), lit("_"), d)), 1, 6), 16, 10)
+            .cast("double") / lit(8388608.0) - 1.0).as("v"))
+      graft.functions.SimilarityOps
+        .signLshCandidatePairs(e, "vec_id", "v", dim = 64, bands = 3, planesPerBand = 20)
+        .count()
+    }
     spark.stop()
   }
 }

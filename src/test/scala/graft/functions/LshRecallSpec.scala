@@ -30,6 +30,23 @@ class LshRecallSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((51L, 52L))) // no empty-set pair survives
   }
 
+  test("winnowing guarantee: a shared substring of length >= w+k-1 forces a sketch hit") {
+    // the MOSS fingerprinting theorem (Schleimer et al., SIGMOD 2003):
+    // with k-gram hashing and window w, ANY match of length >= w+k-1
+    // contributes at least one hash BOTH documents select — so sketch
+    // intersection can never miss a long-enough verbatim overlap
+    val shared = "thequickbrownfoxjumpsover" // 25 >= w+k-1 = 8+5-1 = 12
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaa" + shared + "bbbbbbbbbbbb"),
+      (2L, "cccccccc" + shared + "dddddddddddddddd"),
+      (3L, "0123456789012345678901234567890123456789")) // digit-only: disjoint grams
+      .toDF("doc_id", "text")
+    val sk = SimilarityOps.winnowSketch(docs, "doc_id", col("text"), k = 5, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((sk(1L) intersect sk(2L)).nonEmpty, "shared-substring docs must share a fingerprint")
+    assert((sk(1L) intersect sk(3L)).isEmpty, "gram-disjoint docs share nothing")
+  }
+
   test("candidate recall at J >= 0.5 vs exact all-pairs meets the banding bound") {
     // deterministic corpus: pair i shares m(i) of its 20 shingles with
     // its twin, J = m / (40 - m); m runs 14..20 so true similarity
