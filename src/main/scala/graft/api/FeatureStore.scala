@@ -229,7 +229,8 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       to: Option[Timestamp],
       timeTravel: Option[String],
       clipFrom: Boolean,
-      callers: Seq[String]): DataFrame = {
+      callers: Seq[String],
+      asOfVersion: Option[Long] = None): DataFrame = {
     if (callers.contains(full))
       throw new IllegalStateException(
         s"circular transform dependency: ${(callers :+ full).mkString(" -> ")}")
@@ -237,7 +238,7 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     f.transform match {
       case Some(spec) =>
         val argDfs = spec.args.zipWithIndex.map { case (arg, i) =>
-          loadSeries(arg, from, to, timeTravel, clipFrom, callers :+ full)
+          loadSeries(arg, from, to, timeTravel, clipFrom, callers :+ full, asOfVersion)
             .withColumnRenamed("value", s"f$i")
         }
         val wide = TimeseriesOps.alignJoin(argDfs)
@@ -258,7 +259,8 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
           from = if (clipFrom) from else None,
           to = to,
           valueType = valueTypeOf(f),
-          partitionStyle = f.partition)
+          partitionStyle = f.partition,
+          asOfVersion = asOfVersion)
         postProcess(raw, f, timeTravel)
     }
   }
@@ -283,16 +285,22 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   /** Flagship read (core.py:246-276): wide frame, one column per feature
     * named `namespace/name`, outer-joined on time and forward-filled;
     * optional resample onto a regular [from, to] grid step `freq`.
+    * `asOfVersion` time-travels by TABLE version (txlog-backed
+    * namespaces only — the plain parquet backend has no version
+    * history and rejects it): the load resolves every requested
+    * feature, including transform arguments, at that snapshot.
     */
   def loadDataFrame(
       features: Seq[String],
       fromDate: Option[Timestamp] = None,
       toDate: Option[Timestamp] = None,
       freq: Option[String] = None,
-      timeTravel: Option[String] = None): DataFrame = {
+      timeTravel: Option[String] = None,
+      asOfVersion: Option[Long] = None): DataFrame = {
     require(features.nonEmpty, "no features requested")
     val series = features.map { full =>
-      val s = loadSeries(full, fromDate, toDate, timeTravel, clipFrom = freq.isEmpty, Nil)
+      val s = loadSeries(full, fromDate, toDate, timeTravel, clipFrom = freq.isEmpty, Nil,
+        asOfVersion)
       freq match {
         case Some(fq) =>
           // per-feature range defaults from its own bounds (dask.py:150-153)

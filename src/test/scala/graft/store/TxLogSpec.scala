@@ -135,6 +135,25 @@ class TxLogSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(2)).toSeq == Seq(2.0))
   }
 
+  test("facade loadDataFrame time-travels txlog features by table version") {
+    val dir = tmpDir("graft-fs-tx")
+    val fstore = new graft.api.FeatureStore(spark, s"$dir/catalog.json")
+    fstore.createNamespace("tx", s"$dir/wh", backend = "txlog")
+    fstore.createFeature("tx/f")
+    def batch(created: String, v: Double) =
+      Seq(("2024-01-01 10:00:00", created, v)).toDF("t", "ct", "v").select(
+        col("t").cast("timestamp").as("time"),
+        col("ct").cast("timestamp").as("created_time"),
+        col("v").as("value"))
+    fstore.saveDataFrame(batch("2024-01-01 10:00:00", 1.0), name = Some("tx/f")) // version 0
+    fstore.saveDataFrame(batch("2024-01-01 11:00:00", 9.0), name = Some("tx/f")) // version 1
+    def load(asOf: Option[Long]) =
+      fstore.loadDataFrame(Seq("tx/f"), asOfVersion = asOf)
+        .collect().map(_.getDouble(1)).toSeq
+    assert(load(None) == Seq(9.0))    // latest: the correction wins dedup
+    assert(load(Some(0L)) == Seq(1.0)) // the v0 snapshot predates it
+  }
+
   test("copy from a log-backed store carries the LIVE snapshot only") {
     val (plain, tx) = freshStores()
     tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
