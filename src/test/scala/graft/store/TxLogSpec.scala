@@ -154,6 +154,27 @@ class TxLogSpec extends SparkSpec {
     assert(load(Some(0L)) == Seq(1.0)) // the v0 snapshot predates it
   }
 
+  test("last() tail lookup reads the txlog snapshot, post-compaction") {
+    val dir = tmpDir("graft-last-tx")
+    val fstore = new graft.api.FeatureStore(spark, s"$dir/catalog.json")
+    fstore.createNamespace("tx", s"$dir/wh", backend = "txlog")
+    fstore.createFeature("tx/f")
+    def batch(t: String, created: String, v: Double) =
+      Seq((t, created, v)).toDF("t", "ct", "v").select(
+        col("t").cast("timestamp").as("time"),
+        col("ct").cast("timestamp").as("created_time"),
+        col("v").as("value"))
+    fstore.saveDataFrame(batch("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      name = Some("tx/f"))
+    fstore.saveDataFrame(batch("2024-03-05 10:00:00", "2024-03-05 10:00:00", 7.0),
+      name = Some("tx/f"))
+    fstore.compactFeature("tx/f")
+    // the tail-partition point lookup routes through the log's
+    // partition listing + snapshot file set, not directory walks
+    assert(fstore.last(Seq("tx/f"))("tx/f").contains(7.0))
+    assert(fstore.first(Seq("tx/f"))("tx/f").contains(1.0))
+  }
+
   test("copy from a log-backed store carries the LIVE snapshot only") {
     val (plain, tx) = freshStores()
     tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
