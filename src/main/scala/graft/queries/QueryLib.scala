@@ -940,6 +940,70 @@ object QueryLib {
            |  FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)
            |SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.3""".stripMargin))
 
+  /** Generated 64-component centroid expressions for the label-purity
+    * oracle: component sums in EXACT integer micro-units (each float
+    * component rounds to 6dp then scales to a BIGINT), so the per-label
+    * aggregation is order-independent and bit-identical across engines
+    * — a naive double sum would hash-diverge with partition order.
+    */
+  private val labelCentroidOracleSql: String = {
+    val sums = (0 until 64).map(i =>
+      s"  sum(CAST(round(v[${i + 1}] * 1000000.0, 0) AS BIGINT)) AS s$i").mkString(",\n")
+    val comps = (0 until 64).map(i =>
+      s"CAST(s$i AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |sums AS (SELECT label, count(*) AS n,
+       |$sums
+       | FROM e GROUP BY 1),
+       |cent AS (SELECT label AS clabel, [$comps] AS c FROM sums),
+       |assign AS (SELECT e.vec_id, e.label, cent.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.c[i]))
+       |            - list_sum(list_transform(range(1, 65), i -> cent.c[i] * cent.c[i])) / 2,
+       |            6) DESC, cent.clabel) AS rr
+       |  FROM e CROSS JOIN cent)
+       |SELECT label, count(*) AS n,
+       |  sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS n_correct,
+       |  CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS purity
+       |FROM assign WHERE rr = 1 GROUP BY label""".stripMargin
+  }
+
+  private val simLabelCentroid = Q(
+    "sim_label_centroid",
+    // Embedding cluster-quality evaluation: per-label centroids from a
+    // single hash-agg (64 exact integer micro-unit sums — the only
+    // order-independent way to average floats across engines and
+    // partitionings), then nearest-centroid assignment by the same
+    // negHalfDist score AnnIvf uses, broadcast 10 centroids x corpus,
+    // and per-label purity. One shuffle for the centroid agg, one for
+    // the final per-label rollup; the corpus streams through the
+    // broadcast assignment join unshuffled.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val sums = (0 until 64).map(i =>
+        sum(round(element_at(col("v"), i + 1) * 1000000.0, 0).cast("long")).as(s"s$i"))
+      val centroids = e.groupBy(col("label")).agg(
+          count(lit(1)).as("n"), sums: _*)
+        .select(col("label").as("clabel"),
+          array((0 until 64).map(i =>
+            col(s"s$i").cast("double") / (col("n").cast("double") * 1000000.0)): _*).as("c"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("clabel"))
+      val assign = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(SimilarityOps.dot(col("v"), col("c")) -
+            SimilarityOps.dot(col("c"), col("c")) / 2, 6).as("score"))
+        .withColumn("rr", row_number().over(w)).filter(col("rr") === 1)
+      assign.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("clabel") === col("label"), 1).otherwise(0)).as("n_correct"),
+        (sum(when(col("clabel") === col("label"), 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double")).as("purity"))
+    },
+    Some(labelCentroidOracleSql))
+
   private val simAnnLsh = Q(
     "sim_ann_lsh",
     (s, dir) => {
@@ -1132,7 +1196,7 @@ object QueryLib {
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
-    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf,
+    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
     mmBinaryMeta)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
