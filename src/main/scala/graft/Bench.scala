@@ -55,13 +55,21 @@ object Bench {
       val (warm2, warmErr2) = once(fn)
       (name, coldT, math.min(warm1, warm2), coldErr || warmErr1 || warmErr2)
     }
+    // 3-decimal timings: the driver captures only the TAIL of stdout, so
+    // the final JSON line must stay compact — full-precision doubles for
+    // 44 queries once pushed the line past the capture window and the
+    // round's bench parsed as null. Cold timings are diagnostics only;
+    // they go to stderr so they can't bloat (or be mistaken for) the
+    // one machine-read stdout line.
+    def f3(d: Double): String = "%.3f".format(d)
     def obj(f: ((String, Double, Double, Boolean)) => Double): String =
-      results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+      results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f3(f(r)) }.mkString("{", ",", "}")
     val qs = obj(_._3)
     val cold = obj(_._2)
     val errs = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"errs":$errs,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench-cold] {"queries_cold":$cold}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -963,7 +963,7 @@ object QueryLib {
        |            6) DESC, cent.clabel) AS rr
        |  FROM e CROSS JOIN cent)
        |SELECT label, count(*) AS n,
-       |  sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS n_correct,
+       |  CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |  CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE) /
        |    CAST(count(*) AS DOUBLE) AS purity
        |FROM assign WHERE rr = 1 GROUP BY label""".stripMargin

@@ -40,6 +40,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
             return f"SCHEMA dtype col {c} spark={ta} oracle={tb}"
     for c in a.columns:
         x, y = a[c], b[c]
+        # int-on-one-side / float-on-the-other is a driver hash FAIL even
+        # when the values agree: DuckDB returns HUGEINT for sum(<integer>),
+        # which fetchdf() converts to float64 (46.0 vs Spark's int64 46).
+        # Oracles must CAST integer sums in the final SELECT to BIGINT.
+        if (pd.api.types.is_integer_dtype(x) != pd.api.types.is_integer_dtype(y)
+                and (pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y))):
+            return (f"DTYPE col {c} spark={x.dtype} oracle={y.dtype} "
+                    "(int vs float — driver hashes these differently)")
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             xv, yv = x.astype(float).values, y.astype(float).values
             nx, ny = np.isnan(xv), np.isnan(yv)
