@@ -483,6 +483,112 @@ object QueryLib {
            |  round(quantile_cont(value, 0.75), 4) AS p75
            |FROM events GROUP BY 1""".stripMargin))
 
+  private val qSessionize = Q(
+    "q_sessionize",
+    // Gap-based sessionization (30-min inactivity cut), the canonical
+    // clickstream operator: mark session starts with one lag() window,
+    // assign session ids with a running sum over the SAME (user, ts)
+    // ordering, then roll up per session. One hash shuffle total — the
+    // window partitions by user_id and the (user_id, session_idx)
+    // groupBy is satisfied by that partitioning (subset rule), so the
+    // rollup is map-side on the already-exchanged rows. Per-user event
+    // order is (ts, event_id) — unique, so the running sum's default
+    // RANGE frame equals ROWS and both engines agree on every frame.
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      val marked = T(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L).as("is_new"))
+      marked
+        .withColumn("session_idx", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT user_id, ts, value,
+           |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           |      AS session_idx
+           |  FROM g)
+           |SELECT user_id, session_idx, count(*) AS n_events,
+           |  min(ts) AS session_start, max(ts) AS session_end,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+           |FROM s GROUP BY 1, 2""".stripMargin))
+
+  private val qFunnel = Q(
+    "q_funnel",
+    // Ordered-funnel conversion (view -> click -> purchase, each step
+    // strictly after the previous): three conditional min-aggregations,
+    // each one stage of a per-user funnel. Every stage filters events to
+    // one type BEFORE joining, so the joins carry one-row-per-user
+    // frames, never the event stream; at cluster scale AQE picks
+    // broadcast or shuffle-hash per stage from the shrunken sizes.
+    // Deterministic: (user_id, ts) pairs are unique in this table and
+    // min() needs no tie-break.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           |           WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT e.user_id, min(e.ts) AS t_click
+           |      FROM events e JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+           |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           |      FROM events e JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+           |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+           |FROM v LEFT JOIN c ON v.user_id = c.user_id
+           |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin))
+
+  private val qRetention = Q(
+    "q_retention",
+    // Weekly cohort retention: cohort = integer epoch-week of a user's
+    // first event; count users active at each (cohort, offset) cell.
+    // Weeks are exact integer arithmetic (epoch_us div week_us) — no
+    // date_trunc, whose week-start convention would have to match
+    // across engines, and no double division to drift at a boundary.
+    // Shape: user-keyed min-agg, join back (user-keyed shuffle that
+    // AQE can broadcast once cohorts << events), then a distinct and a
+    // rollup over the O(weeks^2) cohort grid — shuffles carry user and
+    // grid cardinality, never raw events.
+    (s, dir) => {
+      val e = T(s, dir, "events").select(
+        col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      e.join(cohort, Seq("user_id"))
+        .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+           |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+           |g AS (SELECT DISTINCT c.cohort_week, e.week - c.cohort_week AS week_offset,
+           |             e.user_id
+           |      FROM e JOIN c ON e.user_id = c.user_id)
+           |SELECT cohort_week, week_offset, count(*) AS n_users
+           |FROM g GROUP BY 1, 2""".stripMargin))
+
   // =====================================================================
   // Text analysis over `documents`
   // =====================================================================
@@ -1193,6 +1299,7 @@ object QueryLib {
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
+    qSessionize, qFunnel, qRetention,
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
