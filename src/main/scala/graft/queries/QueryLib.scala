@@ -730,6 +730,64 @@ object QueryLib {
            |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
            |  FROM scored) WHERE rank <= 3""".stripMargin))
 
+  /** The split predicate both holdout queries share: a doc is `eval`
+    * iff the first md5 byte of a salted key is < 0x1a (26/256 ≈ 10.2%).
+    * Hash-based splits are THE reproducible train/eval selection at
+    * pipeline scale — stable under reruns, re-partitioning, and corpus
+    * growth (a doc's split never changes when other docs arrive),
+    * unlike rand()-with-seed, which reshuffles with the partitioning.
+    */
+  private def splitCol: Column =
+    when(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2) < "1a",
+      "eval").otherwise("train")
+  private val splitSql: String =
+    """CASE WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 2) < '1a'
+      |         THEN 'eval' ELSE 'train' END""".stripMargin
+
+  private val docHoldout = Q(
+    "doc_holdout",
+    // Deterministic holdout assignment: one narrow per-row expression,
+    // zero shuffles — the plan is scan -> project at any corpus size.
+    (s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"), col("lang"), splitCol.as("split")),
+    Some(s"""SELECT doc_id, lang, $splitSql AS split
+           |FROM documents""".stripMargin))
+
+  private val txtContamination = Q(
+    "txt_contamination",
+    // Test-set decontamination: which eval docs share a 5-gram with any
+    // train doc (the n-gram-overlap contamination check every LLM eval
+    // pipeline runs before trusting a benchmark). Grams are md5-hashed
+    // before the join so every shuffle key is a fixed-width digest, not
+    // corpus text; the train side collapses to DISTINCT gram hashes
+    // with a partial agg, and the probe is a semi-join on that hash —
+    // at 100 TB this is a plain hash-partitioned join whose key space
+    // grows with distinct grams, never a text comparison.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"), splitCol.as("split"), toks.as("tk"))
+      val grams = d.select(col("doc_id"), col("split"),
+          explode(array_distinct(TextOps.wordShingles(col("tk"), 5))).as("g"))
+        .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+      val trainGrams = grams.filter(col("split") === "train").select("gh").distinct()
+      grams.filter(col("split") === "eval")
+        .join(trainGrams, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $splitSql AS split,
+           |    string_split(text, ' ') AS t FROM documents),
+           |g AS (SELECT doc_id, split,
+           |    unnest(list_distinct(list_transform(range(1, len(t) - 3), i ->
+           |      concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4])))) AS g
+           |  FROM tk),
+           |gh AS (SELECT doc_id, split, md5(g) AS gh FROM g),
+           |tr AS (SELECT DISTINCT gh FROM gh WHERE split = 'train')
+           |SELECT e.doc_id, count(*) AS n_shared_grams
+           |FROM gh e JOIN tr ON e.gh = tr.gh
+           |WHERE e.split = 'eval'
+           |GROUP BY 1""".stripMargin))
+
   // =====================================================================
   // Deduplication & similarity (training-data extensions)
   // =====================================================================
@@ -1301,6 +1359,7 @@ object QueryLib {
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
     qSessionize, qFunnel, qRetention,
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
+    docHoldout, txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
