@@ -137,6 +137,49 @@ object ScaleProbe {
     // ~3,900 vectors in every bucket here and the within-bucket join
     // would quadratically explode — the probe demonstrates the
     // planesPerBand ≈ log2(n) sizing rule holding at scale.
+    // Gap-based sessionization at 10M events / 50k users — the
+    // q_sessionize kernel: one lag window + running-sum session ids +
+    // per-session rollup, all on a single hash exchange (the rollup's
+    // (user, session) grouping is satisfied by the window's user_id
+    // partitioning). Inter-event deltas jitter up to ~72 min so the
+    // 30-min cut actually splits runs.
+    timed(s"sessionization over $n synthetic events (50k users)") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = spark.range(n).select(
+        (col("id") % 50000L).as("user_id"),
+        timestamp_millis(lit(base) + (col("id") / 50000L).cast("long") * 60000L +
+          (col("id") % 37L) * 120000L).as("ts"),
+        col("id").as("event_id"),
+        (col("id") % 100L).cast("double").as("value"))
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      ev.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L).as("is_new"))
+        .withColumn("session_idx", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .count()
+    }
+    // Decontamination at 1M docs / 20M gram instances — the
+    // txt_contamination kernel: md5 gram digests, distinct train-side
+    // partial agg, eval-side semi-join; shuffles carry fixed-width
+    // digests only.
+    timed(s"n-gram decontamination over $nDocs synthetic docs (20M gram instances)") {
+      val d = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        when(substring(md5(concat(lit("split:"), col("id").cast("string"))), 1, 2) < "1a",
+          "eval").otherwise("train").as("split"),
+        transform(sequence(lit(0), lit(19)),
+          i => concat(((col("id") % 900000L) * 17L + i * 31L).cast("string"),
+            lit("_g")).cast("string")).as("grams"))
+      val g = d.select(col("doc_id"), col("split"), explode(col("grams")).as("gr"))
+        .select(col("doc_id"), col("split"), md5(col("gr")).as("gh"))
+      val tr = g.filter(col("split") === "train").select("gh").distinct()
+      g.filter(col("split") === "eval").join(tr, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+        .count()
+    }
     val nVecs = 1000000L
     timed(s"sign-LSH embedding near-dedup candidates over $nVecs synthetic vectors") {
       // md5-derived components: genuinely pseudo-random vectors (a
