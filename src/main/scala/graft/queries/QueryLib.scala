@@ -455,6 +455,22 @@ object QueryLib {
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin))
 
+  private val qCubeOrders = Q(
+    "q_cube_orders",
+    // CUBE completes the grouping-sets family next to q_rollup_orders:
+    // all four (status, priority) marginal combinations in ONE pass —
+    // Spark expands the grouping sets before the partial agg, so the
+    // shuffle still carries O(groups x sets) aggregate buffers, never
+    // the fact rows four times.
+    (s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin))
+
   private val qTopkOrders = Q(
     "q_topk_orders",
     (s, dir) =>
@@ -729,6 +745,35 @@ object QueryLib {
            |  SELECT doc_id, term, score,
            |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
            |  FROM scored) WHERE rank <= 3""".stripMargin))
+
+  private val txtVocab = Q(
+    "txt_vocab",
+    // Global vocabulary builder — the tokenizer-training pre-step
+    // (word-level counts feeding BPE/WordPiece merges): corpus-wide
+    // occurrence count + document frequency per term, top-50 by count.
+    // Two-level hash-agg — (term, doc) partial counts collapse map-side
+    // before the wire, then the term rollup; the top-k is
+    // TakeOrderedAndProject (per-partition heads + driver merge), never
+    // a global window. Shuffles carry O(distinct terms) rows at any
+    // corpus size. The (count DESC, term) total order makes the 50-cut
+    // deterministic.
+    (s, dir) => {
+      val tf = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("term"))
+        .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("doc_freq"))
+        .orderBy(col("n_occurrences").desc, col("term"))
+        .limit(50)
+    },
+    Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |            FROM documents),
+           |pc AS (SELECT term, doc_id, count(*) AS c FROM tf GROUP BY 1, 2),
+           |st AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_occurrences,
+           |              count(*) AS doc_freq
+           |       FROM pc GROUP BY 1)
+           |SELECT term, n_occurrences, doc_freq FROM st
+           |ORDER BY n_occurrences DESC, term LIMIT 50""".stripMargin))
 
   /** The split predicate both holdout queries share: a doc is `eval`
     * iff the first md5 byte of a salted key is < 0x1a (26/256 ≈ 10.2%).
@@ -1356,10 +1401,10 @@ object QueryLib {
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
-    qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qTopkOrders, qStatsVar, qMedian,
-    qSessionize, qFunnel, qRetention,
+    qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
+    qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
-    docHoldout, txtContamination,
+    txtVocab, docHoldout, txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan contracts for the query inventory: structural
+  * properties that decide 100 TB behavior, pinned as tests so a
+  * refactor can't silently reintroduce a disease the bench already
+  * paid for once — the ~8x sketch replan (round 4: 32 parquet scans,
+  * 0 ReusedExchange in dedup_winnow) or an accidental cartesian.
+  * Plans are inspected at sf0.001; plan SHAPE is scale-invariant.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryLib.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(plan: String, needle: String): Int =
+    needle.r.findAllIn(plan).size
+
+  // The deliberate exceptions, all bounded by construction:
+  // sim_embed_dedup is the 500-vector brute-force ANN verifier
+  // baseline; sim_cosine_topk broadcasts 10 query vectors into a
+  // nested-loop scoring join; txt_keywords broadcasts the 1-row corpus
+  // size scalar; sim_label_centroid broadcasts the 10-row centroid
+  // frame into the assignment join.
+  private val cartesianAllowed = Set("sim_embed_dedup")
+  private val nestedLoopAllowed =
+    Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid")
+
+  // Queries whose BUILD already executes jobs (store write paths) —
+  // expensive to instantiate here and structurally covered by their
+  // own specs (TxLogSpec, FeatureStoreSpec).
+  private val skipBuild = Set("fs_store_roundtrip", "fs_store_txlog")
+
+  test("no query plans a cartesian or an unexpected nested-loop join") {
+    val violations = QueryLib.all.map(_.name).filterNot(skipBuild).flatMap { n =>
+      val p = plan(n)
+      val cart = count(p, "CartesianProduct")
+      val bnlj = count(p, "BroadcastNestedLoopJoin")
+      val bad =
+        (if (cart > 0 && !cartesianAllowed(n)) Seq(s"$n: $cart CartesianProduct") else Nil) ++
+        (if (bnlj > 0 && !nestedLoopAllowed(n)) Seq(s"$n: $bnlj BroadcastNestedLoopJoin") else Nil)
+      bad
+    }
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
+
+  test("q_sessionize rides a single hash exchange") {
+    assert(count(plan("q_sessionize"), "Exchange hashpartitioning") === 1)
+  }
+
+  test("q5_nation_rev never shuffles the fact table") {
+    // the only hash exchange is the final O(nations) aggregation; all
+    // five dimension sides broadcast
+    assert(count(plan("q5_nation_rev"), "Exchange hashpartitioning") === 1)
+  }
+
+  test("pinned LSH sketch frames are built once, not replayed per band") {
+    // Counted on the LOGICAL plan, where InMemoryRelation is a LEAF
+    // hiding its cache-fill child — so fileScans is the number of
+    // parquet reads the query executes OUTSIDE the cache. (The plan
+    // STRING is unusable here: every InMemoryTableScan prints its
+    // cached subtree, so one pinned parquet scan appears once per
+    // branch.) Pre-pinning, the expensive sketch stage replayed per
+    // band projection and per verification join-back (~8x).
+    for (n <- Seq("dedup_winnow", "dedup_simhash", "dedup_ngram_jaccard")) {
+      val lp = QueryLib.queries(n)(spark, dir).queryExecution.optimizedPlan
+      val fileScans = lp.collect {
+        case l if l.getClass.getSimpleName == "LogicalRelation" => l
+      }.size
+      val cacheScans = lp.collect {
+        case l if l.getClass.getSimpleName == "InMemoryRelation" => l
+      }.size
+      assert(fileScans <= 1, s"$n: $fileScans uncached parquet scans — sketch replay is back")
+      assert(cacheScans >= 2, s"$n: pinned frame not feeding the band fan-out")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("txt_vocab top-k is a TakeOrdered, not a global window") {
+    val p = plan("txt_vocab")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window"))
+  }
+}
