@@ -115,6 +115,25 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming exact dedup — the continuous analogue of `dedup_exact`
+    * for at-least-once sources (Kafka redeliveries, retried producers):
+    * drop repeats of the same key seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps state per key only until the
+    * watermark passes it, so state is O(keys per horizon) rather than
+    * O(all keys ever) — the form of streaming dedup that survives an
+    * unbounded stream. `timeCol` must be the watermarked event-time
+    * column; dedup keys deliberately EXCLUDE it, so a redelivery with a
+    * jittered timestamp still collapses.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming ingest into a txlog-backed feature with exactly-once
     * table semantics: each micro-batch is normalized like the batch
     * writer and committed atomically via `TimeseriesStore.writeTx`,

@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 42.0)))
   }
 
+  test("dedupStream collapses redelivered keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // key on (user_id, event_type): a redelivery with a jittered
+    // timestamp must still collapse, so ts is NOT part of the key
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:00:00", 1, "click", 1.0),
+      ("2024-01-01T00:00:30", 1, "click", 1.0),  // redelivery, jittered ts
+      ("2024-01-01T00:01:00", 2, "click", 2.0)): _*)
+    q.processAllAvailable()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:02:00", 1, "click", 9.9)): _*) // still within horizon
+    q.processAllAvailable()
+    val out = spark.table("dd").collect().map(r => (r.getLong(1), r.getString(2)))
+    q.stop()
+    assert(out.sorted.toSeq == Seq((1L, "click"), (2L, "click")))
+  }
+
   test("runningLatest keeps one (time,value) state per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
