@@ -36,6 +36,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // pinned LSH sketch frames (QueryLib.mat) are per-query working
+      // sets; without this they accumulate across all queries and the
+      // dump's memory footprint grows with the inventory instead of the
+      // largest single query
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -319,6 +319,20 @@ object SimilarityOps {
     * ^bands] — wider bands lower per-band recall, so raise `bands`
     * together with width when near-threshold recall matters.
     */
+  /** The §PLANS.md-§8 sizing rule as code: planesPerBand ≈ log2(n)
+    * keeps per-band bucket occupancy O(1) — each extra bit halves the
+    * expected bucket population, so 2^planes ≈ n buckets holds the
+    * within-bucket self-join linear. Clamped to [4, 20]: below 4 bits
+    * even tiny corpora collide quadratically; the 60-bit long packing
+    * caps 3 bands at 20. Callers with a known corpus size should pass
+    * `planesPerBand = sizedPlanesPerBand(n)` instead of hand-tuning.
+    */
+  def sizedPlanesPerBand(expectedRows: Long): Int = {
+    require(expectedRows > 0, s"expectedRows must be positive, got $expectedRows")
+    val log2 = math.ceil(math.log(expectedRows.toDouble) / math.log(2.0)).toInt
+    math.max(4, math.min(20, log2))
+  }
+
   def signLshCandidatePairs(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

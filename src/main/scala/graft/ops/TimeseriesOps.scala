@@ -337,6 +337,34 @@ object TimeseriesOps {
   }
 
   // ---------------------------------------------------------------------
+  // Gap-based sessionization (extension — the canonical clickstream
+  // operator; no reference analogue): rows of the same key whose
+  // consecutive time gap exceeds `gapUs` start a new 1-based session.
+  // One lag window marks starts, a running sum over the SAME ordering
+  // assigns ids, so the whole operator — and any following
+  // (keys :+ sessionCol) rollup, via the partitioning-subset rule —
+  // rides a single hash exchange. `tieBreak` columns make the per-key
+  // order total when times can repeat. Keys are required: a key-less
+  // global sessionization would be one unbounded single-task window.
+  // ---------------------------------------------------------------------
+  def sessionize(
+      df: DataFrame,
+      gapUs: Long,
+      keyCols: Seq[String],
+      timeCol: String = TimeCol,
+      tieBreak: Seq[String] = Nil,
+      sessionCol: String = "session_idx"): DataFrame = {
+    require(gapUs > 0, s"session gap must be positive, got $gapUs")
+    require(keyCols.nonEmpty, "sessionize needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((timeCol +: tieBreak).map(col): _*)
+    val gap = unix_micros(col(timeCol)) - unix_micros(lag(col(timeCol), 1).over(w))
+    df.withColumn("__new_session", when(gap.isNull || gap > gapUs, 1L).otherwise(0L))
+      .withColumn(sessionCol, sum(col("__new_session")).over(w))
+      .drop("__new_session")
+  }
+
+  // ---------------------------------------------------------------------
   // A3/O3: last row by time (point lookup for inference, dask.py:196-221).
   // Top-k with k=1 — Spark plans a TakeOrderedAndProject, no full sort.
   // ---------------------------------------------------------------------

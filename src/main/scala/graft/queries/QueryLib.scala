@@ -510,21 +510,17 @@ object QueryLib {
     // rollup is map-side on the already-exchanged rows. Per-user event
     // order is (ts, event_id) — unique, so the running sum's default
     // RANGE frame equals ROWS and both engines agree on every frame.
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-      val marked = T(s, dir, "events").select(
-        col("user_id"), col("ts"), col("event_id"), col("value"),
-        when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L).as("is_new"))
-      marked
-        .withColumn("session_idx", sum(col("is_new")).over(w))
+    (s, dir) =>
+      TimeseriesOps.sessionize(
+          T(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+          gapUs = 1800000000L, keyCols = Seq("user_id"),
+          timeCol = "ts", tieBreak = Seq("event_id"))
         .groupBy(col("user_id"), col("session_idx"))
         .agg(
           count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
-    },
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value")),
     Some("""WITH g AS (SELECT user_id, ts, event_id, value,
            |    CASE WHEN lag(ts) OVER w IS NULL
            |              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000

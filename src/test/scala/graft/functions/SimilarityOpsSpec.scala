@@ -139,4 +139,13 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(exact((q_id, c_id)) == cos, s"pair ($q_id,$c_id)")
     }
   }
+
+  test("sizedPlanesPerBand follows ceil(log2(n)) clamped to [4, 20]") {
+    assert(SimilarityOps.sizedPlanesPerBand(1) == 4)       // floor clamp
+    assert(SimilarityOps.sizedPlanesPerBand(500) == 9)     // ceil(log2 500)
+    assert(SimilarityOps.sizedPlanesPerBand(5000) == 13)
+    assert(SimilarityOps.sizedPlanesPerBand(1000000) == 20)
+    assert(SimilarityOps.sizedPlanesPerBand(1L << 40) == 20) // cap clamp
+    intercept[IllegalArgumentException](SimilarityOps.sizedPlanesPerBand(0))
+  }
 }

@@ -215,4 +215,20 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(Freq.calendarMonths("2y").contains(24))
     assert(Freq.calendarMonths("min").isEmpty) // minutes, not months
   }
+
+  test("sessionize assigns 1-based gap-delimited ids per key with custom names") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", ts("2024-01-01T00:00:00"), 1L),
+      ("a", ts("2024-01-01T00:10:00"), 2L),  // 10m gap: same session
+      ("a", ts("2024-01-01T01:00:00"), 3L),  // 50m gap: new session
+      ("b", ts("2024-01-01T00:00:00"), 4L))
+      .toDF("k", "t", "seq")
+    val out = TimeseriesOps.sessionize(df, gapUs = 1800000000L,
+        keyCols = Seq("k"), timeCol = "t", tieBreak = Seq("seq"), sessionCol = "sid")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 2L), ("b", 4L, 1L)))
+    intercept[IllegalArgumentException](
+      TimeseriesOps.sessionize(df, gapUs = 1L, keyCols = Nil, timeCol = "t"))
+  }
 }
