@@ -742,6 +742,34 @@ object QueryLib {
            |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
            |  FROM scored) WHERE rank <= 3""".stripMargin))
 
+  private val dqEvents = Q(
+    "dq_events",
+    // Declarative data-quality gate over the ingest table: four
+    // constraint families compiled into one scan (plus one two-level
+    // hash-agg for uniqueness) — the validation a pipeline runs before
+    // trusting a new drop. The crossJoin stitches 1-row aggregate
+    // reports; bounded by construction.
+    (s, dir) =>
+      graft.functions.DataQuality.report(T(s, dir, "events"), Seq(
+        graft.functions.DataQuality.NotNull("value"),
+        graft.functions.DataQuality.InRange("value", 5.0, 95.0),
+        graft.functions.DataQuality.InSet("event_type",
+          Seq("click", "view", "purchase", "signup", "error")),
+        graft.functions.DataQuality.Unique(Seq("event_id")))),
+    Some("""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS null_value,
+           |  CAST(sum(CASE WHEN value IS NOT NULL AND (value < 5.0 OR value > 95.0)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS range_value,
+           |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+           |                ('click','view','purchase','signup','error')
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS domain_event_type
+           |  FROM events),
+           |d AS (SELECT CAST(sum(c - 1) AS BIGINT) AS dup_event_id
+           |      FROM (SELECT count(*) AS c FROM events GROUP BY event_id))
+           |SELECT n_rows, null_value, range_value, domain_event_type, dup_event_id
+           |FROM s CROSS JOIN d""".stripMargin))
+
   private val txtVocab = Q(
     "txt_vocab",
     // Global vocabulary builder — the tokenizer-training pre-step
@@ -1400,7 +1428,7 @@ object QueryLib {
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
-    txtVocab, docHoldout, txtContamination,
+    dqEvents, txtVocab, docHoldout, txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
