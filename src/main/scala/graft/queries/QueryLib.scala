@@ -770,6 +770,37 @@ object QueryLib {
            |SELECT n_rows, null_value, range_value, domain_event_type, dup_event_id
            |FROM s CROSS JOIN d""".stripMargin))
 
+  private val qDriftHist = Q(
+    "q_drift_hist",
+    // Feature-drift monitor: first-half vs second-half value histograms
+    // of the ingest stream, per-bin chi-square drift terms. One pass
+    // for both histograms, bounded 1-row totals join.
+    (s, dir) =>
+      graft.functions.Drift.histogramCompare(
+        T(s, dir, "events"),
+        valueCol = "value",
+        isReference = col("ts") < ts("2024-01-16"),
+        binWidth = 50.0, nBins = 10),
+    Some("""WITH b AS (SELECT
+           |    CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
+           |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
+           |  FROM events WHERE value IS NOT NULL),
+           |c AS (SELECT bin, CAST(sum(r) AS BIGINT) AS n_ref,
+           |             CAST(sum(1 - r) AS BIGINT) AS n_cur
+           |      FROM b GROUP BY 1),
+           |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+           |             CAST(sum(n_cur) AS BIGINT) AS tc FROM c)
+           |SELECT bin, n_ref, n_cur,
+           |  CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) AS p_ref,
+           |  CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) AS p_cur,
+           |  CASE WHEN n_ref > 0 THEN round(
+           |    (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+           |       - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+           |    * (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+           |       - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+           |    / (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)), 6) END AS drift
+           |FROM c CROSS JOIN t""".stripMargin))
+
   private val txtVocab = Q(
     "txt_vocab",
     // Global vocabulary builder — the tokenizer-training pre-step
@@ -1428,7 +1459,7 @@ object QueryLib {
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
-    dqEvents, txtVocab, docHoldout, txtContamination,
+    dqEvents, qDriftHist, txtVocab, docHoldout, txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,

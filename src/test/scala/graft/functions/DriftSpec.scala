@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogramCompare bins, clamps outliers, excludes nulls, scores drift") {
+    val df = Seq(
+      (true, Some(5.0)), (true, Some(15.0)), (true, Some(15.0)), (true, Some(-3.0)),
+      (false, Some(5.0)), (false, Some(25.0)), (false, None))
+      .toDF("ref", "v")
+    val out = Drift.histogramCompare(df, "v", col("ref"), binWidth = 10.0, nBins = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // ref: -3 clamps to bin 0 with 5.0 -> bin0=2, two 15s -> bin1=2
+    // cur: 5.0 -> bin0=1, 25.0 -> bin2=1 (null excluded entirely)
+    assert(out(0L)._1 == 2L && out(0L)._2 == 1L)
+    assert(out(1L)._1 == 2L && out(1L)._2 == 0L)
+    assert(out(2L)._1 == 0L && out(2L)._2 == 1L)
+    assert(out(0L)._3 == 0.5 && out(0L)._4 == 0.5) // proportions per side
+    val drift = Drift.histogramCompare(df, "v", col("ref"), 10.0, 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(5))).toMap
+    assert(drift(0L).contains(0.0))   // identical proportions: zero drift
+    assert(drift(1L).contains(0.5))   // (0 - 0.5)^2 / 0.5
+    assert(drift(2L).isEmpty)         // no reference mass: NULL, not infinity
+  }
+}

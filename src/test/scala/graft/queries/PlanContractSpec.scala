@@ -25,11 +25,11 @@ class PlanContractSpec extends SparkSpec {
   // nested-loop scoring join; txt_keywords broadcasts the 1-row corpus
   // size scalar; sim_label_centroid broadcasts the 10-row centroid
   // frame into the assignment join.
-  // dq_events cross-joins 1-row aggregate reports.
+  // dq_events and q_drift_hist cross-join 1-row aggregate totals.
   private val cartesianAllowed = Set("sim_embed_dedup")
   private val nestedLoopAllowed =
     Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid",
-      "dq_events")
+      "dq_events", "q_drift_hist")
 
   // Queries whose BUILD already executes jobs (store write paths) —
   // expensive to instantiate here and structurally covered by their
