@@ -86,6 +86,26 @@ object QueryLib {
            |       max(ts) AS created_time, arg_max(value, ts) AS value
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  private val fsDedupSalted = Q(
+    "fs_dedup_salted",
+    // The hot-key path of dedup under the SAME oracle as
+    // fs_dedup_latest: Scale.dedupLatestSalted splits phase one by a
+    // deterministic salt so one pathological key spreads over 8
+    // reducers, then merges per key — by construction the result is
+    // identical to the unsalted aggregation, and this query pins that
+    // equivalence to the DuckDB gate rather than a spec-only claim.
+    (s, dir) => {
+      val e = T(s, dir, "events").select(
+        col("user_id"),
+        date_trunc("hour", col("ts")).as("time"),
+        col("ts").as("created_time"),
+        col("value"))
+      graft.ops.Scale.dedupLatestSalted(e, salts = 8, keyCols = Seq("user_id"))
+    },
+    Some("""SELECT user_id, date_trunc('hour', ts) AS time,
+           |       max(ts) AS created_time, arg_max(value, ts) AS value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   private val fsTimeTravel = Q(
     "fs_time_travel",
     (s, dir) => {
@@ -741,6 +761,28 @@ object QueryLib {
            |  SELECT doc_id, term, score,
            |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
            |  FROM scored) WHERE rank <= 3""".stripMargin))
+
+  private val qSampleStratified = Q(
+    "q_sample_stratified",
+    // Deterministic k-per-stratum sampling — the eval-set builder that
+    // complements doc_holdout's fractional split: within each language,
+    // take the 10 docs with the hash-smallest salted keys. Stable under
+    // reruns and corpus growth for any doc that stays in the corpus
+    // top-10 of its stratum; the per-stratum window pushes rk <= 10
+    // into a WindowGroupLimit partial top-k, so no stratum ever
+    // materializes beyond k rows per task.
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))), col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+    },
+    Some("""SELECT doc_id, lang, rk FROM (
+           |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+           |    ORDER BY md5(concat('sample:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+           |  FROM documents) WHERE rk <= 10""".stripMargin))
 
   private val dqEvents = Q(
     "dq_events",
@@ -1452,14 +1494,14 @@ object QueryLib {
   // =====================================================================
 
   val all: Seq[Q] = Seq(
-    fsScanRange, fsDedupLatest, fsTimeTravel, fsResample1d, fsResampleYears,
+    fsScanRange, fsDedupLatest, fsDedupSalted, fsTimeTravel, fsResample1d, fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
-    dqEvents, qDriftHist, txtVocab, docHoldout, txtContamination,
+    dqEvents, qDriftHist, qSampleStratified, txtVocab, docHoldout, txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
