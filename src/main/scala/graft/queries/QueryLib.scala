@@ -106,6 +106,30 @@ object QueryLib {
            |       max(ts) AS created_time, arg_max(value, ts) AS value
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  private val fsOhlc = Q(
+    "fs_ohlc",
+    // OHLC bucket downsampling — the financial-style resample the
+    // reference lacks: per (series, day) the chronologically first and
+    // last values ride min_by/max_by aggregation buffers and the
+    // extremes plain min/max, so the whole candle table is ONE hash-agg
+    // with map-side partials — never a window over the raw series.
+    // Deterministic: (user_id, ts) pairs are unique, so min_by/max_by
+    // need no tie-break.
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n_ticks")),
+    Some("""SELECT user_id, date_trunc('day', ts) AS day,
+           |  arg_min(value, ts) AS open, max(value) AS high,
+           |  min(value) AS low, arg_max(value, ts) AS close,
+           |  count(*) AS n_ticks
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   private val fsTimeTravel = Q(
     "fs_time_travel",
     (s, dir) => {
@@ -1494,7 +1518,8 @@ object QueryLib {
   // =====================================================================
 
   val all: Seq[Q] = Seq(
-    fsScanRange, fsDedupLatest, fsDedupSalted, fsTimeTravel, fsResample1d, fsResampleYears,
+    fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
+    fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
