@@ -808,6 +808,29 @@ object QueryLib {
            |    ORDER BY md5(concat('sample:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
            |  FROM documents) WHERE rk <= 10""".stripMargin))
 
+  private val qPivotSources = Q(
+    "q_pivot_sources",
+    // Explicit pivot (cross-tab): doc counts per source x language.
+    // The pivot values are DECLARED, so Spark skips the
+    // distinct-values discovery job and plans one hash-agg with five
+    // conditional count buffers — same single-shuffle shape alignJoin
+    // uses for wide loads. Empty cells are NULL on both engines
+    // (Spark pivot-count semantics; DuckDB sum over an all-NULL CASE).
+    (s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "es", "de", "fr", "zh"))
+        .agg(count(lit(1)))
+        .select(col("source"), col("en").as("n_en"), col("es").as("n_es"),
+          col("de").as("n_de"), col("fr").as("n_fr"), col("zh").as("n_zh")),
+    Some("""SELECT source,
+           |  CAST(sum(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+           |  CAST(sum(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS n_es,
+           |  CAST(sum(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS n_de,
+           |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS n_fr,
+           |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS n_zh
+           |FROM documents GROUP BY 1""".stripMargin))
+
   private val dqEvents = Q(
     "dq_events",
     // Declarative data-quality gate over the ingest table: four
@@ -1526,7 +1549,8 @@ object QueryLib {
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
-    dqEvents, qDriftHist, qSampleStratified, txtVocab, docHoldout, txtContamination,
+    dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
+    txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
