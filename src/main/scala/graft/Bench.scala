@@ -61,7 +61,9 @@ object Bench {
     // round's bench parsed as null. Cold timings are diagnostics only;
     // they go to stderr so they can't bloat (or be mistaken for) the
     // one machine-read stdout line.
-    def f3(d: Double): String = "%.3f".format(d)
+    // Locale.ROOT pinned: the default-locale "%.3f" emits "0,123" on
+    // comma-decimal locales, corrupting the machine-read JSON line.
+    def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def obj(f: ((String, Double, Double, Boolean)) => Double): String =
       results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f3(f(r)) }.mkString("{", ",", "}")
     val qs = obj(_._3)

@@ -39,10 +39,16 @@ object Drift {
         sum(when(isReference, 1L).otherwise(0L)).as("n_ref"),
         sum(when(isReference, 0L).otherwise(1L)).as("n_cur"))
     val totals = counts.agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    // Zero-total guard: with an empty reference (or current) window the
+    // proportion is NULL, not 0/0 — Spark's IEEE NaN and DuckDB's
+    // divide-by-zero handling diverge, and NaN silently poisons every
+    // downstream drift term. NULL propagates identically in both engines.
+    def prop(n: Column, total: Column): Column =
+      when(total > 0, n.cast("double") / total.cast("double"))
     counts.crossJoin(totals)
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        (col("n_ref").cast("double") / col("__tr").cast("double")).as("p_ref"),
-        (col("n_cur").cast("double") / col("__tc").cast("double")).as("p_cur"))
+        prop(col("n_ref"), col("__tr")).as("p_ref"),
+        prop(col("n_cur"), col("__tc")).as("p_cur"))
       .withColumn("drift",
         when(col("n_ref") > 0,
           round((col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref")) /

@@ -359,8 +359,20 @@ object TimeseriesOps {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((timeCol +: tieBreak).map(col): _*)
     val gap = unix_micros(col(timeCol)) - unix_micros(lag(col(timeCol), 1).over(w))
+    // Peer semantics (duplicate (key, time +: tieBreak) rows) are pinned
+    // by the EXPLICIT RANGE frame: the running sum extends through the
+    // whole peer group, so every peer reads the group's total marker
+    // count. Within a peer group exactly one physically-first row can
+    // carry the new-session marker (its peers see gap = 0 <= gapUs), and
+    // which row carries it doesn't change the group total — so session
+    // ids are deterministic even without a tieBreak: peers always land
+    // in the SAME session. A ROWS frame here would instead split peers
+    // by physical order, which is nondeterministic. lag() across the
+    // group boundary is also order-insensitive: all peers share the time
+    // value the next group compares against.
     df.withColumn("__new_session", when(gap.isNull || gap > gapUs, 1L).otherwise(0L))
-      .withColumn(sessionCol, sum(col("__new_session")).over(w))
+      .withColumn(sessionCol, sum(col("__new_session")).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new_session")
   }
 

@@ -27,4 +27,20 @@ class DriftSpec extends SparkSpec {
     assert(drift(1L).contains(0.5))   // (0 - 0.5)^2 / 0.5
     assert(drift(2L).isEmpty)         // no reference mass: NULL, not infinity
   }
+
+  test("histogramCompare yields NULL proportions when a whole window is empty") {
+    // every row is reference: the current side has zero TOTAL mass, so
+    // p_cur must be NULL per bin (not 0/0 -> NaN, which diverges between
+    // Spark and the DuckDB oracle and poisons downstream arithmetic)
+    val refOnly = Seq((true, Some(5.0)), (true, Some(15.0))).toDF("ref", "v")
+    val out = Drift.histogramCompare(refOnly, "v", col("ref"), 10.0, 2)
+      .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out.values.forall(_._2.isEmpty))          // p_cur NULL everywhere
+    assert(out(0L)._1.contains(0.5) && out(1L)._1.contains(0.5))
+    val curOnly = Seq((false, Some(5.0))).toDF("ref", "v")
+    val flip = Drift.histogramCompare(curOnly, "v", col("ref"), 10.0, 2)
+      .collect().map(r => (Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+    assert(flip.forall(t => t._1.isEmpty))           // p_ref NULL
+    assert(flip.forall(t => t._3.isEmpty))           // drift NULL, not Inf
+  }
 }

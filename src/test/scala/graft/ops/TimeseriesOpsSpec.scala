@@ -231,4 +231,24 @@ class TimeseriesOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeseriesOps.sessionize(df, gapUs = 1L, keyCols = Nil, timeCol = "t"))
   }
+
+  test("sessionize is deterministic on duplicate (key, time) rows without a tieBreak") {
+    import spark.implicits._
+    // three peers at 01:00 after a >gap jump: the RANGE frame must put
+    // ALL of them in session 2 regardless of physical input order
+    val rows = Seq(
+      ("a", ts("2024-01-01T00:00:00"), 1L),
+      ("a", ts("2024-01-01T01:00:00"), 2L),
+      ("a", ts("2024-01-01T01:00:00"), 3L),
+      ("a", ts("2024-01-01T01:00:00"), 4L),
+      ("a", ts("2024-01-01T01:10:00"), 5L))
+    val expected = Set((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L), (5L, 2L))
+    for (perm <- Seq(rows, rows.reverse, rows.sortBy(_._3 % 3))) {
+      val out = TimeseriesOps.sessionize(
+          perm.toDF("k", "t", "seq").repartition(3),
+          gapUs = 1800000000L, keyCols = Seq("k"), timeCol = "t")
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+      assert(out == expected)
+    }
+  }
 }
