@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * step every near-dedup pipeline needs between "similar pairs" and
+  * "keep one canonical doc per duplicate group": LSH + verify emits
+  * pairs (a~b, b~c), and only the transitive closure turns them into
+  * groups ({a,b,c} keeps min id).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+  * each round is two hash-shuffles over the EDGE list (a groupBy-min
+  * plus a join back), and the edge set converges to per-component stars
+  * rooted at the component's minimum id in O(log^2 n) rounds
+  * independent of component diameter. Naive min-label propagation needs
+  * O(diameter) rounds — a 1000-doc duplicate CHAIN (a~b~c~...) would
+  * take 1000 shuffles; star contraction takes ~10. Every intermediate
+  * edge set is `localCheckpoint`ed: the loop would otherwise stack an
+  * exponentially growing lineage, and the checkpoint also materializes
+  * each round exactly once (on a multi-executor cluster prefer reliable
+  * `checkpoint` to survive executor loss on long chains).
+  *
+  * Determinism: both star operations only ever take minima, so the
+  * fixed point — and therefore every (node, component) label — is
+  * unique regardless of partitioning, input order, or iteration
+  * interleaving.
+  *
+  * Scale (100 TB corpus): the input here is the VERIFIED-duplicate pair
+  * list, orders of magnitude smaller than the corpus; all per-round
+  * operations are key-partitioned aggregations/joins on that edge list,
+  * so the contraction parallelizes across executors and never collects
+  * edges to the driver (the only driver-side values are the per-round
+  * convergence counters).
+  */
+object Components {
+
+  private val S = "__cc_src"
+  private val D = "__cc_dst"
+
+  /** (node, component) for every node incident to an edge, where
+    * `component` is the minimum node id of the node's connected
+    * component (so `node === component` marks the canonical root).
+    * Nodes with no edges don't appear — union singletons back if the
+    * caller wants total coverage. Ids must be orderable and non-null;
+    * self-loops are ignored.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    // canonical orientation (big -> small) + dedup; both star ops below
+    // preserve the invariant S > D
+    var e = edges
+      .select(col(srcCol).as(S), col(dstCol).as(D))
+      .filter(col(S).isNotNull && col(D).isNotNull && col(S) =!= col(D))
+      .select(greatest(col(S), col(D)).as(S), least(col(S), col(D)).as(D))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: every node u links its LARGER neighbors to
+    // min(N(u) + {u}); small-star: u links its smaller neighbors and
+    // itself to min(N(u)). Emitted pairs always point strictly downward.
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.unionByName(in.select(col(D).as(S), col(S).as(D)))
+      val mins = sym.groupBy(col(S).as("__u"))
+        .agg(min(col(D)).as("__mn"))
+        .select(col("__u"), least(col("__u"), col("__mn")).as("__m"))
+      sym.join(mins, sym(S) === mins("__u"))
+        .filter(col(D) > col(S))
+        .select(col(D).as(S), col("__m").as(D))
+        .distinct()
+    }
+
+    def smallStar(in: DataFrame): DataFrame = {
+      val mins = in.groupBy(col(S).as("__u")).agg(min(col(D)).as("__m"))
+      in.join(mins, in(S) === mins("__u"))
+        .filter(col(D) =!= col("__m"))
+        .select(col(D).as(S), col("__m").as(D))
+        .unionByName(mins.select(col("__u").as(S), col("__m").as(D)))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(e))
+      // set equality: equal cardinality + empty one-sided difference
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds " +
+          "(expected O(log^2 n); raise maxIterations for adversarial graphs)")
+
+    // fixed point = stars: every non-root points at its component min
+    e.select(col(S).as("node"), col(D).as("component"))
+      .unionByName(e.select(col(D).as("node"), col(D).as("component")))
+      .distinct()
+  }
+}

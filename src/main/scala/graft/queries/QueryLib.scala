@@ -1088,6 +1088,47 @@ object QueryLib {
            |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin))
 
+  private val dedupComponents = Q(
+    "dedup_components",
+    // duplicate-GROUP assignment — the step between "similar pairs" and
+    // "keep one canonical doc": verified trigram-Jaccard pairs (same
+    // LSH template as dedup_minhash_lsh, looser 0.3 cut so transitive
+    // chains a~b~c appear) are closed into connected components via
+    // alternating large/small-star contraction; cluster_id is the
+    // component's min doc_id, i.e. the canonical survivor. The oracle
+    // recomputes the closure INDEPENDENTLY (recursive-CTE BFS) — only
+    // the pair list is shared, so a contraction bug cannot cancel out.
+    (s, dir) => {
+      val base = mat(T(s, dir, "documents").select(
+        col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val pairs = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          aName = "doc_a", bName = "doc_b")
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      graft.functions.Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").cast("long").as("doc_id"),
+          col("component").cast("long").as("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |${lshOracleCtes("base", "sh", Nil)},
+           |pairs AS (SELECT doc_a, doc_b
+           |          FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
+           |          WHERE ${lshVerifySql("sh")} >= 0.3),
+           |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT s AS node, s AS label FROM edges
+           |  UNION
+           |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node)
+           |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY node""".stripMargin))
+
   private val dedupWinnow = Q(
     "dedup_winnow",
     // winnowing-sketch near-dup pairs within (lang, source). The sketch
@@ -1552,7 +1593,7 @@ object QueryLib {
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
-    curateDocs,
+    dedupComponents, curateDocs,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
     mmBinaryMeta)
 
