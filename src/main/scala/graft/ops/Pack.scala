@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing — the "concatenate the corpus, then cut it
+  * into fixed-token-budget shards" step of a training-data pipeline:
+  * documents are laid out in a deterministic order and each doc is
+  * assigned to the shard its FIRST token lands in
+  * (`shard = start_offset div budget`), exactly the layout a
+  * concat-then-chunk tokenizer run would produce.
+  *
+  * Scale: the obvious formulation — one running sum windowed by the
+  * group column — is a single sort task per group, so a 5-language
+  * 100 TB corpus would grind through 5 tasks. This is instead an exact
+  * two-phase distributed prefix sum:
+  *
+  *   1. range-repartition on (group, order) and sort within partitions
+  *      — every partition holds a contiguous slice of the global order;
+  *   2. per-(partition, group) token subtotals — a metadata-sized frame
+  *      (numPartitions x groups rows) whose exclusive running sum per
+  *      group yields each slice's starting offset;
+  *   3. broadcast the offsets back and window WITHIN each partition
+  *      slice — thousands of parallel tasks, none larger than one
+  *      repartition slice.
+  *
+  * The output is bit-identical to the single-window formulation (the
+  * per-slice offset restores the global prefix), which the spec pins.
+  * The ranged frame is `localCheckpoint`ed for CORRECTNESS, not speed:
+  * range partitioning samples its boundaries, so the subtotal pass and
+  * the final pass must observe the SAME physical partitioning — a
+  * recomputation between the two could re-draw boundaries and attribute
+  * rows to the wrong offset.
+  */
+object Pack {
+
+  private val PID = "__pack_pid"
+
+  /** Adds `shardCol`: the 0-based shard index of each row under
+    * `budget` tokens per shard, streams running independently per
+    * `groupCols` combination in `orderCols` order. `orderCols` must
+    * totally order rows within a group (e.g. a unique id) — ties under
+    * a ROWS-frame running sum would be nondeterministic. Docs longer
+    * than the budget belong to the shard where they start.
+    */
+  def packByBudget(
+      df: DataFrame,
+      tokenCol: String,
+      budget: Long,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      shardCol: String = "shard_idx",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(orderCols.nonEmpty, "packByBudget needs ordering columns")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val layout = (groupCols ++ orderCols).map(col)
+
+    val ranged = df
+      .repartitionByRange(n, layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .withColumn(PID, spark_partition_id())
+      .localCheckpoint(true)
+
+    // per-slice subtotals -> exclusive prefix per group across slices;
+    // numPartitions x groups rows, so the window here is metadata-sized
+    val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy((PID +: groupCols).map(col): _*)
+      .agg(sum(col(tokenCol).cast("long")).as("__ptoks"))
+      .withColumn("__off", coalesce(sum(col("__ptoks")).over(offW), lit(0L)))
+      .drop("__ptoks")
+
+    val inW = Window.partitionBy((PID +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsets), PID +: groupCols)
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(inW) + col("__off"))
+      // exact integer division: start offset of the row div budget
+      .withColumn(shardCol,
+        expr(s"(__cum - CAST(`$tokenCol` AS BIGINT)) div CAST($budget AS BIGINT)"))
+      .drop(PID, "__off", "__cum")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packByBudget assigns docs to the shard where their first token lands") {
+    val df = Seq(
+      ("en", 1L, 4L), ("en", 2L, 4L), ("en", 3L, 4L),  // offsets 0,4,8
+      ("en", 4L, 15L),                                 // starts at 12 -> shard 1
+      ("en", 5L, 1L),                                  // starts at 27 -> shard 2
+      ("de", 9L, 30L), ("de", 10L, 1L))                // independent stream
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Pack.packByBudget(df, "n_tokens", budget = 10L,
+        groupCols = Seq("lang"), orderCols = Seq("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out == Map(
+      ("en", 1L) -> 0L, ("en", 2L) -> 0L, ("en", 3L) -> 0L,
+      ("en", 4L) -> 1L, ("en", 5L) -> 2L,
+      ("de", 9L) -> 0L, ("de", 10L) -> 3L))
+  }
+
+  test("two-phase packing is bit-identical to a single global window at any partitioning") {
+    // pseudo-random but deterministic token lengths over 3 groups
+    val rows = (1L to 500L).map { i =>
+      (s"g${i % 3}", i, (i * 2654435761L % 97L) + 1L)
+    }
+    val df = rows.toDF("g", "id", "n").repartition(7)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = df
+      .withColumn("c", sum(col("n")).over(w))
+      .select(col("g"), col("id"),
+        expr("(c - n) div CAST(256 AS BIGINT)").as("shard_idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 3, 11)) {
+      val packed = Pack.packByBudget(df, "n", 256L, Seq("g"), Seq("id"),
+          numPartitions = Some(parts))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(packed == reference, s"mismatch at numPartitions=$parts")
+    }
+  }
+
+  test("rejects non-positive budgets and missing ordering") {
+    val df = Seq(("en", 1L, 4L)).toDF("lang", "doc_id", "n_tokens")
+    intercept[IllegalArgumentException](
+      Pack.packByBudget(df, "n_tokens", 0L, Seq("lang"), Seq("doc_id")))
+    intercept[IllegalArgumentException](
+      Pack.packByBudget(df, "n_tokens", 10L, Seq("lang"), Nil))
+  }
+}
