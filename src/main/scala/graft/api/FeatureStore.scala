@@ -107,11 +107,17 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
 
   def listNamespaces(regex: Option[String] = None): Seq[Namespace] = catalog.listNamespaces(regex)
 
+  /** `storageOptions`, when given, REPLACES the stored map wholesale —
+    * the reference facade allows rotating credentials through update
+    * (core.py:137-142); subsequent loads pick the new options up via
+    * the catalog's freshness stamp.
+    */
   def updateNamespace(
       name: String,
       description: Option[String] = None,
-      meta: Map[String, Option[String]] = Map.empty): Unit =
-    catalog.updateNamespace(name, description, meta)
+      meta: Map[String, Option[String]] = Map.empty,
+      storageOptions: Option[Map[String, String]] = None): Unit =
+    catalog.updateNamespace(name, description, meta, storageOptions)
 
   def deleteNamespace(name: String): Unit = catalog.deleteNamespace(name)
 

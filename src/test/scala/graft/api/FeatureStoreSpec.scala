@@ -325,6 +325,29 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.loadDataFrame(Seq("opts/f")).count() == 3)
   }
 
+  test("updateNamespace rotates storage options through the facade (core.py:137-142)") {
+    val dir = tmpDir("graft-fs-rotate")
+    val fs = new FeatureStore(spark, s"$dir/catalog.json")
+    fs.createNamespace("rot", s"$dir/warehouse",
+      storageOptions = Map("graft.test.credential" -> "old-secret"))
+    fs.createFeature("rot/f")
+    fs.saveDataFrame(dailySeries("2024-01-01", 3, _.toDouble), name = Some("rot/f"))
+    // credential rotation through the PUBLIC facade (not the catalog
+    // layer): replaces the map wholesale, bumps the version, and the
+    // next load's per-namespace Hadoop conf carries the new secret
+    fs.updateNamespace("rot", storageOptions = Some(Map("graft.test.credential" -> "new-secret")))
+    val ns = fs.listNamespaces(Some("^rot$")).head
+    assert(ns.storageOptions == Map("graft.test.credential" -> "new-secret"))
+    assert(ns.version == 2)
+    assert(fs.store(ns).hadoopConf.get("graft.test.credential") == "new-secret")
+    // reads keep working under the rotated options
+    assert(fs.loadDataFrame(Seq("rot/f")).count() == 3)
+    // meta/description update alone must NOT clobber the options
+    fs.updateNamespace("rot", description = Some("rotated"))
+    assert(fs.listNamespaces(Some("^rot$")).head.storageOptions ==
+      Map("graft.test.credential" -> "new-secret"))
+  }
+
   test("save validation: extraneous columns rejected, empty save is a no-op") {
     val fs = freshStore()
     fs.createFeature("test/val")
