@@ -42,18 +42,19 @@ object Bench {
         } catch { case _: Throwable => true }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    // cold run first (JIT + first parquet scan), then two warm runs;
+    // cold run first (JIT + first parquet scan), then THREE warm runs;
     // the REPORTED per-query number is the BEST warm run — the noise
     // floor, standard benchmarking practice: system-level drift (CPU
     // frequency, page cache, a co-tenant burst) only ever ADDS time, so
     // min() converges on the query's actual cost while a single sample
     // rides the noise (bit-identical code measured 2.8x apart across
-    // rounds before this)
+    // rounds before this; min-of-2 still let a contended stretch poison
+    // five adjacent queries 2-7x in one round — the third sample means
+    // one bad stretch has to strike the same query three times to show)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (coldT, coldErr) = once(fn)
-      val (warm1, warmErr1) = once(fn)
-      val (warm2, warmErr2) = once(fn)
-      (name, coldT, math.min(warm1, warm2), coldErr || warmErr1 || warmErr2)
+      val warms = Seq.fill(3)(once(fn))
+      (name, coldT, warms.map(_._1).min, coldErr || warms.exists(_._2))
     }
     // 3-decimal timings: the driver captures only the TAIL of stdout, so
     // the final JSON line must stay compact — full-precision doubles for

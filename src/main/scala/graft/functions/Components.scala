@@ -50,7 +50,17 @@ object Components {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIterations)._1
+
+  /** As [[connectedComponents]], also reporting how many contraction
+    * rounds ran — for scale probes pinning the O(log^2 n) claim.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIterations: Int = 50): (DataFrame, Int) = {
     // canonical orientation (big -> small) + dedup; both star ops below
     // preserve the invariant S > D
     var e = edges
@@ -84,13 +94,37 @@ object Components {
         .localCheckpoint(true)
     }
 
+    // Single-job set-equality witness per round: (cardinality,
+    // order-independent XOR of per-edge xxhash64). The previous form —
+    // count() plus except().isEmpty — was two jobs per round, one of
+    // them a full set-difference shuffle; the signature is one
+    // aggregate over the just-materialized checkpoint. False
+    // convergence needs two DIFFERENT consecutive edge sets with equal
+    // cardinality whose 64-bit hash-XORs collide — and since both star
+    // ops only take minima, consecutive sets differ only along the
+    // monotone contraction trajectory, so a same-size non-fixpoint
+    // round is already rare before the 2^-64 hash coincidence.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col(S), col(D))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (eCount, eSig) = signature(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = smallStar(largeStar(e))
-      // set equality: equal cardinality + empty one-sided difference
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val next = smallStar(largeStar(e)) // eagerly materialized checkpoint
+      val (nCount, nSig) = signature(next)
+      converged = nCount == eCount && nSig == eSig
+      // `next` is materialized, so the superseded round's blocks are
+      // dead — free them now instead of waiting for GC (a long
+      // contraction would otherwise stack one cached edge set per round
+      // in executor storage memory)
+      unpersistCheckpoint(e)
       e = next
+      eCount = nCount
+      eSig = nSig
       iter += 1
     }
     if (!converged)
@@ -99,8 +133,43 @@ object Components {
           "(expected O(log^2 n); raise maxIterations for adversarial graphs)")
 
     // fixed point = stars: every non-root points at its component min
-    e.select(col(S).as("node"), col(D).as("component"))
+    (e.select(col(S).as("node"), col(D).as("component"))
       .unionByName(e.select(col(D).as("node"), col(D).as("component")))
-      .distinct()
+      .distinct(), iter)
   }
+
+  /** Total clustering over an explicit node universe: every node in
+    * `nodes` gets a component label, and nodes untouched by any edge
+    * label THEMSELVES (singleton clusters). This is the shape a
+    * curation join actually wants — [[connectedComponents]] alone
+    * covers only edge-incident nodes, so joining its output against
+    * the corpus would silently drop every unique document. The node
+    * side is corpus-sized but the label side is bounded by the
+    * verified-duplicate pair list, so the left join broadcasts (or
+    * AQE-broadcasts) rather than shuffling the corpus.
+    */
+  def totalComponents(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val labels = connectedComponents(edges, srcCol, dstCol, maxIterations)
+    nodes.select(col(idCol).as("node")).distinct()
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Free the block-manager storage of a superseded localCheckpoint
+    * round: Dataset.unpersist only clears CacheManager entries, but a
+    * localCheckpoint pins its data as a persisted RDD inside the
+    * plan's LogicalRDD leaf — that RDD must be unpersisted directly.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

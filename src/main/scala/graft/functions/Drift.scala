@@ -40,9 +40,13 @@ object Drift {
         sum(when(isReference, 0L).otherwise(1L)).as("n_cur"))
     val totals = counts.agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
     // Zero-total guard: with an empty reference (or current) window the
-    // proportion is NULL, not 0/0 — Spark's IEEE NaN and DuckDB's
-    // divide-by-zero handling diverge, and NaN silently poisons every
-    // downstream drift term. NULL propagates identically in both engines.
+    // proportion is declared NULL outright. On the Spark side this is
+    // belt-and-braces (Spark double division by zero already yields
+    // NULL, same as SimilarityOps' 0/0 Jaccard note) — the engine that
+    // actually diverges is DuckDB, whose double division produces IEEE
+    // Inf/NaN, so any SQL oracle over this output must carry the SAME
+    // zero-total CASE guard (q_drift_hist's does) for NULL-for-NULL
+    // parity on an empty window.
     def prop(n: Column, total: Column): Column =
       when(total > 0, n.cast("double") / total.cast("double"))
     counts.crossJoin(totals)

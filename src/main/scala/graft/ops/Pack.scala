@@ -43,6 +43,16 @@ object Pack {
     * totally order rows within a group (e.g. a unique id) — ties under
     * a ROWS-frame running sum would be nondeterministic. Docs longer
     * than the budget belong to the shard where they start.
+    *
+    * PRECONDITION (like the ordering contract above, the caller's to
+    * meet): `tokenCol` must be non-null and non-negative. A NULL count
+    * would silently null out that row's `shardCol` (sum() skips it but
+    * the closing start-offset subtraction propagates the NULL), and a
+    * negative count breaks the monotone-offset invariant, misassigning
+    * every later row in the group. Counts come from a tokenizer — run
+    * [[graft.functions.DataQuality]] NotNull/InRange upstream if the
+    * source is untrusted; an unconditional per-row assert here would
+    * tax every row of a 100 TB pass for a pipeline-authoring bug.
     */
   def packByBudget(
       df: DataFrame,

@@ -325,6 +325,46 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsTrainingFrame = Q(
+    "fs_training_frame",
+    // the feature-store MARQUEE op under the oracle gate: point-in-
+    // time-correct training-set assembly through the FULL facade
+    // (catalog + normalizing writer + loadSeries + align + un-keyed
+    // bucketed as-of). Two features (hourly click/view means, decimal-
+    // exact like q_stats_var) are written through saveDataFrame, then
+    // trainingFrame attaches each feature's value AS OF every purchase
+    // label's time — never a later observation. The oracle reassembles
+    // the same frame with chained DuckDB ASOF JOINs over the same
+    // hourly aggregates, so a leak of even one future value hashes red.
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tf").toString
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("tf", s"$tmp/warehouse")
+      fs.createFeature("tf/clicks")
+      fs.createFeature("tf/views")
+      def hourly(tpe: String) =
+        T(s, dir, "events").filter(col("event_type") === tpe)
+          .groupBy(date_trunc("hour", col("ts")).as("time"))
+          .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("value"))
+      fs.saveDataFrame(hourly("click"), name = Some("tf/clicks"))
+      fs.saveDataFrame(hourly("view"), name = Some("tf/views"))
+      val labels = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("event_id"))
+      fs.trainingFrame(labels, Seq("tf/clicks", "tf/views"))
+        .withColumnRenamed("tf/clicks", "f_clicks")
+        .withColumnRenamed("tf/views", "f_views")
+    },
+    Some("""WITH c AS (SELECT date_trunc('hour', ts) AS time,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS f_clicks
+           |  FROM events WHERE event_type = 'click' GROUP BY 1),
+           |v AS (SELECT date_trunc('hour', ts) AS time,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS f_views
+           |  FROM events WHERE event_type = 'view' GROUP BY 1),
+           |lab AS (SELECT ts AS time, event_id FROM events WHERE event_type = 'purchase')
+           |SELECT lab.time, lab.event_id, c.f_clicks, v.f_views
+           |FROM lab ASOF LEFT JOIN c ON c.time <= lab.time
+           |         ASOF LEFT JOIN v ON v.time <= lab.time""".stripMargin))
+
   private val qStatsVar = Q(
     "q_stats_var",
     // mean/variance from exact decimal moment sums: sums are exact in
@@ -870,6 +910,11 @@ object QueryLib {
         valueCol = "value",
         isReference = col("ts") < ts("2024-01-16"),
         binWidth = 50.0, nBins = 10),
+    // The p_ref/p_cur CASE guards mirror Drift.histogramCompare's
+    // zero-total guard: DuckDB double division yields IEEE Inf/NaN
+    // where Spark yields NULL, so an empty reference (or current)
+    // window must be declared NULL here too or the engines diverge.
+    // drift then inherits NULL from a NULL proportion in both engines.
     Some("""WITH b AS (SELECT
            |    CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
            |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
@@ -878,17 +923,15 @@ object QueryLib {
            |             CAST(sum(1 - r) AS BIGINT) AS n_cur
            |      FROM b GROUP BY 1),
            |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
-           |             CAST(sum(n_cur) AS BIGINT) AS tc FROM c)
-           |SELECT bin, n_ref, n_cur,
-           |  CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) AS p_ref,
-           |  CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) AS p_cur,
+           |             CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+           |p AS (SELECT bin, n_ref, n_cur,
+           |        CASE WHEN tr > 0 THEN CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) END AS p_ref,
+           |        CASE WHEN tc > 0 THEN CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) END AS p_cur
+           |      FROM c CROSS JOIN t)
+           |SELECT bin, n_ref, n_cur, p_ref, p_cur,
            |  CASE WHEN n_ref > 0 THEN round(
-           |    (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
-           |       - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
-           |    * (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
-           |       - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
-           |    / (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)), 6) END AS drift
-           |FROM c CROSS JOIN t""".stripMargin))
+           |    (p_cur - p_ref) * (p_cur - p_ref) / p_ref, 6) END AS drift
+           |FROM p""".stripMargin))
 
   private val txtVocab = Q(
     "txt_vocab",
@@ -1095,9 +1138,13 @@ object QueryLib {
     // LSH template as dedup_minhash_lsh, looser 0.3 cut so transitive
     // chains a~b~c appear) are closed into connected components via
     // alternating large/small-star contraction; cluster_id is the
-    // component's min doc_id, i.e. the canonical survivor. The oracle
-    // recomputes the closure INDEPENDENTLY (recursive-CTE BFS) — only
-    // the pair list is shared, so a contraction bug cannot cancel out.
+    // component's min doc_id, i.e. the canonical survivor. The output
+    // is a TOTAL clustering: docs untouched by any duplicate pair come
+    // back labelled as their own singleton cluster (totalComponents),
+    // so `GROUP BY cluster_id` downstream covers the whole corpus
+    // instead of silently dropping unique docs. The oracle recomputes
+    // the closure INDEPENDENTLY (recursive-CTE BFS) — only the pair
+    // list is shared, so a contraction bug cannot cancel out.
     (s, dir) => {
       val base = mat(T(s, dir, "documents").select(
         col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
@@ -1108,7 +1155,7 @@ object QueryLib {
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.3)
         .select(col("doc_a"), col("doc_b"))
-      graft.functions.Components.connectedComponents(pairs, "doc_a", "doc_b")
+      graft.functions.Components.totalComponents(base, "doc_id", pairs, "doc_a", "doc_b")
         .select(col("node").cast("long").as("doc_id"),
           col("component").cast("long").as("cluster_id"))
     },
@@ -1125,9 +1172,12 @@ object QueryLib {
            |reach AS (
            |  SELECT s AS node, s AS label FROM edges
            |  UNION
-           |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node)
-           |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-           |FROM reach GROUP BY node""".stripMargin))
+           |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+           |cl AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+           |       FROM reach GROUP BY node)
+           |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           |       coalesce(cl.cluster_id, CAST(b.doc_id AS BIGINT)) AS cluster_id
+           |FROM base b LEFT JOIN cl ON cl.node = b.doc_id""".stripMargin))
 
   private val dedupWinnow = Q(
     "dedup_winnow",
@@ -1557,6 +1607,34 @@ object QueryLib {
            |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM exact
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin))
 
+  private val qPackShards = Q(
+    "q_pack_shards",
+    // token-budget shard packing under the oracle gate — the
+    // "concatenate the corpus, cut into fixed-budget shards" layout
+    // step: whitespace token counts per doc, concat order (lang,
+    // doc_id), 5000-token shards running independently per lang. The
+    // Spark side is the two-phase distributed prefix sum (range
+    // repartition + metadata-sized per-slice offsets + broadcast-back;
+    // PackSpec pins its bit-equality to the single-window form at any
+    // partitioning); the oracle IS that single-window form, so the
+    // hash gate certifies the distributed decomposition end-to-end.
+    (s, dir) =>
+      graft.ops.Pack.packByBudget(
+        T(s, dir, "documents").select(
+          col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens")),
+        tokenCol = "n_tokens", budget = 5000L,
+        groupCols = Seq("lang"), orderCols = Seq("doc_id")),
+    // HUGEINT-vs-BIGINT: DuckDB's sum(BIGINT) is HUGEINT and fetchdf
+    // would float64 it, so the shard index is CAST back to BIGINT.
+    Some("""WITH t AS (SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents)
+           |SELECT doc_id, lang, n_tokens,
+           |  CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |          ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000 AS BIGINT)
+           |    AS shard_idx
+           |FROM t""".stripMargin))
+
   // =====================================================================
   // Multimodal plumbing: opaque binary payloads + typed metadata
   // =====================================================================
@@ -1586,6 +1664,7 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
+    fsTrainingFrame,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
@@ -1593,7 +1672,7 @@ object QueryLib {
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
-    dedupComponents, curateDocs,
+    dedupComponents, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
     mmBinaryMeta)
 

@@ -180,6 +180,28 @@ object ScaleProbe {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
         .count()
     }
+    // Connected-components star contraction at 1M edges, both
+    // adversarial shapes: a single CHAIN (diameter = n — the worst case
+    // for plain label propagation, which would need n rounds; the
+    // large/small-star contraction must fold it diameter-independently
+    // in O(log^2 n) rounds) and a broad STAR (one max-degree hub — the
+    // worst case for hub replication in the large-star step). Reports
+    // rounds alongside time so the log^2 claim is measured, not cited.
+    val nCcEdges = 1000000L
+    timed(s"connected components over a $nCcEdges-edge chain (diameter $nCcEdges)") {
+      val chain = spark.range(nCcEdges).select((col("id") + 1L).as("a"), col("id").as("b"))
+      val (labels, rounds) = graft.functions.Components
+        .connectedComponentsWithRounds(chain, "a", "b", maxIterations = 100)
+      val r = labels.agg(count(lit(1)), countDistinct(col("component"))).head()
+      println(s"[probe]   chain: rounds=$rounds nodes=${r.getLong(0)} components=${r.getLong(1)}")
+    }
+    timed(s"connected components over a $nCcEdges-edge star (hub degree $nCcEdges)") {
+      val star = spark.range(nCcEdges).select((col("id") + 1L).as("a"), lit(0L).as("b"))
+      val (labels, rounds) = graft.functions.Components
+        .connectedComponentsWithRounds(star, "a", "b")
+      val r = labels.agg(count(lit(1)), countDistinct(col("component"))).head()
+      println(s"[probe]   star: rounds=$rounds nodes=${r.getLong(0)} components=${r.getLong(1)}")
+    }
     val nVecs = 1000000L
     timed(s"sign-LSH embedding near-dedup candidates over $nVecs synthetic vectors") {
       // md5-derived components: genuinely pseudo-random vectors (a

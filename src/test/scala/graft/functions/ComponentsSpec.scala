@@ -54,4 +54,24 @@ class ComponentsSpec extends SparkSpec {
     assert(labels == Map(2L -> 2L, 4L -> 2L)) // node 2 is its own root
     assert(!labels.contains(99L))
   }
+
+  test("totalComponents labels edge-untouched nodes as their own singleton cluster") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 99L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 2L)).toDF("a", "b")
+    val labels = Components.totalComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 99L -> 99L))
+  }
+
+  test("a 500-node chain folds in O(log^2 n) rounds under the one-aggregate fixpoint check") {
+    // diameter 500: label propagation would need ~500 rounds; the
+    // contraction with the (count, xor-of-hashes) convergence witness
+    // must still fold it in well under 20
+    val chain = (1L until 500L).map(i => (i + 1, i)).toDF("a", "b")
+    val (labels, rounds) =
+      Components.connectedComponentsWithRounds(chain, "a", "b")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 500 && out.values.forall(_ == 1L))
+    assert(rounds <= 20, s"chain took $rounds rounds — contraction is not diameter-independent")
+  }
 }
