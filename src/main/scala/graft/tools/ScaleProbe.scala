@@ -12,11 +12,14 @@ import graft.ops.TimeseriesOps
   * through the kernel's hot path — dedup-latest then daily
   * resample+ffill — entirely from `spark.range` (no IO), to measure how
   * the operators themselves behave beyond the driver's sf0.1.
-  * `runMain graft.tools.ScaleProbe [rows]`
+  * `runMain graft.tools.ScaleProbe [rows] [labelFilter]` — the optional
+  * second arg runs only probes whose label contains it (substring),
+  * so one operator can be re-measured without paying the full suite.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val only: Option[String] = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
@@ -33,11 +36,14 @@ object ScaleProbe {
       timestamp_millis(lit(base) + col("id") * 7L).as("created_time"),
       (col("id") % 1000).cast("double").as("value"))
 
-    def timed[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      r
+    def timed[A](label: String)(f: => A): Option[A] = {
+      if (!only.forall(label.contains)) None
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        Some(r)
+      }
     }
 
     timed(s"dedupLatest over $n rows") {
@@ -215,6 +221,19 @@ object ScaleProbe {
       graft.functions.SimilarityOps
         .signLshCandidatePairs(e, "vec_id", "v", dim = 64, bands = 3, planesPerBand = 20)
         .count()
+    }
+    // Token-budget shard packing at 2N rows over 8 groups: the naive
+    // per-group running-sum window would be 8 giant single-task sorts;
+    // the two-phase prefix sum range-partitions once, computes a
+    // (numPartitions x groups)-row offset frame, and broadcasts it
+    // back — every window task bounded by one repartition slice.
+    timed(s"packByBudget over ${2 * n} rows, 8 groups") {
+      val docs = spark.range(2 * n).select(
+        concat(lit("lang"), (col("id") % 8L).cast("string")).as("lang"),
+        col("id").as("doc_id"),
+        (col("id") % 997L + 1L).as("n_tokens"))
+      graft.ops.Pack.packByBudget(docs, "n_tokens", 100000L, Seq("lang"), Seq("doc_id"))
+        .agg(countDistinct(col("shard_idx")), count(lit(1))).collect()
     }
     spark.stop()
   }

@@ -86,4 +86,14 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Window"))
   }
+
+  test("q_pack_shards joins slice offsets by broadcast, never by shuffling the corpus") {
+    // the two-phase prefix sum's design point: the corpus-sized side
+    // meets the metadata-sized (numPartitions x groups) offset frame
+    // through a BroadcastHashJoin — a SortMergeJoin here would mean the
+    // offsets stopped broadcasting and the corpus pays a join shuffle
+    val p = plan("q_pack_shards")
+    assert(count(p, "BroadcastHashJoin") >= 1, "offset join must broadcast")
+    assert(count(p, "SortMergeJoin") === 0, "corpus-side shuffle join crept in")
+  }
 }
