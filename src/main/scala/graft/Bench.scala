@@ -25,6 +25,12 @@ object Bench {
     // make the bench *improve* when a query breaks).
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       spark.catalog.clearCache()
+      // localCheckpoint blocks (Pack's ranged frame, the contraction's
+      // final edge set) live OUTSIDE the CacheManager, so clearCache()
+      // can't free them and they'd pile up across 60 queries x 4 runs;
+      // the previous run's frames are unreferenced by now, so dropping
+      // every persistent RDD between runs is safe and deterministic.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       // materialize EVERY output column, not a count: a count() lets
       // Catalyst prune projections the query is supposed to pay for

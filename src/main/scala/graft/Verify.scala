@@ -39,8 +39,10 @@ object Verify {
       // pinned LSH sketch frames (QueryLib.mat) are per-query working
       // sets; without this they accumulate across all queries and the
       // dump's memory footprint grows with the inventory instead of the
-      // largest single query
+      // largest single query. localCheckpoint blocks (Pack, the
+      // contraction) live outside the CacheManager — drop those too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

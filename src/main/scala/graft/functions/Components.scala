@@ -146,7 +146,11 @@ object Components {
     * the corpus would silently drop every unique document. The node
     * side is corpus-sized but the label side is bounded by the
     * verified-duplicate pair list, so the left join broadcasts (or
-    * AQE-broadcasts) rather than shuffling the corpus.
+    * AQE-broadcasts) rather than shuffling the corpus — PROVIDED the
+    * caller sets `assumeUniqueIds = true` when `nodes` already carries
+    * one row per id (the usual case: a keyed corpus table). The
+    * default false is the safe path for arbitrary inputs and pays one
+    * corpus-wide distinct() exchange to collapse duplicate rows.
     */
   def totalComponents(
       nodes: DataFrame,
@@ -154,9 +158,11 @@ object Components {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      assumeUniqueIds: Boolean = false): DataFrame = {
     val labels = connectedComponents(edges, srcCol, dstCol, maxIterations)
-    nodes.select(col(idCol).as("node")).distinct()
+    val universe = nodes.select(col(idCol).as("node"))
+    (if (assumeUniqueIds) universe else universe.distinct())
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }

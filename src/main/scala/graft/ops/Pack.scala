@@ -93,6 +93,8 @@ object Pack {
       // exact integer division: start offset of the row div budget
       .withColumn(shardCol,
         expr(s"(__cum - CAST(`$tokenCol` AS BIGINT)) div CAST($budget AS BIGINT)"))
-      .drop(PID, "__off", "__cum")
+      // the USING-join moved groupCols to the front — restore the
+      // caller's column order so the contract really is "df + shardCol"
+      .select((df.columns.toSeq :+ shardCol).map(col): _*)
   }
 }

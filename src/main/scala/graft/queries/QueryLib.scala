@@ -1155,7 +1155,8 @@ object QueryLib {
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.3)
         .select(col("doc_a"), col("doc_b"))
-      graft.functions.Components.totalComponents(base, "doc_id", pairs, "doc_a", "doc_b")
+      graft.functions.Components.totalComponents(base, "doc_id", pairs, "doc_a", "doc_b",
+          assumeUniqueIds = true) // base is one row per doc_id — skip the distinct exchange
         .select(col("node").cast("long").as("doc_id"),
           col("component").cast("long").as("cluster_id"))
     },

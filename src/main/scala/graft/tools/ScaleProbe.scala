@@ -36,12 +36,14 @@ object ScaleProbe {
       timestamp_millis(lit(base) + col("id") * 7L).as("created_time"),
       (col("id") % 1000).cast("double").as("value"))
 
+    var ran = 0
     def timed[A](label: String)(f: => A): Option[A] = {
       if (!only.forall(label.contains)) None
       else {
         val t0 = System.nanoTime()
         val r = f
         println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        ran += 1
         Some(r)
       }
     }
@@ -235,6 +237,10 @@ object ScaleProbe {
       graft.ops.Pack.packByBudget(docs, "n_tokens", 100000L, Seq("lang"), Seq("doc_id"))
         .agg(countDistinct(col("shard_idx")), count(lit(1))).collect()
     }
+    // a silent filter miss would look like an instant successful run —
+    // say so loudly instead (labels are case-sensitive substrings)
+    if (ran == 0)
+      only.foreach(f => println(s"[probe] WARNING: no probe label contains '$f' — nothing ran"))
     spark.stop()
   }
 }

@@ -34,7 +34,8 @@ class PlanContractSpec extends SparkSpec {
   // Queries whose BUILD already executes jobs (store write paths) —
   // expensive to instantiate here and structurally covered by their
   // own specs (TxLogSpec, FeatureStoreSpec).
-  private val skipBuild = Set("fs_store_roundtrip", "fs_store_txlog")
+  private val skipBuild =
+    Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame")
 
   test("no query plans a cartesian or an unexpected nested-loop join") {
     val violations = QueryLib.all.map(_.name).filterNot(skipBuild).flatMap { n =>
