@@ -325,6 +325,36 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsTransformDag = Q(
+    "fs_transform_dag",
+    // §2.9 virtual-feature transforms under the oracle gate (previously
+    // spec-only): a two-level DAG — squared = raw^2, combined = raw +
+    // squared, a transform consuming a transform — evaluated through
+    // the facade's recursive loadSeries + alignJoin. The stored series
+    // is a decimal-exact hourly mean m; the DAG closes over it with
+    // double ops (m*m, then m + m*m) that are the same fixed IEEE
+    // sequence in both engines, so the hash gate certifies transform
+    // recursion, arg alignment, and expression evaluation end-to-end.
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tx").toString
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("t", s"$tmp/warehouse")
+      fs.createFeature("t/raw")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("time"))
+          .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("value")),
+        name = Some("t/raw"))
+      fs.transformSql("t/squared", Seq("t/raw"), "f0 * f0")
+      fs.transformSql("t/combined", Seq("t/raw", "t/squared"), "f0 + f1")
+      fs.loadDataFrame(Seq("t/combined"))
+        .withColumnRenamed("t/combined", "combined")
+    },
+    Some("""WITH m AS (SELECT date_trunc('hour', ts) AS time,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+           |SELECT time, v + v * v AS combined FROM m""".stripMargin))
+
   private val fsTrainingFrame = Q(
     "fs_training_frame",
     // the feature-store MARQUEE op under the oracle gate: point-in-
@@ -1665,7 +1695,7 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsTrainingFrame,
+    fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,

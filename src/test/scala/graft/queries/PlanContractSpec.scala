@@ -35,7 +35,7 @@ class PlanContractSpec extends SparkSpec {
   // expensive to instantiate here and structurally covered by their
   // own specs (TxLogSpec, FeatureStoreSpec).
   private val skipBuild =
-    Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame")
+    Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame", "fs_transform_dag")
 
   test("no query plans a cartesian or an unexpected nested-loop join") {
     val violations = QueryLib.all.map(_.name).filterNot(skipBuild).flatMap { n =>
