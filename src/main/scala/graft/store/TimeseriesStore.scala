@@ -101,6 +101,19 @@ class TimeseriesStore(
 
   private def txLog(name: String): TxLog = new TxLog(hadoopConf, featurePath(name))
 
+  /** Write-side layout: one ranged exchange so each task owns a
+    * contiguous (partition, time) slice. Without it every shuffle task
+    * writes a file into EVERY hive partition it touches — up to
+    * parallelism × #partitions small files per append, the
+    * object-store small-files disease that turns reads into LIST/open
+    * storms. Ranged, an append caps at ~(parallelism + #partitions)
+    * files, big loads keep full write parallelism (a hot partition
+    * spans several contiguous slices), and each parquet file covers a
+    * tight time range so row-group min/max pruning bites on read.
+    */
+  private def layoutForWrite(normalized: DataFrame): DataFrame =
+    normalized.repartitionByRange(col("partition"), col(TimeCol))
+
   /** Write `normalized` (with its `partition` column) as new parquet
     * files INSIDE the feature's hive layout and return the log actions
     * describing them: the batch is staged in `<url>/.stage/`, then each
@@ -111,7 +124,7 @@ class TimeseriesStore(
     */
   private def stageInstall(name: String, normalized: DataFrame): Seq[TxAdd] = {
     val stage = new Path(s"$url/.stage/$name/${java.util.UUID.randomUUID()}")
-    normalized.write.options(storageOptions).option("compression", "snappy")
+    layoutForWrite(normalized).write.options(storageOptions).option("compression", "snappy")
       .partitionBy("partition").parquet(stage.toString)
     val f = fs(url)
     val featureRoot = new Path(featurePath(name))
@@ -141,7 +154,7 @@ class TimeseriesStore(
       val adds = stageInstall(name, normalized)
       if (adds.nonEmpty) { txLog(name).commit(adds); () }
     } else
-      normalized.write
+      layoutForWrite(normalized).write
         .options(storageOptions)
         .mode("append")
         .option("compression", "snappy")
