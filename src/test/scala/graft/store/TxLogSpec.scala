@@ -42,6 +42,31 @@ class TxLogSpec extends SparkSpec {
     assert(tx.listPartitions("f") == Seq("2024-01-01", "2024-01-02", "2024-01-03"))
   }
 
+  test("ranged write layout caps an append at ~(tasks + partitions) files") {
+    // a deliberately scattered input: 600 rows over 6 dates, pre-split
+    // across 8 input partitions so every task sees every date. Without
+    // the (partition, time) range exchange the append would write a
+    // file per (task x date) — up to 8 x 6; ranged, contiguous slices
+    // cap it at shuffle-parallelism + dates
+    val dir = tmpDir("graft-layout")
+    val store = new TimeseriesStore(spark, dir)
+    val scattered = spark.range(600).select(
+      timestamp_millis(lit(1704067200000L) + (col("id") % 6) * 86400000L +
+        (col("id") / 6).cast("long") * 60000L).as("time"),
+      timestamp_millis(lit(1704067200000L) + col("id")).as("created_time"),
+      col("id").cast("double").as("value"))
+      .repartition(8)
+    store.save("f", scattered)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "feature", "f"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .count()
+    val cap = spark.sessionState.conf.numShufflePartitions + 6
+    assert(files > 0 && files <= cap,
+      s"$files parquet files for one append — expected <= $cap (tasks + partitions)")
+    // and the layout exchange must not change WHAT is stored
+    assert(store.read("f").count() == 600)
+  }
+
   test("log-metadata pruning: out-of-range files never reach the scan") {
     val (_, tx) = freshStores()
     tx.save("f", series(
