@@ -58,8 +58,30 @@ class TimeseriesStore(
 
   private def featurePath(name: String): String = s"$url/feature/$name"
 
-  private def fs(p: String) =
-    new Path(p).getFileSystem(hadoopConf)
+  /** FileSystem handles honoring `storageOptions`. With no per-store
+    * options the process-wide Hadoop cache is correct and cheapest.
+    * With options it is a TRAP: `FileSystem.get` caches by (scheme,
+    * authority, user) and IGNORES the Configuration — whoever touches
+    * the bucket first wins, so this store's credentials would either
+    * be silently dropped (a cached credential-less instance) or leak
+    * to every other user of the bucket. Options-bearing stores
+    * therefore hold one PRIVATE instance per (scheme, authority),
+    * created with `newInstance` (cache-bypassing), living for the
+    * store's lifetime.
+    */
+  private val fsInstances =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.hadoop.fs.FileSystem]
+
+  private def fs(p: String): org.apache.hadoop.fs.FileSystem = {
+    val path = new Path(p)
+    if (storageOptions.isEmpty) path.getFileSystem(hadoopConf)
+    else {
+      val uri = path.toUri
+      val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+      fsInstances.getOrElseUpdate(key,
+        org.apache.hadoop.fs.FileSystem.newInstance(uri, hadoopConf))
+    }
+  }
 
   def exists(name: String): Boolean = {
     val p = featurePath(name)
@@ -71,6 +93,24 @@ class TimeseriesStore(
     StructField(TimeCol, TimestampType),
     StructField(CreatedCol, TimestampType),
     StructField(ValueCol, valueType)))
+
+  /** The documented empty-feature contract: a 0-row 3-column envelope. */
+  private def emptyFrame(valueType: DataType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
+
+  /** Plain-backend parquet open honoring the empty contract: a feature
+    * directory can exist with no data files (a crashed first append's
+    * `_temporary`, an external mkdir) — schema inference then throws
+    * where the documented behavior is the empty envelope.
+    */
+  private def parquetOrEmpty(name: String, valueType: DataType): DataFrame =
+    try spark.read.options(storageOptions).parquet(featurePath(name))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        emptyFrame(valueType)
+    }
 
   /** S3 (save validation + normalization, dask.py:223-263):
     *  - `time` and `value` columns required, nothing else but
@@ -99,7 +139,8 @@ class TimeseriesStore(
       .select(TimeCol, CreatedCol, ValueCol, "partition")
   }
 
-  private def txLog(name: String): TxLog = new TxLog(hadoopConf, featurePath(name))
+  private def txLog(name: String): TxLog =
+    new TxLog(hadoopConf, featurePath(name), Some(fs(featurePath(name))))
 
   /** Write-side layout: one ranged exchange so each task owns a
     * contiguous (partition, time) slice. Without it every shuffle task
@@ -176,11 +217,15 @@ class TimeseriesStore(
   def writeTx(name: String, normalized: DataFrame, txnId: String): Boolean = {
     require(logBacked, "writeTx requires the txlog backend")
     val log = txLog(name)
-    if (log.txnSeen(txnId)) false
+    if (log.txnSeen(txnId)) false // fast path: skip the staging work
     else {
       val adds = stageInstall(name, normalized)
-      if (adds.nonEmpty) { log.commit(adds, Nil, Some(txnId)); true }
-      else false
+      // commit re-checks the txn id on every rename attempt — if a
+      // concurrent writer (zombie driver + replacement replaying the
+      // same micro-batch) landed it between the check above and here,
+      // this returns -1 and the staged files are left unreferenced for
+      // vacuum, instead of committing the batch twice
+      adds.nonEmpty && log.commit(adds, Nil, Some(txnId)) >= 0
     }
   }
 
@@ -195,28 +240,31 @@ class TimeseriesStore(
       valueType: DataType = DoubleType,
       partitionStyle: String = "date",
       asOfVersion: Option[Long] = None): DataFrame = {
-    if (!exists(name)) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
-    }
+    if (!exists(name)) return emptyFrame(valueType)
     if (logBacked) return txRead(name, from, to, valueType, partitionStyle, asOfVersion)
     require(asOfVersion.isEmpty, "asOfVersion requires the txlog backend")
-    val df = spark.read.options(storageOptions).parquet(featurePath(name))
-    // Partition bounds are widened by one unit on each side so that a
-    // reader whose session timezone differs from the writer's (partition
-    // strings are derived via session-TZ date_format at save) can never
-    // prune a boundary partition that still holds in-range rows; the
-    // exact `time` predicate then drops any extra rows. The expressions
-    // are foldable, so Catalyst constant-folds them into prunable
-    // partition literals.
+    val df = parquetOrEmpty(name, valueType)
+    if (!df.columns.contains("partition")) return df // empty-contract frame
+    // Partition bounds are widened by one unit each side and anchored on
+    // UTC — NOT the reader's session zone. Partition strings were derived
+    // in the WRITER's session zone; writer and reader can sit up to 26h
+    // apart (UTC+14 vs UTC-12), which crosses TWO date boundaries, so a
+    // reader-zone ±1-day widening can still prune a boundary partition
+    // holding in-range rows. Every session zone is within 14h of UTC, so
+    // UTC ±1 day covers all writer/reader combinations (the same
+    // contract as the txlog path's prunePartitionValues). The bounds are
+    // driver-side literals, so Catalyst prunes directories with them;
+    // the exact `time` predicate then drops any extra rows.
     val ptype = df.schema("partition").dataType
+    val utcDate: Timestamp => java.time.LocalDate =
+      ts => ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
     val partLo: Timestamp => Column = partitionStyle match {
-      case "date" => ts => date_format(lit(ts) - expr("INTERVAL 1 DAY"), "yyyy-MM-dd").cast(ptype)
-      case _      => ts => (year(lit(ts)) - 1).cast(ptype)
+      case "date" => ts => lit(utcDate(ts).minusDays(1).toString).cast(ptype)
+      case _      => ts => lit(utcDate(ts).getYear - 1).cast(ptype)
     }
     val partHi: Timestamp => Column = partitionStyle match {
-      case "date" => ts => date_format(lit(ts) + expr("INTERVAL 1 DAY"), "yyyy-MM-dd").cast(ptype)
-      case _      => ts => (year(lit(ts)) + 1).cast(ptype)
+      case "date" => ts => lit(utcDate(ts).plusDays(1).toString).cast(ptype)
+      case _      => ts => lit(utcDate(ts).getYear + 1).cast(ptype)
     }
     val preds =
       from.map(f => col(TimeCol) >= lit(f) && col("partition") >= partLo(f)) ++
@@ -241,10 +289,7 @@ class TimeseriesStore(
       asOfVersion: Option[Long]): DataFrame = {
     val adds = txLog(name).snapshot(asOfVersion)
     val pruned = prunePartitionValues(adds, from, to, partitionStyle)
-    if (pruned.isEmpty) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
-    }
+    if (pruned.isEmpty) return emptyFrame(valueType)
     val paths = pruned.map(a => s"${featurePath(name)}/${a.path}")
     val df = spark.read.options(storageOptions)
       .option("basePath", featurePath(name)).parquet(paths: _*)
@@ -280,23 +325,18 @@ class TimeseriesStore(
     * 100 TB feature touches one day's directory, not the history.
     */
   def readPartitions(name: String, parts: Seq[String], valueType: DataType): DataFrame = {
-    if (!exists(name) || parts.isEmpty) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
-    }
+    if (!exists(name) || parts.isEmpty) return emptyFrame(valueType)
     if (logBacked) {
       val wanted = parts.toSet
       val adds = txLog(name).snapshot().filter(a => wanted(a.partition))
-      if (adds.isEmpty) {
-        return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema(valueType))
-      }
+      if (adds.isEmpty) return emptyFrame(valueType)
       return spark.read.options(storageOptions)
         .option("basePath", featurePath(name))
         .parquet(adds.map(a => s"${featurePath(name)}/${a.path}"): _*)
         .select(TimeCol, CreatedCol, ValueCol)
     }
-    val df = spark.read.options(storageOptions).parquet(featurePath(name))
+    val df = parquetOrEmpty(name, valueType)
+    if (!df.columns.contains("partition")) return df // empty-contract frame
     df.filter(col("partition").cast(StringType).isin(parts: _*))
       .select(TimeCol, CreatedCol, ValueCol)
   }
@@ -419,7 +459,20 @@ class TimeseriesStore(
     */
   def vacuum(name: String, retentionMs: Long = 3600000L): Long = {
     require(logBacked, "vacuum requires the txlog backend")
-    if (!exists(name)) 0L else txLog(name).vacuum(retentionMs)
+    if (!exists(name)) return 0L
+    var removed = txLog(name).vacuum(retentionMs)
+    // a writer that crashed between staging and install leaves its
+    // whole batch under <url>/.stage/<name>/<uuid>, OUTSIDE the table
+    // dir the log vacuum walks — reap stale stage dirs on the same
+    // horizon (a live writer's stage is younger than the retention)
+    val stageRoot = new Path(s"$url/.stage/$name")
+    val f = fs(url)
+    val horizon = System.currentTimeMillis() - retentionMs
+    if (f.exists(stageRoot))
+      f.listStatus(stageRoot)
+        .filter(st => st.isDirectory && st.getModificationTime <= horizon)
+        .foreach(st => if (f.delete(st.getPath, true)) removed += 1)
+    removed
   }
 
   /** Latest committed table version of a log-backed feature (-1 if no
@@ -452,7 +505,8 @@ class TimeseriesStore(
           spark.read.options(storageOptions)
             .option("basePath", featurePath(name))
             .parquet(adds.map(a => s"${featurePath(name)}/${a.path}"): _*)
-        } else spark.read.options(storageOptions).parquet(featurePath(name))
+        } else parquetOrEmpty(name, DoubleType)
+      if (!df.columns.contains("partition")) return // file-less dir: nothing to copy
       dest.write(toName, df.select(
         col(TimeCol), col(CreatedCol), col(ValueCol), col("partition")))
     }

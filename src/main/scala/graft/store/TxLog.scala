@@ -52,11 +52,18 @@ final case class TxAction(
   * store would need a CAS'ing log service on the side (exactly Delta's
   * S3 LogStore caveat). Single table, single JVM-cluster writer group.
   */
-class TxLog(hadoopConf: Configuration, tableDir: String) {
+class TxLog(
+    hadoopConf: Configuration,
+    tableDir: String,
+    fsOverride: Option[org.apache.hadoop.fs.FileSystem] = None) {
   import TxLog._
 
   private val logDir = new Path(tableDir, LogDirName)
-  private def fs = logDir.getFileSystem(hadoopConf)
+  // fsOverride carries the owning store's options-scoped instance —
+  // the process-wide FileSystem cache ignores the Configuration, so
+  // resolving here would drop per-namespace credentials (see
+  // TimeseriesStore.fs)
+  private def fs = fsOverride.getOrElse(logDir.getFileSystem(hadoopConf))
 
   private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
 
@@ -72,8 +79,14 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
       .sortBy(t => (t._1, t._2))
   }
 
+  /** Highest version present in the log — commit OR checkpoint files
+    * count: after `vacuum` prunes commits subsumed by a checkpoint, the
+    * checkpoint file is what carries the version high-water mark (a
+    * commit-only reading would restart numbering below it and corrupt
+    * ordering).
+    */
   def latestVersion(): Long =
-    versions().filterNot(_._2).lastOption.map(_._1).getOrElse(-1L)
+    versions().lastOption.map(_._1).getOrElse(-1L)
 
   /** Live file set at `asOf` (default: latest), replayed from the most
     * recent checkpoint at-or-before it. Deterministic: adds/removes
@@ -89,9 +102,13 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
   private def replay(asOf: Option[Long]): (Seq[TxAdd], Set[String]) = {
     val vs = versions()
     val upTo = asOf.getOrElse(Long.MaxValue)
-    val commits = vs.filterNot(_._2).map(_._1).filter(_ <= upTo)
-    if (commits.isEmpty) return (Seq.empty, Set.empty)
-    val ckpt = vs.filter(_._2).map(_._1).filter(_ <= commits.last).lastOption
+    // eligible = everything at-or-below the target version; after log
+    // vacuum a checkpoint may be the ONLY survivor of its prefix, so
+    // the anchor is the newest eligible checkpoint, not "newest at or
+    // below the last commit file"
+    val eligible = vs.filter(_._1 <= upTo)
+    if (eligible.isEmpty) return (Seq.empty, Set.empty)
+    val ckpt = eligible.filter(_._2).map(_._1).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
     val txns = scala.collection.mutable.Set[String]()
     def apply(a: TxAction): Unit = {
@@ -102,7 +119,7 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
     ckpt.foreach { cv =>
       readActions(new Path(logDir, f"$cv%020d.checkpoint.json")).foreach(apply)
     }
-    commits.filter(c => ckpt.forall(_ < c)).foreach { v =>
+    eligible.filterNot(_._2).map(_._1).filter(c => ckpt.forall(_ < c)).foreach { v =>
       readActions(new Path(logDir, f"$v%020d.json")).foreach(apply)
     }
     (live.values.toSeq, txns.toSet)
@@ -115,8 +132,30 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
     finally in.close()
   }
 
-  /** Append one atomic commit; returns the committed version. Retries
-    * (fresh version number) when the optimistic rename loses the race.
+  /** Append one atomic commit; returns the committed version, or -1 if
+    * `txnId` is given and a commit carrying it already landed (the
+    * exactly-once no-op — the caller's staged files are unreferenced
+    * and reclaimed by `vacuum`). Retries with a fresh version number
+    * when the optimistic rename loses the race, and re-validates
+    * BEFORE every attempt — the version-number rename serializes
+    * commits, and validation replays everything below the attempted
+    * version, so the check-then-install pair is a real optimistic
+    * concurrency control, not a one-shot pre-check:
+    *
+    *  - `txnId` is re-checked each attempt: two writers replaying the
+    *    same micro-batch (zombie driver + its replacement, Delta's
+    *    SetTransaction scenario) race the rename; the loser re-reads,
+    *    sees the winner's txn marker, and no-ops instead of
+    *    double-committing.
+    *  - `removes` must all still be live each attempt: two racing
+    *    compactions both publish a full rewritten copy — without this
+    *    the loser would blindly retry and the table would carry BOTH
+    *    copies (2x storage and scan). The loser now fails with
+    *    ConcurrentModificationException; its staged files are
+    *    unreferenced and vacuumable.
+    *
+    * Pure appends (adds only, no txn) never conflict semantically, so
+    * they keep the validation-free blind retry.
     */
   def commit(
       adds: Seq[TxAdd],
@@ -132,6 +171,19 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = latestVersion() + 1
+      if (txnId.isDefined || removes.nonEmpty) {
+        // replay capped at v-1: exactly the commits this attempt builds
+        // on; anything landing after is serialized by the rename below
+        val (liveAdds, txns) = replay(Some(v - 1))
+        if (txnId.exists(txns.contains)) return -1L
+        if (removes.nonEmpty) {
+          val live = liveAdds.map(_.path).toSet
+          removes.find(r => !live.contains(r.path)).foreach { r =>
+            throw new java.util.ConcurrentModificationException(
+              s"commit conflict on $logDir: ${r.path} was already retired by a concurrent commit")
+          }
+        }
+      }
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = fs.create(tmp, true)
       try out.write(lines.getBytes("UTF-8")) finally out.close()
@@ -235,6 +287,26 @@ class TxLog(hadoopConf: Configuration, tableDir: String) {
         .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-") &&
           st.getModificationTime <= horizon)
         .foreach(st => if (fs.delete(st.getPath, false)) removed += 1)
+    // prune the log itself, or per-commit replay/list cost grows with
+    // TOTAL table history forever (a 10s-micro-batch writer is ~8.6k
+    // commit files/day of LIST+GET on an object store): commits at or
+    // below the newest checkpoint are subsumed by it (a checkpoint
+    // carries the live set AND the seen txn ids), and older checkpoints
+    // are superseded. Same retention trade as data-file vacuum — time
+    // travel below the surviving checkpoint stops working.
+    if (fs.exists(logDir)) {
+      versions().filter(_._2).map(_._1).lastOption.foreach { lastCkpt =>
+        fs.listStatus(logDir).filter(_.isFile).foreach { st =>
+          val prune = st.getPath.getName match {
+            case CommitName(v)     => v.toLong <= lastCkpt
+            case CheckpointName(v) => v.toLong < lastCkpt
+            case _                 => false
+          }
+          if (prune && st.getModificationTime <= horizon &&
+            fs.delete(st.getPath, false)) removed += 1
+        }
+      }
+    }
     removed
   }
 }

@@ -124,6 +124,64 @@ class TxLogSpec extends SparkSpec {
     assert(new TxLog(spark.sparkContext.hadoopConfiguration, dir).snapshot().size == 8)
   }
 
+  test("txn commits are exactly-once; remove-bearing commits conflict-check") {
+    val dir = tmpDir("graft-occ")
+    val log = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
+    assert(log.commit(Seq(TxAdd("partition=p/a.parquet", "p")), Nil, Some("batch-1")) == 0L)
+    // a second writer replaying the same batch id (zombie driver + its
+    // replacement) must no-op — the in-loop recheck, not just the
+    // caller's pre-check, is what closes the race window
+    assert(log.commit(Seq(TxAdd("partition=p/dup.parquet", "p")), Nil, Some("batch-1")) == -1L)
+    assert(log.snapshot().map(_.path) == Seq("partition=p/a.parquet"))
+    assert(log.commit(Seq(TxAdd("partition=p/b.parquet", "p")), Nil, Some("batch-2")) == 1L)
+    // racing compactions built on the same stale snapshot: the second
+    // retire of a.parquet fails loudly instead of double-publishing
+    assert(log.commit(Seq(TxAdd("partition=p/c1.parquet", "p")),
+      Seq(TxRemove("partition=p/a.parquet"))) == 2L)
+    intercept[java.util.ConcurrentModificationException] {
+      log.commit(Seq(TxAdd("partition=p/c2.parquet", "p")),
+        Seq(TxRemove("partition=p/a.parquet")))
+    }
+    assert(log.snapshot().map(_.path).toSet ==
+      Set("partition=p/b.parquet", "partition=p/c1.parquet"))
+  }
+
+  test("vacuum prunes commits subsumed by the newest checkpoint; numbering survives") {
+    val dir = tmpDir("graft-logvac")
+    val log = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
+    (0 until 12).foreach(i => log.commit(Seq(TxAdd(s"partition=p/f$i.parquet", "p"))))
+    // checkpoint landed at v10: commits 0..10 are subsumed by it
+    assert(log.vacuum(retentionMs = 0L) == 11L)
+    assert(log.latestVersion() == 11L) // the checkpoint carries the high-water mark
+    assert(log.snapshot().map(_.path).toSet == (0 until 12).map(i => s"partition=p/f$i.parquet").toSet)
+    // version numbering continues ABOVE the checkpoint — a commit-only
+    // reading would restart at 0 and corrupt ordering
+    assert(log.commit(Seq(TxAdd("partition=p/f12.parquet", "p"))) == 12L)
+    assert(new TxLog(spark.sparkContext.hadoopConfiguration, dir).snapshot().size == 13)
+  }
+
+  test("vacuum reaps crashed stage batches; file-less feature dirs read as empty") {
+    val dir = tmpDir("graft-stage")
+    val tx = new TimeseriesStore(spark, dir, backend = "txlog")
+    tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
+    // a writer that died between staging and install leaves its batch
+    // under .stage — outside the table dir the log vacuum walks
+    val orphan = java.nio.file.Paths.get(dir, ".stage", "f", "zombie-uuid")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-0.parquet"), "x")
+    assert(tx.vacuum("f", retentionMs = 0L) >= 1L)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(tx.read("f").count() == 1L) // live data untouched
+    // plain backend: a feature dir holding no parquet (crashed first
+    // append, external mkdir) honors the documented empty contract
+    // instead of throwing schema-inference errors forever
+    val plain = new TimeseriesStore(spark, s"$dir/plain")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/plain", "feature", "g"))
+    assert(plain.read("g").isEmpty)
+    assert(plain.read("g").columns.toSeq == Seq("time", "created_time", "value"))
+  }
+
   test("checkpoint bounds replay and preserves the snapshot") {
     val dir = tmpDir("graft-ckpt")
     val log = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
