@@ -28,14 +28,24 @@ object Freq {
     "w" -> 604800000000L, "week" -> 604800000000L, "weeks" -> 604800000000L
   )
 
-  /** "10min" -> 600000000 micros; "-15min" -> -900000000. */
+  /** "10min" -> 600000000 micros; "-15min" -> -900000000. Counts too
+    * large to represent in Long micros (or to parse at all) raise the
+    * same IllegalArgumentException as an unknown unit — a silent
+    * two's-complement wrap would hand timeTravel/resample a valid-
+    * looking but wildly wrong (possibly negative) interval.
+    */
   def toMicros(alias: String): Long = alias match {
     case Pattern(sign, num, unit) =>
       val micros = unitMicros.getOrElse(
         unit.toLowerCase,
         throw new IllegalArgumentException(s"unsupported frequency alias: '$alias'"))
-      val n = if (num.isEmpty) 1L else num.toLong
-      (if (sign == "-") -1L else 1L) * n * micros
+      try {
+        val n = if (num.isEmpty) 1L else num.toLong
+        Math.multiplyExact((if (sign == "-") -1L else 1L) * n, micros)
+      } catch {
+        case _: NumberFormatException | _: ArithmeticException =>
+          throw new IllegalArgumentException(s"frequency alias out of range: '$alias'")
+      }
     case _ =>
       throw new IllegalArgumentException(s"unsupported frequency alias: '$alias'")
   }

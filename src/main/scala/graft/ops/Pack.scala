@@ -64,6 +64,10 @@ object Pack {
       numPartitions: Option[Int] = None): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(orderCols.nonEmpty, "packByBudget needs ordering columns")
+    val internal = Seq(PID, "__ptoks", "__off", "__cum")
+    val collisions = df.columns.filter(internal.contains)
+    require(collisions.isEmpty,
+      s"input columns collide with packByBudget internals: ${collisions.mkString(", ")}")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val layout = (groupCols ++ orderCols).map(col)

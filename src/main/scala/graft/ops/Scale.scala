@@ -32,6 +32,13 @@ object Scale {
       if (TimeseriesOps.isOrderable(df.schema(c).dataType)) col(c)
       else to_json(col(c))
     }
+    // a frame with ONLY (keys, time) columns has nothing to salt on —
+    // and nothing to dedup either (dedupLatest needs createdCol among
+    // the non-key columns). Fail here with the real reason instead of
+    // hash()'s cryptic zero-argument analysis error.
+    require(saltInputs.nonEmpty,
+      s"dedupLatestSalted needs at least one non-key column to salt on " +
+        s"(is '$createdCol' present and not listed in keyCols?)")
     val salted = df.withColumn(S, pmod(hash(saltInputs: _*), lit(salts)))
     val phase1 = TimeseriesOps.dedupLatest(
       salted, timeCol, createdCol, keyCols = keyCols :+ S)

@@ -39,6 +39,17 @@ object TimeseriesOps {
     case _             => true
   }
 
+  /** THE fill expression, single-sourced: "latest non-null value" as a
+    * max over (orderKey, value) structs restricted to non-null values.
+    * Used as a running window expression (in-bucket fill, keyed as-of)
+    * and as a plain aggregate (per-bucket seed) — all three sites MUST
+    * resolve an orderKey tie identically (to the max value), or a
+    * bucket boundary / the keyed-vs-bucketed route could disagree on
+    * the same input. Callers read `.getField("v")`.
+    */
+  private def runningLastNonNull(ord: Column, c: Column): Column =
+    max(when(c.isNotNull, struct(ord.as("o"), c.as("v"))))
+
   // ---------------------------------------------------------------------
   // A1: last-writer-wins dedup — per `time`, keep the row with the max
   // `created_time` (dask.py:156-165). Hash-agg via max_by: one shuffle,
@@ -120,8 +131,15 @@ object TimeseriesOps {
     val B = "__ffill_bucket"
     val withB = df.withColumn(B, bucket)
     val ordStruct = struct(orderCols.map(col): _*)
+    // RANGE frame, not ROWS: at duplicate orderKey values a ROWS frame
+    // gives each peer a different prefix (physically earlier peers
+    // excluded from later ones' frames), so peers could fill to
+    // DIFFERENT values depending on physical row order — the RANGE
+    // frame extends through the whole peer group, so every peer reads
+    // the same (tie -> max value) resolution. Same peer-pinning device
+    // as sessionize's running sum.
     val wIn = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     // in-bucket fill as a running max over (orderKey, value) — NOT
     // last(ignoreNulls), which at duplicate orderKey values picks the
     // physically-last row (nondeterministic, and resolved differently
@@ -130,14 +148,11 @@ object TimeseriesOps {
     // so the fill is deterministic and bucket-boundary-consistent even
     // on inputs with duplicate timestamps.
     val filled = valueCols.foldLeft(withB)((d, c) =>
-      d.withColumn(c,
-        max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
-          .over(wIn).getField("v")))
+      d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(wIn).getField("v")))
     // last non-null value per bucket: max over (orderKey, value) restricted
     // to non-null values — deterministic, partial-agg friendly.
     val bucketAggs = valueCols.map(c =>
-      max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
-        .getField("v").as(c))
+      runningLastNonNull(ordStruct, col(c)).getField("v").as(c))
     val perBucket = withB.groupBy(col(B)).agg(bucketAggs.head, bucketAggs.tail: _*)
     // seed for bucket b = last non-null among all earlier buckets.
     // Partitioned by a constant: the frame IS one-row-per-bucket
@@ -146,10 +161,13 @@ object TimeseriesOps {
     // global-window regressions instead of firing on this benign seed.
     // The constant must be optimizer-opaque: a bare literal is folded
     // out of the partition spec, and an equal-branch CASE collapses to
-    // one (SimplifyConditionals) and then folds too. year(B)*0 is 0 on
-    // every row (coalesce covers year(null)), references a column, and
-    // no rewrite rule simplifies it — the partition spec survives.
-    val wSeed = Window.partitionBy(coalesce(year(col(B)) * lit(0), lit(0)))
+    // one (SimplifyConditionals) and then folds too. pmod(hash(B), 1)
+    // is 0 on every row (hash never returns null), references a
+    // column so no rewrite rule folds it, and — unlike the previous
+    // year(B)*0 form — is TYPE-AGNOSTIC, honoring the "any bucketing
+    // monotone in the order column" contract (an integer hour bucket
+    // would fail analysis under year()).
+    val wSeed = Window.partitionBy(pmod(hash(col(B)), lit(1)))
       .orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)
     val seeds = valueCols.foldLeft(perBucket)((d, c) =>
       d.withColumn(s"__seed_$c", last(col(c), ignoreNulls = true).over(wSeed)))
@@ -208,11 +226,18 @@ object TimeseriesOps {
         require(stepMonths > 0, s"resample freq must be positive, got '$freq'")
         // count clamped additions (Jan 31 + 1mo = Feb 28): MONTHS.between
         // undercounts whenever clamping shortens the day-of-month, so
-        // walk the (tiny) grid driver-side instead
-        val fromOdt = from.toInstant.atOffset(java.time.ZoneOffset.UTC)
-        val toOdt = to.toInstant.atOffset(java.time.ZoneOffset.UTC)
+        // walk the (tiny) grid driver-side instead. The walk MUST use
+        // the SESSION time zone, not UTC: the executor-side
+        // timestampadd(MONTH, ...) below does its calendar arithmetic
+        // in the session zone, and with a non-UTC session the two
+        // disagree near month boundaries by one grid point (a point the
+        // engine would place inside [from, to] never emitted, or one
+        // emitted past `to`).
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        val fromZdt = from.toInstant.atZone(zone)
+        val toZdt = to.toInstant.atZone(zone)
         var n = 1L // the `from` point itself (to < from clamps to it)
-        while (!fromOdt.plusMonths(n * stepMonths).isAfter(toOdt)) n += 1
+        while (!fromZdt.plusMonths(n * stepMonths).isAfter(toZdt)) n += 1
         spark.range(n).select(
           expr(s"timestampadd(MONTH, cast(id * $stepMonths AS INT), " +
             s"timestamp_micros(${startUs}L))").as(timeCol))
@@ -248,6 +273,11 @@ object TimeseriesOps {
   // ---------------------------------------------------------------------
   def alignJoin(dfs: Seq[DataFrame], timeCol: String = TimeCol): DataFrame = {
     require(dfs.nonEmpty, "alignJoin needs at least one input")
+    // guard BOTH paths: the join chain would otherwise fail much later
+    // with a cryptic AMBIGUOUS_REFERENCE deep inside the fill
+    val allNames = dfs.flatMap(_.columns.filterNot(_ == timeCol))
+    require(allNames.distinct.size == allNames.size,
+      s"duplicate series names across alignJoin inputs: $allNames")
     val singleValued = dfs.forall(_.columns.length == 2)
     val valueTypes = dfs.map(df =>
       df.schema.fields.filterNot(_.name == timeCol).map(_.dataType).toSeq)
@@ -264,7 +294,6 @@ object TimeseriesOps {
     val joined =
       if (pivotable) {
         val names = dfs.map(_.columns.filterNot(_ == timeCol).head)
-        require(names.distinct.size == names.size, s"duplicate series names: $names")
         val tagged = dfs.zip(names).map { case (df, n) =>
           df.select(col(timeCol), lit(n).as("__series"),
             col(s"`$n`").as("__value"))
@@ -315,8 +344,11 @@ object TimeseriesOps {
         ffillAuto(union, rightValueCols, orderCols = Seq(timeCol, M),
           bucket = Some(monthBucket(timeCol)))
       else {
+        // RANGE frame for the same peer-pinning reason as ffillBucketed:
+        // duplicate (time, M) rows must all read the same tie -> max
+        // resolution regardless of physical order.
         val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         // same tie rule as ffillBucketed's in-bucket fill: a running max
         // over ((time, M), value) structs, so duplicate (time, M) right
         // rows resolve to the max value — deterministic, and identical
@@ -327,9 +359,7 @@ object TimeseriesOps {
         val ordStruct = struct(col(timeCol), col(M))
         rightValueCols.foldLeft(union)((d, c) =>
           if (isOrderable(union.schema(c).dataType))
-            d.withColumn(c,
-              max(when(col(c).isNotNull, struct(ordStruct.as("o"), col(c).as("v"))))
-                .over(w).getField("v"))
+            d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(w).getField("v"))
           else
             d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       }
@@ -346,6 +376,12 @@ object TimeseriesOps {
   // rides a single hash exchange. `tieBreak` columns make the per-key
   // order total when times can repeat. Keys are required: a key-less
   // global sessionization would be one unbounded single-task window.
+  //
+  // PRECONDITION (caller's to meet, like Pack's token contract):
+  // `timeCol` must be non-null. Null times sort first and each reads a
+  // null gap, so EVERY null row would open a phantom session and shift
+  // the key's real session ids — constraint-check event time with
+  // DataQuality.NotNull upstream if the source is untrusted.
   // ---------------------------------------------------------------------
   def sessionize(
       df: DataFrame,

@@ -52,4 +52,19 @@ class PackSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pack.packByBudget(df, "n_tokens", 10L, Seq("lang"), Nil))
   }
+
+  test("rejects input columns that collide with internal working names") {
+    // a caller's __pack_pid column would be silently overwritten and
+    // returned corrupted by the closing column-order restore
+    val df = Seq(("en", 1L, 4L)).toDF("__pack_pid", "doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException](
+      Pack.packByBudget(df, "n_tokens", 10L, Seq("__pack_pid"), Seq("doc_id")))
+    assert(e.getMessage.contains("__pack_pid"))
+  }
+
+  test("preserves the caller's column order: output is exactly df + shardCol") {
+    val df = Seq(("en", 1L, 4L)).toDF("lang", "doc_id", "n_tokens")
+    val out = Pack.packByBudget(df, "n_tokens", 10L, Seq("lang"), Seq("doc_id"))
+    assert(out.columns.toSeq == Seq("lang", "doc_id", "n_tokens", "shard_idx"))
+  }
 }

@@ -98,6 +98,58 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(globalF.toSeq == bucketF.toSeq)
   }
 
+  test("ffillBucketed peers at duplicate orderKeys fill identically at any physical order") {
+    // two non-null peers at t1 plus a null row at t1 and a later null
+    // at t2: under a ROWS frame the physically-first peer would keep
+    // its own value while the second saw both — the RANGE frame makes
+    // every peer (and the t2 row) read the same tie -> max resolution,
+    // which is also what the cross-bucket seed aggregate picks
+    val rows = Seq(
+      (new Timestamp(1609459200000L), Some(3.0)),
+      (new Timestamp(1609459200000L), Some(5.0)),
+      (new Timestamp(1609459200000L), None),
+      (new Timestamp(1609545600000L), None))
+    for (parts <- Seq(1, 2, 4)) {
+      val df = rows.toDF("time", "value").repartition(parts)
+      val out = TimeseriesOps.ffillBucketed(df, Seq("value"),
+          date_trunc("day", col("time")))
+        .collect().map(_.getDouble(1)).toSeq
+      assert(out.count(_ == 5.0) == 4, s"at $parts partitions got $out")
+    }
+  }
+
+  test("alignJoin rejects duplicate series names on BOTH paths with a clear error") {
+    val a = Seq((new Timestamp(0L), 1.0)).toDF("time", "value")
+    val b = Seq((new Timestamp(0L), 2.0)).toDF("time", "value")
+    // 2-input join-chain path: previously an AMBIGUOUS_REFERENCE deep
+    // inside the fill; now the same message the pivot path raises
+    val e2 = intercept[IllegalArgumentException](TimeseriesOps.alignJoin(Seq(a, b)))
+    assert(e2.getMessage.contains("duplicate series names"))
+    val e3 = intercept[IllegalArgumentException](TimeseriesOps.alignJoin(Seq(a, b, a)))
+    assert(e3.getMessage.contains("duplicate series names"))
+  }
+
+  test("ffillBucketed accepts non-temporal monotone buckets (integer six-hour blocks)") {
+    // the seed window's opaque partition constant must be type-agnostic
+    // — the year()-based form failed analysis on any non-temporal
+    // bucket despite the "any monotone bucketing" contract
+    val df = (0 until 48).map { i =>
+      (new Timestamp(1609459200000L + i * 3600000L),
+        if (i % 5 == 0) Some(i.toDouble) else None)
+    }.toDF("time", "value")
+    val viaInt = TimeseriesOps.ffillBucketed(df, Seq("value"),
+        (unix_micros(col("time")) / 21600000000L).cast("long"))
+      .orderBy("time").collect().map(r => Option(r.get(1)))
+    val global = TimeseriesOps.ffill(df, Seq("value")).orderBy("time")
+      .collect().map(r => Option(r.get(1)))
+    assert(viaInt.toSeq == global.toSeq)
+  }
+
+  test("Freq rejects counts that overflow Long micros instead of wrapping") {
+    intercept[IllegalArgumentException](Freq.toMicros("200000000000000min"))
+    intercept[IllegalArgumentException](Freq.toMicros("99999999999999999999s"))
+  }
+
   test("alignJoin outer-joins on time and forward-fills (_timeseries.py:11-26)") {
     val a = Seq(("2021-01-01 00:00:00", 1.0), ("2021-01-03 00:00:00", 3.0))
       .toDF("t", "a").select(col("t").cast("timestamp").as("time"), col("a"))
