@@ -45,7 +45,9 @@ object AnnIvf {
     * centroid expression the probe side uses.
     */
   def buildFixed(df: DataFrame, embCol: String, idCol: String, k: Int): Index = {
-    val centers = df.orderBy(col(idCol)).limit(k)
+    // null embeddings cannot seed a centroid — without the filter the
+    // driver-side collect NPEs with no hint which row was bad
+    val centers = df.filter(col(embCol).isNotNull).orderBy(col(idCol)).limit(k)
       .select(col(embCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray).toSeq
     val bare = Index(centers, df, embCol)
@@ -84,15 +86,23 @@ object AnnIvf {
       topK: Int,
       nProbe: Int,
       cIdCol: String): DataFrame = {
+    // internal names keep the join unambiguous when qIdCol == cIdCol
+    // (corpus self-search — previously an AMBIGUOUS_REFERENCE error
+    // every caller had to dodge with renames); on that collision the
+    // OUTPUT columns are suffixed <id>_q / <id>_c, otherwise the
+    // caller's names are kept verbatim
+    val (qOut, cOut) =
+      if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
     val q = queries.select(
-      col(qIdCol), col(index.embCol).cast("array<double>").as("__qv"),
+      col(qIdCol).as("__qid"), col(index.embCol).cast("array<double>").as("__qv"),
       explode(probeCells(index, col(index.embCol).cast("array<double>"), nProbe)).as("cell"))
     val c = index.assigned.select(
-      col(cIdCol), col("cell"), col(index.embCol).cast("array<double>").as("__cv"))
+      col(cIdCol).as("__cid"), col("cell"),
+      col(index.embCol).cast("array<double>").as("__cv"))
     val scored = c.join(broadcast(q), Seq("cell")).select(
-      col(qIdCol), col(cIdCol),
+      col("__qid").as(qOut), col("__cid").as(cOut),
       round(CosineSimilarity.cosineSim(col("__qv"), col("__cv")), 6).as("cosine"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(cIdCol))
+    val w = Window.partitionBy(col(qOut)).orderBy(col("cosine").desc, col(cOut))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 }

@@ -45,6 +45,13 @@ object Components {
     * Nodes with no edges don't appear — union singletons back if the
     * caller wants total coverage. Ids must be orderable and non-null;
     * self-loops are ignored.
+    *
+    * Storage note: the returned frame is backed by the final round's
+    * localCheckpoint (intermediate rounds are unpersisted as they are
+    * superseded). Spark's ContextCleaner frees those blocks once the
+    * frame becomes unreachable; a long-lived application calling this
+    * per batch should drop its reference (or sweep
+    * `sparkContext.getPersistentRDDs`) between batches.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -161,7 +168,10 @@ object Components {
       maxIterations: Int = 50,
       assumeUniqueIds: Boolean = false): DataFrame = {
     val labels = connectedComponents(edges, srcCol, dstCol, maxIterations)
-    val universe = nodes.select(col(idCol).as("node"))
+    // null ids are dropped from the universe like they are from the
+    // edge list — passing them through would emit (NULL, NULL) rows
+    // that silently vanish from any downstream join on the label
+    val universe = nodes.select(col(idCol).as("node")).filter(col("node").isNotNull)
     (if (assumeUniqueIds) universe else universe.distinct())
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))

@@ -51,14 +51,18 @@ object DataQuality {
     */
   def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "declare at least one constraint")
-    val scalar = constraints.flatMap(c => violation(c).map(_.as(c.name)))
+    // coalesce to 0: sum() over an EMPTY frame is NULL, and a vacuously
+    // clean batch must report zero violations — a gate written as
+    // `col(name) === 0` would otherwise read NULL and treat the empty
+    // batch as indeterminate/failing
+    val scalar = constraints.flatMap(c => violation(c).map(v => coalesce(v, lit(0L)).as(c.name)))
     val aggCols = count(lit(1)).as("n_rows") +: scalar
     val base = df.agg(aggCols.head, aggCols.tail: _*)
     constraints.collect { case u: Unique =>
       // duplicates = rows minus distinct key tuples; two-level hash-agg
       // (map-side partial on the key) — never a window or a sort
       val dups = df.groupBy(u.cols.map(col): _*).agg(count(lit(1)).as("__c"))
-        .agg(sum(col("__c") - 1L).as(u.name))
+        .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as(u.name))
       dups
     }.foldLeft(base)(_ crossJoin _)
   }

@@ -21,7 +21,11 @@ object Drift {
     * the reference distribution, the rest the current one. Values below
     * 0 clamp into bin 0, values beyond the last edge into bin nBins-1,
     * so outliers are visible at the edges instead of silently dropped;
-    * nulls are excluded (constraint-check them with [[DataQuality]]).
+    * nulls AND NaNs are excluded (constraint-check them with
+    * [[DataQuality]]) — a NaN has no meaningful bin, and engines
+    * disagree on where floor/greatest/least arithmetic lands it
+    * (Spark's NaN-ordering clamps differently than DuckDB's), so
+    * binning it would silently corrupt counts AND break oracle parity.
     */
   def histogramCompare(
       df: DataFrame,
@@ -33,7 +37,7 @@ object Drift {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     val bin = least(greatest(floor(col(valueCol) / binWidth), lit(0L)),
       lit((nBins - 1).toLong)).cast("long")
-    val counts = df.filter(col(valueCol).isNotNull)
+    val counts = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .groupBy(bin.as("bin"))
       .agg(
         sum(when(isReference, 1L).otherwise(0L)).as("n_ref"),

@@ -67,6 +67,10 @@ object MultimodalOps {
       idCol: String,
       binCol: String,
       stride: Int): Dataset[FrameRef] = {
+    // validate on the driver: stride 0 would throw per-TASK inside the
+    // flatMap (an opaque stage failure) and a negative stride would
+    // silently drop every frame
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))

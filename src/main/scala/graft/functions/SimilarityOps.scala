@@ -127,8 +127,11 @@ object SimilarityOps {
   def jaccard(a: Column, b: Column): Column = {
     val ad = array_distinct(a)
     val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd)).cast("double")
-    inter / (size(ad) + size(bd) - size(array_intersect(ad, bd))).cast("double")
+    // the intersection is referenced twice but INSTANTIATED once —
+    // guaranteed, rather than hoping subexpression elimination pairs
+    // up two array_intersect calls on the hot verify path
+    val inter = size(array_intersect(ad, bd))
+    inter.cast("double") / (size(ad) + size(bd) - inter).cast("double")
   }
 
   // ------------------------------------------------------------ SimHash

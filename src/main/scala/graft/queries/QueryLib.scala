@@ -948,7 +948,7 @@ object QueryLib {
     Some("""WITH b AS (SELECT
            |    CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
            |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
-           |  FROM events WHERE value IS NOT NULL),
+           |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
            |c AS (SELECT bin, CAST(sum(r) AS BIGINT) AS n_ref,
            |             CAST(sum(1 - r) AS BIGINT) AS n_cur
            |      FROM b GROUP BY 1),
