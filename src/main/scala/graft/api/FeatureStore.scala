@@ -87,8 +87,24 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
 
   val catalog = new Catalog(catalogLocation, spark.sparkContext.hadoopConfiguration)
 
+  // One store per namespace STATE, not per verb: for namespaces with
+  // storageOptions every TimeseriesStore owns cache-bypassing
+  // FileSystem.newInstance handles, and rebuilding per operation would
+  // leak one set per call on hot endpoint paths. Keyed by the full
+  // Namespace value, so a catalog update (credential rotation, url
+  // change) swaps in a fresh store and closes the stale one's handles.
+  private val storeCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Namespace, TimeseriesStore)]
+
   private[graft] def store(ns: Namespace): TimeseriesStore =
-    new TimeseriesStore(spark, ns.url, ns.storageOptions, ns.backend)
+    storeCache.get(ns.name) match {
+      case Some((cached, st)) if cached == ns => st
+      case stale =>
+        val st = new TimeseriesStore(spark, ns.url, ns.storageOptions, ns.backend)
+        storeCache.put(ns.name, (ns, st))
+        stale.foreach(_._2.close())
+        st
+    }
 
   private def namespaceOf(name: String): Namespace =
     catalog.getNamespace(name).getOrElse(
@@ -310,16 +326,22 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       freq match {
         case Some(fq) =>
           // per-feature range defaults from its own bounds (dask.py:150-153)
-          val (lo, hi) = (fromDate, toDate) match {
-            case (Some(a), Some(b)) => (a, b)
-            case _ =>
-              val (mn, mx) = TimeseriesOps.timeBounds(s)
-              (fromDate.orElse(mn).getOrElse(new Timestamp(0)),
-               toDate.orElse(mx).getOrElse(new Timestamp(0)))
+          val (mn, mx) = (fromDate, toDate) match {
+            case (Some(_), Some(_)) => (None, None) // no bounds job needed
+            case _                  => TimeseriesOps.timeBounds(s)
           }
-          // to < from clamps to a single grid point (dask.py:154-155)
-          val hiClamped = if (hi.before(lo)) lo else hi
-          TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"))
+          fromDate.orElse(mn) match {
+            case None =>
+              // empty feature with no explicit start: contribute an
+              // EMPTY grid — defaulting to the epoch would inject a
+              // bogus 1970-01-01 null row into the wide result
+              s
+            case Some(lo) =>
+              val hi = toDate.orElse(mx).getOrElse(lo)
+              // to < from clamps to a single grid point (dask.py:154-155)
+              val hiClamped = if (hi.before(lo)) lo else hi
+              TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"))
+          }
         case None => s
       }
     }
@@ -448,7 +470,14 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
         "name= is required when saving a raw 'value' column"))
       saveOne(full, namespace, df)
     } else if (dataCols.size == 1) {
-      saveOne(dataCols.head, namespace, df.withColumnRenamed(dataCols.head, "value"))
+      // same null handling as the multi-column fan-out below: a null
+      // cell in a wide frame means "no observation for this feature at
+      // this time", and appending it would SHADOW the stored value via
+      // last-writer-wins dedup on the next read. (The raw `value` path
+      // above keeps nulls — there the caller addressed the envelope
+      // explicitly.)
+      saveOne(dataCols.head, namespace, df.withColumnRenamed(dataCols.head, "value")
+        .filter(col("value").isNotNull))
     } else {
       dataCols.foreach { c =>
         val cols = df.columns.filter(x => envelope.contains(x) || x == c).map(col).toSeq
@@ -472,7 +501,12 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
           s"schema change on append to '$full': stored ${json}, got ${vt.json} " +
             "(create the feature with serialized=true to allow drift)")
       case Some(_) => // serialized: already pinned to string, nothing to update
-      case None => catalog.pinValueType(ns, nm, vt.json)
+      case None =>
+        // pin only when this save actually writes: an empty first batch
+        // (store.save no-ops on it) must not permanently pin a wrong or
+        // NullType and reject every future real append — there is no
+        // facade API to unpin
+        if (!prepared.isEmpty) catalog.pinValueType(ns, nm, vt.json)
     }
     store(nsObj).save(nm, prepared, f.partition)
   }
@@ -524,7 +558,19 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
         case None =>
           val st = store(nsObj)
           val parts = st.listPartitions(f.name, reverse = fromTail)
-          val widths = Seq(1, 4, parts.length).distinct.filter(_ > 0)
+          // minimum width 3, not 1: partition strings are WRITER-
+          // session-zone dates, and under the ±1-day skew the store's
+          // range reads already widen for, the true endpoint row can
+          // sit up to two partition values away from the lexical
+          // endpoint — a width-1 read could return a stale row and
+          // stop. Three boundary partitions still beats scanning a
+          // years-deep history. Under timeTravel the windowed argument
+          // breaks down entirely (filtered-away partitions can mask a
+          // deeper true endpoint even at width 3), so that path reads
+          // the full history — travel point-lookups are rare.
+          val widths =
+            if (timeTravel.isDefined) Seq(parts.length).filter(_ > 0)
+            else Seq(3, parts.length).filter(w => w > 0 && w <= parts.length).distinct
           widths.iterator.map { w =>
             val raw = st.readPartitions(f.name, parts.take(w), valueTypeOf(f))
             pick(postProcess(raw, f, timeTravel)).collect().headOption

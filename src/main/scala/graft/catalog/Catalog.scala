@@ -50,6 +50,16 @@ object Catalog {
   /** Identity charset from _model.py:18,28-32. */
   val NamePattern = "^[a-zA-Z0-9.#_-]+$".r
 
+  // One lock OBJECT per catalog path, process-wide: the read-modify-
+  // write in `mutate` must serialize across every Catalog INSTANCE on
+  // the same file (two FeatureStores in one JVM would otherwise both
+  // load base version v, apply different creates, and the second
+  // persist silently drops the first's entry). Cross-process conflicts
+  // remain out of scope (the reference delegates those to SQL).
+  private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[catalog] def lockFor(key: String): Object =
+    pathLocks.computeIfAbsent(key, _ => new Object)
+
   def validName(s: String): Boolean = NamePattern.matches(s)
 
   /** "ns/name" split on the FIRST '/' (_base.py:8-14). */
@@ -67,6 +77,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
 
   private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
   private val path = new Path(location)
+  private val catLock = Catalog.lockFor(path.toUri.toString)
   private def fs = path.getFileSystem(hadoopConf)
 
   private var state: CatalogState = loadState()
@@ -97,7 +108,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     * already re-read under the lock, and swapping the state out from
     * under an in-flight read-modify-write would drop its edits.
     */
-  private def fresh(): CatalogState = synchronized {
+  private def fresh(): CatalogState = catLock.synchronized {
     if (!inMutation) {
       val stamp = currentStamp()
       if (stamp != loadedStamp) {
@@ -117,7 +128,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     * is still assumed across PROCESSES for same-entry conflicts (the
     * reference delegates this to a transactional SQL DB, core.py:38-43).
     */
-  private def mutate[A](f: => A): A = synchronized {
+  private def mutate[A](f: => A): A = catLock.synchronized {
     state = loadState()
     inMutation = true
     try {
@@ -125,6 +136,14 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       persist()
       loadedStamp = currentStamp()
       result
+    } catch {
+      case e: Throwable =>
+        // un-apply the in-memory mutation: a failed validation or a
+        // persist that died mid-rename must not leave phantom entries
+        // that reads would serve while disk disagrees
+        state = loadState()
+        loadedStamp = currentStamp()
+        throw e
     } finally inMutation = false
   }
 
@@ -173,10 +192,14 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     require(getNamespace(ns.name).isEmpty, s"namespace '${ns.name}' already exists")
     // url is unique like the reference's column (_model.py:86): two
     // namespaces sharing a directory would cross-GC each other's
-    // features via cleanNamespace
-    require(!state.namespaces.exists(_.url == ns.url),
+    // features via cleanNamespace. Compared NORMALIZED — a trailing
+    // slash or file:/-vs-file:/// spelling of the same directory must
+    // not slip past the guard whose whole point is that hazard.
+    def normUrl(u: String): String = new Path(u).toUri.toString.stripSuffix("/")
+    val clash = state.namespaces.find(o => normUrl(o.url) == normUrl(ns.url))
+    require(clash.isEmpty,
       s"namespace url '${ns.url}' is already used by namespace " +
-        s"'${state.namespaces.find(_.url == ns.url).map(_.name).getOrElse("")}'")
+        s"'${clash.map(_.name).getOrElse("")}'")
     state = state.copy(namespaces = state.namespaces :+ ns)
   }
 
@@ -192,7 +215,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       meta: Map[String, Option[String]] = Map.empty,
       storageOptions: Option[Map[String, String]] = None): Unit = mutate {
     val ns = getNamespace(name).getOrElse(
-      throw new NoSuchElementException(s"namespace '$name' does not exist"))
+      throw new graft.api.MissingFeatureException(s"namespace '$name' does not exist"))
     val merged = mergeMeta(ns.meta, meta)
     val updated = ns.copy(
       description = description.getOrElse(ns.description),
@@ -243,7 +266,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
       transform: Option[TransformSpec] = None,
       valueType: Option[String] = None): Unit = mutate {
     val f = getFeature(namespace, name).getOrElse(
-      throw new NoSuchElementException(s"feature '$namespace/$name' does not exist"))
+      throw new graft.api.MissingFeatureException(s"feature '$namespace/$name' does not exist"))
     val updated = f.copy(
       description = description.getOrElse(f.description),
       meta = mergeMeta(f.meta, meta),
@@ -276,7 +299,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
   def cloneFeature(srcNs: String, srcName: String, dstNs: String, dstName: String): Feature =
     mutate {
       val src = getFeature(srcNs, srcName).getOrElse(
-        throw new NoSuchElementException(s"feature '$srcNs/$srcName' does not exist"))
+        throw new graft.api.MissingFeatureException(s"feature '$srcNs/$srcName' does not exist"))
       require(validName(dstName), s"invalid feature name: '$dstName'")
       require(getNamespace(dstNs).isDefined, s"namespace '$dstNs' does not exist")
       require(getFeature(dstNs, dstName).isEmpty, s"feature '$dstNs/$dstName' already exists")

@@ -83,6 +83,17 @@ class TimeseriesStore(
     }
   }
 
+  /** Release the options-scoped FileSystem instances this store owns.
+    * No-op for option-less stores — their handles come from the shared
+    * process cache, which must never be closed from here. Call when
+    * the store is replaced (e.g. after a credential rotation).
+    */
+  def close(): Unit = {
+    fsInstances.values.foreach(f =>
+      try f.close() catch { case _: java.io.IOException => () })
+    fsInstances.clear()
+  }
+
   def exists(name: String): Boolean = {
     val p = featurePath(name)
     fs(p).exists(new Path(p))

@@ -357,4 +357,47 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.loadDataFrame(Seq("test/val"),
       Some(ts("2021-01-01")), Some(ts("2021-01-02"))).count() == 0)
   }
+
+  test("an empty first save pins no value type; the first REAL save still decides it") {
+    val fs = freshStore()
+    fs.createFeature("test/pin")
+    // an empty string-typed batch first: must NOT pin 'string'
+    fs.saveDataFrame(
+      Seq.empty[(java.sql.Timestamp, String)].toDF("time", "value"), Some("test/pin"))
+    // the first real (double) append must succeed, not be rejected as
+    // a schema change against a phantom pin
+    fs.saveDataFrame(dailySeries("2021-01-01", 3, _.toDouble), Some("test/pin"))
+    assert(fs.last(Seq("test/pin"))("test/pin").contains(2.0))
+    // and the real pin now enforces
+    intercept[IllegalArgumentException](fs.saveDataFrame(
+      Seq((ts("2021-01-05"), "nope")).toDF("time", "value"), Some("test/pin")))
+  }
+
+  test("single-feature wide save drops null cells like the fan-out path (no shadowing)") {
+    val fs = freshStore()
+    fs.createFeature("test/n1")
+    fs.saveDataFrame(Seq((ts("2021-01-01"), 5.0)).toDF("time", "test/n1"))
+    // a later wide frame with a null at the stored time must not
+    // shadow 5.0 via last-writer-wins on the next read
+    fs.saveDataFrame(Seq(
+      (ts("2021-01-01"), None: Option[Double]),
+      (ts("2021-01-02"), Some(7.0))).toDF("time", "test/n1"))
+    val out = fs.loadDataFrame(Seq("test/n1"),
+      Some(ts("2021-01-01")), Some(ts("2021-01-02"))).orderBy("time").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(5.0, 7.0))
+  }
+
+  test("resampled load with an empty feature and no bounds injects no epoch row") {
+    val fs = freshStore()
+    fs.createFeature("test/full")
+    fs.createFeature("test/none")
+    fs.saveDataFrame(dailySeries("2021-01-01", 3, _.toDouble), Some("test/full"))
+    val out = fs.loadDataFrame(Seq("test/full", "test/none"), freq = Some("1d"))
+      .orderBy("time").collect()
+    // grid defaults to test/full's own bounds; the empty feature
+    // contributes all-null cells, NOT a bogus 1970-01-01 grid point
+    assert(out.length == 3)
+    assert(out.head.getTimestamp(0) == ts("2021-01-01"))
+    assert(out.forall(_.isNullAt(2)))
+  }
 }

@@ -87,6 +87,10 @@ class CatalogSpec extends AnyFunSuite {
     // unique=True column
     intercept[IllegalArgumentException](
       c.createNamespace(Namespace("b", "file:///tmp/shared-url")))
+    // the guard sees through respellings of the same directory — a
+    // trailing slash would otherwise re-arm the cross-GC hazard
+    intercept[IllegalArgumentException](
+      c.createNamespace(Namespace("b", "file:///tmp/shared-url/")))
     c.createNamespace(Namespace("b", "file:///tmp/other-url"))
     assert(c.listNamespaces().size == 2)
   }
