@@ -111,10 +111,20 @@ object CosineSimilarity {
       ColumnBridge.expression(b.cast("array<double>"))))
   }
 
+  // arity-checked builder shared by both registration paths: without
+  // it, cosine_sim(a, b, c) silently DROPS the third argument and
+  // cosine_sim(a) dies with a raw IndexOutOfBoundsException instead of
+  // an analysis-time arity error
+  private[plans] def build(exprs: Seq[Expression]): CosineSimilarity = {
+    require(exprs.length == 2,
+      s"cosine_sim takes exactly 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Register `cosine_sim(a, b)` for SQL use on an existing session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", build, "built-in")
 }
 
 /** `spark.sql.extensions`-installable registration of the engine's
@@ -127,7 +137,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CosineSimilarity.build(exprs)))
     ext.injectOptimizerRule(_ => DerivePartitionFilters)
   }
 }

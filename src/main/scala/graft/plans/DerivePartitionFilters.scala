@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.time.{Instant, LocalDate, ZoneOffset}
+import java.time.Instant
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
@@ -64,28 +64,38 @@ object DerivePartitionFilters extends Rule[LogicalPlan] with PredicateHelper {
       Seq(LessThanOrEqual(p, partLit(p, us, 1)))
     case EqualTo(a: Attribute, Literal(us: Long, TimestampType)) if a.semanticEquals(t) =>
       Seq(GreaterThanOrEqual(p, partLit(p, us, -1)), LessThanOrEqual(p, partLit(p, us, 1)))
-    // literal-first orientation
+    // literal-first orientation — all five comparisons mirrored:
+    // Catalyst does not canonicalize orientation in logical plans, so
+    // `lit(ts) < col("time")` would otherwise silently skip pruning
     case LessThanOrEqual(Literal(us: Long, TimestampType), a: Attribute) if a.semanticEquals(t) =>
+      Seq(GreaterThanOrEqual(p, partLit(p, us, -1)))
+    case LessThan(Literal(us: Long, TimestampType), a: Attribute) if a.semanticEquals(t) =>
       Seq(GreaterThanOrEqual(p, partLit(p, us, -1)))
     case GreaterThanOrEqual(Literal(us: Long, TimestampType), a: Attribute) if a.semanticEquals(t) =>
       Seq(LessThanOrEqual(p, partLit(p, us, 1)))
+    case GreaterThan(Literal(us: Long, TimestampType), a: Attribute) if a.semanticEquals(t) =>
+      Seq(LessThanOrEqual(p, partLit(p, us, 1)))
+    case EqualTo(Literal(us: Long, TimestampType), a: Attribute) if a.semanticEquals(t) =>
+      Seq(GreaterThanOrEqual(p, partLit(p, us, -1)), LessThanOrEqual(p, partLit(p, us, 1)))
     case _ => Nil
   }
 
   /** Partition literal for the instant `us` micros, widened by `skew`
-    * units (computed in UTC; the ±1 widening absorbs any writer-session
-    * timezone offset).
+    * units — the bound VALUE comes from the shared
+    * [[graft.store.PartitionBounds]] derivation, so this rule can never
+    * drift from what `TimeseriesStore.read`/`prunePartitionValues`
+    * would scan.
     */
   private def partLit(p: Attribute, us: Long, skew: Int): Literal = {
-    val date = LocalDate.ofInstant(Instant.ofEpochSecond(
-      Math.floorDiv(us, 1000000L)), ZoneOffset.UTC)
+    val i = Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
     p.dataType match {
       case StringType =>
-        Literal(UTF8String.fromString(date.plusDays(skew).toString), StringType)
+        Literal(UTF8String.fromString(
+          graft.store.PartitionBounds.dateString(i, skew)), StringType)
       case DateType => // hive partition inference parses date-shaped dirs
-        Literal(date.plusDays(skew).toEpochDay.toInt, DateType)
+        Literal(graft.store.PartitionBounds.date(i, skew).toEpochDay.toInt, DateType)
       case _ =>
-        Literal(date.getYear + skew, IntegerType)
+        Literal(graft.store.PartitionBounds.year(i, skew), IntegerType)
     }
   }
 }

@@ -130,25 +130,8 @@ class TimeseriesStore(
     *  - `partition` derived from `time` ("date" → yyyy-MM-dd string,
     *    "year" → int year).
     */
-  def normalizeForSave(df: DataFrame, partitionStyle: String): DataFrame = {
-    val cols = df.columns.toSet
-    require(cols.contains(TimeCol), s"DataFrame must contain a '$TimeCol' column")
-    require(cols.contains(ValueCol), s"DataFrame must contain a '$ValueCol' column")
-    val extraneous = cols -- Set(TimeCol, CreatedCol, ValueCol)
-    require(extraneous.isEmpty, s"DataFrame contains extraneous columns: ${extraneous.mkString(", ")}")
-    val withCreated =
-      if (cols.contains(CreatedCol)) df.withColumn(CreatedCol, col(CreatedCol).cast(TimestampType))
-      else df.withColumn(CreatedCol, current_timestamp())
-    val partitionCol = partitionStyle match {
-      case "date" => date_format(col(TimeCol), "yyyy-MM-dd")
-      case "year" => year(col(TimeCol))
-      case other  => throw new IllegalArgumentException(s"unknown partition style: $other")
-    }
-    withCreated
-      .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
-      .withColumn("partition", partitionCol)
-      .select(TimeCol, CreatedCol, ValueCol, "partition")
-  }
+  def normalizeForSave(df: DataFrame, partitionStyle: String): DataFrame =
+    TimeseriesStore.normalize(df, partitionStyle)
 
   private def txLog(name: String): TxLog =
     new TxLog(hadoopConf, featurePath(name), Some(fs(featurePath(name))))
@@ -267,15 +250,13 @@ class TimeseriesStore(
     // driver-side literals, so Catalyst prunes directories with them;
     // the exact `time` predicate then drops any extra rows.
     val ptype = df.schema("partition").dataType
-    val utcDate: Timestamp => java.time.LocalDate =
-      ts => ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
     val partLo: Timestamp => Column = partitionStyle match {
-      case "date" => ts => lit(utcDate(ts).minusDays(1).toString).cast(ptype)
-      case _      => ts => lit(utcDate(ts).getYear - 1).cast(ptype)
+      case "date" => ts => lit(PartitionBounds.dateString(ts.toInstant, -1)).cast(ptype)
+      case _      => ts => lit(PartitionBounds.year(ts.toInstant, -1)).cast(ptype)
     }
     val partHi: Timestamp => Column = partitionStyle match {
-      case "date" => ts => lit(utcDate(ts).plusDays(1).toString).cast(ptype)
-      case _      => ts => lit(utcDate(ts).getYear + 1).cast(ptype)
+      case "date" => ts => lit(PartitionBounds.dateString(ts.toInstant, 1)).cast(ptype)
+      case _      => ts => lit(PartitionBounds.year(ts.toInstant, 1)).cast(ptype)
     }
     val preds =
       from.map(f => col(TimeCol) >= lit(f) && col("partition") >= partLo(f)) ++
@@ -320,12 +301,12 @@ class TimeseriesStore(
       to: Option[Timestamp],
       partitionStyle: String): Seq[TxAdd] = partitionStyle match {
     case "date" =>
-      val lo = from.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.minusDays(1).toString)
-      val hi = to.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.plusDays(1).toString)
+      val lo = from.map(f => PartitionBounds.dateString(f.toInstant, -1))
+      val hi = to.map(t => PartitionBounds.dateString(t.toInstant, 1))
       adds.filter(a => lo.forall(a.partition >= _) && hi.forall(a.partition <= _))
     case "year" =>
-      val lo = from.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).getYear - 1)
-      val hi = to.map(_.toInstant.atZone(java.time.ZoneOffset.UTC).getYear + 1)
+      val lo = from.map(f => PartitionBounds.year(f.toInstant, -1))
+      val hi = to.map(t => PartitionBounds.year(t.toInstant, 1))
       adds.filter(a => lo.forall(a.partition.toInt >= _) && hi.forall(a.partition.toInt <= _))
     case other => throw new IllegalArgumentException(s"unknown partition style: $other")
   }
@@ -523,4 +504,33 @@ class TimeseriesStore(
     }
   }
 
+}
+
+object TimeseriesStore {
+
+  /** S3 envelope normalization, STATIC so the streaming feature sink
+    * applies the exact same casts, extraneous-column rejection, and
+    * partition derivation as the batch writer — two normalizers would
+    * inevitably drift and a stream could write a layout the batch
+    * reader rejects.
+    */
+  private[graft] def normalize(df: DataFrame, partitionStyle: String): DataFrame = {
+    val cols = df.columns.toSet
+    require(cols.contains(TimeCol), s"DataFrame must contain a '$TimeCol' column")
+    require(cols.contains(ValueCol), s"DataFrame must contain a '$ValueCol' column")
+    val extraneous = cols -- Set(TimeCol, CreatedCol, ValueCol)
+    require(extraneous.isEmpty, s"DataFrame contains extraneous columns: ${extraneous.mkString(", ")}")
+    val withCreated =
+      if (cols.contains(CreatedCol)) df.withColumn(CreatedCol, col(CreatedCol).cast(TimestampType))
+      else df.withColumn(CreatedCol, current_timestamp())
+    val partitionCol = partitionStyle match {
+      case "date" => date_format(col(TimeCol), "yyyy-MM-dd")
+      case "year" => year(col(TimeCol))
+      case other  => throw new IllegalArgumentException(s"unknown partition style: $other")
+    }
+    withCreated
+      .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
+      .withColumn("partition", partitionCol)
+      .select(TimeCol, CreatedCol, ValueCol, "partition")
+  }
 }

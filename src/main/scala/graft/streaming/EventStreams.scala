@@ -99,9 +99,15 @@ object EventStreams {
           // timestamps resolve by MAX VALUE (deterministic) — a same-
           // timestamp correction only displaces state when it orders
           // higher, exactly like the batch dedup of two equal
-          // created_time rows
+          // created_time rows. Timestamps compare via compareTo (full
+          // nanosecond precision), NOT getTime() — millisecond
+          // truncation would make two sub-ms-apart events look tied
+          // and resolve by value where the batch dedup keeps the later.
           val newest = (rows.map(r => (r._2, r._3)) ++ state.getOption.iterator)
-            .maxBy(r => (r._1.getTime, r._2))
+            .reduceLeft { (a, b) =>
+              val c = b._1.compareTo(a._1)
+              if (c > 0 || (c == 0 && b._2 > a._2)) b else a
+            }
           state.update(newest)
           (key, newest._1, newest._2)
       }
@@ -156,30 +162,36 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          store.writeTx(featureName,
-            store.normalizeForSave(batch, partitionStyle),
-            s"$streamId#$batchId")
-          ()
-        }
+        // no isEmpty pre-check: it cost an extra job recomputing the
+        // micro-batch source, and writeTx already no-ops (without
+        // committing) when staging produces no files
+        store.writeTx(featureName,
+          store.normalizeForSave(batch, partitionStyle),
+          s"$streamId#$batchId")
+        ()
       }
 
-  /** Streaming ingest into the feature-store layout: normalizes the
-    * envelope exactly like the batch writer (partition derivation,
-    * created_time default) and appends hive-partitioned parquet — the
-    * continuous version of `TimeseriesStore.save`.
+  /** Streaming ingest into the feature-store layout: the envelope goes
+    * through the SAME normalizer as the batch writer
+    * (`TimeseriesStore.normalize` — timestamp casts, extraneous-column
+    * rejection, created_time default, partition derivation for BOTH
+    * styles), so a stream can never write a layout the batch reader
+    * rejects; a hand-rolled copy here had already drifted (no casts,
+    * date-only partitions). Each micro-batch is hash-repartitioned on
+    * `partition` before the write — without it every shuffle task
+    * writes a file into every hive partition it touches, the
+    * small-files disease `layoutForWrite` fixes on the batch path
+    * (range repartition samples, which streaming plans don't allow).
     */
   def featureSink(
       series: DataFrame, // time, value (+ optional created_time)
       featureDir: String,
       checkpointDir: String,
-      watermark: String = "10 minutes"): DataStreamWriter[Row] = {
-    val withCreated =
-      if (series.columns.contains("created_time")) series
-      else series.withColumn("created_time", current_timestamp())
-    withCreated
+      watermark: String = "10 minutes",
+      partitionStyle: String = "date"): DataStreamWriter[Row] =
+    graft.store.TimeseriesStore.normalize(series, partitionStyle)
       .withWatermark("time", watermark)
-      .withColumn("partition", date_format(col("time"), "yyyy-MM-dd"))
+      .repartition(col("partition"))
       .writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
@@ -187,5 +199,4 @@ object EventStreams {
       .option("path", featureDir)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("10 seconds"))
-  }
 }

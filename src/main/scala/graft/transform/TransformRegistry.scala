@@ -2,8 +2,12 @@ package graft.transform
 
 import org.apache.spark.sql.DataFrame
 
-/** Session-scoped registry of named `DataFrame => DataFrame` transforms —
-  * the trusted-code replacement for the reference's cloudpickled closures
+/** JVM-GLOBAL registry of named `DataFrame => DataFrame` transforms —
+  * one namespace per process, NOT per SparkSession: two sessions in one
+  * JVM (parallel test suites, a shared long-running driver) share these
+  * keys, and a re-register overwrites. Prefix keys per application when
+  * cohabiting. It is the trusted-code replacement for the reference's
+  * cloudpickled closures
   * (`/root/reference/bytehub/_utils.py:14-19`, `_model.py:145-165`).
   * Arbitrary pickled functions don't port to a JVM engine (and are a
   * security hole the reference itself gates behind `enable_transforms`,
@@ -24,7 +28,7 @@ object TransformRegistry {
 
   def get(key: String): DataFrame => DataFrame =
     fns.getOrElse(key, throw new NoSuchElementException(
-      s"transform '$key' is not registered in this session"))
+      s"transform '$key' is not registered in this JVM"))
 
   def contains(key: String): Boolean = fns.contains(key)
 }
