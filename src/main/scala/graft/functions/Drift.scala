@@ -43,14 +43,14 @@ object Drift {
         sum(when(isReference, 1L).otherwise(0L)).as("n_ref"),
         sum(when(isReference, 0L).otherwise(1L)).as("n_cur"))
     val totals = counts.agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
-    // Zero-total guard: with an empty reference (or current) window the
-    // proportion is declared NULL outright. On the Spark side this is
-    // belt-and-braces (Spark double division by zero already yields
-    // NULL, same as SimilarityOps' 0/0 Jaccard note) — the engine that
-    // actually diverges is DuckDB, whose double division produces IEEE
-    // Inf/NaN, so any SQL oracle over this output must carry the SAME
-    // zero-total CASE guard (q_drift_hist's does) for NULL-for-NULL
-    // parity on an empty window.
+    // Zero-total guard — LOAD-BEARING on both engines: under this
+    // build's ANSI-on Spark default, an unguarded double division by
+    // zero THROWS (DIVIDE_BY_ZERO — verified on Spark 4.1.2, despite
+    // earlier comments here claiming NULL), and DuckDB's yields IEEE
+    // Inf/NaN; the when(total > 0) makes the empty-window proportion
+    // NULL on the Spark side, and any SQL oracle over this output must
+    // carry the SAME zero-total CASE guard (q_drift_hist's does) for
+    // NULL-for-NULL parity.
     def prop(n: Column, total: Column): Column =
       when(total > 0, n.cast("double") / total.cast("double"))
     counts.crossJoin(totals)

@@ -70,7 +70,8 @@ object SimilarityOps {
     * Rows whose set column is EMPTY are dropped before signing: every
     * empty set shares the sentinel minhash accumulator, so short docs
     * would otherwise pile into one quadratic bucket (and 0/0 Jaccard
-    * verification diverges across engines: NULL in Spark, NaN in
+    * verification diverges across engines: a DIVIDE_BY_ZERO throw
+    * under ANSI-on Spark — this build's default — and NaN in
     * DuckDB).
     *
     * Scale: the (band, bkey) key space grows with the corpus, so the

@@ -58,6 +58,26 @@ object QueryLib {
   private def mat(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Scratch warehouse for the facade (write-path) queries. Bench runs
+    * every query 4x (cold + 3 warm) and Verify once more — a bare
+    * createTempDirectory would leak a full parquet warehouse per
+    * invocation until /tmp fills. Each query owns a fixed tag and the
+    * PREVIOUS invocation's tree is wiped at build time, so at most one
+    * scratch warehouse per query exists at any moment.
+    */
+  private def scratchDir(tag: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-scratch", tag)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.createDirectories(root)
+    root.toString
+  }
+
   // =====================================================================
   // Feature-store core (SURVEY §2.1-2.6) over `events`
   // =====================================================================
@@ -151,12 +171,19 @@ object QueryLib {
   private val fsResample1d = Q(
     "fs_resample_1d",
     (s, dir) => {
+      // per-time tie->max dedup BEFORE the fill, mirrored in the
+      // oracle: without it, equal-timestamp purchases would be
+      // tie-broken deterministically (max) by Spark's fill but
+      // arbitrarily by DuckDB's ASOF JOIN — today's generator happens
+      // to emit globally unique ts, but the contract shouldn't lean on
+      // that accident (the _years/_monthly siblings already dedup)
       val data = T(s, dir, "events")
         .filter(col("event_type") === "purchase")
-        .select(col("ts").as("time"), col("value"))
+        .groupBy(col("ts").as("time")).agg(max(col("value")).as("value"))
       TimeseriesOps.resample(data, jts("2024-01-01"), jts("2024-01-30"), "1d", Seq("value"))
     },
-    Some("""WITH data AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+    Some("""WITH data AS (SELECT ts AS time, max(value) AS value FROM events
+           |          WHERE event_type = 'purchase' GROUP BY 1),
            |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
@@ -206,15 +233,22 @@ object QueryLib {
   private val fsAlign2 = Q(
     "fs_align_2",
     (s, dir) => {
+      // alignJoin's contract expects inputs deduplicated per time —
+      // per-time tie->max here (mirrored in the oracle) keeps the
+      // query honest instead of leaning on the corpus's accidental
+      // global ts uniqueness; the oracle's ROWS-frame fill is only
+      // deterministic once times are unique
       val e = T(s, dir, "events")
       val a = e.filter(col("event_type") === "click")
-        .select(col("ts").as("time"), col("value").as("click_v"))
+        .groupBy(col("ts").as("time")).agg(max(col("value")).as("click_v"))
       val b = e.filter(col("event_type") === "purchase")
-        .select(col("ts").as("time"), col("value").as("purchase_v"))
+        .groupBy(col("ts").as("time")).agg(max(col("value")).as("purchase_v"))
       TimeseriesOps.alignJoin(Seq(a, b))
     },
-    Some("""WITH a AS (SELECT ts AS time, value AS click_v FROM events WHERE event_type='click'),
-           |b AS (SELECT ts AS time, value AS purchase_v FROM events WHERE event_type='purchase'),
+    Some("""WITH a AS (SELECT ts AS time, max(value) AS click_v FROM events
+           |       WHERE event_type='click' GROUP BY 1),
+           |b AS (SELECT ts AS time, max(value) AS purchase_v FROM events
+           |      WHERE event_type='purchase' GROUP BY 1),
            |j AS (SELECT coalesce(a.time, b.time) AS time, a.click_v, b.purchase_v
            |      FROM a FULL JOIN b ON a.time = b.time)
            |SELECT time,
@@ -277,7 +311,7 @@ object QueryLib {
     // writer + hive-partitioned parquet + pruned scan + dedup + resample
     // must reproduce what DuckDB computes directly from the raw events
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+      val tmp = scratchDir("rt")
       val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
       fs.createNamespace("rt", s"$tmp/warehouse")
       fs.createFeature("rt/purchase")
@@ -305,7 +339,7 @@ object QueryLib {
     // one commit) -> vacuum -> snapshot read with log-metadata pruning
     // must reproduce what DuckDB computes directly from raw events
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-txrt").toString
+      val tmp = scratchDir("txrt")
       val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
       fs.createNamespace("rt", s"$tmp/warehouse", backend = "txlog")
       fs.createFeature("rt/purchase")
@@ -336,7 +370,7 @@ object QueryLib {
     // sequence in both engines, so the hash gate certifies transform
     // recursion, arg alignment, and expression evaluation end-to-end.
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tx").toString
+      val tmp = scratchDir("tx")
       val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
       fs.createNamespace("t", s"$tmp/warehouse")
       fs.createFeature("t/raw")
@@ -367,7 +401,7 @@ object QueryLib {
     // the same frame with chained DuckDB ASOF JOINs over the same
     // hourly aggregates, so a leak of even one future value hashes red.
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tf").toString
+      val tmp = scratchDir("tf")
       val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
       fs.createNamespace("tf", s"$tmp/warehouse")
       fs.createFeature("tf/clicks")
@@ -404,17 +438,22 @@ object QueryLib {
       T(s, dir, "events").groupBy(col("event_type")).agg(
         count(lit(1)).as("n"),
         (sum(v).cast("double") / count(lit(1))).as("mean"),
-        ((sum((v * v).cast("decimal(28,4)")).cast("double") * count(lit(1)) -
-          sum(v).cast("double") * sum(v).cast("double")) /
-          (count(lit(1)) * (count(lit(1)) - 1)).cast("double")).as("variance"))
+        // n > 1 guard: a single-row group makes the denominator 0.0 —
+        // under this build's ANSI-on Spark that THROWS (not NULL!),
+        // and DuckDB would yield NaN; both engines emit NULL instead
+        when(count(lit(1)) > 1,
+          (sum((v * v).cast("decimal(28,4)")).cast("double") * count(lit(1)) -
+            sum(v).cast("double") * sum(v).cast("double")) /
+            (count(lit(1)) * (count(lit(1)) - 1)).cast("double")).as("variance"))
     },
     Some("""SELECT event_type, count(*) AS n,
            |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+           |  CASE WHEN count(*) > 1 THEN
            |  (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
            |            AS DECIMAL(28,4))) AS DOUBLE) * count(*) -
            |   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) *
            |   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) /
-           |  CAST(count(*) * (count(*) - 1) AS DOUBLE) AS variance
+           |  CAST(count(*) * (count(*) - 1) AS DOUBLE) END AS variance
            |FROM events GROUP BY 1""".stripMargin))
 
   // =====================================================================
@@ -428,22 +467,22 @@ object QueryLib {
         .filter(col("l_shipdate") <= ts("2001-06-30 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
           sum(discPrice).cast("double").as("sum_disc_price"),
           sum(discPrice * (lit(1).cast("decimal(4,2)") + dec(col("l_tax")).cast("decimal(4,2)")))
             .cast("double").as("sum_charge"),
-          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  sum(l_quantity) AS sum_qty,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
            |           (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
            |           (1 - CAST(l_discount AS DECIMAL(4,2))) *
            |           (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-           |  sum(l_quantity) / count(*) AS avg_qty,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
            |  count(*) AS count_order
            |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30'
            |GROUP BY 1, 2""".stripMargin))
@@ -941,10 +980,11 @@ object QueryLib {
         isReference = col("ts") < ts("2024-01-16"),
         binWidth = 50.0, nBins = 10),
     // The p_ref/p_cur CASE guards mirror Drift.histogramCompare's
-    // zero-total guard: DuckDB double division yields IEEE Inf/NaN
-    // where Spark yields NULL, so an empty reference (or current)
-    // window must be declared NULL here too or the engines diverge.
-    // drift then inherits NULL from a NULL proportion in both engines.
+    // zero-total guard: DuckDB double division by zero yields IEEE
+    // Inf/NaN, while this build's ANSI-on Spark would THROW without
+    // its when(total > 0) guard — both sides declare the empty-window
+    // proportion NULL, and drift inherits NULL from a NULL proportion
+    // in both engines.
     Some("""WITH b AS (SELECT
            |    CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
            |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
@@ -1113,9 +1153,7 @@ object QueryLib {
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            (size(col("sha")) + size(col("shb")) -
-              size(array_intersect(col("sha"), col("shb")))).cast("double")).as("jaccard"))
+          SimilarityOps.jaccard(col("sha"), col("shb")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
     Some(s"""WITH t AS (SELECT doc_id, lang, source,
@@ -1138,8 +1176,8 @@ object QueryLib {
     (s, dir) => {
       // empty-shingle guard (same as dedup_ngram_jaccard): docs with
       // < 3 tokens share the sentinel minhash signature — one quadratic
-      // bucket — and their 0/0 verification Jaccard is NULL in Spark
-      // but NaN (> 0.5!) in DuckDB
+      // bucket — and their 0/0 verification Jaccard THROWS under this
+      // build's ANSI-on Spark while DuckDB yields NaN (> 0.5!)
       val base = mat(T(s, dir, "documents").select(
         col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
@@ -1230,9 +1268,7 @@ object QueryLib {
         .join(sk.select(col("doc_id").as("doc_a"), col("sketch").as("ska")), Seq("doc_a"))
         .join(sk.select(col("doc_id").as("doc_b"), col("sketch").as("skb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("ska"), col("skb"))).cast("double") /
-            (size(col("ska")) + size(col("skb")) -
-              size(array_intersect(col("ska"), col("skb")))).cast("double")).as("jaccard"))
+          SimilarityOps.jaccard(col("ska"), col("skb")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     },
     Some(s"""WITH pos AS (
