@@ -1612,6 +1612,48 @@ object QueryLib {
            |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
            |  FROM s) WHERE rank <= 5""".stripMargin))
 
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    // INCREMENTAL near-dedup — the production shape in a continuously
+    // ingesting pipeline: a new batch (doc_id >= 400 stands in for
+    // "today's ingest") is deduped against the already-ingested corpus
+    // AND within itself, while old docs are never re-judged or
+    // dropped. Candidates come from the same banded-LSH equi-join over
+    // old+new (at scale the index side's signatures are precomputed
+    // and only new buckets pair); a new doc survives iff it has NO
+    // >= 0.5 trigram match to any smaller doc_id — an older doc, or
+    // an earlier doc of its own batch (first-wins). Because candidate
+    // pairs are emitted with doc_a < doc_b, "duplicate new doc" is
+    // exactly "appears as doc_b", and survivors fall out of one
+    // anti-join.
+    (s, dir) => {
+      val base = mat(T(s, dir, "documents").select(
+        col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val dupNew = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          aName = "doc_a", bName = "doc_b")
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .filter(col("doc_b") >= 400 &&
+          SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      base.filter(col("doc_id") >= 400).select(col("doc_id"))
+        .join(dupNew, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").cast("long").as("doc_id"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |${lshOracleCtes("base", "sh", Nil)},
+           |dup AS (SELECT DISTINCT doc_b AS doc_id
+           |        FROM cand JOIN base x ON x.doc_id = doc_a
+           |                  JOIN base y ON y.doc_id = doc_b
+           |        WHERE doc_b >= 400 AND ${lshVerifySql("sh")} >= 0.5)
+           |SELECT CAST(b.doc_id AS BIGINT) AS doc_id FROM base b
+           |WHERE b.doc_id >= 400
+           |  AND b.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin))
+
   private val curateDocs = Q(
     "curate_docs",
     // the end-to-end curation pipeline in one plan: quality gate ->
@@ -1739,7 +1781,7 @@ object QueryLib {
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
-    dedupComponents, curateDocs, qPackShards,
+    dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
     mmBinaryMeta)
 
