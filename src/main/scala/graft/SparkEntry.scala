@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import java.sql.Timestamp
 import java.time.Instant
 
@@ -21,7 +20,7 @@ object SparkEntry {
     * partition pruning, dedup-latest, spine join and ffill in one plan.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-entry").toString
+    val tmp = QueryLib.scratchDir("entry") // fixed slot: reruns reuse, never leak
     val fs = new FeatureStore(spark, s"$tmp/catalog.json")
     fs.createNamespace("demo", s"$tmp/warehouse")
     fs.createFeature("demo/purchase_value")

@@ -65,7 +65,7 @@ object QueryLib {
     * PREVIOUS invocation's tree is wiped at build time, so at most one
     * scratch warehouse per query exists at any moment.
     */
-  private def scratchDir(tag: String): String = {
+  private[graft] def scratchDir(tag: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-scratch", tag)
     if (java.nio.file.Files.exists(root)) {
