@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: substring filter for fast single-query iteration
+    // (check.py compares whatever dumps exist; unmatched names just
+    // report NO-ORACLE on the driver side is impossible — driver never
+    // passes a filter)
+    val nameFilter: String => Boolean =
+      if (args.length > 2) _.contains(args(2)) else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +25,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.TimestampType
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       // DuckDB reads Spark's instant-semantics timestamps (parquet
       // isAdjustedToUTC=true) as TIMESTAMPTZ while the oracle SQL yields
       // naive TIMESTAMP → schema/hash mismatch. Session TZ is UTC, so

@@ -70,10 +70,24 @@ object TimeseriesOps {
       if (tieBreak.nonEmpty) tieBreak
       else others.filterNot(_ == createdCol)
         .filter(c => isOrderable(df.schema(c).dataType))
-    val ordKey = struct((createdCol +: tie).distinct.map(col): _*)
-    df.groupBy(groupCols.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), ordKey).as("__r"))
-      .select(groupCols.map(col) ++ others.map(c => col(s"__r.`$c`").as(c)): _*)
+    if (tieBreak.isEmpty && others.forall(c => isOrderable(df.schema(c).dataType))) {
+      // Fast path (the common shape — all payload columns orderable):
+      // the default tie key (createdCol, then every other column) covers
+      // the WHOLE row, so the comparator struct IS the row — one
+      // max(struct) with a single struct allocation per input row,
+      // instead of max_by's two (payload struct + key struct). Same
+      // winner by construction: max_by ties beyond its key are the only
+      // divergence, and here the key is total over the row.
+      val ordered = (createdCol +: tie).distinct
+      df.groupBy(groupCols.map(col): _*)
+        .agg(max(struct(ordered.map(col): _*)).as("__r"))
+        .select(groupCols.map(col) ++ others.map(c => col(s"__r.`$c`").as(c)): _*)
+    } else {
+      val ordKey = struct((createdCol +: tie).distinct.map(col): _*)
+      df.groupBy(groupCols.map(col): _*)
+        .agg(max_by(struct(others.map(col): _*), ordKey).as("__r"))
+        .select(groupCols.map(col) ++ others.map(c => col(s"__r.`$c`").as(c)): _*)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -127,28 +141,50 @@ object TimeseriesOps {
       df: DataFrame,
       valueCols: Seq[String],
       bucket: Column,
-      orderCols: Seq[String] = Seq(TimeCol)): DataFrame = {
+      orderCols: Seq[String] = Seq(TimeCol),
+      tieFree: Boolean = false): DataFrame = {
     val B = "__ffill_bucket"
     val withB = df.withColumn(B, bucket)
     val ordStruct = struct(orderCols.map(col): _*)
-    // RANGE frame, not ROWS: at duplicate orderKey values a ROWS frame
-    // gives each peer a different prefix (physically earlier peers
-    // excluded from later ones' frames), so peers could fill to
-    // DIFFERENT values depending on physical row order — the RANGE
-    // frame extends through the whole peer group, so every peer reads
-    // the same (tie -> max value) resolution. Same peer-pinning device
-    // as sessionize's running sum.
-    val wIn = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    // in-bucket fill as a running max over (orderKey, value) — NOT
-    // last(ignoreNulls), which at duplicate orderKey values picks the
-    // physically-last row (nondeterministic, and resolved differently
-    // from the cross-bucket seed below). The running max resolves an
-    // orderKey tie to the max value, exactly like the seed aggregate,
-    // so the fill is deterministic and bucket-boundary-consistent even
-    // on inputs with duplicate timestamps.
-    val filled = valueCols.foldLeft(withB)((d, c) =>
-      d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(wIn).getField("v")))
+    // Default (tieFree=false): RANGE frame, not ROWS — at duplicate
+    // orderKey values a ROWS frame gives each peer a different prefix
+    // (physically earlier peers excluded from later ones' frames), so
+    // peers could fill to DIFFERENT values depending on physical row
+    // order; the RANGE frame extends through the whole peer group, so
+    // every peer reads the same (tie -> max value) resolution. Same
+    // peer-pinning device as sessionize's running sum.
+    //
+    // tieFree=true is the caller's PROMISE that no two rows with a
+    // NON-NULL value column share an orderKey (readers — rows whose
+    // value columns are all null, like a resample spine or an as-of
+    // left side — may tie freely: they contribute nothing to the fill,
+    // so every peer still reads the same last contributor). Under that
+    // promise the cheap ROWS frame + last(ignoreNulls) is
+    // order-insensitive, and skips the per-row struct allocation +
+    // struct-max comparison the RANGE form pays (~2.4x on the fill
+    // kernels at sf0.1, the round-9 give-back). Callers earn the flag
+    // by collapsing contributor ties with one hash-agg (max per value
+    // column — the SAME tie rule), which Catalyst runs without a new
+    // exchange when the input is already partitioned by the order key.
+    val filled =
+      if (tieFree) {
+        val wRows = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        valueCols.foldLeft(withB)((d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(wRows)))
+      } else {
+        val wIn = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        // in-bucket fill as a running max over (orderKey, value) — NOT
+        // last(ignoreNulls), which at duplicate orderKey values picks
+        // the physically-last row (nondeterministic, and resolved
+        // differently from the cross-bucket seed below). The running
+        // max resolves an orderKey tie to the max value, exactly like
+        // the seed aggregate, so the fill is deterministic and
+        // bucket-boundary-consistent even with duplicate timestamps.
+        valueCols.foldLeft(withB)((d, c) =>
+          d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(wIn).getField("v")))
+      }
     // last non-null value per bucket: max over (orderKey, value) restricted
     // to non-null values — deterministic, partial-agg friendly.
     val bucketAggs = valueCols.map(c =>
@@ -195,9 +231,11 @@ object TimeseriesOps {
       df: DataFrame,
       valueCols: Seq[String],
       orderCols: Seq[String] = Seq(TimeCol),
-      bucket: Option[Column] = None): DataFrame =
+      bucket: Option[Column] = None,
+      tieFree: Boolean = false): DataFrame =
     if (valueCols.forall(c => isOrderable(df.schema(c).dataType)))
-      ffillBucketed(df, valueCols, bucket.getOrElse(monthBucket(orderCols.head)), orderCols)
+      ffillBucketed(df, valueCols, bucket.getOrElse(monthBucket(orderCols.head)), orderCols,
+        tieFree)
     else ffill(df, valueCols, orderCols)
 
   // ---------------------------------------------------------------------
@@ -250,7 +288,25 @@ object TimeseriesOps {
           timestamp_micros(lit(startUs) + col("id") * lit(stepUs)).as(timeCol))
     }
     val S = "__spine"
-    val data = df.select(col(timeCol) +: valueCols.map(col): _*).withColumn(S, lit(0))
+    val raw = df.select(col(timeCol) +: valueCols.map(col): _*)
+    // Collapse duplicate-time data rows to one per time (max per value
+    // column — the kernel's documented tie rule) so the union below is
+    // tie-free among CONTRIBUTORS and the fill can take the cheap ROWS
+    // path: spine rows are pure readers (all-null values) and (time, S)
+    // ordering puts the collapsed data row first at its own grid point.
+    // Every facade load feeds resample a dedupLatest'd series — already
+    // partitioned by time — so this agg adds no exchange there (Catalyst
+    // reuses the hash partitioning); on raw duplicate-time input it IS
+    // the determinism guarantee, not an optimization. Non-orderable
+    // (map-typed) values can't collapse via max; they keep the raw rows
+    // and ffillAuto's exact global fallback.
+    val collapsible = valueCols.forall(c => isOrderable(raw.schema(c).dataType))
+    val data =
+      (if (collapsible)
+        raw.groupBy(col(timeCol))
+          .agg(max(col(valueCols.head)).as(valueCols.head),
+            valueCols.tail.map(c => max(col(c)).as(c)): _*)
+      else raw).withColumn(S, lit(0))
     val union = spine
       .select(col(timeCol) +: valueCols.map(c => lit(null).cast(data.schema(c).dataType).as(c)): _*)
       .withColumn(S, lit(1))
@@ -262,7 +318,7 @@ object TimeseriesOps {
     val spanDays = (endUs - startUs) / 86400000000L
     val bucketUnit = if (spanDays <= 120) "day" else if (spanDays <= 1830) "month" else "year"
     ffillAuto(union, valueCols, orderCols = Seq(timeCol, S),
-      bucket = Some(date_trunc(bucketUnit, col(timeCol))))
+      bucket = Some(date_trunc(bucketUnit, col(timeCol))), tieFree = collapsible)
       .filter(col(S) === 1)
       .drop(S)
   }
@@ -304,7 +360,12 @@ object TimeseriesOps {
           .agg(max(col("__value")))
       } else dfs.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
     val valueCols = joined.columns.filterNot(_ == timeCol).toSeq
-    ffillAuto(joined, valueCols, orderCols = Seq(timeCol)).orderBy(col(timeCol))
+    // the pivot path groups by time, so its output is tie-free by
+    // construction and earns the cheap ROWS fill; the join chain only
+    // is when inputs honor the unique-per-time contract, so it keeps
+    // the order-insensitive RANGE form
+    ffillAuto(joined, valueCols, orderCols = Seq(timeCol), tieFree = pivotable)
+      .orderBy(col(timeCol))
   }
 
   // ---------------------------------------------------------------------
@@ -332,9 +393,22 @@ object TimeseriesOps {
     val leftOnly = left.columns.filterNot(c => by.contains(c) || c == timeCol).toSeq
     val l2 = rightValueCols.foldLeft(left.withColumn(M, lit(1)))((d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    val r2 = leftOnly.foldLeft(
-      right.select((by :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
-        .withColumn(M, lit(0)))((d, c) =>
+    // Collapse duplicate-(by, time) right rows to one per key (max per
+    // value column — the kernel's tie rule) BEFORE the union: with
+    // contributors unique per order key and left rows contributing only
+    // nulls, the fill below is order-insensitive under the cheap ROWS
+    // frame — no per-row struct-max RANGE machinery. One hash-agg that
+    // Catalyst runs without a new exchange when the right side already
+    // arrives partitioned by its keys (e.g. post-dedupLatest series).
+    val rightSel = right.select((by :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
+    val collapsible = rightValueCols.forall(c => isOrderable(right.schema(c).dataType))
+    val rightBase =
+      if (collapsible)
+        rightSel.groupBy((by :+ timeCol).map(col): _*)
+          .agg(max(col(rightValueCols.head)).as(rightValueCols.head),
+            rightValueCols.tail.map(c => max(col(c)).as(c)): _*)
+      else rightSel
+    val r2 = leftOnly.foldLeft(rightBase.withColumn(M, lit(0)))((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     // at equal time the right row (M=0) precedes the left row, so the
     // fill is inclusive of right.time == left.time
@@ -342,20 +416,23 @@ object TimeseriesOps {
     val filled =
       if (by.isEmpty)
         ffillAuto(union, rightValueCols, orderCols = Seq(timeCol, M),
-          bucket = Some(monthBucket(timeCol)))
-      else {
-        // RANGE frame for the same peer-pinning reason as ffillBucketed:
-        // duplicate (time, M) rows must all read the same tie -> max
-        // resolution regardless of physical order.
+          bucket = Some(monthBucket(timeCol)), tieFree = collapsible)
+      else if (collapsible) {
+        // contributors collapsed above -> ROWS frame is deterministic
+        // (left peers at an equal (time, M) hold only nulls and all read
+        // the same last contributor)
+        val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rightValueCols.foldLeft(union)((d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      } else {
+        // non-orderable (map-typed) values can't collapse via max: keep
+        // the RANGE frame so duplicate (time, M) right rows still
+        // resolve identically regardless of physical order, with the
+        // last() fallback for the non-orderable columns themselves
+        // (mirroring ffillAuto's routing).
         val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        // same tie rule as ffillBucketed's in-bucket fill: a running max
-        // over ((time, M), value) structs, so duplicate (time, M) right
-        // rows resolve to the max value — deterministic, and identical
-        // to how the un-keyed bucketed path resolves the same input.
-        // last(ignoreNulls) would pick the physically-last duplicate.
-        // Non-orderable (map-typed) values keep the last() fallback,
-        // mirroring ffillAuto's routing.
         val ordStruct = struct(col(timeCol), col(M))
         rightValueCols.foldLeft(union)((d, c) =>
           if (isOrderable(union.schema(c).dataType))

@@ -359,6 +359,51 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsStreamSink = Q(
+    "fs_stream_sink",
+    // §2.10 streaming under the oracle gate (previously spec-only): the
+    // purchase series is staged as a 4-file parquet directory, then
+    // DRIVEN AS A STREAM — maxFilesPerTrigger=1 under AvailableNow
+    // splits it into 4 real micro-batches, each normalized by the SAME
+    // normalizer as the batch writer and committed atomically through
+    // TimeseriesStore.writeTx with a `<streamId>#<batchId>` txn tag
+    // (the foreachBatch + SetTransaction exactly-once pattern). The
+    // read-back goes through the full facade (snapshot read -> dedup ->
+    // resample), and the oracle is the BATCH-equivalent SQL — identical
+    // to fs_store_roundtrip's — so any stream/batch semantics drift
+    // (normalization, partitioning, torn or doubled batches) hashes red.
+    (s, dir) => {
+      val tmp = scratchDir("ssink")
+      // events.parquet is TIMESTAMP(NANOS), which the streaming parquet
+      // source rejects like the batch one; stage through Tables (ns→µs)
+      // into plain µs parquet and stream from that.
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      src.repartition(4).write.parquet(s"$tmp/src")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("st", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("st/purchase")
+      val nsObj = fs.catalog.getNamespace("st").get
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1") // 4 files -> 4 micro-batch txns
+        .parquet(s"$tmp/src")
+      val query = graft.streaming.EventStreams
+        .featureSinkTx(stream, fs.store(nsObj), "purchase",
+          checkpointDir = s"$tmp/ckpt", streamId = "ssink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      fs.loadDataFrame(Seq("st/purchase"),
+          fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
+          freq = Some("1d"))
+        .withColumnRenamed("st/purchase", "value")
+    },
+    Some("""WITH data AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
   private val fsTransformDag = Q(
     "fs_transform_dag",
     // §2.9 virtual-feature transforms under the oracle gate (previously
@@ -1773,7 +1818,7 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsTrainingFrame, fsTransformDag,
+    fsStreamSink, fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,

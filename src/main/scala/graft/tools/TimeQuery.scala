@@ -10,12 +10,18 @@ object TimeQuery {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
-    (1 to 2).foreach { i =>
+    // cold + 3 warm with min-of-warm, mirroring Bench's methodology
+    val ts = (1 to 4).map { i =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val df = graft.queries.QueryLib.queries(name)(spark, sfDir)
       df.agg(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(struct(*)))")).collect()
-      println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[time] $name run$i: $s%.2fs")
+      s
     }
+    println(f"[time] $name warm-min: ${ts.tail.min}%.2fs")
     spark.stop()
   }
 }

@@ -87,6 +87,69 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("resample at duplicate timestamps: tie -> max value, input-order invariant") {
+    // the round-10 ROWS fast path rests on resample's internal per-time
+    // collapse; this pins that duplicate-time contributors resolve to
+    // the max value (the kernel's tie rule) regardless of physical row
+    // order — the property the round-9 RANGE frame bought expensively
+    val dupGen = Gen.listOf(for {
+      t <- Gen.choose(0, 10) // few times -> many duplicates
+      v <- Gen.choose(-50, 50)
+    } yield (t, v.toDouble))
+    forAll(dupGen, n = 6) { rows =>
+      if (rows.nonEmpty) {
+        def run(rs: List[(Int, Double)]) = {
+          val df = rs.map { case (t, v) =>
+            (new Timestamp(base + t * 3600000L), v)
+          }.toDF("time", "value")
+          TimeseriesOps.resample(df,
+              new Timestamp(base), new Timestamp(base + 10 * 3600000L), "1h", Seq("value"))
+            .orderBy("time").collect().map(r => Option(r.get(1))).toSeq
+        }
+        val out = run(rows)
+        assert(out == run(rows.reverse), "input order changed the fill")
+        assert(out == run(scala.util.Random.shuffle(rows)), "shuffle changed the fill")
+        // grid point at each time with data = max of that time's values
+        val byTime = rows.groupBy(_._1)
+        byTime.foreach { case (t, vs) =>
+          assert(out(t) == Some(vs.map(_._2).max), s"tie at t=$t not max")
+        }
+      }
+    }
+  }
+
+  test("asofJoin at duplicate right times: tie -> max value, keyed and un-keyed agree") {
+    val dupGen = Gen.listOf(for {
+      t <- Gen.choose(0, 8)
+      v <- Gen.choose(-50, 50)
+    } yield (t, v.toDouble))
+    forAll(dupGen, n = 6) { rows =>
+      if (rows.nonEmpty) {
+        val left = (0 to 8).map(t => (new Timestamp(base + t * 3600000L), t.toLong))
+          .toDF("time", "probe_id")
+        def right(rs: List[(Int, Double)]) = rs.map { case (t, v) =>
+          (new Timestamp(base + t * 3600000L), v, "k")
+        }.toDF("time", "v", "k")
+        def canonA(df: DataFrame) = df.select("probe_id", "v").orderBy("probe_id")
+          .collect().map(r => Option(r.get(1))).toSeq
+        val unkeyed = canonA(TimeseriesOps.asofJoin(left, right(rows).drop("k"), Seq("v")))
+        val unkeyedRev = canonA(TimeseriesOps.asofJoin(left, right(rows.reverse).drop("k"), Seq("v")))
+        val keyed = canonA(TimeseriesOps.asofJoin(left.withColumn("k", lit("k")),
+          right(rows), Seq("v"), by = Seq("k")).drop("k"))
+        assert(unkeyed == unkeyedRev, "right order changed un-keyed as-of")
+        assert(unkeyed == keyed, "keyed and un-keyed paths disagree at ties")
+        // spot the tie rule itself: each probe gets max value at latest time <= probe
+        val byTime = rows.groupBy(_._1)
+        (0 to 8).foreach { p =>
+          val eligible = byTime.keys.filter(_ <= p)
+          val expect = if (eligible.isEmpty) None
+            else Some(byTime(eligible.max).map(_._2).max)
+          assert(unkeyed(p) == expect, s"probe $p")
+        }
+      }
+    }
+  }
+
   test("bucketed ffill equals global ffill for arbitrary sparse series") {
     val sparseGen = Gen.listOf(for {
       t <- Gen.choose(0, 200)
@@ -106,6 +169,13 @@ class KernelPropertiesSpec extends SparkSpec {
               date_trunc(unit, col("time"))).orderBy("time")
             .collect().map(r => Option(r.get(1))).toSeq
           assert(g == b, s"bucket unit $unit diverged")
+          // rows here are unique per time (distinctBy above), so the
+          // caller may legitimately promise tieFree — the cheap ROWS
+          // path must agree with both the RANGE path and the global fill
+          val tf = TimeseriesOps.ffillBucketed(df, Seq("value"),
+              date_trunc(unit, col("time")), tieFree = true).orderBy("time")
+            .collect().map(r => Option(r.get(1))).toSeq
+          assert(g == tf, s"tieFree ROWS path diverged at bucket unit $unit")
         }
       }
     }
