@@ -683,14 +683,25 @@ object QueryLib {
 
   private val qMedian = Q(
     "q_median",
-    // exact interpolated percentiles; inputs are 2-decimal doubles so the
-    // interpolated medians/quartiles carry <= 4 decimals — rounding at 4
-    // absorbs any last-ulp formula difference between engines
+    // exact interpolated percentiles via the DISTRIBUTED two-phase rank
+    // kernel (ops/Quantiles): Spark's own percentile() buffers a whole
+    // group per executor — the one plan here that would not survive a
+    // low-cardinality 100 TB groupBy. Quantiles.quantileCont range-
+    // partitions distinct (group, value) counts and locates the k-th /
+    // (k+1)-th order statistics by prefix-summed rank, exact like the
+    // built-in but with per-task state bounded by a range slice.
+    // Inputs are 2-decimal doubles so the interpolated medians/
+    // quartiles carry <= 4 decimals — rounding at 4 absorbs any
+    // last-ulp formula difference between engines.
     (s, dir) =>
-      T(s, dir, "events").groupBy(col("event_type")).agg(
-        round(expr("percentile(value, 0.5)"), 4).as("median"),
-        round(expr("percentile(value, 0.25)"), 4).as("p25"),
-        round(expr("percentile(value, 0.75)"), 4).as("p75")),
+      graft.ops.Quantiles.quantileCont(
+          T(s, dir, "events").select("event_type", "value"),
+          "value", Seq("event_type"),
+          Seq(("median", 0.5), ("p25", 0.25), ("p75", 0.75)))
+        .select(col("event_type"),
+          round(col("median"), 4).as("median"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p75"), 4).as("p75")),
     Some("""SELECT event_type,
            |  round(quantile_cont(value, 0.5), 4) AS median,
            |  round(quantile_cont(value, 0.25), 4) AS p25,

@@ -64,6 +64,20 @@ object ScaleProbe {
         rightValueCols = Seq("right_v"),
         by = Nil).count()
     }
+    // Exact distributed quantiles at 10M rows PER GROUP, ~2.5M distinct
+    // values per group: the shape that kills the built-in percentile()
+    // (one group = a 10M-value heap in one aggregation buffer). The
+    // two-phase rank kernel's per-task state is one range slice of the
+    // distinct-value counts (~160k rows at 64 slices) regardless of
+    // group count or size — the probe certifies completion + time with
+    // per-group state that NEVER materializes on one executor.
+    timed(s"exact quantiles over 4 groups x ${n / 4} rows/group (two-phase rank)") {
+      val qdf = spark.range(n).select(
+        (col("id") % 4).cast("string").as("g"),
+        ((col("id") * 2654435761L) % 10000000L).cast("double").as("v"))
+      graft.ops.Quantiles.quantileCont(qdf, "v", Seq("g"),
+        Seq(("p50", 0.5), ("p25", 0.25), ("p99", 0.99))).collect().length
+    }
     // LSH near-dedup at 200x the sf0.1 corpus: 1M synthetic shingle
     // sets (~1% planted near-duplicates share their set with a source
     // doc), candidates via the banded equi-join, exact Jaccard verify.
