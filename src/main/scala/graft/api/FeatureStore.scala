@@ -96,15 +96,46 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   private val storeCache =
     scala.collection.concurrent.TrieMap.empty[String, (Namespace, TimeseriesStore)]
 
-  private[graft] def store(ns: Namespace): TimeseriesStore =
-    storeCache.get(ns.name) match {
-      case Some((cached, st)) if cached == ns => st
-      case stale =>
-        val st = new TimeseriesStore(spark, ns.url, ns.storageOptions, ns.backend)
-        storeCache.put(ns.name, (ns, st))
-        stale.foreach(_._2.close())
-        st
+  // Displaced stores are NOT closed inline: the thread that swaps in a
+  // fresh store (credential rotation) may be racing another thread still
+  // mid-read on the old reference, and close() would yank its FileSystem
+  // handles mid-operation. Retired stores park here and are closed on a
+  // later store() call once RetireGraceMs has passed — operations
+  // outliving the grace window on a rotated-away store keep the
+  // (documented) pre-existing hazard, but the common case is safe.
+  private val retiredStores =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, TimeseriesStore)]()
+  private val RetireGraceMs = 120000L
+
+  private def drainRetired(): Unit = {
+    val cutoff = System.currentTimeMillis() - RetireGraceMs
+    var head = retiredStores.peek()
+    while (head != null && head._1 <= cutoff) {
+      if (retiredStores.remove(head)) head._2.close()
+      head = retiredStores.peek()
     }
+  }
+
+  private[graft] def store(ns: Namespace): TimeseriesStore = {
+    drainRetired()
+    while (true) {
+      storeCache.get(ns.name) match {
+        case Some((cached, st)) if cached == ns => return st
+        case None =>
+          val st = new TimeseriesStore(spark, ns.url, ns.storageOptions, ns.backend)
+          if (storeCache.putIfAbsent(ns.name, (ns, st)).isEmpty) return st
+          st.close() // lost the publish race; nobody ever saw these handles
+        case Some(stale) =>
+          val st = new TimeseriesStore(spark, ns.url, ns.storageOptions, ns.backend)
+          if (storeCache.replace(ns.name, stale, (ns, st))) {
+            retiredStores.add((System.currentTimeMillis(), stale._2))
+            return st
+          }
+          st.close() // another thread swapped first; retry from its value
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def namespaceOf(name: String): Namespace =
     catalog.getNamespace(name).getOrElse(

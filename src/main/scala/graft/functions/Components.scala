@@ -123,7 +123,14 @@ object Components {
     while (!converged && iter < maxIterations) {
       val next = smallStar(largeStar(e)) // eagerly materialized checkpoint
       val (nCount, nSig) = signature(next)
-      converged = nCount == eCount && nSig == eSig
+      // short-circuit order matters: the exact set-difference check runs
+      // ONLY on the round the signature reports convergence (normally
+      // once per call), closing the 2^-64 collision hole — a colliding
+      // same-cardinality non-fixpoint would fail the except() and the
+      // loop keeps contracting, restoring exactness at amortized-zero
+      // per-round cost. Both sides are distinct() outputs, so equal
+      // cardinality + empty one-sided difference implies set equality.
+      converged = nCount == eCount && nSig == eSig && next.except(e).isEmpty
       // `next` is materialized, so the superseded round's blocks are
       // dead — free them now instead of waiting for GC (a long
       // contraction would otherwise stack one cached edge set per round

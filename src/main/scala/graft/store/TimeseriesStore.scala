@@ -460,9 +460,22 @@ class TimeseriesStore(
     val stageRoot = new Path(s"$url/.stage/$name")
     val f = fs(url)
     val horizon = System.currentTimeMillis() - retentionMs
+    // staleness = the NEWEST mtime anywhere under the stage tree, not
+    // the root dir's: the root's mtime reflects job START (Spark creates
+    // _temporary immediately; task files land much later), so a write
+    // job still running past the horizon would have its stage yanked
+    // mid-write by a concurrent vacuum — its freshly written task files
+    // prove it alive
+    def treeMaxMtime(p: Path): Long = {
+      val children = f.listStatus(p)
+      (f.getFileStatus(p).getModificationTime +:
+        children.map(st =>
+          if (st.isDirectory) treeMaxMtime(st.getPath)
+          else st.getModificationTime).toSeq).max
+    }
     if (f.exists(stageRoot))
       f.listStatus(stageRoot)
-        .filter(st => st.isDirectory && st.getModificationTime <= horizon)
+        .filter(st => st.isDirectory && treeMaxMtime(st.getPath) <= horizon)
         .foreach(st => if (f.delete(st.getPath, true)) removed += 1)
     removed
   }

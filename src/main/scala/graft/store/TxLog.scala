@@ -107,7 +107,17 @@ class TxLog(
     // the anchor is the newest eligible checkpoint, not "newest at or
     // below the last commit file"
     val eligible = vs.filter(_._1 <= upTo)
-    if (eligible.isEmpty) return (Seq.empty, Set.empty)
+    if (eligible.isEmpty) {
+      // an empty ELIGIBLE set on a non-empty log means the requested
+      // version was pruned by vacuum's log retention — failing loudly
+      // beats handing back an empty table that looks legitimate (data
+      // vacuum at least fails with FileNotFound; the log must match)
+      if (vs.nonEmpty)
+        throw new IllegalStateException(
+          s"version $upTo has been vacuumed from $logDir: " +
+            s"oldest surviving version is ${vs.head._1}")
+      return (Seq.empty, Set.empty)
+    }
     val ckpt = eligible.filter(_._2).map(_._1).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
     val txns = scala.collection.mutable.Set[String]()

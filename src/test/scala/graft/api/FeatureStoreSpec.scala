@@ -348,6 +348,31 @@ class FeatureStoreSpec extends SparkSpec {
       Map("graft.test.credential" -> "new-secret"))
   }
 
+  test("concurrent store() resolution publishes exactly one store per namespace") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val dir = tmpDir("graft-fs-race")
+    val fs = new FeatureStore(spark, s"$dir/catalog.json")
+    fs.createNamespace("race", s"$dir/warehouse",
+      storageOptions = Map("graft.test.credential" -> "s"))
+    val ns = fs.listNamespaces(Some("^race$")).head
+    // the old get-then-put let two threads both build a TimeseriesStore
+    // and leak the loser's cache-bypassing FileSystem handles; the
+    // atomic publish must hand every thread the SAME instance
+    val instances = Await.result(
+      Future.sequence((1 to 16).map(_ => Future(fs.store(ns)))), 1.minute)
+    assert(instances.distinct.size == 1)
+    // a rotated namespace swaps the store; concurrent resolvers of the
+    // NEW value again agree on one instance, distinct from the old
+    fs.updateNamespace("race", storageOptions = Some(Map("graft.test.credential" -> "s2")))
+    val ns2 = fs.listNamespaces(Some("^race$")).head
+    val swapped = Await.result(
+      Future.sequence((1 to 16).map(_ => Future(fs.store(ns2)))), 1.minute)
+    assert(swapped.distinct.size == 1)
+    assert(swapped.head ne instances.head)
+  }
+
   test("save validation: extraneous columns rejected, empty save is a no-op") {
     val fs = freshStore()
     fs.createFeature("test/val")

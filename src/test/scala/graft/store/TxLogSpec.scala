@@ -158,6 +158,15 @@ class TxLogSpec extends SparkSpec {
     // reading would restart at 0 and corrupt ordering
     assert(log.commit(Seq(TxAdd("partition=p/f12.parquet", "p"))) == 12L)
     assert(new TxLog(spark.sparkContext.hadoopConfiguration, dir).snapshot().size == 13)
+    // time travel BELOW the surviving checkpoint fails loudly — a
+    // silently empty table would look legitimate (the data-file analogue
+    // at least throws FileNotFound); at-or-above the checkpoint it works
+    val ex = intercept[IllegalStateException] { log.snapshot(Some(5L)) }
+    assert(ex.getMessage.contains("vacuumed"))
+    assert(log.snapshot(Some(10L)).size == 11)
+    // a genuinely empty log keeps the empty-result contract
+    assert(new TxLog(spark.sparkContext.hadoopConfiguration,
+      tmpDir("graft-emptylog")).snapshot(Some(3L)).isEmpty)
   }
 
   test("vacuum reaps crashed stage batches; file-less feature dirs read as empty") {
@@ -169,9 +178,26 @@ class TxLogSpec extends SparkSpec {
     val orphan = java.nio.file.Paths.get(dir, ".stage", "f", "zombie-uuid")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.writeString(orphan.resolve("part-0.parquet"), "x")
+    // a LIVE long-running write: the stage root's mtime reflects job
+    // start (old), but a task file landed moments ago — staleness keys
+    // on the tree's newest mtime, so this stage survives the vacuum
+    val inflight = java.nio.file.Paths.get(dir, ".stage", "f", "inflight-uuid")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "y")
+    val oldT = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.setLastModifiedTime(inflight, oldT)
     assert(tx.vacuum("f", retentionMs = 0L) >= 1L)
     assert(!java.nio.file.Files.exists(orphan))
     assert(tx.read("f").count() == 1L) // live data untouched
+    // recreate the stale-root/fresh-file stage reaped by the 0-retention
+    // pass above, and vacuum at the default horizon: root mtime alone
+    // would call it stale; the fresh task file must keep it alive
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "y")
+    java.nio.file.Files.setLastModifiedTime(inflight, oldT)
+    tx.vacuum("f")
+    assert(java.nio.file.Files.exists(inflight))
     // plain backend: a feature dir holding no parquet (crashed first
     // append, external mkdir) honors the documented empty contract
     // instead of throwing schema-inference errors forever
