@@ -580,33 +580,86 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       fromTail: Boolean): Map[String, Option[Any]] =
     features.map { full =>
       val (nsObj, f) = featureOf(full)
-      def pick(df: DataFrame) =
-        if (fromTail) TimeseriesOps.lastRow(df) else TimeseriesOps.firstRow(df)
       val row = f.transform match {
         case Some(_) =>
-          pick(loadSeries(full, None, None, timeTravel, clipFrom = true, Nil))
+          val df = loadSeries(full, None, None, timeTravel, clipFrom = true, Nil)
+          (if (fromTail) TimeseriesOps.lastRow(df) else TimeseriesOps.firstRow(df))
             .collect().headOption
-        case None =>
-          val st = store(nsObj)
-          val parts = st.listPartitions(f.name, reverse = fromTail)
-          // minimum width 3, not 1: partition strings are WRITER-
-          // session-zone dates, and under the ±1-day skew the store's
-          // range reads already widen for, the true endpoint row can
-          // sit up to two partition values away from the lexical
-          // endpoint — a width-1 read could return a stale row and
-          // stop. Three boundary partitions still beats scanning a
-          // years-deep history. Under timeTravel the windowed argument
-          // breaks down entirely (filtered-away partitions can mask a
-          // deeper true endpoint even at width 3), so that path reads
-          // the full history — travel point-lookups are rare.
-          val widths =
-            if (timeTravel.isDefined) Seq(parts.length).filter(_ > 0)
-            else Seq(3, parts.length).filter(w => w > 0 && w <= parts.length).distinct
-          widths.iterator.map { w =>
-            val raw = st.readPartitions(f.name, parts.take(w), valueTypeOf(f))
-            pick(postProcess(raw, f, timeTravel)).collect().headOption
-          }.collectFirst { case Some(r) => r }
+        case None => endpointLookup(nsObj, f, timeTravel, fromTail)._1
       }
       full -> row.map(_.get(1)).filter(_ != null)
     }.toMap
+
+  /** Partition-bounded endpoint point-lookup; returns the row and the
+    * window widths it actually read (the latter so specs can pin the
+    * read amplification).
+    *
+    * Minimum width 3, not 1: partition strings are WRITER-session-zone
+    * dates, and under the ±1-day skew the store's range reads already
+    * widen for, the true endpoint row can sit up to two partition
+    * values away from the lexical endpoint — a width-1 read could
+    * return a stale row and stop. Three boundary partitions still beats
+    * scanning a years-deep history.
+    *
+    * Without timeTravel a found row settles the lookup outright: the
+    * boundary partition is never filtered, so nothing deeper can beat
+    * it. Under timeTravel that argument breaks (a filtered-away prefix
+    * can mask a deeper true endpoint), so the lookup widens 3 → 9 → all
+    * and stops early only when the SKEW CONTRACT proves the candidate
+    * safe: a partition value p only contains event times in
+    * [p-1unit, p+2units) interpreted in UTC (the store's ±1-unit
+    * widening doctrine), so a tail candidate at or past the first
+    * unread value's exclusive sup — or a head candidate strictly below
+    * its inf — cannot be displaced by anything deeper.
+    */
+  private[graft] def endpointLookup(
+      nsObj: Namespace,
+      f: Feature,
+      timeTravel: Option[String],
+      fromTail: Boolean): (Option[org.apache.spark.sql.Row], Seq[Int]) = {
+    val st = store(nsObj)
+    val parts = st.listPartitions(f.name, reverse = fromTail)
+    val ladder = if (timeTravel.isDefined) Seq(3, 9, parts.length)
+                 else Seq(3, parts.length)
+    val widths = ladder.filter(w => w > 0 && w <= parts.length).distinct
+    val read = scala.collection.mutable.ArrayBuffer[Int]()
+    val row = widths.iterator.map { w =>
+      read += w
+      val raw = st.readPartitions(f.name, parts.take(w), valueTypeOf(f))
+      val df = postProcess(raw, f, timeTravel)
+      (w, (if (fromTail) TimeseriesOps.lastRow(df) else TimeseriesOps.firstRow(df))
+        .collect().headOption)
+    }.collectFirst {
+      case (w, Some(r)) if timeTravel.isEmpty || w == parts.length ||
+        endpointSettled(r.getTimestamp(0), parts(w), f.partition, fromTail) => Some(r)
+      case (w, None) if w == parts.length => None
+    }.flatten
+    (row, read.toSeq)
+  }
+
+  /** Can any partition deeper than `nextUnread` still beat the
+    * candidate endpoint time? Bounds follow the skew contract above;
+    * an unparseable partition value yields false (keep widening — the
+    * safe direction).
+    */
+  private def endpointSettled(
+      candidate: Timestamp,
+      nextUnread: String,
+      style: String,
+      fromTail: Boolean): Boolean =
+    try {
+      val bound = style match {
+        case "year" =>
+          val y = nextUnread.toInt
+          if (fromTail) java.time.LocalDate.of(y + 2, 1, 1)
+          else java.time.LocalDate.of(y - 1, 1, 1)
+        case _ =>
+          val d = java.time.LocalDate.parse(nextUnread)
+          if (fromTail) d.plusDays(2) else d.minusDays(1)
+      }
+      val boundMs = bound.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      if (fromTail) candidate.getTime >= boundMs else candidate.getTime < boundMs
+    } catch {
+      case _: NumberFormatException | _: java.time.DateTimeException => false
+    }
 }

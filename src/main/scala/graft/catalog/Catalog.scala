@@ -44,9 +44,29 @@ case class Feature(
 
 case class CatalogState(
     namespaces: Seq[Namespace] = Seq.empty,
-    features: Seq[Feature] = Seq.empty)
+    features: Seq[Feature] = Seq.empty,
+    formatVersion: Int = Catalog.CurrentFormatVersion)
 
 object Catalog {
+  /** On-disk catalog format version (the reference version-stamps its
+    * metadata DB and migrates old layouts, _upgrade.py:12-47). History:
+    *  - 1: the unstamped original — no formatVersion field;
+    *  - 2: identical structure plus the stamp itself.
+    * A catalog from a NEWER library refuses to load (fields this build
+    * doesn't know could be silently dropped on the next persist); an
+    * OLDER one is migrated stepwise and rewritten in place on open.
+    */
+  val CurrentFormatVersion = 2
+
+  /** Stepwise migrations: key v upgrades a version-v JSON document to
+    * v+1. Each step edits the raw tree, so a future field rename can be
+    * expressed here without the case classes ever knowing old spellings.
+    */
+  private[catalog] val migrations:
+      Map[Int, com.fasterxml.jackson.databind.node.ObjectNode =>
+        com.fasterxml.jackson.databind.node.ObjectNode] = Map(
+    1 -> (tree => tree) // v1 -> v2: structure unchanged, stamp added
+  )
   /** Identity charset from _model.py:18,28-32. */
   val NamePattern = "^[a-zA-Z0-9.#_-]+$".r
 
@@ -88,7 +108,29 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     if (!fs.exists(path)) CatalogState()
     else {
       val in = fs.open(path)
-      try mapper.readValue(in: java.io.InputStream, classOf[CatalogState]) finally in.close()
+      val tree = try mapper.readTree(in: java.io.InputStream) finally in.close()
+      val obj = tree.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      // the stamp is read off the raw tree, NOT the case class: Jackson
+      // fills a missing Int with 0, so legacy unstamped files must be
+      // recognized before binding (absent field = format 1)
+      val onDisk = Option(obj.get("formatVersion")).map(_.asInt).getOrElse(1)
+      if (onDisk > CurrentFormatVersion)
+        throw new IllegalStateException(
+          s"catalog $path has format version $onDisk, newer than this " +
+            s"library's $CurrentFormatVersion — refusing to load (a persist " +
+            "would silently drop fields this build does not know); upgrade " +
+            "the library instead")
+      val migrated = (onDisk until CurrentFormatVersion).foldLeft(obj) { (t, v) =>
+        Catalog.migrations.getOrElse(v, throw new IllegalStateException(
+          s"catalog $path: no migration from format version $v"))(t)
+      }
+      val st = mapper.treeToValue(migrated, classOf[CatalogState])
+        .copy(formatVersion = CurrentFormatVersion)
+      // upgrade-on-open: rewrite the migrated document in place so every
+      // subsequent reader (and the freshness stamp) sees the new format
+      // exactly once, not a re-migration per load
+      if (onDisk < CurrentFormatVersion) persistState(st)
+      st
     }
 
   private def currentStamp(): Option[(Long, Long)] =
@@ -147,10 +189,12 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     } finally inMutation = false
   }
 
-  private def persist(): Unit = {
+  private def persist(): Unit = persistState(state)
+
+  private def persistState(st: CatalogState): Unit = {
     val tmp = new Path(path.getParent, s".${path.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(state))
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(st))
     finally out.close()
     // overwrite-rename with the strongest primitive the scheme offers:
     // POSIX atomic move for local files, FileContext overwrite-rename

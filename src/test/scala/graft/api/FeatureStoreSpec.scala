@@ -348,6 +348,49 @@ class FeatureStoreSpec extends SparkSpec {
       Map("graft.test.credential" -> "new-secret"))
   }
 
+  test("timeTravel endpoint lookup widens 3 -> 9 -> all and stops when settled") {
+    val fs = freshStore()
+    val ns = fs.listNamespaces(Some("^test$")).head
+    def save(name: String, backfilledFrom: Int): Unit = {
+      fs.createFeature(s"test/$name")
+      // 60 daily rows; rows at or past `backfilledFrom` were created a
+      // month AFTER their event time, so a travel read masks them
+      val rows = (0 until 60).map { i =>
+        val t = new java.sql.Timestamp(ts("2024-01-01").getTime + i * 86400000L)
+        val created = if (i >= backfilledFrom) new java.sql.Timestamp(t.getTime + 30L * 86400000L) else t
+        (t, created, i.toDouble)
+      }.toDF("time", "created_time", "value")
+      fs.saveDataFrame(rows, Some(s"test/$name"))
+    }
+    save("tt", backfilledFrom = 56)
+    val f = fs.catalog.getFeature("test", "tt").get
+    // no travel: settled in the 3 boundary partitions, one read
+    val (plain, w0) = fs.endpointLookup(ns, f, None, fromTail = true)
+    assert(plain.get.getDouble(1) == 59.0 && w0 == Seq(3))
+    // travel: the 4 backfilled rows vanish; width 3 comes back empty,
+    // width 9 finds day 55 and the skew guard proves nothing deeper can
+    // beat it — the 60-partition history is never scanned
+    val (traveled, w1) = fs.endpointLookup(ns, f, Some("0s"), fromTail = true)
+    assert(traveled.get.getDouble(1) == 55.0 && w1 == Seq(3, 9))
+    // head lookups take the symmetric bound: backfill the EARLIEST rows
+    save("tt2", backfilledFrom = 0)
+    val f2 = fs.catalog.getFeature("test", "tt2").get
+    val (_, w2) = fs.endpointLookup(ns, f2, None, fromTail = false)
+    assert(w2 == Seq(3))
+    // tt2 has every row backfilled, so travel masks the WHOLE feature:
+    // the ladder exhausts honestly to the full width and returns None
+    // rather than a wrong endpoint
+    val (none, w3) = fs.endpointLookup(ns, f2, Some("0s"), fromTail = true)
+    assert(none.isEmpty && w3 == Seq(3, 9, 60))
+    // and a mask deeper than 9 falls through to the bounded full read
+    save("tt3", backfilledFrom = 48)
+    val f3 = fs.catalog.getFeature("test", "tt3").get
+    val (deep, w4) = fs.endpointLookup(ns, f3, Some("0s"), fromTail = true)
+    assert(deep.get.getDouble(1) == 47.0 && w4 == Seq(3, 9, 60))
+    // facade answer under travel is unchanged by the widening
+    assert(fs.last(Seq("test/tt"), timeTravel = Some("0s"))("test/tt").contains(55.0))
+  }
+
   test("concurrent store() resolution publishes exactly one store per namespace") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

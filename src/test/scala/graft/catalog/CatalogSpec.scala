@@ -131,4 +131,40 @@ class CatalogSpec extends AnyFunSuite {
     val f = reloaded.getFeature("p", "f").get
     assert(f.serialized && f.transform.contains(TransformSpec("sql", "f0 * 2", Seq("p/raw"))))
   }
+
+  test("legacy unstamped catalog migrates in place on open (_upgrade.py:12-47)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-mig").toString
+    val loc = s"$dir/catalog.json"
+    // a format-1 document: no formatVersion field, pre-stamp layout
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(loc),
+      """{
+        |  "namespaces": [{"name": "old", "url": "file:///tmp/old-mig",
+        |    "description": "", "storageOptions": {}, "backend": "spark",
+        |    "meta": {}, "version": 1}],
+        |  "features": [{"namespace": "old", "name": "f", "description": "",
+        |    "partition": "date", "serialized": false, "transform": null,
+        |    "valueType": null, "meta": {}, "version": 1}]
+        |}""".stripMargin)
+    val c = new Catalog(loc)
+    // entries survive the migration...
+    assert(c.getNamespace("old").get.url == "file:///tmp/old-mig")
+    assert(c.getFeature("old", "f").get.partition == "date")
+    // ...and the file itself was rewritten at the current format, so the
+    // upgrade runs once, not per load
+    val rewritten = java.nio.file.Files.readString(java.nio.file.Paths.get(loc))
+    assert(rewritten.contains(s""""formatVersion" : ${Catalog.CurrentFormatVersion}"""))
+    // mutations keep the stamp
+    c.createFeature(Feature("old", "g"))
+    assert(new Catalog(loc).getFeature("old", "g").isDefined)
+  }
+
+  test("catalog from a newer library refuses to load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-new").toString
+    val loc = s"$dir/catalog.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(loc),
+      s"""{"namespaces": [], "features": [],
+         | "formatVersion": ${Catalog.CurrentFormatVersion + 7}}""".stripMargin)
+    val ex = intercept[IllegalStateException](new Catalog(loc))
+    assert(ex.getMessage.contains("newer"))
+  }
 }
