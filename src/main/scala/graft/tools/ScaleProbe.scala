@@ -251,6 +251,52 @@ object ScaleProbe {
       graft.ops.Pack.packByBudget(docs, "n_tokens", 100000L, Seq("lang"), Seq("doc_id"))
         .agg(countDistinct(col("shard_idx")), count(lit(1))).collect()
     }
+    // TxLog optimistic concurrency under real contention: 16 threads x
+    // 25 append commits hammering ONE log, plus two compactors racing to
+    // retire the same seed generation. The no-overwrite rename is the
+    // only serialization point, so this measures commit throughput at
+    // the contention level a 1000-executor streaming job's driver-side
+    // committers would see, and certifies the validation rules: appends
+    // blind-retry their lost renames, remove-bearing commits re-validate
+    // per attempt (exactly ONE compactor may win; the other must fail
+    // with ConcurrentModificationException, never double-publish).
+    timed("txlog OCC: 400 racing append commits + 2 racing compactions on one log") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val dir = java.nio.file.Files.createTempDirectory("graft-occ-probe").toString
+      val conf = spark.sparkContext.hadoopConfiguration
+      val seed = (0 until 8).map(i => graft.store.TxAdd(s"partition=p/seed-$i.parquet", "p"))
+      val log = new graft.store.TxLog(conf, dir)
+      seed.foreach(s => log.commit(Seq(s)))
+      val appenders = (1 to 16).map { t =>
+        Future {
+          val mine = new graft.store.TxLog(conf, dir)
+          (1 to 25).foreach(i => mine.commit(
+            Seq(graft.store.TxAdd(s"partition=p/a-$t-$i.parquet", "p")), maxAttempts = 2000))
+        }
+      }
+      val compactors = (1 to 2).map { c =>
+        Future {
+          try {
+            new graft.store.TxLog(conf, dir).commit(
+              Seq(graft.store.TxAdd(s"partition=p/comp-$c.parquet", "p")),
+              seed.map(s => graft.store.TxRemove(s.path)), maxAttempts = 2000)
+            1
+          } catch { case _: java.util.ConcurrentModificationException => 0 }
+        }
+      }
+      Await.result(Future.sequence(appenders), 5.minutes)
+      val wins = Await.result(Future.sequence(compactors), 5.minutes).sum
+      require(wins == 1, s"expected exactly one compaction winner, got $wins")
+      // 8 seeds + 400 appends + 1 compaction = versions 0..408, no gaps
+      require(log.latestVersion() == 408L,
+        s"expected 409 committed versions, high-water = ${log.latestVersion()}")
+      val snap = log.snapshot().map(_.path)
+      require(snap.length == 401 && !snap.exists(_.contains("seed-")),
+        s"snapshot drift: ${snap.length} files (wanted 400 appends + 1 compacted, 0 seeds)")
+      println(s"[probe]   409 commits landed exactly-once, 1/2 compactors won")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

@@ -124,6 +124,40 @@ class TxLogSpec extends SparkSpec {
     assert(new TxLog(spark.sparkContext.hadoopConfiguration, dir).snapshot().size == 8)
   }
 
+  test("compaction lands exactly once under concurrent append pressure") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val dir = tmpDir("graft-occ-mix")
+    val log = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
+    // pre-existing generation the compaction will retire
+    val victims = (0 until 4).map(i => TxAdd(s"partition=p/old-$i.parquet", "p"))
+    victims.foreach(v => log.commit(Seq(v)))
+    // 8 appenders x 5 commits race one compactor retiring the old
+    // generation: appends never conflict semantically (blind retry on a
+    // lost rename), and the compaction's per-attempt re-validation keeps
+    // its removes live through every retry, so ALL 41 commits must land
+    val appends = (1 to 8).map { t =>
+      Future {
+        val mine = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
+        (1 to 5).map(i => mine.commit(
+          Seq(TxAdd(s"partition=p/app-$t-$i.parquet", "p")), maxAttempts = 500))
+      }
+    }
+    val compaction = Future {
+      new TxLog(spark.sparkContext.hadoopConfiguration, dir).commit(
+        Seq(TxAdd("partition=p/compacted.parquet", "p")),
+        victims.map(v => TxRemove(v.path)), maxAttempts = 500)
+    }
+    val versions = Await.result(Future.sequence(appends), 2.minutes).flatten :+
+      Await.result(compaction, 2.minutes)
+    // every commit got its own version: exactly-once, no double-publish
+    assert(versions.distinct.size == 41)
+    val snap = log.snapshot().map(_.path).toSet
+    assert(snap.size == 41) // 40 appends + compacted, zero old survivors
+    assert(!snap.exists(_.contains("old-")) && snap.contains("partition=p/compacted.parquet"))
+  }
+
   test("txn commits are exactly-once; remove-bearing commits conflict-check") {
     val dir = tmpDir("graft-occ")
     val log = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
