@@ -23,10 +23,10 @@ object AnnIvf {
   /** Cluster the corpus and attach a `cell` column. `df` must carry an
     * `array<float|double>` embedding column.
     */
-  def build(df: DataFrame, embCol: String, k: Int, seed: Long = 42L): Index = {
+  def build(df: DataFrame, embCol: String, k: Int, seed: Long = 42L, maxIter: Int = 20): Index = {
     val feat = df.withColumn("__fv", array_to_vector(col(embCol).cast("array<double>")))
     val model = new KMeans()
-      .setK(k).setSeed(seed)
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(feat)
     Index(model.clusterCenters.map(_.toArray).toSeq,

@@ -48,13 +48,23 @@ object MultimodalOps {
   /** Partition-parallel decode of a binary column into typed features.
     * Narrow transformation: each task decodes its own parquet split's
     * rows; nothing shuffles.
+    *
+    * `codec` is the real-library seam: a production build passes the
+    * actual decode (JNI/opencv/ffmpeg) here and NOTHING else changes —
+    * the closure is opaque to Catalyst, so the physical plan is
+    * byte-identical in shape whichever implementation rides inside
+    * (MultimodalSpec pins that invariance against explain output).
     */
-  def decodeImages(df: DataFrame, idCol: String, binCol: String): Dataset[ImageFeatures] = {
+  def decodeImages(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      codec: (Long, Array[Byte]) => ImageFeatures = stubDecode): Dataset[ImageFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => codec(id, bytes) })
   }
 
   /** Frame sampling: fan each "video" payload out to every `stride`-th

@@ -251,6 +251,52 @@ object ScaleProbe {
       graft.ops.Pack.packByBudget(docs, "n_tokens", 100000L, Seq("lang"), Seq("doc_id"))
         .agg(countDistinct(col("shard_idx")), count(lit(1))).collect()
     }
+    // IVF-KMeans ANN at 1M vectors with REALISTIC density: embedding
+    // corpora are clustered, so the corpus is 2048 planted clusters
+    // (md5-random center + 0.15-amplitude md5-random noise), not the
+    // uniform cloud the sign-LSH probe wants. Recall@16 is measured
+    // against brute-force cosine ground truth on ~100 queries; the IVF
+    // path probes 8 of 256 cells (~3% of the corpus scanned per query).
+    // LshRecallSpec pins 0.85 at fixture size — the probe holds the
+    // same floor at 1M.
+    timed(s"IVF-KMeans ANN recall@16 over $nVecs clustered vectors (k=256, nProbe=8)") {
+      val dim = 64
+      def comp(seed: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(seed, lit("_"), d)), 1, 6), 16, 10)
+          .cast("double") / lit(8388608.0) - 1.0
+      val vecs = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          comp(concat(lit("c"), (col("id") % 2048L).cast("string")), d) +
+            comp(concat(lit("n"), col("id").cast("string")), d) * lit(0.15)).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count()
+      val index = graft.functions.AnnIvf.build(vecs, "emb", k = 256, maxIter = 5)
+      val assigned = index.copy(assigned = index.assigned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      assigned.assigned.count()
+      val queries = vecs.filter(col("vec_id") % 9973L === 7L) // ~100 queries
+      val qb = queries.select(col("vec_id").as("qid"),
+        col("emb").cast("array<double>").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+      val truthTop = vecs.crossJoin(broadcast(qb))
+        .select(col("qid"), col("vec_id"),
+          round(graft.plans.CosineSimilarity.cosineSim(
+            col("qv"), col("emb").cast("array<double>")), 6).as("s"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 16)
+        .select(col("qid"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = truthTop.count()
+      val got = graft.functions.AnnIvf
+        .query(assigned, queries, "vec_id", topK = 16, nProbe = 8, "vec_id")
+        .select(col("vec_id_q").as("qid"), col("vec_id_c").as("vec_id"))
+      val hits = truthTop.join(got, Seq("qid", "vec_id"), "left_semi").count()
+      val recall = hits.toDouble / total
+      println(f"[probe]   recall@16 = $recall%.3f over ${total / 16} queries")
+      require(recall >= 0.85, f"IVF recall@16 $recall%.3f fell below the 0.85 spec floor")
+      vecs.unpersist(); assigned.assigned.unpersist(); truthTop.unpersist()
+    }
     // TxLog optimistic concurrency under real contention: 16 threads x
     // 25 append commits hammering ONE log, plus two compactors racing to
     // retire the same seed generation. The no-overwrite rename is the
