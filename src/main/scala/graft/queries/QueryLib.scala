@@ -404,6 +404,46 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsStreamWindow = Q(
+    "fs_stream_window",
+    // §2.10's stateful side under the oracle gate: the events table is
+    // staged as 4 files and driven as 4 REAL micro-batches through
+    // EventStreams.windowedStats (tumbling 1h windows, the watermarked
+    // streaming agg) in Complete mode into a memory sink — the mode
+    // where the final table must equal the batch GROUP BY exactly, so
+    // the DuckDB oracle is the plain hourly aggregate. What this hashes
+    // red: window boundary drift (epoch alignment vs date_trunc),
+    // cross-micro-batch state merge errors, and any decimal-sum drift
+    // between the streaming and batch agg paths. The memory sink is the
+    // CORRECTNESS harness only — the scale sink is fs_stream_sink's
+    // txlog path; Complete mode on an unbounded stream would be wrong
+    // at 100 TB by construction.
+    (s, dir) => {
+      val tmp = scratchDir("swin")
+      val src = T(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+      src.repartition(4).write.parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1") // 4 files -> 4 stateful micro-batches
+        .parquet(s"$tmp/src")
+      // unique per invocation: the memory sink registers a session temp
+      // view (bench re-runs the query; a fixed name would collide)
+      val view = s"swin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = graft.streaming.EventStreams.windowedStats(stream, "1 hour")
+        .writeStream.format("memory").queryName(view)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start,
+           |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           |       event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1, 2, 3""".stripMargin))
+
   private val fsTransformDag = Q(
     "fs_transform_dag",
     // §2.9 virtual-feature transforms under the oracle gate (previously
@@ -1829,7 +1869,7 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsTrainingFrame, fsTransformDag,
+    fsStreamSink, fsStreamWindow, fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
