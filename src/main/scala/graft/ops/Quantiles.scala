@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   * approx_percentile sketch. Null values are ignored (like
   * `percentile` / `quantile_cont`); a group whose values are ALL null
   * is absent from the output (the built-in would emit a null row).
+  *
+  * Storage note (same discipline as [[graft.functions.Components]]):
+  * the result plan is backed by the ranged frame's `localCheckpoint`,
+  * whose blocks Spark's ContextCleaner frees once the returned frame
+  * becomes unreachable — a long-lived application calling this per
+  * batch should drop its reference between batches.
   */
 object Quantiles {
 
