@@ -878,6 +878,41 @@ object QueryLib {
            |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
            |FROM documents""".stripMargin))
 
+  private val txtChunks = Q(
+    "txt_chunks",
+    // Context-window chunking — the split a training pipeline runs so
+    // documents fit a token budget: fixed 120-char windows at stride
+    // 100 (20-char overlap so no boundary context is lost). Chunk
+    // starts are offset-COMPUTED (sequence + substring, no UDF): the
+    // explode carries only (doc_id, idx, 120-char slice), so shuffle
+    // volume is ~1.2x the corpus regardless of document length — a doc
+    // never travels whole, and a 100 TB corpus chunks in one narrow
+    // pass pipelined with the scan. Spark `div` truncates while
+    // DuckDB's `//` floors, so the length>0 guard keeps the two
+    // engines' chunk counts identical on degenerate empty docs.
+    (s, dir) =>
+      T(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, (length(text) - 1) div 100), " +
+              "i -> substring(text, cast(i * 100 + 1 AS INT), 120))")))
+        .select(
+          col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"),
+          length(col("col")).cast("long").as("chunk_len")),
+    Some("""WITH c AS (
+           |  SELECT doc_id, text,
+           |         unnest(range(0, (length(text) - 1) // 100 + 1)) AS i
+           |  FROM documents WHERE length(text) > 0)
+           |SELECT doc_id,
+           |  CAST(i AS BIGINT) AS chunk_idx,
+           |  substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk,
+           |  CAST(length(substr(text, CAST(i * 100 + 1 AS INT), 120)) AS BIGINT) AS chunk_len
+           |FROM c""".stripMargin))
+
   private val txtLangid = Q(
     "txt_langid",
     (s, dir) =>
@@ -1873,7 +1908,7 @@ object QueryLib {
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
-    txtStats, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
+    txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,

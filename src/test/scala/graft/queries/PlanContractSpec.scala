@@ -31,11 +31,14 @@ class PlanContractSpec extends SparkSpec {
     Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid",
       "dq_events", "q_drift_hist")
 
-  // Queries whose BUILD already executes jobs (store write paths) —
-  // expensive to instantiate here and structurally covered by their
-  // own specs (TxLogSpec, FeatureStoreSpec).
+  // Queries whose BUILD already executes jobs (store write paths, the
+  // streaming gates driving whole pipelines to completion) — expensive
+  // to instantiate here, structurally covered by their own specs
+  // (TxLogSpec, FeatureStoreSpec, StreamingSpec), and the returned
+  // frame is just a facade read / memory-sink scan anyway.
   private val skipBuild =
-    Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame", "fs_transform_dag")
+    Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame", "fs_transform_dag",
+      "fs_stream_sink", "fs_stream_window")
 
   test("no query plans a cartesian or an unexpected nested-loop join") {
     val violations = QueryLib.all.map(_.name).filterNot(skipBuild).flatMap { n =>
@@ -86,6 +89,14 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("txt_vocab")
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Window"))
+  }
+
+  test("txt_chunks is one narrow pass: generate fused with the scan, no exchange") {
+    // the chunk explode must pipeline with the parquet read — a shuffle
+    // here would move every document's full text before slicing it
+    val p = plan("txt_chunks")
+    assert(p.contains("Generate"), "chunk fan-out should be a Generate")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
   test("q_pack_shards joins slice offsets by broadcast, never by shuffling the corpus") {
