@@ -444,6 +444,55 @@ object QueryLib {
            |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2, 3""".stripMargin))
 
+  private val fsStreamSession = Q(
+    "fs_stream_session",
+    // §2.10's session-window path — the hardest stateful code: sessions
+    // MERGE across micro-batches (an early batch's open session and a
+    // later batch's events union into one window). 4 real micro-batches
+    // through EventStreams.sessionStats (30-min gap) in Complete mode;
+    // the oracle is the batch gap-sessionization (q_sessionize's
+    // kernel) rolled up per session. Boundary doctrine measured, not
+    // assumed (StreamingSpec): an exactly-gap pause still merges, so
+    // the oracle cuts with the same strict `>` as the batch kernel, and
+    // session_end = last event + gap. No watermark here — the staged
+    // files aren't time-ordered, and the session exec (unlike plain
+    // windowed aggs in Complete mode) drops rows older than the
+    // watermark in every output mode, which would silently lose ~half
+    // the events (measured). Complete + memory sink + unbounded state
+    // is the correctness harness; production session stats keep the
+    // watermark and run Append.
+    (s, dir) => {
+      val tmp = scratchDir("ssess")
+      val src = T(s, dir, "events").select(col("ts"), col("user_id"), col("value"))
+      src.repartition(4).write.parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1") // 4 files -> 4 merging micro-batches
+        .parquet(s"$tmp/src")
+      val view = s"ssess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = graft.streaming.EventStreams.sessionStats(stream, "30 minutes", watermark = None)
+        .writeStream.format("memory").queryName(view)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT user_id, ts, value,
+           |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+           |  FROM g)
+           |SELECT min(ts) AS session_start,
+           |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+           |  user_id,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM s GROUP BY user_id, session_idx""".stripMargin))
+
   private val fsTransformDag = Q(
     "fs_transform_dag",
     // §2.9 virtual-feature transforms under the oracle gate (previously
@@ -1904,7 +1953,7 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamWindow, fsTrainingFrame, fsTransformDag,
+    fsStreamSink, fsStreamWindow, fsStreamSession, fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,

@@ -38,15 +38,23 @@ object EventStreams {
         col("event_type"), col("n"), col("total"))
   }
 
-  /** Session windows per user: activity separated by >= `gap` starts a
-    * new session (the streaming generalization of sessionization).
+  /** Session windows per user: a pause exceeding `gap` starts a new
+    * session (exactly-gap pauses still merge — the inclusive boundary
+    * StreamingSpec pins, matching the batch kernel's strict-> cut).
+    *
+    * `watermark = None` runs UNBOUNDED: unlike plain windowed aggs —
+    * where Complete mode ignores the watermark entirely — the session
+    * exec drops rows older than the watermark in EVERY output mode, so
+    * an out-of-order backfill (files replayed in non-time order) would
+    * silently lose events. None is for finite, possibly-disordered
+    * replays judged in Complete mode; production streams keep the
+    * watermark, which bounds state AND defines the late-data contract.
     */
   def sessionStats(
       events: DataFrame,
       gap: String,
-      watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+      watermark: Option[String] = Some("10 minutes")): DataFrame =
+    watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
       .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))

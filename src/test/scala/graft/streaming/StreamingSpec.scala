@@ -47,6 +47,25 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 4.0)
   }
 
+  test("sessionStats boundary: an exactly-gap-sized pause still MERGES") {
+    // pins the inclusive merge rule (measured, not assumed: a session
+    // window spans [t, t+gap] for overlap purposes, so an event AT
+    // t+gap joins it — new session only when the pause EXCEEDS the
+    // gap). This is the same `>` cut as q_sessionize's batch kernel,
+    // so fs_stream_session can reuse its oracle convention verbatim.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionStats(mem.toDF(), "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("ssb").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T00:00:00", 7, "click", 1.0),
+      ("2024-01-01T00:05:00", 7, "click", 2.0)): _*) // exactly one gap later
+    q.processAllAvailable()
+    val out = spark.table("ssb").collect()
+    q.stop()
+    assert(out.length == 1, s"exact-gap events split: ${out.mkString(";")}")
+  }
+
   test("attributionJoin matches purchases to prior clicks within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
