@@ -493,6 +493,41 @@ object QueryLib {
            |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM s GROUP BY user_id, session_idx""".stripMargin))
 
+  private val fsStreamAttrib = Q(
+    "fs_stream_attrib",
+    // §2.10's stream-stream join path: clicks and purchases from the
+    // same 4-micro-batch replay joined within a 1-hour horizon, Append
+    // mode — an inner stream-stream join emits exactly the batch join
+    // result once both sides arrive, so the oracle is the plain
+    // time-bounded self-join. No watermark (the finite-replay doctrine
+    // shared with fs_stream_session: staged files aren't time-ordered,
+    // and eviction could drop one side's state before the other side's
+    // late match lands); production attribution keeps it for bounded
+    // buffers.
+    (s, dir) => {
+      val tmp = scratchDir("sattr")
+      val src = T(s, dir, "events").select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      src.repartition(4).write.parquet(s"$tmp/src")
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/src")
+      val view = s"sattr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = graft.streaming.EventStreams
+        .attributionJoin(stream, horizon = "1 hour", watermark = None)
+        .writeStream.format("memory").queryName(view)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""SELECT c.user_id, c.ts AS click_ts, p.ts AS buy_ts, p.value
+           |FROM events c JOIN events p
+           |  ON p.user_id = c.user_id
+           | AND c.event_type = 'click' AND p.event_type = 'purchase'
+           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin))
+
   private val fsTransformDag = Q(
     "fs_transform_dag",
     // §2.9 virtual-feature transforms under the oracle gate (previously
@@ -1953,7 +1988,7 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamWindow, fsStreamSession, fsTrainingFrame, fsTransformDag,
+    fsStreamSink, fsStreamWindow, fsStreamSession, fsStreamAttrib, fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,

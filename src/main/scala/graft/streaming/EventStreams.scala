@@ -66,17 +66,23 @@ object EventStreams {
     * watermarks and the join condition bounds event-time distance, so
     * Spark can expire buffered state — the state-bounded form of a
     * stream-stream join (unconstrained joins buffer forever).
+    *
+    * `watermark = None` buffers both sides indefinitely — the same
+    * replay trade as [[sessionStats]]: an out-of-order finite replay
+    * under a watermark can evict one side's state before the other
+    * side's late match arrives; None is for Complete/append gates over
+    * finite disordered input, never for an unbounded stream.
     */
   def attributionJoin(
       events: DataFrame,
       horizon: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", watermark)
-    val buys = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("buyer_id"), col("ts").as("buy_ts"), col("value"))
-      .withWatermark("buy_ts", watermark)
+      watermark: Option[String] = Some("10 minutes")): DataFrame = {
+    def wm(df: DataFrame, c: String) =
+      watermark.map(w => df.withWatermark(c, w)).getOrElse(df)
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts")), "click_ts")
+    val buys = wm(events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("ts").as("buy_ts"), col("value")), "buy_ts")
     clicks.join(buys,
       col("user_id") === col("buyer_id") &&
         col("buy_ts") >= col("click_ts") &&

@@ -38,7 +38,7 @@ class PlanContractSpec extends SparkSpec {
   // frame is just a facade read / memory-sink scan anyway.
   private val skipBuild =
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame", "fs_transform_dag",
-      "fs_stream_sink", "fs_stream_window", "fs_stream_session")
+      "fs_stream_sink", "fs_stream_window", "fs_stream_session", "fs_stream_attrib")
 
   test("no query plans a cartesian or an unexpected nested-loop join") {
     val violations = QueryLib.all.map(_.name).filterNot(skipBuild).flatMap { n =>
