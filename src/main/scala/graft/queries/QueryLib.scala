@@ -406,11 +406,16 @@ object QueryLib {
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 micro-batch txns
         .parquet(s"$tmp/src")
-      val query = graft.streaming.EventStreams
-        .featureSinkTx(stream, fs.store(nsObj), "purchase",
-          checkpointDir = s"$tmp/ckpt", streamId = "ssink")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // no state stores here (foreachBatch), but each micro-batch's
+      // writeTx runs the ranged layout exchange — 4 partitions matches
+      // the tiny per-batch volume instead of 32 near-empty write tasks
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams
+          .featureSinkTx(stream, fs.store(nsObj), "purchase",
+            checkpointDir = s"$tmp/ckpt", streamId = "ssink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       query.awaitTermination()
       fs.loadDataFrame(Seq("st/purchase"),
           fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
