@@ -6,10 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: substring filter for fast single-query iteration
-    // (check.py compares whatever dumps exist; unmatched names just
-    // report NO-ORACLE on the driver side is impossible — driver never
-    // passes a filter)
+    // optional 3rd arg: substring filter for fast single-query local
+    // iteration. check.py only compares the dumps that exist, so a
+    // filtered run is a valid partial gate; the DRIVER never passes a
+    // filter, so its gate always covers every query.
     val nameFilter: String => Boolean =
       if (args.length > 2) _.contains(args(2)) else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -102,7 +102,9 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   // handles mid-operation. Retired stores park here and are closed on a
   // later store() call once RetireGraceMs has passed — operations
   // outliving the grace window on a rotated-away store keep the
-  // (documented) pre-existing hazard, but the common case is safe.
+  // (documented) pre-existing hazard, but the common case is safe. A
+  // rotation followed by NO further store() traffic parks the handles
+  // until `close()` — call it when discarding the FeatureStore.
   private val retiredStores =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, TimeseriesStore)]()
   private val RetireGraceMs = 120000L
@@ -135,6 +137,19 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Release every FileSystem handle this facade owns: cached stores
+    * and rotation-retired stores (grace ignored — the caller asserts no
+    * operation is in flight). The facade is unusable for namespaces
+    * with storageOptions afterward; option-less namespaces keep working
+    * through the shared process FS cache, which is never closed here.
+    */
+  def close(): Unit = {
+    var head = retiredStores.poll()
+    while (head != null) { head._2.close(); head = retiredStores.poll() }
+    storeCache.values.foreach(_._2.close())
+    storeCache.clear()
   }
 
   private def namespaceOf(name: String): Namespace =
@@ -545,10 +560,12 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
   /** Point lookup for inference (core.py:315-331): last value per feature,
     * transforms evaluated at the tail (tested test_featurestore.py:665-672).
     *
-    * Plain features read tail partitions only, widening (1, 4, all) until
-    * a surviving row appears — a point lookup on a years-deep feature
-    * touches one day's directory instead of scanning history. Transformed
-    * features fall back to the full DAG load.
+    * Plain features read boundary partitions only — width 3, then
+    * (under timeTravel) 9, then all, stopping as soon as the skew
+    * contract proves the candidate safe (see [[endpointLookup]]) — so a
+    * point lookup on a years-deep feature touches a few days'
+    * directories instead of scanning history. Transformed features fall
+    * back to the full DAG load.
     */
   def last(features: Seq[String], timeTravel: Option[String] = None): Map[String, Option[Any]] =
     endpoint(features, timeTravel, fromTail = true)

@@ -100,12 +100,28 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
   private val catLock = Catalog.lockFor(path.toUri.toString)
   private def fs = path.getFileSystem(hadoopConf)
 
-  private var state: CatalogState = loadState()
+  private var state: CatalogState = catLock.synchronized {
+    // Upgrade-on-OPEN, and only on open: a legacy-format file is
+    // rewritten at the current format exactly once, from the
+    // constructor under the path lock. Read paths (fresh()) must never
+    // write — a reader persisting its freshly-migrated copy could
+    // clobber a concurrent writer's just-committed mutation with the
+    // older tree it had parsed (read paths re-migrate a legacy file
+    // in memory instead, which only matters if one appears mid-session).
+    val (st, onDisk) = loadStateVersioned()
+    if (onDisk < CurrentFormatVersion && fs.exists(path)) persistState(st)
+    st
+  }
   private var loadedStamp: Option[(Long, Long)] = currentStamp()
   private var inMutation: Boolean = false
 
-  private def loadState(): CatalogState =
-    if (!fs.exists(path)) CatalogState()
+  private def loadState(): CatalogState = loadStateVersioned()._1
+
+  /** Parsed state plus the format version found ON DISK (migrations
+    * applied in memory; persisting is the caller's decision).
+    */
+  private def loadStateVersioned(): (CatalogState, Int) =
+    if (!fs.exists(path)) (CatalogState(), CurrentFormatVersion)
     else {
       val in = fs.open(path)
       val tree = try mapper.readTree(in: java.io.InputStream) finally in.close()
@@ -124,13 +140,8 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
         Catalog.migrations.getOrElse(v, throw new IllegalStateException(
           s"catalog $path: no migration from format version $v"))(t)
       }
-      val st = mapper.treeToValue(migrated, classOf[CatalogState])
-        .copy(formatVersion = CurrentFormatVersion)
-      // upgrade-on-open: rewrite the migrated document in place so every
-      // subsequent reader (and the freshness stamp) sees the new format
-      // exactly once, not a re-migration per load
-      if (onDisk < CurrentFormatVersion) persistState(st)
-      st
+      (mapper.treeToValue(migrated, classOf[CatalogState])
+        .copy(formatVersion = CurrentFormatVersion), onDisk)
     }
 
   private def currentStamp(): Option[(Long, Long)] =

@@ -101,14 +101,28 @@ object Quantiles {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col(SUB)).as(NTOT))
 
-    // 4) global rank interval per distinct value: [CUM - CNT, CUM)
+    // 4) global rank interval per distinct value: [CUM - CNT, CUM).
+    //    Joins are NULL-SAFE (<=>): percentile()/quantile_cont emit a
+    //    row for a NULL group key, and a plain using-column equi-join
+    //    would silently drop that whole group (its offsets/totals rows
+    //    never match back).
     val inW = Window.partitionBy((PID +: groupCols).map(col): _*)
       .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rankedAll = ranged
-      .join(broadcast(offsets), PID +: groupCols)
+    val r = ranged.alias("r")
+    val o = offsets.alias("o")
+    val offCond = (PID +: groupCols)
+      .map(c => col(s"r.`$c`") <=> col(s"o.`$c`")).reduce(_ && _)
+    val withOff = r.join(broadcast(o), offCond)
+      .select(col("r.*"), col(s"o.`$OFF`"))
       .withColumn(CUM, sum(col(CNT)).over(inW) + col(OFF))
-      .join(broadcast(totals), groupCols)
+    val c0 = withOff.alias("c")
+    val t0 = totals.alias("t")
+    val totCond =
+      if (groupCols.isEmpty) lit(true)
+      else groupCols.map(c => col(s"c.`$c`") <=> col(s"t.`$c`")).reduce(_ && _)
+    val rankedAll = c0.join(broadcast(t0), totCond)
+      .select(col("c.*"), col(s"t.`$NTOT`"))
 
     // 5) keep only rank-k / rank-(k+1) carriers, agg, interpolate
     def kOf(p: Double): Column =

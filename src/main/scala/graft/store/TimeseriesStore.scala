@@ -465,17 +465,20 @@ class TimeseriesStore(
     // _temporary immediately; task files land much later), so a write
     // job still running past the horizon would have its stage yanked
     // mid-write by a concurrent vacuum — its freshly written task files
-    // prove it alive
-    def treeMaxMtime(p: Path): Long = {
-      val children = f.listStatus(p)
-      (f.getFileStatus(p).getModificationTime +:
-        children.map(st =>
-          if (st.isDirectory) treeMaxMtime(st.getPath)
-          else st.getModificationTime).toSeq).max
-    }
+    // prove it alive. Recurses on the FileStatus already in hand (no
+    // re-stat RPC per directory), and a path that vanishes mid-walk —
+    // the live writer just committed/renamed it — reads as maximally
+    // FRESH so the stage is skipped this cycle rather than aborting the
+    // whole vacuum with FileNotFoundException.
+    def treeMaxMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else
+        try (st.getModificationTime +:
+          f.listStatus(st.getPath).toSeq.map(treeMaxMtime)).max
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     if (f.exists(stageRoot))
       f.listStatus(stageRoot)
-        .filter(st => st.isDirectory && treeMaxMtime(st.getPath) <= horizon)
+        .filter(st => st.isDirectory && treeMaxMtime(st) <= horizon)
         .foreach(st => if (f.delete(st.getPath, true)) removed += 1)
     removed
   }

@@ -64,6 +64,21 @@ class QuantilesSpec extends SparkSpec {
     assert(got === Array(("a", 2.0)))
   }
 
+  test("a NULL group key is a real group, like the built-in (null-safe rank joins)") {
+    // percentile() emits a row for the NULL group; plain equi-joins in
+    // the rank plumbing would silently drop it (the review catch)
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 20.0), (None, 30.0))
+      .toDF("g", "v")
+    val got = Quantiles.quantileCont(df, "v", Seq("g"), Seq(("p50", 0.5)))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toMap
+    assert(got == Map(Some("a") -> 2.0, None -> 20.0))
+    // ungrouped (global) quantiles keep working too
+    val global = Quantiles.quantileCont(df, "v", Nil, Seq(("p50", 0.5)))
+      .collect().map(_.getDouble(0))
+    val want = df.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    assert(global.length == 1 && math.abs(global(0) - want) < 1e-12)
+  }
+
   test("result is identical across partition counts (slice-boundary invariance)") {
     val rows = (1 to 997).map(i => (s"g${i % 3}", (i * 37 % 101) / 3.0))
     val df = rows.toDF("g", "v")
