@@ -242,6 +242,16 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
     store(nsObj).compact(f.name, partitions)
   }
 
+  /** Re-pack a feature's undersized files into ~targetBytes outputs
+    * without changing any row (the OPTIMIZE to `compactFeature`'s
+    * dedup): txlog-backed namespaces only. Returns files retired.
+    */
+  def optimizeFeature(fullName: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot optimize transformed feature '$fullName'")
+    store(nsObj).optimize(f.name, targetBytes)
+  }
+
   /** Garbage-collect data files retired by compaction. Only meaningful
     * on a txlog-backed namespace, where compaction retires files
     * logically (readers with older snapshots keep working) and vacuum

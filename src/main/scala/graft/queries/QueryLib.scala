@@ -351,20 +351,22 @@ object QueryLib {
     "fs_store_txlog",
     // the SAME facade path as fs_store_roundtrip but on the
     // transaction-log backend (TxLog: Delta-protocol-style atomic
-    // commits over the hive parquet layout), with a transactional
-    // compaction + vacuum in the middle of the lifecycle: normalizing
-    // writer -> atomic append commit -> compact (retire + publish in
-    // one commit) -> vacuum -> snapshot read with log-metadata pruning
+    // commits over the hive parquet layout), with the FULL maintenance
+    // lifecycle in the middle: 2 small appends (the micro-batch
+    // accumulation shape) -> OPTIMIZE (bin-pack small files, rows
+    // preserved exactly) -> compact (dedup, retire + publish in one
+    // commit) -> vacuum -> snapshot read with log-metadata pruning
     // must reproduce what DuckDB computes directly from raw events
     (s, dir) => {
       val tmp = scratchDir("txrt")
       val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
       fs.createNamespace("rt", s"$tmp/warehouse", backend = "txlog")
       fs.createFeature("rt/purchase")
-      fs.saveDataFrame(
-        T(s, dir, "events").filter(col("event_type") === "purchase")
-          .select(col("ts").as("time"), col("value")),
-        name = Some("rt/purchase"))
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      (0 until 2).foreach(i => fs.saveDataFrame(
+        src.filter(pmod(hash(col("time")), lit(2)) === i), name = Some("rt/purchase")))
+      fs.optimizeFeature("rt/purchase")
       fs.compactFeature("rt/purchase")
       fs.vacuumFeature("rt/purchase", retentionMs = 0L) // reclaim NOW: no concurrent writers here
       fs.loadDataFrame(Seq("rt/purchase"),

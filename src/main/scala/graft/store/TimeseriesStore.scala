@@ -146,8 +146,11 @@ class TimeseriesStore(
     * spans several contiguous slices), and each parquet file covers a
     * tight time range so row-group min/max pruning bites on read.
     */
-  private def layoutForWrite(normalized: DataFrame): DataFrame =
-    normalized.repartitionByRange(col("partition"), col(TimeCol))
+  private def layoutForWrite(normalized: DataFrame, outPartitions: Option[Int] = None): DataFrame =
+    outPartitions match {
+      case Some(n) => normalized.repartitionByRange(n, col("partition"), col(TimeCol))
+      case None    => normalized.repartitionByRange(col("partition"), col(TimeCol))
+    }
 
   /** Write `normalized` (with its `partition` column) as new parquet
     * files INSIDE the feature's hive layout and return the log actions
@@ -157,9 +160,13 @@ class TimeseriesStore(
     * caller commits the returned adds — the stage/install split is what
     * makes append and compaction atomic.
     */
-  private def stageInstall(name: String, normalized: DataFrame): Seq[TxAdd] = {
+  private def stageInstall(
+      name: String,
+      normalized: DataFrame,
+      outPartitions: Option[Int] = None): Seq[TxAdd] = {
     val stage = new Path(s"$url/.stage/$name/${java.util.UUID.randomUUID()}")
-    layoutForWrite(normalized).write.options(storageOptions).option("compression", "snappy")
+    layoutForWrite(normalized, outPartitions).write
+      .options(storageOptions).option("compression", "snappy")
       .partitionBy("partition").parquet(stage.toString)
     val f = fs(url)
     val featureRoot = new Path(featurePath(name))
@@ -443,6 +450,56 @@ class TimeseriesStore(
     val adds = stageInstall(name,
       deduped.select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition")))
     log.commit(adds, victims.map(a => TxRemove(a.path)))
+  }
+
+  /** Small-file bin-packing compaction (the Delta paper's OPTIMIZE;
+    * txlog backend): coalesce each partition's undersized live files
+    * into ~`targetBytes` outputs WITHOUT changing a single row — unlike
+    * `compact` there is no dedup, so row counts, generation history and
+    * every `asOfVersion` read are preserved exactly; only the file
+    * layout changes. The cure for a 10-second micro-batch sink's
+    * file-per-commit accumulation: a day of small commits re-packs into
+    * row-group-sized files and every subsequent scan opens N/100 files.
+    *
+    * Retire + publish happen in ONE commit (a reader replays the old or
+    * the new layout, never a mix), and the commit's remove-validation
+    * makes a race with a concurrent compaction/optimize fail loudly
+    * instead of double-publishing the data. Old bytes reclaim on
+    * `vacuum`. Output files keep the ranged (partition, time) layout,
+    * sized by input bytes to ~targetBytes each. Returns the number of
+    * files retired (0 = nothing worth packing).
+    */
+  def optimize(name: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(logBacked, "optimize requires the txlog backend")
+    if (!exists(name)) return 0L
+    val log = txLog(name)
+    val live = log.snapshot()
+    if (live.isEmpty) return 0L
+    val f = fs(url)
+    val root = featurePath(name)
+    // victims: partitions holding 2+ undersized live files (a lone
+    // small file gains nothing from a rewrite). Sizes come from one
+    // metadata stat per live file — a file that vanished mid-plan (a
+    // racing vacuum of an older layout) simply drops out; the commit's
+    // remove-validation is the real consistency gate.
+    val victims = live.groupBy(_.partition).values.flatMap { adds =>
+      val sized = adds.flatMap { a =>
+        try {
+          val st = f.getFileStatus(new Path(s"$root/${a.path}"))
+          if (st.getLen < targetBytes) Some((a, st.getLen)) else None
+        } catch { case _: java.io.FileNotFoundException => None }
+      }
+      if (sized.length >= 2) sized else Nil
+    }.toSeq
+    if (victims.isEmpty) return 0L
+    val totalBytes = victims.map(_._2).sum
+    val outParts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val src = spark.read.options(storageOptions).option("basePath", root)
+      .parquet(victims.map(v => s"$root/${v._1.path}"): _*)
+      .select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
+    val adds = stageInstall(name, src, outPartitions = Some(outParts))
+    log.commit(adds, victims.map(v => TxRemove(v._1.path)))
+    victims.size.toLong
   }
 
   /** Garbage-collect files retired by compaction (txlog backend):

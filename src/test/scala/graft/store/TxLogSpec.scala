@@ -106,6 +106,42 @@ class TxLogSpec extends SparkSpec {
     assert(tx.read("f").collect().map(_.getDouble(2)).toSeq == Seq(9.0))
   }
 
+  test("optimize bin-packs small files in one commit without changing a row") {
+    val dir = tmpDir("graft-optimize")
+    val tx = new TimeseriesStore(spark, dir, backend = "txlog")
+    // 8 tiny appends to one day + 2 to another: the micro-batch-sink
+    // accumulation shape
+    (0 until 8).foreach { i =>
+      tx.save("f", series(("2024-01-01 10:0%d:00".format(i), "2024-01-01 10:00:00", i.toDouble)))
+    }
+    (0 until 2).foreach { i =>
+      tx.save("f", series(("2024-02-01 10:0%d:00".format(i), "2024-02-01 10:00:00", 100.0 + i)))
+    }
+    val before = tx.read("f").orderBy("time", "created_time")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val preVersion = tx.tableVersion("f")
+    val retired = tx.optimize("f") // default 128MB target: everything here is undersized
+    assert(retired == 10L)
+    // exactly ONE commit published the whole re-pack
+    assert(tx.tableVersion("f") == preVersion + 1)
+    // the live layout is one ranged file now; rows are bit-identical
+    // (optimize must NOT dedup — both generations of nothing here, but
+    // the row multiset is the check)
+    val logNow = new TxLog(spark.sparkContext.hadoopConfiguration, s"$dir/feature/f")
+    val after = tx.read("f").orderBy("time", "created_time")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    assert(after == before)
+    assert(logNow.snapshot().size < 10)
+    // time travel to the pre-optimize version still reads the OLD files
+    assert(tx.read("f", asOfVersion = Some(preVersion)).count() == 10)
+    // nothing left under target: second optimize is a no-op... except a
+    // single surviving small file per partition is deliberately spared
+    assert(tx.optimize("f") == 0L)
+    // vacuum reclaims the retired small files
+    assert(tx.vacuum("f", retentionMs = 0L) >= 10L)
+    assert(tx.read("f").count() == 10)
+  }
+
   test("optimistic commits: racing writers all land, versions distinct") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -295,6 +331,14 @@ class TxLogSpec extends SparkSpec {
         .collect().map(_.getDouble(1)).toSeq
     assert(load(None) == Seq(9.0))    // latest: the correction wins dedup
     assert(load(Some(0L)) == Seq(1.0)) // the v0 snapshot predates it
+    // facade OPTIMIZE: re-packs the two one-row files, rows preserved
+    // (both generations survive — optimize never dedups)
+    assert(fstore.optimizeFeature("tx/f") == 2L)
+    assert(load(None) == Seq(9.0))
+    intercept[IllegalArgumentException] {
+      fstore.transformSql("tx/t", Seq("tx/f"), "f0 * 2")
+      fstore.optimizeFeature("tx/t")
+    }
   }
 
   test("last() tail lookup reads the txlog snapshot, post-compaction") {
