@@ -297,6 +297,38 @@ object ScaleProbe {
       require(recall >= 0.85, f"IVF recall@16 $recall%.3f fell below the 0.85 spec floor")
       vecs.unpersist(); assigned.assigned.unpersist(); truthTop.unpersist()
     }
+    // OPTIMIZE at micro-batch-sink accumulation scale: 120 one-commit
+    // appends (~30 partitions each touched repeatedly) leave the table
+    // at one file per (commit x partition); one optimize pass must
+    // collapse the live set to ~one file per partition in ONE commit,
+    // with the row multiset bit-identical. Measures the re-pack cost a
+    // nightly maintenance job would pay per feature.
+    timed("txlog OPTIMIZE: 120 small commits re-packed in one pass") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-opt-probe").toString
+      val store = new graft.store.TimeseriesStore(spark, dir, backend = "txlog")
+      val batches = 120
+      (0 until batches).foreach { i =>
+        store.save("f", spark.range(50).select(
+          timestamp_millis(lit(1704067200000L) + (col("id") % 30) * 86400000L +
+            i * 60000L).as("time"),
+          timestamp_millis(lit(1704067200000L) + lit(i.toLong)).as("created_time"),
+          (col("id") + i).cast("double").as("value")))
+      }
+      val log = new graft.store.TxLog(spark.sparkContext.hadoopConfiguration, s"$dir/feature/f")
+      val filesBefore = log.snapshot().size
+      val rowsBefore = store.read("f").count()
+      val preVersion = store.tableVersion("f")
+      val t0 = System.nanoTime()
+      val retired = store.optimize("f")
+      val optSecs = (System.nanoTime() - t0) / 1e9
+      val filesAfter = log.snapshot().size
+      require(store.tableVersion("f") == preVersion + 1, "optimize must be ONE commit")
+      require(store.read("f").count() == rowsBefore, "optimize changed the row count")
+      require(filesAfter <= 30 + 1 && retired == filesBefore,
+        s"pack failed: $filesBefore files -> $filesAfter (retired $retired)")
+      println(f"[probe]   $filesBefore files -> $filesAfter in one commit ($optSecs%.1fs; " +
+        s"the rest is the 120 setup saves), $rowsBefore rows preserved")
+    }
     // TxLog optimistic concurrency under real contention: 16 threads x
     // 25 append commits hammering ONE log, plus two compactors racing to
     // retire the same seed generation. The no-overwrite rename is the
