@@ -141,9 +141,12 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
 
   /** Release every FileSystem handle this facade owns: cached stores
     * and rotation-retired stores (grace ignored — the caller asserts no
-    * operation is in flight). The facade is unusable for namespaces
-    * with storageOptions afterward; option-less namespaces keep working
-    * through the shared process FS cache, which is never closed here.
+    * operation is in flight). The cache is NOT poisoned: a later call
+    * on an options-bearing namespace transparently rebuilds a store
+    * (and fresh handles) through the normal store() path — re-close if
+    * the facade is used again. Option-less namespaces are unaffected
+    * throughout (their handles come from the shared process FS cache,
+    * never closed here).
     */
   def close(): Unit = {
     var head = retiredStores.poll()

@@ -466,8 +466,10 @@ class TimeseriesStore(
     * makes a race with a concurrent compaction/optimize fail loudly
     * instead of double-publishing the data. Old bytes reclaim on
     * `vacuum`. Output files keep the ranged (partition, time) layout,
-    * sized by input bytes to ~targetBytes each. Returns the number of
-    * files retired (0 = nothing worth packing).
+    * sized by input bytes to ~targetBytes each; only files under HALF
+    * the target count as pack-worthy, so optimize's own outputs never
+    * re-qualify and repeated maintenance runs converge to a no-op.
+    * Returns the number of files retired (0 = nothing worth packing).
     */
   def optimize(name: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
     require(logBacked, "optimize requires the txlog backend")
@@ -477,19 +479,37 @@ class TimeseriesStore(
     if (live.isEmpty) return 0L
     val f = fs(url)
     val root = featurePath(name)
-    // victims: partitions holding 2+ undersized live files (a lone
-    // small file gains nothing from a rewrite). Sizes come from one
-    // metadata stat per live file — a file that vanished mid-plan (a
-    // racing vacuum of an older layout) simply drops out; the commit's
-    // remove-validation is the real consistency gate.
+    // Sizes come from ONE listStatus per partition directory (statuses
+    // carry lengths), not a stat RPC per live file — the many-small-
+    // files table this feature exists for would otherwise pay thousands
+    // of sequential HEAD requests before any repack work starts. A file
+    // that vanished before the listing (racing vacuum of an older
+    // layout) drops out of the plan here; one that vanishes between
+    // this listing and the rewrite read fails the Spark job LOUDLY —
+    // correct, since a live file can only vanish through external
+    // deletion or a concurrent retirement that the commit's
+    // remove-validation would have rejected anyway.
+    val sizesByPath: Map[String, Long] =
+      live.map(_.partition).distinct.flatMap { p =>
+        try f.listStatus(new Path(root, s"partition=$p")).toSeq
+          .filter(_.isFile)
+          .map(st => s"partition=$p/${st.getPath.getName}" -> st.getLen)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }.toMap
+    // Victims per partition: files under HALF the target (outputs
+    // average >= targetBytes/2 by construction, so a repack's own
+    // outputs are never re-selected — without the half floor a
+    // partition bigger than the target would be rewritten in full on
+    // every maintenance run forever), at least 2 of them, and only
+    // when packing can actually REDUCE the partition's file count.
+    // (A range boundary can still split one partition's pack across
+    // two output files and re-qualify it next run — bounded to the
+    // straddling partitions, and the count-improvement guard stops
+    // re-selecting once the achievable count is reached.)
     val victims = live.groupBy(_.partition).values.flatMap { adds =>
-      val sized = adds.flatMap { a =>
-        try {
-          val st = f.getFileStatus(new Path(s"$root/${a.path}"))
-          if (st.getLen < targetBytes) Some((a, st.getLen)) else None
-        } catch { case _: java.io.FileNotFoundException => None }
-      }
-      if (sized.length >= 2) sized else Nil
+      val sized = adds.flatMap(a => sizesByPath.get(a.path).filter(_ < targetBytes / 2).map((a, _)))
+      val achievable = math.max(1L, (sized.map(_._2).sum + targetBytes - 1) / targetBytes)
+      if (sized.length >= 2 && sized.length > achievable) sized else Nil
     }.toSeq
     if (victims.isEmpty) return 0L
     val totalBytes = victims.map(_._2).sum

@@ -142,6 +142,27 @@ class TxLogSpec extends SparkSpec {
     assert(tx.read("f").count() == 10)
   }
 
+  test("optimize converges: half-target files and repacked outputs never re-qualify") {
+    val dir = tmpDir("graft-opt-conv")
+    val tx = new TimeseriesStore(spark, dir, backend = "txlog")
+    (0 until 4).foreach(i =>
+      tx.save("f", series((s"2024-01-01 10:0$i:00", "2024-01-01 10:00:00", i.toDouble))))
+    import scala.jdk.CollectionConverters._
+    def liveBytes: Long = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir, "feature", "f", "partition=2024-01-01"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    val total = liveBytes
+    // files at or above HALF the target are never victims — a partition
+    // of good-enough files is left alone (the non-convergence guard)
+    assert(tx.optimize("f", targetBytes = 2L) == 0L)
+    // pack-worthy at a generous target: 4 files -> 1, then steady state
+    assert(tx.optimize("f", targetBytes = total + 1) == 4L)
+    assert(tx.optimize("f", targetBytes = total + 1) == 0L)
+    assert(tx.read("f").count() == 4)
+  }
+
   test("optimistic commits: racing writers all land, versions distinct") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -335,10 +356,8 @@ class TxLogSpec extends SparkSpec {
     // (both generations survive — optimize never dedups)
     assert(fstore.optimizeFeature("tx/f") == 2L)
     assert(load(None) == Seq(9.0))
-    intercept[IllegalArgumentException] {
-      fstore.transformSql("tx/t", Seq("tx/f"), "f0 * 2")
-      fstore.optimizeFeature("tx/t")
-    }
+    fstore.transformSql("tx/t", Seq("tx/f"), "f0 * 2")
+    intercept[IllegalArgumentException](fstore.optimizeFeature("tx/t"))
   }
 
   test("last() tail lookup reads the txlog snapshot, post-compaction") {
