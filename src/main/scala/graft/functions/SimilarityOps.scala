@@ -231,11 +231,17 @@ object SimilarityOps {
   /** Winnowing document sketches (the MOSS rolling-hash fingerprint):
     * hash every char k-gram, slide a w-wide window, keep each window's
     * minimum — guaranteeing any match of length >= w+k-1 shares a
-    * selected hash. MapReduce formulation: explode k-gram positions
-    * (narrow), hash each gram ONCE, take the windowed min with a
-    * per-document frame, and collect the distinct selections — one
-    * shuffle on the id, no per-row re-hashing of the whole document.
-    * Returns (idCol, sketch array<string>).
+    * selected hash. Computed per document as a NARROW pass with array
+    * expressions (the positions never leave the row): one projection
+    * hashes each k-gram ONCE into a per-row array, a second takes the
+    * w-wide rolling min with `transform(sequence) -> array_min(slice)`
+    * and dedups. No Exchange anywhere — the earlier explode + windowed
+    * min formulation shuffled one row PER CHAR POSITION (~10x the text
+    * bytes) to compute a per-document quantity that needs no
+    * repartitioning at all. The two projections stay separate (the gram
+    * array is referenced twice, so Catalyst won't inline the expensive
+    * md5 transform into the rolling-min lambda, which would square the
+    * hashing work). Returns (idCol, sketch array<string>).
     */
   def winnowSketch(
       df: org.apache.spark.sql.DataFrame,
@@ -245,19 +251,15 @@ object SimilarityOps {
       w: Int = 8): org.apache.spark.sql.DataFrame = {
     // texts shorter than k have no k-grams: filter rather than letting
     // sequence(1, 0) produce a DESCENDING [1, 0] position list
-    val positions = df.filter(length(textCol) >= k).select(
-      col(idCol), textCol.as("__t"),
-      explode(sequence(lit(1), length(textCol) - (k - 1))).as("__p"))
-    val hashed = positions.select(
-      col(idCol), col("__p"),
-      substring(md5(col("__t").substr(col("__p"), lit(k))), 1, 8).as("__h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__p"))
-      .rowsBetween(0, w - 1)
-    hashed
-      .withColumn("__wmin", min(col("__h")).over(win))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_set(col("__wmin"))).as("sketch"))
+    val grams = transform(
+      sequence(lit(1), (length(textCol) - (k - 1)).cast("int")),
+      p => substring(md5(textCol.substr(p, lit(k))), 1, 8))
+    df.filter(length(textCol) >= k)
+      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol),
+        array_sort(array_distinct(transform(
+          sequence(lit(1), size(col("__grams"))),
+          p => array_min(slice(col("__grams"), p, lit(w)))))).as("sketch"))
   }
 
   // ------------------------------------------------------------- Cosine

@@ -43,6 +43,14 @@ import org.apache.spark.sql.functions._
   * whose blocks Spark's ContextCleaner frees once the returned frame
   * becomes unreachable — a long-lived application calling this per
   * batch should drop its reference between batches.
+  *
+  * Cardinality bound: the broadcast offsets/totals frames are
+  * O(slices + groups) ROWS — independent of data volume, but NOT of
+  * group count. Tens of millions of groups would hit Spark's broadcast
+  * size limit / driver memory as a hard failure, not a slowdown; such
+  * callers must pass `broadcastMeta = false`, which swaps the two hints
+  * for plain shuffle joins (the per-task state bound is unchanged —
+  * only the metadata join strategy differs).
   */
 object Quantiles {
 
@@ -61,7 +69,8 @@ object Quantiles {
       valueCol: String,
       groupCols: Seq[String],
       ps: Seq[(String, Double)],
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      broadcastMeta: Boolean = true): DataFrame = {
     require(ps.nonEmpty, "no quantiles requested")
     ps.foreach { case (n, p) =>
       require(p >= 0.0 && p <= 1.0, s"quantile '$n' out of [0,1]: $p")
@@ -113,7 +122,7 @@ object Quantiles {
     val o = offsets.alias("o")
     val offCond = (PID +: groupCols)
       .map(c => col(s"r.`$c`") <=> col(s"o.`$c`")).reduce(_ && _)
-    val withOff = r.join(broadcast(o), offCond)
+    val withOff = r.join(if (broadcastMeta) broadcast(o) else o, offCond)
       .select(col("r.*"), col(s"o.`$OFF`"))
       .withColumn(CUM, sum(col(CNT)).over(inW) + col(OFF))
     val c0 = withOff.alias("c")
@@ -121,7 +130,7 @@ object Quantiles {
     val totCond =
       if (groupCols.isEmpty) lit(true)
       else groupCols.map(c => col(s"c.`$c`") <=> col(s"t.`$c`")).reduce(_ && _)
-    val rankedAll = c0.join(broadcast(t0), totCond)
+    val rankedAll = c0.join(if (broadcastMeta) broadcast(t0) else t0, totCond)
       .select(col("c.*"), col(s"t.`$NTOT`"))
 
     // 5) keep only rank-k / rank-(k+1) carriers, agg, interpolate

@@ -1503,13 +1503,13 @@ object QueryLib {
   private val dedupWinnow = Q(
     "dedup_winnow",
     // winnowing-sketch near-dup pairs within (lang, source). The sketch
-    // build is MapReduce-clean (explode + windowed min, one shuffle);
-    // pair candidates come from MinHash-LSH banding over the sketch
-    // sets — no blocked all-pairs join — with exact sketch Jaccard
-    // verifying candidates only.
+    // build is a NARROW per-document array pass (no Exchange — see
+    // SimilarityOps.winnowSketch); pair candidates come from MinHash-LSH
+    // banding over the sketch sets — no blocked all-pairs join — with
+    // exact sketch Jaccard verifying candidates only.
     (s, dir) => {
       val docs = T(s, dir, "documents").filter(length(col("text")) >= 5)
-      // the sketch (explode every char position + windowed min + set-agg)
+      // the sketch (a k-gram hash per char position, rolled per-row)
       // is BY FAR the dominant stage — pin it so the band fan-out and
       // both verification join-backs read it once, not ~8x
       val sk = mat(SimilarityOps.winnowSketch(docs.select(col("doc_id"), col("text")),

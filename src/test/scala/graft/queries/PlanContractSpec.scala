@@ -99,6 +99,39 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
+  test("winnowSketch is a narrow per-document pass: no exchange, no window") {
+    // the round-10 finding: the explode + window-after-shuffle build
+    // shipped one row per CHAR POSITION through an exchange (~10x text
+    // bytes) for a per-document quantity. The array formulation must
+    // keep the whole sketch build pipelined with the parquet scan.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val p = graft.functions.SimilarityOps.winnowSketch(docs, "doc_id", col("text"), k = 5, w = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sketch build shuffles:\n$p")
+    assert(!p.contains("Window"), s"sketch build grew a window back:\n$p")
+  }
+
+  test("fs_resample_1d fill rides the tie-free ROWS frame, not RANGE") {
+    // resample collapses duplicate-time contributors with a hash-agg
+    // (tie -> max, the kernel's documented rule), which earns the cheap
+    // ROWS frame: no per-row struct allocation + struct-max comparison.
+    // A RangeFrame here means the tieFree promise stopped engaging —
+    // the round-9 give-back silently un-recovered.
+    val p = plan("fs_resample_1d")
+    assert(p.contains("RowFrame"), s"ROWS fill frame missing:\n$p")
+    assert(!p.contains("RangeFrame"), s"RANGE frame crept back into the fill:\n$p")
+  }
+
+  test("fs_dedup_latest is one hash-agg, never a window") {
+    // LWW dedup must stay max(struct) hash aggregation (map-side
+    // partials, one shuffle) — a Window formulation would sort every
+    // group and forfeit partial aggregation.
+    val p = plan("fs_dedup_latest")
+    assert(!p.contains("Window"), s"dedup grew a window:\n$p")
+    assert(count(p, "Exchange hashpartitioning") === 1, s"dedup should shuffle once:\n$p")
+  }
+
   test("q_pack_shards joins slice offsets by broadcast, never by shuffling the corpus") {
     // the two-phase prefix sum's design point: the corpus-sized side
     // meets the metadata-sized (numPartitions x groups) offset frame
