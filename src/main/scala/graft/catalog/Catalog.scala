@@ -108,8 +108,18 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     // clobber a concurrent writer's just-committed mutation with the
     // older tree it had parsed (read paths re-migrate a legacy file
     // in memory instead, which only matters if one appears mid-session).
+    // The rewrite re-validates the (mtime, length) stamp captured just
+    // before the read: the JVM-local path lock can't see OTHER
+    // processes, and persisting the parsed tree over a file that moved
+    // since we read it would silently revert the foreign commit —
+    // including entries unrelated to the migration. On mismatch the
+    // rewrite is skipped; the file stays legacy-format on disk (reads
+    // keep migrating it in memory) until the next mutate() persists it
+    // at the current version through the read-modify-write path.
+    val stampAtLoad = currentStamp()
     val (st, onDisk) = loadStateVersioned()
-    if (onDisk < CurrentFormatVersion && fs.exists(path)) persistState(st)
+    if (onDisk < CurrentFormatVersion && fs.exists(path)
+        && currentStamp() == stampAtLoad) persistState(st)
     st
   }
   private var loadedStamp: Option[(Long, Long)] = currentStamp()

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads plus a typed metadata struct, exactly like a
   * 100 TB training-data lake stores them (parquet binary + sidecar
   * fields). The Spark-side plumbing — schema, partition-parallel decode,
-  * per-row feature structs, frame fan-out — is real and tested; the
-  * codec itself is a clearly-marked deterministic STUB because no
-  * image/audio library ships in this environment. Swapping `stubDecode`
-  * for a JNI/opencv call changes no plan shape: decode stays a
+  * per-row feature structs, frame fan-out — is real and tested, and the
+  * default codec ([[headerDecode]]) REALLY parses PNG/JPEG container
+  * headers from the bytes; only pixel-level statistics remain stubbed
+  * (no pixel-codec library ships in this environment). Swapping the
+  * codec for a JNI/opencv call changes no plan shape: decode stays a
   * narrow `mapPartitions` (no shuffle), so it scales linearly with
   * input splits and pipelines with the parquet scan.
   */
@@ -27,12 +28,81 @@ object MultimodalOps {
   /** Sampled video frame reference. */
   final case class FrameRef(id: Long, frameIdx: Int, offsetBytes: Long)
 
-  /** STUB codec — deterministic fake in place of a real image decode.
-    * A production build replaces the body with the actual library call;
-    * the signature (bytes in, features out) and everything downstream
-    * stay identical.
+  /** REAL header codec: parses PNG (IHDR) and JPEG (SOFn) headers from
+    * the raw bytes — pure JVM, no image library. Width/height/channels
+    * are decoded from the actual container structure:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk (always first, per
+    *    the spec): big-endian width at offset 16, height at 20, bit
+    *    depth at 24, color type at 25 (0 grey=1ch, 2 RGB=3, 3
+    *    palette=1, 4 grey+alpha=2, 6 RGBA=4).
+    *  - JPEG: SOI (FFD8), then marker segments scanned by their 2-byte
+    *    big-endian lengths until a start-of-frame SOFn (C0-CF minus
+    *    C4/C8/CC which are not frames): precision(1), height(2),
+    *    width(2), component count(1).
+    *
+    * `meanLuma` alone stays a placeholder (mean payload byte): pixel
+    * statistics need a full pixel decode, which does require a codec
+    * library this environment doesn't ship. Unknown or truncated
+    * payloads throw with the leading bytes named — a silent fallback
+    * would let a corrupted 100 TB lake decode to garbage dimensions.
     */
-  private[functions] def stubDecode(id: Long, payload: Array[Byte]): ImageFeatures = {
+  private[graft] def headerDecode(id: Long, payload: Array[Byte]): ImageFeatures = {
+    def be(i: Int, n: Int): Int = {
+      require(i + n <= payload.length,
+        s"truncated header: need ${i + n} bytes, have ${payload.length}")
+      var v = 0; var j = 0
+      while (j < n) { v = (v << 8) | (payload(i + j) & 0xff); j += 1 }
+      v
+    }
+    val isPng = payload.length >= 26 &&
+      (payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' &&
+      payload(3) == 'G' && (payload(4) & 0xff) == 0x0d && (payload(5) & 0xff) == 0x0a &&
+      (payload(6) & 0xff) == 0x1a && (payload(7) & 0xff) == 0x0a
+    val isJpeg = payload.length >= 4 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    val (w, h, ch) =
+      if (isPng) {
+        // bytes 8-15 are the IHDR chunk header (length + "IHDR"); the
+        // spec REQUIRES IHDR first, so offsets are fixed
+        require(payload(12) == 'I' && payload(13) == 'H' &&
+          payload(14) == 'D' && payload(15) == 'R',
+          "PNG signature without leading IHDR chunk")
+        val channels = (payload(25) & 0xff) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case c => throw new IllegalArgumentException(s"PNG color type $c")
+        }
+        (be(16, 4), be(20, 4), channels)
+      } else if (isJpeg) {
+        var i = 2
+        var sof = -1
+        while (sof < 0) {
+          require(i + 4 <= payload.length, s"JPEG without SOF marker (scanned $i bytes)")
+          require((payload(i) & 0xff) == 0xff, f"expected JPEG marker at $i, got 0x${payload(i) & 0xff}%02x")
+          val m = payload(i + 1) & 0xff
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) sof = i
+          else i += 2 + be(i + 2, 2) // skip segment: length includes its own 2 bytes
+        }
+        (be(sof + 7, 2), be(sof + 5, 2), payload(sof + 9) & 0xff)
+      } else {
+        val head = payload.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")
+        throw new IllegalArgumentException(
+          s"unrecognized image payload for id=$id (leading bytes: $head)")
+      }
+    var acc = 0L
+    var i = 0
+    while (i < payload.length) { acc += payload(i) & 0xff; i += 1 }
+    ImageFeatures(id, w, h, ch,
+      if (payload.isEmpty) 0.0 else acc.toDouble / payload.length)
+  }
+
+  /** STUB codec — deterministic fake for payloads that are NOT real
+    * image containers (the spec corpus reuses text bytes as opaque
+    * binary). [[headerDecode]] is the real default; this remains the
+    * seam's test stand-in and the documented fallback for payload types
+    * with no pure-JVM parser (audio/video containers).
+    */
+  private[graft] def stubDecode(id: Long, payload: Array[Byte]): ImageFeatures = {
     val n = payload.length
     var acc = 0L
     var i = 0
@@ -49,17 +119,19 @@ object MultimodalOps {
     * Narrow transformation: each task decodes its own parquet split's
     * rows; nothing shuffles.
     *
-    * `codec` is the real-library seam: a production build passes the
-    * actual decode (JNI/opencv/ffmpeg) here and NOTHING else changes —
-    * the closure is opaque to Catalyst, so the physical plan is
-    * byte-identical in shape whichever implementation rides inside
-    * (MultimodalSpec pins that invariance against explain output).
+    * `codec` is the real-library seam: the default is the pure-JVM
+    * [[headerDecode]] (real PNG/JPEG header parsing); a production
+    * build passes a full pixel decode (JNI/opencv/ffmpeg) here and
+    * NOTHING else changes — the closure is opaque to Catalyst, so the
+    * physical plan is byte-identical in shape whichever implementation
+    * rides inside (MultimodalSpec pins that invariance against explain
+    * output).
     */
   def decodeImages(
       df: DataFrame,
       idCol: String,
       binCol: String,
-      codec: (Long, Array[Byte]) => ImageFeatures = stubDecode): Dataset[ImageFeatures] = {
+      codec: (Long, Array[Byte]) => ImageFeatures = headerDecode): Dataset[ImageFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))

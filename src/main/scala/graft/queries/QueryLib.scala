@@ -522,6 +522,93 @@ object QueryLib {
            |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM s GROUP BY user_id, session_idx""".stripMargin))
 
+  private val fsStreamSessionWm = Q(
+    "fs_stream_session_wm",
+    // The PRODUCTION streaming-session configuration under the oracle
+    // gate: watermarked state eviction + Append mode — the form a real
+    // deployment runs. fs_stream_session certifies the un-watermarked
+    // Complete-mode replay doctrine; this entry certifies the eviction
+    // path end-to-end. Two staging rules make a finite replay safe
+    // under a watermark: (1) the replay is staged in TIME ORDER — four
+    // calendar slices moved into the source dir with strictly ascending
+    // mod times, so FileStreamSource replays them oldest-first and the
+    // 10-minute watermark never classifies a replayed row late
+    // (session_window DROPS watermark-late rows in every output mode);
+    // (2) a final sentinel batch (user_id -1, a month past the corpus)
+    // advances the watermark beyond every real session's end, so Append
+    // emits ALL finalized sessions and evicts their state. The
+    // sentinel's own session (end = sentinel + gap > final watermark =
+    // sentinel - 10min) can never finalize and is never emitted — the
+    // result is exactly the batch sessionization, same oracle as
+    // fs_stream_session, with NO filter on the output: if eviction or
+    // late-drop semantics drift, rows go missing (or the sentinel
+    // appears) and the hash goes red.
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("ssesswm")
+      val src = T(s, dir, "events").select(col("ts"), col("user_id"), col("value"))
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+      val lows = None +: cuts.map(Option(_))
+      val highs = cuts.map(Option(_)) :+ None
+      val sentinel = Seq((
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+        -1L, 0.0)).toDF("ts", "user_id", "value")
+      val slices = lows.zip(highs).map { case (lo, hi) =>
+        src.filter(
+          lo.map(c => col("ts") >= ts(c)).getOrElse(lit(true)) &&
+            hi.map(c => col("ts") < ts(c)).getOrElse(lit(true)))
+      } :+ sentinel
+      val srcDir = java.nio.file.Paths.get(tmp, "src")
+      java.nio.file.Files.createDirectories(srcDir)
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val stage = s"$tmp/stage/$i"
+        df.coalesce(1).write.parquet(stage)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+        val target = srcDir.resolve(f"slice$i%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        // FileStreamSource orders new files by modification time;
+        // stamp an explicit ascending minute per slice so replay order
+        // IS time order regardless of write timing granularity
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1") // 5 files -> 5 ordered micro-batches
+        .option("latestFirst", "false")
+        .parquet(srcDir.toString)
+      val view = s"ssesswm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams
+          .sessionStats(stream, "30 minutes", watermark = Some("10 minutes"))
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT user_id, ts, value,
+           |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+           |  FROM g)
+           |SELECT min(ts) AS session_start,
+           |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+           |  user_id,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM s GROUP BY user_id, session_idx""".stripMargin))
+
   private val fsStreamAttrib = Q(
     "fs_stream_attrib",
     // §2.10's stream-stream join path: clicks and purchases from the
@@ -2018,6 +2105,50 @@ object QueryLib {
            |  (octet_length(CAST(text AS BLOB)) * 13) % 480 + 1 AS fake_height
            |FROM documents""".stripMargin))
 
+  private val mmImageHeaders = Q(
+    "mm_image_headers",
+    // REAL container parsing under the oracle gate: each document is
+    // wrapped in a real PNG (even doc_id) or JPEG (odd) header whose
+    // dimensions derive from doc_id, built with hex-string expressions
+    // (unhex of big-endian lpad'd hex); MultimodalOps.headerDecode —
+    // the default codec: pure-JVM IHDR/SOFn parsing with fixed offsets,
+    // marker scanning, and big-endian reads — must recover exactly the
+    // fields the oracle computes arithmetically. Construction (SQL hex
+    // strings) and parser (JVM byte loops) share no code, so a
+    // compensating endianness or offset bug cannot hash green. The
+    // JPEG path must SKIP a realistic APP0 segment by its length field
+    // before finding SOF0. Decode stays a narrow mapPartitions over
+    // the scan — no shuffle (the multimodal scale contract).
+    (s, dir) => {
+      def be(c: Column, hexDigits: Int): Column =
+        unhex(lpad(hex(c.cast("bigint")), hexDigits, "0"))
+      val w = col("doc_id") % 640 + 1
+      val h = col("doc_id") % 480 + 1
+      val pngBytes = concat(
+        unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        be(w, 8), be(h, 8),
+        unhex(lit("0806000000" + "00000000")), // depth 8, RGBA, CRC
+        col("text").cast("binary"))            // trailing chunk bytes
+      val jpegBytes = concat(
+        unhex(lit("FFD8" +
+          "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "00480048" + "0000" + // APP0
+          "FFC0" + "0011" + "08")),            // SOF0: len 17, precision 8
+        be(h, 4), be(w, 4),
+        unhex(lit("03")),                      // 3 components
+        col("text").cast("binary"))
+      val payloads = T(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, pngBytes).otherwise(jpegBytes).as("payload"))
+      graft.functions.MultimodalOps.decodeImages(payloads, "doc_id", "payload").toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("nChannels").as("n_channels"))
+    },
+    Some("""SELECT doc_id,
+           |  CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+           |  CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_channels
+           |FROM documents""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -2025,7 +2156,8 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamWindow, fsStreamSession, fsStreamAttrib, fsTrainingFrame, fsTransformDag,
+    fsStreamSink, fsStreamWindow, fsStreamSession, fsStreamSessionWm, fsStreamAttrib,
+    fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
@@ -2035,7 +2167,7 @@ object QueryLib {
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
-    mmBinaryMeta)
+    mmBinaryMeta, mmImageHeaders)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

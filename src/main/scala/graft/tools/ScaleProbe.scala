@@ -375,6 +375,40 @@ object ScaleProbe {
         s"snapshot drift: ${snap.length} files (wanted 400 appends + 1 compacted, 0 seeds)")
       println(s"[probe]   409 commits landed exactly-once, 1/2 compactors won")
     }
+    // Exactly-once commit validation cost vs log length: every
+    // txn-tagged commit replays from the newest checkpoint (bounded at
+    // <= CheckpointEvery commit files), but the CHECKPOINT carries
+    // every txn id ever seen — validation therefore reads O(total
+    // history) txn lines per commit, forever. 1000 txn-tagged commits
+    // timed in 100-commit blocks: the block latencies expose the slope
+    // (commit k pays ~k txn-line reads in its checkpoint anchor plus
+    // the O(history) checkpoint rewrite every CheckpointEvery-th
+    // commit), making the growth a measured design bound rather than a
+    // production surprise. The bound-at-scale story: a year-long
+    // streaming job at one commit/minute accumulates ~500k txn ids —
+    // ~tens of MB of checkpoint, still driver-trivial; txn-id
+    // RETENTION (expiring ids older than the source's replay horizon,
+    // the Delta paper's setTransaction retention) is the designed
+    // escape hatch if a deployment ever outgrows that.
+    timed("txlog txn validation: 1000 exactly-once commits, block latency growth") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-txn-probe").toString
+      val conf = spark.sparkContext.hadoopConfiguration
+      val log = new graft.store.TxLog(conf, dir)
+      for (b <- 0 until 10) {
+        val t0 = System.nanoTime()
+        for (i <- 0 until 100) {
+          val k = b * 100 + i
+          log.commit(Seq(graft.store.TxAdd(s"partition=p/f-$k.parquet", "p")),
+            txnId = Some(s"stream#$k"))
+        }
+        println(f"[probe]   commits ${b * 100}%4d-${b * 100 + 99}%4d: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      // the whole point of the txn set: every id is still seen at 1000
+      require(log.txnSeen("stream#0") && log.txnSeen("stream#999"),
+        "txn ids lost across checkpoints")
+      require(log.commit(Seq(graft.store.TxAdd("partition=p/dup.parquet", "p")),
+        txnId = Some("stream#500")) == -1L, "duplicate txn not detected")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

@@ -11,16 +11,78 @@ class MultimodalOpsSpec extends SparkSpec {
     .parquet("/root/testdata/sf0.001/documents.parquet")
     .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  test("decodeImages: partition-parallel stub decode over binary payloads") {
-    val out = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload")
+  // ---- hand-built container fixtures with KNOWN header fields: the
+  // parsers must read these offsets big-endian, independent of any
+  // generator arithmetic (the mm_image_headers gate builds its bytes
+  // with hex-string expressions — a different code path entirely)
+  private def be(v: Int, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+
+  private def png(w: Int, h: Int, colorType: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be(13, 4) ++ "IHDR".getBytes ++ be(w, 4) ++ be(h, 4) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0) ++ be(0, 4) // CRC (unchecked)
+
+  private def jpeg(w: Int, h: Int, nComp: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      // APP0 the parser must SKIP via its length field
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be(16, 2) ++
+      "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0) ++ be(72, 2) ++ be(72, 2) ++
+      Array[Byte](0, 0) ++
+      // SOF0: len(2)=8+3*nComp, precision, height, width, components
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be(8 + 3 * nComp, 2) ++
+      Array[Byte](8) ++ be(h, 2) ++ be(w, 2) ++ Array[Byte](nComp.toByte)
+
+  test("headerDecode parses real PNG IHDR fields big-endian") {
+    val f = MultimodalOps.headerDecode(7L, png(w = 1920, h = 1080, colorType = 6))
+    assert(f.width == 1920 && f.height == 1080 && f.nChannels == 4)
+    val grey = MultimodalOps.headerDecode(8L, png(w = 300, h = 70000, colorType = 0))
+    assert(grey.width == 300 && grey.height == 70000 && grey.nChannels == 1)
+  }
+
+  test("headerDecode scans JPEG markers to SOFn, skipping APP segments") {
+    val f = MultimodalOps.headerDecode(9L, jpeg(w = 640, h = 480, nComp = 3))
+    assert(f.width == 640 && f.height == 480 && f.nChannels == 3)
+    val cmyk = MultimodalOps.headerDecode(10L, jpeg(w = 65535, h = 1, nComp = 4))
+    assert(cmyk.width == 65535 && cmyk.height == 1 && cmyk.nChannels == 4)
+  }
+
+  test("headerDecode refuses unknown and truncated payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.headerDecode(1L, "plain text".getBytes)
+    }
+    assert(e.getMessage.contains("unrecognized"))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.headerDecode(2L, png(10, 10, 6).take(20)) // cut inside IHDR
+    }
+  }
+
+  test("decodeImages: partition-parallel decode over binary payloads") {
+    // text bytes are NOT an image container, so this path exercises the
+    // seam with the stub codec (the documented fallback for payload
+    // types with no pure-JVM parser)
+    val out = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload",
+      MultimodalOps.stubDecode)
     val rows = out.orderBy("id").collect()
     assert(rows.length == 500)
     assert(rows.forall(r => r.width >= 1 && r.width <= 640 && r.height >= 1 && r.height <= 480))
     assert(rows.forall(r => r.meanLuma > 0)) // text bytes are never all-zero
     // deterministic: same payload -> same features
-    val again = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload")
+    val again = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload",
+      MultimodalOps.stubDecode)
       .orderBy("id").collect()
     assert(rows.toSeq == again.toSeq)
+  }
+
+  test("decodeImages default codec parses synthesized image payloads") {
+    val rows = Seq(
+      (1L, png(128, 64, 2)),
+      (2L, jpeg(320, 200, 3)),
+      (3L, png(16, 16, 3))).toDF("doc_id", "payload")
+    val out = MultimodalOps.decodeImages(rows, "doc_id", "payload")
+      .orderBy("id").collect()
+    assert(out.map(f => (f.width, f.height, f.nChannels)).toSeq ==
+      Seq((128, 64, 3), (320, 200, 3), (16, 16, 1)))
   }
 
   test("sampleFrames fans out frame references without shuffling") {
@@ -32,14 +94,15 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
-  test("codec seam: swapping the stub for a 'real' decoder changes no plan shape") {
+  test("codec seam: swapping the codec changes no plan shape") {
     // a stand-in for the production JNI/opencv decode — different math,
     // same (bytes in, features out) signature through the seam
     val realish: (Long, Array[Byte]) => MultimodalOps.ImageFeatures =
       (id, bytes) => MultimodalOps.ImageFeatures(
         id, 224, 224, 3,
         if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff) * 0.299).sum / bytes.length)
-    val stubbed = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload")
+    val stubbed = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload",
+      MultimodalOps.stubDecode)
     val injected = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload", realish)
     // Catalyst sees both codecs as the same opaque closure inside a
     // narrow MapPartitions: normalized for expression ids and closure
@@ -62,7 +125,8 @@ class MultimodalOpsSpec extends SparkSpec {
   }
 
   test("resizeMeta rescales the metadata struct only") {
-    val meta = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload").toDF()
+    val meta = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload",
+      MultimodalOps.stubDecode).toDF()
     val out = MultimodalOps.resizeMeta(meta, maxSide = 100).collect()
     assert(out.forall { r =>
       val ow = r.getAs[Int]("out_width"); val oh = r.getAs[Int]("out_height")
