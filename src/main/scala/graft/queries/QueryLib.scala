@@ -1458,6 +1458,123 @@ object QueryLib {
            |WHERE e.split = 'eval'
            |GROUP BY 1""".stripMargin))
 
+  private val txtDecontamBloom = Q(
+    "txt_decontam_bloom",
+    // The SAME decontamination result as txt_contamination (identical
+    // oracle SQL) through the bloom-pruned physical plan — the 100 TB
+    // strategy when the eval gram set is too big to broadcast raw (tens
+    // of millions of digests = GBs) but its bloom is a few MB: build a
+    // BloomFilter over eval gram hashes with a distributed aggregate
+    // (`stat.bloomFilter`), prune the CORPUS-sized train side with the
+    // native codegen probe ([[graft.plans.BloomMightContain]]) right at
+    // the scan — before any exchange — then run the exact semi-join on
+    // the survivors only. False positives cost shuffle bytes, never
+    // correctness: the hash gate certifies bit-equality with the
+    // un-pruned formulation.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"), splitCol.as("split"), toks.as("tk"))
+      val grams = d.select(col("doc_id"), col("split"),
+          explode(array_distinct(TextOps.wordShingles(col("tk"), 5))).as("g"))
+        .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+      val evalGrams = mat(grams.filter(col("split") === "eval"))
+      // expectedNumItems: total eval gram rows upper-bounds distinct
+      // keys — an overcount only makes the filter slightly larger
+      val nEval = math.max(evalGrams.count(), 1L)
+      val bloom = evalGrams.stat.bloomFilter(xxhash64(col("gh")), nEval, 0.03)
+      val trainHits = grams.filter(col("split") === "train")
+        .filter(graft.plans.BloomMightContain.probe(xxhash64(col("gh")), bloom))
+        .select("gh").distinct()
+      evalGrams
+        .join(trainHits, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $splitSql AS split,
+           |    string_split(text, ' ') AS t FROM documents),
+           |g AS (SELECT doc_id, split,
+           |    unnest(list_distinct(list_transform(range(1, len(t) - 3), i ->
+           |      concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4])))) AS g
+           |  FROM tk),
+           |gh AS (SELECT doc_id, split, md5(g) AS gh FROM g),
+           |tr AS (SELECT DISTINCT gh FROM gh WHERE split = 'train')
+           |SELECT e.doc_id, count(*) AS n_shared_grams
+           |FROM gh e JOIN tr ON e.gh = tr.gh
+           |WHERE e.split = 'eval'
+           |GROUP BY 1""".stripMargin))
+
+  private val qShuffleSeeded = Q(
+    "q_shuffle_seeded",
+    // Deterministic global corpus shuffle — the "shuffle the data once
+    // per epoch" step before training. The ordering key is
+    // md5(seed:doc_id): stable under reruns and re-partitioning (unlike
+    // rand(seed), whose draw depends on the physical partitioning),
+    // uniformly distributed so the range sort is balanced, and
+    // reproducible cross-engine. The global position comes from Pack's
+    // two-phase distributed prefix sum with a unit token per row
+    // (budget 1 makes shard_idx the 0-based position) — NO single-task
+    // global window anywhere in the plan; the oracle is the plain
+    // row_number() formulation it must equal bit-for-bit.
+    (s, dir) => {
+      val keyed = T(s, dir, "documents").select(
+        col("doc_id"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("ord"),
+        lit(1L).as("__one"))
+      graft.ops.Pack.packByBudget(keyed, tokenCol = "__one", budget = 1L,
+          groupCols = Nil, orderCols = Seq("ord", "doc_id"), shardCol = "__pos0")
+        .select(col("doc_id"),
+          (col("__pos0") + 1).cast("long").as("pos"),
+          pmod(col("__pos0"), lit(16L)).cast("long").as("shard"))
+    },
+    Some("""WITH k AS (SELECT doc_id,
+           |    md5(concat('epoch0:', CAST(doc_id AS VARCHAR))) AS ord
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY ord, doc_id) AS BIGINT) AS pos,
+           |  CAST((row_number() OVER (ORDER BY ord, doc_id) - 1) % 16 AS BIGINT) AS shard
+           |FROM k""".stripMargin))
+
+  private val docMixtureSample = Q(
+    "doc_mixture_sample",
+    // Domain-mixture rebalancing — downsample every over-represented
+    // source to the smallest source's size (a uniform target mixture),
+    // the "fix the domain weights" step of corpus curation. Rate-based
+    // Bernoulli selection via a hash threshold, NOT rank quotas: keep a
+    // doc iff the 32-bit prefix of md5(mix:doc_id) falls below
+    // floor(n_min * 2^32 / n_source) — a pure narrow filter against a
+    // broadcast 1-row-per-source rate table, so the plan at 100 TB is
+    // scan -> broadcast-join -> filter with no sort and no per-domain
+    // single-task window (rank quotas would funnel each domain through
+    // one task). Thresholds are exact integer arithmetic (DECIMAL here,
+    // HUGEINT in the oracle) — no float rounding to drift cross-engine;
+    // a source at the minimum gets threshold exactly 2^32 = keep-all.
+    // The trade vs exact quotas: per-source kept counts are binomial
+    // around the target, the correct trade at scale (the same doctrine
+    // as doc_holdout's hash split: membership never depends on what
+    // else is in the corpus, so the sample is stable under growth).
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      val rates = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .crossJoin(d.groupBy("source").agg(count(lit(1)).as("n"))
+          .agg(min("n").as("n_min")))
+        .withColumn("thr",
+          expr("CAST((CAST(n_min AS DECIMAL(38,0)) * 4294967296) DIV n AS BIGINT)"))
+        .select("source", "thr")
+      d.join(broadcast(rates), "source")
+        .filter(conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") < col("thr"))
+        .select("doc_id", "source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           |m AS (SELECT min(n) AS n_min FROM c),
+           |r AS (SELECT c.source,
+           |    CAST((CAST(m.n_min AS HUGEINT) * 4294967296) // c.n AS BIGINT) AS thr
+           |  FROM c, m)
+           |SELECT d.doc_id, d.source
+           |FROM documents d JOIN r ON d.source = r.source
+           |WHERE ('0x' || substr(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8))::BIGINT
+           |      < r.thr""".stripMargin))
+
   // =====================================================================
   // Deduplication & similarity (training-data extensions)
   // =====================================================================
@@ -2192,7 +2309,7 @@ object QueryLib {
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
-    txtContamination,
+    txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,

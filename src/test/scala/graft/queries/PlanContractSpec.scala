@@ -25,11 +25,13 @@ class PlanContractSpec extends SparkSpec {
   // nested-loop scoring join; txt_keywords broadcasts the 1-row corpus
   // size scalar; sim_label_centroid broadcasts the 10-row centroid
   // frame into the assignment join.
-  // dq_events and q_drift_hist cross-join 1-row aggregate totals.
+  // dq_events and q_drift_hist cross-join 1-row aggregate totals;
+  // doc_mixture_sample cross-joins the 1-row min-source count into the
+  // per-source rate table (both metadata-sized by construction).
   private val cartesianAllowed = Set("sim_embed_dedup")
   private val nestedLoopAllowed =
     Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid",
-      "dq_events", "q_drift_hist")
+      "dq_events", "q_drift_hist", "doc_mixture_sample")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
