@@ -99,8 +99,44 @@ class TxLog(
     */
   def txnSeen(id: String): Boolean = replay(None)._2.contains(id)
 
-  private def replay(asOf: Option[Long]): (Seq[TxAdd], Set[String]) = {
+  // Incremental replay cache: the EXACT table state with every commit
+  // <= cacheVersion applied. Commit files are immutable once installed
+  // (the no-overwrite rename), so a cached state can only ever be
+  // EXTENDED by newer commits, never invalidated — a long-lived writer
+  // (the streaming sink's per-micro-batch txn validation) pays O(new
+  // commits since its last replay) per commit instead of re-reading
+  // the checkpoint's full add+txn line set, which grows with total
+  // history. A cold instance (restart) still pays one O(history)
+  // anchor replay, then rides the cache. Guarded by `synchronized` —
+  // one TxLog may be shared across committer threads.
+  private var cacheVersion: Long = -1L
+  private val cacheLive = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
+  private val cacheTxns = scala.collection.mutable.Set[String]()
+  // newest version this instance has OBSERVED (committed, listed, or
+  // replayed) — the commit loop's version guess, so a single committer
+  // never pays a per-commit directory listing
+  private var knownHighWater: Long = -1L
+
+  private def applyTo(
+      live: scala.collection.mutable.LinkedHashMap[String, TxAdd],
+      txns: scala.collection.mutable.Set[String])(a: TxAction): Unit = {
+    a.add.foreach(ad => live(ad.path) = ad)
+    a.remove.foreach(rm => live.remove(rm.path))
+    a.txn.foreach(txns += _)
+  }
+
+  private def replay(asOf: Option[Long]): (Seq[TxAdd], Set[String]) = synchronized {
+    // listing-free shortcut: the cache IS the exact state at
+    // cacheVersion, and committed versions are immutable — a request
+    // for precisely that version (the commit loop's validation replay)
+    // needs no directory listing at all
+    asOf match {
+      case Some(u) if u == cacheVersion =>
+        return (cacheLive.values.toList, cacheTxns.toSet)
+      case _ =>
+    }
     val vs = versions()
+    vs.lastOption.foreach(t => knownHighWater = math.max(knownHighWater, t._1))
     val upTo = asOf.getOrElse(Long.MaxValue)
     // eligible = everything at-or-below the target version; after log
     // vacuum a checkpoint may be the ONLY survivor of its prefix, so
@@ -118,21 +154,40 @@ class TxLog(
             s"oldest surviving version is ${vs.head._1}")
       return (Seq.empty, Set.empty)
     }
+    val target = eligible.last._1
+    val commitSet = eligible.collect { case (v, false) => v }.toSet
+    // fast path: extend the cached state with just the commits that
+    // landed after it. Requires every version in (cacheVersion, target]
+    // to still exist as a COMMIT file — a log vacuum may have pruned
+    // some in favor of a checkpoint, in which case fall through to the
+    // anchored full replay (which then refreshes the cache).
+    if (cacheVersion >= 0 && cacheVersion <= target &&
+      ((cacheVersion + 1) to target).forall(commitSet.contains)) {
+      ((cacheVersion + 1) to target).foreach { v =>
+        readActions(new Path(logDir, f"$v%020d.json"))
+          .foreach(applyTo(cacheLive, cacheTxns))
+      }
+      cacheVersion = target
+      return (cacheLive.values.toList, cacheTxns.toSet)
+    }
     val ckpt = eligible.filter(_._2).map(_._1).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
     val txns = scala.collection.mutable.Set[String]()
-    def apply(a: TxAction): Unit = {
-      a.add.foreach(ad => live(ad.path) = ad)
-      a.remove.foreach(rm => live.remove(rm.path))
-      a.txn.foreach(txns += _)
-    }
     ckpt.foreach { cv =>
-      readActions(new Path(logDir, f"$cv%020d.checkpoint.json")).foreach(apply)
+      readActions(new Path(logDir, f"$cv%020d.checkpoint.json"))
+        .foreach(applyTo(live, txns))
     }
     eligible.filterNot(_._2).map(_._1).filter(c => ckpt.forall(_ < c)).foreach { v =>
-      readActions(new Path(logDir, f"$v%020d.json")).foreach(apply)
+      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns))
     }
-    (live.values.toSeq, txns.toSet)
+    // adopt this state as the cache unless it is a time-travel read
+    // BELOW the version the cache already holds (never regress)
+    if (target > cacheVersion) {
+      cacheVersion = target
+      cacheLive.clear(); cacheLive ++= live
+      cacheTxns.clear(); cacheTxns ++= txns
+    }
+    (live.values.toList, txns.toSet)
   }
 
   private def readActions(p: Path): Seq[TxAction] = {
@@ -173,14 +228,26 @@ class TxLog(
       txnId: Option[String] = None,
       maxAttempts: Int = 20): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
-    val lines = (adds.map(a => TxAction(add = Some(a))) ++
+    val actions = adds.map(a => TxAction(add = Some(a))) ++
       removes.map(r => TxAction(remove = Some(r))) ++
-      txnId.map(t => TxAction(txn = Some(t))))
-      .map(mapper.writeValueAsString).mkString("", "\n", "\n")
+      txnId.map(t => TxAction(txn = Some(t)))
+    val lines = actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
+    // version guessing: a long-lived committer attempts knownHighWater+1
+    // without re-LISTing the log dir (the listing is O(total commits)
+    // and was the measured per-commit cost floor at 1k commits); a lost
+    // rename — a foreign writer took the version — forces a resync.
+    // The no-overwrite install keeps this exactly as safe as list-first:
+    // a stale guess can never overwrite, only lose and resync.
+    var resync = synchronized { knownHighWater } < 0
     while (attempt < maxAttempts) {
-      val v = latestVersion() + 1
+      if (resync) {
+        val listed = latestVersion()
+        synchronized { knownHighWater = math.max(knownHighWater, listed) }
+        resync = false
+      }
+      val v = synchronized { math.max(knownHighWater, cacheVersion) } + 1
       if (txnId.isDefined || removes.nonEmpty) {
         // replay capped at v-1: exactly the commits this attempt builds
         // on; anything landing after is serialized by the rename below
@@ -198,10 +265,21 @@ class TxLog(
       val out = fs.create(tmp, true)
       try out.write(lines.getBytes("UTF-8")) finally out.close()
       if (installNoOverwrite(tmp, new Path(logDir, f"$v%020d.json"))) {
+        synchronized {
+          knownHighWater = math.max(knownHighWater, v)
+          // self-apply: the committer knows exactly what it installed,
+          // so a cache sitting at v-1 advances to v with no file read —
+          // the checkpoint's replay then needs no listing either
+          if (cacheVersion == v - 1) {
+            actions.foreach(applyTo(cacheLive, cacheTxns))
+            cacheVersion = v
+          }
+        }
         maybeCheckpoint(v)
         return v
       }
       fs.delete(tmp, false)
+      resync = true
       attempt += 1
     }
     throw new java.io.IOException(

@@ -375,25 +375,30 @@ object ScaleProbe {
         s"snapshot drift: ${snap.length} files (wanted 400 appends + 1 compacted, 0 seeds)")
       println(s"[probe]   409 commits landed exactly-once, 1/2 compactors won")
     }
-    // Exactly-once commit validation cost vs log length: every
-    // txn-tagged commit replays from the newest checkpoint (bounded at
-    // <= CheckpointEvery commit files), but the CHECKPOINT carries
-    // every txn id ever seen — validation therefore reads O(total
-    // history) txn lines per commit, forever. 1000 txn-tagged commits
-    // timed in 100-commit blocks: the block latencies expose the slope
-    // (commit k pays ~k txn-line reads in its checkpoint anchor plus
-    // the O(history) checkpoint rewrite every CheckpointEvery-th
-    // commit), making the growth a measured design bound rather than a
-    // production surprise. The bound-at-scale story: a year-long
-    // streaming job at one commit/minute accumulates ~500k txn ids —
-    // ~tens of MB of checkpoint, still driver-trivial; txn-id
-    // RETENTION (expiring ids older than the source's replay horizon,
-    // the Delta paper's setTransaction retention) is the designed
-    // escape hatch if a deployment ever outgrows that.
+    // Exactly-once commit validation cost vs log length. Every
+    // txn-tagged commit replays the table state; the CHECKPOINT
+    // carries every txn id (and live file) ever seen, so a cache-less
+    // replay reads O(total history) lines per commit, forever — the
+    // pre-fix probe measured exactly that slope (block latencies
+    // 1.4 s → 3.9 s across 1000 commits). The WARM path is now the
+    // TxLog instance's incremental replay cache (state is immutable
+    // once committed, so a cached snapshot is only ever EXTENDED by
+    // newer commit files): a long-lived committer pays O(commits since
+    // its last replay) per validation, and the block latencies below
+    // must stay ~flat. The residual O(history) costs are (a) the
+    // checkpoint REWRITE every CheckpointEvery-th commit — a write,
+    // not a parse — and (b) one cold anchor replay per process
+    // restart, measured separately below. The bound-at-scale story: a
+    // year-long streaming job at one commit/minute accumulates ~500k
+    // txn ids — ~tens of MB of checkpoint, one cold read per restart;
+    // txn-id RETENTION (expiring ids older than the source's replay
+    // horizon, the Delta paper's setTransaction retention) is the
+    // designed escape hatch if a deployment ever outgrows that.
     timed("txlog txn validation: 1000 exactly-once commits, block latency growth") {
       val dir = java.nio.file.Files.createTempDirectory("graft-txn-probe").toString
       val conf = spark.sparkContext.hadoopConfiguration
       val log = new graft.store.TxLog(conf, dir)
+      val blocks = Array.ofDim[Double](10)
       for (b <- 0 until 10) {
         val t0 = System.nanoTime()
         for (i <- 0 until 100) {
@@ -401,11 +406,23 @@ object ScaleProbe {
           log.commit(Seq(graft.store.TxAdd(s"partition=p/f-$k.parquet", "p")),
             txnId = Some(s"stream#$k"))
         }
-        println(f"[probe]   commits ${b * 100}%4d-${b * 100 + 99}%4d: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        blocks(b) = (System.nanoTime() - t0) / 1e9
+        println(f"[probe]   commits ${b * 100}%4d-${b * 100 + 99}%4d: ${blocks(b)}%.2fs")
       }
-      // the whole point of the txn set: every id is still seen at 1000
-      require(log.txnSeen("stream#0") && log.txnSeen("stream#999"),
-        "txn ids lost across checkpoints")
+      // flat-slope gate: with the incremental cache the last block may
+      // not cost multiples of the first (pre-fix reading was 2.8x)
+      require(blocks.last < blocks.head * 2.0,
+        f"warm validation grew with history: ${blocks.head}%.2fs -> ${blocks.last}%.2fs")
+      // cold restart: a FRESH instance pays the one-time O(history)
+      // anchor replay, then rides its cache
+      val t1 = System.nanoTime()
+      val cold = new graft.store.TxLog(conf, dir)
+      require(cold.txnSeen("stream#0"), "txn ids lost across checkpoints")
+      val coldS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      require(cold.txnSeen("stream#999"), "txn ids lost across checkpoints")
+      println(f"[probe]   cold replay at 1000 commits: $coldS%.3fs; cached re-check: ${(System.nanoTime() - t2) / 1e9}%.3fs")
+      // the whole point of the txn set: duplicates still refuse at 1000
       require(log.commit(Seq(graft.store.TxAdd("partition=p/dup.parquet", "p")),
         txnId = Some("stream#500")) == -1L, "duplicate txn not detected")
     }

@@ -237,6 +237,41 @@ class TxLogSpec extends SparkSpec {
       Set("partition=p/b.parquet", "partition=p/c1.parquet"))
   }
 
+  test("incremental replay cache sees foreign commits, survives vacuum, never regresses") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpDir("graft-replay-cache")
+    val a = new TxLog(conf, dir)
+    val b = new TxLog(conf, dir)
+    // a caches v0; b commits v1 behind a's back; a's next replay MUST
+    // extend its cache with b's commit, not serve the stale snapshot
+    a.commit(Seq(TxAdd("partition=p/a0.parquet", "p")), Nil, Some("t-a0"))
+    assert(a.snapshot().map(_.path) == Seq("partition=p/a0.parquet"))
+    b.commit(Seq(TxAdd("partition=p/b1.parquet", "p")), Nil, Some("t-b1"))
+    assert(a.snapshot().map(_.path).toSet ==
+      Set("partition=p/a0.parquet", "partition=p/b1.parquet"))
+    assert(a.txnSeen("t-b1")) // foreign txn id visible through the cache
+    // run past a checkpoint (v10) and retire a file so the cached live
+    // set must shrink too, then vacuum the subsumed commits away
+    (2 to 11).foreach(i => a.commit(Seq(TxAdd(s"partition=p/f$i.parquet", "p")),
+      if (i == 11) Seq(TxRemove("partition=p/a0.parquet")) else Nil, Some(s"t-$i")))
+    assert(!a.snapshot().map(_.path).contains("partition=p/a0.parquet"))
+    a.vacuum(retentionMs = 0L)
+    // b's cache sits at v1; commits 2..10 are now checkpoint-only, so
+    // b's fast path must refuse and fall back to the anchored replay
+    assert(b.snapshot().map(_.path).toSet == a.snapshot().map(_.path).toSet)
+    assert(b.txnSeen("t-11"))
+    // duplicate txn refusal through both warm caches
+    assert(a.commit(Seq(TxAdd("partition=p/dup.parquet", "p")), Nil, Some("t-b1")) == -1L)
+    assert(b.commit(Seq(TxAdd("partition=p/dup.parquet", "p")), Nil, Some("t-5")) == -1L)
+    // time travel below the cached version full-replays without
+    // regressing the cache: latest reads still see everything after
+    assert(a.snapshot(Some(10L)).map(_.path).toSet.contains("partition=p/a0.parquet"))
+    assert(!a.snapshot().map(_.path).contains("partition=p/a0.parquet"))
+    // a cold instance agrees with both warm caches
+    assert(new TxLog(conf, dir).snapshot().map(_.path).toSet ==
+      a.snapshot().map(_.path).toSet)
+  }
+
   test("vacuum prunes commits subsumed by the newest checkpoint; numbering survives") {
     val dir = tmpDir("graft-logvac")
     val log = new TxLog(spark.sparkContext.hadoopConfiguration, dir)
