@@ -107,4 +107,38 @@ object TextOps {
     */
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  // =====================================================================
+  // PII scrubbing — the pre-training redaction pass
+  // =====================================================================
+
+  /** PII patterns, deliberately written in the regex subset BOTH Java
+    * (Spark codegen) and RE2-style engines (DuckDB, Go scanners) accept:
+    * no lookaround, no backreferences — a redaction pass must behave
+    * identically wherever the corpus is audited. Order of application
+    * matters and is fixed: EMAIL first (its local part could otherwise
+    * be chewed up by the phone pattern's digit runs), then PHONE, then
+    * IPv4 (never matches inside an already-redacted token because the
+    * placeholders carry no digits).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+  val Ipv4Pattern: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, international-format phone numbers and IPv4
+    * addresses to fixed placeholders. Pure `regexp_replace` chain —
+    * narrow, codegen'd, no shuffle; the 100 TB shape is one scan in,
+    * one scan out.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val p = regexp_replace(e, PhonePattern, "<PHONE>")
+    regexp_replace(p, Ipv4Pattern, "<IP>")
+  }
+
+  /** How many matches of `pattern` occur in `text` — the audit count a
+    * redaction report aggregates per source/domain.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

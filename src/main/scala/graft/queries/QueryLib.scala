@@ -1575,6 +1575,59 @@ object QueryLib {
            |WHERE ('0x' || substr(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8))::BIGINT
            |      < r.thr""".stripMargin))
 
+  private val txtPiiRedact = Q(
+    "txt_pii_redact",
+    // PII scrubbing — the redaction pass a pre-training pipeline runs
+    // over every document. The fixture corpus is synthetic word salad
+    // with no real PII, so the query PLANTS deterministic PII derived
+    // from doc_id (an email, an international phone, an IPv4) in 2/3 of
+    // the docs — both engines construct identical inputs, and the gate
+    // certifies the full redacted TEXT plus per-kind audit counts, so a
+    // pattern that over- or under-matches in either engine hashes red.
+    // Patterns live in [[graft.functions.TextOps]] and are written in
+    // the regex subset Java and RE2 agree on (no lookaround, no
+    // backreferences) — the corpus must redact identically wherever it
+    // is audited. The plan is a pure narrow regexp_replace chain: one
+    // scan in, one scan out, nothing at 100 TB but map tasks.
+    (s, dir) => {
+      val planted = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +1-555-0"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"), lit(".25"))
+      val aug = T(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("text")).otherwise(planted).as("text"))
+      aug.select(
+        col("doc_id"),
+        TextOps.piiCount(col("text"), TextOps.EmailPattern).cast("long").as("n_emails"),
+        TextOps.piiCount(col("text"), TextOps.PhonePattern).cast("long").as("n_phones"),
+        TextOps.piiCount(col("text"), TextOps.Ipv4Pattern).cast("long").as("n_ips"),
+        TextOps.redactPii(col("text")).as("redacted"))
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN text ELSE concat(text,
+           |      ' contact user', CAST(doc_id AS VARCHAR),
+           |      '@mail.example.org or +1-555-0',
+           |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+           |      ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+           |      '.', CAST((doc_id * 7) % 256 AS VARCHAR), '.25') END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text,
+           |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}', '<PHONE>', 'g'),
+           |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+           |FROM aug""".stripMargin))
+
   // =====================================================================
   // Deduplication & similarity (training-data extensions)
   // =====================================================================
@@ -2309,7 +2362,7 @@ object QueryLib {
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
-    txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample,
+    txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
