@@ -1632,6 +1632,71 @@ object QueryLib {
   // Deduplication & similarity (training-data extensions)
   // =====================================================================
 
+  private val dedupSpans = Q(
+    "dedup_spans",
+    // C4-style repeated-span removal — the corpus-level "remove all but
+    // one occurrence of any duplicated span" pass (Raffel et al. used
+    // three-sentence spans; here non-overlapping 3-token groups, the
+    // same shape at fixture scale). Semantics: a span instance survives
+    // iff its text's FIRST corpus occurrence (min doc_id, then min pos)
+    // is this instance; docs are reassembled from surviving spans in
+    // position order, and the dropped count is reported per doc.
+    // Scale shape: explode to spans (narrow), one hash-agg on the span
+    // digest for (frequency, keeper), then a LEFT join back in which
+    // the right side carries ONLY spans with frequency > 1 — unique
+    // spans (the overwhelming majority of a real corpus) never ride
+    // the join. The keeper is encoded as one BIGINT (doc_id*1e6+pos,
+    // positions bounded far below 1e6) rather than a struct argmin, so
+    // both engines take the same universally-supported min(bigint)
+    // path. Final reassembly is one groupBy(doc_id) with an array
+    // sort-filter-join — never a window over the corpus.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      val nG = ((size(col("tk")) + lit(2)) / lit(3)).cast("int")
+      val spans = d.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nG - 1),
+            g => concat_ws(" ", slice(col("tk"), g * lit(3) + lit(1), lit(3))))))
+        .withColumnRenamed("col", "gtext")
+        .withColumn("gh", md5(col("gtext")))
+      val dups = spans.groupBy("gh")
+        .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("keeper"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select("gh", "keeper")
+      spans.join(dups, Seq("gh"), "left")
+        .withColumn("keep", col("keeper").isNull ||
+          col("doc_id") * lit(1000000L) + col("pos") === col("keeper"))
+        .groupBy("doc_id")
+        .agg(
+          concat_ws(" ",
+            transform(
+              filter(
+                array_sort(collect_list(struct(col("pos"), col("keep"), col("gtext")))),
+                x => x.getField("keep")),
+              x => x.getField("gtext"))).as("clean_text"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |sp AS (SELECT doc_id,
+           |    unnest(list_transform(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT)),
+           |      g -> struct_pack(pos := g,
+           |             gtext := array_to_string(t[(g*3+1):(g*3+3)], ' ')))) AS u
+           |  FROM tk),
+           |g2 AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.gtext AS gtext,
+           |         md5(u.gtext) AS gh FROM sp),
+           |dups AS (SELECT gh, min(doc_id * 1000000 + pos) AS keeper
+           |  FROM g2 GROUP BY 1 HAVING count(*) > 1),
+           |f AS (SELECT g2.doc_id, g2.pos, g2.gtext,
+           |    (dups.gh IS NULL OR g2.doc_id * 1000000 + g2.pos = dups.keeper) AS keep
+           |  FROM g2 LEFT JOIN dups ON g2.gh = dups.gh)
+           |SELECT doc_id,
+           |  COALESCE(array_to_string(list_transform(list_filter(
+           |    list_sort(list(struct_pack(pos := pos, keep := keep, gtext := gtext))),
+           |    x -> x.keep), x -> x.gtext), ' '), '') AS clean_text,
+           |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+           |FROM f GROUP BY 1""".stripMargin))
+
   private val dedupExact = Q(
     "dedup_exact",
     (s, dir) =>
@@ -2363,7 +2428,7 @@ object QueryLib {
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
+    dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
     mmBinaryMeta, mmImageHeaders)
