@@ -202,6 +202,37 @@ object ScaleProbe {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
         .count()
     }
+    // C4-style repeated-span removal at 1M docs / 4M span instances —
+    // the dedup_spans kernel: span explode fused with the generator,
+    // one hash-agg for (frequency, keeper), a join back that carries
+    // ONLY frequency>1 spans, one per-doc reassembly agg. Docs repeat
+    // every 250k ids, so ~75% of span instances are duplicates — the
+    // worst case for the join-back side (a real corpus ships far less).
+    timed(s"repeated-span removal over $nDocs synthetic docs (4M spans, 75% duplicated)") {
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(11)),
+          i => concat(((col("id") % 250000L) * 13L + i * 7L).cast("string"), lit("w")))).as("text"))
+      val d = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val nG = ((size(col("tk")) + lit(2)) / lit(3)).cast("int")
+      val spans = d.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nG - 1),
+            g => concat_ws(" ", slice(col("tk"), g * lit(3) + lit(1), lit(3))))))
+        .withColumnRenamed("col", "gtext")
+        .withColumn("gh", md5(col("gtext")))
+      val dups = spans.groupBy("gh")
+        .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("keeper"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select("gh", "keeper")
+      val r = spans.join(dups, Seq("gh"), "left")
+        .withColumn("keep", col("keeper").isNull ||
+          col("doc_id") * lit(1000000L) + col("pos") === col("keeper"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+        .agg(count(lit(1)), sum(col("n_dropped"))).head()
+      println(s"[probe]   ${r.getLong(0)} docs reassembled, ${r.getLong(1)} duplicate spans dropped")
+    }
     // Connected-components star contraction at 1M edges, both
     // adversarial shapes: a single CHAIN (diameter = n — the worst case
     // for plain label propagation, which would need n rounds; the

@@ -40,7 +40,8 @@ class PlanContractSpec extends SparkSpec {
   // frame is just a facade read / memory-sink scan anyway.
   private val skipBuild =
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame", "fs_transform_dag",
-      "fs_stream_sink", "fs_stream_window", "fs_stream_session", "fs_stream_attrib")
+      "fs_stream_sink", "fs_stream_window", "fs_stream_session", "fs_stream_session_wm",
+      "fs_stream_attrib")
 
   test("no query plans a cartesian or an unexpected nested-loop join") {
     val violations = QueryLib.all.map(_.name).filterNot(skipBuild).flatMap { n =>
@@ -132,6 +133,28 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("fs_dedup_latest")
     assert(!p.contains("Window"), s"dedup grew a window:\n$p")
     assert(count(p, "Exchange hashpartitioning") === 1, s"dedup should shuffle once:\n$p")
+  }
+
+  test("txt_pii_redact is a pure narrow pass: the whole redaction fuses with the scan") {
+    // the 100 TB contract of the scrubbing pass: regexp counting +
+    // replacement chain must pipeline with the parquet read — any
+    // Exchange means something pulled the corpus text into a shuffle
+    val p = plan("txt_pii_redact")
+    assert(!p.contains("Exchange"), s"PII redaction shuffles:\n$p")
+  }
+
+  test("dedup_spans: span fan-out fuses with the scan; at most 3 hash exchanges") {
+    // intended shape: (1) span-digest aggregation, (2) the join of
+    // spans against the frequency>1 keeper set (broadcast at fixture
+    // scale, hash at corpus scale), (3) per-doc reassembly — nothing
+    // else may shuffle, and the explode must stay pipelined with the
+    // parquet scan (a shuffle before Generate would move every doc's
+    // full text once per span)
+    val p = plan("dedup_spans")
+    assert(p.contains("Generate"), "span fan-out should be a Generate")
+    assert(count(p, "Exchange hashpartitioning") <= 3, s"extra shuffles:\n$p")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") <= 1,
+      s"one keeper join expected:\n$p")
   }
 
   test("q_pack_shards joins slice offsets by broadcast, never by shuffling the corpus") {
