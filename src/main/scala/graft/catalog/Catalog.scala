@@ -116,6 +116,11 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     // rewrite is skipped; the file stays legacy-format on disk (reads
     // keep migrating it in memory) until the next mutate() persists it
     // at the current version through the read-modify-write path.
+    // The stamp NARROWS the cross-process window (to check->persist,
+    // and to the filesystem's mtime granularity) rather than closing
+    // it — closing it needs a lock file or CAS rename, which the
+    // documented cross-process single-writer assumption doesn't buy;
+    // within that assumption the one legacy-upgrade write is safe.
     val stampAtLoad = currentStamp()
     val (st, onDisk) = loadStateVersioned()
     if (onDisk < CurrentFormatVersion && fs.exists(path)

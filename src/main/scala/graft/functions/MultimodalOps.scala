@@ -79,6 +79,13 @@ object MultimodalOps {
         while (sof < 0) {
           require(i + 4 <= payload.length, s"JPEG without SOF marker (scanned $i bytes)")
           require((payload(i) & 0xff) == 0xff, f"expected JPEG marker at $i, got 0x${payload(i) & 0xff}%02x")
+          // ITU T.81 B.1.1.2: a marker may be preceded by any number of
+          // 0xFF fill bytes — skip them, or a legal padded stream reads
+          // the real marker byte as a segment length and derails
+          while ((payload(i + 1) & 0xff) == 0xff) {
+            i += 1
+            require(i + 4 <= payload.length, s"JPEG without SOF marker (scanned $i bytes)")
+          }
           val m = payload(i + 1) & 0xff
           if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) sof = i
           else i += 2 + be(i + 2, 2) // skip segment: length includes its own 2 bytes

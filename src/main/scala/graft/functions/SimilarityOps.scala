@@ -254,6 +254,13 @@ object SimilarityOps {
     * tail windows shorten exactly like `ROWS BETWEEN CURRENT ROW AND
     * w-1 FOLLOWING`. Returns (idCol long, sketch array<string>) —
     * sorted distinct window minima.
+    *
+    * Precondition: one input row per id. The per-row map emits one
+    * sketch per ROW (the pre-round-11 explode+groupBy build merged
+    * duplicate ids into one sketch — a different, and not obviously
+    * more correct, semantics for what would be two distinct documents
+    * sharing a key); a duplicated id diverges from the GROUP BY oracle
+    * and fails the hash gate loudly rather than merging silently.
     */
   def winnowSketch(
       df: org.apache.spark.sql.DataFrame,

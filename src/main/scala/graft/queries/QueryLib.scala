@@ -68,15 +68,23 @@ object QueryLib {
   private[graft] def scratchDir(tag: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-scratch", tag)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    deleteTree(root)
     java.nio.file.Files.createDirectories(root)
     root.toString
   }
+
+  /** Recursive delete, deepest-first; the walk stream is closed (it
+    * holds a directory handle until GC otherwise). No-op when absent.
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   /** Memoized staged stream-source directories. Staging a finite replay
     * (writing the source table as an N-file parquet dir for the file
@@ -95,14 +103,14 @@ object QueryLib {
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private def stagedSrc(tag: String, sfDir: String)(build: String => Unit): String =
     stagedDirs.computeIfAbsent((tag, sfDir), { key: (String, String) =>
+      // the staged path carries BOTH key parts: a tag-only path would
+      // let two data dirs in one JVM (sf0.001 smoke + sf0.01 verify)
+      // poison each other's memo — the second build wipes and rewrites
+      // the tree the first entry still points at
+      val dirKey = java.lang.Integer.toHexString(key._2.hashCode)
       val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-staged", key._1)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+        sys.props("java.io.tmpdir"), "graft-staged", s"${key._1}-$dirKey")
+      deleteTree(root)
       java.nio.file.Files.createDirectories(root.getParent)
       build(root.toString)
       root.toString
@@ -1648,8 +1656,13 @@ object QueryLib {
     // the join. The keeper is encoded as one BIGINT (doc_id*1e6+pos,
     // positions bounded far below 1e6) rather than a struct argmin, so
     // both engines take the same universally-supported min(bigint)
-    // path. Final reassembly is one groupBy(doc_id) with an array
-    // sort-filter-join — never a window over the corpus.
+    // path. Encoding bounds: pos < 2^31 holds by CONSTRUCTION (a JVM
+    // string caps at 2^31 chars, so no doc can have 2^31 spans);
+    // doc_id must stay below 2^32 or the product overflows int64 —
+    // corpora with more documents re-key ids first (documented
+    // precondition, not a silent wrap at any reachable fixture or
+    // probe scale). Final reassembly is one groupBy(doc_id) with an
+    // array sort-filter-join — never a window over the corpus.
     (s, dir) => {
       val d = T(s, dir, "documents").select(
         col("doc_id"), TextOps.tokens(col("text")).as("tk"))
@@ -1660,13 +1673,13 @@ object QueryLib {
         .withColumnRenamed("col", "gtext")
         .withColumn("gh", md5(col("gtext")))
       val dups = spans.groupBy("gh")
-        .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("keeper"),
+        .agg(min(col("doc_id") * lit(2147483648L) + col("pos")).as("keeper"),
           count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .select("gh", "keeper")
       spans.join(dups, Seq("gh"), "left")
         .withColumn("keep", col("keeper").isNull ||
-          col("doc_id") * lit(1000000L) + col("pos") === col("keeper"))
+          col("doc_id") * lit(2147483648L) + col("pos") === col("keeper"))
         .groupBy("doc_id")
         .agg(
           concat_ws(" ",
@@ -1685,10 +1698,10 @@ object QueryLib {
            |  FROM tk),
            |g2 AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.gtext AS gtext,
            |         md5(u.gtext) AS gh FROM sp),
-           |dups AS (SELECT gh, min(doc_id * 1000000 + pos) AS keeper
+           |dups AS (SELECT gh, min(doc_id * 2147483648 + pos) AS keeper
            |  FROM g2 GROUP BY 1 HAVING count(*) > 1),
            |f AS (SELECT g2.doc_id, g2.pos, g2.gtext,
-           |    (dups.gh IS NULL OR g2.doc_id * 1000000 + g2.pos = dups.keeper) AS keep
+           |    (dups.gh IS NULL OR g2.doc_id * 2147483648 + g2.pos = dups.keeper) AS keep
            |  FROM g2 LEFT JOIN dups ON g2.gh = dups.gh)
            |SELECT doc_id,
            |  COALESCE(array_to_string(list_transform(list_filter(

@@ -221,13 +221,13 @@ object ScaleProbe {
         .withColumnRenamed("col", "gtext")
         .withColumn("gh", md5(col("gtext")))
       val dups = spans.groupBy("gh")
-        .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("keeper"),
+        .agg(min(col("doc_id") * lit(2147483648L) + col("pos")).as("keeper"),
           count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .select("gh", "keeper")
       val r = spans.join(dups, Seq("gh"), "left")
         .withColumn("keep", col("keeper").isNull ||
-          col("doc_id") * lit(1000000L) + col("pos") === col("keeper"))
+          col("doc_id") * lit(2147483648L) + col("pos") === col("keeper"))
         .groupBy("doc_id")
         .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
         .agg(count(lit(1)), sum(col("n_dropped"))).head()

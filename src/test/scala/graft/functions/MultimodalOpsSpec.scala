@@ -40,6 +40,18 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(grey.width == 300 && grey.height == 70000 && grey.nChannels == 1)
   }
 
+  test("headerDecode skips spec-legal 0xFF fill bytes before JPEG markers") {
+    // ITU T.81 B.1.1.2: any number of FF fill bytes may precede a
+    // marker; the scanner must not read the real marker byte as a
+    // segment length (the failure mode: jump to a garbage offset and
+    // throw on a well-formed image)
+    val base = jpeg(w = 640, h = 480, nComp = 3)
+    val padded = base.take(2) ++
+      Array.fill(3)(0xff.toByte) ++ base.drop(2) // pad before APP0
+    val f = MultimodalOps.headerDecode(11L, padded)
+    assert(f.width == 640 && f.height == 480 && f.nChannels == 3)
+  }
+
   test("headerDecode scans JPEG markers to SOFn, skipping APP segments") {
     val f = MultimodalOps.headerDecode(9L, jpeg(w = 640, h = 480, nComp = 3))
     assert(f.width == 640 && f.height == 480 && f.nChannels == 3)
