@@ -647,6 +647,67 @@ object QueryLib {
            |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM s GROUP BY user_id, session_idx""".stripMargin))
 
+  private val fsStreamDedup = Q(
+    "fs_stream_dedup",
+    // §2.10's exactly-once-from-at-least-once path under the oracle
+    // gate: `dedupStream` (withWatermark + dropDuplicatesWithinWatermark,
+    // keyed on event_id) over a replay that REALLY re-delivers a batch —
+    // one staged file is copied verbatim into the source dir with a
+    // later mtime, so the stream sees every row of that file twice
+    // across micro-batches, exactly the at-least-once duplication a
+    // kafka-style source produces after a crash. The streaming result
+    // must equal the plain batch projection (the oracle): a missing row
+    // means dedup dropped a first delivery, a surplus row means the
+    // re-delivery leaked through cross-batch state. The 90-day
+    // watermark delay spans the whole corpus so no state evicts and no
+    // row is watermark-late during the finite replay — the production
+    // doctrine is delay >= the source's re-delivery horizon, exactly
+    // what this configures; output rows are bit-identical duplicates,
+    // so WHICH copy survives cannot affect the hash.
+    (s, dir) => {
+      // the deterministic 20% user slice keeps the gate's output
+      // compact (the oracle slices identically)
+      val src = T(s, dir, "events")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      val srcDir = stagedSrc("sdedup", dir) { p =>
+        src.repartition(4).write.parquet(p)
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        val part = java.nio.file.Files.list(root).iterator().asScala
+          .filter(q => q.getFileName.toString.startsWith("part-") &&
+            q.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString).head
+        val dup = root.resolve("redelivered.parquet")
+        java.nio.file.Files.copy(part, dup)
+        // FileStreamSource orders by mtime: the re-delivery must land
+        // AFTER its original so the duplicate arrives against state a
+        // previous micro-batch populated
+        java.nio.file.Files.setLastModifiedTime(dup,
+          java.nio.file.attribute.FileTime.fromMillis(
+            java.nio.file.Files.getLastModifiedTime(part).toMillis + 60000L))
+      }
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1") // 5 files -> 5 micro-batches
+        .option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams
+          .dedupStream(stream, keyCols = Seq("event_id"), timeCol = "ts",
+            watermark = "90 days")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""SELECT ts, user_id, event_id, value
+           |FROM events WHERE user_id % 5 = 0""".stripMargin))
+
   private val fsStreamAttrib = Q(
     "fs_stream_attrib",
     // §2.10's stream-stream join path: clicks and purchases from the
@@ -2433,7 +2494,8 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamWindow, fsStreamSession, fsStreamSessionWm, fsStreamAttrib,
+    fsStreamSink, fsStreamWindow, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
+    fsStreamAttrib,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
