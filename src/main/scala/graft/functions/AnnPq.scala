@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) approximate nearest neighbor — the third
+  * leg of the ANN design space next to sign-LSH (hash buckets) and IVF
+  * (coarse cells), and the one that changes the SCAN economics: the
+  * corpus is stored and scanned as M small codes per vector (M bytes at
+  * k <= 256) instead of dim floats — 32-64x less IO — and a query is
+  * scored against a candidate by table lookups into its own
+  * per-subspace dot-product tables (ADC, asymmetric distance
+  * computation: Jegou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011). At 100 TB this is the difference
+  * between scanning 100 TB of floats and ~2 TB of codes; compose with
+  * IVF cells for the standard IVF-PQ billion-vector layout.
+  *
+  * Dataflow shape: codebooks are k*dim doubles — driver-trivial — and
+  * ride the expression tree as literals; encoding is a narrow
+  * per-vector pass (no shuffle, pipelines with the scan); ADC scoring
+  * is a narrow expression over (query, code) pairs. Nothing shuffles
+  * until the final per-query top-k.
+  *
+  * Engine-parity doctrine (the repo's oracle invariant): per-subspace
+  * assignment ranks centroids by `round(dot - |c|^2/2, 6)` with ties
+  * toward the larger index (identical to `AnnIvf.probeCells`), and the
+  * ADC score is computed as dot(query, RECONSTRUCTED vector) — the
+  * chosen centroids concatenated back to a dim-length array — so both
+  * engines sum the same 64 products in the same ascending order before
+  * the round-6 cut, rather than summing M per-subspace partials in
+  * engine-dependent association.
+  */
+object AnnPq {
+
+  /** `books(m)(j)` = centroid j of subspace m (each `subDim` doubles). */
+  final case class Codebooks(subDim: Int, books: Seq[Seq[Array[Double]]]) {
+    def m: Int = books.size
+    def k: Int = books.head.size
+    require(books.forall(_.size == books.head.size), "ragged codebooks")
+  }
+
+  /** Deterministic codebooks — the `k` lowest-`idCol` vectors' m-th
+    * subvectors seed subspace m (sampled initialization, zero Lloyd
+    * iterations; the `AnnIvf.buildFixed` doctrine). Quantization
+    * quality sits below trained KMeans, but every step is closed-form
+    * and recomputable by any SQL engine, so the whole PQ pipeline can
+    * be oracle-checked bit-for-bit. `buildTrained` is the quality path.
+    */
+  def buildFixed(df: DataFrame, embCol: String, idCol: String, m: Int, k: Int): Codebooks = {
+    val seeds = df.filter(col(embCol).isNotNull).orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "no seed vectors for the PQ codebook")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    Codebooks(subDim,
+      (0 until m).map(mi => seeds.map(_.slice(mi * subDim, (mi + 1) * subDim)).toSeq))
+  }
+
+  /** Trained codebooks: one KMeans per subspace (k centroids over the
+    * corpus's m-th subvectors). M driver-coordinated fits over narrow
+    * projections — at corpus scale each fit samples, it never holds
+    * the corpus.
+    */
+  def buildTrained(
+      df: DataFrame, embCol: String, m: Int, k: Int,
+      seed: Long = 42L, maxIter: Int = 20): Codebooks = {
+    val arr = df.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<double>").as("__v"))
+    val dim = arr.select(size(col("__v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      val sub = arr.select(
+        array_to_vector(slice(col("__v"), mi * subDim + 1, subDim)).as("__fv"))
+      new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
+        .setFeaturesCol("__fv")
+        .fit(sub).clusterCenters.map(_.toArray).toSeq
+    }
+    Codebooks(subDim, books)
+  }
+
+  private def litArr(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
+
+  /** Per-subspace nearest-centroid code (L2 via the negHalfDist trick,
+    * round-6 + larger-j tie rule). Returns the code for subspace `mi`.
+    */
+  private def codeExpr(cb: Codebooks, v: Column, mi: Int): Column = {
+    val sub = slice(v, mi * cb.subDim + 1, cb.subDim)
+    val scored = cb.books(mi).zipWithIndex.map { case (c, j) =>
+      val negHalfDist = round(
+        SimilarityOps.dot(sub, litArr(c)) - lit(c.map(x => x * x).sum / 2), 6)
+      struct(negHalfDist.as("s"), lit(j).as("j"))
+    }
+    element_at(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1).getField("j")
+  }
+
+  /** Encode an embedding column into its PQ code: array<int> of length
+    * M. Narrow — the 100 TB corpus pass that writes the compressed
+    * index.
+    */
+  def encodeExpr(cb: Codebooks, v: Column): Column =
+    array((0 until cb.m).map(mi => codeExpr(cb, v, mi)): _*)
+
+  /** Reconstruction of a code: the chosen centroids concatenated back
+    * to a dim-length array (the decoder side of ADC).
+    */
+  def reconstructExpr(cb: Codebooks, code: Column): Column =
+    concat((0 until cb.m).map { mi =>
+      // codebook as a nested literal array, indexed by the stored code
+      val book = array(cb.books(mi).map(litArr): _*)
+      element_at(book, element_at(code, lit(mi + 1)) + 1)
+    }: _*)
+
+  /** ADC inner-product score of a query embedding against a stored
+    * code, rounded to 6 decimals (the oracle-determinism cut).
+    */
+  def adcScore(cb: Codebooks, qv: Column, code: Column): Column =
+    round(SimilarityOps.dot(qv, reconstructExpr(cb, code)), 6)
+
+  /** Top-`topK` corpus candidates per query by ADC score over the
+    * ENCODED corpus (codes only — the compressed scan). Queries
+    * broadcast; candidates never rehydrate their float vectors.
+    */
+  def query(
+      cb: Codebooks,
+      encoded: DataFrame, // (cIdCol, codeCol)
+      queries: DataFrame, // (qIdCol, embCol)
+      qIdCol: String, embCol: String, cIdCol: String, codeCol: String,
+      topK: Int): DataFrame = {
+    val (qOut, cOut) =
+      if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
+    val q = queries.select(
+      col(qIdCol).as("__qid"), col(embCol).cast("array<double>").as("__qv"))
+    val scored = encoded.select(col(cIdCol).as("__cid"), col(codeCol).as("__code"))
+      .crossJoin(broadcast(q))
+      .select(col("__qid").as(qOut), col("__cid").as(cOut),
+        adcScore(cb, col("__qv"), col("__code")).as("adc"))
+    val w = Window.partitionBy(col(qOut)).orderBy(col("adc").desc, col(cOut))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+}

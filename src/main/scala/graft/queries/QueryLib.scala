@@ -2289,6 +2289,63 @@ object QueryLib {
            |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
            |  FROM s) WHERE rank <= 5""".stripMargin))
 
+  private val simAnnPq = Q(
+    "sim_ann_pq",
+    // Product quantization — the ANN leg that changes SCAN economics
+    // (the corpus is scored from M=8 4-bit-ish codes per vector, never
+    // its floats: 32-64x less IO at 100 TB; compose with IVF cells for
+    // the standard IVF-PQ billion-vector layout). Deterministic
+    // codebooks (AnnPq.buildFixed: the 16 lowest-id corpus vectors'
+    // subvectors, zero Lloyd iterations) make every step — per-subspace
+    // assignment, code storage, ADC reconstruction, top-k —
+    // recomputable by the DuckDB oracle; AnnPq.buildTrained is the
+    // quality path, verified statistically in AnnPqSpec. The ADC score
+    // is dot(query, reconstructed) so both engines sum the same 64
+    // products in the same order before the round-6 cut.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val cb = graft.functions.AnnPq.buildFixed(
+        corpus, "embedding", idCol = "vec_id", m = 8, k = 16)
+      val encoded = corpus.select(col("vec_id").as("c_id"),
+        graft.functions.AnnPq.encodeExpr(
+          cb, col("embedding").cast("array<double>")).as("code"))
+      graft.functions.AnnPq.query(cb, encoded,
+        e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        qIdCol = "q_id", embCol = "embedding", cIdCol = "c_id", codeCol = "code",
+        topK = 5)
+        .select("q_id", "c_id", "adc", "rank")
+    },
+    // mirrors buildFixed + codeExpr + reconstructExpr exactly: centroid
+    // j of every subspace = rank of its id among corpus vectors;
+    // assignment ranks round(dot - |c|^2/2, 6) with ties toward larger
+    // j; reconstruction concatenates the chosen centroids' subvectors
+    // in subspace order
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+           |  FROM e WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+           |codes AS (SELECT c_id, m, cv FROM (
+           |    SELECT e.vec_id AS c_id, ms.m AS m, cent.cv,
+           |      row_number() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+           |        round(list_sum(list_transform(range(1, 9),
+           |                i -> e.v[ms.m * 8 + i] * cent.cv[ms.m * 8 + i]))
+           |          - list_sum(list_transform(range(1, 9),
+           |                i -> cent.cv[ms.m * 8 + i] * cent.cv[ms.m * 8 + i])) / 2, 6)
+           |        DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+           |    WHERE e.vec_id >= 10)
+           |  WHERE rr = 1),
+           |rec AS (SELECT c_id,
+           |    flatten(list(list_slice(cv, m * 8 + 1, m * 8 + 8) ORDER BY m)) AS rv
+           |  FROM codes GROUP BY c_id),
+           |s AS (SELECT q.vec_id AS q_id, rec.c_id,
+           |    round(list_sum(list_transform(range(1, 65), i -> q.v[i] * rec.rv[i])), 6) AS adc
+           |  FROM e q CROSS JOIN rec WHERE q.vec_id < 10)
+           |SELECT q_id, c_id, adc, rank FROM (
+           |  SELECT q_id, c_id, adc,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin))
+
   private val dedupIncremental = Q(
     "dedup_incremental",
     // INCREMENTAL near-dedup — the production shape in a continuously
@@ -2505,7 +2562,7 @@ object QueryLib {
     txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
-    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simLabelCentroid,
+    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simLabelCentroid,
     mmBinaryMeta, mmImageHeaders)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

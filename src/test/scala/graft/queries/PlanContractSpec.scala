@@ -31,7 +31,7 @@ class PlanContractSpec extends SparkSpec {
   private val cartesianAllowed = Set("sim_embed_dedup")
   private val nestedLoopAllowed =
     Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid",
-      "dq_events", "q_drift_hist", "doc_mixture_sample")
+      "dq_events", "q_drift_hist", "doc_mixture_sample", "sim_ann_pq")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
