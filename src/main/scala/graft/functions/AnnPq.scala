@@ -117,10 +117,35 @@ object AnnPq {
     }: _*)
 
   /** ADC inner-product score of a query embedding against a stored
-    * code, rounded to 6 decimals (the oracle-determinism cut).
+    * code, rounded to 6 decimals (the oracle-determinism cut). The
+    * reconstruct-then-dot form — used by the exactness spec; the scan
+    * path ([[query]]) uses the LUT form below, which computes the same
+    * per-subspace partials but sums them per subspace (8 lookups per
+    * candidate instead of 64 multiplies).
     */
   def adcScore(cb: Codebooks, qv: Column, code: Column): Column =
     round(SimilarityOps.dot(qv, reconstructExpr(cb, code)), 6)
+
+  /** Per-query ADC lookup table: `lut[m][j]` = dot(query subvector m,
+    * centroid j of subspace m) — M*K dots computed ONCE per query
+    * (array<array<double>>), the table the compressed scan indexes
+    * into.
+    */
+  def lutExpr(cb: Codebooks, qv: Column): Column =
+    array((0 until cb.m).map { mi =>
+      val sub = slice(qv, mi * cb.subDim + 1, cb.subDim)
+      array(cb.books(mi).map(c => SimilarityOps.dot(sub, litArr(c))): _*)
+    }: _*)
+
+  /** LUT-form ADC: sum of M table lookups per candidate. Summation
+    * association is per-subspace partials in ascending m — the oracle
+    * mirrors exactly this nesting (NOT a flat dim-length sum, which
+    * associates differently in IEEE arithmetic).
+    */
+  def adcScoreLut(cb: Codebooks, lut: Column, code: Column): Column =
+    round((0 until cb.m).map { mi =>
+      element_at(element_at(lut, mi + 1), element_at(code, lit(mi + 1)) + 1)
+    }.reduce(_ + _), 6)
 
   /** Top-`topK` corpus candidates per query by ADC score over the
     * ENCODED corpus (codes only — the compressed scan). Queries
@@ -135,11 +160,12 @@ object AnnPq {
     val (qOut, cOut) =
       if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
     val q = queries.select(
-      col(qIdCol).as("__qid"), col(embCol).cast("array<double>").as("__qv"))
+      col(qIdCol).as("__qid"),
+      lutExpr(cb, col(embCol).cast("array<double>")).as("__lut"))
     val scored = encoded.select(col(cIdCol).as("__cid"), col(codeCol).as("__code"))
       .crossJoin(broadcast(q))
       .select(col("__qid").as(qOut), col("__cid").as(cOut),
-        adcScore(cb, col("__qv"), col("__code")).as("adc"))
+        adcScoreLut(cb, col("__lut"), col("__code")).as("adc"))
     val w = Window.partitionBy(col(qOut)).orderBy(col("adc").desc, col(cOut))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }

@@ -2299,9 +2299,11 @@ object QueryLib {
     // subvectors, zero Lloyd iterations) make every step — per-subspace
     // assignment, code storage, ADC reconstruction, top-k —
     // recomputable by the DuckDB oracle; AnnPq.buildTrained is the
-    // quality path, verified statistically in AnnPqSpec. The ADC score
-    // is dot(query, reconstructed) so both engines sum the same 64
-    // products in the same order before the round-6 cut.
+    // quality path, verified statistically in AnnPqSpec. The scan uses
+    // TRUE ADC: a per-query LUT of M*K subspace dots computed once,
+    // then 8 table lookups per candidate; the oracle mirrors the exact
+    // per-subspace summation association (NOT a flat 64-term sum, which
+    // associates differently in IEEE arithmetic) before the round-6 cut.
     (s, dir) => {
       val e = T(s, dir, "embeddings")
       val corpus = e.filter(col("vec_id") >= 10)
@@ -2339,7 +2341,9 @@ object QueryLib {
            |    flatten(list(list_slice(cv, m * 8 + 1, m * 8 + 8) ORDER BY m)) AS rv
            |  FROM codes GROUP BY c_id),
            |s AS (SELECT q.vec_id AS q_id, rec.c_id,
-           |    round(list_sum(list_transform(range(1, 65), i -> q.v[i] * rec.rv[i])), 6) AS adc
+           |    round(list_sum(list_transform(range(0, 8), m ->
+           |      list_sum(list_transform(range(1, 9),
+           |        i -> q.v[m * 8 + i] * rec.rv[m * 8 + i])))), 6) AS adc
            |  FROM e q CROSS JOIN rec WHERE q.vec_id < 10)
            |SELECT q_id, c_id, adc, rank FROM (
            |  SELECT q_id, c_id, adc,

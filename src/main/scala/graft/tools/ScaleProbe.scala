@@ -269,6 +269,30 @@ object ScaleProbe {
         .signLshCandidatePairs(e, "vec_id", "v", dim = 64, bands = 3, planesPerBand = 20)
         .count()
     }
+    // PQ compressed-scan at 1M vectors: encode (narrow, codebooks as
+    // literals) then ADC-score ALL 1M codes against 20 queries and keep
+    // a 100-candidate shortlist each — the scan that would read 64
+    // doubles/vector reads 8 bytes of codes instead; the shortlist then
+    // exact-reranks in production (AnnPqSpec pins that recall).
+    timed(s"PQ encode + ADC shortlist over $nVecs synthetic vectors (8x16 codes, 20 queries)") {
+      val e = spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          conv(substring(md5(concat(col("id").cast("string"), lit("_"), d)), 1, 6), 16, 10)
+            .cast("double") / lit(8388608.0) - 1.0).as("v"))
+      val cb = graft.functions.AnnPq.buildFixed(e, "v", idCol = "vec_id", m = 8, k = 16)
+      val enc = e.select(col("vec_id").as("c_id"),
+          graft.functions.AnnPq.encodeExpr(cb, col("v")).as("code"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count() // materialize the compressed index
+      val queries = e.filter(col("vec_id") % 50000L === 7L) // 20 queries
+      val shortlisted = graft.functions.AnnPq.query(cb, enc,
+        queries.withColumnRenamed("vec_id", "q_id"),
+        qIdCol = "q_id", embCol = "v", cIdCol = "c_id", codeCol = "code",
+        topK = 100).count()
+      enc.unpersist()
+      require(shortlisted == 20L * 100, s"expected 2000 shortlist rows, got $shortlisted")
+    }
     // Token-budget shard packing at 2N rows over 8 groups: the naive
     // per-group running-sum window would be 8 giant single-task sorts;
     // the two-phase prefix sum range-partitions once, computes a
