@@ -27,11 +27,12 @@ import org.apache.spark.sql.functions._
   * Engine-parity doctrine (the repo's oracle invariant): per-subspace
   * assignment ranks centroids by `round(dot - |c|^2/2, 6)` with ties
   * toward the larger index (identical to `AnnIvf.probeCells`), and the
-  * ADC score is computed as dot(query, RECONSTRUCTED vector) — the
-  * chosen centroids concatenated back to a dim-length array — so both
-  * engines sum the same 64 products in the same ascending order before
-  * the round-6 cut, rather than summing M per-subspace partials in
-  * engine-dependent association.
+  * scan-path ADC score ([[query]] via [[adcScoreLut]]) sums M
+  * per-subspace partials in ascending m, each partial an ascending
+  * subDim-term dot — the oracle mirrors exactly this NESTED
+  * association (a flat dim-length sum associates differently in IEEE
+  * arithmetic and can flip a round-6 digit). The reconstruct-then-dot
+  * form ([[adcScore]]) exists for the exactness spec only.
   */
 object AnnPq {
 

@@ -106,8 +106,12 @@ object QueryLib {
       // the staged path carries BOTH key parts: a tag-only path would
       // let two data dirs in one JVM (sf0.001 smoke + sf0.01 verify)
       // poison each other's memo — the second build wipes and rewrites
-      // the tree the first entry still points at
-      val dirKey = java.lang.Integer.toHexString(key._2.hashCode)
+      // the tree the first entry still points at. md5, not the 32-bit
+      // String.hashCode, keys the path: a hashCode collision between
+      // two data dirs would silently recreate exactly that poisoning
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(key._2.getBytes("UTF-8"))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
       val root = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-staged", s"${key._1}-$dirKey")
       deleteTree(root)
@@ -674,10 +678,12 @@ object QueryLib {
         src.repartition(4).write.parquet(p)
         import scala.jdk.CollectionConverters._
         val root = java.nio.file.Paths.get(p)
-        val part = java.nio.file.Files.list(root).iterator().asScala
+        val listing = java.nio.file.Files.list(root)
+        val part = try listing.iterator().asScala
           .filter(q => q.getFileName.toString.startsWith("part-") &&
             q.getFileName.toString.endsWith(".parquet"))
           .toSeq.sortBy(_.getFileName.toString).head
+        finally listing.close()
         val dup = root.resolve("redelivered.parquet")
         java.nio.file.Files.copy(part, dup)
         // FileStreamSource orders by mtime: the re-delivery must land
@@ -1714,8 +1720,8 @@ object QueryLib {
     // digest for (frequency, keeper), then a LEFT join back in which
     // the right side carries ONLY spans with frequency > 1 — unique
     // spans (the overwhelming majority of a real corpus) never ride
-    // the join. The keeper is encoded as one BIGINT (doc_id*1e6+pos,
-    // positions bounded far below 1e6) rather than a struct argmin, so
+    // the join. The keeper is encoded as one BIGINT (doc_id*2^31+pos)
+    // rather than a struct argmin, so
     // both engines take the same universally-supported min(bigint)
     // path. Encoding bounds: pos < 2^31 holds by CONSTRUCTION (a JVM
     // string caps at 2^31 chars, so no doc can have 2^31 spans);

@@ -49,12 +49,13 @@ class AnnPqSpec extends SparkSpec {
           lit(0.0), (acc, x) => acc + x)).as("e"))
         .head().getDouble(0)
     }
-    val fixed = AnnPq.buildFixed(corpus, "v", idCol = "vec_id", m = 8, k = 16)
+    // same-m comparison, or the doubled code budget (not training)
+    // could carry the assertion: Lloyd iterations must beat arbitrary
+    // seed centroids on the objective they minimize AT THE SAME budget
     val trained = AnnPq.buildTrained(corpus, "v", m = 16, k = 16, maxIter = 10)
-    val (mseF, mseT) = (mse(fixed), mse(trained))
-    // Lloyd iterations must beat arbitrary seed centroids on the
-    // objective they minimize
-    assert(mseT < mseF, s"trained MSE $mseT not below fixed-seed MSE $mseF")
+    val fixedSameM = AnnPq.buildFixed(corpus, "v", idCol = "vec_id", m = 16, k = 16)
+    val (mseF, mseT) = (mse(fixedSameM), mse(trained))
+    assert(mseT < mseF, s"trained MSE $mseT not below same-budget fixed-seed MSE $mseF")
 
     // SHORTLIST recall: does the exact cosine top-10 survive inside the
     // trained-ADC top-50 shortlist? This is the metric the production
