@@ -120,6 +120,52 @@ object QueryLib {
       root.toString
     })
 
+  /** Stage `src` as TIME-ORDERED slice files plus a final sentinel
+    * batch — the replay discipline that makes a finite file replay safe
+    * under a watermark: slices are calendar-disjoint ascending (so no
+    * later batch carries rows older than an earlier batch's watermark)
+    * and land with strictly ascending mtimes (FileStreamSource replays
+    * oldest-first); the sentinel advances the final watermark past
+    * every real window/session end so Append emits ALL finalized state,
+    * while the sentinel's own window can never finalize and is never
+    * emitted. Shared by the watermarked streaming gates; memoized like
+    * every staged source.
+    */
+  private def stageTimeOrderedReplay(
+      tag: String, dir: String, tmp: String,
+      src: org.apache.spark.sql.DataFrame,
+      cuts: Seq[String],
+      sentinel: org.apache.spark.sql.DataFrame): String =
+    stagedSrc(tag, dir) { rootStr =>
+      val root = java.nio.file.Paths.get(rootStr)
+      java.nio.file.Files.createDirectories(root)
+      val lows = None +: cuts.map(Option(_))
+      val highs = cuts.map(Option(_)) :+ None
+      val slices = lows.zip(highs).map { case (lo, hi) =>
+        src.filter(
+          lo.map(c => col("ts") >= ts(c)).getOrElse(lit(true)) &&
+            hi.map(c => col("ts") < ts(c)).getOrElse(lit(true)))
+      } :+ sentinel
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val stage = s"$tmp/stage/$tag/$i"
+        df.coalesce(1).write.parquet(stage)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        val part = try listing.iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+        finally listing.close()
+        val target = root.resolve(f"slice$i%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        // FileStreamSource orders new files by modification time;
+        // stamp an explicit ascending minute per slice so replay order
+        // IS time order regardless of write timing granularity
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+
   /** Run `body` (starting a streaming query) with shuffle partitions —
     * and therefore STATE STORE count — sized to the gate's 4-batch
     * replay. Stateful execs open one store per shuffle partition per
@@ -512,6 +558,53 @@ object QueryLib {
            |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2, 3""".stripMargin))
 
+  private val fsStreamWindowWm = Q(
+    "fs_stream_window_wm",
+    // The PRODUCTION windowed-aggregation configuration: watermarked
+    // Append mode — windows are EMITTED ONCE when the watermark passes
+    // their end and their state is evicted, the only mode that runs
+    // unbounded. fs_stream_window certifies the Complete-mode final
+    // table; this certifies the eviction/finalization path of the
+    // tumbling-window exec (a DIFFERENT state machine than
+    // session_window's merge — both production forms now gate). Same
+    // replay discipline as fs_stream_session_wm (time-ordered slices +
+    // a sentinel advancing the final watermark past every real
+    // window's end); the sentinel's own window can never finalize and
+    // is never emitted, so the Append output must equal the batch
+    // hourly GROUP BY exactly — a dropped-late row, an unevicted
+    // window, or a double emission all hash red.
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("swinwm")
+      val src = T(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+      val sentinel = Seq((
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+        "__sentinel", 0.0)).toDF("ts", "event_type", "value")
+      val srcDir = stageTimeOrderedReplay("swinwm", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"), sentinel = sentinel)
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1") // 5 files -> 5 ordered micro-batches
+        .option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"swinwm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.windowedStats(stream, "1 hour")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start,
+           |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           |       event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1, 2, 3""".stripMargin))
+
   private val fsStreamSession = Q(
     "fs_stream_session",
     // §2.10's session-window path — the hardest stateful code: sessions
@@ -587,38 +680,11 @@ object QueryLib {
       import s.implicits._
       val tmp = scratchDir("ssesswm")
       val src = T(s, dir, "events").select(col("ts"), col("user_id"), col("value"))
-      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
-      val lows = None +: cuts.map(Option(_))
-      val highs = cuts.map(Option(_)) :+ None
       val sentinel = Seq((
         java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
         -1L, 0.0)).toDF("ts", "user_id", "value")
-      val slices = lows.zip(highs).map { case (lo, hi) =>
-        src.filter(
-          lo.map(c => col("ts") >= ts(c)).getOrElse(lit(true)) &&
-            hi.map(c => col("ts") < ts(c)).getOrElse(lit(true)))
-      } :+ sentinel
-      val srcDir = stagedSrc("ssesswm", dir) { rootStr =>
-        val root = java.nio.file.Paths.get(rootStr)
-        java.nio.file.Files.createDirectories(root)
-        slices.zipWithIndex.foreach { case (df, i) =>
-          val stage = s"$tmp/stage/$i"
-          df.coalesce(1).write.parquet(stage)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-            .iterator().asScala
-            .find(p => p.getFileName.toString.startsWith("part-") &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
-          val target = root.resolve(f"slice$i%02d.parquet")
-          java.nio.file.Files.move(part, target)
-          // FileStreamSource orders new files by modification time;
-          // stamp an explicit ascending minute per slice so replay order
-          // IS time order regardless of write timing granularity
-          java.nio.file.Files.setLastModifiedTime(target,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        }
-      }
+      val srcDir = stageTimeOrderedReplay("ssesswm", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"), sentinel = sentinel)
       val stream = s.readStream
         .schema(src.schema)
         .option("maxFilesPerTrigger", "1") // 5 files -> 5 ordered micro-batches
@@ -2561,7 +2627,7 @@ object QueryLib {
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamWindow, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
+    fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
     fsStreamAttrib,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,

@@ -40,7 +40,7 @@ class PlanContractSpec extends SparkSpec {
   // frame is just a facade read / memory-sink scan anyway.
   private val skipBuild =
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame", "fs_transform_dag",
-      "fs_stream_sink", "fs_stream_window", "fs_stream_session", "fs_stream_session_wm",
+      "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
       "fs_stream_dedup", "fs_stream_attrib",
       // builds the eval-gram bloom eagerly (count + stat.bloomFilter
       // jobs) and persists the gram frame — plan stringification would
