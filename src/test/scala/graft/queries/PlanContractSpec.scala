@@ -162,6 +162,19 @@ class PlanContractSpec extends SparkSpec {
       s"one keeper join expected:\n$p")
   }
 
+  test("PQ encode is a narrow pass: codebooks ride as literals, no exchange") {
+    // the compressed-index build must pipeline with the corpus scan —
+    // an Exchange here would shuffle the full float corpus to compute a
+    // per-row quantity (the winnowSketch disease in vector form)
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = graft.functions.AnnPq.buildFixed(e, "embedding", idCol = "vec_id", m = 8, k = 16)
+    val p = e.select(col("vec_id"),
+        graft.functions.AnnPq.encodeExpr(cb, col("embedding").cast("array<double>")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PQ encode shuffles:\n$p")
+  }
+
   test("q_pack_shards joins slice offsets by broadcast, never by shuffling the corpus") {
     // the two-phase prefix sum's design point: the corpus-sized side
     // meets the metadata-sized (numPartitions x groups) offset frame
