@@ -75,10 +75,24 @@ object Bench {
       results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f3(f(r)) }.mkString("{", ",", "}")
     val qs = obj(_._3)
     val cold = obj(_._2)
-    val errs = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }.mkString("[", ",", "]")
+    val errList = results.collect { case (k, _, _, true) => k }
+    val errs = errList.map(k => s"\"" + k + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).sum
     System.err.println(s"""[bench-cold] {"queries_cold":$cold}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the TAIL of stdout; round 12 proved a long
+    // errs array can push the line's head out of the capture window
+    // ("parsed": null). Persist the full line to a file so the evidence
+    // survives truncation regardless of line length.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
+    // A crashed query must surface as a failed RUN, not just a JSON field:
+    // round 12 recorded rc:0 with 31 erred gates and read as a pass.
+    if (errList.nonEmpty) {
+      System.err.println(s"[bench] ${errList.size} queries errored: ${errList.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

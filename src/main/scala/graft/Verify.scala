@@ -25,6 +25,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.TimestampType
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       // DuckDB reads Spark's instant-semantics timestamps (parquet
       // isAdjustedToUTC=true) as TIMESTAMPTZ while the oracle SQL yields
@@ -41,6 +42,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // pinned LSH sketch frames (QueryLib.mat) are per-query working
       // sets; without this they accumulate across all queries and the
@@ -65,6 +67,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Round-12 lesson: a query that throws here used to vanish from the
+    // correctness file entirely (31 gates silently dropped). Record every
+    // failure explicitly alongside the dumps AND fail the run, so coverage
+    // shrinkage is loud instead of invisible.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

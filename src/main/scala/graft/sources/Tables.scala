@@ -2,16 +2,30 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-/** Readers for the driver's testdata tables. One quirk: `events.ts` is
-  * parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-  * ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and `div 1000` to
-  * microseconds — integral division truncating toward zero, the same
-  * rule DuckDB applies converting ns→µs, so oracle comparisons agree
-  * to the microsecond (for the post-epoch harness data the toward-zero
-  * vs floor distinction never arises; pre-1970 nanos would differ by
-  * 1µs on sub-µs remainders in BOTH engines identically).
+/** Readers for the driver's testdata tables. One quirk: `events.ts` has
+  * shipped in two parquet generations, and the reader must accept both:
+  *
+  *  - TIMESTAMP(NANOS) (rounds ≤11): Spark's vectorized reader rejects
+  *    nanos outright ([PARQUET_TYPE_ILLEGAL]), so we read them as raw
+  *    longs (`spark.sql.legacy.parquet.nanosAsLong`) and `div 1000` to
+  *    microseconds — integral division truncating toward zero, the same
+  *    rule DuckDB applies converting ns→µs, so oracle comparisons agree
+  *    to the microsecond.
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 12+ regeneration):
+  *    readable directly, but by default inferred as TIMESTAMP_NTZ, which
+  *    would change the column's Spark type (and every downstream
+  *    time-function's semantics) relative to what the whole library and
+  *    its oracles were certified against. Setting
+  *    `spark.sql.parquet.inferTimestampNTZ.enabled=false` reads the same
+  *    stored micros as instant-semantics TimestampType — bit-identical
+  *    values, identical downstream behavior under the UTC session TZ the
+  *    harness pins. (Round 12 broke precisely here: the regenerated µs
+  *    data arrived mid-round, `ts` resolved as NTZ, and the legacy
+  *    `ts div 1000` failed analysis — taking down all 31 events-based
+  *    gates. Branching on the RESOLVED type makes the reader immune to
+  *    either generation appearing again.)
   */
 object Tables {
 
@@ -20,19 +34,32 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
 
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // scope the legacy flag to THIS read: left set session-wide, every
-    // later nanos-parquet read would silently return LongType where it
-    // previously failed loudly. Schema resolution happens eagerly at
-    // spark.read.parquet, and the resolved relation carries its own
-    // conf snapshot, so restoring immediately after is safe.
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    // scope both flags to THIS read: left set session-wide they would
+    // silently change how every later parquet read resolves timestamps.
+    // Schema resolution happens eagerly at spark.read.parquet, and the
+    // resolved relation carries its own conf snapshot, so restoring
+    // immediately after is safe.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val ntzKey   = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val priorNanos = spark.conf.getOption(nanosKey)
+    val priorNtz   = spark.conf.getOption(ntzKey)
+    spark.conf.set(nanosKey, "true")
+    spark.conf.set(ntzKey, "false")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // nanos generation: raw int64 nanos → µs instant
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>        // micros generation: already instant-semantics µs
+          raw
+      }
+    } finally {
+      def restore(key: String, prior: Option[String]): Unit = prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      restore(nanosKey, priorNanos)
+      restore(ntzKey, priorNtz)
     }
   }
 }
