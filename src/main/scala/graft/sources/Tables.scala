@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's testdata tables. One quirk: `events.ts` has
   * shipped in two parquet generations, and the reader must accept both:
@@ -50,6 +50,21 @@ object Tables {
       raw.schema("ts").dataType match {
         case LongType => // nanos generation: raw int64 nanos → µs instant
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          // a Spark-written file embeds its own schema in the footer and
+          // ignores the inference flag — reinterpret the NTZ wall value
+          // as a UTC instant. The cast's zone is stamped at ANALYSIS time
+          // (ResolveTimeZone), and Datasets analyze eagerly, so scoping
+          // the session TZ around withColumn pins UTC regardless of the
+          // caller's zone.
+          val tzKey = "spark.sql.session.timeZone"
+          val priorTz = spark.conf.getOption(tzKey)
+          spark.conf.set(tzKey, "UTC")
+          try raw.withColumn("ts", col("ts").cast(TimestampType))
+          finally priorTz match {
+            case Some(v) => spark.conf.set(tzKey, v)
+            case None    => spark.conf.unset(tzKey)
+          }
         case _ =>        // micros generation: already instant-semantics µs
           raw
       }
