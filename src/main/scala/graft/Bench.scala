@@ -56,12 +56,48 @@ object Bench {
     // rides the noise (bit-identical code measured 2.8x apart across
     // rounds before this; min-of-2 still let a contended stretch poison
     // five adjacent queries 2-7x in one round — the third sample means
-    // one bad stretch has to strike the same query three times to show)
+    // one bad stretch has to strike the same query three times to show).
+    //
+    // Round 13 proved even min-of-3 is not contention-proof: a co-tenant
+    // that stays busy for the bench's whole 17 minutes poisons all three
+    // samples (recorded 16.0s for a query an idle box runs in 0.9s), and
+    // nothing in the artifact says so. Two additions make a poisoned run
+    // machine-visible instead of needing a human re-measure:
+    //  (a) every query records its WARM SPREAD — the ratio of the
+    //      third-best to the best warm sample. Consistent samples ⇒ ~1.0;
+    //      a contended stretch can inflate the minimum but not fake three
+    //      CONSISTENT low readings, so spread >> 1 flags the number.
+    //  (b) any query whose first triple spreads >2x gets a second triple
+    //      (one retry — bounded so a genuinely noisy box can't loop
+    //      forever); reported time is the min over all samples, spread is
+    //      recomputed over the best three, and the query is listed in
+    //      "reruns" so the artifact shows the first pass was unstable.
+    // /proc/loadavg snapshots (start / end / max seen between queries)
+    // expose OTHER-process pressure: this JVM's own 32 worker threads are
+    // expected load, so "max" way above what one local[32] run generates
+    // (or nonzero load at start) marks external contention.
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = load1()
+    var loadMax = loadStart
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (coldT, coldErr) = once(fn)
-      val warms = Seq.fill(3)(once(fn))
-      (name, coldT, warms.map(_._1).min, coldErr || warms.exists(_._2))
+      var warms = Seq.fill(3)(once(fn))
+      def sortedTimes = warms.map(_._1).sorted
+      def spreadOfBest3 = {
+        val s = sortedTimes
+        if (s.head <= 0) 1.0 else s(2) / s.head
+      }
+      val anyErr = coldErr || warms.exists(_._2)
+      val rerun = !anyErr && spreadOfBest3 > 2.0
+      if (rerun) warms = warms ++ Seq.fill(3)(once(fn))
+      loadMax = math.max(loadMax, load1())
+      (name, coldT, sortedTimes.head, anyErr || warms.exists(_._2),
+        spreadOfBest3, rerun)
     }
+    val loadEnd = load1()
     // 3-decimal timings: the driver captures only the TAIL of stdout, so
     // the final JSON line must stay compact — full-precision doubles for
     // 44 queries once pushed the line past the capture window and the
@@ -71,15 +107,27 @@ object Bench {
     // Locale.ROOT pinned: the default-locale "%.3f" emits "0,123" on
     // comma-decimal locales, corrupting the machine-read JSON line.
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    def obj(f: ((String, Double, Double, Boolean)) => Double): String =
-      results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f3(f(r)) }.mkString("{", ",", "}")
-    val qs = obj(_._3)
-    val cold = obj(_._2)
-    val errList = results.collect { case (k, _, _, true) => k }
+    def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    def obj(f: ((String, Double, Double, Boolean, Double, Boolean)) => String): String =
+      results.map { case r @ (k, _, _, _, _, _) => s"\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs = obj(r => f3(r._3))
+    val cold = obj(r => f3(r._2))
+    // 2-decimal spreads keep the line compact; the signal is coarse
+    // (1.0x = stable, >2x = the reported min was not reproducible).
+    val spreads = obj(r => f2(r._5))
+    val errList = results.collect { case (k, _, _, true, _, _) => k }
     val errs = errList.map(k => s"\"" + k + "\"").mkString("[", ",", "]")
+    val rerunList = results.collect { case (k, _, _, _, _, true) => k }
+    val reruns = rerunList.map(k => s"\"" + k + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).sum
+    val loads = s"""{"start":${f2(loadStart)},"max":${f2(loadMax)},"end":${f2(loadEnd)}}"""
     System.err.println(s"""[bench-cold] {"queries_cold":$cold}""")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}"""
+    // With any erred query the total is NOT a usable number (round 12's 31
+    // broken gates each "contributed" ~0.07s and the total read as a big
+    // improvement) — emit null so a consumer parsing only the JSON line
+    // cannot read a misleadingly fast total without noticing the errors.
+    val value = if (errList.isEmpty) f3(total) else "null"
+    val line = s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"spread":$spreads,"reruns":$reruns,"load":$loads,"errs":$errs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of stdout; round 12 proved a long
     // errs array can push the line's head out of the capture window

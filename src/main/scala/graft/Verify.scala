@@ -43,6 +43,16 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        // a reused outDir may hold this query's dump from a PREVIOUS run
+        // (overwrite only happens on success) — delete it so a failed
+        // query leaves nothing stale for check.py to compare against.
+        try {
+          val stale = java.nio.file.Paths.get(s"$outDir/$name")
+          if (Files.exists(stale)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(stale).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+        } catch { case _: Throwable => }
       }
       // pinned LSH sketch frames (QueryLib.mat) are per-query working
       // sets; without this they accumulate across all queries and the

@@ -1031,12 +1031,23 @@ object QueryLib {
 
   private val qAntiJoin = Q(
     "q_anti_join",
+    // customers with NO order since 2000 — the date filter matters: every
+    // customer in this testdata has SOME order, so the unfiltered anti-join
+    // returns zero rows and a zero-row gate hash-matches any other empty
+    // plan (it constrained nothing). The windowed form leaves a non-empty,
+    // non-trivial remainder at every SF (14 @sf0.001 / 135 / 1355), so the
+    // hash pins the actual null-rejecting anti-join semantics. The filter
+    // sits on the BUILD side before the join — at 100 TB it prunes the
+    // orders scan (partition/min-max pruning on the date column) before
+    // any exchange.
     (s, dir) =>
       T(s, dir, "customer")
-        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(T(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name"),
     Some("""SELECT c_custkey, c_name FROM customer
-           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |                  AND o_orderdate >= TIMESTAMP '2000-01-01')""".stripMargin))
 
   private val qSemiJoin = Q(
     "q_semi_join",

@@ -29,11 +29,25 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object Tables {
 
+  // events() must mutate SESSION-level SQL confs: neither
+  // `nanosAsLong` nor `inferTimestampNTZ.enabled` has a per-read
+  // DataFrameReader option (verified against ParquetOptions in the
+  // Spark 4.1 jars — only rebase modes / mergeSchema / compression are
+  // per-read), so schema inference can only be steered session-wide.
+  // Serializing EVERY Tables read on one lock makes concurrent readers
+  // that go through Tables safe with each other: a table() call can no
+  // longer observe the flags mid-mutation from a concurrent events().
+  // Parquet reads that bypass Tables on the same SparkSession during an
+  // events() call would still inherit the flags — callers that mix
+  // threads and raw spark.read on one session own that window (there is
+  // no narrower scope available in Spark).
+  private val confLock = new Object
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+      confLock.synchronized { spark.read.parquet(s"$dir/$name.parquet") }
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = confLock.synchronized {
     // scope both flags to THIS read: left set session-wide they would
     // silently change how every later parquet read resolves timestamps.
     // Schema resolution happens eagerly at spark.read.parquet, and the
@@ -65,8 +79,19 @@ object Tables {
             case Some(v) => spark.conf.set(tzKey, v)
             case None    => spark.conf.unset(tzKey)
           }
-        case _ =>        // micros generation: already instant-semantics µs
+        case TimestampType => // micros generation: already instant-semantics µs
           raw
+        case other =>
+          // a THIRD parquet generation (int32 days? string? future type)
+          // must fail HERE, at the read boundary, with the resolved type
+          // in hand — not as an obscure analysis error three operators
+          // downstream (the exact failure mode this branching exists to
+          // prevent).
+          throw new IllegalStateException(
+            s"events.parquet 'ts' resolved as unsupported type $other " +
+              "(expected LongType [legacy nanos], TimestampNTZType, or " +
+              "TimestampType); a new testdata generation needs an explicit " +
+              "branch in Tables.events")
       }
     } finally {
       def restore(key: String, prior: Option[String]): Unit = prior match {

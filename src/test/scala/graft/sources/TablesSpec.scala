@@ -48,6 +48,51 @@ class TablesSpec extends SparkSpec {
     assert(df.select(unix_micros(col("ts"))).head().getLong(0) == nanos / 1000)
   }
 
+  test("a third parquet generation fails loudly at the read boundary") {
+    val dir = tmpDir("ev-bad")
+    spark.sql("SELECT 1L AS event_id, 'not-a-time' AS ts, 7L AS user_id, " +
+        "'click' AS event_type, 1.5 AS value, '{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("unsupported type"))
+    assert(e.getMessage.contains("StringType"), "error must name the resolved type")
+  }
+
+  test("concurrent Tables reads don't leak the scoped reader flags") {
+    // events() mutates session confs (nanosAsLong / inferTimestampNTZ /
+    // session TZ) under Tables' lock; 16 threads hammering events + a
+    // plain table concurrently must all resolve identical schemas — a
+    // leak would flip orders.o_orderdate to NTZ or shift events.ts.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // steady-state baseline from sequential reads: events.ts is always
+      // normalized to TimestampType; o_orderdate keeps whatever the default
+      // conf infers for the driver's µs-naive parquet (NTZ on Spark 4).
+      // The leak this pins: during events()'s inferTimestampNTZ=false
+      // window, an unsynchronized concurrent orders read would resolve
+      // o_orderdate as TimestampType instead — i.e. a NON-singleton type
+      // set per table.
+      val ordersBase = Tables.table(spark, dir, "orders").schema("o_orderdate").dataType.toString
+      val futs = (1 to 32).map { i =>
+        Future {
+          if (i % 2 == 0) ("events", Tables.events(spark, dir).schema("ts").dataType.toString)
+          else ("orders", Tables.table(spark, dir, "orders").schema("o_orderdate").dataType.toString)
+        }
+      }
+      val byTable = Await.result(Future.sequence(futs), 120.seconds)
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      assert(byTable("events") == Set("TimestampType"),
+        s"events.ts drifted under concurrency: ${byTable("events")}")
+      assert(byTable("orders") == Set(ordersBase),
+        s"o_orderdate drifted under concurrency: ${byTable("orders")} vs baseline $ordersBase")
+    } finally pool.shutdown()
+  }
+
   test("reader flags are restored after the scoped read") {
     // getOption surfaces registered defaults, so compare before/after
     // values rather than expecting emptiness
