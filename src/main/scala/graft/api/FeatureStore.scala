@@ -510,7 +510,10 @@ class FeatureStore(val spark: SparkSession, catalogLocation: String) {
         .withColumnRenamed("value", full)
     }
     val wide = TimeseriesOps.alignJoin(series)
-    TimeseriesOps.asofJoin(labels, wide, rightValueCols = features)
+    // the wide frame is one row per time by construction (align pivots /
+    // outer-joins on time), so the as-of can skip its duplicate-collapse
+    // aggregate — and with it a full extra exchange of the wide frame
+    TimeseriesOps.asofJoin(labels, wide, rightValueCols = features, rightUnique = true)
   }
 
   /** Write path (core.py:278-313). Accepts:

