@@ -54,6 +54,32 @@ object SimilarityOps {
   def bandKey(sig: Column, lo: Int, hi: Int): Column =
     md5((lo to hi).map(i => element_at(sig, i)).reduce((a, b) => concat(a, lit("|"), b)))
 
+  /** Choose the banding (bands, rowsPerBand) for a target Jaccard
+    * threshold, within the 6-chunk signature budget. A (b, r) banding's
+    * S-curve inflection sits at t ≈ (1/b)^(1/r) — the similarity where
+    * candidate probability crosses ~50% and climbs steeply — so the
+    * full-budget banding with the LARGEST inflection still at or below
+    * the target catches above-threshold pairs with rapidly→1
+    * probability without flooding the verify step with weak pairs:
+    *
+    *   threshold < 0.577 → (6, 1)  inflection 0.17 (~98% recall at J=0.5)
+    *   threshold < 0.794 → (3, 2)  inflection 0.58 (~88% at J=0.7)
+    *   else              → (2, 3)  inflection 0.79 (~97% at J=0.9)
+    *
+    * The sign-LSH twin of `sizedPlanesPerBand`: the one sizing footgun
+    * of a production near-dedup (banding chosen for a DIFFERENT
+    * threshold silently halves recall — the default 3 × 2 recalls only
+    * ~58% at J=0.5) encoded as code rather than a comment. Recall
+    * floors for the chooser's picks are pinned in LshRecallSpec.
+    */
+  def sizedBanding(threshold: Double): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1], got $threshold")
+    val fullBudget = Seq((6, 1), (3, 2), (2, 3)) // inflections ascending
+    def inflection(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    fullBudget.filter { case (b, r) => inflection(b, r) <= threshold }
+      .lastOption.getOrElse((6, 1))
+  }
+
   /** MinHash-LSH candidate pair generation — the one shared formulation
     * behind every near-dedup query: a 6-chunk signature computed ONCE
     * and pinned with `persist(MEMORY_AND_DISK)` — the band projections
@@ -91,8 +117,11 @@ object SimilarityOps {
     * at J = 0.5 to ~98% at the cost of candidate volume (each band
     * then buckets on a single minhash, so weakly-similar pairs join
     * too — pay it when the verify step is cheap relative to a miss);
-    * 2 × 3 goes the other way. LshRecallSpec measures both 3 × 2 and
-    * 6 × 1 against exact all-pairs ground truth.
+    * 2 × 3 goes the other way. `sizedBanding(threshold)` picks the
+    * configuration from a target Jaccard threshold — production
+    * callers should route through it rather than hand-pick.
+    * LshRecallSpec measures 3 × 2, 6 × 1, and the chooser's picks
+    * against exact all-pairs ground truth.
     */
   def lshCandidatePairs(
       df: org.apache.spark.sql.DataFrame,

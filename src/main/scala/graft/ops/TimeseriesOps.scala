@@ -182,13 +182,30 @@ object TimeseriesOps {
         // max resolves an orderKey tie to the max value, exactly like
         // the seed aggregate, so the fill is deterministic and
         // bucket-boundary-consistent even with duplicate timestamps.
+        //
+        // Non-orderable (map-typed) values can't ride a struct max:
+        // max_by keyed on the ORDER key alone ("latest non-null",
+        // null-keyed rows ignored) needs only the order columns
+        // orderable, so map values stay on the bucket-parallel path
+        // instead of one global-window task. The residual caveat —
+        // a duplicate-orderKey tie between two DIFFERENT map values
+        // picks an arbitrary winner — is inherent (no ordering exists
+        // to break the tie) and matches the global-window fallback,
+        // which reads the physically-last peer.
         valueCols.foldLeft(withB)((d, c) =>
-          d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(wIn).getField("v")))
+          if (isOrderable(d.schema(c).dataType))
+            d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(wIn).getField("v"))
+          else
+            d.withColumn(c, max_by(col(c), when(col(c).isNotNull, ordStruct)).over(wIn)))
       }
     // last non-null value per bucket: max over (orderKey, value) restricted
-    // to non-null values — deterministic, partial-agg friendly.
+    // to non-null values — deterministic, partial-agg friendly. Map-typed
+    // values use the same max_by form as the in-bucket fill.
     val bucketAggs = valueCols.map(c =>
-      runningLastNonNull(ordStruct, col(c)).getField("v").as(c))
+      if (isOrderable(withB.schema(c).dataType))
+        runningLastNonNull(ordStruct, col(c)).getField("v").as(c)
+      else
+        max_by(col(c), when(col(c).isNotNull, ordStruct)).as(c))
     val perBucket = withB.groupBy(col(B)).agg(bucketAggs.head, bucketAggs.tail: _*)
     // seed for bucket b = last non-null among all earlier buckets.
     // Partitioned by a constant: the frame IS one-row-per-bucket
@@ -221,11 +238,12 @@ object TimeseriesOps {
     */
   def monthBucket(timeCol: String = TimeCol): Column = date_trunc("month", col(timeCol))
 
-  /** Forward fill, distributed when possible: routes through
-    * `ffillBucketed` (parallel across time buckets) whenever every value
-    * column is orderable — the per-bucket "last non-null" aggregate needs
-    * an ordering on the value. Map-typed values fall back to the exact
-    * global-window form.
+  /** Forward fill, always distributed: routes through `ffillBucketed`
+    * (parallel across time buckets). Since the per-bucket "last
+    * non-null" runs as max_by keyed on the ORDER columns when a value
+    * column is non-orderable, map-typed values no longer force the
+    * single-task global-window form — only the order columns must be
+    * orderable (they are: time and small marker ints everywhere).
     */
   def ffillAuto(
       df: DataFrame,
@@ -233,10 +251,8 @@ object TimeseriesOps {
       orderCols: Seq[String] = Seq(TimeCol),
       bucket: Option[Column] = None,
       tieFree: Boolean = false): DataFrame =
-    if (valueCols.forall(c => isOrderable(df.schema(c).dataType)))
-      ffillBucketed(df, valueCols, bucket.getOrElse(monthBucket(orderCols.head)), orderCols,
-        tieFree)
-    else ffill(df, valueCols, orderCols)
+    ffillBucketed(df, valueCols, bucket.getOrElse(monthBucket(orderCols.head)), orderCols,
+      tieFree)
 
   // ---------------------------------------------------------------------
   // J2: resample onto a regular grid [from, to] step `freq`, forward-
@@ -299,7 +315,9 @@ object TimeseriesOps {
     // reuses the hash partitioning); on raw duplicate-time input it IS
     // the determinism guarantee, not an optimization. Non-orderable
     // (map-typed) values can't collapse via max; they keep the raw rows
-    // and ffillAuto's exact global fallback.
+    // and take ffillBucketed's max_by route (arbitrary winner at a
+    // duplicate-time tie between different maps — no ordering exists to
+    // break it).
     val collapsible = valueCols.forall(c => isOrderable(raw.schema(c).dataType))
     val data =
       (if (collapsible)
@@ -379,7 +397,8 @@ object TimeseriesOps {
   // across time buckets, per-bucket boundary values propagated via a
   // tiny broadcast — instead of a single global-sort task, so the
   // un-keyed as-of (the training-frame flagship path) scales with the
-  // cluster. Map-typed values fall back to the exact global window.
+  // cluster. Map-typed values ride the same bucketed fill via max_by
+  // keyed on the order columns (keyed map values: per-key RANGE window).
   // ---------------------------------------------------------------------
   def asofJoin(
       left: DataFrame,

@@ -1869,19 +1869,29 @@ object QueryLib {
     * place so the four LSH query oracles can never drift from each
     * other (or from the Scala formulation).
     */
-  private def lshOracleCtes(src: String, setCol: String, blockKeys: Seq[String]): String = {
+  private def lshOracleCtes(src: String, setCol: String, blockKeys: Seq[String],
+      bands: Int = 3, rowsPerBand: Int = 2): String = {
     val keys = ("doc_id" +: blockKeys).mkString(", ")
-    val mins = (0 until 6).map(i =>
+    val mins = (0 until bands * rowsPerBand).map(i =>
       s"  list_min(list_transform($setCol, s -> substr(md5(s), ${1 + 5 * i}, 5))) AS m$i")
       .mkString(",\n")
+    // mirrors SimilarityOps.bandKey exactly: band bi hashes the '|'-joined
+    // chunks [bi*r, bi*r + r); a single-chunk band reduces to md5(m_i)
+    // (concat of one element is the element)
+    val bandRows = (0 until bands).map { bi =>
+      val parts = (0 until rowsPerBand).map(r => s"m${bi * rowsPerBand + r}")
+      val key =
+        if (parts.size == 1) s"md5(${parts.head})"
+        else s"md5(concat(${parts.mkString(", '|', ")}))"
+      if (bi == 0) s"  SELECT $keys, 0 AS band, $key AS bkey FROM sig"
+      else s"  UNION ALL SELECT $keys, $bi, $key FROM sig"
+    }.mkString("\n")
     val joinKeys = (Seq("band", "bkey") ++ blockKeys).map(k => s"a.$k = b.$k").mkString(" AND ")
     s"""sig AS (SELECT $keys,
        |$mins
        | FROM $src),
        |bands AS (
-       |  SELECT $keys, 0 AS band, md5(concat(m0, '|', m1)) AS bkey FROM sig
-       |  UNION ALL SELECT $keys, 1, md5(concat(m2, '|', m3)) FROM sig
-       |  UNION ALL SELECT $keys, 2, md5(concat(m4, '|', m5)) FROM sig),
+       |$bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON $joinKeys AND a.doc_id < b.doc_id)""".stripMargin
@@ -2451,8 +2461,11 @@ object QueryLib {
       val base = mat(T(s, dir, "documents").select(
         col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
+      // banding sized for the verify threshold (0.5 -> 6 x 1): the
+      // default 3 x 2 would recall only ~58% of true J=0.5 duplicates
+      val (bb, rr) = SimilarityOps.sizedBanding(0.5)
       val dupNew = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
-          aName = "doc_a", bName = "doc_b")
+          aName = "doc_a", bName = "doc_b", bands = bb, rowsPerBand = rr)
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .filter(col("doc_b") >= 400 &&
@@ -2466,7 +2479,7 @@ object QueryLib {
            |base0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
            |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
            |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
-           |${lshOracleCtes("base", "sh", Nil)},
+           |${lshOracleCtes("base", "sh", Nil, bands = 6, rowsPerBand = 1)},
            |dup AS (SELECT DISTINCT doc_b AS doc_id
            |        FROM cand JOIN base x ON x.doc_id = doc_a
            |                  JOIN base y ON y.doc_id = doc_b
@@ -2503,8 +2516,13 @@ object QueryLib {
       val sh = mat(exact.select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
         .filter(size(col("sh")) > 0))
+      // banding sized for the verify threshold (0.5 -> 6 x 1), like
+      // dedup_incremental: production curation at J=0.5 needs the
+      // high-recall configuration, not the 3 x 2 demo default
+      val (bb, rr) = SimilarityOps.sizedBanding(0.5)
       val dropIds = SimilarityOps.lshCandidatePairs(sh, "doc_id", "sh",
-          blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
+          blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b",
+          bands = bb, rowsPerBand = rr)
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
@@ -2528,7 +2546,7 @@ object QueryLib {
            |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
            |  FROM exact),
            |sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
-           |${lshOracleCtes("sh", "sh", Seq("lang", "source"))},
+           |${lshOracleCtes("sh", "sh", Seq("lang", "source"), bands = 6, rowsPerBand = 1)},
            |drops AS (
            |  SELECT DISTINCT doc_b AS doc_id
            |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a

@@ -85,6 +85,51 @@ class LshRecallSpec extends SparkSpec {
     assert(recallHi >= recall, "more bands can never lower recall on this corpus")
   }
 
+  test("sizedBanding picks the threshold-matched configuration") {
+    // the chooser's pick is the full-budget banding whose S-curve
+    // inflection (1/b)^(1/r) sits largest-but-at-or-below the target
+    assert(SimilarityOps.sizedBanding(0.5) == ((6, 1)))
+    assert(SimilarityOps.sizedBanding(0.7) == ((3, 2)))
+    assert(SimilarityOps.sizedBanding(0.9) == ((2, 3)))
+    assert(SimilarityOps.sizedBanding(0.2) == ((6, 1))) // below every inflection -> widest net
+    intercept[IllegalArgumentException](SimilarityOps.sizedBanding(0.0))
+    intercept[IllegalArgumentException](SimilarityOps.sizedBanding(1.5))
+  }
+
+  test("sizedBanding picks meet recall floors at two working thresholds") {
+    // threshold 0.9: planted twins at J in [0.9, 1.0] (m of 20 shingles
+    // shared, m in {19, 20} -> J = m/(40-m) in {0.905, 1.0}); the 2x3
+    // pick's per-pair bound 1-(1-J^3)^2 >= 0.93 there. threshold 0.5:
+    // the 6x1 pick on the SAME corpus must be >= it (more bands, wider
+    // net) and >= 0.95 — the two ends of the chooser's range measured
+    // against exact ground truth, not the banding formula.
+    val docs = (0 until 60).flatMap { i =>
+      val m = 19 + i % 2
+      val base = (0 until 20).map(s => s"g${i}_$s")
+      val twin = base.take(m) ++ (0 until (20 - m)).map(s => s"h${i}_$s")
+      Seq((i * 2L, base), (i * 2L + 1L, twin))
+    }
+    val df = docs.toDF("doc_id", "sh")
+    val exact = df.as("x").join(df.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(SimilarityOps.jaccard(col("x.sh"), col("y.sh")) >= 0.9)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 60, s"expected the 60 planted twins, got ${exact.size}")
+    def recallOf(threshold: Double): Double = {
+      val (b, r) = SimilarityOps.sizedBanding(threshold)
+      val cand = SimilarityOps.lshCandidatePairs(df, "doc_id", "sh",
+          bands = b, rowsPerBand = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      (exact intersect cand).size.toDouble / exact.size
+    }
+    val r09 = recallOf(0.9)
+    val r05 = recallOf(0.5)
+    info(f"chooser recall: threshold 0.9 -> $r09%.3f, threshold 0.5 -> $r05%.3f")
+    assert(r09 >= 0.85, f"2x3 pick recalls $r09%.3f < 0.85 on J >= 0.9 twins")
+    assert(r05 >= 0.95, f"6x1 pick recalls $r05%.3f < 0.95 on J >= 0.9 twins")
+    assert(r05 >= r09, "the wider-net pick can never recall less on the same corpus")
+  }
+
   test("sign-LSH candidate recall at 3x8 vs brute-force cosine ground truth") {
     // deterministic corpus (seeded JVM PRNG + md5-fixed hyperplanes, so
     // the measurement is one fixed number): 60 planted twin pairs at

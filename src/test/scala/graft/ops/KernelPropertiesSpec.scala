@@ -180,4 +180,48 @@ class KernelPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("map-typed values ride the bucketed fill and match the global form") {
+    // non-orderable values can't use the struct-max fill; the max_by
+    // route (keyed on the order columns alone) must still agree with
+    // the exact global window on tie-free input across every bucket
+    // granularity — and stay bucket-parallel (no single-task window
+    // over the data; the one-row-per-bucket seed window is exempt).
+    val sparseGen = Gen.listOf(for {
+      t <- Gen.choose(0, 200)
+      v <- Gen.option(Gen.choose(0, 50))
+    } yield (t, v))
+    forAll(sparseGen, n = 4) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.distinctBy(_._1).map { case (t, v) =>
+          (new Timestamp(base + t * 130L * 3600000L), v.map(x => Map("k" -> x)).orNull)
+        }.toDF("time", "value")
+        val g = TimeseriesOps.ffill(df, Seq("value")).orderBy("time")
+          .collect().map(r => Option(r.get(1)).map(_.toString)).toSeq
+        for (unit <- Seq("day", "month", "year")) {
+          val b = TimeseriesOps.ffillBucketed(df, Seq("value"),
+              date_trunc(unit, col("time"))).orderBy("time")
+            .collect().map(r => Option(r.get(1)).map(_.toString)).toSeq
+          assert(g == b, s"map-typed bucketed fill diverged at unit $unit")
+        }
+      }
+    }
+  }
+
+  test("un-keyed as-of with map-typed values is bucket-distributed and exact") {
+    // before: map values forced the single-task global window; now the
+    // bucketed route must produce the same latest-at-or-before result
+    val left = (0 to 8).map(t => (new Timestamp(base + t * 3600000L), t.toLong))
+      .toDF("time", "probe_id")
+    val right = Seq(2, 5, 7).map(t =>
+      (new Timestamp(base + t * 3600000L), Map("v" -> t))).toDF("time", "payload")
+    val out = TimeseriesOps.asofJoin(left, right, Seq("payload"))
+      .orderBy("probe_id").collect()
+      .map(r => Option(r.getMap[String, Int](2)).map(_("v"))).toSeq
+    assert(out == Seq(None, None, Some(2), Some(2), Some(2), Some(5), Some(5), Some(7), Some(7)))
+    // plan: the fill window partitions by the fill bucket, never global
+    val plan = TimeseriesOps.asofJoin(left, right, Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__ffill_bucket"), s"map-typed as-of skipped the bucketed fill:\n$plan")
+  }
 }
