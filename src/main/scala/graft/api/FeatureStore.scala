@@ -82,10 +82,16 @@ object FeatureStore {
     unpackFrame(specs, namespace).map { case (ns, n) => s"$ns/$n" }
 }
 
-class FeatureStore(val spark: SparkSession, catalogLocation: String) {
+class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogApi) {
   import Catalog.parseName
 
-  val catalog = new Catalog(catalogLocation, spark.sparkContext.hadoopConfiguration)
+  /** Local-catalog mode: metadata in a JSON document at `catalogLocation`
+    * (the reference's sqlite/SQL CoreFeatureStore). The primary
+    * constructor takes any `CatalogApi`, so the same store runs against
+    * a `CloudCatalog` (REST, cloud.py:22) with zero compute changes.
+    */
+  def this(spark: SparkSession, catalogLocation: String) =
+    this(spark, new Catalog(catalogLocation, spark.sparkContext.hadoopConfiguration))
 
   // One store per namespace STATE, not per verb: for namespaces with
   // storageOptions every TimeseriesStore owns cache-bypassing

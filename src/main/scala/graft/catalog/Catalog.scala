@@ -47,6 +47,40 @@ case class CatalogState(
     features: Seq[Feature] = Seq.empty,
     formatVersion: Int = Catalog.CurrentFormatVersion)
 
+/** The catalog verbs `FeatureStore` needs, factored so metadata can live
+  * locally (`Catalog`: a JSON document on any Hadoop filesystem) or
+  * remotely (`CloudCatalog`: REST + bearer token, the reference's hosted
+  * mode, cloud.py:22-361) while the Spark compute path stays identical —
+  * the reference's cloud store likewise only swaps the metadata client
+  * and keeps the data backends local (cloud.py:176-181).
+  */
+trait CatalogApi {
+  def listNamespaces(regex: Option[String] = None): Seq[Namespace]
+  def getNamespace(name: String): Option[Namespace]
+  def createNamespace(ns: Namespace): Unit
+  def updateNamespace(
+      name: String,
+      description: Option[String] = None,
+      meta: Map[String, Option[String]] = Map.empty,
+      storageOptions: Option[Map[String, String]] = None): Unit
+  def deleteNamespace(name: String): Unit
+  def listFeatures(
+      namespace: Option[String] = None,
+      regex: Option[String] = None): Seq[Feature]
+  def getFeature(namespace: String, name: String): Option[Feature]
+  def createFeature(f: Feature): Unit
+  def updateFeature(
+      namespace: String,
+      name: String,
+      description: Option[String] = None,
+      meta: Map[String, Option[String]] = Map.empty,
+      transform: Option[TransformSpec] = None,
+      valueType: Option[String] = None): Unit
+  def deleteFeature(namespace: String, name: String): Unit
+  def cloneFeature(srcNs: String, srcName: String, dstNs: String, dstName: String): Feature
+  private[graft] def pinValueType(namespace: String, name: String, dtJson: String): Unit
+}
+
 object Catalog {
   /** On-disk catalog format version (the reference version-stamps its
     * metadata DB and migrates old layouts, _upgrade.py:12-47). History:
@@ -92,7 +126,8 @@ object Catalog {
     }
 }
 
-class Catalog(location: String, hadoopConf: Configuration = new Configuration()) {
+class Catalog(location: String, hadoopConf: Configuration = new Configuration())
+    extends CatalogApi {
   import Catalog._
 
   private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
@@ -248,15 +283,15 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
 
   // ------------------------------------------------------------ namespaces
 
-  def listNamespaces(regex: Option[String] = None): Seq[Namespace] = {
+  override def listNamespaces(regex: Option[String]): Seq[Namespace] = {
     val r = regex.map(_.r)
     fresh().namespaces.filter(ns => r.forall(_.findFirstIn(ns.name).isDefined))
   }
 
-  def getNamespace(name: String): Option[Namespace] =
+  override def getNamespace(name: String): Option[Namespace] =
     fresh().namespaces.find(_.name == name)
 
-  def createNamespace(ns: Namespace): Unit = mutate {
+  override def createNamespace(ns: Namespace): Unit = mutate {
     require(validName(ns.name), s"invalid namespace name: '${ns.name}'")
     require(ns.url.nonEmpty, "namespace url is mandatory") // core.py:129-135
     require(getNamespace(ns.name).isEmpty, s"namespace '${ns.name}' already exists")
@@ -279,11 +314,11 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     * every non-meta field as a plain assignment (_model.py:68-70,
     * core.py:136-142), which is what credential rotation needs.
     */
-  def updateNamespace(
+  override def updateNamespace(
       name: String,
-      description: Option[String] = None,
-      meta: Map[String, Option[String]] = Map.empty,
-      storageOptions: Option[Map[String, String]] = None): Unit = mutate {
+      description: Option[String],
+      meta: Map[String, Option[String]],
+      storageOptions: Option[Map[String, String]]): Unit = mutate {
     val ns = getNamespace(name).getOrElse(
       throw new graft.api.MissingFeatureException(s"namespace '$name' does not exist"))
     val merged = mergeMeta(ns.meta, meta)
@@ -295,7 +330,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     state = state.copy(namespaces = state.namespaces.map(n => if (n.name == name) updated else n))
   }
 
-  def deleteNamespace(name: String): Unit = mutate {
+  override def deleteNamespace(name: String): Unit = mutate {
     require(getNamespace(name).isDefined, s"namespace '$name' does not exist")
     // refuse if non-empty (core.py:144-149)
     require(listFeatures(namespace = Some(name)).isEmpty,
@@ -305,19 +340,19 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
 
   // ------------------------------------------------------------- features
 
-  def listFeatures(
-      namespace: Option[String] = None,
-      regex: Option[String] = None): Seq[Feature] = {
+  override def listFeatures(
+      namespace: Option[String],
+      regex: Option[String]): Seq[Feature] = {
     val r = regex.map(_.r)
     fresh().features
       .filter(f => namespace.forall(_ == f.namespace))
       .filter(f => r.forall(_.findFirstIn(f.name).isDefined))
   }
 
-  def getFeature(namespace: String, name: String): Option[Feature] =
+  override def getFeature(namespace: String, name: String): Option[Feature] =
     fresh().features.find(f => f.namespace == namespace && f.name == name)
 
-  def createFeature(f: Feature): Unit = mutate {
+  override def createFeature(f: Feature): Unit = mutate {
     require(validName(f.name), s"invalid feature name: '${f.name}'")
     require(Set("date", "year").contains(f.partition),
       s"partition must be 'date' or 'year', got '${f.partition}'")
@@ -328,13 +363,13 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     state = state.copy(features = state.features :+ f)
   }
 
-  def updateFeature(
+  override def updateFeature(
       namespace: String,
       name: String,
-      description: Option[String] = None,
-      meta: Map[String, Option[String]] = Map.empty,
-      transform: Option[TransformSpec] = None,
-      valueType: Option[String] = None): Unit = mutate {
+      description: Option[String],
+      meta: Map[String, Option[String]],
+      transform: Option[TransformSpec],
+      valueType: Option[String]): Unit = mutate {
     val f = getFeature(namespace, name).getOrElse(
       throw new graft.api.MissingFeatureException(s"feature '$namespace/$name' does not exist"))
     val updated = f.copy(
@@ -349,7 +384,7 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
   /** Internal: pin the inferred value type at first write (the Spark
     * analogue of the reference's write-schema pinning, dask.py:66-69).
     */
-  private[graft] def pinValueType(namespace: String, name: String, dtJson: String): Unit =
+  override private[graft] def pinValueType(namespace: String, name: String, dtJson: String): Unit =
     mutate {
       val f = getFeature(namespace, name).get
       replaceFeature(f.copy(valueType = Some(dtJson))) // no version bump: not a user edit
@@ -359,14 +394,14 @@ class Catalog(location: String, hadoopConf: Configuration = new Configuration())
     state = state.copy(features = state.features.map(f =>
       if (f.namespace == updated.namespace && f.name == updated.name) updated else f))
 
-  def deleteFeature(namespace: String, name: String): Unit = mutate {
+  override def deleteFeature(namespace: String, name: String): Unit = mutate {
     require(getFeature(namespace, name).isDefined,
       s"feature '$namespace/$name' does not exist")
     state = state.copy(features = state.features.filterNot(f =>
       f.namespace == namespace && f.name == name))
   }
 
-  def cloneFeature(srcNs: String, srcName: String, dstNs: String, dstName: String): Feature =
+  override def cloneFeature(srcNs: String, srcName: String, dstNs: String, dstName: String): Feature =
     mutate {
       val src = getFeature(srcNs, srcName).getOrElse(
         throw new graft.api.MissingFeatureException(s"feature '$srcNs/$srcName' does not exist"))
