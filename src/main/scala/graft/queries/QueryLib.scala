@@ -2443,6 +2443,75 @@ object QueryLib {
            |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rank
            |  FROM s) WHERE rank <= 5""".stripMargin))
 
+  /** Measured recall of the TRAINED (KMeans) ANN paths vs exact cosine
+    * top-10 — the quality configurations `sim_ann_ivf`/`sim_ann_pq`
+    * cannot oracle-check bit-for-bit (Lloyd iterations are not
+    * reconstructable in ANSI SQL). Shared by the `sim_ann_recall` gate
+    * and AnnRecallGateSpec (which prints the raw values and asserts
+    * headroom above the gate floors).
+    */
+  private[graft] def annTrainedRecalls(s: SparkSession, dir: String): (Double, Double, Long) = {
+    val e = T(s, dir, "embeddings")
+    val corpus = mat(e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("c_id"))
+    val truth = mat(corpus
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("c_id"),
+        round(CosineSimilarity.cosineSim(col("qv"), col("cv")), 6).as("s"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select(col("q_id"), col("c_id")))
+    val total = truth.count()
+
+    // trained IVF: k=16 cells, probe half of them, direct top-10
+    val ivfIndex = graft.functions.AnnIvf.build(
+      corpus.withColumnRenamed("cv", "emb"), "emb", k = 16, seed = 42L, maxIter = 10)
+    val ivfGot = graft.functions.AnnIvf.query(ivfIndex,
+        queries.withColumnRenamed("qv", "emb"),
+        qIdCol = "q_id", topK = 10, nProbe = 8, cIdCol = "c_id")
+      .select(col("q_id"), col("c_id"))
+    val ivfRecall = truth.join(ivfGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
+
+    // trained PQ: 16 subspaces (64-bit codes), shortlist recall@10-in-50
+    // — the production use (scan codes, exact-rerank the shortlist)
+    val pq = graft.functions.AnnPq.buildTrained(
+      corpus.withColumnRenamed("cv", "emb"), "emb", m = 16, k = 16, seed = 42L, maxIter = 10)
+    val encoded = corpus.select(col("c_id"),
+      graft.functions.AnnPq.encodeExpr(pq, col("cv")).as("code"))
+    val pqGot = graft.functions.AnnPq.query(pq, encoded,
+        queries.withColumnRenamed("qv", "emb"),
+        qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code", topK = 50)
+      .select(col("q_id"), col("c_id"))
+    val pqRecall = truth.join(pqGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
+    corpus.unpersist(); truth.unpersist()
+    (ivfRecall, pqRecall, total)
+  }
+
+  private val simAnnRecall = Q(
+    "sim_ann_recall",
+    // The QUALITY-path ANN gate: sim_ann_ivf/sim_ann_pq pin the
+    // deterministic-codebook configurations bit-for-bit; this gate
+    // harness-verifies the KMeans-TRAINED paths the production index
+    // would actually ship, via a deterministic recall floor (the only
+    // oracle an iterative trainer admits — the floors carry wide
+    // headroom over measured values so partitioning-dependent KMeans
+    // init variation cannot flip the bit; AnnRecallGateSpec tracks the
+    // raw numbers).
+    (s, dir) => {
+      val (ivfRecall, pqRecall, total) = annTrainedRecalls(s, dir)
+      import s.implicits._
+      Seq(
+        ("ivf_trained", total.toInt, 0.70, if (ivfRecall >= 0.70) 1 else 0),
+        ("pq_trained", total.toInt, 0.60, if (pqRecall >= 0.60) 1 else 0))
+        .toDF("method", "truth_pairs", "floor", "pass")
+    },
+    Some("""SELECT 'ivf_trained' AS method, 100 AS truth_pairs,
+           |       CAST(0.70 AS DOUBLE) AS floor, 1 AS pass
+           |UNION ALL
+           |SELECT 'pq_trained', 100, CAST(0.60 AS DOUBLE), 1""".stripMargin))
+
   private val dedupIncremental = Q(
     "dedup_incremental",
     // INCREMENTAL near-dedup — the production shape in a continuously
@@ -2667,7 +2736,8 @@ object QueryLib {
     txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
-    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simLabelCentroid,
+    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
+    simLabelCentroid,
     mmBinaryMeta, mmImageHeaders)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
