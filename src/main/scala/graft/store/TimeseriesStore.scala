@@ -230,6 +230,22 @@ class TimeseriesStore(
     }
   }
 
+  /** Structured exactly-once write: (streamId, batchId) instead of an
+    * opaque txn id, so the log keeps one high-water mark per stream —
+    * O(#streams) checkpoint state however many batches ever committed
+    * (the Delta appId/version contract). Batch ids must be monotonic
+    * per stream, which Structured Streaming's are.
+    */
+  def writeTx(name: String, normalized: DataFrame, streamId: String, batchId: Long): Boolean = {
+    require(logBacked, "writeTx requires the txlog backend")
+    val log = txLog(name)
+    if (log.txnSeen(streamId, batchId)) false // fast path: skip staging
+    else {
+      val adds = stageInstall(name, normalized)
+      adds.nonEmpty && log.commit(adds, Nil, txnAppVer = Some((streamId, batchId))) >= 0
+    }
+  }
+
   /** S1 + P1/P2: scan with time-range predicate AND the derived partition
     * predicate so directory pruning kicks in before row-group pushdown.
     * Returns the 3-column envelope (partition dropped, dask.py:116-117).

@@ -17,16 +17,25 @@ final case class TxAdd(path: String, partition: String)
   */
 final case class TxRemove(path: String)
 
-/** One log line: an add, a remove, or a transaction marker. `txn`
-  * records an application-level transaction id with the commit (the
-  * Delta `SetTransaction` idea): an idempotent writer — e.g. a
-  * streaming micro-batch — checks `txnSeen` before re-committing, so a
-  * replayed batch after a restart is a no-op instead of a duplicate.
+/** One log line: an add, a remove, or a transaction marker.
+  *
+  * Two transaction forms, matching the Delta `SetTransaction` idea at
+  * its two fidelity levels:
+  *  - `txn`: an OPAQUE id; the log remembers every id ever seen, so
+  *    checkpoint state grows with total history. Fine for bounded jobs.
+  *  - `txnApp` + `txnVer`: a (writer id, monotonically increasing
+  *    version) pair — the log keeps only the LATEST version per app
+  *    (exactly the paper's appId/version contract), so a year-long
+  *    streaming sink carries O(#streams) transaction state instead of
+  *    O(#batches). A replayed batch re-presents the same version and
+  *    no-ops; versions only move forward.
   */
 final case class TxAction(
     add: Option[TxAdd] = None,
     remove: Option[TxRemove] = None,
-    txn: Option[String] = None)
+    txn: Option[String] = None,
+    txnApp: Option[String] = None,
+    txnVer: Option[Long] = None)
 
 /** Minimal single-table transaction log — the Delta-protocol idea
   * (Armbrust et al., "Delta Lake: High-Performance ACID Table Storage
@@ -65,7 +74,13 @@ class TxLog(
   // TimeseriesStore.fs)
   private def fs = fsOverride.getOrElse(logDir.getFileSystem(hadoopConf))
 
-  private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
+  // NON_ABSENT: a log line carries only the action fields it uses
+  // (an add line must not spell out null txn markers — at checkpoint
+  // scale the nulls would dominate the bytes); absent fields read back
+  // as None either way, so both spellings stay readable
+  private val mapper = JsonMapper.builder().addModule(DefaultScalaModule)
+    .serializationInclusion(com.fasterxml.jackson.annotation.JsonInclude.Include.NON_ABSENT)
+    .build()
 
   /** Numbered versions present in the log, ascending. */
   private def versions(): Seq[(Long, Boolean)] = { // (version, isCheckpoint)
@@ -99,6 +114,13 @@ class TxLog(
     */
   def txnSeen(id: String): Boolean = replay(None)._2.contains(id)
 
+  /** Latest committed version for a structured-txn writer, if any. */
+  def txnLatest(app: String): Option[Long] = replay(None)._3.get(app)
+
+  /** Has (app, ver) — or anything newer from `app` — already landed? */
+  def txnSeen(app: String, ver: Long): Boolean =
+    replay(None)._3.get(app).exists(_ >= ver)
+
   // Incremental replay cache: the EXACT table state with every commit
   // <= cacheVersion applied. Commit files are immutable once installed
   // (the no-overwrite rename), so a cached state can only ever be
@@ -112,6 +134,7 @@ class TxLog(
   private var cacheVersion: Long = -1L
   private val cacheLive = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
   private val cacheTxns = scala.collection.mutable.Set[String]()
+  private val cacheApps = scala.collection.mutable.Map[String, Long]()
   // newest version this instance has OBSERVED (committed, listed, or
   // replayed) — the commit loop's version guess, so a single committer
   // never pays a per-commit directory listing
@@ -119,20 +142,25 @@ class TxLog(
 
   private def applyTo(
       live: scala.collection.mutable.LinkedHashMap[String, TxAdd],
-      txns: scala.collection.mutable.Set[String])(a: TxAction): Unit = {
+      txns: scala.collection.mutable.Set[String],
+      apps: scala.collection.mutable.Map[String, Long])(a: TxAction): Unit = {
     a.add.foreach(ad => live(ad.path) = ad)
     a.remove.foreach(rm => live.remove(rm.path))
     a.txn.foreach(txns += _)
+    // latest-version-per-app: versions only move forward (a stale
+    // replayed version must never regress the high-water mark)
+    for (app <- a.txnApp; ver <- a.txnVer)
+      apps(app) = math.max(apps.getOrElse(app, Long.MinValue), ver)
   }
 
-  private def replay(asOf: Option[Long]): (Seq[TxAdd], Set[String]) = synchronized {
+  private def replay(asOf: Option[Long]): (Seq[TxAdd], Set[String], Map[String, Long]) = synchronized {
     // listing-free shortcut: the cache IS the exact state at
     // cacheVersion, and committed versions are immutable — a request
     // for precisely that version (the commit loop's validation replay)
     // needs no directory listing at all
     asOf match {
       case Some(u) if u == cacheVersion =>
-        return (cacheLive.values.toList, cacheTxns.toSet)
+        return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap)
       case _ =>
     }
     val vs = versions()
@@ -152,7 +180,7 @@ class TxLog(
         throw new IllegalStateException(
           s"version $upTo has been vacuumed from $logDir: " +
             s"oldest surviving version is ${vs.head._1}")
-      return (Seq.empty, Set.empty)
+      return (Seq.empty, Set.empty, Map.empty)
     }
     val target = eligible.last._1
     val commitSet = eligible.collect { case (v, false) => v }.toSet
@@ -165,20 +193,21 @@ class TxLog(
       ((cacheVersion + 1) to target).forall(commitSet.contains)) {
       ((cacheVersion + 1) to target).foreach { v =>
         readActions(new Path(logDir, f"$v%020d.json"))
-          .foreach(applyTo(cacheLive, cacheTxns))
+          .foreach(applyTo(cacheLive, cacheTxns, cacheApps))
       }
       cacheVersion = target
-      return (cacheLive.values.toList, cacheTxns.toSet)
+      return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap)
     }
     val ckpt = eligible.filter(_._2).map(_._1).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
     val txns = scala.collection.mutable.Set[String]()
+    val apps = scala.collection.mutable.Map[String, Long]()
     ckpt.foreach { cv =>
       readActions(new Path(logDir, f"$cv%020d.checkpoint.json"))
-        .foreach(applyTo(live, txns))
+        .foreach(applyTo(live, txns, apps))
     }
     eligible.filterNot(_._2).map(_._1).filter(c => ckpt.forall(_ < c)).foreach { v =>
-      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns))
+      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns, apps))
     }
     // adopt this state as the cache unless it is a time-travel read
     // BELOW the version the cache already holds (never regress)
@@ -186,8 +215,9 @@ class TxLog(
       cacheVersion = target
       cacheLive.clear(); cacheLive ++= live
       cacheTxns.clear(); cacheTxns ++= txns
+      cacheApps.clear(); cacheApps ++= apps
     }
-    (live.values.toList, txns.toSet)
+    (live.values.toList, txns.toSet, apps.toMap)
   }
 
   private def readActions(p: Path): Seq[TxAction] = {
@@ -226,11 +256,14 @@ class TxLog(
       adds: Seq[TxAdd],
       removes: Seq[TxRemove] = Nil,
       txnId: Option[String] = None,
-      maxAttempts: Int = 20): Long = {
+      maxAttempts: Int = 20,
+      txnAppVer: Option[(String, Long)] = None): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
     val actions = adds.map(a => TxAction(add = Some(a))) ++
       removes.map(r => TxAction(remove = Some(r))) ++
-      txnId.map(t => TxAction(txn = Some(t)))
+      txnId.map(t => TxAction(txn = Some(t))) ++
+      txnAppVer.map { case (app, ver) =>
+        TxAction(txnApp = Some(app), txnVer = Some(ver)) }
     val lines = actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -248,11 +281,15 @@ class TxLog(
         resync = false
       }
       val v = synchronized { math.max(knownHighWater, cacheVersion) } + 1
-      if (txnId.isDefined || removes.nonEmpty) {
+      if (txnId.isDefined || txnAppVer.isDefined || removes.nonEmpty) {
         // replay capped at v-1: exactly the commits this attempt builds
         // on; anything landing after is serialized by the rename below
-        val (liveAdds, txns) = replay(Some(v - 1))
+        val (liveAdds, txns, apps) = replay(Some(v - 1))
         if (txnId.exists(txns.contains)) return -1L
+        // structured form: duplicate iff this app already landed this
+        // version OR NEWER (a zombie replaying an old batch no-ops)
+        if (txnAppVer.exists { case (app, ver) => apps.get(app).exists(_ >= ver) })
+          return -1L
         if (removes.nonEmpty) {
           val live = liveAdds.map(_.path).toSet
           removes.find(r => !live.contains(r.path)).foreach { r =>
@@ -271,7 +308,7 @@ class TxLog(
           // so a cache sitting at v-1 advances to v with no file read —
           // the checkpoint's replay then needs no listing either
           if (cacheVersion == v - 1) {
-            actions.foreach(applyTo(cacheLive, cacheTxns))
+            actions.foreach(applyTo(cacheLive, cacheTxns, cacheApps))
             cacheVersion = v
           }
         }
@@ -326,11 +363,15 @@ class TxLog(
 
   private def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
-      // a checkpoint carries the live files AND the seen txn ids, so
-      // restart-idempotence survives the replay horizon
-      val (adds, txns) = replay(Some(v))
+      // a checkpoint carries the live files AND the transaction state,
+      // so restart-idempotence survives the replay horizon. Opaque txn
+      // ids are O(total history) forever; structured apps are one line
+      // per WRITER — the streaming sink's bounded-state path.
+      val (adds, txns, apps) = replay(Some(v))
       val lines = (adds.map(a => TxAction(add = Some(a))) ++
-        txns.toSeq.sorted.map(t => TxAction(txn = Some(t))))
+        txns.toSeq.sorted.map(t => TxAction(txn = Some(t))) ++
+        apps.toSeq.sortBy(_._1).map { case (app, ver) =>
+          TxAction(txnApp = Some(app), txnVer = Some(ver)) })
         .map(mapper.writeValueAsString)
         .mkString("", "\n", "\n")
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
@@ -400,6 +441,14 @@ class TxLog(
 }
 
 object TxLog {
+  // Jackson cannot see through Option[Long]'s erasure and would box a
+  // small txnVer as Integer (ClassCastException at first use); the
+  // introspector registration pins the reference type. Runs before any
+  // mapper use: the class body touches LogDirName (forcing this object)
+  // ahead of its mapper val.
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAction], "txnVer", classOf[Long])
+
   val LogDirName = "_txlog"
   val CheckpointEvery = 10
   private val CommitName = raw"(\d{20})\.json".r

@@ -156,14 +156,16 @@ object EventStreams {
 
   /** Streaming ingest into a txlog-backed feature with exactly-once
     * table semantics: each micro-batch is normalized like the batch
-    * writer and committed atomically via `TimeseriesStore.writeTx`,
-    * tagged `<streamId>#<batchId>`. Structured Streaming re-delivers
-    * the in-flight batch after a checkpoint recovery (at-least-once at
-    * the sink boundary); the txn tag makes the re-delivery a no-op, so
-    * the TABLE sees each batch exactly once — the foreachBatch +
-    * SetTransaction pattern from the Delta paper. Readers never see a
-    * torn batch: the files land invisibly and one commit publishes
-    * them.
+    * writer and committed atomically via `TimeseriesStore.writeTx`
+    * under the structured `(streamId, batchId)` transaction. Structured
+    * Streaming re-delivers the in-flight batch after a checkpoint
+    * recovery (at-least-once at the sink boundary); the log's per-stream
+    * high-water mark makes any batch at-or-below it a no-op, so the
+    * TABLE sees each batch exactly once — the foreachBatch +
+    * SetTransaction pattern from the Delta paper, at its full
+    * appId/version fidelity: transaction state in the log stays
+    * O(#streams) however long the job runs. Readers never see a torn
+    * batch: the files land invisibly and one commit publishes them.
     */
   def featureSinkTx(
       series: DataFrame, // time, value (+ optional created_time)
@@ -178,10 +180,13 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // no isEmpty pre-check: it cost an extra job recomputing the
         // micro-batch source, and writeTx already no-ops (without
-        // committing) when staging produces no files
+        // committing) when staging produces no files. Structured
+        // (streamId, batchId) txn: the log keeps ONE high-water mark
+        // per stream, so a year-long sink's checkpoint state stays
+        // O(#streams), not O(#batches)
         store.writeTx(featureName,
           store.normalizeForSave(batch, partitionStyle),
-          s"$streamId#$batchId")
+          streamId, batchId)
         ()
       }
 

@@ -481,6 +481,64 @@ object ScaleProbe {
       require(log.commit(Seq(graft.store.TxAdd("partition=p/dup.parquet", "p")),
         txnId = Some("stream#500")) == -1L, "duplicate txn not detected")
     }
+    // The streaming-sink ACCUMULATION regime: 10k micro-batch commits
+    // on one log — ~a week of one-commit-per-minute ingest. With the
+    // legacy opaque-txn form this is the shape that outgrows the
+    // checkpoint (every id ever seen rides every 10th-commit rewrite:
+    // O(n^2/10) lines written over the run). The structured
+    // (streamId, batchId) form keeps ONE line per stream; what remains
+    // in the checkpoint is the LIVE FILE set — which is what OPTIMIZE
+    // bounds, so the probe interleaves compactions at the cadence a
+    // production table would and requires flat block latencies plus a
+    // bounded final checkpoint.
+    timed("txlog streaming sink: 10000 structured-txn commits + periodic OPTIMIZE") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sink-probe").toString
+      val conf = spark.sparkContext.hadoopConfiguration
+      val log = new graft.store.TxLog(conf, dir)
+      val blocks = Array.ofDim[Double](10)
+      var liveSinceOpt = List.empty[String]
+      for (b <- 0 until 10) {
+        val t0 = System.nanoTime()
+        for (i <- 0 until 1000) {
+          val k = b * 1000 + i
+          val path = f"partition=p/batch-$k%05d.parquet"
+          log.commit(Seq(graft.store.TxAdd(path, "p")),
+            txnAppVer = Some(("sink-stream", k.toLong)))
+          liveSinceOpt ::= path
+          // OPTIMIZE cadence: every 2000 commits, re-pack the window's
+          // files into one (single atomic remove+add commit)
+          if ((k + 1) % 2000 == 0) {
+            log.commit(
+              Seq(graft.store.TxAdd(f"partition=p/opt-$k%05d.parquet", "p")),
+              liveSinceOpt.map(graft.store.TxRemove(_)))
+            liveSinceOpt = List(f"partition=p/opt-$k%05d.parquet")
+          }
+        }
+        blocks(b) = (System.nanoTime() - t0) / 1e9
+        println(f"[probe]   commits ${b * 1000}%5d-${b * 1000 + 999}%5d: ${blocks(b)}%.2fs")
+      }
+      require(blocks.last < blocks.head * 2.0,
+        f"sink commit latency grew with history: ${blocks.head}%.2fs -> ${blocks.last}%.2fs")
+      // final checkpoint: live files since last OPTIMIZE + 1 app line —
+      // BOUNDED by compaction cadence, not by total commits
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_txlog"))
+        .map(_.getPath.getName).filter(_.endsWith(".checkpoint.json")).sorted
+      val lastCkpt = new org.apache.hadoop.fs.Path(dir, s"_txlog/${ckpts.last}")
+      val lines = scala.io.Source.fromInputStream(fs.open(lastCkpt), "UTF-8")
+        .getLines().count(_.nonEmpty)
+      println(s"[probe]   final checkpoint: $lines lines (live files + 1 stream line) at 10k commits")
+      require(lines <= 2101, s"checkpoint no longer bounded by OPTIMIZE cadence: $lines lines")
+      // cold restart: fresh instance, one anchor replay
+      val t1 = System.nanoTime()
+      val cold = new graft.store.TxLog(conf, dir)
+      require(cold.txnSeen("sink-stream", 9999L), "stream high-water mark lost")
+      require(!cold.txnSeen("sink-stream", 10000L), "phantom future batch")
+      println(f"[probe]   cold replay at 10k commits: ${(System.nanoTime() - t1) / 1e9}%.3fs")
+      // zombie re-delivery of ANY historical batch must no-op
+      require(log.commit(Seq(graft.store.TxAdd("partition=p/dup.parquet", "p")),
+        txnAppVer = Some(("sink-stream", 5000L))) == -1L, "replayed batch not refused")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

@@ -237,6 +237,54 @@ class TxLogSpec extends SparkSpec {
       Set("partition=p/b.parquet", "partition=p/c1.parquet"))
   }
 
+  test("structured txns: one high-water mark per stream, bounded checkpoint state") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpDir("graft-apptxn")
+    val log = new TxLog(conf, dir)
+    // 25 batches from one stream + an opaque-id writer interleaved:
+    // both forms coexist on one log
+    for (k <- 0 until 25)
+      assert(log.commit(Seq(TxAdd(f"partition=p/b$k%02d.parquet", "p")),
+        txnAppVer = Some(("s1", k.toLong))) >= 0)
+    assert(log.commit(Seq(TxAdd("partition=p/legacy.parquet", "p")), Nil, Some("op-1")) >= 0)
+    // re-delivery of ANY past batch no-ops; only strictly newer commits
+    assert(log.commit(Seq(TxAdd("partition=p/dup.parquet", "p")),
+      txnAppVer = Some(("s1", 24L))) == -1L)
+    assert(log.commit(Seq(TxAdd("partition=p/dup.parquet", "p")),
+      txnAppVer = Some(("s1", 3L))) == -1L)
+    assert(log.txnLatest("s1").contains(24L) && log.txnSeen("s1", 10L) && !log.txnSeen("s1", 25L))
+    // a second stream tracks independently
+    assert(log.commit(Seq(TxAdd("partition=p/s2.parquet", "p")),
+      txnAppVer = Some(("s2", 0L))) >= 0)
+    // cold restart: high-water marks survive via the checkpoint, and
+    // the checkpoint carries ONE line per stream — not one per batch
+    val cold = new TxLog(conf, dir)
+    assert(cold.txnLatest("s1").contains(24L) && cold.txnLatest("s2").contains(0L))
+    assert(cold.txnSeen("op-1"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_txlog"))
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint.json")).sorted
+    val lines = scala.io.Source.fromInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(dir, s"_txlog/${ckpts.last}")), "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    val appLines = lines.count(_.contains("txnApp"))
+    assert(appLines <= 2, s"expected <=2 per-stream lines in the checkpoint, got $appLines")
+  }
+
+  test("streaming writeTx by (streamId, batchId) is exactly-once across store instances") {
+    val dir = tmpDir("graft-sinktx")
+    val store = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    val batch = series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0))
+    assert(store.writeTx("f", store.normalizeForSave(batch, "date"), "sink", 0L))
+    // the zombie's replacement replays batch 0 through a FRESH store
+    val store2 = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    assert(!store2.writeTx("f", store.normalizeForSave(batch, "date"), "sink", 0L))
+    assert(store2.writeTx("f",
+      store2.normalizeForSave(series(("2024-01-01 11:00:00", "2024-01-01 11:00:00", 2.0)), "date"),
+      "sink", 1L))
+    assert(store.read("f").count() == 2)
+  }
+
   test("incremental replay cache sees foreign commits, survives vacuum, never regresses") {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = tmpDir("graft-replay-cache")

@@ -180,14 +180,15 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("s1").orderBy("time").collect().map(_.getDouble(2)).toSeq == Seq(1.0, 2.0))
     assert(store.tableVersion("s1") == 1L)
     // a re-delivered batch (checkpoint recovery replays the last one)
-    // re-offers its txn id and must be a NO-OP, not a duplicate
+    // re-offers its (streamId, batchId) and must be a NO-OP, not a
+    // duplicate — as must any OLDER batch a zombie driver replays
     val replay = mkEvents(("2024-01-02T00:01:00", 1, "x", 2.0))
       .toDF().select(col("ts").as("time"), col("value"))
-    val committed = store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream#1")
-    assert(!committed)
+    assert(!store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream", 1L))
+    assert(!store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream", 0L))
     assert(store.read("s1").count() == 2)
-    // a NEW txn id commits normally
-    assert(store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream#2"))
+    // the NEXT batch id commits normally
+    assert(store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream", 2L))
     assert(store.read("s1").count() == 3)
   }
 }
