@@ -213,6 +213,20 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     catalog.createFeature(Feature(ns, name, description, partition, serialized, meta = meta))
   }
 
+  /** Bulk registration: one metadata transaction (and, in cloud mode,
+    * one HTTP round-trip) for the whole list — the deployment-step path
+    * for pipelines that register features by the thousand.
+    */
+  def createFeatures(
+      fullNames: Seq[String],
+      namespace: Option[String] = None,
+      partition: String = "date",
+      serialized: Boolean = false): Unit =
+    catalog.createFeatures(fullNames.map { fn =>
+      val (ns, name) = parseName(fn, namespace)
+      Feature(ns, name, partition = partition, serialized = serialized)
+    })
+
   def listFeatures(
       namespace: Option[String] = None,
       regex: Option[String] = None): Seq[Feature] =

@@ -112,6 +112,10 @@ class CatalogServer(
       case ("POST", "feature") =>
         catalog.createFeature(mapper.treeToValue(body, classOf[Feature]))
         respond(ex, 200, Map("status" -> "ok"))
+      case ("POST", "feature/bulk") =>
+        catalog.createFeatures(
+          mapper.treeToValue(body, classOf[Array[Feature]]).toSeq)
+        respond(ex, 200, Map("status" -> "ok"))
       case ("PATCH", "feature") =>
         catalog.updateFeature(str(body, "namespace").get, str(body, "name").get,
           description = str(body, "description"),

@@ -174,6 +174,13 @@ class CloudCatalog(
   override def createFeature(f: Feature): Unit =
     call("POST", "feature", Some(f))
 
+  /** One round-trip, one server-side transaction for the whole batch —
+    * a deployment registering thousands of features pays O(1) HTTP
+    * requests and the server one document persist.
+    */
+  override def createFeatures(fs: Seq[Feature]): Unit =
+    if (fs.nonEmpty) call("POST", "feature/bulk", Some(fs))
+
   override def updateFeature(
       namespace: String,
       name: String,

@@ -25,6 +25,12 @@ object AnnIvf {
     */
   def build(df: DataFrame, embCol: String, k: Int, seed: Long = 42L, maxIter: Int = 20): Index = {
     val feat = df.withColumn("__fv", array_to_vector(col(embCol).cast("array<double>")))
+    // k-means|| init kept deliberately: this one coarse quantizer IS
+    // the quality knob of the whole IVF index (random init measured
+    // recall@10 0.91 -> 0.78 on the gate fixture — too much quality
+    // for ~2 s of init passes on a single fit; PQ's M per-subspace
+    // fits are where init cost multiplies, and THERE random+Lloyd is
+    // the right trade, AnnPq.buildTrained)
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("cell")

@@ -70,19 +70,36 @@ object AnnPq {
   def buildTrained(
       df: DataFrame, embCol: String, m: Int, k: Int,
       seed: Long = 42L, maxIter: Int = 20): Codebooks = {
+    // persisted once: every subspace fit re-reads this projection, and
+    // without the pin each of the M fits would re-scan the source
     val arr = df.filter(col(embCol).isNotNull)
       .select(col(embCol).cast("array<double>").as("__v"))
-    val dim = arr.select(size(col("__v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    val books = (0 until m).map { mi =>
-      val sub = arr.select(
-        array_to_vector(slice(col("__v"), mi * subDim + 1, subDim)).as("__fv"))
-      new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
-        .setFeaturesCol("__fv")
-        .fit(sub).clusterCenters.map(_.toArray).toSeq
-    }
-    Codebooks(subDim, books)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = arr.select(size(col("__v"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val subDim = dim / m
+      // the M subspace fits are independent jobs over the same pinned
+      // rows — submitted CONCURRENTLY, wall time is one fit, not M
+      // (sequential, the measured cost was ~1 s of scheduler overhead
+      // per fit × M, dwarfing the arithmetic); random init instead of
+      // k-means|| drops the extra distributed init passes each fit pays
+      // (maxIter Lloyd rounds behind it converge to the same MSE
+      // neighborhood — AnnPqSpec's trained-beats-fixed assertion gates it)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books = Await.result(
+        Future.sequence((0 until m).toList.map { mi => Future {
+          val sub = arr.select(
+            array_to_vector(slice(col("__v"), mi * subDim + 1, subDim)).as("__fv"))
+          mi -> new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
+            .setInitMode("random")
+            .setFeaturesCol("__fv")
+            .fit(sub).clusterCenters.map(_.toArray).toSeq
+        }}),
+        scala.concurrent.duration.Duration.Inf).sortBy(_._1).map(_._2)
+      Codebooks(subDim, books)
+    } finally { arr.unpersist(); () }
   }
 
   private def litArr(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)

@@ -2465,26 +2465,38 @@ object QueryLib {
       .select(col("q_id"), col("c_id")))
     val total = truth.count()
 
-    // trained IVF: k=16 cells, probe half of them, direct top-10
-    val ivfIndex = graft.functions.AnnIvf.build(
-      corpus.withColumnRenamed("cv", "emb"), "emb", k = 16, seed = 42L, maxIter = 10)
-    val ivfGot = graft.functions.AnnIvf.query(ivfIndex,
-        queries.withColumnRenamed("qv", "emb"),
-        qIdCol = "q_id", topK = 10, nProbe = 8, cIdCol = "c_id")
-      .select(col("q_id"), col("c_id"))
-    val ivfRecall = truth.join(ivfGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
-
-    // trained PQ: 16 subspaces (64-bit codes), shortlist recall@10-in-50
-    // — the production use (scan codes, exact-rerank the shortlist)
-    val pq = graft.functions.AnnPq.buildTrained(
-      corpus.withColumnRenamed("cv", "emb"), "emb", m = 16, k = 16, seed = 42L, maxIter = 10)
-    val encoded = corpus.select(col("c_id"),
-      graft.functions.AnnPq.encodeExpr(pq, col("cv")).as("code"))
-    val pqGot = graft.functions.AnnPq.query(pq, encoded,
-        queries.withColumnRenamed("qv", "emb"),
-        qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code", topK = 50)
-      .select(col("q_id"), col("c_id"))
-    val pqRecall = truth.join(pqGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
+    // the IVF and PQ evaluations are independent driver-coordinated
+    // pipelines (fits, encodes, recall joins — each a chain of small
+    // jobs); run them as concurrent job groups so the gate's wall time
+    // is one branch, not the sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ivfF = Future {
+      // trained IVF: k=16 cells, probe half of them, direct top-10
+      val ivfIndex = graft.functions.AnnIvf.build(
+        corpus.withColumnRenamed("cv", "emb"), "emb", k = 16, seed = 42L, maxIter = 10)
+      val ivfGot = graft.functions.AnnIvf.query(ivfIndex,
+          queries.withColumnRenamed("qv", "emb"),
+          qIdCol = "q_id", topK = 10, nProbe = 8, cIdCol = "c_id")
+        .select(col("q_id"), col("c_id"))
+      truth.join(ivfGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
+    }
+    val pqF = Future {
+      // trained PQ: 16 subspaces (64-bit codes), shortlist recall@10-in-50
+      // — the production use (scan codes, exact-rerank the shortlist)
+      val pq = graft.functions.AnnPq.buildTrained(
+        corpus.withColumnRenamed("cv", "emb"), "emb", m = 16, k = 16, seed = 42L, maxIter = 10)
+      val encoded = corpus.select(col("c_id"),
+        graft.functions.AnnPq.encodeExpr(pq, col("cv")).as("code"))
+      val pqGot = graft.functions.AnnPq.query(pq, encoded,
+          queries.withColumnRenamed("qv", "emb"),
+          qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code", topK = 50)
+        .select(col("q_id"), col("c_id"))
+      truth.join(pqGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
+    }
+    val (ivfRecall, pqRecall) = (
+      Await.result(ivfF, scala.concurrent.duration.Duration.Inf),
+      Await.result(pqF, scala.concurrent.duration.Duration.Inf))
     corpus.unpersist(); truth.unpersist()
     (ivfRecall, pqRecall, total)
   }

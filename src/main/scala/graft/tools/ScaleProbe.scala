@@ -481,6 +481,30 @@ object ScaleProbe {
       require(log.commit(Seq(graft.store.TxAdd("partition=p/dup.parquet", "p")),
         txnId = Some("stream#500")) == -1L, "duplicate txn not detected")
     }
+    // Metadata-scale: a document catalog pays a full-doc persist per
+    // mutation, so registering n features one-by-one is O(n²) bytes —
+    // fine for tens, wrong for a pipeline deploying thousands. The
+    // probe quantifies the loop form at 1k (don't extrapolate linearly:
+    // each persist grows) and the single-transaction bulk form at 10k.
+    timed("catalog metadata: bulk vs loop feature registration") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cat-probe").toString
+      val c1 = new graft.catalog.Catalog(s"$dir/loop.json")
+      c1.createNamespace(graft.catalog.Namespace("m", s"file://$dir/wh1"))
+      val t0 = System.nanoTime()
+      (0 until 1000).foreach(i =>
+        c1.createFeature(graft.catalog.Feature("m", f"f$i%05d")))
+      val loopS = (System.nanoTime() - t0) / 1e9
+      val c2 = new graft.catalog.Catalog(s"$dir/bulk.json")
+      c2.createNamespace(graft.catalog.Namespace("m", s"file://$dir/wh2"))
+      val t1 = System.nanoTime()
+      c2.createFeatures((0 until 10000).map(i => graft.catalog.Feature("m", f"f$i%05d")))
+      val bulkS = (System.nanoTime() - t1) / 1e9
+      println(f"[probe]   loop 1k: $loopS%.2fs; bulk 10k: $bulkS%.2fs " +
+        f"(${loopS / 1000 * 1e3}%.1f ms/feature loop vs ${bulkS / 10000 * 1e6}%.1f us/feature bulk)")
+      require(c2.listFeatures(Some("m")).size == 10000)
+      require(bulkS < loopS, "bulk registration must beat the 10x-smaller loop")
+    }
+
     // The streaming-sink ACCUMULATION regime: 10k micro-batch commits
     // on one log — ~a week of one-commit-per-minute ingest. With the
     // legacy opaque-txn form this is the shape that outgrows the

@@ -49,6 +49,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(c.listNamespaces().isEmpty)
   }
 
+  test("bulk createFeatures: one transaction, all-or-nothing") {
+    val (c, _) = fresh()
+    c.createNamespace(Namespace("b", "file:///tmp/bulk"))
+    c.createFeatures((1 to 200).map(i => Feature("b", f"f$i%03d")))
+    assert(c.listFeatures(Some("b")).size == 200)
+    // any invalid entry rejects the WHOLE batch — no partial registration
+    intercept[IllegalArgumentException](
+      c.createFeatures(Seq(Feature("b", "ok-new"), Feature("b", "f001"))))
+    assert(c.getFeature("b", "ok-new").isEmpty)
+    intercept[IllegalArgumentException](
+      c.createFeatures(Seq(Feature("b", "twin"), Feature("b", "twin"))))
+    intercept[IllegalArgumentException](
+      c.createFeatures(Seq(Feature("missing-ns", "x"))))
+    c.createFeatures(Nil) // no-op, no persist
+    assert(c.listFeatures(Some("b")).size == 200)
+  }
+
   test("update bumps feature version; clone resets it (core.py:180-208)") {
     val (c, _) = fresh()
     c.createNamespace(Namespace("ns", "file:///tmp/ns2"))

@@ -71,6 +71,17 @@ class CloudCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk createFeatures: one round-trip, server-side all-or-nothing") {
+    withServer() { (c, _) =>
+      c.createNamespace(Namespace("bk", "file:///tmp/cloud-bulk"))
+      c.createFeatures((1 to 50).map(i => Feature("bk", f"f$i%02d")))
+      assert(c.listFeatures(Some("bk")).size == 50)
+      intercept[FeatureStoreException](
+        c.createFeatures(Seq(Feature("bk", "fresh"), Feature("bk", "f01"))))
+      assert(c.getFeature("bk", "fresh").isEmpty)
+    }
+  }
+
   test("expired access tokens auto-refresh (cloud.py:107-123)") {
     // TTL shorter than the client's 10s refresh margin: every call must
     // fetch a fresh token, and all must still succeed
