@@ -31,6 +31,23 @@ import graft.transform.TransformRegistry
 object FeatureStore {
   import Catalog.parseName
 
+  /** The reference's factory dispatch (`__init__.py:33-50`): an
+    * http(s) connection string is a hosted catalog — everything else
+    * is a local metadata location. Token comes from the environment
+    * like the reference's non-interactive mode (`BYTEHUB_TOKEN`,
+    * cloud.py:66-77); pass it explicitly to override.
+    */
+  def connect(
+      spark: SparkSession,
+      connectionString: String,
+      token: Option[String] = None): FeatureStore =
+    if (connectionString.startsWith("http")) {
+      val t = token.orElse(sys.env.get("GRAFT_CATALOG_TOKEN")).getOrElse(
+        throw new FeatureStoreException(
+          "cloud catalog needs a refresh token: pass token=... or set GRAFT_CATALOG_TOKEN"))
+      new FeatureStore(spark, new graft.catalog.CloudCatalog(connectionString, t))
+    } else new FeatureStore(spark, connectionString)
+
   /** "ns/name" strings or unqualified names + a default namespace. */
   def unpackList(names: Seq[String], namespace: Option[String] = None): Seq[(String, String)] =
     names.map(n => parseName(n, namespace))

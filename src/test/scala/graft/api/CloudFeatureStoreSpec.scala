@@ -10,6 +10,20 @@ import graft.catalog.{Catalog, CatalogServer, CloudCatalog}
 class CloudFeatureStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  test("FeatureStore.connect dispatches on the connection string (__init__.py:33-50)") {
+    val dir = tmpDir("graft-connect")
+    val local = FeatureStore.connect(spark, s"$dir/catalog.json")
+    local.createNamespace("l", s"$dir/wh")
+    assert(local.listNamespaces().map(_.name) == Seq("l"))
+    val server = new CatalogServer(new Catalog(s"$dir/remote.json"), Set("tok"))
+    try {
+      intercept[FeatureStoreException](FeatureStore.connect(spark, server.url))
+      val remote = FeatureStore.connect(spark, server.url, token = Some("tok"))
+      remote.createNamespace("r", s"$dir/whr")
+      assert(remote.listNamespaces().map(_.name) == Seq("r"))
+    } finally server.stop()
+  }
+
   test("save/load/last through a remote catalog (cloud.py:481-551)") {
     val dir = tmpDir("graft-cloudfs")
     val server = new CatalogServer(
