@@ -2730,6 +2730,62 @@ object QueryLib {
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_channels
            |FROM documents""".stripMargin))
 
+  private val mmFrameSample = Q(
+    "mm_frame_sample",
+    // video-style frame fan-out under the oracle gate: sampleFrames is
+    // a narrow flatMap (one task per parquet split, no exchange) whose
+    // stub container index derives frame count from payload size; the
+    // oracle recomputes the same index arithmetically. A real ffmpeg
+    // codec rides the same seam with an identical plan shape.
+    (s, dir) => {
+      val payloads = T(s, dir, "documents").select(
+        col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.functions.MultimodalOps.sampleFrames(payloads, "doc_id", "payload", stride = 3)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          col("offsetBytes").as("offset_bytes"))
+    },
+    Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           |       CAST(f * 64 AS BIGINT) AS offset_bytes
+           |FROM (SELECT doc_id,
+           |        unnest(range(0, octet_length(CAST(text AS BLOB)) // 64 + 1, 3)) AS f
+           |      FROM documents)""".stripMargin))
+
+  private val mmResizePlan = Q(
+    "mm_resize_plan",
+    // the metadata-only resize planning pass: decode-free Catalyst
+    // arithmetic over the typed (width, height) struct — the cheap pass
+    // a real pipeline runs BEFORE paying any pixel decode. Dimensions
+    // come from the stub-decode arithmetic (mm_binary_meta's), the
+    // resize is resizeMeta's least/greatest scale; int cast truncation
+    // is mirrored by the oracle's floor (dims are positive).
+    (s, dir) => {
+      val meta = T(s, dir, "documents").select(
+        col("doc_id"),
+        (pmod(length(col("text").cast("binary")).cast("long") * 7, lit(640)) + 1)
+          .cast("int").as("width"),
+        (pmod(length(col("text").cast("binary")).cast("long") * 13, lit(480)) + 1)
+          .cast("int").as("height"))
+      graft.functions.MultimodalOps.resizeMeta(meta, maxSide = 128)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+           |  (octet_length(CAST(text AS BLOB)) * 7) % 640 + 1 AS width,
+           |  (octet_length(CAST(text AS BLOB)) * 13) % 480 + 1 AS height
+           |  FROM documents),
+           |s AS (SELECT *, least(CAST(1 AS DOUBLE),
+           |        CAST(128 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)) AS scale FROM m)
+           |SELECT doc_id, CAST(width AS BIGINT) AS width,
+           |  CAST(height AS BIGINT) AS height,
+           |  CAST(floor(width * scale) AS BIGINT) AS out_width,
+           |  CAST(floor(height * scale) AS BIGINT) AS out_height
+           |FROM s""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -2750,7 +2806,7 @@ object QueryLib {
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
-    mmBinaryMeta, mmImageHeaders)
+    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
