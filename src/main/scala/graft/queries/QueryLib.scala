@@ -2730,6 +2730,42 @@ object QueryLib {
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_channels
            |FROM documents""".stripMargin))
 
+  private val fsCatalogLifecycle = Q(
+    "fs_catalog_lifecycle",
+    // DDL verbs under the oracle gate (previously ScalaTest-only):
+    // BULK registration, clone-WITH-DATA, delete-with-data, namespace
+    // GC, and regex listing driving which features load. The clone's
+    // column must reproduce the source's bit-for-bit (clone copies
+    // bytes, so v1 <> v2 anywhere hashes red), and the doomed feature's
+    // delete + cleanNamespace must leave the survivors untouched.
+    (s, dir) => {
+      val tmp = scratchDir("ddl")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("ddl", s"$tmp/warehouse")
+      fs.createFeatures(Seq("ddl/purchase", "ddl/doomed", "ddl/other"))
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      fs.saveDataFrame(src, name = Some("ddl/purchase"))
+      fs.saveDataFrame(src.limit(50), name = Some("ddl/doomed"))
+      fs.cloneFeature("ddl/copied", "ddl/purchase")
+      fs.deleteFeature("ddl/doomed", deleteData = true)
+      fs.cleanNamespace("ddl") // GC any orphaned directories
+      // the regex drives the load list: exactly the source + its clone
+      val names = fs.listFeatures(Some("ddl"), regex = Some("^(purchase|copied)$"))
+        .map(f => s"${f.namespace}/${f.name}").sorted
+      fs.loadDataFrame(names,
+          fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
+          freq = Some("1d"))
+        .select(col("time"),
+          col("`ddl/copied`").as("v_clone"),
+          col("`ddl/purchase`").as("v_src"))
+    },
+    Some("""WITH data AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value AS v_clone, d.value AS v_src
+           |FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
   private val mmFrameSample = Q(
     "mm_frame_sample",
     // video-style frame fan-out under the oracle gate: sampleFrames is
@@ -2806,6 +2842,7 @@ object QueryLib {
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
+    fsCatalogLifecycle,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
