@@ -399,6 +399,14 @@ object TimeseriesOps {
   // un-keyed as-of (the training-frame flagship path) scales with the
   // cluster. Map-typed values ride the same bucketed fill via max_by
   // keyed on the order columns (keyed map values: per-key RANGE window).
+  //
+  // `toleranceUs` bounds carry-over STALENESS (pandas merge_asof's
+  // tolerance): a matched value older than left.time - tolerance reads
+  // NULL instead — the leakage/staleness control a training-frame
+  // builder needs when a feature series can go quiet. Implemented by
+  // filling the matched right TIME alongside the values (same window,
+  // same tie rule, so the (time, value) pair is always from one right
+  // row) and masking by age after the fill — no extra exchange.
   // ---------------------------------------------------------------------
   def asofJoin(
       left: DataFrame,
@@ -406,13 +414,19 @@ object TimeseriesOps {
       rightValueCols: Seq[String],
       timeCol: String = TimeCol,
       by: Seq[String] = Nil,
-      rightUnique: Boolean = false): DataFrame = {
+      rightUnique: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val collisions = rightValueCols.filter(left.columns.contains)
     require(collisions.isEmpty, s"right value columns collide with left: $collisions")
+    toleranceUs.foreach(t => require(t >= 0, s"tolerance must be >= 0 us, got $t"))
+    val RT = "__asof_rt"
     val M = "__asof_side"
     val leftOnly = left.columns.filterNot(c => by.contains(c) || c == timeCol).toSeq
-    val l2 = rightValueCols.foldLeft(left.withColumn(M, lit(1)))((d, c) =>
+    val withRt = toleranceUs.isDefined // the no-tolerance path pays nothing
+    val l2base = rightValueCols.foldLeft(left.withColumn(M, lit(1)))((d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val l2 = if (withRt) l2base.withColumn(RT, lit(null).cast(right.schema(timeCol).dataType))
+      else l2base
     val rightSel = right.select((by :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
     val collapsible = rightValueCols.forall(c => isOrderable(right.schema(c).dataType))
     // Tie handling picks the cheapest plan that still applies the
@@ -447,7 +461,9 @@ object TimeseriesOps {
           .agg(max(col(rightValueCols.head)).as(rightValueCols.head),
             rightValueCols.tail.map(c => max(col(c)).as(c)): _*)
       else rightSel
-    val r2 = leftOnly.foldLeft(rightBase.withColumn(M, lit(0)))((d, c) =>
+    val r2base = if (withRt) rightBase.withColumn(M, lit(0)).withColumn(RT, col(timeCol))
+      else rightBase.withColumn(M, lit(0))
+    val r2 = leftOnly.foldLeft(r2base)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     // at equal time the right row (M=0) precedes the left row, so the
     // fill is inclusive of right.time == left.time
@@ -458,14 +474,18 @@ object TimeseriesOps {
     // every reader resolves identically).
     val tieFree = rightUnique || needsAgg || singleSortable
     val ordCols = if (singleSortable) Seq(timeCol, M) ++ rightValueCols else Seq(timeCol, M)
+    // RT fills with the SAME window/order as the values: tied right
+    // rows share their timestamp, so whichever peer supplies the value,
+    // RT is that row's time — the pair stays consistent
+    val fillCols = if (withRt) rightValueCols :+ RT else rightValueCols
     val filled =
       if (by.isEmpty)
-        ffillAuto(union, rightValueCols, orderCols = ordCols,
+        ffillAuto(union, fillCols, orderCols = ordCols,
           bucket = Some(monthBucket(timeCol)), tieFree = tieFree)
       else if (collapsible || rightUnique) {
         val w = Window.partitionBy(by.map(col): _*).orderBy(ordCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rightValueCols.foldLeft(union)((d, c) =>
+        fillCols.foldLeft(union)((d, c) =>
           d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       } else {
         // non-orderable (map-typed) values can't collapse via max: keep
@@ -476,13 +496,21 @@ object TimeseriesOps {
         val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         val ordStruct = struct(col(timeCol), col(M))
-        rightValueCols.foldLeft(union)((d, c) =>
+        fillCols.foldLeft(union)((d, c) =>
           if (isOrderable(union.schema(c).dataType))
             d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(w).getField("v"))
           else
             d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       }
-    filled.filter(col(M) === 1).drop(M)
+    val masked = toleranceUs match {
+      case Some(tol) =>
+        // a null RT nulls the comparison, so unmatched rows stay null
+        val fresh = unix_micros(col(timeCol)) - unix_micros(col(RT)) <= tol
+        rightValueCols.foldLeft(filled)((d, c) =>
+          d.withColumn(c, when(fresh, col(c))))
+      case None => filled
+    }
+    masked.filter(col(M) === 1).drop(M, RT)
   }
 
   // ---------------------------------------------------------------------

@@ -411,6 +411,35 @@ object QueryLib {
            |FROM c ASOF LEFT JOIN p
            |  ON p.user_id = c.user_id AND p.time <= c.time""".stripMargin))
 
+  private val fsAsofTolerance = Q(
+    "fs_asof_tolerance",
+    // the staleness-bounded as-of (pandas merge_asof tolerance): a
+    // carried purchase older than 2 days reads NULL — the leakage/
+    // staleness control for training frames over series that go quiet.
+    // Same union-fill plan as fs_asof_join (one exchange); the matched
+    // right TIME rides the fill and masks by age afterwards. The
+    // oracle matches first (plain ASOF), then applies the identical
+    // age mask to the matched row.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("value").as("purchase_v"))
+      TimeseriesOps.asofJoin(clicks, purchases,
+        rightValueCols = Seq("purchase_v"), by = Seq("user_id"),
+        toleranceUs = Some(2L * 86400 * 1000000))
+    },
+    Some("""WITH c AS (SELECT user_id, ts AS time, event_id FROM events
+           |           WHERE event_type = 'click'),
+           |p AS (SELECT user_id, ts AS time, value AS purchase_v FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT c.user_id, c.time, c.event_id,
+           |  CASE WHEN p.time >= c.time - INTERVAL 2 DAY THEN p.purchase_v END
+           |    AS purchase_v
+           |FROM c ASOF LEFT JOIN p
+           |  ON p.user_id = c.user_id AND p.time <= c.time""".stripMargin))
+
   private val fsStoreRoundtrip = Q(
     "fs_store_roundtrip",
     // the FULL facade path under the oracle gate: catalog + normalizing
@@ -2828,7 +2857,7 @@ object QueryLib {
     fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
     fsResampleYears,
     fsResampleMonthly, fsAlign2,
-    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsStoreRoundtrip, fsStoreTxlog,
+    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
     fsStreamAttrib,
     fsTrainingFrame, fsTransformDag,

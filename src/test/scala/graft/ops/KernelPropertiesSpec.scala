@@ -150,6 +150,47 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin tolerance masks exactly the stale carries, keyed and un-keyed agree") {
+    val dupGen = Gen.listOf(for {
+      t <- Gen.choose(0, 8)
+      v <- Gen.choose(-50, 50)
+    } yield (t, v.toDouble))
+    val tolHours = 2
+    val tolUs = tolHours * 3600L * 1000000L
+    forAll(dupGen, n = 6) { rows =>
+      if (rows.nonEmpty) {
+        val left = (0 to 8).map(t => (new Timestamp(base + t * 3600000L), t.toLong))
+          .toDF("time", "probe_id")
+        def right(rs: List[(Int, Double)]) = rs.map { case (t, v) =>
+          (new Timestamp(base + t * 3600000L), v, "k")
+        }.toDF("time", "v", "k")
+        def canonA(df: DataFrame) = df.select("probe_id", "v").orderBy("probe_id")
+          .collect().map(r => Option(r.get(1))).toSeq
+        val unkeyed = canonA(TimeseriesOps.asofJoin(left, right(rows).drop("k"), Seq("v"),
+          toleranceUs = Some(tolUs)))
+        val keyed = canonA(TimeseriesOps.asofJoin(left.withColumn("k", lit("k")),
+          right(rows), Seq("v"), by = Seq("k"), toleranceUs = Some(tolUs)).drop("k"))
+        assert(unkeyed == keyed, "keyed and un-keyed tolerance paths disagree")
+        // brute force: match = latest time <= probe; mask if older than tol
+        val byTime = rows.groupBy(_._1)
+        (0 to 8).foreach { p =>
+          val eligible = byTime.keys.filter(_ <= p)
+          val expect = eligible.toSeq.sorted.lastOption
+            .filter(t => p - t <= tolHours)
+            .map(t => byTime(t).map(_._2).max)
+          assert(unkeyed(p) == expect, s"probe $p tol=$tolHours")
+        }
+        // tolerance 0: only exact-time matches survive
+        val exact = canonA(TimeseriesOps.asofJoin(left, right(rows).drop("k"), Seq("v"),
+          toleranceUs = Some(0L)))
+        (0 to 8).foreach { p =>
+          val expect = byTime.get(p).map(_.map(_._2).max)
+          assert(exact(p) == expect, s"probe $p tol=0")
+        }
+      }
+    }
+  }
+
   test("bucketed ffill equals global ffill for arbitrary sparse series") {
     val sparseGen = Gen.listOf(for {
       t <- Gen.choose(0, 200)
