@@ -262,14 +262,16 @@ object TimeseriesOps {
   // Spine via spark.range: no driver-side materialization, no sequence()
   // element-count cap.
   // ---------------------------------------------------------------------
-  def resample(
-      df: DataFrame,
+  /** The resample grid as a DataFrame of `timeCol` points, plus its
+    * [startUs, endUs] span. Shared by [[resample]] (ffill semantics)
+    * and [[resampleInterpolated]] (linear).
+    */
+  private def spineFor(
+      spark: org.apache.spark.sql.SparkSession,
       from: Timestamp,
       to: Timestamp,
       freq: String,
-      valueCols: Seq[String],
-      timeCol: String = TimeCol): DataFrame = {
-    val spark = df.sparkSession
+      timeCol: String): (DataFrame, Long, Long) = {
     val startUs = from.getTime * 1000L + (from.getNanos / 1000L) % 1000L
     val endUs = to.getTime * 1000L + (to.getNanos / 1000L) % 1000L
     // calendar-stepped grids (months/years) need calendar arithmetic;
@@ -303,6 +305,18 @@ object TimeseriesOps {
         spark.range(n).select(
           timestamp_micros(lit(startUs) + col("id") * lit(stepUs)).as(timeCol))
     }
+    (spine, startUs, endUs)
+  }
+
+  def resample(
+      df: DataFrame,
+      from: Timestamp,
+      to: Timestamp,
+      freq: String,
+      valueCols: Seq[String],
+      timeCol: String = TimeCol): DataFrame = {
+    val spark = df.sparkSession
+    val (spine, startUs, endUs) = spineFor(spark, from, to, freq, timeCol)
     val S = "__spine"
     val raw = df.select(col(timeCol) +: valueCols.map(col): _*)
     // Collapse duplicate-time data rows to one per time (max per value
@@ -339,6 +353,83 @@ object TimeseriesOps {
       bucket = Some(date_trunc(bucketUnit, col(timeCol))), tieFree = collapsible)
       .filter(col(S) === 1)
       .drop(S)
+  }
+
+  /** Resample onto the grid with time-weighted LINEAR interpolation
+    * (pandas `interpolate(method="time")` — an extension; the reference
+    * is ffill-only, dask.py:183): a grid point between two data points
+    * reads `pv + (nv - pv) * (t - pt) / (nt - pt)`; an exact hit reads
+    * the exact value; trailing points carry the last value flat (the
+    * feature-store staleness convention, same as ffill); leading points
+    * (before any data) stay null — no backward extrapolation.
+    *
+    * Scale shape: the SAME two-phase bucketed fill as [[resample]], run
+    * twice — once ascending for the (prev value, prev time) pair, once
+    * under the NEGATED order key for (next value, next time). A
+    * backward fill IS a forward fill under the reversed total order,
+    * so both passes are bucket-parallel with tiny broadcast seeds; no
+    * global sort task, no range join. Numeric value columns only
+    * (interpolation needs arithmetic); ties collapse to max first,
+    * like resample.
+    */
+  def resampleInterpolated(
+      df: DataFrame,
+      from: Timestamp,
+      to: Timestamp,
+      freq: String,
+      valueCols: Seq[String],
+      timeCol: String = TimeCol): DataFrame = {
+    val spark = df.sparkSession
+    valueCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"resampleInterpolated needs numeric value columns; '$c' is ${df.schema(c).dataType}")
+    }
+    val (spine, startUs, endUs) = spineFor(spark, from, to, freq, timeCol)
+    val S = "__spine"
+    val PT = "__prev_t"
+    val NT = "__next_t"
+    def nv(c: String) = s"__next_$c"
+    val raw = df.select(col(timeCol) +: valueCols.map(c => col(c).cast("double").as(c)): _*)
+    val data = raw.groupBy(col(timeCol))
+      .agg(max(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => max(col(c)).as(c)): _*)
+      .withColumn(S, lit(0))
+    val union = spine
+      .select(col(timeCol) +: valueCols.map(c => lit(null).cast("double").as(c)): _*)
+      .withColumn(S, lit(1))
+      .unionByName(data)
+      // carry companions: the data row's own time (for the lerp) and a
+      // copy of each value for the backward pass (the forward pass
+      // overwrites the originals in place)
+      .withColumn(PT, when(col(S) === 0, col(timeCol)))
+      .withColumn(NT, when(col(S) === 0, col(timeCol)))
+    val withCopies = valueCols.foldLeft(union)((d, c) => d.withColumn(nv(c), col(c)))
+    val spanDays = (endUs - startUs) / 86400000000L
+    val bucketUnit = if (spanDays <= 120) "day" else if (spanDays <= 1830) "month" else "year"
+    // pass 1 (ascending): prev value per value col + shared prev time
+    val fwd = ffillAuto(withCopies, valueCols :+ PT, orderCols = Seq(timeCol, S),
+      bucket = Some(date_trunc(bucketUnit, col(timeCol))), tieFree = true)
+    // pass 2 (descending-as-ascending): negate the order key and the
+    // bucket; data rows keep sorting before spine readers at a shared
+    // timestamp, so an exact grid hit reads its own point from BOTH
+    // directions (pt == nt == t, resolved below)
+    val NEG = "__neg_t"
+    val bwd = ffillAuto(fwd.withColumn(NEG, -unix_micros(col(timeCol))),
+      valueCols.map(nv) :+ NT, orderCols = Seq(NEG, S),
+      bucket = Some(-unix_micros(date_trunc(bucketUnit, col(timeCol)))), tieFree = true)
+    val tUs = unix_micros(col(timeCol))
+    val ptUs = unix_micros(col(PT))
+    val ntUs = unix_micros(col(NT))
+    val lerped = valueCols.foldLeft(bwd)((d, c) =>
+      d.withColumn(c,
+        when(col(PT) === col(NT), col(c)) // exact hit (or single point)
+          .when(col(PT).isNotNull && col(NT).isNotNull,
+            col(c) + (col(nv(c)) - col(c)) *
+              ((tUs - ptUs).cast("double") / (ntUs - ptUs).cast("double")))
+          .when(col(PT).isNotNull, col(c)) // trailing: flat carry
+        ))
+    lerped.filter(col(S) === 1)
+      .select(col(timeCol) +: valueCols.map(col): _*)
   }
 
   // ---------------------------------------------------------------------

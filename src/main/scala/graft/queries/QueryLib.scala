@@ -411,6 +411,38 @@ object QueryLib {
            |FROM c ASOF LEFT JOIN p
            |  ON p.user_id = c.user_id AND p.time <= c.time""".stripMargin))
 
+  private val fsResampleInterp = Q(
+    "fs_resample_interp",
+    // time-weighted linear interpolation onto the daily grid (extension
+    // — the reference is ffill-only): interior grid points lerp between
+    // their neighbors, exact hits read exact, trailing points carry
+    // flat, leading stay null. Two bucketed fills (prev pair ascending,
+    // next pair under the negated order key) — no global sort, no range
+    // join. The oracle builds the same (prev, next) pairs with two
+    // ASOF joins and applies the IDENTICAL double arithmetic, so the
+    // hash pins bit-exact IEEE agreement, not just shape.
+    (s, dir) => {
+      val purchases = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      TimeseriesOps.resampleInterpolated(purchases,
+        jts("2024-01-01"), jts("2024-01-30"), "1d", Seq("value"))
+    },
+    Some("""WITH data AS (SELECT ts AS time, max(value) AS value FROM events
+           |              WHERE event_type = 'purchase' GROUP BY ts),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time),
+           |p AS (SELECT g.time, d.time AS pt, d.value AS pv
+           |      FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time),
+           |n AS (SELECT g.time, d.time AS nt, d.value AS nxv
+           |      FROM grid g ASOF LEFT JOIN data d ON d.time >= g.time)
+           |SELECT p.time,
+           |  CASE WHEN pt = nt THEN pv
+           |       WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+           |         pv + (nxv - pv) * (CAST(epoch_us(p.time) - epoch_us(pt) AS DOUBLE)
+           |                            / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+           |       WHEN pt IS NOT NULL THEN pv END AS value
+           |FROM p JOIN n ON p.time = n.time""".stripMargin))
+
   private val fsAsofTolerance = Q(
     "fs_asof_tolerance",
     // the staleness-bounded as-of (pandas merge_asof tolerance): a
@@ -2856,7 +2888,7 @@ object QueryLib {
   val all: Seq[Q] = Seq(
     fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
     fsResampleYears,
-    fsResampleMonthly, fsAlign2,
+    fsResampleMonthly, fsResampleInterp, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
     fsStreamAttrib,

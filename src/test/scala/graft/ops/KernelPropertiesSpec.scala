@@ -191,6 +191,45 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("resampleInterpolated: brute-force lerp equality on generated series") {
+    val gen = Gen.listOf(for {
+      t <- Gen.choose(0, 40)       // hours; collisions likely
+      v <- Gen.choose(-100, 100)
+    } yield (t, v.toDouble))
+    forAll(gen, n = 8) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.map { case (t, v) => (new Timestamp(base + t * 3600000L), v) }
+          .toDF("time", "value")
+        // grid every 90 min over [0h, 40h] — points between, at, and
+        // beyond data times
+        val out = TimeseriesOps.resampleInterpolated(df,
+            new Timestamp(base), new Timestamp(base + 40 * 3600000L), "90min", Seq("value"))
+          .collect().map(r => (r.getTimestamp(0).getTime, Option(r.get(1)).map(_.asInstanceOf[Double])))
+          .toMap
+        // brute force: tie -> max, lerp interior, flat trailing, null leading
+        val pts = rows.groupBy(_._1).map { case (t, vs) => (base + t * 3600000L, vs.map(_._2).max) }
+          .toSeq.sortBy(_._1)
+        (0L to (40 * 3600000L) by 90 * 60000L).foreach { off =>
+          val g = base + off
+          val prev = pts.filter(_._1 <= g).lastOption
+          val next = pts.find(_._1 >= g)
+          val expect = (prev, next) match {
+            case (Some((pt, pv)), Some((nt, nv))) =>
+              if (pt == nt) Some(pv)
+              else Some(pv + (nv - pv) * ((g - pt).toDouble / (nt - pt).toDouble))
+            case (Some((_, pv)), None) => Some(pv) // trailing flat
+            case _ => None                         // leading
+          }
+          val got = out(g)
+          (expect, got) match {
+            case (Some(e), Some(a)) => assert(math.abs(e - a) < 1e-9, s"grid $off: $e vs $a")
+            case (e, a) => assert(e == a, s"grid $off: $e vs $a")
+          }
+        }
+      }
+    }
+  }
+
   test("bucketed ffill equals global ffill for arbitrary sparse series") {
     val sparseGen = Gen.listOf(for {
       t <- Gen.choose(0, 200)
