@@ -414,8 +414,20 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
       toDate: Option[Timestamp] = None,
       freq: Option[String] = None,
       timeTravel: Option[String] = None,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None,
+      fill: String = "ffill"): DataFrame = {
     require(features.nonEmpty, "no features requested")
+    // fill picks the resample kernel (extension; the reference is
+    // ffill-only): "interpolate" = time-weighted linear between
+    // neighbors (numeric values only — a non-numeric feature fails
+    // loudly inside the kernel), "ffill" = carry-forward. Boundary
+    // semantics under "interpolate": the scan stays clipped at toDate
+    // (the same bounded read as ffill — no unbounded tail scan hunting
+    // a next neighbor), so grid points after the last in-range data
+    // point carry flat — pandas' clip-then-interpolate shape
+    require(Set("ffill", "interpolate").contains(fill),
+      s"fill must be 'ffill' or 'interpolate', got '$fill'")
+    require(fill == "ffill" || freq.isDefined, "fill='interpolate' needs a freq grid")
     val series = features.map { full =>
       val s = loadSeries(full, fromDate, toDate, timeTravel, clipFrom = freq.isEmpty, Nil,
         asOfVersion)
@@ -436,7 +448,10 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
               val hi = toDate.orElse(mx).getOrElse(lo)
               // to < from clamps to a single grid point (dask.py:154-155)
               val hiClamped = if (hi.before(lo)) lo else hi
-              TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"))
+              if (fill == "interpolate")
+                TimeseriesOps.resampleInterpolated(s, lo, hiClamped, fq, Seq("value"))
+              else
+                TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"))
           }
         case None => s
       }

@@ -74,6 +74,28 @@ class FeatureStoreSpec extends SparkSpec {
     assert(out.map(_.getDouble(1)).toSeq == Seq(0.0, 2.0, 2.0, 4.0, 4.0))
   }
 
+  test("resampled load with fill=interpolate lerps the gaps (extension)") {
+    val fs = freshStore()
+    fs.createFeature("test/li")
+    val df = (0 until 10 by 2).map { i =>
+      (new java.sql.Timestamp(ts("2021-01-01").getTime + i * 86400000L), i.toDouble)
+    }.toDF("time", "value")
+    fs.saveDataFrame(df, Some("test/li"))
+    val out = fs.loadDataFrame(Seq("test/li"),
+      Some(ts("2021-01-02")), Some(ts("2021-01-06")), freq = Some("1d"),
+      fill = "interpolate")
+      .orderBy("time").collect()
+    // odd days read the midpoint of their even neighbors; even days
+    // exact. The LAST grid day carries flat: the scan is clipped at
+    // toDate (same bounded read as ffill — no unbounded tail scan for
+    // a next neighbor), which is pandas' clip-then-interpolate shape.
+    assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 4.0))
+    intercept[IllegalArgumentException](
+      fs.loadDataFrame(Seq("test/li"), fill = "interpolate"))
+    intercept[IllegalArgumentException](
+      fs.loadDataFrame(Seq("test/li"), freq = Some("1d"), fill = "spline"))
+  }
+
   test("time travel reconstructs what was known (test :550-590)") {
     val fs = freshStore()
     fs.createFeature("test/tt")
