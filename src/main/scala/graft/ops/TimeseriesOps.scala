@@ -506,20 +506,32 @@ object TimeseriesOps {
       timeCol: String = TimeCol,
       by: Seq[String] = Nil,
       rightUnique: Boolean = false,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val collisions = rightValueCols.filter(left.columns.contains)
     require(collisions.isEmpty, s"right value columns collide with left: $collisions")
     toleranceUs.foreach(t => require(t >= 0, s"tolerance must be >= 0 us, got $t"))
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward or nearest, got '$direction'")
     val RT = "__asof_rt"
+    val NT = "__asof_nt"
+    val NEG = "__asof_neg"
     val M = "__asof_side"
+    def nv(c: String) = s"__asof_next_$c"
+    val nearest = direction == "nearest"
+    val reversedOnly = direction == "forward"
     val leftOnly = left.columns.filterNot(c => by.contains(c) || c == timeCol).toSeq
-    val withRt = toleranceUs.isDefined // the no-tolerance path pays nothing
+    // the matched right TIME rides the fill whenever the result is
+    // age-dependent: tolerance masking, or nearest's distance compare
+    val withRt = toleranceUs.isDefined || nearest
     val l2base = rightValueCols.foldLeft(left.withColumn(M, lit(1)))((d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
     val l2 = if (withRt) l2base.withColumn(RT, lit(null).cast(right.schema(timeCol).dataType))
       else l2base
     val rightSel = right.select((by :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
     val collapsible = rightValueCols.forall(c => isOrderable(right.schema(c).dataType))
+    require(!nearest || collapsible,
+      "direction='nearest' needs orderable (non-map) value columns")
     // Tie handling picks the cheapest plan that still applies the
     // kernel's documented rule (duplicate-(by, time) right rows resolve
     // to the max per value column):
@@ -538,13 +550,16 @@ object TimeseriesOps {
     //    a raw filtered scan, so the agg cost a FULL extra exchange of
     //    the right side — fs_asof_join drifted 0.37s -> 0.80s on it,
     //    round-13 VERDICT. The sort-key form gives that exchange back.)
+    //    Not available under `nearest`: the two passes fill COPIES, and
+    //    a copy cannot ride the original's sort key — nearest collapses
+    //    with the hash-agg instead (one extra exchange, nearest-only).
     //  - several orderable value columns, uniqueness unknown: per-column
     //    max at a tie cannot ride one sort key (the lexicographically
     //    last row need not hold EVERY column's max), so collapse
     //    duplicate-(by, time) right rows with one hash-agg first.
     //  - non-orderable (map-typed) values, uniqueness unknown: RANGE
     //    machinery below.
-    val singleSortable = collapsible && !rightUnique && rightValueCols.size == 1
+    val singleSortable = collapsible && !rightUnique && rightValueCols.size == 1 && !nearest
     val needsAgg = collapsible && !rightUnique && !singleSortable
     val rightBase =
       if (needsAgg)
@@ -556,50 +571,87 @@ object TimeseriesOps {
       else rightBase.withColumn(M, lit(0))
     val r2 = leftOnly.foldLeft(r2base)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    // at equal time the right row (M=0) precedes the left row, so the
-    // fill is inclusive of right.time == left.time
-    val union = l2.unionByName(r2)
+    // at equal time the right row (M=0) precedes the left row — under
+    // BOTH orderings (time, M) and (-time, M) — so the match is
+    // inclusive of right.time == left.time in every direction
+    val union0 = l2.unionByName(r2)
+    // nearest: copies carry the forward pass (the backward pass fills
+    // the originals in place, like resampleInterpolated's two passes)
+    val union = if (nearest)
+      rightValueCols.foldLeft(union0.withColumn(NT, col(RT)))((d, c) => d.withColumn(nv(c), col(c)))
+    else union0
     // contributors are tie-free by promise (rightUnique), by collapse
     // (needsAgg), or by the value column riding the order key itself
     // (singleSortable: peers sharing the full key share the value, so
     // every reader resolves identically).
     val tieFree = rightUnique || needsAgg || singleSortable
-    val ordCols = if (singleSortable) Seq(timeCol, M) ++ rightValueCols else Seq(timeCol, M)
-    // RT fills with the SAME window/order as the values: tied right
-    // rows share their timestamp, so whichever peer supplies the value,
-    // RT is that row's time — the pair stays consistent
-    val fillCols = if (withRt) rightValueCols :+ RT else rightValueCols
-    val filled =
-      if (by.isEmpty)
-        ffillAuto(union, fillCols, orderCols = ordCols,
-          bucket = Some(monthBucket(timeCol)), tieFree = tieFree)
-      else if (collapsible || rightUnique) {
-        val w = Window.partitionBy(by.map(col): _*).orderBy(ordCols.map(col): _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        fillCols.foldLeft(union)((d, c) =>
-          d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-      } else {
-        // non-orderable (map-typed) values can't collapse via max: keep
-        // the RANGE frame so duplicate (time, M) right rows still
-        // resolve identically regardless of physical order, with the
-        // last() fallback for the non-orderable columns themselves
-        // (mirroring ffillAuto's routing).
-        val w = Window.partitionBy(by.map(col): _*).orderBy(col(timeCol), col(M))
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        val ordStruct = struct(col(timeCol), col(M))
-        fillCols.foldLeft(union)((d, c) =>
-          if (isOrderable(union.schema(c).dataType))
-            d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(w).getField("v"))
-          else
+    // one directional fill: forward-in-time uses (time, M); backward-in-
+    // time is a forward fill under the REVERSED total order — negated
+    // micros, negated bucket (the resampleInterpolated device)
+    def fillPass(df0: DataFrame, cols: Seq[String], reversed: Boolean): DataFrame = {
+      val base = if (reversed) df0.withColumn(NEG, -unix_micros(col(timeCol))) else df0
+      val ordKey = if (reversed) NEG else timeCol
+      val ordCols = if (singleSortable) Seq(ordKey, M) ++ rightValueCols else Seq(ordKey, M)
+      val out =
+        if (by.isEmpty) {
+          val bkt = if (reversed) -unix_micros(monthBucket(timeCol)) else monthBucket(timeCol)
+          ffillAuto(base, cols, orderCols = ordCols, bucket = Some(bkt), tieFree = tieFree)
+        } else if (collapsible || rightUnique) {
+          val w = Window.partitionBy(by.map(col): _*).orderBy(ordCols.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          cols.foldLeft(base)((d, c) =>
             d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+        } else {
+          // non-orderable (map-typed) values can't collapse via max:
+          // keep the RANGE frame so duplicate (time, M) right rows
+          // still resolve identically regardless of physical order,
+          // with the last() fallback for the non-orderable columns
+          // themselves (mirroring ffillAuto's routing).
+          val w = Window.partitionBy(by.map(col): _*).orderBy(col(ordKey), col(M))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          val ordStruct = struct(col(ordKey), col(M))
+          cols.foldLeft(base)((d, c) =>
+            if (isOrderable(base.schema(c).dataType))
+              d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(w).getField("v"))
+            else
+              d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+        }
+      if (reversed) out.drop(NEG) else out
+    }
+    val fillCols = if (withRt) rightValueCols :+ RT else rightValueCols
+    val filled = direction match {
+      case "backward" => fillPass(union, fillCols, reversed = false)
+      case "forward"  => fillPass(union, fillCols, reversed = true)
+      case _ => // nearest: both passes, then pick the closer side
+        fillPass(fillPass(union, fillCols, reversed = false),
+          rightValueCols.map(nv) :+ NT, reversed = true)
+    }
+    val tUs = unix_micros(col(timeCol))
+    val chosen =
+      if (!nearest) filled
+      else {
+        // distance compare; a missing side loses; EQUIDISTANT -> the
+        // PAST value (deterministic, and the safe choice for features:
+        // never prefer the future when the past is as close)
+        val db = tUs - unix_micros(col(RT))
+        val dfw = unix_micros(col(NT)) - tUs
+        val pickPast = col(NT).isNull || (col(RT).isNotNull && db <= dfw)
+        val merged = rightValueCols.foldLeft(filled)((d, c) =>
+          d.withColumn(c, when(pickPast, col(c)).otherwise(col(nv(c)))))
+        merged.withColumn(RT, when(pickPast, col(RT)).otherwise(col(NT)))
+          .drop(rightValueCols.map(nv) :+ NT: _*)
       }
     val masked = toleranceUs match {
       case Some(tol) =>
-        // a null RT nulls the comparison, so unmatched rows stay null
-        val fresh = unix_micros(col(timeCol)) - unix_micros(col(RT)) <= tol
-        rightValueCols.foldLeft(filled)((d, c) =>
+        // |left.time - matched right time| <= tol; a null RT nulls the
+        // comparison, so unmatched rows stay null
+        val fresh =
+          if (nearest) abs(tUs - unix_micros(col(RT))) <= tol
+          else if (reversedOnly) unix_micros(col(RT)) - tUs <= tol
+          else tUs - unix_micros(col(RT)) <= tol
+        rightValueCols.foldLeft(chosen)((d, c) =>
           d.withColumn(c, when(fresh, col(c))))
-      case None => filled
+      case None => chosen
     }
     masked.filter(col(M) === 1).drop(M, RT)
   }

@@ -411,6 +411,66 @@ object QueryLib {
            |FROM c ASOF LEFT JOIN p
            |  ON p.user_id = c.user_id AND p.time <= c.time""".stripMargin))
 
+  private val fsAsofForward = Q(
+    "fs_asof_forward",
+    // merge_asof direction='forward': the EARLIEST purchase at-or-after
+    // each click. Same union-fill plan run under the NEGATED order key
+    // (a backward fill is a forward fill under the reversed total
+    // order) — one exchange, no extra machinery.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("value").as("purchase_v"))
+      TimeseriesOps.asofJoin(clicks, purchases,
+        rightValueCols = Seq("purchase_v"), by = Seq("user_id"),
+        direction = "forward")
+    },
+    Some("""WITH c AS (SELECT user_id, ts AS time, event_id FROM events
+           |           WHERE event_type = 'click'),
+           |p AS (SELECT user_id, ts AS time, value AS purchase_v FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT c.user_id, c.time, c.event_id, p.purchase_v
+           |FROM c ASOF LEFT JOIN p
+           |  ON p.user_id = c.user_id AND p.time >= c.time""".stripMargin))
+
+  private val fsAsofNearest = Q(
+    "fs_asof_nearest",
+    // merge_asof direction='nearest': the closest purchase either side
+    // of each click, equidistant resolving to the PAST (never prefer
+    // the future when the past is as close). Two directional fills +
+    // a distance compare; the oracle mirrors with two ASOF joins and
+    // the identical tie rule. Duplicate-(user, time) purchases collapse
+    // to max first, mirrored by the oracle's GROUP BY.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("value").as("purchase_v"))
+      TimeseriesOps.asofJoin(clicks, purchases,
+        rightValueCols = Seq("purchase_v"), by = Seq("user_id"),
+        direction = "nearest")
+    },
+    Some("""WITH c AS (SELECT user_id, ts AS time, event_id FROM events
+           |           WHERE event_type = 'click'),
+           |p AS (SELECT user_id, ts AS time, max(value) AS purchase_v FROM events
+           |      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+           |b AS (SELECT c.user_id, c.time, c.event_id, p.time AS bt, p.purchase_v AS bv
+           |      FROM c ASOF LEFT JOIN p
+           |        ON p.user_id = c.user_id AND p.time <= c.time),
+           |f AS (SELECT c.user_id, c.time, c.event_id, p.time AS ft, p.purchase_v AS fv
+           |      FROM c ASOF LEFT JOIN p
+           |        ON p.user_id = c.user_id AND p.time >= c.time)
+           |SELECT b.user_id, b.time, b.event_id,
+           |  CASE WHEN ft IS NULL THEN bv
+           |       WHEN bt IS NULL THEN fv
+           |       WHEN epoch_us(b.time) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.time)
+           |         THEN bv ELSE fv END AS purchase_v
+           |FROM b JOIN f ON b.user_id = f.user_id AND b.time = f.time
+           |              AND b.event_id = f.event_id""".stripMargin))
+
   private val fsResampleInterp = Q(
     "fs_resample_interp",
     // time-weighted linear interpolation onto the daily grid (extension
@@ -2889,7 +2949,8 @@ object QueryLib {
     fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
     fsResampleYears,
     fsResampleMonthly, fsResampleInterp, fsAlign2,
-    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsStoreRoundtrip, fsStoreTxlog,
+    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
+    fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
     fsStreamAttrib,
     fsTrainingFrame, fsTransformDag,

@@ -191,6 +191,57 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin directions: forward and nearest match brute force, keyed and un-keyed") {
+    val dupGen = Gen.listOf(for {
+      t <- Gen.choose(0, 8)
+      v <- Gen.choose(-50, 50)
+    } yield (t, v.toDouble))
+    forAll(dupGen, n = 6) { rows =>
+      if (rows.nonEmpty) {
+        val left = (0 to 8).map(t => (new Timestamp(base + t * 3600000L), t.toLong))
+          .toDF("time", "probe_id")
+        def right(rs: List[(Int, Double)]) = rs.map { case (t, v) =>
+          (new Timestamp(base + t * 3600000L), v, "k")
+        }.toDF("time", "v", "k")
+        def canonA(df: DataFrame) = df.select("probe_id", "v").orderBy("probe_id")
+          .collect().map(r => Option(r.get(1))).toSeq
+        val byTime = rows.groupBy(_._1)
+        for (dir <- Seq("forward", "nearest")) {
+          val unkeyed = canonA(TimeseriesOps.asofJoin(left, right(rows).drop("k"), Seq("v"),
+            direction = dir))
+          val keyed = canonA(TimeseriesOps.asofJoin(left.withColumn("k", lit("k")),
+            right(rows), Seq("v"), by = Seq("k"), direction = dir).drop("k"))
+          assert(unkeyed == keyed, s"keyed/un-keyed disagree for $dir")
+          (0 to 8).foreach { p =>
+            val expect = dir match {
+              case "forward" =>
+                byTime.keys.filter(_ >= p).minOption.map(t => byTime(t).map(_._2).max)
+              case _ => // nearest, equidistant -> past
+                val past = byTime.keys.filter(_ <= p).maxOption
+                val future = byTime.keys.filter(_ >= p).minOption
+                (past, future) match {
+                  case (Some(pt), Some(ft)) =>
+                    Some(byTime(if (p - pt <= ft - p) pt else ft).map(_._2).max)
+                  case (Some(pt), None) => Some(byTime(pt).map(_._2).max)
+                  case (None, Some(ft)) => Some(byTime(ft).map(_._2).max)
+                  case _ => None
+                }
+            }
+            assert(unkeyed(p) == expect, s"$dir probe $p")
+          }
+        }
+        // forward + tolerance: matches farther than 1h ahead read null
+        val tolF = canonA(TimeseriesOps.asofJoin(left, right(rows).drop("k"), Seq("v"),
+          direction = "forward", toleranceUs = Some(3600L * 1000000L)))
+        (0 to 8).foreach { p =>
+          val expect = byTime.keys.filter(_ >= p).minOption
+            .filter(_ - p <= 1).map(t => byTime(t).map(_._2).max)
+          assert(tolF(p) == expect, s"forward+tol probe $p")
+        }
+      }
+    }
+  }
+
   test("resampleInterpolated: brute-force lerp equality on generated series") {
     val gen = Gen.listOf(for {
       t <- Gen.choose(0, 40)       // hours; collisions likely
