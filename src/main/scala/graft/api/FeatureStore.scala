@@ -425,9 +425,9 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     // (the same bounded read as ffill — no unbounded tail scan hunting
     // a next neighbor), so grid points after the last in-range data
     // point carry flat — pandas' clip-then-interpolate shape
-    require(Set("ffill", "interpolate").contains(fill),
-      s"fill must be 'ffill' or 'interpolate', got '$fill'")
-    require(fill == "ffill" || freq.isDefined, "fill='interpolate' needs a freq grid")
+    require(Set("ffill", "bfill", "interpolate").contains(fill),
+      s"fill must be 'ffill', 'bfill' or 'interpolate', got '$fill'")
+    require(fill == "ffill" || freq.isDefined, s"fill='$fill' needs a freq grid")
     val series = features.map { full =>
       val s = loadSeries(full, fromDate, toDate, timeTravel, clipFrom = freq.isEmpty, Nil,
         asOfVersion)
@@ -448,10 +448,14 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
               val hi = toDate.orElse(mx).getOrElse(lo)
               // to < from clamps to a single grid point (dask.py:154-155)
               val hiClamped = if (hi.before(lo)) lo else hi
-              if (fill == "interpolate")
-                TimeseriesOps.resampleInterpolated(s, lo, hiClamped, fq, Seq("value"))
-              else
-                TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"))
+              fill match {
+                case "interpolate" =>
+                  TimeseriesOps.resampleInterpolated(s, lo, hiClamped, fq, Seq("value"))
+                case "bfill" =>
+                  TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"), backfill = true)
+                case _ =>
+                  TimeseriesOps.resample(s, lo, hiClamped, fq, Seq("value"))
+              }
           }
         case None => s
       }

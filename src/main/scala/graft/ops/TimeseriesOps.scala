@@ -314,7 +314,8 @@ object TimeseriesOps {
       to: Timestamp,
       freq: String,
       valueCols: Seq[String],
-      timeCol: String = TimeCol): DataFrame = {
+      timeCol: String = TimeCol,
+      backfill: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val (spine, startUs, endUs) = spineFor(spark, from, to, freq, timeCol)
     val S = "__spine"
@@ -349,10 +350,24 @@ object TimeseriesOps {
     // month buckets would collapse to a single fill task)
     val spanDays = (endUs - startUs) / 86400000000L
     val bucketUnit = if (spanDays <= 120) "day" else if (spanDays <= 1830) "month" else "year"
-    ffillAuto(union, valueCols, orderCols = Seq(timeCol, S),
-      bucket = Some(date_trunc(bucketUnit, col(timeCol))), tieFree = collapsible)
-      .filter(col(S) === 1)
-      .drop(S)
+    if (backfill) {
+      // pandas .bfill(): the NEXT value at-or-after the grid point —
+      // the same bucketed fill under the NEGATED order key (a backward
+      // fill is a forward fill under the reversed total order); data
+      // rows still sort before spine readers at a shared timestamp, so
+      // exact hits stay exact
+      val NEG = "__neg_t"
+      ffillAuto(union.withColumn(NEG, -unix_micros(col(timeCol))),
+        valueCols, orderCols = Seq(NEG, S),
+        bucket = Some(-unix_micros(date_trunc(bucketUnit, col(timeCol)))),
+        tieFree = collapsible)
+        .filter(col(S) === 1)
+        .drop(S, NEG)
+    } else
+      ffillAuto(union, valueCols, orderCols = Seq(timeCol, S),
+        bucket = Some(date_trunc(bucketUnit, col(timeCol))), tieFree = collapsible)
+        .filter(col(S) === 1)
+        .drop(S)
   }
 
   /** Resample onto the grid with time-weighted LINEAR interpolation

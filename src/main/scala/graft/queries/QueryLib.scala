@@ -471,6 +471,24 @@ object QueryLib {
            |FROM b JOIN f ON b.user_id = f.user_id AND b.time = f.time
            |              AND b.event_id = f.event_id""".stripMargin))
 
+  private val fsResampleBfill = Q(
+    "fs_resample_bfill",
+    // pandas .bfill() onto the grid (extension; the reference is
+    // ffill-only): the NEXT purchase at-or-after each grid day — the
+    // same bucketed fill under the negated order key. Leading grid
+    // points read the first upcoming value; trailing read null.
+    (s, dir) => {
+      val purchases = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      TimeseriesOps.resample(purchases,
+        jts("2024-01-01"), jts("2024-01-30"), "1d", Seq("value"), backfill = true)
+    },
+    Some("""WITH data AS (SELECT ts AS time, max(value) AS value FROM events
+           |              WHERE event_type = 'purchase' GROUP BY ts),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time >= g.time""".stripMargin))
+
   private val fsResampleInterp = Q(
     "fs_resample_interp",
     // time-weighted linear interpolation onto the daily grid (extension
@@ -2948,7 +2966,7 @@ object QueryLib {
   val all: Seq[Q] = Seq(
     fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
     fsResampleYears,
-    fsResampleMonthly, fsResampleInterp, fsAlign2,
+    fsResampleMonthly, fsResampleInterp, fsResampleBfill, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup,

@@ -242,6 +242,31 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("resample backfill: next value at-or-after each grid point, exact hits exact") {
+    val gen = Gen.listOf(for {
+      t <- Gen.choose(0, 40)
+      v <- Gen.choose(-100, 100)
+    } yield (t, v.toDouble))
+    forAll(gen, n = 6) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.map { case (t, v) => (new Timestamp(base + t * 3600000L), v) }
+          .toDF("time", "value")
+        val out = TimeseriesOps.resample(df,
+            new Timestamp(base), new Timestamp(base + 40 * 3600000L), "90min", Seq("value"),
+            backfill = true)
+          .collect().map(r => (r.getTimestamp(0).getTime, Option(r.get(1)).map(_.asInstanceOf[Double])))
+          .toMap
+        val pts = rows.groupBy(_._1).map { case (t, vs) => (base + t * 3600000L, vs.map(_._2).max) }
+          .toSeq.sortBy(_._1)
+        (0L to (40 * 3600000L) by 90 * 60000L).foreach { off =>
+          val g = base + off
+          val expect = pts.find(_._1 >= g).map(_._2) // trailing -> null
+          assert(out(g) == expect, s"grid $off")
+        }
+      }
+    }
+  }
+
   test("resampleInterpolated: brute-force lerp equality on generated series") {
     val gen = Gen.listOf(for {
       t <- Gen.choose(0, 40)       // hours; collisions likely
