@@ -672,6 +672,38 @@ object TimeseriesOps {
   }
 
   // ---------------------------------------------------------------------
+  // Time-bounded rolling aggregates (extension — the feature-pipeline
+  // staple the cumulative running window is not): per key, each row
+  // reads count/sum/min/max/avg of `valueCol` over [t - window, t].
+  // One exchange on the keys; the RANGE frame is on epoch micros, so
+  // duplicate timestamps are peers and read identically. The sum rides
+  // a decimal cast (exact, order-independent — a double sum's value
+  // depends on frame evaluation order) and returns to double at the
+  // end; avg divides the two exact results. Keys are required: a
+  // key-less rolling window is one unbounded single-task sort.
+  // ---------------------------------------------------------------------
+  def rollingStats(
+      df: DataFrame,
+      windowUs: Long,
+      valueCol: String,
+      keyCols: Seq[String],
+      timeCol: String = TimeCol,
+      prefix: String = "roll_"): DataFrame = {
+    require(windowUs > 0, s"rolling window must be positive, got $windowUs")
+    require(keyCols.nonEmpty, "rollingStats needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_micros(col(timeCol)))
+      .rangeBetween(-windowUs, 0)
+    df.withColumn(s"${prefix}cnt", count(col(valueCol)).over(w))
+      .withColumn(s"${prefix}sum",
+        sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn(s"${prefix}min", min(col(valueCol)).over(w))
+      .withColumn(s"${prefix}max", max(col(valueCol)).over(w))
+      .withColumn(s"${prefix}avg",
+        col(s"${prefix}sum") / col(s"${prefix}cnt").cast("double"))
+  }
+
+  // ---------------------------------------------------------------------
   // Gap-based sessionization (extension — the canonical clickstream
   // operator; no reference analogue): rows of the same key whose
   // consecutive time gap exceeds `gapUs` start a new 1-based session.

@@ -1156,6 +1156,30 @@ object QueryLib {
            |       OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS running_sum
            |FROM events""".stripMargin))
 
+  private val fsRollingWindow = Q(
+    "fs_rolling_window",
+    // time-bounded rolling features: per user, each event reads the
+    // count/sum/min/max/avg of values over its trailing 2 days — the
+    // feature-pipeline staple the cumulative q_window_running is not.
+    // One exchange on user_id; exact decimal sum (order-independent)
+    // cast back to double, avg = exact-sum / exact-count.
+    (s, dir) => {
+      TimeseriesOps.rollingStats(
+        T(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        windowUs = 2L * 86400 * 1000000, valueCol = "value",
+        keyCols = Seq("user_id"), timeCol = "ts")
+    },
+    Some("""SELECT user_id, ts, event_id, value,
+           |  CAST(count(value) OVER w AS BIGINT) AS roll_cnt,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+           |  min(value) OVER w AS roll_min,
+           |  max(value) OVER w AS roll_max,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           |    / CAST(count(value) OVER w AS DOUBLE) AS roll_avg
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           |  RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)""".stripMargin))
+
   private val qLagGap = Q(
     "q_lag_gap",
     (s, dir) => {
@@ -2972,7 +2996,7 @@ object QueryLib {
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
     fsStreamAttrib,
     fsTrainingFrame, fsTransformDag,
-    q1Pricing, q3Top10, q5NationRev, qWindowRunning, qLagGap,
+    q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
