@@ -2893,6 +2893,47 @@ object QueryLib {
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_channels
            |FROM documents""".stripMargin))
 
+  private val mlFeatureHash = Q(
+    "ml_feature_hash",
+    // the hashing trick (Weinberger et al. 2009): vocabulary-free
+    // categorical -> bucket index + unbiasing sign, pure narrow md5
+    // expressions (no fit step, no dictionary broadcast at 100 TB).
+    // md5, not murmur3: reproducible in any engine.
+    (s, dir) => {
+      val cat = concat(col("source"), lit("|"), col("lang"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.MlPrep.featureHash(cat, buckets = 64).as("bucket"),
+        graft.functions.MlPrep.featureHashSign(cat).as("sign"))
+    },
+    Some("""SELECT doc_id,
+           |  ('0x' || substr(md5(concat('fh:', source, '|', lang)), 1, 8))::BIGINT % 64
+           |    AS bucket,
+           |  CAST(CASE WHEN ('0x' || substr(md5(concat('fh:', source, '|', lang)), 9, 1))::INT
+           |         % 2 = 0 THEN 1 ELSE -1 END AS INT) AS sign
+           |FROM documents""".stripMargin))
+
+  private val mlTargetEncode = Q(
+    "ml_target_encode",
+    // leave-one-out target encoding with additive smoothing (m=10)
+    // toward the global mean — all arithmetic in integer cents, one
+    // double division at the end, so the oracle reproduces every
+    // encoding bit-for-bit (see MlPrep.targetEncode).
+    (s, dir) => {
+      graft.functions.MlPrep.targetEncode(
+        T(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        catCol = "event_type", targetCol = "value", m = 10)
+        .select(col("event_id"), col("event_type"), col("target_enc"))
+    },
+    Some("""WITH e AS (SELECT event_id, event_type,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS tc FROM events),
+           |pc AS (SELECT event_type, count(tc) AS cnt, sum(tc) AS s FROM e GROUP BY 1),
+           |g AS (SELECT sum(cnt) AS n, sum(s) AS gs FROM pc)
+           |SELECT e.event_id, e.event_type,
+           |  CAST((pc.s - e.tc) * g.n + g.gs * 10 AS DOUBLE)
+           |    / CAST((pc.cnt - 1 + 10) * g.n AS DOUBLE) AS target_enc
+           |FROM e JOIN pc USING (event_type) CROSS JOIN g""".stripMargin))
+
   private val fsCatalogLifecycle = Q(
     "fs_catalog_lifecycle",
     // DDL verbs under the oracle gate (previously ScalaTest-only):
@@ -3006,7 +3047,7 @@ object QueryLib {
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
-    fsCatalogLifecycle,
+    fsCatalogLifecycle, mlFeatureHash, mlTargetEncode,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
