@@ -672,6 +672,50 @@ object TimeseriesOps {
   }
 
   // ---------------------------------------------------------------------
+  // Exponentially weighted moving average (extension — pandas
+  // `ewm(alpha).mean()` with adjust=False: y_0 = x_0, then
+  // y_i = (1-alpha)*y_{i-1} + alpha*x_i). A per-key LINEAR RECURRENCE —
+  // not expressible as a window aggregate without either an O(rows)
+  // expression chain or numerically explosive a^-i rescaling — so it
+  // rides Spark's purpose-built primitive for ordered per-key
+  // iteration: `flatMapSortedGroups` (one shuffle on the key, the
+  // framework sorts each group, the fold streams the iterator in O(1)
+  // memory). Keys are the parallel unit; a single pathologically hot
+  // key serializes on one task — the escape hatch is the associative
+  // (A, B) linear-function composition ((A1,B1)∘(A2,B2) =
+  // (A1*A2, A2*B1+B2)), which would two-phase like ffillBucketed at
+  // the cost of a different floating-point summation order.
+  // Determinism: the fold's IEEE operation order is fixed by the total
+  // (time, value) sort, so results are reproducible — and an engine
+  // that folds the same sorted list (DuckDB list_reduce) matches
+  // bit-for-bit.
+  // ---------------------------------------------------------------------
+  def ewma(
+      df: DataFrame,
+      alpha: Double,
+      keyCol: String,
+      timeCol: String = TimeCol,
+      valueCol: String = ValueCol,
+      outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(keyCol).cast("string"), col(timeCol), col(valueCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+    ds.groupByKey(_._1)
+      .flatMapSortedGroups(col(timeCol), col(valueCol)) { (key, rows) =>
+        var acc = 0.0
+        var first = true
+        rows.map { case (_, t, x) =>
+          acc = if (first) { first = false; x } else (1 - alpha) * acc + alpha * x
+          (key, t, x, acc)
+        }
+      }
+      .toDF(keyCol, timeCol, valueCol, outCol)
+  }
+
+  // ---------------------------------------------------------------------
   // Time-bounded rolling aggregates (extension — the feature-pipeline
   // staple the cumulative running window is not): per key, each row
   // reads count/sum/min/max/avg of `valueCol` over [t - window, t].

@@ -2893,6 +2893,27 @@ object QueryLib {
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_channels
            |FROM documents""".stripMargin))
 
+  private val fsEwmaLast = Q(
+    "fs_ewma_last",
+    // pandas ewm(alpha=0.1, adjust=False) per user, gated on the FINAL
+    // smoothed value per key ("current smoothed state per entity").
+    // The fold's IEEE order is fixed by the total (ts, value) sort, so
+    // DuckDB folding the same sorted list (list_reduce) matches
+    // bit-for-bit — an exact oracle for a sequential recurrence.
+    (s, dir) => {
+      val e = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("value"))
+      TimeseriesOps.ewma(e, alpha = 0.1, keyCol = "user_id", timeCol = "ts")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("ewma"), struct(col("ts"), col("value"))).as("ewma_last"))
+        .select(col("user_id").cast("long").as("user_id"), col("ewma_last"))
+    },
+    Some("""SELECT user_id,
+           |  list_reduce(list(value ORDER BY ts, value),
+           |    (acc, x) -> 0.9 * acc + 0.1 * x) AS ewma_last
+           |FROM events WHERE value IS NOT NULL
+           |GROUP BY user_id""".stripMargin))
+
   private val mlFeatureHash = Q(
     "ml_feature_hash",
     // the hashing trick (Weinberger et al. 2009): vocabulary-free
@@ -3047,7 +3068,7 @@ object QueryLib {
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
-    fsCatalogLifecycle, mlFeatureHash, mlTargetEncode,
+    fsCatalogLifecycle, fsEwmaLast, mlFeatureHash, mlTargetEncode,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -242,6 +242,35 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ewma matches the sequential recurrence exactly, per key, any partitioning") {
+    val gen = Gen.listOf(for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0, 30)
+      v <- Gen.choose(-100, 100)
+    } yield (k.toString, t, v.toDouble))
+    forAll(gen, n = 6) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.map { case (k, t, v) => (k, new Timestamp(base + t * 3600000L), v) }
+          .toDF("k", "time", "value").repartition(5) // scatter the input
+        val out = TimeseriesOps.ewma(df, alpha = 0.3, keyCol = "k")
+          .collect().map(r => ((r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)), r.getDouble(3)))
+          .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).toSet) }
+        // brute force: fold each key's rows in (time, value) order;
+        // equality is EXACT — the kernel fixes the IEEE op order
+        rows.groupBy(_._1).foreach { case (k, rs) =>
+          val sorted = rs.map { case (_, t, v) => (base + t * 3600000L, v) }.sortBy(identity)
+          var acc = 0.0
+          val oneMinus = 1 - 0.3 // EXACTLY the kernel's multiplier: the
+          // literal 0.7 could differ from double(1 - 0.3d) by one ulp
+          sorted.zipWithIndex.foreach { case ((tm, v), i) =>
+            acc = if (i == 0) v else oneMinus * acc + 0.3 * v
+            assert(out((k, tm, v)).contains(acc), s"key $k row $i")
+          }
+        }
+      }
+    }
+  }
+
   test("resample backfill: next value at-or-after each grid point, exact hits exact") {
     val gen = Gen.listOf(for {
       t <- Gen.choose(0, 40)
