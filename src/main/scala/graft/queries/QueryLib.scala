@@ -2914,6 +2914,27 @@ object QueryLib {
            |FROM events WHERE value IS NOT NULL
            |GROUP BY user_id""".stripMargin))
 
+  private val qApproxDistinct = Q(
+    "q_approx_distinct",
+    // the cardinality sketch a 100 TB profiler actually runs:
+    // approx_count_distinct (HLL++, fixed-size registers, one pass, no
+    // distinct shuffle) self-checked against the exact distinct count
+    // — the sketch is deterministic (register merge is commutative),
+    // so the within-5%% bit is a stable gate and the oracle carries the
+    // exact side plus the literal bit.
+    (s, dir) => {
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).cast("int").as("within_5pct"))
+    },
+    Some("""SELECT event_type,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           |  1 AS within_5pct
+           |FROM events GROUP BY event_type""".stripMargin))
+
   private val mlFeatureHash = Q(
     "ml_feature_hash",
     // the hashing trick (Weinberger et al. 2009): vocabulary-free
@@ -3068,7 +3089,7 @@ object QueryLib {
     dedupComponents, dedupIncremental, curateDocs, qPackShards,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
-    fsCatalogLifecycle, fsEwmaLast, mlFeatureHash, mlTargetEncode,
+    fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
