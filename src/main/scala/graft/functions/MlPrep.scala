@@ -71,11 +71,23 @@ object MlPrep {
     require(m >= 0, s"smoothing strength must be >= 0, got $m")
     def cents(c: Column) = (c.cast("decimal(18,2)") * 100).cast("decimal(38,0)")
     val t = cents(col(targetCol))
+    // the global 1-row aggregate attaches to the category table via an
+    // equi-join on a constant key, NOT a crossJoin: same plan cost, but
+    // it stays a BroadcastHashJoin — the repo's plan contract bans
+    // nested-loop joins outright rather than carving out "benign" ones
+    // the key must be OPTIMIZER-OPAQUE: a lit(1) = lit(1) condition
+    // constant-folds to `true` and the join degenerates to the nested
+    // loop again — pmod(hash(<non-null col>), 1) is 0 on every row but
+    // references a column, so no rewrite rule folds it (the same
+    // device as ffillBucketed's seed window partition key)
+    val K = "__te_one"
     val perCat = df.groupBy(col(catCol))
       .agg(count(t).as("__cnt"), sum(t).as("__sum"))
+      .withColumn(K, pmod(hash(col("__cnt")), lit(1)))
     val global = perCat.agg(
       sum(col("__cnt")).as("__n"), sum(col("__sum")).as("__gsum"))
-    val stats = broadcast(perCat.crossJoin(broadcast(global)))
+      .withColumn(K, pmod(hash(col("__n")), lit(1)))
+    val stats = broadcast(perCat.join(broadcast(global), Seq(K)).drop(K))
     df.join(stats, Seq(catCol))
       .withColumn(outCol,
         (((col("__sum") - t) * col("__n") + col("__gsum") * lit(m)).cast("double")) /
