@@ -2893,6 +2893,49 @@ object QueryLib {
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_channels
            |FROM documents""".stripMargin))
 
+  private val fsStreamEwma = Q(
+    "fs_stream_ewma",
+    // §2.10: the STREAMING side of the EWMA recurrence —
+    // mapGroupsWithState carries (n, smoothed) per user across four
+    // real time-ordered micro-batches (the replay-staging doctrine of
+    // fs_stream_session_wm, no sentinel needed: no watermark, state
+    // never evicts). Within a batch rows fold in (ts, value) order on
+    // top of the carried state, so the stream's final state must equal
+    // the batch fold — the oracle is the SAME DuckDB list_reduce as
+    // fs_ewma_last, making this a stream/batch-parity hash gate for a
+    // numeric recurrence: a torn batch, doubled replay, or unsorted
+    // in-batch fold all diverge in the last ulp and hash red.
+    (s, dir) => {
+      val tmp = scratchDir("sewma")
+      val src = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("ts"), col("user_id"), col("value"))
+      val srcDir = stageTimeOrderedReplay("sewma", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"),
+        sentinel = src.limit(0)) // empty: nothing must perturb any key's state
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"sewma_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.ewmaStream(stream, alpha = 0.1, keyCol = "user_id")
+          .toDF("user_id", "n", "ewma")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // the final state per key is the update with the largest n
+      s.table(view).groupBy(col("user_id"))
+        .agg(max_by(col("ewma"), col("n")).as("ewma_last"))
+        .select(col("user_id").cast("long").as("user_id"), col("ewma_last"))
+    },
+    Some("""SELECT user_id,
+           |  list_reduce(list(value ORDER BY ts, value),
+           |    (acc, x) -> 0.9 * acc + 0.1 * x) AS ewma_last
+           |FROM events WHERE value IS NOT NULL
+           |GROUP BY user_id""".stripMargin))
+
   private val fsEwmaLast = Q(
     "fs_ewma_last",
     // pandas ewm(alpha=0.1, adjust=False) per user, gated on the FINAL
@@ -3076,7 +3119,7 @@ object QueryLib {
     fsResampleMonthly, fsResampleInterp, fsResampleBfill, fsAlign2,
     fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup,
+    fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
     fsStreamAttrib,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,

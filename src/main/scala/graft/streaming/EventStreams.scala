@@ -97,6 +97,45 @@ object EventStreams {
     * memory is O(keys) regardless of stream length. Run with
     * OutputMode.Update.
     */
+  /** Stateful streaming EWMA per key (pandas ewm(adjust=False) kept
+    * live across micro-batches): `mapGroupsWithState` carries
+    * (rows-folded, smoothed-value); each batch's rows fold in
+    * (ts, value) order on top of the carried state, so over a
+    * TIME-ORDERED replay the stream's final state equals the batch
+    * [[graft.ops.TimeseriesOps.ewma]] — and the certification gate
+    * hashes exactly that parity. Emits (key, n, ewma) per key per
+    * batch (Update mode); `n` is monotone, so a sink that keeps every
+    * update recovers the final state as arg-max n. State is two
+    * numbers per key — a 100 TB/day stream carries O(#keys), no
+    * windows, no history.
+    */
+  def ewmaStream(
+      events: DataFrame, // ts timestamp, <keyCol>, value double
+      alpha: Double,
+      keyCol: String = "user_id"): Dataset[(String, Long, Double)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"CAST($keyCol AS STRING) AS k", "ts", "CAST(value AS DOUBLE) AS value")
+      .as[(String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String,
+         rows: Iterator[(String, Timestamp, Double)],
+         state: GroupState[(Long, Double)]) =>
+          // within-batch order is (ts, value) — the same total sort the
+          // batch kernel and the DuckDB list_reduce oracle use
+          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          var (n, acc) = state.getOption.getOrElse((0L, 0.0))
+          sorted.foreach { case (_, _, x) =>
+            acc = if (n == 0) x else (1 - alpha) * acc + alpha * x
+            n += 1
+          }
+          state.update((n, acc))
+          (key, n, acc)
+      }
+  }
+
   def runningLatest(
       events: DataFrame, // ts timestamp, event_type string, value double
       keyCol: String = "event_type"): Dataset[(String, Timestamp, Double)] = {
