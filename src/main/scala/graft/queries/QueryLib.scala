@@ -3111,6 +3111,353 @@ object QueryLib {
            |  CAST(floor(height * scale) AS BIGINT) AS out_height
            |FROM s""".stripMargin))
 
+  private val qTransitions = Q(
+    "q_transitions",
+    // First-order Markov transition counts over each user's time-ordered
+    // event stream — the behavioural-analytics primitive under funnels,
+    // next-action models, and the graph_pagerank edge table. Shape: one
+    // per-user window (lag) + one (prev, curr) hash-agg; the shuffle
+    // carries O(events) once for the window, then O(|types|^2) rows.
+    // Ties inside one user-microsecond are broken by event_id so the
+    // lag sequence is deterministic under any partitioning.
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev"),
+          col("event_type").as("curr"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("curr"))
+        .agg(count(lit(1)).as("n_trans"))
+    },
+    Some("""WITH seq AS (SELECT user_id,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           |    event_type AS curr
+           |  FROM events)
+           |SELECT prev, curr, CAST(count(*) AS BIGINT) AS n_trans
+           |FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin))
+
+  private val mlQuantileBin = Q(
+    "ml_quantile_bin",
+    // Quantile discretization (the QuantileDiscretizer/KBinsDiscretizer
+    // feature transform) via exact per-key ntile: equal-count bins, ties
+    // broken by event_id so the bin assignment is reproducible across
+    // engines and reruns. One window shuffle keyed by event_type; at
+    // 100 TB a skewed key would route through the two-phase rank kernel
+    // (ops/Quantiles) instead — this gate pins the exact-ntile semantics.
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      T(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).cast("long").as("bin"))
+    },
+    Some("""SELECT event_id, event_type, value,
+           |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS bin
+           |FROM events""".stripMargin))
+
+  private val mlMinmaxScale = Q(
+    "ml_minmax_scale",
+    // Min-max feature scaling to [0,1] per key — fit (one tiny hash-agg)
+    // + transform (broadcast join back, narrow arithmetic). min/max of
+    // doubles are EXACT order-free aggregates and the closing subtract/
+    // divide is one IEEE op chain, so no rounding is needed for the
+    // cross-engine hash. Degenerate keys (max == min) pin to 0.5 in both
+    // engines instead of dividing by zero (ANSI Spark would throw).
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val mm = e.groupBy(col("event_type")).agg(
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      e.join(broadcast(mm), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          when(col("v_max") === col("v_min"), lit(0.5))
+            .otherwise((col("value") - col("v_min")) / (col("v_max") - col("v_min")))
+            .as("scaled"))
+    },
+    Some("""WITH mm AS (SELECT event_type, min(value) AS v_min, max(value) AS v_max
+           |  FROM events GROUP BY 1)
+           |SELECT event_id, event_type,
+           |  CASE WHEN v_max = v_min THEN 0.5
+           |       ELSE (value - v_min) / (v_max - v_min) END AS scaled
+           |FROM events JOIN mm USING (event_type)""".stripMargin))
+
+  private val dqOutliers = Q(
+    "dq_outliers",
+    // Z-score anomaly flagging per key: |value - mean| > 2 sigma. The
+    // moments ride q_stats_var's exact-decimal-sum pattern (order-free),
+    // the z closes with an identical IEEE op chain — sqrt is correctly
+    // rounded by IEEE 754 in both engines, unlike ln/exp, so the filter
+    // boundary is bit-stable without rounding. Fit is a tiny per-key agg
+    // broadcast back over the stream: one scan + one narrow pass.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val v = col("value").cast("decimal(18,2)")
+      val stats = e.groupBy(col("event_type")).agg(
+        (sum(v).cast("double") / count(lit(1))).as("mean"),
+        ((sum((v * v).cast("decimal(28,4)")).cast("double") * count(lit(1)) -
+          sum(v).cast("double") * sum(v).cast("double")) /
+          (count(lit(1)) * (count(lit(1)) - 1)).cast("double")).as("variance"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((v.cast("double") - col("mean")) / sqrt(col("variance"))).as("z"))
+        .filter(abs(col("z")) > 2)
+    },
+    Some("""WITH st AS (SELECT event_type,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+           |    (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+           |              AS DECIMAL(28,4))) AS DOUBLE) * count(*) -
+           |     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) *
+           |     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) /
+           |    CAST(count(*) * (count(*) - 1) AS DOUBLE) AS variance
+           |  FROM events GROUP BY 1),
+           |z AS (SELECT event_id, event_type, value,
+           |    (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sqrt(variance) AS z
+           |  FROM events JOIN st USING (event_type))
+           |SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2""".stripMargin))
+
+  private val qIntervalJoin = Q(
+    "q_interval_join",
+    // Keyed interval join through the binned kernel (ops/IntervalJoin):
+    // every error event opens a 10-minute window on its user; count and
+    // sum the user's non-error activity inside it. The kernel turns the
+    // range predicate into an equi-join on (user, time-bin) with the
+    // exact range as residual — no per-key all-pairs blow-up, and a hot
+    // user spreads across every bin it touches instead of one shuffle
+    // partition. Bin width == window span, so fan-out is ≤ 2 rows per
+    // interval. The oracle states the same join as a plain inequality.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTE")).as("w_end"))
+      val probe = e.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.IntervalJoin
+        .binned(err, probe, "user_id", "w_start", "w_end", "ts", 600000000L)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_follow"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    },
+    Some("""WITH err AS (SELECT event_id AS err_id, user_id, ts AS w_start,
+           |    ts + INTERVAL 10 MINUTE AS w_end FROM events WHERE event_type = 'error'),
+           |p AS (SELECT user_id, ts, value FROM events WHERE event_type <> 'error')
+           |SELECT err_id, CAST(count(*) AS BIGINT) AS n_follow,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM err JOIN p ON p.user_id = err.user_id
+           |  AND p.ts >= err.w_start AND p.ts < err.w_end
+           |GROUP BY 1""".stripMargin))
+
+  private val graphPagerank = Q(
+    "graph_pagerank",
+    // Weighted PageRank (3 iterations, d=0.85) over the behavioural
+    // transition graph q_transitions builds — functions/Graph's
+    // join-per-iteration formulation: the O(|E|) edge table shuffles on
+    // src once, only the O(|V|) rank table moves per round. Float
+    // aggregate ⇒ round(6) before the gate (accumulation order); every
+    // fractional literal in the oracle is CAST to DOUBLE so DuckDB's
+    // decimal literals don't diverge from Scala's double literals.
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = T(s, dir, "events")
+        .select(col("user_id"),
+          lag(col("event_type"), 1).over(w).as("src"),
+          col("event_type").as("dst"))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      graft.functions.Graph.pageRank(edges, "src", "dst", "cnt", iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    },
+    Some("""WITH seq AS (SELECT user_id,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           |    event_type AS dst FROM events),
+           |edges AS (SELECT src, dst, count(*) AS cnt FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+           |nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |outw AS (SELECT src, sum(cnt) AS out_w FROM edges GROUP BY 1),
+           |e AS (SELECT src, dst, CAST(cnt AS DOUBLE) / CAST(out_w AS DOUBLE) AS p
+           |  FROM edges JOIN outw USING (src)),
+           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+           |r1 AS (SELECT nodes.node,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * coalesce(c.inr, CAST(0 AS DOUBLE)) AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN
+           |    (SELECT e.dst, sum(e.p * r0.rank) AS inr FROM e JOIN r0 ON e.src = r0.node GROUP BY 1) c
+           |    ON nodes.node = c.dst),
+           |r2 AS (SELECT nodes.node,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * coalesce(c.inr, CAST(0 AS DOUBLE)) AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN
+           |    (SELECT e.dst, sum(e.p * r1.rank) AS inr FROM e JOIN r1 ON e.src = r1.node GROUP BY 1) c
+           |    ON nodes.node = c.dst),
+           |r3 AS (SELECT nodes.node,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * coalesce(c.inr, CAST(0 AS DOUBLE)) AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN
+           |    (SELECT e.dst, sum(e.p * r2.rank) AS inr FROM e JOIN r2 ON e.src = r2.node GROUP BY 1) c
+           |    ON nodes.node = c.dst)
+           |SELECT node, round(rank, 6) AS rank FROM r3""".stripMargin))
+
+  private val txtNovelty = Q(
+    "txt_novelty",
+    // Per-document novelty: the fraction of a doc's DISTINCT bigrams
+    // that occur in no other document — the inverse of contamination
+    // scoring, used to up-weight unique material in a training mix.
+    // Integer counts + one closing division; the bigram df table rides
+    // the same explode → hash-agg shape as txt_repetition, so every
+    // shuffle carries O(distinct bigrams), never the corpus text.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val bg = d.select(col("doc_id"),
+        explode(array_distinct(TextOps.wordShingles(toks, 2))).as("bg"))
+      val df_ = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      bg.join(df_, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("novelty"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_distinct(
+           |    list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1])))) AS bg
+           |  FROM tk),
+           |df AS (SELECT bg, count(*) AS df FROM bg GROUP BY 1)
+           |SELECT doc_id,
+           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS novelty
+           |FROM bg JOIN df USING (bg) GROUP BY 1""".stripMargin))
+
+  private val txtBm25 = Q(
+    "txt_bm25",
+    // BM25 retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) for a fixed
+    // 3-term query, log-free idf variant (N - df + 0.5)/(df + 0.5) so
+    // every factor is one IEEE op chain over exact-integer-valued
+    // doubles — bit-stable cross-engine without rounding (ln is not).
+    // The per-doc Σ over query terms is pivoted to fixed columns and
+    // added in ONE textual order: a float SUM aggregate would be
+    // accumulation-order-dependent. Top-10 cut ties broken by doc_id.
+    // Shape: tf/df hash-aggs carry O(matching terms); the corpus text
+    // never shuffles; doc-length and corpus stats broadcast back.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val dl = d.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      val corpus = d.agg(count(lit(1)).as("n"),
+        (sum(size(toks).cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = d.select(col("doc_id"), explode(toks).as("term"))
+        .filter(col("term").isin("hash", "join", "merge"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val k1 = lit(1.2); val b = lit(0.75)
+      val s_ = tf.join(df_, Seq("term")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"), col("term"),
+          (((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+            ((col("tf").cast("double") * (k1 + lit(1.0))) /
+              (col("tf").cast("double") +
+                k1 * (lit(1.0) - b + b * (col("dl").cast("double") / col("avgdl"))))))
+            .as("s"))
+      s_.groupBy(col("doc_id")).agg(
+          max(when(col("term") === "hash", col("s"))).as("s_hash"),
+          max(when(col("term") === "join", col("s"))).as("s_join"),
+          max(when(col("term") === "merge", col("s"))).as("s_merge"))
+        .select(col("doc_id"),
+          (coalesce(col("s_hash"), lit(0.0)) + coalesce(col("s_join"), lit(0.0)) +
+            coalesce(col("s_merge"), lit(0.0))).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+           |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+           |tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           |  WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |s AS (SELECT tf.doc_id, tf.term,
+           |    ((corpus.n - CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+           |     (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+           |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+           |     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+           |      (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |       (CAST(dl.dl AS DOUBLE) / corpus.avgdl)))) AS s
+           |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus),
+           |agg AS (SELECT doc_id,
+           |    max(CASE WHEN term = 'hash' THEN s END) AS s_hash,
+           |    max(CASE WHEN term = 'join' THEN s END) AS s_join,
+           |    max(CASE WHEN term = 'merge' THEN s END) AS s_merge
+           |  FROM s GROUP BY 1)
+           |SELECT doc_id,
+           |  coalesce(s_hash, CAST(0 AS DOUBLE)) + coalesce(s_join, CAST(0 AS DOUBLE))
+           |    + coalesce(s_merge, CAST(0 AS DOUBLE)) AS score
+           |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+
+  private val mlWinsorize = Q(
+    "ml_winsorize",
+    // Percentile capping (winsorization) per key: clamp to [p05, p95]
+    // before training so heavy-tailed features don't dominate. The cut
+    // points ride the DISTRIBUTED two-phase rank kernel (ops/Quantiles
+    // — q_median's scale story: per-task state bounded by a range
+    // slice, no whole-group buffering), then broadcast back over the
+    // stream as a narrow clamp. round(4) absorbs last-ulp interpolation
+    // differences between engines, same doctrine as q_median.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val q = graft.ops.Quantiles.quantileCont(
+        e.select("event_type", "value"), "value", Seq("event_type"),
+        Seq(("p05", 0.05), ("p95", 0.95)))
+      e.join(broadcast(q), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(least(greatest(col("value"), col("p05")), col("p95")), 4)
+            .as("winsorized"))
+    },
+    Some("""WITH q AS (SELECT event_type,
+           |    quantile_cont(value, 0.05) AS p05,
+           |    quantile_cont(value, 0.95) AS p95
+           |  FROM events GROUP BY 1)
+           |SELECT event_id, event_type,
+           |  round(least(greatest(value, p05), p95), 4) AS winsorized
+           |FROM events JOIN q USING (event_type)""".stripMargin))
+
+  private val qCorrActivity = Q(
+    "q_corr_activity",
+    // Pearson correlation between per-user click and purchase counts —
+    // the cross-feature screening pass of a feature-selection step.
+    // Fully deterministic without rounding: every moment (Sx, Sy, Sxy,
+    // Sxx, Syy) is an exact integer sum, and the closing formula is
+    // two correctly-rounded sqrts, one multiply, one divide. Shape:
+    // one per-user hash-agg (conditional counts) + one 1-row global
+    // agg — both map-side-combinable.
+    (s, dir) => {
+      val per = T(s, dir, "events").groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "click", lit(1L)).otherwise(lit(0L))).as("x"),
+        sum(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))).as("y"))
+      per.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_click_purchase"))
+    },
+    Some("""WITH per AS (SELECT user_id,
+           |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           |  FROM events GROUP BY 1),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM per)
+           |SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
+           |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_click_purchase
+           |FROM s""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3133,6 +3480,9 @@ object QueryLib {
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
+    qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
+    qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
+    mlWinsorize, qCorrActivity,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -563,6 +563,47 @@ object ScaleProbe {
       require(log.commit(Seq(graft.store.TxAdd("partition=p/dup.parquet", "p")),
         txnAppVer = Some(("sink-stream", 5000L))) == -1L, "replayed batch not refused")
     }
+    // Interval join at fan-out scale: 1M ten-minute windows against 10M
+    // points over 10k keys. The binned kernel's cost model is (fan-out
+    // ≈ 2 rows/interval) + one (key, bin) hash shuffle; a naive
+    // key-equi SMJ with a range residual pays per-key all-pairs — at
+    // 1000 points and 100 intervals per key that is 10^5 candidate
+    // rows/key (1e9 total) vs the kernel's ~2e7 shuffled rows. 100 TB:
+    // both sides partition on (key, bin); no single key's bin set lands
+    // on one task.
+    timed("binned interval join: 1M windows x 10M points, 10k keys") {
+      val binUs = 600L * 1000000L
+      val nIv = 1000000L
+      val iv = spark.range(nIv).select(
+        col("id").as("iv_id"), (col("id") % 10000L).as("key"),
+        timestamp_micros(lit(base * 1000L) + col("id") * (binUs / 97L)).as("w_start"),
+        timestamp_micros(lit(base * 1000L) + col("id") * (binUs / 97L) + binUs).as("w_end"))
+      val pt = spark.range(10L * nIv).select(
+        col("id").as("pt_id"), (col("id") % 10000L).as("key"),
+        timestamp_micros(lit(base * 1000L) + col("id") * (binUs / 977L)).as("ts"),
+        (col("id") % 100L).cast("double").as("v"))
+      val n = graft.ops.IntervalJoin
+        .binned(iv, pt, "key", "w_start", "w_end", "ts", binUs)
+        .groupBy(col("iv_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n"))).head.getLong(0)
+      println(s"[probe]   matched pairs: $n")
+      require(n > 0)
+    }
+    // PageRank at graph scale: 2M nodes / 10M weighted edges, 3
+    // iterations. Per iteration: one shuffle join (edges on src, built
+    // once and reused) + one hash-agg on dst; the rank table is O(|V|)
+    // and is the only thing that moves between rounds.
+    timed("pageRank: 2M nodes, 10M edges, 3 iterations") {
+      val nEdge = 10000000L
+      val edges = spark.range(nEdge).select(
+        (col("id") % 2000000L).as("src"),
+        ((col("id") * 7919L + 13L) % 2000000L).as("dst"),
+        (col("id") % 5L + 1L).as("w"))
+      val ranks = graft.functions.Graph.pageRank(edges, "src", "dst", "w", 3)
+      val s = ranks.agg(sum(col("rank")), count(lit(1))).head
+      println(f"[probe]   rank mass ${s.getDouble(0)}%.4f over ${s.getLong(1)} nodes")
+      require(s.getLong(1) == 2000000L)
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
