@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training (Sennrich et al. 2016)
+  * — the tokenizer-training step of an LLM data pipeline, shaped for a
+  * 100 TB corpus:
+  *
+  *  1. ONE corpus pass reduces text to the weighted word-type table
+  *     (word, count) — a hash-agg carrying O(|vocab|) rows, the classic
+  *     BPE-trainer reduction (merges depend only on word TYPES and
+  *     their frequencies, never on the corpus again).
+  *  2. Each merge round runs entirely on that vocab table: explode
+  *     adjacent symbol pairs weighted by count, hash-agg, take the
+  *     argmax pair (ONE driver-size row), and rewrite the symbol
+  *     strings. k merges = k tiny jobs, zero further corpus scans.
+  *
+  * Symbol-sequence representation: symbols joined by ' ' with every
+  * symbol prefixed by the \u0001 marker ("§a §b …"). Pair rewrite is
+  * then plain `replace("§p1 §p2" -> "§p1p2")`: the marker makes a
+  * match start only at a symbol boundary (symbols contain neither the
+  * marker nor spaces), and left-to-right non-overlapping `replace` IS
+  * greedy BPE merge order ("a a a" + (a,a) -> "aa a"). Both the
+  * representation and the rewrite are reproducible verbatim in ANSI
+  * SQL, so merge training is oracle-verifiable cross-engine.
+  */
+object Bpe {
+
+  val Marker = "\u0001"
+
+  /** (word, cnt) table from whitespace text — the one corpus-wide pass. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial marker-prefixed symbol string: "abc" -> "§a §b §c". */
+  private def initSymbols(word: org.apache.spark.sql.Column) =
+    concat(lit(Marker), array_join(split(word, ""), " " + Marker))
+
+  final case class Merge(left: String, right: String, count: Long)
+
+  /** Train `k` merges over a (word, cnt) table. Returns the merge list
+    * in rank order; ties on pair count break lexicographically (both
+    * deterministic and SQL-mirrorable). Each round collects exactly
+    * one row (the argmax pair) — driver-size by construction.
+    */
+  def trainMerges(wordCounts: DataFrame, k: Int): Seq[Merge] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var vocab = wordCounts.select(
+      initSymbols(col("word")).as("w"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // materialize before the loop so rounds don't recompute
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    try {
+      for (_ <- 1 to k) {
+        val top = pairCounts(vocab)
+          .orderBy(col("pc").desc, col("p1"), col("p2"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (p1, p2, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += Merge(p1, p2, pc)
+          val next = vocab.select(
+            regexp_replace(col("w"),
+              // literal (non-regex) pattern: quote both symbols
+              java.util.regex.Pattern.quote(s"$Marker$p1 $Marker$p2"),
+              java.util.regex.Matcher.quoteReplacement(s"$Marker$p1$p2")).as("w"),
+            col("cnt"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          vocab.unpersist(blocking = false)
+          vocab = next
+        }
+      }
+    } finally vocab.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Adjacent-pair counts over the current symbol strings, marker
+    * stripped: (p1, p2, pc). */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(expr(s"transform(split(w, ' '), s -> substring(s, 2))").as("syms"), col("cnt"))
+      // the >= 2 guard matters: Spark's sequence(1, 0) is a DESCENDING
+      // [1, 0], not empty — a 1-symbol word would fabricate null pairs
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS p1, syms[i] AS p2))")).as("p"),
+        col("cnt"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum(col("cnt")).as("pc"))
+
+  /** Convenience: end-to-end from text to the k-merge table the gate
+    * dumps: (rank, p1, p2, pc). */
+  def trainFromText(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainMerges(wordCounts(df, textCol), k).zipWithIndex
+      .map { case (m, i) => (i + 1L, m.left, m.right, m.count) }
+      .toDF("rank", "p1", "p2", "pc")
+  }
+}

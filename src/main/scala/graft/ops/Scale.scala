@@ -45,6 +45,36 @@ object Scale {
     TimeseriesOps.dedupLatest(phase1.drop(S), timeCol, createdCol, keyCols = keyCols)
   }
 
+  /** Salted equi-join for a skewed big side against a dimension too
+    * large (or hinted not) to broadcast: the big side gets a
+    * deterministic salt in [0, salts) derived from `saltOn` (any
+    * well-distributed big-side column — a row id, not the join key),
+    * the small side is replicated once per salt value, and the join
+    * runs on (key, salt) — so one hot key spreads over `salts` shuffle
+    * partitions instead of serializing on one reducer. Output equals
+    * the plain join bit-for-bit (the salt never reaches the result);
+    * replication costs `salts` × |small|, so keep salts at the skew
+    * factor, not in the hundreds. AQE's skew-join handles SORTS of
+    * skew after the fact; salting is the structural fix when the skew
+    * is known (low-cardinality keys, power-law ids).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      saltOn: String): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    require(keys.nonEmpty, "saltedJoin needs at least one join key")
+    val S = "__jsalt"
+    val bigS = big.withColumn(S, pmod(hash(col(saltOn)), lit(salts)))
+    val smallS = small.withColumn(S, explode(sequence(lit(0), lit(salts - 1))))
+      // the point is the shuffled path: un-hinted, Catalyst would
+      // broadcast a small dim and the salt would be pure overhead
+      .hint("SHUFFLE_HASH")
+    bigS.join(smallS, keys :+ S).drop(S)
+  }
+
   /** Write a DataFrame as a bucketed+sorted table so repeated equi-joins
     * and aggregations on `keys` run with NO shuffle (bucket-local).
     * Bucketing requires the table catalog (`saveAsTable`), not a bare

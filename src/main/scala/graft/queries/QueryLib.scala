@@ -3458,6 +3458,144 @@ object QueryLib {
            |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_click_purchase
            |FROM s""".stripMargin))
 
+  private val qJoinSalted = Q(
+    "q_join_salted",
+    // The structural skew-join fix under the oracle gate: events join a
+    // per-type dim on a 5-value key — the exact shape where an unsalted
+    // shuffle join serializes each hot key on ONE reducer. Scale
+    // .saltedJoin spreads each key over 8 salts (big side salted by
+    // row-id hash, dim replicated 8×, SHUFFLE_HASH-hinted so the demo
+    // doesn't silently broadcast) and must equal the plain join
+    // bit-for-bit — the same salted/unsalted hash-equivalence doctrine
+    // as fs_dedup_salted.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val dim = e.groupBy(col("event_type")).agg(count(lit(1)).as("type_count"))
+      graft.ops.Scale.saltedJoin(e, dim, Seq("event_type"), salts = 8, saltOn = "event_id")
+        .select(col("event_id"), col("event_type"), col("type_count"))
+    },
+    Some("""WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_count
+           |  FROM events GROUP BY 1)
+           |SELECT event_id, event_type, type_count
+           |FROM events JOIN dim USING (event_type)""".stripMargin))
+
+  private val mlPercentileRank = Q(
+    "ml_percentile_rank",
+    // Percentile-rank feature encoding: (rank-1)/(n-1) per key — rank
+    // and n are integer-exact (ties share a rank in both engines), the
+    // single closing division is deterministic at any parallelism.
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      T(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        percent_rank().over(w).as("pct_rank"))
+    },
+    Some("""SELECT event_id, event_type, value,
+           |  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pct_rank
+           |FROM events""".stripMargin))
+
+  private val txtBpePairs = Q(
+    "txt_bpe_pairs",
+    // The BPE-trainer inner loop's corpus pass: adjacent character-pair
+    // counts within whitespace tokens, top-10 merge candidates. Explode
+    // → hash-agg (map-side combinable) → TakeOrdered; the shuffle
+    // carries O(distinct pairs). The `length >= 2` guard matters in
+    // Spark: sequence(1, 0) yields a DESCENDING [1, 0], not empty.
+    (s, dir) => {
+      T(s, dir, "documents")
+        .select(explode(toks).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(10)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+           |pr AS (SELECT unnest(list_transform(range(1, length(t)), i -> t[i:i+1])) AS pair
+           |  FROM tok WHERE length(t) >= 2)
+           |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+           |FROM pr GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10""".stripMargin))
+
+  private val qSetopIntersect = Q(
+    "q_setop_intersect",
+    // §2.7 completion: INTERSECT plans as a left-semi hash join over
+    // distinct keys — customers with BOTH an urgent and a low-priority
+    // order.
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           |INTERSECT
+           |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin))
+
+  private val qUnpivot = Q(
+    "q_unpivot",
+    // melt/unpivot: wide measure columns to (measure, val) rows — the
+    // narrow O(1)-per-row Expand the warehouse melt step needs (no
+    // shuffle at all; the oracle states it as UNION ALL, which is what
+    // the Expand operator computes in one pass).
+    (s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+    },
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |       'l_quantity' AS measure, l_quantity AS val
+           |  FROM lineitem WHERE l_orderkey <= 100
+           |UNION ALL
+           |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice
+           |  FROM lineitem WHERE l_orderkey <= 100
+           |UNION ALL
+           |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount
+           |  FROM lineitem WHERE l_orderkey <= 100""".stripMargin))
+
+  private val txtBpeTrain = Q(
+    "txt_bpe_train",
+    // Distributed BPE merge training (functions/Bpe), 3 merge rounds
+    // under the oracle gate: ONE corpus pass reduces to the weighted
+    // word-type table, then every round is a tiny vocab-only job —
+    // pair explode + hash-agg + a 1-row argmax collect + a literal
+    // replace rewrite. The marker-prefixed symbol-string representation
+    // makes greedy leftmost merge order expressible as plain
+    // left-to-right non-overlapping replace() in BOTH engines, so the
+    // oracle replays the identical 3 iterations in chained CTEs.
+    (s, dir) => graft.functions.Bpe.trainFromText(T(s, dir, "documents"), "text", 3),
+    Some {
+      // adjacent-pair counts over a vocab CTE's marker-prefixed strings
+      def pc(v: String) =
+        s"""(SELECT p1, p2, sum(cnt) AS pc FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)),
+           |             i -> {'p1': syms[i], 'p2': syms[i+1]}), recursive := true), cnt
+           |    FROM (SELECT list_transform(string_split(w, ' '), x -> x[2:]) AS syms, cnt
+           |          FROM $v) sy
+           |    WHERE len(syms) >= 2) px
+           |  GROUP BY 1, 2)""".stripMargin
+      def merge(prev: String, top: String) =
+        s"""(SELECT replace(w, concat(chr(1), p1, ' ', chr(1), p2),
+           |                concat(chr(1), p1, p2)) AS w, cnt
+           |  FROM $prev CROSS JOIN $top)""".stripMargin
+      s"""WITH wc AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |v0 AS (SELECT concat(chr(1), array_to_string(string_split(word, ''),
+         |         concat(' ', chr(1)))) AS w, cnt FROM wc),
+         |t0 AS (SELECT p1, p2, pc FROM ${pc("v0")} ORDER BY pc DESC, p1, p2 LIMIT 1),
+         |v1 AS ${merge("v0", "t0")},
+         |t1 AS (SELECT p1, p2, pc FROM ${pc("v1")} ORDER BY pc DESC, p1, p2 LIMIT 1),
+         |v2 AS ${merge("v1", "t1")},
+         |t2 AS (SELECT p1, p2, pc FROM ${pc("v2")} ORDER BY pc DESC, p1, p2 LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, p1, p2, CAST(pc AS BIGINT) AS pc FROM t0
+         |UNION ALL SELECT CAST(2 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM t1
+         |UNION ALL SELECT CAST(3 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM t2""".stripMargin
+    })
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3482,7 +3620,8 @@ object QueryLib {
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
-    mlWinsorize, qCorrActivity,
+    mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
+    qSetopIntersect, qUnpivot, txtBpeTrain,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -23,6 +23,23 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("salted join equals plain join and takes the shuffled (non-broadcast) path") {
+    // skew: 80% of big rows on one key
+    val big = (0 until 4000).map { i =>
+      (i.toLong, if (i % 5 == 0) s"k${i % 4}" else "hot", i.toDouble)
+    }.toDF("id", "key", "v")
+    val small = (0 until 4).map(i => (s"k$i", i * 10)).toDF("key", "w")
+      .union(Seq(("hot", 99)).toDF("key", "w"))
+    val salted = Scale.saltedJoin(big, small, Seq("key"), salts = 8, saltOn = "id")
+    val plain = big.join(small, Seq("key"))
+    assert(salted.select("id", "key", "v", "w").as[(Long, String, Double, Int)].collect().sorted.toSeq ===
+      plain.select("id", "key", "v", "w").as[(Long, String, Double, Int)].collect().sorted.toSeq)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"salted join was broadcast — salt is pure overhead:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffled join on (key, salt):\n$plan")
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (0L until 1000L).map(i => (i, i * 2.0)).toDF("k", "va")
     val b = (0L until 1000L).map(i => (i, s"s$i")).toDF("k", "vb")

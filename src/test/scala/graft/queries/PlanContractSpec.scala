@@ -29,9 +29,11 @@ class PlanContractSpec extends SparkSpec {
   // doc_mixture_sample cross-joins the 1-row min-source count into the
   // per-source rate table (both metadata-sized by construction).
   private val cartesianAllowed = Set("sim_embed_dedup")
+  // txt_bm25 broadcasts the 1-row (N, avgdl) corpus-stats scalar, the
+  // same shape as txt_keywords' corpus-size broadcast.
   private val nestedLoopAllowed =
     Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid",
-      "dq_events", "q_drift_hist", "doc_mixture_sample", "sim_ann_pq")
+      "dq_events", "q_drift_hist", "doc_mixture_sample", "sim_ann_pq", "txt_bm25")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
