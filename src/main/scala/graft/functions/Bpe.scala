@@ -91,6 +91,31 @@ object Bpe {
       .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(sum(col("cnt")).as("pc"))
 
+  /** Word-boundary separator used by [[encode]]'s whole-document symbol
+    * string: words joined by " \u0002 " — merge patterns ("§p1 §p2")
+    * can never match across it, so merges stay word-local exactly as
+    * in training. */
+  val WordSep = "\u0002"
+
+  /** Apply trained merges to a text column: returns the BPE token count
+    * per row as ONE narrow projection (k nested literal replaces — no
+    * shuffle, no per-row UDF; the merge list is a driver-side constant
+    * folded into the plan, the degenerate broadcast). */
+  def encodeTokenCount(text: org.apache.spark.sql.Column, merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    // empty words (leading/double spaces) are dropped, matching
+    // wordCounts — and sidestepping the engines' disagreement on
+    // splitting the empty string
+    val init = array_join(
+      transform(filter(split(text, " "), w => length(w) > 0), w => initSymbols(w)),
+      s" $WordSep ")
+    val merged = merges.foldLeft(init) { (acc, m) =>
+      regexp_replace(acc,
+        java.util.regex.Pattern.quote(s"$Marker${m.left} $Marker${m.right}"),
+        java.util.regex.Matcher.quoteReplacement(s"$Marker${m.left}${m.right}"))
+    }
+    size(filter(split(merged, " "), s => s =!= WordSep))
+  }
+
   /** Convenience: end-to-end from text to the k-merge table the gate
     * dumps: (rank, p1, p2, pc). */
   def trainFromText(df: DataFrame, textCol: String, k: Int): DataFrame = {

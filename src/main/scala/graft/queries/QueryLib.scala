@@ -3596,6 +3596,97 @@ object QueryLib {
          |UNION ALL SELECT CAST(3 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM t2""".stripMargin
     })
 
+  private val txtBpeEncode = Q(
+    "txt_bpe_encode",
+    // The trained tokenizer APPLIED: per-doc BPE token counts after the
+    // 3 trained merges — the compression-ratio signal a pipeline uses
+    // for shard budgeting and tokenizer QA. Train = txt_bpe_train's
+    // vocab-only rounds; encode = ONE narrow projection (k nested
+    // literal replaces, merge list constant-folded into the plan). The
+    // U+0002 word separator keeps merges word-local in the whole-doc
+    // string; the oracle replays train AND encode in the same CTEs.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val merges = graft.functions.Bpe.trainMerges(
+        graft.functions.Bpe.wordCounts(d, "text"), 3)
+      d.select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
+        graft.functions.Bpe.encodeTokenCount(col("text"), merges)
+          .cast("long").as("n_tokens"))
+    },
+    Some {
+      def pc(v: String) =
+        s"""(SELECT p1, p2, sum(cnt) AS pc FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)),
+           |             i -> {'p1': syms[i], 'p2': syms[i+1]}), recursive := true), cnt
+           |    FROM (SELECT list_transform(string_split(w, ' '), x -> x[2:]) AS syms, cnt
+           |          FROM $v) sy
+           |    WHERE len(syms) >= 2) px
+           |  GROUP BY 1, 2)""".stripMargin
+      def merge(prev: String, top: String) =
+        s"""(SELECT replace(w, concat(chr(1), p1, ' ', chr(1), p2),
+           |                concat(chr(1), p1, p2)) AS w, cnt
+           |  FROM $prev CROSS JOIN $top)""".stripMargin
+      def enc(prev: String, top: String) =
+        s"""(SELECT doc_id, text, replace(w, concat(chr(1), p1, ' ', chr(1), p2),
+           |                concat(chr(1), p1, p2)) AS w
+           |  FROM $prev CROSS JOIN $top)""".stripMargin
+      s"""WITH wc AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |v0 AS (SELECT concat(chr(1), array_to_string(string_split(word, ''),
+         |         concat(' ', chr(1)))) AS w, cnt FROM wc),
+         |t0 AS (SELECT p1, p2, pc FROM ${pc("v0")} ORDER BY pc DESC, p1, p2 LIMIT 1),
+         |v1 AS ${merge("v0", "t0")},
+         |t1 AS (SELECT p1, p2, pc FROM ${pc("v1")} ORDER BY pc DESC, p1, p2 LIMIT 1),
+         |v2 AS ${merge("v1", "t1")},
+         |t2 AS (SELECT p1, p2, pc FROM ${pc("v2")} ORDER BY pc DESC, p1, p2 LIMIT 1),
+         |e0 AS (SELECT doc_id, text, array_to_string(list_transform(
+         |         list_filter(string_split(text, ' '), x -> length(x) > 0),
+         |         x -> concat(chr(1), array_to_string(string_split(x, ''),
+         |                concat(' ', chr(1))))),
+         |         concat(' ', chr(2), ' ')) AS w
+         |  FROM documents),
+         |e1 AS ${enc("e0", "t0")},
+         |e2 AS ${enc("e1", "t1")},
+         |e3 AS ${enc("e2", "t2")}
+         |SELECT doc_id,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(string_split(w, ' '), s -> s <> chr(2))) AS BIGINT)
+         |    AS n_tokens
+         |FROM e3""".stripMargin
+    })
+
+  private val dedupEditVerify = Q(
+    "dedup_edit_verify",
+    // Edit-distance near-dup verification — the metric MinHash/SimHash
+    // can't see (character-level edits inside tokens). Candidates come
+    // from an equi-join on (lang, source, length-bucket) blocking keys
+    // — never all-pairs — then bounded relative Levenshtein verifies:
+    // 10·ed <= 4·max(len) keeps the threshold compare in exact integer
+    // space (no double boundary). Both engines implement unit-cost
+    // Levenshtein identically, so the distances hash bit-for-bit.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        expr("n_chars div 32").as("bkt"), col("n_chars"))
+      val a = d.toDF("a_id", "a_text", "lang", "source", "bkt", "a_len")
+      val b = d.toDF("b_id", "b_text", "lang", "source", "bkt", "b_len")
+      a.join(b, Seq("lang", "source", "bkt"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("ed", levenshtein(col("a_text"), col("b_text")).cast("long"))
+        .filter(lit(10L) * col("ed") <= lit(4L) * greatest(col("a_len"), col("b_len")))
+        .select(col("a_id"), col("b_id"), col("ed"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text, lang, source,
+           |    n_chars // 32 AS bkt, n_chars FROM documents)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed
+           |FROM d a JOIN d b
+           |  ON a.lang = b.lang AND a.source = b.source AND a.bkt = b.bkt
+           | AND a.doc_id < b.doc_id
+           |WHERE 10 * levenshtein(a.text, b.text) <= 4 * greatest(a.n_chars, b.n_chars)""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3621,7 +3712,7 @@ object QueryLib {
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
-    qSetopIntersect, qUnpivot, txtBpeTrain,
+    qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
