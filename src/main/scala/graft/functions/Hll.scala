@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic HyperLogLog registers as PLAIN ROWS — the mergeable
+  * cardinality sketch for sliding windows and pre-aggregated cubes,
+  * where Spark's `approx_count_distinct` can't help (its sketch is an
+  * opaque aggregation buffer: not mergeable across window frames, not
+  * reproducible in an external engine).
+  *
+  * Design: m = 256 registers (b = 8). Hash = md5 (cross-engine
+  * reproducible); register index = first 2 hex nibbles, rho = leading
+  * zeros of the next 60 bits + 1 (all-zero suffix → 61, the w+1 rule).
+  * A register table (key…, idx, r) merges by MAX — associative and
+  * commutative, so registers roll up through any groupBy or window
+  * max: per-day registers → 7-day windows, per-partition → global,
+  * pre-agg cube cells, etc. The RAW estimator alpha·m²/Σ2^(-r) is kept
+  * libm-free: Σ2^(61-r) is an exact integer (decimal(38,0) — up to
+  * 256·2^61 overflows BIGINT), and the closing constant·2^61/S is one
+  * IEEE op chain — bit-reproducible in any engine, unlike the ln-based
+  * small-range correction, which is deliberately omitted (the raw
+  * estimator is the large-range regime a 100 TB profile lives in).
+  */
+object Hll {
+
+  val B = 8
+  val M = 256 // 1 << B
+
+  /** Per-row (idx, rho) from a string expression. Prefix the input with
+    * a purpose tag so unrelated sketches decorrelate. */
+  def idxCol(input: Column): Column =
+    conv(substring(md5(input), 1, 2), 16, 10).cast("long")
+
+  def rhoCol(input: Column): Column = {
+    val sfx = conv(substring(md5(input), 3, 15), 16, 10).cast("long")
+    when(sfx === 0L, lit(61L)).otherwise(lit(61L) - length(bin(sfx)).cast("long"))
+  }
+
+  /** Dense per-group register table: one row per (groupCols…, idx) for
+    * EVERY group × all 256 idx — dense so downstream window/rollup
+    * maxes see absent registers as r = 0 instead of missing rows.
+    * Sparse observed maxes are computed first (one hash-agg over the
+    * data), then left-joined onto the group × idx grid.
+    */
+  def registers(df: DataFrame, groupCols: Seq[String], input: Column): DataFrame = {
+    val spark = df.sparkSession
+    val obs = df.select(col("*"), idxCol(input).as("idx"), rhoCol(input).as("rho"))
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("rho")).as("r"))
+    val grid = df.select(groupCols.map(col): _*).distinct()
+      .crossJoin(spark.range(M).select(col("id").as("idx")))
+    grid.join(obs, groupCols :+ "idx", "left")
+      .withColumn("r", coalesce(col("r"), lit(0L)))
+  }
+
+  /** The exact-integer register sum term: 2^(61-r) as decimal(38,0). */
+  def sumTerm(rCol: String): Column =
+    expr(s"cast(shiftleft(1L, cast(61 - $rCol as int)) as decimal(38,0))")
+
+  /** Raw HLL estimate from the summed term S = Σ2^(61-r): one IEEE op
+    * chain, every literal explicit so an oracle can mirror it. */
+  def rawEstimate(s: Column): Column =
+    (((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0)) *
+      lit(2305843009213693952.0)) / s.cast("double")
+}

@@ -3698,6 +3698,56 @@ object QueryLib {
            |FROM cand JOIN documents x ON x.doc_id = cand.doc_a
            |          JOIN documents y ON y.doc_id = cand.doc_b""".stripMargin))
 
+  private val qRollingDistinctHll = Q(
+    "q_rolling_distinct_hll",
+    // Rolling 7-day distinct users per event type through the
+    // deterministic mergeable HLL (functions/Hll) — the sketch shape
+    // approx_count_distinct can't deliver: its buffer is opaque, ours
+    // is a (key, day, idx, r) REGISTER TABLE that merges by window MAX
+    // over the day range. One corpus hash-agg builds per-day registers;
+    // the roll is a range-frame max over 256 rows/key/day; the raw
+    // estimator is libm-free (exact decimal Σ2^(61-r), one closing IEEE
+    // chain) so the approximate count itself hashes BIT-FOR-BIT against
+    // the oracle — no tolerance, no within-x% crutch.
+    (s, dir) => {
+      val e = T(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        concat(lit("hll:"), col("user_id").cast("string")).as("hin"))
+      val reg = graft.functions.Hll.registers(e, Seq("event_type", "day"), col("hin"))
+      val w = Window.partitionBy(col("event_type"), col("idx"))
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      reg.withColumn("r7", max(col("r")).over(w))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(graft.functions.Hll.sumTerm("r7")).as("s"))
+        .select(col("event_type"), col("day"),
+          graft.functions.Hll.rawEstimate(col("s")).as("approx_users_7d"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    md5(concat('hll:', CAST(user_id AS VARCHAR))) AS h FROM events),
+           |rh AS (SELECT event_type, day,
+           |    ('0x' || substr(h, 1, 2))::BIGINT AS idx,
+           |    CASE WHEN ('0x' || substr(h, 3, 15))::BIGINT = 0 THEN 61
+           |         ELSE 61 - length(bin(('0x' || substr(h, 3, 15))::BIGINT)) END AS rho
+           |  FROM e),
+           |obs AS (SELECT event_type, day, idx, max(rho) AS r FROM rh GROUP BY 1, 2, 3),
+           |grid AS (SELECT k.event_type, d.day, i.idx FROM
+           |    (SELECT DISTINCT event_type FROM e) k,
+           |    (SELECT DISTINCT day FROM e) d,
+           |    (SELECT unnest(range(256)) AS idx) i),
+           |reg AS (SELECT g.event_type, g.day, g.idx, coalesce(o.r, 0) AS r
+           |  FROM grid g LEFT JOIN obs o
+           |    ON g.event_type = o.event_type AND g.day = o.day AND g.idx = o.idx),
+           |roll AS (SELECT event_type, day,
+           |    max(r) OVER (PARTITION BY event_type, idx ORDER BY day
+           |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS r7 FROM reg),
+           |agg AS (SELECT event_type, day,
+           |    sum((1::BIGINT << CAST(61 - r7 AS INT))::HUGEINT) AS s FROM roll GROUP BY 1, 2)
+           |SELECT event_type, day,
+           |  (((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+           |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE))
+           |    * CAST(2305843009213693952 AS DOUBLE)) / CAST(s AS DOUBLE) AS approx_users_7d
+           |FROM agg""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3724,6 +3774,7 @@ object QueryLib {
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
+    qRollingDistinctHll,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
