@@ -3748,6 +3748,41 @@ object QueryLib {
            |    * CAST(2305843009213693952 AS DOUBLE)) / CAST(s AS DOUBLE) AS approx_users_7d
            |FROM agg""".stripMargin))
 
+  private val txtCmsCounts = Q(
+    "txt_cms_counts",
+    // Count-Min sketch frequency estimates for the top-10 corpus terms,
+    // checked against their exact counts — and, because functions/Cms
+    // is md5-bucketed integer arithmetic end-to-end, the ESTIMATES
+    // themselves hash bit-for-bit against the oracle's replay of the
+    // same 4×1024 counter table. The sketch build is one posexplode +
+    // hash-agg pass (map-side combinable, O(d·w) output regardless of
+    // corpus size); estimates join the tiny counter table on (j,
+    // bucket) and take the min of d rows.
+    (s, dir) => {
+      val tokens = T(s, dir, "documents").select(explode(toks).as("term"))
+      val sk = graft.functions.Cms.sketch(tokens, col("term"))
+      val top = tokens.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(10)
+      graft.functions.Cms.estimate(sk, top, "term")
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"))
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |js AS (SELECT unnest(range(4)) AS j),
+           |sk AS (SELECT j, ('0x' || substr(md5(concat('cms', j, ':', term)), 1, 8))::BIGINT
+           |           % 1024 AS bucket, count(*) AS c
+           |  FROM tok CROSS JOIN js GROUP BY 1, 2),
+           |top AS (SELECT term, count(*) AS exact_cnt FROM tok GROUP BY 1
+           |  ORDER BY exact_cnt DESC, term LIMIT 10),
+           |est AS (SELECT t.term, min(coalesce(s.c, 0)) AS cms_est
+           |  FROM top t CROSS JOIN js
+           |  LEFT JOIN sk s ON s.j = js.j AND s.bucket =
+           |    ('0x' || substr(md5(concat('cms', js.j, ':', t.term)), 1, 8))::BIGINT % 1024
+           |  GROUP BY 1)
+           |SELECT top.term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           |  CAST(cms_est AS BIGINT) AS cms_est
+           |FROM top JOIN est ON top.term = est.term""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3774,7 +3809,7 @@ object QueryLib {
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
-    qRollingDistinctHll,
+    qRollingDistinctHll, txtCmsCounts,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
