@@ -3783,6 +3783,26 @@ object QueryLib {
            |  CAST(cms_est AS BIGINT) AS cms_est
            |FROM top JOIN est ON top.term = est.term""".stripMargin))
 
+  private val qGroupingSets = Q(
+    "q_grouping_sets",
+    // §2.4 completion beyond rollup/cube: arbitrary GROUPING SETS with
+    // grouping() null-vs-total disambiguation — one Expand pass, one
+    // hash-agg, no per-set rescans. SQL-expressed (the Dataset API
+    // stops at rollup/cube).
+    (s, dir) => {
+      T(s, dir, "events").createOrReplaceTempView("ev_gs")
+      s.sql("""SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+              |  CAST(grouping(cohort) AS BIGINT) AS g_cohort
+              |FROM (SELECT event_type, user_id % 10 AS cohort FROM ev_gs) t
+              |GROUP BY GROUPING SETS ((event_type), (cohort), (event_type, cohort), ())""".stripMargin)
+    },
+    Some("""SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+           |  CAST(grouping(cohort) AS BIGINT) AS g_cohort
+           |FROM (SELECT event_type, user_id % 10 AS cohort FROM events) t
+           |GROUP BY GROUPING SETS ((event_type), (cohort), (event_type, cohort), ())""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3809,7 +3829,7 @@ object QueryLib {
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
-    qRollingDistinctHll, txtCmsCounts,
+    qRollingDistinctHll, txtCmsCounts, qGroupingSets,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

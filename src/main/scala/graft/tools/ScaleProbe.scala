@@ -604,6 +604,38 @@ object ScaleProbe {
       println(f"[probe]   rank mass ${s.getDouble(0)}%.4f over ${s.getLong(1)} nodes")
       require(s.getLong(1) == 2000000L)
     }
+    // BPE at corpus scale: the trainer's cost model is ONE 20M-token
+    // corpus reduce to ~50k word types, then 3 merge rounds that touch
+    // only the vocab table (plus a 1-row argmax collect each). A
+    // trainer that rescanned the corpus per merge would pay 4 corpus
+    // passes; this pays 1 + 3·O(|vocab|).
+    timed("BPE trainer: 20M-token corpus -> 50k word types, 3 merge rounds") {
+      val toks = spark.range(20000000L).select(
+        substring(md5((col("id") % 50000L).cast("string")), 1, 8).as("text"))
+      val wc = graft.functions.Bpe.wordCounts(toks, "text")
+      val merges = graft.functions.Bpe.trainMerges(wc, 3)
+      println(s"[probe]   merges: ${merges.map(m => s"${m.left}+${m.right}@${m.count}").mkString(", ")}")
+      require(merges.size == 3)
+    }
+    // Sketches at stream scale: both are one-pass hash-aggs whose
+    // OUTPUT is O(sketch size), not O(stream) — 256 registers/key for
+    // HLL, 4x1024 counters for CMS — so a 100 TB profile ships
+    // kilobytes per key to the driver/warehouse.
+    timed("sketches: HLL registers (20M ids, 8 keys) + CMS counters (20M tokens)") {
+      val ids = spark.range(20000000L).select(
+        (col("id") % 8L).cast("string").as("g"),
+        concat(lit("hll:"), (col("id") % 3000000L).cast("string")).as("hin"))
+      val est = graft.functions.Hll.registers(ids, Seq("g"), col("hin"))
+        .groupBy(col("g")).agg(sum(graft.functions.Hll.sumTerm("r")).as("s"))
+        .select(graft.functions.Hll.rawEstimate(col("s")).as("e"))
+        .agg(avg(col("e"))).head.getDouble(0)
+      // true distinct/key = 375k (gcd(8, 3M) = 8 partitions the id space)
+      println(f"[probe]   mean HLL estimate/key: $est%.0f (true 375000)")
+      val toks = spark.range(20000000L).select(
+        substring(md5((col("id") % 100000L).cast("string")), 1, 6).as("t"))
+      val sk = graft.functions.Cms.sketch(toks, col("t"))
+      require(sk.count() <= 4096, "CMS output must stay O(d*w)")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

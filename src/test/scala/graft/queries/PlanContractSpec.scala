@@ -31,9 +31,13 @@ class PlanContractSpec extends SparkSpec {
   private val cartesianAllowed = Set("sim_embed_dedup")
   // txt_bm25 broadcasts the 1-row (N, avgdl) corpus-stats scalar, the
   // same shape as txt_keywords' corpus-size broadcast.
+  // q_rolling_distinct_hll cross-joins the (keys × days) grid with the
+  // 256-row register-index range — the DENSE register grid is
+  // O(|keys|·|days|·256) metadata by construction, never corpus-sized.
   private val nestedLoopAllowed =
     Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid",
-      "dq_events", "q_drift_hist", "doc_mixture_sample", "sim_ann_pq", "txt_bm25")
+      "dq_events", "q_drift_hist", "doc_mixture_sample", "sim_ann_pq", "txt_bm25",
+      "q_rolling_distinct_hll")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
