@@ -2966,9 +2966,11 @@ object QueryLib {
     // so the within-5%% bit is a stable gate and the oracle carries the
     // exact side plus the literal bit.
     (s, dir) => {
+      // rsd 0.01 makes the 5% gate a ~5-sigma bound — the default 0.05
+      // sketch measured a >5% miss at sf0.1 (1,500 distinct users/key)
       T(s, dir, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("approx"))
+          approx_count_distinct(col("user_id"), 0.01).as("approx"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx") - col("exact_users")) <=
             col("exact_users") * 0.05).cast("int").as("within_5pct"))
@@ -3803,6 +3805,73 @@ object QueryLib {
            |FROM (SELECT event_type, user_id % 10 AS cohort FROM events) t
            |GROUP BY GROUPING SETS ((event_type), (cohort), (event_type, cohort), ())""".stripMargin))
 
+  private val fsStreamHll = Q(
+    "fs_stream_hll",
+    // Streaming cardinality profile: HLL registers maintained by a
+    // STATEFUL streaming max-agg — because the register merge is MAX,
+    // the sketch is exactly the aggregation Structured Streaming
+    // already knows how to keep per key across micro-batches; state is
+    // O(keys × 256) forever, the streaming-safe way to track distincts
+    // on an unbounded stream (count distinct state would grow without
+    // bound). 4 real micro-batches in Complete mode; the estimate is
+    // closed in batch over the final register table and must hash
+    // BIT-FOR-BIT against the oracle computing the same sketch from
+    // the plain events table — stream/batch parity for sketches.
+    (s, dir) => {
+      val src = T(s, dir, "events").select(col("event_type"),
+        concat(lit("hll:"), col("user_id").cast("string")).as("hin"))
+      val srcDir = stagedSrc("shll", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"shll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val regs = stream.select(col("event_type"),
+          graft.functions.Hll.idxCol(col("hin")).as("idx"),
+          graft.functions.Hll.rhoCol(col("hin")).as("rho"))
+        .groupBy(col("event_type"), col("idx")).agg(max(col("rho")).as("r"))
+      val query = withStatePartitions(s, 4) {
+        regs.writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // fresh output names on the observed side: the memory-sink view
+      // appears on both sides of the join and Spark's resolver rejects
+      // the conflicting attribute ids otherwise
+      val obs = s.table(view).select(col("event_type").as("o_et"),
+        col("idx").as("o_idx"), col("r"))
+      val dense = s.table(view).select(col("event_type")).distinct()
+        .crossJoin(s.range(graft.functions.Hll.M).select(col("id").as("idx")))
+        .join(obs, col("event_type") === col("o_et") && col("idx") === col("o_idx"), "left")
+        .withColumn("r", coalesce(col("r"), lit(0L)))
+      dense.groupBy(col("event_type"))
+        .agg(sum(graft.functions.Hll.sumTerm("r")).as("s"))
+        .select(col("event_type"),
+          graft.functions.Hll.rawEstimate(col("s")).as("approx_users"))
+    },
+    Some("""WITH rh AS (SELECT event_type,
+           |    ('0x' || substr(md5(concat('hll:', CAST(user_id AS VARCHAR))), 1, 2))::BIGINT AS idx,
+           |    CASE WHEN ('0x' || substr(md5(concat('hll:', CAST(user_id AS VARCHAR))), 3, 15))::BIGINT = 0
+           |         THEN 61
+           |         ELSE 61 - length(bin(('0x' || substr(md5(concat('hll:', CAST(user_id AS VARCHAR))), 3, 15))::BIGINT))
+           |    END AS rho
+           |  FROM events),
+           |obs AS (SELECT event_type, idx, max(rho) AS r FROM rh GROUP BY 1, 2),
+           |grid AS (SELECT k.event_type, i.idx FROM
+           |    (SELECT DISTINCT event_type FROM events) k,
+           |    (SELECT unnest(range(256)) AS idx) i),
+           |reg AS (SELECT g.event_type, coalesce(o.r, 0) AS r
+           |  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.idx = o.idx),
+           |agg AS (SELECT event_type,
+           |    sum((1::BIGINT << CAST(61 - r AS INT))::HUGEINT) AS s FROM reg GROUP BY 1)
+           |SELECT event_type,
+           |  (((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+           |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE))
+           |    * CAST(2305843009213693952 AS DOUBLE)) / CAST(s AS DOUBLE) AS approx_users
+           |FROM agg""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3829,7 +3898,7 @@ object QueryLib {
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
-    qRollingDistinctHll, txtCmsCounts, qGroupingSets,
+    qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

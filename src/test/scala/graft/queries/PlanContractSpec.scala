@@ -47,7 +47,7 @@ class PlanContractSpec extends SparkSpec {
   private val skipBuild =
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_training_frame", "fs_transform_dag",
       "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
-      "fs_stream_dedup", "fs_stream_attrib",
+      "fs_stream_dedup", "fs_stream_attrib", "fs_stream_hll", "fs_stream_ewma",
       // builds the eval-gram bloom eagerly (count + stat.bloomFilter
       // jobs) and persists the gram frame — plan stringification would
       // execute jobs and leak cache; its joins are plain equi-joins,
