@@ -3872,6 +3872,34 @@ object QueryLib {
            |    * CAST(2305843009213693952 AS DOUBLE)) / CAST(s AS DOUBLE) AS approx_users
            |FROM agg""".stripMargin))
 
+  private val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    // KMV bottom-k sketch (functions/Kmv): per-type distinct-user
+    // estimates that hash BIT-FOR-BIT — the md5 order is the same in
+    // every engine, so the k-th smallest hash, and therefore the
+    // (k-1)·2^60/h_k estimate, is reproducible exactly. At sf0.01
+    // (150 users < k) the sketch degrades to the exact count — the
+    // estimator's documented small-side behavior, exercised by the
+    // same gate at two scales. The bottom-k runs as a WindowGroupLimit
+    // partial top-k: no group materializes beyond k rows per task.
+    (s, dir) => {
+      val sk = graft.functions.Kmv.sketch(
+        T(s, dir, "events"), Seq("event_type"), col("user_id").cast("string"), k = 512)
+      graft.functions.Kmv.distinctEstimate(sk, Seq("event_type"), k = 512)
+    },
+    Some("""WITH dv AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+           |h AS (SELECT event_type, v,
+           |    ('0x' || substr(md5(concat('kmv:', v)), 1, 15))::BIGINT AS h FROM dv),
+           |rk AS (SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk FROM h),
+           |sk AS (SELECT event_type, h FROM rk WHERE rk <= 512),
+           |agg AS (SELECT event_type, count(*) AS n_sample, max(h) AS h_k FROM sk GROUP BY 1)
+           |SELECT event_type,
+           |  CASE WHEN n_sample < 512 THEN CAST(n_sample AS DOUBLE)
+           |       ELSE CAST(511.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)
+           |            / CAST(h_k AS DOUBLE) END AS distinct_est
+           |FROM agg""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3898,7 +3926,7 @@ object QueryLib {
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
-    qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll,
+    qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
