@@ -105,15 +105,17 @@ object Bpe {
     // empty words (leading/double spaces) are dropped, matching
     // wordCounts — and sidestepping the engines' disagreement on
     // splitting the empty string
-    val init = array_join(
-      transform(filter(split(text, " "), w => length(w) > 0), w => initSymbols(w)),
-      s" $WordSep ")
+    val words = filter(split(text, " "), w => length(w) > 0)
+    val init = array_join(transform(words, w => initSymbols(w)), s" $WordSep ")
     val merged = merges.foldLeft(init) { (acc, m) =>
       regexp_replace(acc,
         java.util.regex.Pattern.quote(s"$Marker${m.left} $Marker${m.right}"),
         java.util.regex.Matcher.quoteReplacement(s"$Marker${m.left}${m.right}"))
     }
-    size(filter(split(merged, " "), s => s =!= WordSep))
+    // empty/whitespace-only text: split("", " ") yields [""] and would
+    // read as one phantom token — report 0
+    when(size(words) === 0, lit(0))
+      .otherwise(size(filter(split(merged, " "), s => s =!= WordSep)))
   }
 
   /** Convenience: end-to-end from text to the k-merge table the gate

@@ -57,6 +57,12 @@ object Graph {
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("rank"))
     }
-    ranks
+    // cut the lineage (O(|V|) rows, eager) so the two iteration-scoped
+    // caches can be released before returning — otherwise every call
+    // leaks two persisted frames the caller has no handle to unpersist
+    val out = ranks.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic HyperLogLog registers as PLAIN ROWS — the mergeable
@@ -42,16 +41,28 @@ object Hll {
     * EVERY group × all 256 idx — dense so downstream window/rollup
     * maxes see absent registers as r = 0 instead of missing rows.
     * Sparse observed maxes are computed first (one hash-agg over the
-    * data), then left-joined onto the group × idx grid.
+    * data), then left-joined onto the group × idx grid. The default
+    * grid is the OBSERVED group set, derived from the tiny aggregated
+    * frame (never a second scan of the input); pass `grid` explicitly
+    * when the group domain is larger than what the data shows — e.g. a
+    * keys × calendar-days cross product for a rolling window, where a
+    * key that skips a day still needs its register rows.
     */
-  def registers(df: DataFrame, groupCols: Seq[String], input: Column): DataFrame = {
+  def registers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      input: Column,
+      grid: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     val obs = df.select(col("*"), idxCol(input).as("idx"), rhoCol(input).as("rho"))
       .groupBy((groupCols :+ "idx").map(col): _*)
       .agg(max(col("rho")).as("r"))
-    val grid = df.select(groupCols.map(col): _*).distinct()
-      .crossJoin(spark.range(M).select(col("id").as("idx")))
-    grid.join(obs, groupCols :+ "idx", "left")
+    // re-alias (fresh exprIds) so the grid side of the self-join below
+    // doesn't share attribute ids with obs
+    val groupsDf = grid.getOrElse(
+      obs.select(groupCols.map(c => col(c).as(c)): _*).distinct())
+    val dense = groupsDf.crossJoin(spark.range(M).select(col("id").as("idx")))
+    dense.join(obs, groupCols :+ "idx", "left")
       .withColumn("r", coalesce(col("r"), lit(0L)))
   }
 

@@ -38,8 +38,12 @@ object IntervalJoin {
       binMicros: Long): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     // end is exclusive: an interval ending exactly on a bin edge does
-    // not overlap that bin, hence the -1 before the div.
-    val iv = intervals.withColumn("_bin",
+    // not overlap that bin, hence the -1 before the div. Empty and
+    // inverted intervals (end <= start) can match nothing by definition
+    // — drop them BEFORE the explode, where Spark's descending
+    // sequence(a, b) for b < a would otherwise fabricate |span|/bin
+    // candidate rows per bad interval.
+    val iv = intervals.filter(col(end) > col(start)).withColumn("_bin",
       explode(sequence(
         expr(s"unix_micros($start) div ${binMicros}L"),
         expr(s"(unix_micros($end) - 1) div ${binMicros}L"))))

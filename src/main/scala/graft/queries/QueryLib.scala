@@ -3198,7 +3198,13 @@ object QueryLib {
         ((sum((v * v).cast("decimal(28,4)")).cast("double") * count(lit(1)) -
           sum(v).cast("double") * sum(v).cast("double")) /
           (count(lit(1)) * (count(lit(1)) - 1)).cast("double")).as("variance"))
+      // variance > 0 guard: a zero-variance (or single-row) group makes
+      // z 0/0 — NULL under Spark's divide, NaN under DuckDB's IEEE
+      // division (and DuckDB sorts NaN above every number, so abs(z)>2
+      // would KEEP the row there while Spark drops it). Filter the
+      // degenerate groups explicitly on both sides.
       e.join(broadcast(stats), Seq("event_type"))
+        .filter(col("variance") > 0)
         .select(col("event_id"), col("event_type"), col("value"),
           ((v.cast("double") - col("mean")) / sqrt(col("variance"))).as("z"))
         .filter(abs(col("z")) > 2)
@@ -3213,7 +3219,7 @@ object QueryLib {
            |  FROM events GROUP BY 1),
            |z AS (SELECT event_id, event_type, value,
            |    (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sqrt(variance) AS z
-           |  FROM events JOIN st USING (event_type))
+           |  FROM events JOIN st USING (event_type) WHERE variance > 0)
            |SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2""".stripMargin))
 
   private val qIntervalJoin = Q(
@@ -3440,9 +3446,15 @@ object QueryLib {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
         .select(col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          // degenerate guard: zero variance on either side (one user,
+          // or a count constant across users) makes the denominator 0
+          // — NULL under Spark's divide vs NaN/Inf under DuckDB's IEEE
+          // division. Emit an explicit NULL in BOTH engines instead.
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+               col("n") * col("syy") - col("sy") * col("sy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .as("corr_click_purchase"))
     },
     Some("""WITH per AS (SELECT user_id,
@@ -3455,9 +3467,10 @@ object QueryLib {
            |    CAST(sum(x * x) AS BIGINT) AS sxx,
            |    CAST(sum(y * y) AS BIGINT) AS syy
            |  FROM per)
-           |SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
-           |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-           |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_click_purchase
+           |SELECT n, CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+           |  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr_click_purchase
            |FROM s""".stripMargin))
 
   private val qJoinSalted = Q(
@@ -3654,7 +3667,9 @@ object QueryLib {
          |e3 AS ${enc("e2", "t2")}
          |SELECT doc_id,
          |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
-         |  CAST(len(list_filter(string_split(w, ' '), s -> s <> chr(2))) AS BIGINT)
+         |  CAST(CASE WHEN len(list_filter(string_split(text, ' '), x -> length(x) > 0)) = 0
+         |       THEN 0
+         |       ELSE len(list_filter(string_split(w, ' '), s -> s <> chr(2))) END AS BIGINT)
          |    AS n_tokens
          |FROM e3""".stripMargin
     })
@@ -3715,7 +3730,13 @@ object QueryLib {
       val e = T(s, dir, "events").select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         concat(lit("hll:"), col("user_id").cast("string")).as("hin"))
-      val reg = graft.functions.Hll.registers(e, Seq("event_type", "day"), col("hin"))
+      // dense keys × days grid (mirroring the oracle's cross product):
+      // a key that skips a day still emits that day's rolling row —
+      // observed-pairs-only registers would drop it
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(e.select(col("day")).distinct())
+      val reg = graft.functions.Hll.registers(
+        e, Seq("event_type", "day"), col("hin"), grid = Some(grid))
       val w = Window.partitionBy(col("event_type"), col("idx"))
         .orderBy(col("day")).rangeBetween(-6, 0)
       reg.withColumn("r7", max(col("r")).over(w))

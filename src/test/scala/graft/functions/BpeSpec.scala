@@ -59,6 +59,21 @@ class BpeSpec extends SparkSpec {
     assert(train(words, 1).head === Bpe.Merge("a", "b", 2L))
   }
 
+  test("encodeTokenCount: counts match a by-hand merge; empty text reads 0") {
+    import org.apache.spark.sql.functions.col
+    val merges = Seq(Bpe.Merge("t", "h", 0L), Bpe.Merge("th", "e", 0L))
+    val got = Seq("the cat", "thethe", "", "   ", "a")
+      .toDF("text")
+      .select(col("text"), Bpe.encodeTokenCount(col("text"), merges).as("n"))
+      .as[(String, Int)].collect().toMap
+    // "the cat" -> [the] [c a t] = 4; "thethe" -> [the the] = 2
+    assert(got("the cat") === 4)
+    assert(got("thethe") === 2)
+    assert(got("") === 0)
+    assert(got("   ") === 0)
+    assert(got("a") === 1)
+  }
+
   test("wordCounts + trainFromText end-to-end agrees with the reference") {
     val docs = Seq("the cat sat", "the bat", "the cat").toDF("text")
     val wc = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap

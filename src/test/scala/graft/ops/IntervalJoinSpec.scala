@@ -51,6 +51,19 @@ class IntervalJoinSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("empty and inverted intervals match nothing and don't explode") {
+    val iv = Seq(
+      (1L, 0L, ts("2021-01-01T01:00:00"), ts("2021-01-01T01:00:00")), // empty
+      (2L, 0L, ts("2021-01-01T05:00:00"), ts("2021-01-01T00:00:00")), // inverted
+      (3L, 0L, ts("2021-01-01T00:00:00"), ts("2021-01-01T02:00:00"))  // valid
+    ).toDF("iv_id", "key", "w_start", "w_end")
+    val pt = Seq((1L, 0L, ts("2021-01-01T01:00:00"), 1.0))
+      .toDF("pt_id", "key", "ts", "v")
+    val got = IntervalJoin.binned(iv, pt, "key", "w_start", "w_end", "ts", 600L * 1000000L)
+      .select("iv_id").as[Long].collect().toSeq
+    assert(got === Seq(3L))
+  }
+
   test("plan contract: equi-join on (key, bin), no nested loop") {
     val (iv, pt, binMs) = fixture
     val plan = IntervalJoin.binned(iv, pt, "key", "w_start", "w_end", "ts", binMs)
