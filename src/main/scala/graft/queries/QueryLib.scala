@@ -364,6 +364,19 @@ object QueryLib {
            |    (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_v
            |FROM j""".stripMargin))
 
+  private val fsFirst = Q(
+    "fs_first",
+    // FeatureStore.first's kernel under the oracle gate — min_by is the
+    // same one-pass hash-agg as fs_last's max_by (head-partition
+    // pruning does the 100 TB work in the facade; (type, ts) is
+    // tie-free in this data so arg_min is well-defined cross-engine).
+    (s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type")).agg(
+        min_by(col("value"), col("ts")).as("first_value"),
+        min(col("ts")).as("first_time")),
+    Some("""SELECT event_type, arg_min(value, ts) AS first_value, min(ts) AS first_time
+           |FROM events GROUP BY 1""".stripMargin))
+
   private val fsLast = Q(
     "fs_last",
     (s, dir) =>
@@ -3927,7 +3940,7 @@ object QueryLib {
     fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
     fsResampleYears,
     fsResampleMonthly, fsResampleInterp, fsResampleBfill, fsAlign2,
-    fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
+    fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
     fsStreamAttrib,
