@@ -2,7 +2,7 @@ package graft.api
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 
@@ -290,6 +290,19 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     val (nsObj, f) = featureOf(fullName)
     require(f.transform.isEmpty, s"cannot optimize transformed feature '$fullName'")
     store(nsObj).optimize(f.name, targetBytes)
+  }
+
+  /** Row-level transactional delete on a stored feature (txlog
+    * backend) — the GDPR erasure path: predicate over the normalized
+    * columns (time, created_time, value, partition); only files with
+    * matches rewrite, one atomic commit. Bytes of pre-delete versions
+    * persist for time travel until [[vacuumFeature]] — strict erasure
+    * is deleteRows + vacuum(0). Returns rows deleted.
+    */
+  def deleteRows(fullName: String, predicate: Column): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot delete rows of transformed feature '$fullName'")
+    store(nsObj).deleteWhere(f.name, predicate)
   }
 
   /** Garbage-collect data files retired by compaction. Only meaningful

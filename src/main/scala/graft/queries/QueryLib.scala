@@ -3934,6 +3934,41 @@ object QueryLib {
            |            / CAST(h_k AS DOUBLE) END AS distinct_est
            |FROM agg""".stripMargin))
 
+  private val fsStoreDeleteRows = Q(
+    "fs_store_delete_rows",
+    // The lakehouse DELETE under the oracle gate — the GDPR shape: save
+    // a feature on the txlog backend, transactionally erase a time
+    // window's rows (only files with matches rewrite; ONE retire +
+    // publish commit), vacuum the retired bytes, and the snapshot read
+    // must reproduce what DuckDB computes from raw events with the
+    // same rows WHERE'd out. A leaked supposedly-deleted row changes
+    // the forward-filled grid and hashes red.
+    (s, dir) => {
+      val tmp = scratchDir("delrt")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("del", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("del/purchase")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("ts").as("time"), col("value")),
+        name = Some("del/purchase"))
+      val erased = fs.deleteRows("del/purchase",
+        col("time") >= lit("2024-01-10").cast("timestamp") &&
+          col("time") < lit("2024-01-15").cast("timestamp"))
+      require(erased > 0, "delete window matched nothing — gate would be vacuous")
+      fs.vacuumFeature("del/purchase", retentionMs = 0L) // strict erasure
+      fs.loadDataFrame(Seq("del/purchase"),
+          fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
+          freq = Some("1d"))
+        .withColumnRenamed("del/purchase", "value")
+    },
+    Some("""WITH data AS (SELECT ts AS time, value FROM events
+           |  WHERE event_type = 'purchase'
+           |    AND NOT (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15')),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3961,6 +3996,7 @@ object QueryLib {
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
+    fsStoreDeleteRows,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

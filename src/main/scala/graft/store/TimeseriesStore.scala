@@ -538,6 +538,46 @@ class TimeseriesStore(
     victims.size.toLong
   }
 
+  /** Row-level transactional delete (the lakehouse DELETE / GDPR
+    * right-to-be-forgotten op; txlog backend): rewrite ONLY the live
+    * files that contain matching rows, drop the matches, and retire +
+    * publish in ONE commit — a reader replays the pre- or post-delete
+    * file set, never a mix. Files without matches are untouched (no
+    * full-table rewrite), found by one predicate scan carrying
+    * `_metadata.file_path` — the scan itself prunes via parquet
+    * row-group stats where the predicate allows. The predicate sees
+    * the normalized columns (time, created_time, value, partition).
+    * Old bytes remain for time travel until `vacuum` — an `asOfVersion`
+    * read still reproduces the pre-delete table, so a STRICT erasure
+    * must also vacuum. Returns the number of rows deleted.
+    */
+  def deleteWhere(name: String, predicate: Column): Long = {
+    require(logBacked, "deleteWhere requires the txlog backend")
+    if (!exists(name)) return 0L
+    val log = txLog(name)
+    val live = log.snapshot()
+    if (live.isEmpty) return 0L
+    val root = featurePath(name)
+    val src = spark.read.options(storageOptions).option("basePath", root)
+      .parquet(live.map(a => s"$root/${a.path}"): _*)
+    // driver-size by construction: one row per LIVE FILE with a match,
+    // bounded by the snapshot size (same class as snapshot() itself)
+    val victimUris = src.withColumn("_f", col("_metadata.file_path"))
+      .filter(predicate).select(col("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (victimUris.isEmpty) return 0L
+    val victims = live.filter(a => victimUris.exists(_.endsWith("/" + a.path)))
+    val vsrc = spark.read.options(storageOptions).option("basePath", root)
+      .parquet(victims.map(a => s"$root/${a.path}"): _*)
+      .select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
+    val deleted = vsrc.filter(predicate).count()
+    val keep = vsrc.filter(!predicate || predicate.isNull)
+    // a fully-emptied file set publishes removes only (commit accepts it)
+    val adds = if (keep.isEmpty) Nil else stageInstall(name, keep)
+    log.commit(adds, victims.map(a => TxRemove(a.path)))
+    deleted
+  }
+
   /** Garbage-collect files retired by compaction (txlog backend):
     * deletes bytes unreferenced by the LATEST snapshot. Time travel to
     * vacuumed versions stops working — the standard retention trade.

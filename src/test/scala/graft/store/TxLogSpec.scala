@@ -106,6 +106,37 @@ class TxLogSpec extends SparkSpec {
     assert(tx.read("f").collect().map(_.getDouble(2)).toSeq == Seq(9.0))
   }
 
+  test("deleteWhere rewrites only matching files in one commit; time travel sees pre-delete") {
+    val (_, tx) = freshStores()
+    // two partitions (days) in separate appends -> separate files
+    tx.save("f", series(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      ("2024-01-01 11:00:00", "2024-01-01 11:00:00", 2.0)))
+    tx.save("f", series(
+      ("2024-01-02 10:00:00", "2024-01-02 10:00:00", 3.0)))
+    val preDelete = tx.tableVersion("f")
+    val jan2Files = tx.read("f").withColumn("f", col("_metadata.file_path"))
+      .filter(col("value") === 3.0).select("f").distinct().collect().map(_.getString(0)).toSet
+    // delete one row out of the two-row day-1 file
+    assert(tx.deleteWhere("f", col("value") === 1.0) == 1L)
+    assert(tx.tableVersion("f") == preDelete + 1) // ONE commit
+    assert(tx.read("f").collect().map(_.getDouble(2)).sorted.toSeq == Seq(2.0, 3.0))
+    // the untouched day-2 file kept its identity (no full-table rewrite)
+    val jan2After = tx.read("f").withColumn("f", col("_metadata.file_path"))
+      .filter(col("value") === 3.0).select("f").distinct().collect().map(_.getString(0)).toSet
+    assert(jan2After == jan2Files, "non-matching file was rewritten")
+    // time travel still reads the erased row until vacuum
+    assert(tx.read("f", asOfVersion = Some(preDelete)).count() == 3L)
+    assert(tx.vacuum("f", retentionMs = 0L) >= 1L)
+    // no-match predicate is a no-op commit-wise
+    val v = tx.tableVersion("f")
+    assert(tx.deleteWhere("f", col("value") === 99.0) == 0L)
+    assert(tx.tableVersion("f") == v)
+    // delete-all publishes removes only and reads back empty
+    assert(tx.deleteWhere("f", lit(true)) == 2L)
+    assert(tx.read("f").count() == 0L)
+  }
+
   test("optimize bin-packs small files in one commit without changing a row") {
     val dir = tmpDir("graft-optimize")
     val tx = new TimeseriesStore(spark, dir, backend = "txlog")
