@@ -305,6 +305,29 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).deleteWhere(f.name, predicate)
   }
 
+  /** Row-level transactional UPDATE (txlog backend): rows matching
+    * `predicate` take `newValue`; only files with matches rewrite, one
+    * atomic commit. Returns rows updated. */
+  def updateRows(fullName: String, predicate: Column, newValue: Column): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot update rows of transformed feature '$fullName'")
+    store(nsObj).updateWhere(f.name, predicate, newValue)
+  }
+
+  /** Rows added between two table versions (CDC-lite, txlog backend) —
+    * incremental downstream consumption without a table re-scan. */
+  def readFeatureChanges(fullName: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val (nsObj, f) = featureOf(fullName)
+    store(nsObj).readChanges(f.name, fromVersion, toVersion, valueTypeOf(f))
+  }
+
+  /** Current table version of a stored feature (txlog backend). */
+  def featureVersion(fullName: String): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    store(nsObj).tableVersion(f.name)
+  }
+
   /** Garbage-collect data files retired by compaction. Only meaningful
     * on a txlog-backed namespace, where compaction retires files
     * logically (readers with older snapshots keep working) and vacuum

@@ -3969,6 +3969,68 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsStoreUpdateRows = Q(
+    "fs_store_update_rows",
+    // The lakehouse UPDATE: save on txlog, transactionally double a
+    // time window's values (only files with matches rewrite, one
+    // retire+publish commit), snapshot-read back. value*2 is one exact
+    // IEEE multiply, so the oracle's CASE-mirrored grid hashes
+    // bit-for-bit.
+    (s, dir) => {
+      val tmp = scratchDir("updrt")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("upd", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("upd/purchase")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("ts").as("time"), col("value")),
+        name = Some("upd/purchase"))
+      val n = fs.updateRows("upd/purchase",
+        col("time") >= lit("2024-01-10").cast("timestamp") &&
+          col("time") < lit("2024-01-15").cast("timestamp"),
+        col("value") * lit(2.0))
+      require(n > 0, "update window matched nothing — gate would be vacuous")
+      fs.loadDataFrame(Seq("upd/purchase"),
+          fromDate = Some(jts("2024-01-01")), toDate = Some(jts("2024-01-30")),
+          freq = Some("1d"))
+        .withColumnRenamed("upd/purchase", "value")
+    },
+    Some("""WITH data AS (SELECT ts AS time,
+           |    CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+           |         THEN value * 2.0 ELSE value END AS value
+           |  FROM events WHERE event_type = 'purchase'),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
+
+  private val fsStoreChanges = Q(
+    "fs_store_changes",
+    // CDC-lite incremental consumption: two appends, then read ONLY
+    // what landed after the first append's version — the files the
+    // later snapshot references that the earlier one doesn't. At
+    // 100 TB this is how a downstream pipeline keeps up with a feature
+    // table: consume new files since the last processed version, no
+    // re-scan. The oracle recomputes batch 2 from raw events with the
+    // same deterministic md5 batch split.
+    (s, dir) => {
+      val tmp = scratchDir("cdcrt")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("cdc", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("cdc/purchase")
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      // integer batch split (epoch-micros parity): no string formatting
+      // for the oracle to mis-mirror
+      val batch = pmod(unix_micros(col("time")), lit(2L))
+      fs.saveDataFrame(src.filter(batch === 0), name = Some("cdc/purchase"))
+      val v1 = fs.featureVersion("cdc/purchase")
+      fs.saveDataFrame(src.filter(batch === 1), name = Some("cdc/purchase"))
+      fs.readFeatureChanges("cdc/purchase", fromVersion = v1)
+        .select(col("time"), col("value"))
+    },
+    Some("""SELECT ts AS time, value FROM events
+           |WHERE event_type = 'purchase' AND epoch_us(ts) % 2 = 1""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -3996,7 +4058,7 @@ object QueryLib {
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
-    fsStoreDeleteRows,
+    fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -578,6 +578,66 @@ class TimeseriesStore(
     deleted
   }
 
+  /** Row-level transactional UPDATE (txlog backend): rows matching the
+    * predicate get `newValue` as their value; same only-matching-files
+    * rewrite + single retire/publish commit as [[deleteWhere]].
+    * `newValue` may reference the normalized columns (e.g.
+    * `col("value") * 2`). Returns rows updated.
+    */
+  def updateWhere(name: String, predicate: Column, newValue: Column): Long = {
+    require(logBacked, "updateWhere requires the txlog backend")
+    if (!exists(name)) return 0L
+    val log = txLog(name)
+    val live = log.snapshot()
+    if (live.isEmpty) return 0L
+    val root = featurePath(name)
+    val src = spark.read.options(storageOptions).option("basePath", root)
+      .parquet(live.map(a => s"$root/${a.path}"): _*)
+    val victimUris = src.withColumn("_f", col("_metadata.file_path"))
+      .filter(predicate).select(col("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (victimUris.isEmpty) return 0L
+    val victims = live.filter(a => victimUris.exists(_.endsWith("/" + a.path)))
+    val vsrc = spark.read.options(storageOptions).option("basePath", root)
+      .parquet(victims.map(a => s"$root/${a.path}"): _*)
+      .select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
+    val updated = vsrc.filter(predicate).count()
+    val rewritten = vsrc.withColumn(ValueCol,
+      when(predicate, newValue.cast(vsrc.schema(ValueCol).dataType))
+        .otherwise(col(ValueCol)))
+    val adds = stageInstall(name, rewritten)
+    log.commit(adds, victims.map(a => TxRemove(a.path)))
+    updated
+  }
+
+  /** Incremental change feed (CDC-lite; txlog backend): the rows ADDED
+    * between two table versions — the files `toVersion`'s snapshot
+    * references that `fromVersion`'s does not. For the append-dominant
+    * feature-store workload this is exactly the new data, letting a
+    * downstream pipeline consume a 100 TB table incrementally (read
+    * only the new files) instead of re-scanning; compaction/optimize
+    * rewrites reappear here by design (they publish new files — a
+    * consumer keyed on (time, created_time) dedups them away, the same
+    * LWW contract as every read).
+    */
+  def readChanges(
+      name: String,
+      fromVersion: Long,
+      toVersion: Option[Long] = None,
+      valueType: DataType = DoubleType): DataFrame = {
+    require(logBacked, "readChanges requires the txlog backend")
+    if (!exists(name)) return emptyFrame(valueType)
+    val log = txLog(name)
+    val before = log.snapshot(Some(fromVersion)).map(_.path).toSet
+    val after = log.snapshot(toVersion)
+    val fresh = after.filterNot(a => before(a.path))
+    if (fresh.isEmpty) return emptyFrame(valueType)
+    val root = featurePath(name)
+    spark.read.options(storageOptions).option("basePath", root)
+      .parquet(fresh.map(a => s"$root/${a.path}"): _*)
+      .select(TimeCol, CreatedCol, ValueCol)
+  }
+
   /** Garbage-collect files retired by compaction (txlog backend):
     * deletes bytes unreferenced by the LATEST snapshot. Time travel to
     * vacuumed versions stops working — the standard retention trade.

@@ -137,6 +137,35 @@ class TxLogSpec extends SparkSpec {
     assert(tx.read("f").count() == 0L)
   }
 
+  test("updateWhere rewrites matching rows in one commit; readChanges feeds increments") {
+    val (_, tx) = freshStores()
+    tx.save("f", series(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      ("2024-01-02 10:00:00", "2024-01-02 10:00:00", 3.0)))
+    val v1 = tx.tableVersion("f")
+    // UPDATE: one matching row doubled, one commit
+    assert(tx.updateWhere("f", col("value") === 1.0, col("value") * 2) == 1L)
+    assert(tx.tableVersion("f") == v1 + 1)
+    assert(tx.read("f").collect().map(_.getDouble(2)).sorted.toSeq == Seq(2.0, 3.0))
+    // no-match update is a no-op
+    assert(tx.updateWhere("f", col("value") === 99.0, lit(0.0)) == 0L)
+    // CDC: a later append reads back incrementally from v
+    val v2 = tx.tableVersion("f")
+    tx.save("f", series(("2024-01-03 10:00:00", "2024-01-03 10:00:00", 7.0)))
+    val inc = tx.readChanges("f", fromVersion = v2)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(inc == Seq(7.0))
+    // changes across the UPDATE boundary carry the REWRITTEN file and
+    // the append — the untouched 3.0 file predates v1 and stays out
+    val sinceStart = tx.readChanges("f", fromVersion = v1)
+      .collect().map(_.getDouble(2)).sorted.toSeq
+    assert(sinceStart == Seq(2.0, 7.0))
+    // bounded window: (v1, v2] sees only the update's rewrite
+    val windowed = tx.readChanges("f", fromVersion = v1, toVersion = Some(v2))
+      .collect().map(_.getDouble(2)).sorted.toSeq
+    assert(windowed == Seq(2.0))
+  }
+
   test("optimize bin-packs small files in one commit without changing a row") {
     val dir = tmpDir("graft-optimize")
     val tx = new TimeseriesStore(spark, dir, backend = "txlog")
