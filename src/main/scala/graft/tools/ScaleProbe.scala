@@ -636,6 +636,38 @@ object ScaleProbe {
       val sk = graft.functions.Cms.sketch(toks, col("t"))
       require(sk.count() <= 4096, "CMS output must stay O(d*w)")
     }
+    // Row-level DELETE at table scale: 1M rows over 30 day-partitions;
+    // erasing one user's rows from ONE day must rewrite only that
+    // day's files — the other 29 partitions' files keep their exact
+    // paths. This is the 100 TB GDPR claim made checkable: erasure
+    // cost is proportional to the files holding the subject's rows,
+    // never the table.
+    timed("txlog DELETE: 1M rows / 30 partitions, single-day erasure rewrites 1 partition") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-del-probe").toString
+      val st = new graft.store.TimeseriesStore(spark, dir, backend = "txlog")
+      val day0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      st.save("f", spark.range(1000000L).select(
+        timestamp_millis(lit(day0) + (col("id") % 30L) * 86400000L +
+          expr("(id div 30L) % 86400L") * 1000L).as("time"),
+        timestamp_millis(lit(day0) + col("id")).as("created_time"),
+        (col("id") % 1000L).cast("double").as("value")))
+      val log = new graft.store.TxLog(spark.sparkContext.hadoopConfiguration, s"$dir/feature/f")
+      val before = log.snapshot().map(a => a.path -> a.partition).toMap
+      // erase value==4 rows from day 2024-01-05 only (id ≡ 4 mod 1000
+      // intersects id ≡ 4 mod 30 — the residues must be compatible)
+      val deleted = st.deleteWhere("f",
+        col("value") === 4.0 &&
+          col("time") >= lit("2024-01-05").cast("timestamp") &&
+          col("time") < lit("2024-01-06").cast("timestamp"))
+      val after = log.snapshot().map(a => a.path -> a.partition).toMap
+      val rewrittenParts = (before.keySet -- after.keySet).map(before)
+      val freshParts = (after.keySet -- before.keySet).map(after)
+      println(s"[probe]   deleted $deleted rows; rewritten partitions: $rewrittenParts; new files in: $freshParts")
+      require(deleted > 0)
+      require(rewrittenParts == Set("2024-01-05") && freshParts == Set("2024-01-05"),
+        s"DELETE touched partitions beyond the target: $rewrittenParts / $freshParts")
+      require(st.read("f").count() == 1000000L - deleted)
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
