@@ -328,6 +328,14 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).tableVersion(f.name)
   }
 
+  /** AS OF TIMESTAMP → table version (txlog backend): the version the
+    * table had at the wall-clock instant; compose with the
+    * version-taking read/changes APIs. */
+  def featureVersionAt(fullName: String, at: java.sql.Timestamp): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    store(nsObj).versionAt(f.name, at.getTime)
+  }
+
   /** Garbage-collect data files retired by compaction. Only meaningful
     * on a txlog-backed namespace, where compaction retires files
     * logically (readers with older snapshots keep working) and vacuum

@@ -638,6 +638,15 @@ class TimeseriesStore(
       .select(TimeCol, CreatedCol, ValueCol)
   }
 
+  /** Resolve an AS OF TIMESTAMP instant to a table version (txlog
+    * backend) — feed the result to `read(asOfVersion = …)` /
+    * `readChanges`. Delta's commit-mtime fallback rule; see
+    * [[TxLog.versionAt]] for the portability caveat. */
+  def versionAt(name: String, tsMillis: Long): Long = {
+    require(logBacked, "versionAt requires the txlog backend")
+    txLog(name).versionAt(tsMillis)
+  }
+
   /** Garbage-collect files retired by compaction (txlog backend):
     * deletes bytes unreferenced by the LATEST snapshot. Time travel to
     * vacuumed versions stops working — the standard retention trade.

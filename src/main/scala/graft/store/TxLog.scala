@@ -103,6 +103,34 @@ class TxLog(
   def latestVersion(): Long =
     versions().lastOption.map(_._1).getOrElse(-1L)
 
+  /** AS OF TIMESTAMP resolution: the newest commit whose commit-file
+    * modification time is <= tsMillis — the Delta fallback rule (the
+    * log embeds no commit-info timestamps). Mtimes survive in-place on
+    * POSIX/HDFS but NOT a byte-copy of the log directory (a cloned
+    * table re-stamps); version-based travel is the portable form, this
+    * is the human-friendly one. Commits vacuumed into a checkpoint no
+    * longer resolve — asking for an instant before the earliest
+    * surviving commit throws rather than silently snapping forward.
+    */
+  def versionAt(tsMillis: Long): Long = {
+    if (!fs.exists(logDir))
+      throw new IllegalArgumentException(s"no transaction log at $logDir")
+    val commits = fs.listStatus(logDir).toSeq.filter(_.isFile)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
+          n.stripSuffix(".json").toLongOption.map(v => (v, st.getModificationTime))
+        else None
+      }.sortBy(_._1)
+    val at = commits.filter(_._2 <= tsMillis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"no commit at or before ts=$tsMillis — earliest surviving commit is " +
+          s"${commits.headOption.map(c => s"v${c._1}@${c._2}").getOrElse("<none>")} " +
+          "(older history may have been vacuumed)")
+    at.map(_._1).max
+  }
+
   /** Live file set at `asOf` (default: latest), replayed from the most
     * recent checkpoint at-or-before it. Deterministic: adds/removes
     * apply in version order, and within a commit in line order.

@@ -166,6 +166,22 @@ class TxLogSpec extends SparkSpec {
     assert(windowed == Seq(2.0))
   }
 
+  test("AS OF TIMESTAMP resolves to the version live at the instant") {
+    val (_, tx) = freshStores()
+    tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
+    val v1 = tx.tableVersion("f")
+    Thread.sleep(30) // mtime granularity
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    tx.save("f", series(("2024-01-02 10:00:00", "2024-01-02 10:00:00", 2.0)))
+    assert(tx.versionAt("f", between) == v1)
+    assert(tx.versionAt("f", System.currentTimeMillis()) == tx.tableVersion("f"))
+    // the resolved version composes with version-based travel
+    assert(tx.read("f", asOfVersion = Some(tx.versionAt("f", between))).count() == 1L)
+    // an instant before the first commit refuses instead of snapping forward
+    intercept[IllegalArgumentException](tx.versionAt("f", 1000L))
+  }
+
   test("optimize bin-packs small files in one commit without changing a row") {
     val dir = tmpDir("graft-optimize")
     val tx = new TimeseriesStore(spark, dir, backend = "txlog")
