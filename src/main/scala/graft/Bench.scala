@@ -82,7 +82,15 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadStart = load1()
     var loadMax = loadStart
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional substring filter for fast local iteration on a few
+    // queries; the DRIVER never sets it, so its artifact always covers
+    // the full suite (and a filtered run is self-describing: "sf" plus
+    // the queries map shows exactly what ran)
+    val benchFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+        .map(f => (n: String) => n.contains(f))
+        .getOrElse((_: String) => true)
+    val results = SparkEntry.queries.filter(kv => benchFilter(kv._1)).map { case (name, fn) =>
       val (coldT, coldErr) = once(fn)
       var warms = Seq.fill(3)(once(fn))
       def sortedTimes = warms.map(_._1).sorted

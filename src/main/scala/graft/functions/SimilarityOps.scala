@@ -26,26 +26,41 @@ object SimilarityOps {
   // ------------------------------------------------------------ MinHash
 
   /** K min-hash values of a shingle-set column, as ONE array<string>
-    * column. A single md5 per shingle is sliced into K disjoint
-    * 5-hex-digit (20-bit) chunks — K nearly independent uniform hashes
-    * for the cost of ONE digest per shingle. The per-chunk minimum is
-    * taken in STRING order, a uniform random permutation of the shingle
-    * universe just like a numeric minhash. K <= 6 (30 hex digits used).
+    * column. One md5 per shingle is sliced into up to 6 disjoint
+    * 5-hex-digit (20-bit) chunks — 6 nearly independent uniform hashes
+    * for the cost of ONE digest per shingle. For K > 6 a SECOND salted
+    * digest `md5(s || "#2")` doubles the budget to 12 chunks (chunks
+    * 7-12 slice the salted hash), so a banding like 6 × 2 — high recall
+    * at J = 0.5 WITHOUT rows-per-band = 1's candidate explosion — fits
+    * the signature. For K <= 6 the salted hash is never computed and
+    * the signature is bit-identical to the historical single-md5 form.
+    * The per-chunk minimum is taken in STRING order, a uniform random
+    * permutation of the shingle universe just like a numeric minhash.
     *
-    * Shape note: the digest is bound as the lambda variable of a single
-    * `aggregate` fold, so md5 runs exactly once per shingle no matter
-    * how many chunks read it — a naive `(0 until k).map(i => min(md5(
-    * seed_i ++ s)))` re-hashes the whole array K times. Callers that fan
-    * the signature out into several projections (band keys!) should
-    * materialize it behind a shuffle or the optimizer will inline and
-    * recompute the fold per use.
+    * Shape note: the digest(s) are bound as the lambda variable of a
+    * single `aggregate` fold, so md5 runs once (twice for K > 6) per
+    * shingle no matter how many chunks read it — a naive
+    * `(0 until k).map(i => min(md5(seed_i ++ s)))` re-hashes the whole
+    * array K times. Callers that fan the signature out into several
+    * projections (band keys!) should materialize it behind a shuffle or
+    * the optimizer will inline and recompute the fold per use.
     */
   def minhashSig(shingles: Column, k: Int): Column = {
-    require(k <= 6, s"minhashSig slices one md5 into at most 6 chunks, got $k")
-    aggregate(
-      transform(shingles, s => md5(s)),
-      array_repeat(lit("g"), k), // "g" sorts after any hex digit
-      (acc, h) => transform(acc, (m, i) => least(m, h.substr(lit(1) + i * lit(5), lit(5)))))
+    require(k <= 12, s"minhashSig slices at most two md5s = 12 chunks, got $k")
+    // chunk i (0-based): i < 6 reads hex [1 + 5i, 5] of md5(s); i >= 6
+    // reads hex [1 + 5(i-6), 5] of md5(s || "#2") = offset 33 + 5(i-6)
+    // = 3 + 5i of the 64-char concat
+    if (k <= 6)
+      aggregate(
+        transform(shingles, s => md5(s)),
+        array_repeat(lit("g"), k), // "g" sorts after any hex digit
+        (acc, h) => transform(acc, (m, i) => least(m, h.substr(lit(1) + i * lit(5), lit(5)))))
+    else
+      aggregate(
+        transform(shingles, s => concat(md5(s), md5(concat(s, lit("#2"))))),
+        array_repeat(lit("g"), k),
+        (acc, h) => transform(acc, (m, i) => least(m,
+          h.substr(lit(1) + i * lit(5) + when(i >= 6, lit(2)).otherwise(lit(0)), lit(5)))))
   }
 
   /** LSH band key: rows [lo, hi] (1-based) of a signature array hashed
@@ -55,16 +70,26 @@ object SimilarityOps {
     md5((lo to hi).map(i => element_at(sig, i)).reduce((a, b) => concat(a, lit("|"), b)))
 
   /** Choose the banding (bands, rowsPerBand) for a target Jaccard
-    * threshold, within the 6-chunk signature budget. A (b, r) banding's
-    * S-curve inflection sits at t ≈ (1/b)^(1/r) — the similarity where
-    * candidate probability crosses ~50% and climbs steeply — so the
-    * full-budget banding with the LARGEST inflection still at or below
-    * the target catches above-threshold pairs with rapidly→1
-    * probability without flooding the verify step with weak pairs:
+    * threshold, within the 12-chunk signature budget and with a HARD
+    * rows-per-band >= 2 floor. A (b, r) banding recalls a pair of true
+    * Jaccard J with probability 1 - (1 - J^r)^b; the chooser walks r
+    * from most selective (6) down and returns the full-budget
+    * (floor(12/r), r) whose recall AT the threshold clears 0.8 —
+    * maximum selectivity subject to a recall floor:
     *
-    *   threshold < 0.577 → (6, 1)  inflection 0.17 (~98% recall at J=0.5)
-    *   threshold < 0.794 → (3, 2)  inflection 0.58 (~88% at J=0.7)
-    *   else              → (2, 3)  inflection 0.79 (~97% at J=0.9)
+    *   threshold 0.5  → (6, 2)  recall 0.82 at J=0.5
+    *   threshold 0.7  → (4, 3)  recall 0.81 at J=0.7
+    *   threshold 0.9  → (2, 5)  recall 0.83 at J=0.9
+    *   threshold 0.95 → (2, 6)  recall 0.93 at J=0.95
+    *
+    * r = 1 is deliberately OUT of the menu: a single-chunk band buckets
+    * on one 20-bit minhash value, so bucket population scales with the
+    * corpus' distinct-chunk frequencies — a measured candidate blow-up
+    * (dedup_incremental 1.65 → 5.62 s at sf0.1 under 6 × 1) and a skew
+    * hazard at 100 TB. The 12-chunk signature exists precisely so
+    * J = 0.5 can have recall AND r = 2 selectivity. Below every
+    * qualifying configuration (threshold ≲ 0.46) the chooser falls
+    * back to (6, 2), the widest r >= 2 net in budget.
     *
     * The sign-LSH twin of `sizedPlanesPerBand`: the one sizing footgun
     * of a production near-dedup (banding chosen for a DIFFERENT
@@ -74,14 +99,15 @@ object SimilarityOps {
     */
   def sizedBanding(threshold: Double): (Int, Int) = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1], got $threshold")
-    val fullBudget = Seq((6, 1), (3, 2), (2, 3)) // inflections ascending
-    def inflection(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
-    fullBudget.filter { case (b, r) => inflection(b, r) <= threshold }
-      .lastOption.getOrElse((6, 1))
+    def recall(b: Int, r: Int) = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+    (6 to 2 by -1).iterator
+      .map(r => (12 / r, r))
+      .find { case (b, r) => recall(b, r) >= 0.8 }
+      .getOrElse((6, 2))
   }
 
   /** MinHash-LSH candidate pair generation — the one shared formulation
-    * behind every near-dedup query: a 6-chunk signature computed ONCE
+    * behind every near-dedup query: a bands×rows-chunk signature computed ONCE
     * and pinned with `persist(MEMORY_AND_DISK)` — the band projections
     * and both self-join sides read one cached signature relation (the
     * earlier `repartition` hint did NOT dedupe across union branches:
@@ -112,16 +138,17 @@ object SimilarityOps {
     * at J = 0.5, ~88% at J = 0.7, ~99.9% at J = 0.9; near-threshold
     * duplicates are missed with known probability, and the DuckDB
     * oracles mirror the identical banding, so CORRECTNESS compares
-    * like with like. The S-curve is tunable within the 6-chunk
-    * signature budget (`bands * rowsPerBand <= 6`): 6 × 1 lifts recall
-    * at J = 0.5 to ~98% at the cost of candidate volume (each band
-    * then buckets on a single minhash, so weakly-similar pairs join
-    * too — pay it when the verify step is cheap relative to a miss);
-    * 2 × 3 goes the other way. `sizedBanding(threshold)` picks the
-    * configuration from a target Jaccard threshold — production
-    * callers should route through it rather than hand-pick.
-    * LshRecallSpec measures 3 × 2, 6 × 1, and the chooser's picks
-    * against exact all-pairs ground truth.
+    * like with like. The S-curve is tunable within the 12-chunk
+    * signature budget (`bands * rowsPerBand <= 12`): 6 × 2 lifts
+    * recall at J = 0.5 to ~82% while keeping r = 2 selectivity; avoid
+    * r = 1 (each band then buckets on a single 20-bit minhash, so
+    * bucket population scales with corpus distinct-chunk frequencies —
+    * a measured candidate blow-up and a 100 TB skew hazard); 2 × 5
+    * goes the selective direction for high thresholds.
+    * `sizedBanding(threshold)` picks the configuration from a target
+    * Jaccard threshold — production callers should route through it
+    * rather than hand-pick. LshRecallSpec measures 3 × 2, 6 × 2, and
+    * the chooser's picks against exact all-pairs ground truth.
     */
   def lshCandidatePairs(
       df: org.apache.spark.sql.DataFrame,
@@ -131,9 +158,10 @@ object SimilarityOps {
       aName: String = "id_a",
       bName: String = "id_b",
       bands: Int = 3,
-      rowsPerBand: Int = 2): org.apache.spark.sql.DataFrame = {
-    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 6,
-      s"bands * rowsPerBand must fit the 6-chunk signature, got $bands x $rowsPerBand")
+      rowsPerBand: Int = 2,
+      bSideFilter: Option[Column] = None): org.apache.spark.sql.DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 12,
+      s"bands * rowsPerBand must fit the 12-chunk signature, got $bands x $rowsPerBand")
     val keyCols = idCol +: blockKeys
     val withSig = df
       .filter(size(col(setCol)) > 0)
@@ -143,10 +171,19 @@ object SimilarityOps {
       withSig.select(keyCols.map(col) ++ Seq(lit(bi).as("__band"),
         bandKey(col("__sig"), rowsPerBand * bi + 1, rowsPerBand * (bi + 1)).as("__bkey")): _*)
     }.reduce(_ unionByName _)
+    // incremental-dedup asymmetry: when only pairs whose HIGHER id
+    // satisfies a predicate matter (a new batch deduped against the
+    // corpus — "is doc_b a new doc?"), filtering the y side BEFORE the
+    // join is semantically identical to filtering the pair output (the
+    // predicate is a function of the y row alone) but shrinks the join's
+    // right side from the whole corpus to the new batch — at 100 TB the
+    // index side's band buckets then only ever pair against new-batch
+    // buckets instead of re-pairing the historical corpus with itself.
+    val yFrames = bSideFilter.fold(bandFrames)(bandFrames.filter)
     val joinCond = (Seq("__band", "__bkey") ++ blockKeys)
       .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
       col(s"x.$idCol") < col(s"y.$idCol")
-    bandFrames.as("x").join(bandFrames.as("y"), joinCond)
+    bandFrames.as("x").join(yFrames.as("y"), joinCond)
       .select(col(s"x.$idCol").as(aName), col(s"y.$idCol").as(bName))
       .distinct()
   }

@@ -2039,6 +2039,19 @@ object QueryLib {
     Some("""SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
            |FROM documents GROUP BY 1""".stripMargin))
 
+  /** Shingle sets are hashed to fixed-width 12-hex (48-bit) digests
+    * BEFORE they reach any Exchange: the banding fan-out and both
+    * exact-Jaccard verify join-backs then shuffle ~13 bytes per
+    * shingle instead of raw n-gram text — the txt_decontam_bloom
+    * doctrine ("shuffles never carry corpus text") applied to
+    * near-dedup. Jaccard is exactly preserved on digest sets modulo
+    * md5-prefix collisions (~2^-48 per shingle pair — and both engines
+    * collide identically, so gates still compare like with like: the
+    * DuckDB oracles apply this same digest via the SQL twin below).
+    */
+  private def digestShingles(shingles: Column): Column =
+    array_distinct(transform(shingles, s => substring(md5(s), 1, 12)))
+
   /** Shared DuckDB mirror of `SimilarityOps.lshCandidatePairs`: the
     * sig/bands/cand CTE chain over `src`, which must expose `doc_id`,
     * the `blockKeys`, and the set column `setCol`. Generated from one
@@ -2048,9 +2061,14 @@ object QueryLib {
   private def lshOracleCtes(src: String, setCol: String, blockKeys: Seq[String],
       bands: Int = 3, rowsPerBand: Int = 2): String = {
     val keys = ("doc_id" +: blockKeys).mkString(", ")
-    val mins = (0 until bands * rowsPerBand).map(i =>
-      s"  list_min(list_transform($setCol, s -> substr(md5(s), ${1 + 5 * i}, 5))) AS m$i")
-      .mkString(",\n")
+    // mirrors SimilarityOps.minhashSig's chunk layout exactly: chunks
+    // 0-5 slice md5(s); chunks 6-11 slice the salted md5(s || '#2')
+    // that widens the signature budget to 12 without r=1 banding
+    val mins = (0 until bands * rowsPerBand).map { i =>
+      val h = if (i < 6) "md5(s)" else "md5(concat(s, '#2'))"
+      val off = if (i < 6) 1 + 5 * i else 1 + 5 * (i - 6)
+      s"  list_min(list_transform($setCol, s -> substr($h, $off, 5))) AS m$i"
+    }.mkString(",\n")
     // mirrors SimilarityOps.bandKey exactly: band bi hashes the '|'-joined
     // chunks [bi*r, bi*r + r); a single-chunk band reduces to md5(m_i)
     // (concat of one element is the element)
@@ -2092,7 +2110,7 @@ object QueryLib {
     (s, dir) => {
       val base = mat(T(s, dir, "documents").select(
         col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
+        digestShingles(TextOps.wordShingles(toks, 2)).as("sh"))
         .filter(size(col("sh")) > 0))
       SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
           blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
@@ -2103,8 +2121,8 @@ object QueryLib {
         .filter(col("jaccard") >= 0.5)
     },
     Some(s"""WITH t AS (SELECT doc_id, lang, source,
-           |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
-           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
+           |    list_distinct(list_transform(list_transform(range(1, len(string_split(text,' '))), i ->
+           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1])), s -> substr(md5(s), 1, 12))) AS sh
            |  FROM documents),
            |base AS (SELECT * FROM t WHERE len(sh) > 0),
            |${lshOracleCtes("base", "sh", Seq("lang", "source"))}
@@ -2125,7 +2143,7 @@ object QueryLib {
       // bucket — and their 0/0 verification Jaccard THROWS under this
       // build's ANSI-on Spark while DuckDB yields NaN (> 0.5!)
       val base = mat(T(s, dir, "documents").select(
-        col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
           aName = "doc_a", bName = "doc_b")
@@ -2136,8 +2154,8 @@ object QueryLib {
         .filter(col("jaccard") >= 0.5)
     },
     Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-           |base0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
-           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
            |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
            |${lshOracleCtes("base", "sh", Nil)},
            |j AS (SELECT doc_a, doc_b,
@@ -2161,7 +2179,7 @@ object QueryLib {
     // list is shared, so a contraction bug cannot cancel out.
     (s, dir) => {
       val base = mat(T(s, dir, "documents").select(
-        col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       val pairs = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
           aName = "doc_a", bName = "doc_b")
@@ -2175,8 +2193,8 @@ object QueryLib {
           col("component").cast("long").as("cluster_id"))
     },
     Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-           |base0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
-           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
            |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
            |${lshOracleCtes("base", "sh", Nil)},
            |pairs AS (SELECT doc_a, doc_b
@@ -2716,13 +2734,21 @@ object QueryLib {
     // anti-join.
     (s, dir) => {
       val base = mat(T(s, dir, "documents").select(
-        col("doc_id"), array_distinct(TextOps.wordShingles(toks, 3)).as("sh"))
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
-      // banding sized for the verify threshold (0.5 -> 6 x 1): the
-      // default 3 x 2 would recall only ~58% of true J=0.5 duplicates
+      // banding sized for the verify threshold (0.5 -> 6 x 2 on the
+      // widened 12-chunk signature): the default 3 x 2 would recall
+      // only ~58% of true J=0.5 duplicates, and the r14 6 x 1 stopgap
+      // recalled ~98% but bucketed on single minhash chunks — a
+      // measured 3.4x candidate-volume blow-up and a skew hazard
       val (bb, rr) = SimilarityOps.sizedBanding(0.5)
       val dupNew = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
-          aName = "doc_a", bName = "doc_b", bands = bb, rowsPerBand = rr)
+          aName = "doc_a", bName = "doc_b", bands = bb, rowsPerBand = rr,
+          // only "is this NEW doc a duplicate?" pairs matter, so the
+          // candidate join's right side is the new batch, not the
+          // corpus — identical output (the predicate is a function of
+          // the doc_b row alone; the oracle keeps the symmetric form)
+          bSideFilter = Some(col("doc_id") >= 400))
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .filter(col("doc_b") >= 400 &&
@@ -2733,10 +2759,10 @@ object QueryLib {
         .select(col("doc_id").cast("long").as("doc_id"))
     },
     Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-           |base0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), i ->
-           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS sh FROM toks),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
            |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
-           |${lshOracleCtes("base", "sh", Nil, bands = 6, rowsPerBand = 1)},
+           |${lshOracleCtes("base", "sh", Nil, bands = 6, rowsPerBand = 2)},
            |dup AS (SELECT DISTINCT doc_b AS doc_id
            |        FROM cand JOIN base x ON x.doc_id = doc_a
            |                  JOIN base y ON y.doc_id = doc_b
@@ -2771,11 +2797,12 @@ object QueryLib {
       // guard is vacuous today — kept so a relaxed quality gate can
       // never reintroduce the sentinel-signature bucket
       val sh = mat(exact.select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
+        digestShingles(TextOps.wordShingles(toks, 2)).as("sh"))
         .filter(size(col("sh")) > 0))
-      // banding sized for the verify threshold (0.5 -> 6 x 1), like
-      // dedup_incremental: production curation at J=0.5 needs the
-      // high-recall configuration, not the 3 x 2 demo default
+      // banding sized for the verify threshold (0.5 -> 6 x 2 on the
+      // 12-chunk signature), like dedup_incremental: production
+      // curation at J=0.5 needs high recall without the r=1 stopgap's
+      // candidate blow-up; not the 3 x 2 demo default either
       val (bb, rr) = SimilarityOps.sizedBanding(0.5)
       val dropIds = SimilarityOps.lshCandidatePairs(sh, "doc_id", "sh",
           blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b",
@@ -2799,11 +2826,11 @@ object QueryLib {
            |      (PARTITION BY md5(text) ORDER BY doc_id) AS keep FROM quality)
            |  WHERE keep = 1),
            |sh0 AS (SELECT doc_id, lang, source,
-           |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
-           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
+           |    list_distinct(list_transform(list_transform(range(1, len(string_split(text,' '))), i ->
+           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1])), s -> substr(md5(s), 1, 12))) AS sh
            |  FROM exact),
            |sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
-           |${lshOracleCtes("sh", "sh", Seq("lang", "source"), bands = 6, rowsPerBand = 1)},
+           |${lshOracleCtes("sh", "sh", Seq("lang", "source"), bands = 6, rowsPerBand = 2)},
            |drops AS (
            |  SELECT DISTINCT doc_b AS doc_id
            |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
@@ -3702,7 +3729,7 @@ object QueryLib {
       val d = T(s, dir, "documents")
       val base = mat(d.select(
         col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextOps.wordShingles(toks, 2)).as("sh"))
+        digestShingles(TextOps.wordShingles(toks, 2)).as("sh"))
         .filter(size(col("sh")) > 0))
       val texts = d.select(col("doc_id"), col("text"), col("n_chars"))
       SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
@@ -3715,8 +3742,8 @@ object QueryLib {
             .otherwise(lit(0L)).as("near"))
     },
     Some(s"""WITH t AS (SELECT doc_id, lang, source,
-           |    list_distinct(list_transform(range(1, len(string_split(text,' '))), i ->
-           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1]))) AS sh
+           |    list_distinct(list_transform(list_transform(range(1, len(string_split(text,' '))), i ->
+           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1])), s -> substr(md5(s), 1, 12))) AS sh
            |  FROM documents),
            |base AS (SELECT * FROM t WHERE len(sh) > 0),
            |${lshOracleCtes("base", "sh", Seq("lang", "source"))}
