@@ -7,23 +7,46 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads plus a typed metadata struct, exactly like a
   * 100 TB training-data lake stores them (parquet binary + sidecar
   * fields). The Spark-side plumbing — schema, partition-parallel decode,
-  * per-row feature structs, frame fan-out — is real and tested, and the
-  * default codec ([[headerDecode]]) REALLY parses PNG/JPEG container
-  * headers from the bytes; only pixel-level statistics remain stubbed
-  * (no pixel-codec library ships in this environment). Swapping the
-  * codec for a JNI/opencv call changes no plan shape: decode stays a
+  * per-row feature structs, frame fan-out — is real and tested, and so
+  * is the decode: [[pixelDecode]] reads full pixel rasters through the
+  * JDK's own `javax.imageio` (PNG/baseline JPEG, no external library),
+  * with [[headerDecode]]'s pure byte-level PNG/JPEG container parsing
+  * as the fallback for payloads ImageIO rejects. Swapping the codec
+  * for a JNI/opencv/ffmpeg call changes no plan shape: decode stays a
   * narrow `mapPartitions` (no shuffle), so it scales linearly with
   * input splits and pipelines with the parquet scan.
   */
 object MultimodalOps {
 
-  /** Decoded-image feature row produced by the (stubbed) codec. */
+  /** Decoded-image feature row produced by the codec. */
   final case class ImageFeatures(
       id: Long,
       width: Int,
       height: Int,
       nChannels: Int,
       meanLuma: Double)
+
+  /** Full per-image pixel statistics from a REAL decode. Luma is
+    * integer Rec.601 in MILLI units (299·R + 587·G + 114·B per pixel,
+    * range 0..255000): the sum/min/max stay in exact integer space and
+    * the mean is ONE closing IEEE division, so the statistics hash
+    * bit-for-bit against an oracle that recomputes them arithmetically
+    * — no tolerance needed.
+    */
+  final case class PixelStats(
+      id: Long,
+      width: Int,
+      height: Int,
+      nChannels: Int,
+      sumLumaMilli: Long,
+      minLumaMilli: Long,
+      maxLumaMilli: Long,
+      meanLuma: Double)
+
+  // ImageIO's default stream cache writes a temp FILE per decode —
+  // per-row disk IO inside a hot mapPartitions. Payloads here are
+  // in-memory byte arrays; keep the cache in memory too.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Sampled video frame reference. */
   final case class FrameRef(id: Long, frameIdx: Int, offsetBytes: Long)
@@ -41,11 +64,12 @@ object MultimodalOps {
     *    C4/C8/CC which are not frames): precision(1), height(2),
     *    width(2), component count(1).
     *
-    * `meanLuma` alone stays a placeholder (mean payload byte): pixel
-    * statistics need a full pixel decode, which does require a codec
-    * library this environment doesn't ship. Unknown or truncated
-    * payloads throw with the leading bytes named — a silent fallback
-    * would let a corrupted 100 TB lake decode to garbage dimensions.
+    * `meanLuma` here is the mean payload byte — a header-only parser
+    * cannot see pixels; real luma comes from [[pixelDecode]], and the
+    * default codec ([[imageIoDecode]]) only reaches this fallback when
+    * a full decode is impossible. Unknown or truncated payloads throw
+    * with the leading bytes named — a silent fallback would let a
+    * corrupted 100 TB lake decode to garbage dimensions.
     */
   private[graft] def headerDecode(id: Long, payload: Array[Byte]): ImageFeatures = {
     def be(i: Int, n: Int): Int = {
@@ -103,6 +127,92 @@ object MultimodalOps {
       if (payload.isEmpty) 0.0 else acc.toDouble / payload.length)
   }
 
+  /** REAL pixel decode via the JDK's own `javax.imageio` — ImageIO
+    * ships with every JVM and fully decodes PNG and baseline JPEG, so
+    * pixel statistics need no external codec library. Per pixel the
+    * integer Rec.601 milli-luma (299·R + 587·G + 114·B) accumulates
+    * into an exact long sum with running min/max; the mean is the one
+    * closing division, making every field bit-reproducible. Undecodable
+    * payloads throw with the leading bytes named — a silent fallback
+    * would let a corrupted 100 TB lake decode to garbage statistics.
+    */
+  private[graft] def pixelDecode(id: Long, payload: Array[Byte]): PixelStats = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"ImageIO failed decoding payload for id=$id: ${e.getMessage}", e)
+      }
+    if (img == null) {
+      val head = payload.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")
+      throw new IllegalArgumentException(
+        s"ImageIO has no reader for payload of id=$id (leading bytes: $head)")
+    }
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        sum += l
+        if (l < mn) mn = l
+        if (l > mx) mx = l
+        x += 1
+      }
+      y += 1
+    }
+    PixelStats(id, w, h, img.getColorModel.getNumComponents,
+      sum, mn, mx, sum.toDouble / (1000.0 * w * h))
+  }
+
+  /** Partition-parallel REAL pixel decode — same narrow-mapPartitions
+    * shape as [[decodeImages]] (no shuffle; scales with input splits),
+    * but through [[pixelDecode]]'s full ImageIO raster read.
+    */
+  def decodePixels(df: DataFrame, idCol: String, binCol: String): Dataset[PixelStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => pixelDecode(id, bytes) })
+  }
+
+  /** Deterministic RGB PNG fixture encoder (gate/spec fixture): image
+    * `id` is (id%24+8) × (id%16+8) with pixel (x, y) channels
+    * r = (31·id + 7x + 13y) % 256, g = (17·id + 5x + 11y) % 256,
+    * b = (23·id + 3x + 19y) % 256, written as a REAL PNG through
+    * ImageIO. PNG is lossless, so [[pixelDecode]] must read back
+    * exactly these values — and the mm_pixel_stats DuckDB oracle
+    * recomputes the statistics from this closed form arithmetically,
+    * certifying the encode→decode→aggregate path end-to-end with zero
+    * shared code between fixture formula and verification.
+    */
+  private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    val w = (id % 24 + 8).toInt
+    val h = (id % 16 + 8).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((31 * id + 7 * x + 13 * y) % 256).toInt
+        val g = ((17 * id + 5 * x + 11 * y) % 256).toInt
+        val b = ((23 * id + 3 * x + 19 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** STUB codec — deterministic fake for payloads that are NOT real
     * image containers (the spec corpus reuses text bytes as opaque
     * binary). [[headerDecode]] is the real default; this remains the
@@ -122,13 +232,27 @@ object MultimodalOps {
       meanLuma = if (n == 0) 0.0 else acc.toDouble / n)
   }
 
+  /** Default codec: a FULL ImageIO pixel decode when the JDK can read
+    * the payload (real PNG/JPEG → real dimensions, channel count, and
+    * Rec.601 mean luma), falling back to pure header parsing
+    * ([[headerDecode]]) for containers ImageIO rejects — e.g. header
+    * fixtures with synthetic chunk bytes, or formats with a parseable
+    * header but no JVM reader. Payloads neither decodable nor
+    * header-parseable still throw loudly (headerDecode's contract).
+    */
+  private[graft] def imageIoDecode(id: Long, payload: Array[Byte]): ImageFeatures =
+    try {
+      val p = pixelDecode(id, payload)
+      ImageFeatures(p.id, p.width, p.height, p.nChannels, p.meanLuma)
+    } catch { case _: IllegalArgumentException => headerDecode(id, payload) }
+
   /** Partition-parallel decode of a binary column into typed features.
     * Narrow transformation: each task decodes its own parquet split's
     * rows; nothing shuffles.
     *
-    * `codec` is the real-library seam: the default is the pure-JVM
-    * [[headerDecode]] (real PNG/JPEG header parsing); a production
-    * build passes a full pixel decode (JNI/opencv/ffmpeg) here and
+    * `codec` is the real-library seam: the default is [[imageIoDecode]]
+    * (full JDK pixel decode, header-parse fallback); a production
+    * build passes a heavier decode (JNI/opencv/ffmpeg) here and
     * NOTHING else changes — the closure is opaque to Catalyst, so the
     * physical plan is byte-identical in shape whichever implementation
     * rides inside (MultimodalSpec pins that invariance against explain
@@ -138,7 +262,7 @@ object MultimodalOps {
       df: DataFrame,
       idCol: String,
       binCol: String,
-      codec: (Long, Array[Byte]) => ImageFeatures = headerDecode): Dataset[ImageFeatures] = {
+      codec: (Long, Array[Byte]) => ImageFeatures = imageIoDecode): Dataset[ImageFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))

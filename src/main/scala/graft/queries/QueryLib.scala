@@ -3153,6 +3153,54 @@ object QueryLib {
            |  CAST(floor(height * scale) AS BIGINT) AS out_height
            |FROM s""".stripMargin))
 
+  private val mmPixelStats = Q(
+    "mm_pixel_stats",
+    // REAL pixel statistics under the oracle gate — the last mm stub
+    // closed: each doc_id is rendered as a REAL PNG (MultimodalOps
+    // .syntheticPng: deterministic per-channel pixel formulas, encoded
+    // by the JDK's ImageIO inside the task — narrow, no shuffle), then
+    // MultimodalOps.decodePixels reads the raster BACK through
+    // ImageIO.read and aggregates integer Rec.601 milli-luma
+    // (299R+587G+114B) into exact sum/min/max plus one closing IEEE
+    // division for the mean. PNG is lossless, so the decode must
+    // recover the formula pixels exactly — and the oracle recomputes
+    // the statistics ARITHMETICALLY from the closed form over an
+    // (x, y) grid, sharing zero code with the encoder/decoder: a
+    // raster-order, channel-order, or accumulation bug cannot hash
+    // green. Scale shape: encode+decode ride one mapPartitions chain
+    // per input split; only (id, 4 ints, 3 longs, 1 double) rows ever
+    // move.
+    (s, dir) => {
+      import s.implicits._
+      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticPng(id))))
+        .toDF("doc_id", "payload")
+      graft.functions.MultimodalOps.decodePixels(payloads, "doc_id", "payload").toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("nChannels").as("n_channels"),
+          col("sumLumaMilli").as("sum_luma_milli"),
+          col("minLumaMilli").as("min_luma_milli"),
+          col("maxLumaMilli").as("max_luma_milli"),
+          col("meanLuma").as("mean_luma"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+           |  FROM documents),
+           |px AS (SELECT doc_id, w, h,
+           |    299 * ((31 * doc_id + 7 * x + 13 * y) % 256)
+           |  + 587 * ((17 * doc_id + 5 * x + 11 * y) % 256)
+           |  + 114 * ((23 * doc_id + 3 * x + 19 * y) % 256) AS l
+           |  FROM d, range(0, 32) tx(x), range(0, 24) ty(y)
+           |  WHERE x < w AND y < h)
+           |SELECT doc_id,
+           |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           |  CAST(3 AS INTEGER) AS n_channels,
+           |  CAST(sum(l) AS BIGINT) AS sum_luma_milli,
+           |  CAST(min(l) AS BIGINT) AS min_luma_milli,
+           |  CAST(max(l) AS BIGINT) AS max_luma_milli,
+           |  CAST(sum(l) AS DOUBLE) / (1000 * w * h) AS mean_luma
+           |FROM px GROUP BY doc_id, w, h""".stripMargin))
+
   private val qTransitions = Q(
     "q_transitions",
     // First-order Markov transition counts over each user's time-ordered
@@ -4086,7 +4134,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges,
-    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan)
+    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -136,6 +136,48 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(b.width == 224 && a.width != 224)
   }
 
+  test("pixelDecode reads real PNG rasters back bit-exactly (closed-form oracle)") {
+    // syntheticPng encodes formula pixels through ImageIO; PNG is
+    // lossless, so the decode must recover the formula EXACTLY —
+    // recompute the expected statistics here from the closed form,
+    // sharing no code with either the encoder or the decoder loops
+    for (id <- Seq(0L, 7L, 123L, 4999L)) {
+      val w = (id % 24 + 8).toInt
+      val h = (id % 16 + 8).toInt
+      val lumas = for (y <- 0 until h; x <- 0 until w) yield
+        299L * ((31 * id + 7 * x + 13 * y) % 256) +
+          587L * ((17 * id + 5 * x + 11 * y) % 256) +
+          114L * ((23 * id + 3 * x + 19 * y) % 256)
+      val p = MultimodalOps.pixelDecode(id, MultimodalOps.syntheticPng(id))
+      assert(p.width == w && p.height == h && p.nChannels == 3)
+      assert(p.sumLumaMilli == lumas.sum, s"id=$id sum")
+      assert(p.minLumaMilli == lumas.min && p.maxLumaMilli == lumas.max, s"id=$id extrema")
+      assert(p.meanLuma == lumas.sum.toDouble / (1000.0 * w * h), s"id=$id mean")
+    }
+  }
+
+  test("pixelDecode refuses corrupt and non-image payloads loudly") {
+    // no reader at all (text bytes)
+    val e1 = intercept[IllegalArgumentException](
+      MultimodalOps.pixelDecode(1L, "definitely not an image".getBytes))
+    assert(e1.getMessage.contains("id=1"))
+    // a real PNG signature with a truncated/garbage body must throw,
+    // not decode to garbage statistics
+    val truncated = MultimodalOps.syntheticPng(3L).take(40)
+    intercept[IllegalArgumentException](MultimodalOps.pixelDecode(3L, truncated))
+  }
+
+  test("imageIoDecode: full pixel decode for real images, header fallback otherwise") {
+    // a REAL png -> ImageIO path: meanLuma is true Rec.601 pixel luma
+    val real = MultimodalOps.imageIoDecode(5L, MultimodalOps.syntheticPng(5L))
+    val expected = MultimodalOps.pixelDecode(5L, MultimodalOps.syntheticPng(5L))
+    assert(real.meanLuma == expected.meanLuma && real.width == expected.width)
+    // a header-only fixture (fake CRC, no IDAT) -> headerDecode path:
+    // dimensions from the container header, luma from the byte mean
+    val fallback = MultimodalOps.imageIoDecode(6L, png(128, 64, 2))
+    assert(fallback.width == 128 && fallback.height == 64 && fallback.nChannels == 3)
+  }
+
   test("resizeMeta rescales the metadata struct only") {
     val meta = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload",
       MultimodalOps.stubDecode).toDF()
