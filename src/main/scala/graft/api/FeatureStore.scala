@@ -315,7 +315,17 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
   }
 
   /** Rows added between two table versions (CDC-lite, txlog backend) —
-    * incremental downstream consumption without a table re-scan. */
+    * incremental downstream consumption without a table re-scan.
+    *
+    * The feed is ADD-ONLY: a file rewritten by [[deleteRows]] /
+    * [[updateRows]] surfaces its whole post-image as adds, and row
+    * DELETIONS are never propagated as change records — a consumer that
+    * materialized rows from an earlier version keeps them even after
+    * they are erased upstream. Strict-erasure consumers (GDPR
+    * downstreams) must re-read the full snapshot at the new version
+    * (`loadFeature` AS OF), not patch from this feed; upsert-style
+    * consumers keyed on (time, created_time) get last-writer-wins
+    * semantics from the rewritten adds but still retain erased keys. */
   def readFeatureChanges(fullName: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
     val (nsObj, f) = featureOf(fullName)

@@ -48,21 +48,29 @@ object Graph {
         (col(weight).cast("double") / col("_out_w").cast("double")).as("_p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contrib = e.join(ranks, e("_src") === ranks("node"))
-        .groupBy(col("_dst"))
-        .agg(sum(col("_p") * col("rank")).as("_in"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("_dst"), "left")
-        .select(nodes("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("_in"), lit(0.0)))
-            .as("rank"))
+    try {
+      for (i <- 1 to iterations) {
+        val contrib = e.join(ranks, e("_src") === ranks("node"))
+          .groupBy(col("_dst"))
+          .agg(sum(col("_p") * col("rank")).as("_in"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("_dst"), "left")
+          .select(nodes("node"),
+            (lit((1 - damping) / n) + lit(damping) * coalesce(col("_in"), lit(0.0)))
+              .as("rank"))
+        // periodic lineage cut: without it the rank plan nests one
+        // join-agg layer per round and analysis/planning cost grows
+        // superlinearly past ~10 iterations; the checkpoint is O(|V|)
+        if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+      }
+      // cut the lineage (O(|V|) rows, eager) so the two iteration-scoped
+      // caches can be released before returning — otherwise every call
+      // leaks two persisted frames the caller has no handle to unpersist
+      ranks.localCheckpoint(true)
+    } finally {
+      // release on BOTH exit paths — an executor failure mid-iteration
+      // must not leak two persisted frames nobody holds a handle to
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
-    // cut the lineage (O(|V|) rows, eager) so the two iteration-scoped
-    // caches can be released before returning — otherwise every call
-    // leaks two persisted frames the caller has no handle to unpersist
-    val out = ranks.localCheckpoint(true)
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    out
   }
 }

@@ -551,8 +551,35 @@ class TimeseriesStore(
     * read still reproduces the pre-delete table, so a STRICT erasure
     * must also vacuum. Returns the number of rows deleted.
     */
-  def deleteWhere(name: String, predicate: Column): Long = {
-    require(logBacked, "deleteWhere requires the txlog backend")
+  def deleteWhere(name: String, predicate: Column): Long =
+    rewriteMatchingFiles(name, predicate) { vsrc =>
+      // a fully-emptied file set publishes removes only (commit accepts it)
+      vsrc.filter(!predicate || predicate.isNull)
+    }
+
+  /** Row-level transactional UPDATE (txlog backend): rows matching the
+    * predicate get `newValue` as their value; same only-matching-files
+    * rewrite + single retire/publish commit as [[deleteWhere]].
+    * `newValue` may reference the normalized columns (e.g.
+    * `col("value") * 2`). Returns rows updated.
+    */
+  def updateWhere(name: String, predicate: Column, newValue: Column): Long =
+    rewriteMatchingFiles(name, predicate) { vsrc =>
+      vsrc.withColumn(ValueCol,
+        when(predicate, newValue.cast(vsrc.schema(ValueCol).dataType))
+          .otherwise(col(ValueCol)))
+    }
+
+  /** Shared victim-discovery / rewrite / commit body of [[deleteWhere]]
+    * and [[updateWhere]]: ONE file-pruned predicate scan finds the live
+    * files containing matches, the victim set is read ONCE (persisted,
+    * so the matched-row count and the rewrite share a single parquet
+    * pass), `rewrite` produces the replacement rows, and retire +
+    * publish land in one atomic commit. Returns the matched-row count.
+    */
+  private def rewriteMatchingFiles(name: String, predicate: Column)(
+      rewrite: DataFrame => DataFrame): Long = {
+    require(logBacked, "row-level rewrites require the txlog backend")
     if (!exists(name)) return 0L
     val log = txLog(name)
     val live = log.snapshot()
@@ -570,44 +597,14 @@ class TimeseriesStore(
     val vsrc = spark.read.options(storageOptions).option("basePath", root)
       .parquet(victims.map(a => s"$root/${a.path}"): _*)
       .select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
-    val deleted = vsrc.filter(predicate).count()
-    val keep = vsrc.filter(!predicate || predicate.isNull)
-    // a fully-emptied file set publishes removes only (commit accepts it)
-    val adds = if (keep.isEmpty) Nil else stageInstall(name, keep)
-    log.commit(adds, victims.map(a => TxRemove(a.path)))
-    deleted
-  }
-
-  /** Row-level transactional UPDATE (txlog backend): rows matching the
-    * predicate get `newValue` as their value; same only-matching-files
-    * rewrite + single retire/publish commit as [[deleteWhere]].
-    * `newValue` may reference the normalized columns (e.g.
-    * `col("value") * 2`). Returns rows updated.
-    */
-  def updateWhere(name: String, predicate: Column, newValue: Column): Long = {
-    require(logBacked, "updateWhere requires the txlog backend")
-    if (!exists(name)) return 0L
-    val log = txLog(name)
-    val live = log.snapshot()
-    if (live.isEmpty) return 0L
-    val root = featurePath(name)
-    val src = spark.read.options(storageOptions).option("basePath", root)
-      .parquet(live.map(a => s"$root/${a.path}"): _*)
-    val victimUris = src.withColumn("_f", col("_metadata.file_path"))
-      .filter(predicate).select(col("_f")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (victimUris.isEmpty) return 0L
-    val victims = live.filter(a => victimUris.exists(_.endsWith("/" + a.path)))
-    val vsrc = spark.read.options(storageOptions).option("basePath", root)
-      .parquet(victims.map(a => s"$root/${a.path}"): _*)
-      .select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
-    val updated = vsrc.filter(predicate).count()
-    val rewritten = vsrc.withColumn(ValueCol,
-      when(predicate, newValue.cast(vsrc.schema(ValueCol).dataType))
-        .otherwise(col(ValueCol)))
-    val adds = stageInstall(name, rewritten)
-    log.commit(adds, victims.map(a => TxRemove(a.path)))
-    updated
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = vsrc.filter(predicate).count() // materializes the cache
+      val out = rewrite(vsrc)
+      val adds = if (out.isEmpty) Nil else stageInstall(name, out)
+      log.commit(adds, victims.map(a => TxRemove(a.path)))
+      matched
+    } finally vsrc.unpersist(blocking = false)
   }
 
   /** Incremental change feed (CDC-lite; txlog backend): the rows ADDED

@@ -35,7 +35,14 @@ final case class TxAction(
     remove: Option[TxRemove] = None,
     txn: Option[String] = None,
     txnApp: Option[String] = None,
-    txnVer: Option[Long] = None)
+    txnVer: Option[Long] = None,
+    // commit-info wall-clock (FIRST line of a commit/checkpoint file):
+    // AS OF TIMESTAMP resolves from this, not file mtime — mtimes don't
+    // survive a byte-copy of the log dir, and the hard-link install
+    // preserves the PRE-install tmp file's mtime, so racing writers can
+    // interleave non-monotonic mtimes across versions. Absent on
+    // pre-upgrade commits (mtime fallback). State replay ignores it.
+    commitTs: Option[Long] = None)
 
 /** Minimal single-table transaction log — the Delta-protocol idea
   * (Armbrust et al., "Delta Lake: High-Performance ACID Table Storage
@@ -103,32 +110,64 @@ class TxLog(
   def latestVersion(): Long =
     versions().lastOption.map(_._1).getOrElse(-1L)
 
-  /** AS OF TIMESTAMP resolution: the newest commit whose commit-file
-    * modification time is <= tsMillis — the Delta fallback rule (the
-    * log embeds no commit-info timestamps). Mtimes survive in-place on
-    * POSIX/HDFS but NOT a byte-copy of the log directory (a cloned
-    * table re-stamps); version-based travel is the portable form, this
-    * is the human-friendly one. Commits vacuumed into a checkpoint no
-    * longer resolve — asking for an instant before the earliest
-    * surviving commit throws rather than silently snapping forward.
+  /** AS OF TIMESTAMP resolution: the newest version whose commit
+    * instant is <= tsMillis. The instant comes from the commit-info
+    * `commitTs` line each commit/checkpoint embeds (first line —
+    * resolution reads ONE line per surviving log file); pre-upgrade
+    * files without it fall back to the Delta mtime rule (mtimes
+    * survive in-place on POSIX/HDFS but NOT a byte-copy of the log
+    * dir). Checkpoint files count as resolution anchors too: after
+    * vacuum prunes the commits a checkpoint subsumes, the checkpoint's
+    * version is still readable state and must stay addressable — only
+    * an instant before the EARLIEST surviving anchor throws, rather
+    * than silently snapping forward. Instants are made monotonic
+    * non-decreasing in version order at read time (running max, the
+    * Delta adjustment), so racing writers' clock skew can never make a
+    * later version resolve before an earlier one.
     */
   def versionAt(tsMillis: Long): Long = {
     if (!fs.exists(logDir))
       throw new IllegalArgumentException(s"no transaction log at $logDir")
-    val commits = fs.listStatus(logDir).toSeq.filter(_.isFile)
+    // one anchor per version: the commit file's instant is authoritative
+    // where both a commit and its checkpoint survive (the checkpoint is
+    // written AFTER the commit, so its mtime fallback would skew late)
+    val anchors = fs.listStatus(logDir).toSeq.filter(_.isFile)
       .flatMap { st =>
-        val n = st.getPath.getName
-        if (n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
-          n.stripSuffix(".json").toLongOption.map(v => (v, st.getModificationTime))
-        else None
-      }.sortBy(_._1)
-    val at = commits.filter(_._2 <= tsMillis)
+        st.getPath.getName match {
+          case CommitName(v)     => Some((v.toLong, false, st))
+          case CheckpointName(v) => Some((v.toLong, true, st))
+          case _                 => None
+        }
+      }
+      .groupBy(_._1).toSeq
+      .map { case (v, es) =>
+        val st = es.sortBy(_._2).head._3 // commit (false) before checkpoint
+        (v, embeddedTs(st.getPath).getOrElse(st.getModificationTime))
+      }
+      .sortBy(_._1)
+    // running max: monotonic non-decreasing instants in version order
+    val mono = anchors.scanLeft((Long.MinValue, Long.MinValue)) {
+      case ((_, prevTs), (v, ts)) => (v, math.max(prevTs, ts))
+    }.drop(1)
+    val at = mono.filter(_._2 <= tsMillis)
     if (at.isEmpty)
       throw new IllegalArgumentException(
-        s"no commit at or before ts=$tsMillis — earliest surviving commit is " +
-          s"${commits.headOption.map(c => s"v${c._1}@${c._2}").getOrElse("<none>")} " +
+        s"no commit at or before ts=$tsMillis — earliest surviving version is " +
+          s"${mono.headOption.map(c => s"v${c._1}@${c._2}").getOrElse("<none>")} " +
           "(older history may have been vacuumed)")
     at.map(_._1).max
+  }
+
+  /** The commit-info instant embedded as a log file's first line, if
+    * the file was written by a commitTs-aware writer. */
+  private def embeddedTs(p: Path): Option[Long] = {
+    val in = fs.open(p)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Option(reader.readLine()).filter(_.nonEmpty)
+        .flatMap(l => scala.util.Try(mapper.readValue(l, classOf[TxAction])).toOption)
+        .flatMap(_.commitTs)
+    } finally in.close()
   }
 
   /** Live file set at `asOf` (default: latest), replayed from the most
@@ -287,11 +326,14 @@ class TxLog(
       maxAttempts: Int = 20,
       txnAppVer: Option[(String, Long)] = None): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit")
-    val actions = adds.map(a => TxAction(add = Some(a))) ++
-      removes.map(r => TxAction(remove = Some(r))) ++
-      txnId.map(t => TxAction(txn = Some(t))) ++
-      txnAppVer.map { case (app, ver) =>
-        TxAction(txnApp = Some(app), txnVer = Some(ver)) }
+    // commit-info instant FIRST so versionAt reads one line per file
+    val commitTs = System.currentTimeMillis()
+    val actions = TxAction(commitTs = Some(commitTs)) +:
+      (adds.map(a => TxAction(add = Some(a))) ++
+        removes.map(r => TxAction(remove = Some(r))) ++
+        txnId.map(t => TxAction(txn = Some(t))) ++
+        txnAppVer.map { case (app, ver) =>
+          TxAction(txnApp = Some(app), txnVer = Some(ver)) })
     val lines = actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -340,7 +382,7 @@ class TxLog(
             cacheVersion = v
           }
         }
-        maybeCheckpoint(v)
+        maybeCheckpoint(v, commitTs)
         return v
       }
       fs.delete(tmp, false)
@@ -389,17 +431,20 @@ class TxLog(
       }
   }
 
-  private def maybeCheckpoint(v: Long): Unit =
+  private def maybeCheckpoint(v: Long, commitTs: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
       // a checkpoint carries the live files AND the transaction state,
       // so restart-idempotence survives the replay horizon. Opaque txn
       // ids are O(total history) forever; structured apps are one line
-      // per WRITER — the streaming sink's bounded-state path.
+      // per WRITER — the streaming sink's bounded-state path. Its
+      // commit-info instant is commit v's (the state it snapshots), so
+      // versionAt keeps resolving v after vacuum prunes the commit.
       val (adds, txns, apps) = replay(Some(v))
-      val lines = (adds.map(a => TxAction(add = Some(a))) ++
-        txns.toSeq.sorted.map(t => TxAction(txn = Some(t))) ++
-        apps.toSeq.sortBy(_._1).map { case (app, ver) =>
-          TxAction(txnApp = Some(app), txnVer = Some(ver)) })
+      val lines = (TxAction(commitTs = Some(commitTs)) +:
+        (adds.map(a => TxAction(add = Some(a))) ++
+          txns.toSeq.sorted.map(t => TxAction(txn = Some(t))) ++
+          apps.toSeq.sortBy(_._1).map { case (app, ver) =>
+            TxAction(txnApp = Some(app), txnVer = Some(ver)) }))
         .map(mapper.writeValueAsString)
         .mkString("", "\n", "\n")
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
@@ -476,6 +521,8 @@ object TxLog {
   // ahead of its mapper val.
   com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
     .registerReferencedValueType(classOf[TxAction], "txnVer", classOf[Long])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAction], "commitTs", classOf[Long])
 
   val LogDirName = "_txlog"
   val CheckpointEvery = 10

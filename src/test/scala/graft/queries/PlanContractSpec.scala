@@ -21,7 +21,9 @@ class PlanContractSpec extends SparkSpec {
 
   // The deliberate exceptions, all bounded by construction:
   // sim_embed_dedup is the 500-vector brute-force ANN verifier
-  // baseline; sim_cosine_topk broadcasts 10 query vectors into a
+  // baseline — and carries its own hard require(n <= 2048) so this
+  // exemption cannot silently bless a scaled-up all-pairs join;
+  // sim_cosine_topk broadcasts 10 query vectors into a
   // nested-loop scoring join; txt_keywords broadcasts the 1-row corpus
   // size scalar; sim_label_centroid broadcasts the 10-row centroid
   // frame into the assignment join.

@@ -182,6 +182,37 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](tx.versionAt("f", 1000L))
   }
 
+  test("versionAt anchors on a surviving checkpoint and embedded instants, not mtimes") {
+    val dir = tmpDir("graft-tx-anchor")
+    val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    for (i <- 1 to 11) // versions 0..10: the checkpoint lands at v10
+      tx.save("f", series((f"2024-01-$i%02d 10:00:00", f"2024-01-$i%02d 10:00:00", i.toDouble)))
+    assert(tx.tableVersion("f") == 10L)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    tx.save("f", series(("2024-02-01 10:00:00", "2024-02-01 10:00:00", 99.0)))
+    // log vacuum prunes commits 1..10 (subsumed by the v10 checkpoint)
+    tx.vacuum("f", retentionMs = 0L)
+    val logDir = new org.apache.hadoop.fs.Path(s"$dir/tx/feature/f/_txlog")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(logDir).map(_.getPath.getName).toSet
+    assert(!names.contains(f"${1L}%020d.json"), s"commit 1 should be pruned: $names")
+    // the pre-`between` history survives ONLY as the checkpoint file now
+    assert(names.contains(f"${10L}%020d.checkpoint.json"), s"checkpoint missing: $names")
+    // the checkpoint file is now the only anchor for v10 — an instant
+    // between v10 and v11 must resolve to 10, not throw
+    assert(tx.versionAt("f", between) == 10L)
+    assert(tx.read("f", asOfVersion = Some(10L)).count() == 11L)
+    // instants come from the embedded commit-info line, not file mtime:
+    // smashing every surviving log file's mtime must change nothing
+    fs.listStatus(logDir).filter(_.isFile).foreach(st => fs.setTimes(st.getPath, 1000L, 1000L))
+    assert(tx.versionAt("f", between) == 10L)
+    assert(tx.versionAt("f", System.currentTimeMillis()) == 11L)
+    // an instant before the earliest surviving anchor still refuses
+    intercept[IllegalArgumentException](tx.versionAt("f", 1000L))
+  }
+
   test("optimize bin-packs small files in one commit without changing a row") {
     val dir = tmpDir("graft-optimize")
     val tx = new TimeseriesStore(spark, dir, backend = "txlog")
