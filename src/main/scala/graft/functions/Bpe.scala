@@ -91,6 +91,94 @@ object Bpe {
       .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(sum(col("cnt")).as("pc"))
 
+  /** Batched-trainer result: merges in rank order plus the number of
+    * driver rounds (collect+materialize cycles) it took — the metric a
+    * 32k-merge production vocabulary is graded on. */
+  final case class BatchedTrain(merges: Seq[Merge], rounds: Int)
+
+  /** How many of the top pair-count rows one batched round examines:
+    * the greedy selection scans this prefix of the (pc DESC, p1, p2)
+    * ordering, so the cap is part of the ALGORITHM (an oracle replaying
+    * the selection must use the same window), not just a driver-memory
+    * bound. 8× the batch size fills batches reliably on natural text,
+    * where high-frequency pairs share letters and interfere often. */
+  def scanCap(batch: Int): Int = math.max(8 * batch, 24)
+
+  /** Batched BPE merge training: per driver round, ONE pair-count job
+    * and ONE vocab rewrite apply up to `batch` merges, so a 32k-merge
+    * production vocabulary costs ~32k/batch sequential Spark jobs
+    * instead of 32k (the [[trainMerges]] loop's driver-round bound —
+    * fine for a 3-merge gate, the scale ceiling for a real tokenizer).
+    *
+    * Within a round the greedy selection walks the [[scanCap]]-row
+    * prefix of the (pc DESC, p1, p2) pair ordering and takes a pair
+    * only if its symbol set {left, right, left+right} is disjoint from
+    * every already-selected pair's — under that NON-INTERFERENCE rule
+    * the merges commute and each selected pair's snapshot count is
+    * EXACTLY what sequential training would have recorded for it
+    * (rewriting (a,b) can neither create nor destroy occurrences of a
+    * disjoint (c,d); the concatenation is included in the set because
+    * merging a+b mints new "ab" symbols, which WOULD perturb any pair
+    * mentioning "ab"). `batch = 1` degenerates to exactly
+    * [[trainMerges]] (asserted in spec); larger batches may diverge
+    * from the sequential merge LIST order — the standard fast-trainer
+    * trade — but stay deterministic and oracle-replayable.
+    */
+  def trainMergesBatched(wordCounts: DataFrame, k: Int, batch: Int): BatchedTrain = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    var vocab = wordCounts.select(
+      initSymbols(col("word")).as("w"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
+    try {
+      var exhausted = false
+      while (merges.length < k && !exhausted) {
+        val take = math.min(batch, k - merges.length)
+        val cand = pairCounts(vocab)
+          .orderBy(col("pc").desc, col("p1"), col("p2"))
+          .limit(scanCap(batch)).collect()
+        rounds += 1
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Merge]
+        val blocked = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        while (i < cand.length && picked.length < take) {
+          val (p1, p2) = (cand(i).getString(0), cand(i).getString(1))
+          if (!blocked(p1) && !blocked(p2) && !blocked(p1 + p2)) {
+            picked += Merge(p1, p2, cand(i).getLong(2))
+            blocked ++= Seq(p1, p2, p1 + p2)
+          }
+          i += 1
+        }
+        if (picked.isEmpty) exhausted = true
+        else {
+          merges ++= picked
+          val rewritten = picked.foldLeft(col("w")) { (acc, m) =>
+            regexp_replace(acc,
+              java.util.regex.Pattern.quote(s"$Marker${m.left} $Marker${m.right}"),
+              java.util.regex.Matcher.quoteReplacement(s"$Marker${m.left}${m.right}"))
+          }
+          // periodic lineage cut: the logical plan otherwise nests one
+          // replace per TOTAL merge — ~500 deep by round 32, past any
+          // codegen/analysis comfort. localCheckpoint keeps plan depth
+          // bounded by 8 rounds of replaces while staying materialized.
+          val next0 = vocab.select(rewritten.as("w"), col("cnt"))
+          val next =
+            if (rounds % 8 == 0) next0.localCheckpoint(true)
+            else {
+              val p = next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              p.count(); p
+            }
+          vocab.unpersist(blocking = false)
+          vocab = next
+        }
+      }
+    } finally vocab.unpersist(blocking = false)
+    BatchedTrain(merges.toSeq, rounds)
+  }
+
   /** Word-boundary separator used by [[encode]]'s whole-document symbol
     * string: words joined by " \u0002 " — merge patterns ("§p1 §p2")
     * can never match across it, so merges stay word-local exactly as

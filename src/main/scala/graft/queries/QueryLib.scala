@@ -2350,6 +2350,14 @@ object QueryLib {
     (s, dir) => {
       val e = T(s, dir, "embeddings").filter(col("vec_id") < 500)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // HARD size guard on the deliberate all-pairs demo: this query is
+      // the bounded brute-force verifier (PlanContractSpec allow-lists
+      // its cartesian) — lifting the shape into a pipeline at corpus
+      // scale must fail loudly here, not melt a cluster on n² pairs.
+      // The scale path is dedup_embed_lsh.
+      val n = e.count()
+      require(n <= 2048,
+        s"sim_embed_dedup is a bounded all-pairs demo (n=$n > 2048); use dedup_embed_lsh at scale")
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
@@ -3762,6 +3770,73 @@ object QueryLib {
          |FROM e3""".stripMargin
     })
 
+  private val txtBpeTrainBatched = Q(
+    "txt_bpe_train_batched",
+    // The BATCHED trainer (Bpe.trainMergesBatched): 6 merges land in 2
+    // driver rounds of 3 instead of 6 sequential argmax collects — the
+    // shape that makes a 32k-merge production vocabulary ~32k/batch
+    // Spark jobs, not 32k. Within a round the greedy selection walks
+    // the top-scanCap pair ordering and takes only mutually
+    // NON-INTERFERING pairs ({l, r, l+r} symbol sets disjoint), under
+    // which merges commute and each snapshot count is exactly what
+    // sequential training would record for that pair. The oracle
+    // replays the identical selection: per round, argmax then
+    // argmax-over-non-interfering twice against the SAME candidate
+    // window, then one 3-replace vocab rewrite between rounds.
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.Bpe.trainMergesBatched(
+        graft.functions.Bpe.wordCounts(T(s, dir, "documents"), "text"), 6, 3)
+        .merges.zipWithIndex
+        .map { case (m, i) => (i + 1L, m.left, m.right, m.count) }
+        .toDF("rank", "p1", "p2", "pc")
+    },
+    Some {
+      def pc(v: String) =
+        s"""(SELECT p1, p2, sum(cnt) AS pc FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)),
+           |             i -> {'p1': syms[i], 'p2': syms[i+1]}), recursive := true), cnt
+           |    FROM (SELECT list_transform(string_split(w, ' '), x -> x[2:]) AS syms, cnt
+           |          FROM $v) sy
+           |    WHERE len(syms) >= 2) px
+           |  GROUP BY 1, 2)""".stripMargin
+      // non-interference: candidate c's {p1, p2, p1||p2} disjoint from
+      // selected x's — the Scala trainer's `blocked` set, stated per pair
+      def disj(c: String, x: String) =
+        s"""$c.p1 NOT IN ($x.p1, $x.p2, $x.p1 || $x.p2) AND
+           |        $c.p2 NOT IN ($x.p1, $x.p2, $x.p1 || $x.p2) AND
+           |        ($c.p1 || $c.p2) NOT IN ($x.p1, $x.p2, $x.p1 || $x.p2)""".stripMargin
+      def rep(inner: String, x: String) =
+        s"replace($inner, concat(chr(1), $x.p1, ' ', chr(1), $x.p2), concat(chr(1), $x.p1, $x.p2))"
+      s"""WITH wc AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |v0 AS (SELECT concat(chr(1), array_to_string(string_split(word, ''),
+         |         concat(' ', chr(1)))) AS w, cnt FROM wc),
+         |cand0 AS (SELECT p1, p2, pc FROM ${pc("v0")} ORDER BY pc DESC, p1, p2 LIMIT 24),
+         |s01 AS (SELECT * FROM cand0 ORDER BY pc DESC, p1, p2 LIMIT 1),
+         |s02 AS (SELECT c.* FROM cand0 c, s01 a WHERE ${disj("c", "a")}
+         |        ORDER BY c.pc DESC, c.p1, c.p2 LIMIT 1),
+         |s03 AS (SELECT c.* FROM cand0 c, s01 a, s02 b
+         |        WHERE ${disj("c", "a")} AND ${disj("c", "b")}
+         |        ORDER BY c.pc DESC, c.p1, c.p2 LIMIT 1),
+         |v1 AS (SELECT ${rep(rep(rep("w", "a"), "b"), "c")} AS w, cnt
+         |       FROM v0, s01 a, s02 b, s03 c),
+         |cand1 AS (SELECT p1, p2, pc FROM ${pc("v1")} ORDER BY pc DESC, p1, p2 LIMIT 24),
+         |s11 AS (SELECT * FROM cand1 ORDER BY pc DESC, p1, p2 LIMIT 1),
+         |s12 AS (SELECT c.* FROM cand1 c, s11 a WHERE ${disj("c", "a")}
+         |        ORDER BY c.pc DESC, c.p1, c.p2 LIMIT 1),
+         |s13 AS (SELECT c.* FROM cand1 c, s11 a, s12 b
+         |        WHERE ${disj("c", "a")} AND ${disj("c", "b")}
+         |        ORDER BY c.pc DESC, c.p1, c.p2 LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, p1, p2, CAST(pc AS BIGINT) AS pc FROM s01
+         |UNION ALL SELECT CAST(2 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM s02
+         |UNION ALL SELECT CAST(3 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM s03
+         |UNION ALL SELECT CAST(4 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM s11
+         |UNION ALL SELECT CAST(5 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM s12
+         |UNION ALL SELECT CAST(6 AS BIGINT), p1, p2, CAST(pc AS BIGINT) FROM s13""".stripMargin
+    })
+
   private val dedupEditVerify = Q(
     "dedup_edit_verify",
     // Character-level edit-distance verification over SKETCH candidates
@@ -3901,12 +3976,20 @@ object QueryLib {
     // hash-agg, no per-set rescans. SQL-expressed (the Dataset API
     // stops at rollup/cube).
     (s, dir) => {
-      T(s, dir, "events").createOrReplaceTempView("ev_gs")
-      s.sql("""SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
+      // UUID-suffixed view (as the streaming gates do): a fixed name
+      // would let two concurrent gate executions in one SparkSession
+      // clobber each other's registration
+      val v = "ev_gs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      T(s, dir, "events").createOrReplaceTempView(v)
+      val out = s.sql(s"""SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
               |  CAST(grouping(event_type) AS BIGINT) AS g_type,
               |  CAST(grouping(cohort) AS BIGINT) AS g_cohort
-              |FROM (SELECT event_type, user_id % 10 AS cohort FROM ev_gs) t
+              |FROM (SELECT event_type, user_id % 10 AS cohort FROM $v) t
               |GROUP BY GROUPING SETS ((event_type), (cohort), (event_type, cohort), ())""".stripMargin)
+      // the plan is resolved eagerly at sql(); the registration can go
+      out.queryExecution.analyzed
+      s.catalog.dropTempView(v)
+      out
     },
     Some("""SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n,
            |  CAST(grouping(event_type) AS BIGINT) AS g_type,
@@ -4131,7 +4214,7 @@ object QueryLib {
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
-    qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeEncode, dedupEditVerify,
+    qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats)

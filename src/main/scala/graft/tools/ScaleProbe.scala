@@ -153,6 +153,25 @@ object ScaleProbe {
       t.unpersist()
       n
     }
+    // Batched BPE at production merge counts: 500 merges over 200k
+    // synthetic word types must land in ≤ 60 driver rounds (the
+    // sequential trainer would take 500). Rounds start symbol-starved
+    // (a 16-char hex alphabet admits at most ~5 disjoint pairs), then
+    // fill as merged symbols diversify — exactly the ramp a real
+    // tokenizer sees; the bound certifies the batch fill holds anyway.
+    timed("batched BPE: 500 merges over 200k word types in <= 60 driver rounds") {
+      val wc = spark.range(200000).select(
+        expr("substring(md5(cast(id as string)), 1, 4 + cast(id % 12 as int))").as("word"),
+        ((lit(200000L) / (col("id") + 1L)).cast("long") + 1L).as("cnt"))
+        .groupBy("word").agg(sum("cnt").as("cnt"))
+      val bt = graft.functions.Bpe.trainMergesBatched(wc, 500, batch = 16)
+      require(bt.merges.length == 500,
+        s"expected 500 merges, trained ${bt.merges.length}")
+      require(bt.rounds <= 60,
+        s"batched trainer took ${bt.rounds} driver rounds for 500 merges (bound: 60)")
+      println(f"[probe]   rounds=${bt.rounds} (${500.0 / bt.rounds}%.1f merges/round)")
+      bt.rounds
+    }
     // Sign-LSH embedding near-dedup at 1M vectors with the band width
     // SIZED TO THE CORPUS (3 bands x 20 planes -> 2^20 buckets/band,
     // occupancy ~1): the 8-bit driver-query configuration would put

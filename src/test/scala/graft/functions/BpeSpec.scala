@@ -74,6 +74,33 @@ class BpeSpec extends SparkSpec {
     assert(got("a") === 1)
   }
 
+  test("batched trainer with batch=1 degenerates to the sequential trainer") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val bt = Bpe.trainMergesBatched(words.toSeq.toDF("word", "cnt"), 4, batch = 1)
+    assert(bt.merges === train(words, 4))
+    assert(bt.rounds === 4) // one driver round per merge, by definition
+  }
+
+  test("batched selection takes only mutually non-interfering pairs per round") {
+    // 'abab' makes (a,b) top; (b,a) shares both symbols and must be
+    // deferred to round 2, where the rewrite has changed its count
+    val words = Map("abab" -> 10L, "cd" -> 7L, "ce" -> 6L)
+    val bt = Bpe.trainMergesBatched(words.toSeq.toDF("word", "cnt"), 3, batch = 3)
+    // round 1 greedy over (pc desc, p1, p2): (a,b) 20 picked; (b,a) 10
+    // blocked on both symbols; (c,d) 7 picked; (c,e) blocked on c
+    assert(bt.merges.take(2) === Seq(Bpe.Merge("a", "b", 20L), Bpe.Merge("c", "d", 7L)))
+    assert(bt.rounds === 2)
+    // round 2: 'abab' is now 'ab ab', so the top surviving pair is
+    // (ab,ab) 10 — exactly what sequential training would see next
+    assert(bt.merges(2) === Bpe.Merge("ab", "ab", 10L))
+    // and the non-interference guarantee: each recorded count equals
+    // what the sequential trainer records when fed the same merge order
+    val counts = bt.merges.map(m => (m.left, m.right) -> m.count).toMap
+    val seq = train(words, 3)
+    seq.filter(m => counts.contains((m.left, m.right)))
+      .foreach(m => assert(counts((m.left, m.right)) === m.count))
+  }
+
   test("wordCounts + trainFromText end-to-end agrees with the reference") {
     val docs = Seq("the cat sat", "the bat", "the cat").toDF("text")
     val wc = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
