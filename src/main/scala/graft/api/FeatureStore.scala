@@ -421,14 +421,23 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
         }
         out.select("time", "value")
       case None =>
-        // Scale note: when a seed row is needed (clipFrom=false) we still
-        // bound the scan above by `to`; partition pruning keeps the read to
-        // the feature's history ≤ to. A tail-partition lookback (the
-        // reference's widen-from-last trick, dask.py:142-148) is a further
-        // optimization once catalogs record partition stats.
+        // Widen-from-last (the reference's seed-scan pruning,
+        // dask.py:142-148, Spark-first): a deferred-clip load needs
+        // pre-range rows ONLY as the fill seed — the LAST surviving row
+        // before `from`. Resolve that row's time with a tail-partition
+        // ladder (a metadata listing plus ≤ 9 partition directories in
+        // the dense case, see [[lastTimeBefore]]) and lower-bound the
+        // real scan at it, so a resample over the last week of a
+        // years-deep feature scans days, not history. asOfVersion reads
+        // keep the unbounded seed scan: the ladder walks the LATEST
+        // snapshot's partitions, which an old version need not match.
+        val effFrom =
+          if (clipFrom) from
+          else if (asOfVersion.isDefined) None
+          else from.map(f0 => lastTimeBefore(nsObj, f, f0, timeTravel).getOrElse(f0))
         val raw = store(nsObj).read(
           f.name,
-          from = if (clipFrom) from else None,
+          from = effFrom,
           to = to,
           valueType = valueTypeOf(f),
           partitionStyle = f.partition,
@@ -778,6 +787,48 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
       case (w, None) if w == parts.length => None
     }.flatten
     (row, read.toSeq)
+  }
+
+  /** Last SURVIVING event time strictly before `from` — the fill-seed
+    * anchor for widen-from-last (reference dask.py:142-148): instead of
+    * scanning a feature's full history to seed a forward fill, find the
+    * seed row's time with a tail-partition ladder and let the caller
+    * lower-bound the real scan at it.
+    *
+    * Only partitions whose value precedes `from`+1unit can hold rows
+    * before `from` (the skew contract: value p holds times in
+    * [p-1unit, p+2units)), so the ladder walks those newest-first in
+    * widths 3 → 9 → all — the same discipline as [[endpointLookup]] —
+    * and settles once [[endpointSettled]] proves no deeper partition
+    * can beat the candidate. Dense daily data settles at width 3; the
+    * full-width leg only runs when the history under `from` is sparse
+    * (few partitions) or empty. Survival means post-[[postProcess]]:
+    * a timeTravel-filtered row can never be returned as the seed.
+    */
+  private def lastTimeBefore(
+      nsObj: Namespace,
+      f: Feature,
+      from: Timestamp,
+      timeTravel: Option[String]): Option[Timestamp] = {
+    val st = store(nsObj)
+    val cutoff = f.partition match {
+      case "year" => graft.store.PartitionBounds.year(from.toInstant, 1).toString
+      case _      => graft.store.PartitionBounds.dateString(from.toInstant, 1)
+    }
+    val parts = st.listPartitions(f.name, reverse = true).filter(_ <= cutoff)
+    if (parts.isEmpty) return None
+    val widths = Seq(3, 9, parts.length).filter(w => w > 0 && w <= parts.length).distinct
+    widths.iterator.map { w =>
+      val raw = st.readPartitions(f.name, parts.take(w), valueTypeOf(f))
+        .filter(col("time") < lit(from))
+      val df = postProcess(raw, f, timeTravel)
+      (w, TimeseriesOps.lastRow(df).collect().headOption)
+    }.collectFirst {
+      case (w, Some(r)) if w == parts.length ||
+        endpointSettled(r.getTimestamp(0), parts(w), f.partition, fromTail = true) =>
+        Some(r.getTimestamp(0))
+      case (w, None) if w == parts.length => None
+    }.flatten
   }
 
   /** Can any partition deeper than `nextUnread` still beat the

@@ -74,6 +74,41 @@ class FeatureStoreSpec extends SparkSpec {
     assert(out.map(_.getDouble(1)).toSeq == Seq(0.0, 2.0, 2.0, 4.0, 4.0))
   }
 
+  test("widen-from-last: resample seed scan is partition-bounded, results unchanged") {
+    val fs = freshStore()
+    fs.createFeature("test/wfl")
+    // 60 daily partitions; load the last 5 days on a grid — the ffill
+    // seed is the day before the range, NOT 55 days of history
+    fs.saveDataFrame(dailySeries("2021-01-01", 60, _.toDouble), Some("test/wfl"))
+    val out = fs.loadDataFrame(Seq("test/wfl"),
+      Some(ts("2021-02-25")), Some(ts("2021-03-01")), freq = Some("1d"))
+    assert(out.orderBy("time").collect().map(_.getDouble(1)).toSeq ==
+      Seq(55.0, 56.0, 57.0, 58.0, 59.0))
+    // boundedness: the returned plan's scan starts at the RESOLVED seed
+    // time (02-24), so directory pruning admits ~7 of the 60 partitions
+    // (descend through AQE — collectLeaves stops at the adaptive root)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(out.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(s.selectedPartitions.partitionCount <= 9,
+      s"seed scan reads ${s.selectedPartitions.partitionCount} of 60 partitions"))
+
+    // sparse history: the only seed row lives 50 partitions back — the
+    // ladder widens past its 3/9 rungs to full width and still finds it
+    fs.createFeature("test/wfl2")
+    fs.saveDataFrame(dailySeries("2021-01-01", 1, _ => 7.0), Some("test/wfl2"))
+    val far = fs.loadDataFrame(Seq("test/wfl2"),
+      Some(ts("2021-02-20")), Some(ts("2021-02-22")), freq = Some("1d"))
+    assert(far.orderBy("time").collect().map(_.getDouble(1)).toSeq ==
+      Seq(7.0, 7.0, 7.0))
+  }
+
   test("resampled load with fill=interpolate lerps the gaps (extension)") {
     val fs = freshStore()
     fs.createFeature("test/li")
