@@ -619,6 +619,124 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsStreamDedupLsh = Q(
+    "fs_stream_dedup_lsh",
+    // Streaming NEAR-dedup (the 10th streaming hash gate): the batch
+    // incremental dedup's banded-LSH formulation run as a STREAM —
+    // band buckets live as flatMapGroupsWithState state, so a document
+    // near-duplicating (trigram-digest Jaccard >= 0.5) ANY
+    // earlier-ingested doc is flagged across micro-batches. The corpus
+    // replays in doc_id order over 4 id-ranged micro-batches (ascending
+    // mtimes; id order IS the batch rule's first-wins total order), and
+    // the survivor set of the >= 400 "new" slice must hash-equal the
+    // BATCH dedup_incremental oracle: stream/batch parity on the
+    // survivor set, certified cross-engine. Buckets keep every seen
+    // member (accepted AND dropped) because the batch rule flags a
+    // match to any smaller id regardless of that doc's own fate.
+    (s, dir) => {
+      val tmp = scratchDir("slsh")
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
+      val srcDir = stagedSrc("slsh", dir) { rootStr =>
+        val root = java.nio.file.Paths.get(rootStr)
+        java.nio.file.Files.createDirectories(root)
+        val cuts = Seq(0L, 150L, 300L, 450L, Long.MaxValue)
+        cuts.sliding(2).toSeq.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          val stage = s"$tmp/stage/$i"
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.parquet(stage)
+          import scala.jdk.CollectionConverters._
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          val part = try listing.iterator().asScala
+            .find(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+          finally listing.close()
+          val target = root.resolve(f"slice$i%02d.parquet")
+          java.nio.file.Files.move(part, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      }
+      val stream = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1") // 4 id-ranged micro-batches
+        .option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"slsh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.lshDedupStream(stream, threshold = 0.5)
+          .toDF("doc_id", "matched")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // one verdict per (bucket, doc): a doc is a near-duplicate iff
+      // ANY bucket flagged it — the stateless OR-reduce on the sink
+      s.table(view).groupBy(col("doc_id"))
+        .agg(max(col("matched")).as("dup"))
+        .filter(col("doc_id") >= 400 && !col("dup"))
+        .select(col("doc_id").cast("long").as("doc_id"))
+    },
+    // the BATCH incremental-dedup oracle, verbatim: stream/batch parity
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |${lshOracleCtes("base", "sh", Nil, bands = 6, rowsPerBand = 2)},
+           |dup AS (SELECT DISTINCT doc_b AS doc_id
+           |        FROM cand JOIN base x ON x.doc_id = doc_a
+           |                  JOIN base y ON y.doc_id = doc_b
+           |        WHERE doc_b >= 400 AND ${lshVerifySql("sh")} >= 0.5)
+           |SELECT CAST(b.doc_id AS BIGINT) AS doc_id FROM base b
+           |WHERE b.doc_id >= 400
+           |  AND b.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin))
+
+  private val fsStoreEvolve = Q(
+    "fs_store_evolve",
+    // Schema evolution on the txlog backend (the lakehouse ALTER TABLE
+    // analogue of the reference's serialized drift): the table starts
+    // with INT values (epoch 0), widens to DOUBLE, gains a `quality`
+    // column, then takes a post-evolution append. The latest read
+    // returns every row under the widened+extended schema (old files
+    // upcast per epoch, missing column null) while the as-of read of
+    // the pre-evolution version still sees the ORIGINAL int schema —
+    // both snapshots dumped side by side and recomputed by DuckDB from
+    // raw events (int truncation, widening, and the null fill all
+    // re-derived cross-engine).
+    (s, dir) => {
+      import org.apache.spark.sql.types.DoubleType
+      val tmp = scratchDir("evolve")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("ts").as("created_time"), col("value"))
+      val d15 = ts("2024-01-15")
+      st.save("ev", src.filter(col("time") < d15)
+        .withColumn("value", col("value").cast("int")))
+      val vInt = st.tableVersion("ev")
+      st.evolveValueType("ev", DoubleType)
+      st.evolveSchema("ev", st.tableSchema("ev").get.add("quality", DoubleType))
+      st.save("ev", src.filter(col("time") >= d15)
+        .withColumn("quality", col("value") * 0.5))
+      val latest = st.read("ev")
+      val old = st.read("ev", asOfVersion = Some(vInt))
+      latest.select(lit("latest").as("snap"), col("time"),
+          col("value"), col("quality"))
+        .unionByName(old.select(lit("v0").as("snap"), col("time"),
+          col("value").cast("double").as("value"),
+          lit(null).cast("double").as("quality")))
+    },
+    Some("""WITH p AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+           |a AS (SELECT time, CAST(CAST(trunc(value) AS INTEGER) AS DOUBLE) AS value
+           |      FROM p WHERE time < TIMESTAMP '2024-01-15'),
+           |b AS (SELECT time, value, value * 0.5 AS quality
+           |      FROM p WHERE time >= TIMESTAMP '2024-01-15')
+           |SELECT 'latest' AS snap, time, value, CAST(NULL AS DOUBLE) AS quality FROM a
+           |UNION ALL SELECT 'latest', time, value, quality FROM b
+           |UNION ALL SELECT 'v0', time, value, CAST(NULL AS DOUBLE) FROM a""".stripMargin))
+
   private val fsStreamSink = Q(
     "fs_stream_sink",
     // §2.10 streaming under the oracle gate (previously spec-only): the
@@ -4198,7 +4316,7 @@ object QueryLib {
     fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
-    fsStreamAttrib,
+    fsStreamAttrib, fsStreamDedupLsh,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
@@ -4216,7 +4334,7 @@ object QueryLib {
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
-    fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges,
+    fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -136,6 +136,179 @@ class TimeseriesStore(
   private def txLog(name: String): TxLog =
     new TxLog(hadoopConf, featurePath(name), Some(fs(featurePath(name))))
 
+  // ---- schema evolution (txlog backend) -------------------------------
+  //
+  // The table's logical schema (time, created_time, value[, extras...])
+  // is DECLARED in the log — first write records the batch's schema as
+  // epoch 0, evolveSchema appends widened/extended epochs — and every
+  // add carries the epoch it was written under. Reads open each epoch's
+  // file group with its own physical schema and align to the epoch in
+  // effect at the requested version (widening casts, nulls for
+  // later-added columns): old snapshots read the old schema, and the
+  // parquet reader is never asked for a widening it cannot do (probe:
+  // int32→long reads natively, int64→double does not).
+
+  private def schemaOf(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** Logical table schema of a staged frame: everything but the derived
+    * partition column, field order preserved. */
+  private def structJson(normalized: DataFrame): String =
+    StructType(normalized.schema.fields.filterNot(_.name == "partition").toIndexedSeq).json
+
+  /** The allowed type-widening lattice (the Delta type-widening set
+    * restricted to what the feature pipeline uses): a value written at
+    * the narrow type reads back EXACTLY under the wide one. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType)            => true
+    case (IntegerType, LongType | DoubleType)                        => true
+    case (LongType, DoubleType)                                      => true
+    case (FloatType, DoubleType)                                     => true
+    case _                                                           => false
+  }
+
+  /** Current (or as-of) declared logical schema, if the table has one.
+    * None = legacy table (pre-evolution log) — uniform files, inferred
+    * schema, exactly today's read path. */
+  def tableSchema(name: String, asOfVersion: Option[Long] = None): Option[StructType] = {
+    require(logBacked, "tableSchema requires the txlog backend")
+    if (!exists(name)) None
+    else txLog(name).schemaHistory(asOfVersion).lastOption.map(schemaOf)
+  }
+
+  /** Declare a new schema epoch: existing columns may only WIDEN (the
+    * lattice above), new columns append (old files read them as null),
+    * drops are rejected. Returns the committed log version. On a legacy
+    * table the current file schema is declared as epoch 0 first, so the
+    * existing files keep a truthful physical schema to be opened with.
+    * Rare admin operation — racing declarations follow the same
+    * optimistic-commit discipline as racing compactions.
+    */
+  def evolveSchema(name: String, newSchema: StructType): Long = {
+    require(logBacked, "schema evolution requires the txlog backend")
+    require(exists(name), s"no such feature: $name")
+    require(!newSchema.fieldNames.contains("partition"),
+      "the derived partition column cannot be part of the declared schema")
+    Seq(TimeCol, CreatedCol, ValueCol).foreach(c =>
+      require(newSchema.fieldNames.contains(c), s"schema must keep the '$c' column"))
+    val log = txLog(name)
+    val current: StructType = log.schemaHistory().lastOption.map(schemaOf).getOrElse {
+      // legacy: pin the files' actual schema as epoch 0 before evolving
+      val inferred = StructType(
+        spark.read.options(storageOptions).option("basePath", featurePath(name))
+          .parquet(log.snapshot().map(a => s"${featurePath(name)}/${a.path}"): _*)
+          .schema.fields.filterNot(_.name == "partition").toIndexedSeq)
+      log.commit(Nil, schema = Some(inferred.json))
+      inferred
+    }
+    current.fields.foreach { f =>
+      val nf = newSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"schema evolution cannot drop column '${f.name}'"))
+      require(nf.dataType == f.dataType || widens(f.dataType, nf.dataType),
+        s"column '${f.name}': ${f.dataType.simpleString} does not widen to ${nf.dataType.simpleString}")
+    }
+    log.commit(Nil, schema = Some(newSchema.json))
+  }
+
+  /** Convenience: widen just the value column's type. */
+  def evolveValueType(name: String, to: DataType): Long = {
+    require(logBacked, "schema evolution requires the txlog backend")
+    val cur = tableSchema(name).getOrElse(emptySchema(DoubleType))
+    evolveSchema(name, StructType(cur.fields.map(f =>
+      if (f.name == ValueCol) f.copy(dataType = to) else f).toIndexedSeq))
+  }
+
+  /** Conform a write batch to the declared schema: widening casts only
+    * (a silently narrowing write is a data-loss bug), nulls for
+    * declared columns the batch omits, loud rejection of columns the
+    * schema does not know. */
+  private def conformForWrite(normalized: DataFrame, target: StructType): DataFrame = {
+    val dfTypes = normalized.schema.fields.map(f => f.name -> f.dataType).toMap
+    val unknown = dfTypes.keySet - "partition" -- target.fieldNames
+    require(unknown.isEmpty,
+      s"batch columns not in the table schema: ${unknown.mkString(", ")} — evolveSchema first")
+    val cols = target.fields.map { f =>
+      dfTypes.get(f.name) match {
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(dt) =>
+          require(widens(dt, f.dataType),
+            s"column '${f.name}': batch type ${dt.simpleString} does not widen to " +
+              s"table type ${f.dataType.simpleString} — evolveSchema to widen the table")
+          col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    normalized.select((cols :+ col("partition")).toIndexedSeq: _*)
+  }
+
+  /** Stage a batch under the table's CURRENT schema epoch: first write
+    * declares the batch's own schema as epoch 0; later writes conform
+    * to the declared epoch and their adds carry its index. Returns the
+    * installed adds plus the schema to declare in the same commit. */
+  private def stageForCommit(log: TxLog, name: String, normalized: DataFrame)
+      : (Seq[TxAdd], Option[String]) =
+    log.schemaHistory() match {
+      case Seq() =>
+        (stageInstall(name, normalized).map(_.copy(sv = Some(0L))),
+          Some(structJson(normalized)))
+      case schemas =>
+        (stageInstall(name, conformForWrite(normalized, schemaOf(schemas.last)))
+          .map(_.copy(sv = Some(schemas.size - 1L))), None)
+    }
+
+  /** Epoch of internally REWRITTEN files (compaction/optimize/delete —
+    * frames already aligned to the latest declared schema). */
+  private def svTag(schemas: Seq[String]): Option[Long] =
+    if (schemas.isEmpty) None else Some(schemas.size - 1L)
+
+  /** Epoch-aware open of a live-file subset: each schema epoch's file
+    * group is read with the physical schema it was WRITTEN under, then
+    * aligned to the newest visible epoch (widening casts; later-added
+    * columns null), and the groups union. Legacy tables (no declared
+    * schema) keep the inferred uniform read. Always includes the
+    * `partition` column; `withFilePath` adds `_f` = the source file
+    * path (resolved inside each group — `_metadata` cannot be
+    * referenced across a union).
+    */
+  private def openAdds(
+      name: String,
+      adds: Seq[TxAdd],
+      schemas: Seq[String],
+      partitionStyle: String,
+      withFilePath: Boolean = false): DataFrame = {
+    val root = featurePath(name)
+    def path(a: TxAdd) = s"$root/${a.path}"
+    if (schemas.isEmpty) {
+      val df = spark.read.options(storageOptions).option("basePath", root)
+        .parquet(adds.map(path): _*)
+      if (withFilePath) df.withColumn("_f", col("_metadata.file_path")) else df
+    } else {
+      val pType = if (partitionStyle == "year") IntegerType else StringType
+      val target = schemaOf(schemas.last)
+      adds.groupBy(_.sv.getOrElse(0L)).toSeq.sortBy(_._1).map { case (sv, group) =>
+        val fileSchema = schemaOf(schemas(sv.toInt))
+        val df = spark.read.options(storageOptions).option("basePath", root)
+          .schema(StructType(fileSchema.fields.toIndexedSeq :+ StructField("partition", pType)))
+          .parquet(group.map(path): _*)
+        val aligned = target.fields.map { f =>
+          if (fileSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ col("partition")
+        val base = if (withFilePath) aligned :+ col("_metadata.file_path").as("_f") else aligned
+        df.select(base.toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Data columns a read should surface: the declared schema's fields,
+    * or the classic 3-column envelope for legacy tables. */
+  private def dataCols(schemas: Seq[String]): Seq[String] =
+    schemas.lastOption.map(schemaOf(_).fieldNames.toSeq)
+      .getOrElse(Seq(TimeCol, CreatedCol, ValueCol))
+  // ---------------------------------------------------------------------
+
   /** Write-side layout: one ranged exchange so each task owns a
     * contiguous (partition, time) slice. Without it every shuffle task
     * writes a file into EVERY hive partition it touches — up to
@@ -193,8 +366,9 @@ class TimeseriesStore(
     */
   def write(name: String, normalized: DataFrame): Unit =
     if (logBacked) {
-      val adds = stageInstall(name, normalized)
-      if (adds.nonEmpty) { txLog(name).commit(adds); () }
+      val log = txLog(name)
+      val (adds, schemaDecl) = stageForCommit(log, name, normalized)
+      if (adds.nonEmpty) { log.commit(adds, schema = schemaDecl); () }
     } else
       layoutForWrite(normalized).write
         .options(storageOptions)
@@ -205,7 +379,15 @@ class TimeseriesStore(
 
   def save(name: String, df: DataFrame, partitionStyle: String = "date"): Unit = {
     if (df.isEmpty) return // no-op on empty, dask.py:231-232
-    write(name, normalizeForSave(df, partitionStyle))
+    // columns beyond the 3-column envelope pass validation ONLY when a
+    // declared (evolved) schema names them — Delta-without-autoMerge:
+    // new columns enter through evolveSchema, never through a save
+    val declaredExtras: Set[String] =
+      if (logBacked && exists(name))
+        tableSchema(name).map(_.fieldNames.toSet -- Set(TimeCol, CreatedCol, ValueCol))
+          .getOrElse(Set.empty)
+      else Set.empty
+    write(name, TimeseriesStore.normalize(df, partitionStyle, declaredExtras))
   }
 
   /** Idempotent transactional append (txlog backend): commits the batch
@@ -220,13 +402,13 @@ class TimeseriesStore(
     val log = txLog(name)
     if (log.txnSeen(txnId)) false // fast path: skip the staging work
     else {
-      val adds = stageInstall(name, normalized)
+      val (adds, schemaDecl) = stageForCommit(log, name, normalized)
       // commit re-checks the txn id on every rename attempt — if a
       // concurrent writer (zombie driver + replacement replaying the
       // same micro-batch) landed it between the check above and here,
       // this returns -1 and the staged files are left unreferenced for
       // vacuum, instead of committing the batch twice
-      adds.nonEmpty && log.commit(adds, Nil, Some(txnId)) >= 0
+      adds.nonEmpty && log.commit(adds, Nil, Some(txnId), schema = schemaDecl) >= 0
     }
   }
 
@@ -241,8 +423,9 @@ class TimeseriesStore(
     val log = txLog(name)
     if (log.txnSeen(streamId, batchId)) false // fast path: skip staging
     else {
-      val adds = stageInstall(name, normalized)
-      adds.nonEmpty && log.commit(adds, Nil, txnAppVer = Some((streamId, batchId))) >= 0
+      val (adds, schemaDecl) = stageForCommit(log, name, normalized)
+      adds.nonEmpty &&
+        log.commit(adds, Nil, txnAppVer = Some((streamId, batchId)), schema = schemaDecl) >= 0
     }
   }
 
@@ -302,15 +485,22 @@ class TimeseriesStore(
       valueType: DataType,
       partitionStyle: String,
       asOfVersion: Option[Long]): DataFrame = {
-    val adds = txLog(name).snapshot(asOfVersion)
+    val log = txLog(name)
+    val adds = log.snapshot(asOfVersion)
+    // the schema in effect AT THE READ VERSION: an old snapshot reads
+    // the old (pre-evolution) schema — columns added later are absent,
+    // the value keeps its narrow type
+    val schemas = log.schemaHistory(asOfVersion)
     val pruned = prunePartitionValues(adds, from, to, partitionStyle)
-    if (pruned.isEmpty) return emptyFrame(valueType)
-    val paths = pruned.map(a => s"${featurePath(name)}/${a.path}")
-    val df = spark.read.options(storageOptions)
-      .option("basePath", featurePath(name)).parquet(paths: _*)
+    if (pruned.isEmpty)
+      return schemas.lastOption.map(sj =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(sj)))
+        .getOrElse(emptyFrame(valueType))
+    val df = openAdds(name, pruned, schemas, partitionStyle)
     val preds = from.map(f => col(TimeCol) >= lit(f)) ++ to.map(t => col(TimeCol) <= lit(t))
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
-      .select(TimeCol, CreatedCol, ValueCol)
+      .select(dataCols(schemas).map(col).toIndexedSeq: _*)
   }
 
   /** Driver-side partition-value pruning over log metadata, widened one
@@ -343,12 +533,12 @@ class TimeseriesStore(
     if (!exists(name) || parts.isEmpty) return emptyFrame(valueType)
     if (logBacked) {
       val wanted = parts.toSet
-      val adds = txLog(name).snapshot().filter(a => wanted(a.partition))
+      val log = txLog(name)
+      val adds = log.snapshot().filter(a => wanted(a.partition))
       if (adds.isEmpty) return emptyFrame(valueType)
-      return spark.read.options(storageOptions)
-        .option("basePath", featurePath(name))
-        .parquet(adds.map(a => s"${featurePath(name)}/${a.path}"): _*)
-        .select(TimeCol, CreatedCol, ValueCol)
+      val schemas = log.schemaHistory()
+      return openAdds(name, adds, schemas, partitionStyle = "date")
+        .select(dataCols(schemas).map(col).toIndexedSeq: _*)
     }
     val df = parquetOrEmpty(name, valueType)
     if (!df.columns.contains("partition")) return df // empty-contract frame
@@ -459,12 +649,15 @@ class TimeseriesStore(
       if (partitions.nonEmpty) partitions.toSet else all.map(_.partition).toSet
     val victims = all.filter(a => targetParts(a.partition))
     if (victims.isEmpty) return
-    val src = spark.read.options(storageOptions)
-      .option("basePath", featurePath(name))
-      .parquet(victims.map(a => s"${featurePath(name)}/${a.path}"): _*)
+    val schemas = log.schemaHistory()
+    // epoch-aware open + rewrite at the LATEST schema (the Delta
+    // rewrite convention); pre-compaction versions still read their
+    // own epochs from the retired files until vacuum
+    val src = openAdds(name, victims, schemas, partitionStyle = "date")
     val deduped = graft.ops.TimeseriesOps.dedupLatest(src, keyCols = Seq("partition"))
     val adds = stageInstall(name,
-      deduped.select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition")))
+      deduped.select((dataCols(schemas).map(col) :+ col("partition")).toIndexedSeq: _*))
+      .map(_.copy(sv = svTag(schemas)))
     log.commit(adds, victims.map(a => TxRemove(a.path)))
   }
 
@@ -530,10 +723,11 @@ class TimeseriesStore(
     if (victims.isEmpty) return 0L
     val totalBytes = victims.map(_._2).sum
     val outParts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val src = spark.read.options(storageOptions).option("basePath", root)
-      .parquet(victims.map(v => s"$root/${v._1.path}"): _*)
-      .select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
+    val schemas = log.schemaHistory()
+    val src = openAdds(name, victims.map(_._1), schemas, partitionStyle = "date")
+      .select((dataCols(schemas).map(col) :+ col("partition")).toIndexedSeq: _*)
     val adds = stageInstall(name, src, outPartitions = Some(outParts))
+      .map(_.copy(sv = svTag(schemas)))
     log.commit(adds, victims.map(v => TxRemove(v._1.path)))
     victims.size.toLong
   }
@@ -584,24 +778,24 @@ class TimeseriesStore(
     val log = txLog(name)
     val live = log.snapshot()
     if (live.isEmpty) return 0L
-    val root = featurePath(name)
-    val src = spark.read.options(storageOptions).option("basePath", root)
-      .parquet(live.map(a => s"$root/${a.path}"): _*)
+    val schemas = log.schemaHistory()
     // driver-size by construction: one row per LIVE FILE with a match,
     // bounded by the snapshot size (same class as snapshot() itself)
-    val victimUris = src.withColumn("_f", col("_metadata.file_path"))
-      .filter(predicate).select(col("_f")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val victimUris =
+      openAdds(name, live, schemas, partitionStyle = "date", withFilePath = true)
+        .filter(predicate).select(col("_f")).distinct()
+        .collect().map(_.getString(0)).toSet
     if (victimUris.isEmpty) return 0L
     val victims = live.filter(a => victimUris.exists(_.endsWith("/" + a.path)))
-    val vsrc = spark.read.options(storageOptions).option("basePath", root)
-      .parquet(victims.map(a => s"$root/${a.path}"): _*)
-      .select(col(TimeCol), col(CreatedCol), col(ValueCol), col("partition"))
+    val vsrc = openAdds(name, victims, schemas, partitionStyle = "date")
+      .select((dataCols(schemas).map(col) :+ col("partition")).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val matched = vsrc.filter(predicate).count() // materializes the cache
       val out = rewrite(vsrc)
-      val adds = if (out.isEmpty) Nil else stageInstall(name, out)
+      val adds =
+        if (out.isEmpty) Nil
+        else stageInstall(name, out).map(_.copy(sv = svTag(schemas)))
       log.commit(adds, victims.map(a => TxRemove(a.path)))
       matched
     } finally vsrc.unpersist(blocking = false)
@@ -629,10 +823,9 @@ class TimeseriesStore(
     val after = log.snapshot(toVersion)
     val fresh = after.filterNot(a => before(a.path))
     if (fresh.isEmpty) return emptyFrame(valueType)
-    val root = featurePath(name)
-    spark.read.options(storageOptions).option("basePath", root)
-      .parquet(fresh.map(a => s"$root/${a.path}"): _*)
-      .select(TimeCol, CreatedCol, ValueCol)
+    val schemas = log.schemaHistory(toVersion)
+    openAdds(name, fresh, schemas, partitionStyle = "date")
+      .select(dataCols(schemas).map(col).toIndexedSeq: _*)
   }
 
   /** Resolve an AS OF TIMESTAMP instant to a table version (txlog
@@ -707,15 +900,16 @@ class TimeseriesStore(
     if (exists(name)) {
       val df =
         if (logBacked) {
-          val adds = txLog(name).snapshot()
+          val log = txLog(name)
+          val adds = log.snapshot()
           if (adds.isEmpty) return
-          spark.read.options(storageOptions)
-            .option("basePath", featurePath(name))
-            .parquet(adds.map(a => s"${featurePath(name)}/${a.path}"): _*)
+          openAdds(name, adds, log.schemaHistory(), partitionStyle = "date")
         } else parquetOrEmpty(name, DoubleType)
       if (!df.columns.contains("partition")) return // file-less dir: nothing to copy
+      // carry every data column (an evolved source clones its full
+      // latest schema; the destination declares it on first write)
       dest.write(toName, df.select(
-        col(TimeCol), col(CreatedCol), col(ValueCol), col("partition")))
+        (df.columns.filterNot(_ == "partition").map(col) :+ col("partition")).toIndexedSeq: _*))
     }
   }
 
@@ -729,11 +923,14 @@ object TimeseriesStore {
     * inevitably drift and a stream could write a layout the batch
     * reader rejects.
     */
-  private[graft] def normalize(df: DataFrame, partitionStyle: String): DataFrame = {
+  private[graft] def normalize(
+      df: DataFrame,
+      partitionStyle: String,
+      allowedExtras: Set[String] = Set.empty): DataFrame = {
     val cols = df.columns.toSet
     require(cols.contains(TimeCol), s"DataFrame must contain a '$TimeCol' column")
     require(cols.contains(ValueCol), s"DataFrame must contain a '$ValueCol' column")
-    val extraneous = cols -- Set(TimeCol, CreatedCol, ValueCol)
+    val extraneous = cols -- Set(TimeCol, CreatedCol, ValueCol) -- allowedExtras
     require(extraneous.isEmpty, s"DataFrame contains extraneous columns: ${extraneous.mkString(", ")}")
     val withCreated =
       if (cols.contains(CreatedCol)) df.withColumn(CreatedCol, col(CreatedCol).cast(TimestampType))
@@ -743,9 +940,13 @@ object TimeseriesStore {
       case "year" => year(col(TimeCol))
       case other  => throw new IllegalArgumentException(s"unknown partition style: $other")
     }
+    // deterministic envelope order; extras (declared evolved columns,
+    // present in this batch) ride between value and partition — the
+    // write path's conformForWrite re-aligns to the declared order
+    val extraCols = df.columns.filter(c => allowedExtras.contains(c)).toSeq
     withCreated
       .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
       .withColumn("partition", partitionCol)
-      .select(TimeCol, CreatedCol, ValueCol, "partition")
+      .select((Seq(TimeCol, CreatedCol, ValueCol) ++ extraCols :+ "partition").map(col): _*)
   }
 }

@@ -8,9 +8,14 @@ import org.apache.hadoop.fs.Path
 /** One file added to the table: `path` is RELATIVE to the table root
   * (`partition=<p>/<file>.parquet`), `partition` is the hive partition
   * value it belongs to (file-level pruning reads the log, not the
-  * directory tree).
+  * directory tree). `sv` is the SCHEMA EPOCH the file was written
+  * under — an index into the table's ordered schema-declaration list —
+  * so an evolved table's reader knows which physical schema to open
+  * each file with (the parquet reader cannot widen e.g. int64→double
+  * on its own). None = written before the table declared any schema
+  * (epoch 0 by convention).
   */
-final case class TxAdd(path: String, partition: String)
+final case class TxAdd(path: String, partition: String, sv: Option[Long] = None)
 
 /** One file logically deleted from the table (bytes stay on disk until
   * `vacuum`, so readers holding an older snapshot keep working).
@@ -36,6 +41,12 @@ final case class TxAction(
     txn: Option[String] = None,
     txnApp: Option[String] = None,
     txnVer: Option[Long] = None,
+    // table-schema declaration (StructType json) — the Delta metaData
+    // idea: the schema in effect from this commit on. Declarations are
+    // ordered by replay; an add's `sv` indexes that order. Reads at an
+    // old version see only the declarations at-or-below it, so old
+    // snapshots read the old schema.
+    schemaJson: Option[String] = None,
     // commit-info wall-clock (FIRST line of a commit/checkpoint file):
     // AS OF TIMESTAMP resolves from this, not file mtime — mtimes don't
     // survive a byte-copy of the log dir, and the hard-link install
@@ -176,6 +187,12 @@ class TxLog(
     */
   def snapshot(asOf: Option[Long] = None): Seq[TxAdd] = replay(asOf)._1
 
+  /** Ordered table-schema declarations visible at `asOf` (default:
+    * latest) — the last entry is the schema in effect; an add's `sv`
+    * indexes this list. Empty for tables that never declared one
+    * (pre-evolution logs). */
+  def schemaHistory(asOf: Option[Long] = None): Seq[String] = replay(asOf)._4
+
   /** Has a commit carrying this application transaction id ever landed?
     * The restart-idempotence primitive for streaming writers.
     */
@@ -202,6 +219,7 @@ class TxLog(
   private val cacheLive = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
   private val cacheTxns = scala.collection.mutable.Set[String]()
   private val cacheApps = scala.collection.mutable.Map[String, Long]()
+  private val cacheSchemas = scala.collection.mutable.ArrayBuffer[String]()
   // newest version this instance has OBSERVED (committed, listed, or
   // replayed) — the commit loop's version guess, so a single committer
   // never pays a per-commit directory listing
@@ -210,7 +228,8 @@ class TxLog(
   private def applyTo(
       live: scala.collection.mutable.LinkedHashMap[String, TxAdd],
       txns: scala.collection.mutable.Set[String],
-      apps: scala.collection.mutable.Map[String, Long])(a: TxAction): Unit = {
+      apps: scala.collection.mutable.Map[String, Long],
+      schemas: scala.collection.mutable.ArrayBuffer[String])(a: TxAction): Unit = {
     a.add.foreach(ad => live(ad.path) = ad)
     a.remove.foreach(rm => live.remove(rm.path))
     a.txn.foreach(txns += _)
@@ -218,16 +237,20 @@ class TxLog(
     // replayed version must never regress the high-water mark)
     for (app <- a.txnApp; ver <- a.txnVer)
       apps(app) = math.max(apps.getOrElse(app, Long.MinValue), ver)
+    // schema declarations append in replay order — their index IS the
+    // epoch an add's `sv` points at
+    a.schemaJson.foreach(schemas += _)
   }
 
-  private def replay(asOf: Option[Long]): (Seq[TxAdd], Set[String], Map[String, Long]) = synchronized {
+  private def replay(asOf: Option[Long])
+      : (Seq[TxAdd], Set[String], Map[String, Long], Seq[String]) = synchronized {
     // listing-free shortcut: the cache IS the exact state at
     // cacheVersion, and committed versions are immutable — a request
     // for precisely that version (the commit loop's validation replay)
     // needs no directory listing at all
     asOf match {
       case Some(u) if u == cacheVersion =>
-        return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap)
+        return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap, cacheSchemas.toList)
       case _ =>
     }
     val vs = versions()
@@ -247,7 +270,7 @@ class TxLog(
         throw new IllegalStateException(
           s"version $upTo has been vacuumed from $logDir: " +
             s"oldest surviving version is ${vs.head._1}")
-      return (Seq.empty, Set.empty, Map.empty)
+      return (Seq.empty, Set.empty, Map.empty, Seq.empty)
     }
     val target = eligible.last._1
     val commitSet = eligible.collect { case (v, false) => v }.toSet
@@ -260,21 +283,22 @@ class TxLog(
       ((cacheVersion + 1) to target).forall(commitSet.contains)) {
       ((cacheVersion + 1) to target).foreach { v =>
         readActions(new Path(logDir, f"$v%020d.json"))
-          .foreach(applyTo(cacheLive, cacheTxns, cacheApps))
+          .foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas))
       }
       cacheVersion = target
-      return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap)
+      return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap, cacheSchemas.toList)
     }
     val ckpt = eligible.filter(_._2).map(_._1).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
     val txns = scala.collection.mutable.Set[String]()
     val apps = scala.collection.mutable.Map[String, Long]()
+    val schemas = scala.collection.mutable.ArrayBuffer[String]()
     ckpt.foreach { cv =>
       readActions(new Path(logDir, f"$cv%020d.checkpoint.json"))
-        .foreach(applyTo(live, txns, apps))
+        .foreach(applyTo(live, txns, apps, schemas))
     }
     eligible.filterNot(_._2).map(_._1).filter(c => ckpt.forall(_ < c)).foreach { v =>
-      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns, apps))
+      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns, apps, schemas))
     }
     // adopt this state as the cache unless it is a time-travel read
     // BELOW the version the cache already holds (never regress)
@@ -283,8 +307,9 @@ class TxLog(
       cacheLive.clear(); cacheLive ++= live
       cacheTxns.clear(); cacheTxns ++= txns
       cacheApps.clear(); cacheApps ++= apps
+      cacheSchemas.clear(); cacheSchemas ++= schemas
     }
-    (live.values.toList, txns.toSet, apps.toMap)
+    (live.values.toList, txns.toSet, apps.toMap, schemas.toList)
   }
 
   private def readActions(p: Path): Seq[TxAction] = {
@@ -324,12 +349,15 @@ class TxLog(
       removes: Seq[TxRemove] = Nil,
       txnId: Option[String] = None,
       maxAttempts: Int = 20,
-      txnAppVer: Option[(String, Long)] = None): Long = {
-    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
-    // commit-info instant FIRST so versionAt reads one line per file
+      txnAppVer: Option[(String, Long)] = None,
+      schema: Option[String] = None): Long = {
+    require(adds.nonEmpty || removes.nonEmpty || schema.isDefined, "empty commit")
+    // commit-info instant FIRST so versionAt reads one line per file;
+    // a schema declaration precedes the adds written under it
     val commitTs = System.currentTimeMillis()
     val actions = TxAction(commitTs = Some(commitTs)) +:
-      (adds.map(a => TxAction(add = Some(a))) ++
+      (schema.map(sj => TxAction(schemaJson = Some(sj))).toSeq ++
+        adds.map(a => TxAction(add = Some(a))) ++
         removes.map(r => TxAction(remove = Some(r))) ++
         txnId.map(t => TxAction(txn = Some(t))) ++
         txnAppVer.map { case (app, ver) =>
@@ -354,7 +382,7 @@ class TxLog(
       if (txnId.isDefined || txnAppVer.isDefined || removes.nonEmpty) {
         // replay capped at v-1: exactly the commits this attempt builds
         // on; anything landing after is serialized by the rename below
-        val (liveAdds, txns, apps) = replay(Some(v - 1))
+        val (liveAdds, txns, apps, _) = replay(Some(v - 1))
         if (txnId.exists(txns.contains)) return -1L
         // structured form: duplicate iff this app already landed this
         // version OR NEWER (a zombie replaying an old batch no-ops)
@@ -378,7 +406,7 @@ class TxLog(
           // so a cache sitting at v-1 advances to v with no file read —
           // the checkpoint's replay then needs no listing either
           if (cacheVersion == v - 1) {
-            actions.foreach(applyTo(cacheLive, cacheTxns, cacheApps))
+            actions.foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas))
             cacheVersion = v
           }
         }
@@ -439,9 +467,12 @@ class TxLog(
       // per WRITER — the streaming sink's bounded-state path. Its
       // commit-info instant is commit v's (the state it snapshots), so
       // versionAt keeps resolving v after vacuum prunes the commit.
-      val (adds, txns, apps) = replay(Some(v))
+      // Schema declarations replay IN ORDER ahead of the adds — their
+      // indices (the adds' `sv` epochs) must survive the checkpoint.
+      val (adds, txns, apps, schemas) = replay(Some(v))
       val lines = (TxAction(commitTs = Some(commitTs)) +:
-        (adds.map(a => TxAction(add = Some(a))) ++
+        (schemas.map(sj => TxAction(schemaJson = Some(sj))) ++
+          adds.map(a => TxAction(add = Some(a))) ++
           txns.toSeq.sorted.map(t => TxAction(txn = Some(t))) ++
           apps.toSeq.sortBy(_._1).map { case (app, ver) =>
             TxAction(txnApp = Some(app), txnVer = Some(ver)) }))
@@ -523,6 +554,8 @@ object TxLog {
     .registerReferencedValueType(classOf[TxAction], "txnVer", classOf[Long])
   com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
     .registerReferencedValueType(classOf[TxAction], "commitTs", classOf[Long])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAdd], "sv", classOf[Long])
 
   val LogDirName = "_txlog"
   val CheckpointEvery = 10

@@ -193,6 +193,81 @@ object EventStreams {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming MinHash-LSH NEAR-dedup — the continuous analogue of the
+    * batch incremental dedup (`dedup_incremental`): band buckets live
+    * as `flatMapGroupsWithState` state, so a document that is a
+    * near-duplicate (digest-shingle Jaccard >= `threshold`) of ANY
+    * earlier-ingested document is flagged across micro-batches, not
+    * just within one.
+    *
+    * Shape: each doc's 12-chunk minhash signature is banded with
+    * `sizedBanding(threshold)`; the stream is keyed by (band, bucket)
+    * and each bucket's state holds the (doc_id, digest set) of every
+    * member ever seen — accepted AND dropped, because the batch rule
+    * flags a doc that matches any SMALLER id whether or not that doc
+    * itself survived (near-duplication is not transitive; keeping only
+    * survivors would leak chains). One verdict row (doc_id, matched)
+    * is emitted per (bucket, member-arrival); a doc is a duplicate iff
+    * ANY of its buckets flags it — the batch LSH candidate rule
+    * restated per bucket, so the OR-reduce over verdicts (one
+    * stateless aggregation on the sink) reproduces the batch survivor
+    * set EXACTLY when docs arrive in id order.
+    *
+    * Scale: state is O(corpus) total but sharded by (band, bucket) —
+    * the same key space the batch candidate join shuffles on, growing
+    * with the corpus, so no single state store holds more than a
+    * bucket's membership; the per-row signature/banding work is
+    * narrow. Digest shingles (12-hex, from the batch pipeline's
+    * `digestShingles`) keep state rows fixed-width — corpus text never
+    * enters the state store.
+    */
+  def lshDedupStream(
+      docs: DataFrame, // doc_id long, sh array<string> (digest shingles)
+      threshold: Double = 0.5): Dataset[(Long, Boolean)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.SimilarityOps
+    val (bands, rpb) = SimilarityOps.sizedBanding(threshold)
+    val sig = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        SimilarityOps.minhashSig(col("sh"), bands * rpb).as("__sig"))
+    // bucket = "<band>:<bandKey>"; explode fans each doc into its
+    // `bands` buckets in ONE narrow projection (the signature fold is
+    // inlined per band key — acceptable: it is per-row work, and a
+    // streaming plan cannot pin an intermediate relation)
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { bi =>
+        concat(lit(s"$bi:"),
+          SimilarityOps.bandKey(col("__sig"), rpb * bi + 1, rpb * (bi + 1)))
+      }: _*)).as("bucket"))
+    banded.select(col("bucket"), col("doc_id"), col("sh"))
+      .as[(String, Long, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String,
+         rows: Iterator[(String, Long, Seq[String])],
+         state: GroupState[List[(Long, Seq[String])]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          // id order within the batch = the batch formulation's
+          // first-wins total order (cross-batch order is the caller's
+          // ingestion order)
+          val out = rows.toArray.sortBy(_._2).map { case (_, id, sh) =>
+            val shSet = sh.toSet
+            val matched = members.exists { case (mid, msh) =>
+              mid < id && {
+                val ms = msh.toSet
+                val inter = shSet.count(ms)
+                inter.toDouble / (shSet.size + ms.size - inter) >= threshold
+              }
+            }
+            members = (id, sh) :: members
+            (id, matched)
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   /** Streaming ingest into a txlog-backed feature with exactly-once
     * table semantics: each micro-batch is normalized like the batch
     * writer and committed atomically via `TimeseriesStore.writeTx`

@@ -48,14 +48,15 @@ class PlanContractSpec extends SparkSpec {
   // frame is just a facade read / memory-sink scan anyway.
   private val skipBuild =
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_store_delete_rows",
-      "fs_store_update_rows", "fs_store_changes",
+      "fs_store_update_rows", "fs_store_changes", "fs_store_evolve",
       "fs_training_frame", "fs_transform_dag",
       "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
       "fs_stream_dedup", "fs_stream_attrib", "fs_stream_hll", "fs_stream_ewma",
+      "fs_stream_dedup_lsh",
       // iterative trainers: their BUILD runs the full job sequence
       // (pageRank's nodes.count + per-iteration joins; BPE's 3 merge
       // rounds with a collect each) just to stringify the final frame
-      "graph_pagerank", "txt_bpe_train", "txt_bpe_encode",
+      "graph_pagerank", "txt_bpe_train", "txt_bpe_train_batched", "txt_bpe_encode",
       // builds the eval-gram bloom eagerly (count + stat.bloomFilter
       // jobs) and persists the gram frame — plan stringification would
       // execute jobs and leak cache; its joins are plain equi-joins,

@@ -213,6 +213,70 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](tx.versionAt("f", 1000L))
   }
 
+  test("schema evolution: type widen + add column, versioned reads keep old schema") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft-tx-evolve")
+    val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    // epoch 0: INT values (first write declares the schema)
+    val intBatch = Seq(("2024-01-01 10:00:00", 1), ("2024-01-02 10:00:00", 2))
+      .toDF("t", "v").select(
+        col("t").cast("timestamp").as("time"),
+        col("t").cast("timestamp").as("created_time"),
+        col("v").as("value"))
+    tx.save("f", intBatch)
+    val vInt = tx.tableVersion("f")
+    assert(tx.tableSchema("f").get("value").dataType == IntegerType)
+    assert(tx.read("f").schema("value").dataType == IntegerType)
+    // widen to double; the parquet reader cannot do int64->double on
+    // its own, so the epoch-grouped read path is what's under test
+    tx.evolveValueType("f", DoubleType)
+    tx.save("f", series(("2024-01-03 10:00:00", "2024-01-03 10:00:00", 3.5)))
+    val out = tx.read("f")
+    assert(out.schema("value").dataType == DoubleType)
+    assert(out.orderBy("time").collect().map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.5))
+    // the old snapshot reads the OLD schema: int values, no widening
+    val old = tx.read("f", asOfVersion = Some(vInt))
+    assert(old.schema("value").dataType == IntegerType)
+    assert(old.orderBy("time").collect().map(_.getInt(2)).toSeq == Seq(1, 2))
+    // narrowing and drops refuse
+    intercept[IllegalArgumentException](tx.evolveValueType("f", IntegerType))
+    intercept[IllegalArgumentException](tx.evolveSchema("f", StructType(Seq(
+      StructField("time", TimestampType), StructField("created_time", TimestampType),
+      StructField("value", DoubleType), StructField("partition", StringType)))))
+    // add a column: subsequent saves may carry it, old files read null
+    tx.evolveSchema("f", tx.tableSchema("f").get.add("quality", DoubleType))
+    val vAdd = tx.tableVersion("f")
+    val withQ = Seq(("2024-01-04 10:00:00", 4.0, 0.9)).toDF("t", "v", "quality")
+      .select(col("t").cast("timestamp").as("time"),
+        col("t").cast("timestamp").as("created_time"),
+        col("v").as("value"), col("quality"))
+    tx.save("f", withQ)
+    val wide = tx.read("f").orderBy("time").collect()
+    assert(wide.map(_.schema.fieldNames.toSeq).head ==
+      Seq("time", "created_time", "value", "quality"))
+    assert(wide.map(r => Option(r.get(3))).toSeq ==
+      Seq(None, None, None, Some(0.9)))
+    // a save WITHOUT the new column still conforms (null-filled)
+    tx.save("f", series(("2024-01-05 10:00:00", "2024-01-05 10:00:00", 5.0)))
+    assert(tx.read("f").count() == 5L)
+    // pre-add-column version still shows the 3-column envelope (before
+    // vacuum reclaims its files)
+    assert(tx.read("f", asOfVersion = Some(vAdd - 1)).columns.toSeq ==
+      Seq("time", "created_time", "value"))
+    // maintenance across epochs: compact + vacuum rewrite everything to
+    // the latest schema and the table still reads exactly
+    tx.compact("f")
+    tx.vacuum("f", retentionMs = 0L)
+    val post = tx.read("f").orderBy("time").collect()
+    assert(post.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.5, 4.0, 5.0))
+    assert(post.map(r => Option(r.get(3))).toSeq ==
+      Seq(None, None, None, Some(0.9), None))
+    // undeclared extra columns still refuse at save validation
+    intercept[IllegalArgumentException] {
+      tx.save("f", withQ.withColumnRenamed("quality", "undeclared"))
+    }
+  }
+
   test("optimize bin-packs small files in one commit without changing a row") {
     val dir = tmpDir("graft-optimize")
     val tx = new TimeseriesStore(spark, dir, backend = "txlog")

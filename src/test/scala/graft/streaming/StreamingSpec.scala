@@ -103,6 +103,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq((1L, "click"), (2L, "click")))
   }
 
+  test("lshDedupStream flags near-duplicates across micro-batches, not just within") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = EventStreams.lshDedupStream(mem.toDF().toDF("doc_id", "sh"), threshold = 0.5)
+      .toDF("doc_id", "matched")
+      .writeStream.outputMode("append").format("memory").queryName("lsh").start()
+    val shA = Seq("aa1", "bb2", "cc3", "dd4") // base doc
+    val shB = Seq("aa1", "bb2", "cc3", "ee5") // J = 3/5 = 0.6 vs A -> dup
+    val shC = Seq("zz9", "yy8", "xx7", "ww6") // disjoint -> unique
+    mem.addData((1L, shA), (2L, shC))
+    q.processAllAvailable()
+    // batch 2: doc 3 near-duplicates doc 1 FROM A PREVIOUS BATCH — the
+    // cross-micro-batch state is exactly what's under test
+    mem.addData((3L, shB), (4L, Seq("qq0", "pp1", "oo2", "nn3")))
+    q.processAllAvailable()
+    // batch 3: doc 5 duplicates doc 3 (itself a flagged dup) — the
+    // state keeps dropped members too, so chains don't leak
+    mem.addData((5L, shB))
+    q.processAllAvailable()
+    val verdict = spark.table("lsh").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+      .groupBy(_._1).map { case (id, vs) => id -> vs.exists(_._2) }
+    q.stop()
+    assert(verdict == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+  }
+
   test("runningLatest keeps one (time,value) state per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
