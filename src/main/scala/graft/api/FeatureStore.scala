@@ -314,6 +314,18 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).updateWhere(f.name, predicate, newValue)
   }
 
+  /** Lakehouse MERGE (txlog backend): physical upsert keyed on `time` —
+    * matched times collapse to the source rows, unseen times insert,
+    * one atomic commit, only matched files rewrite. The in-place
+    * alternative to save()'s append+LWW for reference-style features
+    * where generation history is noise. Returns (updatedTimes,
+    * insertedRows). */
+  def mergeFeature(fullName: String, source: DataFrame): (Long, Long) = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot merge into transformed feature '$fullName'")
+    store(nsObj).mergeInto(f.name, source, f.partition)
+  }
+
   /** Rows added between two table versions (CDC-lite, txlog backend) —
     * incremental downstream consumption without a table re-scan.
     *

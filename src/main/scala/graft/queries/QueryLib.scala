@@ -737,6 +737,45 @@ object QueryLib {
            |UNION ALL SELECT 'latest', time, value, quality FROM b
            |UNION ALL SELECT 'v0', time, value, CAST(NULL AS DOUBLE) FROM a""".stripMargin))
 
+  private val fsStoreMerge = Q(
+    "fs_store_merge",
+    // Lakehouse MERGE INTO (physical upsert) under the oracle gate: the
+    // purchase series is saved whole, then a source batch REPLACES the
+    // Jan-10..20 window (values doubled) and INSERTS never-seen times
+    // (+60 days), all in one retire+publish commit that rewrites only
+    // the files containing matched times. The post-merge table must
+    // equal DuckDB's direct recomputation: target rows whose time the
+    // source never mentions, plus the source rows — every stored
+    // generation of a matched time collapses to the source's.
+    (s, dir) => {
+      val tmp = scratchDir("merge")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val p = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("ts").as("created_time"), col("value"))
+      st.save("m", p)
+      val lo = ts("2024-01-10")
+      val hi = ts("2024-01-20")
+      val src = p.filter(col("time") >= lo && col("time") < hi)
+        .select(col("time"), col("created_time"), (col("value") * 2).as("value"))
+        .unionByName(p.filter(col("time") < ts("2024-01-05"))
+          .select((col("time") + expr("INTERVAL 60 DAYS")).as("time"),
+            col("created_time"), (col("value") + 1000).as("value")))
+      st.mergeInto("m", src)
+      st.read("m")
+    },
+    Some("""WITH p AS (SELECT ts AS time, ts AS created_time, value FROM events
+           |           WHERE event_type = 'purchase'),
+           |src AS (
+           |  SELECT time, created_time, value * 2 AS value FROM p
+           |  WHERE time >= TIMESTAMP '2024-01-10' AND time < TIMESTAMP '2024-01-20'
+           |  UNION ALL
+           |  SELECT time + INTERVAL 60 DAY, created_time, value + 1000 FROM p
+           |  WHERE time < TIMESTAMP '2024-01-05')
+           |SELECT time, created_time, value FROM p
+           |WHERE time NOT IN (SELECT time FROM src)
+           |UNION ALL
+           |SELECT time, created_time, value FROM src""".stripMargin))
+
   private val fsStreamSink = Q(
     "fs_stream_sink",
     // §2.10 streaming under the oracle gate (previously spec-only): the
@@ -4334,7 +4373,7 @@ object QueryLib {
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
-    fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve,
+    fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -801,6 +801,79 @@ class TimeseriesStore(
     } finally vsrc.unpersist(blocking = false)
   }
 
+  /** Lakehouse MERGE INTO (txlog backend): physical upsert keyed on
+    * `time` — target rows whose time appears in `source` are REPLACED
+    * by the source rows (every stored generation of a matched time
+    * collapses), times the target has never seen insert, and the whole
+    * operation lands as ONE retire+publish commit (a reader replays the
+    * pre- or post-merge table, never a mix). This is the in-place
+    * alternative to the store's usual append+last-writer-wins upsert:
+    * no history accumulates and no compaction is owed afterwards —
+    * the right tool for reference/dimension-style features where old
+    * generations are noise, while event-style features keep using
+    * `save` (append) + time travel.
+    *
+    * Only live files CONTAINING a matched time rewrite (victim
+    * discovery is one file-pruned semi-join of the scan against the
+    * source's distinct times — never an IN-list, so a million-row
+    * source works); untouched files are not rewritten, so merge cost
+    * is proportional to the overlap's file footprint plus the insert
+    * volume. Pre-merge versions stay time-travelable until `vacuum`.
+    * Returns (updatedTimes, insertedRows).
+    */
+  def mergeInto(
+      name: String,
+      source: DataFrame, // time, value [, created_time, declared extras]
+      partitionStyle: String = "date"): (Long, Long) = {
+    require(logBacked, "mergeInto requires the txlog backend")
+    val declaredExtras: Set[String] =
+      if (exists(name))
+        tableSchema(name).map(_.fieldNames.toSet -- Set(TimeCol, CreatedCol, ValueCol))
+          .getOrElse(Set.empty)
+      else Set.empty
+    val normalized = TimeseriesStore.normalize(source, partitionStyle, declaredExtras)
+    val log = txLog(name)
+    val live = if (exists(name)) log.snapshot() else Seq.empty
+    if (live.isEmpty) {
+      // empty target: MERGE degenerates to plain insert
+      val n = normalized.count()
+      if (n > 0) write(name, normalized)
+      return (0L, n)
+    }
+    val schemas = log.schemaHistory()
+    val srcTimes = normalized.select(col(TimeCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE scan finds both the victim files and the matched-time count
+      val hits = openAdds(name, live, schemas, partitionStyle = "date", withFilePath = true)
+        .join(srcTimes, Seq(TimeCol), "left_semi")
+        .select(col("_f"), col(TimeCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val victimUris = hits.select(col("_f")).distinct()
+          .collect().map(_.getString(0)).toSet // driver-size: one row per live file
+        val updated = hits.select(col(TimeCol)).distinct().count()
+        val inserted = normalized.count() - updated
+        if (victimUris.isEmpty) {
+          // no overlap: MERGE is a plain transactional append
+          write(name, normalized)
+          return (0L, inserted)
+        }
+        val victims = live.filter(a => victimUris.exists(_.endsWith("/" + a.path)))
+        val keep = openAdds(name, victims, schemas, partitionStyle = "date")
+          .join(srcTimes, Seq(TimeCol), "left_anti")
+        val target = schemas.lastOption.map(schemaOf)
+        val conformedSrc = target.map(conformForWrite(normalized, _)).getOrElse(normalized)
+        val keepCols = (dataCols(schemas).map(col) :+ col("partition")).toIndexedSeq
+        val adds = stageInstall(name,
+          keep.select(keepCols: _*).unionByName(conformedSrc.select(keepCols: _*)))
+          .map(_.copy(sv = svTag(schemas)))
+        log.commit(adds, victims.map(a => TxRemove(a.path)))
+        (updated, inserted)
+      } finally hits.unpersist(blocking = false)
+    } finally srcTimes.unpersist(blocking = false)
+  }
+
   /** Incremental change feed (CDC-lite; txlog backend): the rows ADDED
     * between two table versions — the files `toVersion`'s snapshot
     * references that `fromVersion`'s does not. For the append-dominant

@@ -213,6 +213,56 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](tx.versionAt("f", 1000L))
   }
 
+  test("mergeInto: physical upsert in one commit; only matched files rewrite") {
+    val dir = tmpDir("graft-tx-merge")
+    val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    // three day-partitions, two generations on day 2
+    tx.save("f", series(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      ("2024-01-02 10:00:00", "2024-01-02 10:00:00", 2.0),
+      ("2024-01-02 10:00:00", "2024-01-02 11:00:00", 2.5),
+      ("2024-01-03 10:00:00", "2024-01-03 10:00:00", 3.0)))
+    val vPre = tx.tableVersion("f")
+    // source: replaces day 2 (both generations collapse), inserts day 4
+    val (updated, inserted) = tx.mergeInto("f", series(
+      ("2024-01-02 10:00:00", "2024-01-02 12:00:00", 20.0),
+      ("2024-01-04 10:00:00", "2024-01-04 10:00:00", 4.0)))
+    assert((updated, inserted) == (1L, 1L))
+    val out = tx.read("f").orderBy("time", "created_time").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01 10:00:00.0", 1.0),
+      ("2024-01-02 10:00:00.0", 20.0),
+      ("2024-01-03 10:00:00.0", 3.0),
+      ("2024-01-04 10:00:00.0", 4.0)))
+    // one commit for the whole merge
+    assert(tx.tableVersion("f") == vPre + 1)
+    // pre-merge version still shows both day-2 generations
+    assert(tx.read("f", asOfVersion = Some(vPre)).count() == 4L)
+    // untouched partitions were NOT rewritten: after vacuum, day 1's
+    // directory still holds exactly its one original file while day 2
+    // (the matched partition) was rewritten; day 4 is the insert
+    tx.vacuum("f", retentionMs = 0L)
+    def filesIn(p: String) = {
+      val d = java.nio.file.Paths.get(s"$dir/tx/feature/f/partition=$p")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else {
+        val s0 = java.nio.file.Files.list(d)
+        try s0.filter(q => q.toString.endsWith(".parquet")).count().toInt finally s0.close()
+      }
+    }
+    assert(filesIn("2024-01-01") == 1, "untouched partition must keep its single file")
+    assert(filesIn("2024-01-04") >= 1, "inserted partition must exist")
+    // merge into an EMPTY table degenerates to insert
+    val (u2, i2) = tx.mergeInto("g", series(("2024-02-01 10:00:00", "2024-02-01 10:00:00", 9.0)))
+    assert((u2, i2) == (0L, 1L))
+    assert(tx.read("g").count() == 1L)
+    // no-overlap merge is a plain append
+    val (u3, i3) = tx.mergeInto("g", series(("2024-02-02 10:00:00", "2024-02-02 10:00:00", 8.0)))
+    assert((u3, i3) == (0L, 1L))
+    assert(tx.read("g").count() == 2L)
+  }
+
   test("schema evolution: type widen + add column, versioned reads keep old schema") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("graft-tx-evolve")
