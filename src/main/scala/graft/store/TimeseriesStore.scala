@@ -338,9 +338,17 @@ class TimeseriesStore(
       normalized: DataFrame,
       outPartitions: Option[Int] = None): Seq[TxAdd] = {
     val stage = new Path(s"$url/.stage/$name/${java.util.UUID.randomUUID()}")
-    layoutForWrite(normalized, outPartitions).write
+    // INT64 micros, not the session default INT96: INT96 carries no
+    // usable footer statistics (deprecated), and the per-file time
+    // bounds below are what make log-metadata FILE skipping possible.
+    // Scoped set/restore so caller sessions keep their own setting.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try layoutForWrite(normalized, outPartitions).write
       .options(storageOptions).option("compression", "snappy")
       .partitionBy("partition").parquet(stage.toString)
+    finally spark.conf.set(tsKey, prevTs)
     val f = fs(url)
     val featureRoot = new Path(featurePath(name))
     val adds = Seq.newBuilder[TxAdd]
@@ -351,15 +359,53 @@ class TimeseriesStore(
       f.listStatus(pdir.getPath)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .foreach { st =>
+          // footer stats BEFORE the rename: the file was just written,
+          // the footer is page-cached, and a stats failure degrades to
+          // a never-skipped file, never to a failed install
+          val (mn, mx) = timeStatsMicros(st.getPath)
           val dest = new Path(destDir, st.getPath.getName)
           if (!f.rename(st.getPath, dest))
             throw new java.io.IOException(s"stage install failed: ${st.getPath} -> $dest")
-          adds += TxAdd(s"$pname/${st.getPath.getName}", pname.stripPrefix("partition="))
+          adds += TxAdd(s"$pname/${st.getPath.getName}", pname.stripPrefix("partition="),
+            tmin = mn, tmax = mx)
         }
     }
     f.delete(stage, true)
     adds.result()
   }
+
+  /** Event-time bounds of one parquet file in epoch micros, from its
+    * footer row-group statistics (TIMESTAMP_MICROS physical int64).
+    * (None, None) when stats are missing/unusable — the file is then
+    * simply never skipped. */
+  private def timeStatsMicros(p: Path): (Option[Long], Option[Long]) =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var ok = true
+        val blocks = r.getFooter.getBlocks
+        if (blocks.isEmpty) ok = false
+        blocks.forEach { b =>
+          val tc = b.getColumns.asScala.find(_.getPath.toDotString == TimeCol)
+          tc match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, z: java.lang.Long) =>
+                  mn = math.min(mn, a.longValue); mx = math.max(mx, z.longValue)
+                case _ => ok = false
+              }
+            case None => ok = false
+          }
+        }
+        if (ok && mn != Long.MaxValue) (Some(mn), Some(mx)) else (None, None)
+      } finally r.close()
+    } catch { case _: Throwable => (None, None) }
 
   /** S2: hive-partitioned snappy parquet append; on the txlog backend
     * the new files become visible in ONE atomic log commit.
@@ -491,7 +537,13 @@ class TimeseriesStore(
     // the old (pre-evolution) schema — columns added later are absent,
     // the value keeps its narrow type
     val schemas = log.schemaHistory(asOfVersion)
+    // two-level metadata skipping: partition values first, then
+    // per-file time bounds (Delta data-skipping shape) — a
+    // micro-batch-accumulated day holds many narrow files, and a
+    // ranged read drops the non-overlapping ones from the LOG alone,
+    // before Spark lists or opens anything
     val pruned = prunePartitionValues(adds, from, to, partitionStyle)
+      .filter(fileStatsOverlap(_, from, to))
     if (pruned.isEmpty)
       return schemas.lastOption.map(sj =>
         spark.createDataFrame(
@@ -501,6 +553,18 @@ class TimeseriesStore(
     val preds = from.map(f => col(TimeCol) >= lit(f)) ++ to.map(t => col(TimeCol) <= lit(t))
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
       .select(dataCols(schemas).map(col).toIndexedSeq: _*)
+  }
+
+  /** File-level data skipping over log metadata: does the add's
+    * recorded event-time range intersect [from, to]? Files without
+    * stats (pre-upgrade, or unusable footers) always qualify. Exact
+    * micros — no widening needed, the bounds are the file's actual
+    * min/max of the same column the read filters on. */
+  private def fileStatsOverlap(
+      a: TxAdd, from: Option[Timestamp], to: Option[Timestamp]): Boolean = {
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    from.forall(f => a.tmax.forall(_ >= micros(f))) &&
+      to.forall(t => a.tmin.forall(_ <= micros(t)))
   }
 
   /** Driver-side partition-value pruning over log metadata, widened one

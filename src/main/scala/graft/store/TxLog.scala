@@ -14,8 +14,21 @@ import org.apache.hadoop.fs.Path
   * each file with (the parquet reader cannot widen e.g. int64→double
   * on its own). None = written before the table declared any schema
   * (epoch 0 by convention).
+  *
+  * `tmin`/`tmax` are the file's event-time bounds in epoch MICROS
+  * (from the parquet footer at install time) — Delta-style file-level
+  * data skipping: a ranged read drops non-overlapping files from log
+  * metadata alone, one level finer than partition pruning (a
+  * micro-batch-accumulated day holds many files, each covering a
+  * narrow slice). Absent on pre-upgrade adds or when the footer had no
+  * usable stats — such files are always scanned (the safe direction).
   */
-final case class TxAdd(path: String, partition: String, sv: Option[Long] = None)
+final case class TxAdd(
+    path: String,
+    partition: String,
+    sv: Option[Long] = None,
+    tmin: Option[Long] = None,
+    tmax: Option[Long] = None)
 
 /** One file logically deleted from the table (bytes stay on disk until
   * `vacuum`, so readers holding an older snapshot keep working).
@@ -556,6 +569,10 @@ object TxLog {
     .registerReferencedValueType(classOf[TxAction], "commitTs", classOf[Long])
   com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
     .registerReferencedValueType(classOf[TxAdd], "sv", classOf[Long])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAdd], "tmin", classOf[Long])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAdd], "tmax", classOf[Long])
 
   val LogDirName = "_txlog"
   val CheckpointEvery = 10

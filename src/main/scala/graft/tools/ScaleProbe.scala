@@ -371,6 +371,79 @@ object ScaleProbe {
       require(recall >= 0.85, f"IVF recall@16 $recall%.3f fell below the 0.85 spec floor")
       vecs.unpersist(); assigned.assigned.unpersist(); truthTop.unpersist()
     }
+    // MERGE INTO at partition scale: 1M rows / 30 day-partitions, a
+    // source replacing 3 days (~100k times) plus ~33k never-seen
+    // inserts. The retire set must stay confined to the 3 matched
+    // days' files — merge cost tracks the OVERLAP footprint, not table
+    // size — in exactly one commit, with the final multiset exact.
+    timed("txlog MERGE INTO: 1M rows / 30 partitions, 3-day overlap + inserts, one commit") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-merge-probe").toString
+      val store = new graft.store.TimeseriesStore(spark, dir, backend = "txlog")
+      val base = 1704067200000L // 2024-01-01 UTC
+      store.save("f", spark.range(1000000).select(
+        timestamp_millis(lit(base) + (col("id") % 30) * 86400000L +
+          (col("id") / 30).cast("long") * 2000L).as("time"),
+        timestamp_millis(lit(base)).as("created_time"),
+        col("id").cast("double").as("value")))
+      val rows0 = store.read("f").count()
+      val preVersion = store.tableVersion("f")
+      val log = new graft.store.TxLog(spark.sparkContext.hadoopConfiguration, s"$dir/feature/f")
+      val liveBefore = log.snapshot().map(a => a.path -> a.partition).toMap
+      // source: every time in days 5..7 replaced; day-40 rows inserted
+      val src = spark.range(100002).select(
+        timestamp_millis(lit(base) + (lit(5L) + col("id") % 3) * 86400000L +
+          (col("id") / 3).cast("long") * 2000L).as("time"),
+        timestamp_millis(lit(base) + lit(1L)).as("created_time"),
+        lit(-1.0).as("value"))
+        .unionByName(spark.range(33333).select(
+          timestamp_millis(lit(base) + 40L * 86400000L + col("id") * 1000L).as("time"),
+          timestamp_millis(lit(base) + lit(1L)).as("created_time"),
+          lit(-2.0).as("value")))
+      val t0 = System.nanoTime()
+      val (updated, inserted) = store.mergeInto("f", src)
+      val mergeSecs = (System.nanoTime() - t0) / 1e9
+      require(store.tableVersion("f") == preVersion + 1, "merge must be ONE commit")
+      val liveAfter = log.snapshot().map(a => a.path -> a.partition).toMap
+      val retired = liveBefore.keySet -- liveAfter.keySet
+      val touched = retired.map(liveBefore)
+      val expectedDays = Set("2024-01-06", "2024-01-07", "2024-01-08")
+      require(touched.nonEmpty && touched.subsetOf(expectedDays),
+        s"merge retired files outside the matched days: $touched")
+      val rows1 = store.read("f").count()
+      // one generation per matched time in the base table, so exactly
+      // `updated` rows were replaced and every source row landed
+      require(rows1 == rows0 - updated + 100002L + 33333L,
+        s"row accounting off: $rows0 -> $rows1 (updated=$updated inserted=$inserted)")
+      require(updated == 100002L && inserted == 33333L,
+        s"expected (100002, 33333), got ($updated, $inserted)")
+      println(f"[probe]   merge $mergeSecs%.1fs: updated=$updated inserted=$inserted, " +
+        s"retired ${retired.size} files all in $expectedDays, rows $rows0 -> $rows1")
+    }
+    // Epoch-mixed evolved read: 1M int rows (epoch 0), widen to double,
+    // 1M double rows (epoch 1) — the grouped per-epoch read must still
+    // aggregate exactly and pay only a union of two pruned scans.
+    timed("txlog schema evolution: epoch-mixed 2M-row read after int->double widen") {
+      import org.apache.spark.sql.types.DoubleType
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolve-probe").toString
+      val store = new graft.store.TimeseriesStore(spark, dir, backend = "txlog")
+      val base = 1704067200000L
+      store.save("f", spark.range(1000000).select(
+        timestamp_millis(lit(base) + col("id") * 1000L).as("time"),
+        timestamp_millis(lit(base)).as("created_time"),
+        col("id").cast("int").as("value")))
+      store.evolveValueType("f", DoubleType)
+      store.save("f", spark.range(1000000).select(
+        timestamp_millis(lit(base) + (col("id") + 1000000L) * 1000L).as("time"),
+        timestamp_millis(lit(base)).as("created_time"),
+        (col("id").cast("double") + 0.5).as("value")))
+      val agg = store.read("f").agg(
+        sum(col("value")).as("s"), count(lit(1)).as("n")).collect()(0)
+      // sum = Σ(0..999999) as ints + Σ(i + 0.5) = 2 * 499999500000 + 500000
+      require(agg.getLong(1) == 2000000L &&
+        agg.getDouble(0) == 2.0 * 499999500000.0 + 500000.0,
+        s"epoch-mixed aggregate wrong: ${agg.mkString(",")}")
+      println(s"[probe]   2M rows across 2 epochs read exactly (sum=${agg.getDouble(0)})")
+    }
     // OPTIMIZE at micro-batch-sink accumulation scale: 120 one-commit
     // appends (~30 partitions each touched repeatedly) leave the table
     // at one file per (commit x partition); one optimize pass must

@@ -213,6 +213,32 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](tx.versionAt("f", 1000L))
   }
 
+  test("file-level time stats skip non-overlapping files from log metadata") {
+    val dir = tmpDir("graft-tx-skip")
+    val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    // ONE day accumulated over 4 micro-batch-style appends: the single
+    // partition holds 4 time-sliced files (150 minutes each)
+    (0 until 4).foreach { b =>
+      tx.save("f", spark.range(150).select(
+        timestamp_millis(lit(ts("2024-01-01").getTime) + (col("id") + b * 150L) * 60000L).as("time"),
+        timestamp_millis(lit(ts("2024-01-01").getTime)).as("created_time"),
+        (col("id") + b * 150L).cast("double").as("value")))
+    }
+    val total = tx.read("f").inputFiles.length
+    assert(total >= 4, s"expected a multi-file day, got $total")
+    // a 21-minute range overlaps ONE slice; partition pruning alone
+    // keeps all 4 files (same day) — only the footer-stat bounds in
+    // the log can drop the other three before Spark opens anything
+    val narrow = tx.read("f",
+      from = Some(new java.sql.Timestamp(ts("2024-01-01").getTime + 100 * 60000L)),
+      to = Some(new java.sql.Timestamp(ts("2024-01-01").getTime + 120 * 60000L)))
+    assert(narrow.count() == 21)
+    assert(narrow.inputFiles.length <= 2,
+      s"stats skipping should open <= 2 of $total files, got ${narrow.inputFiles.length}")
+    // an unbounded read still opens everything
+    assert(tx.read("f").count() == 600)
+  }
+
   test("mergeInto: physical upsert in one commit; only matched files rewrite") {
     val dir = tmpDir("graft-tx-merge")
     val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
