@@ -314,6 +314,23 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).updateWhere(f.name, predicate, newValue)
   }
 
+  /** Widen a stored feature's value type (txlog backend): evolves the
+    * TABLE schema and the catalog's pinned value type IN STEP — evolving
+    * only the table would leave saveDataFrame preparing batches at the
+    * old (narrow) pin and silently truncating before the store could
+    * widen them. Old snapshots keep reading the narrow type (see
+    * [[graft.store.TimeseriesStore.evolveSchema]]). Returns the
+    * committed log version. */
+  def evolveFeatureValueType(fullName: String, to: DataType): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot evolve transformed feature '$fullName'")
+    require(!f.serialized, s"serialized feature '$fullName' already stores schema-free JSON")
+    val v = store(nsObj).evolveValueType(f.name, to)
+    val (ns, name) = parseName(fullName)
+    catalog.pinValueType(ns, name, to.json)
+    v
+  }
+
   /** Lakehouse MERGE (txlog backend): physical upsert keyed on `time` —
     * matched times collapse to the source rows, unseen times insert,
     * one atomic commit, only matched files rewrite. The in-place

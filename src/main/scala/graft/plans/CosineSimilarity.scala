@@ -138,6 +138,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity.build(exprs)))
+    GraftSqlFunctions.inject(ext)
     ext.injectOptimizerRule(_ => DerivePartitionFilters)
   }
 }

@@ -74,6 +74,31 @@ class FeatureStoreSpec extends SparkSpec {
     assert(out.map(_.getDouble(1)).toSeq == Seq(0.0, 2.0, 2.0, 4.0, 4.0))
   }
 
+  test("evolveFeatureValueType widens table schema and catalog pin together") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DoubleType
+    val dir = tmpDir("graft-fs-evolve")
+    val fs = new FeatureStore(spark, s"$dir/catalog.json")
+    fs.createNamespace("tx", s"$dir/warehouse", backend = "txlog")
+    fs.createFeature("tx/e")
+    // first save pins INT
+    fs.saveDataFrame(
+      (0 until 3).map(i => (new java.sql.Timestamp(ts("2021-01-01").getTime + i * 86400000L), i))
+        .toDF("time", "value"), Some("tx/e"))
+    val before = fs.loadDataFrame(Seq("tx/e"), Some(ts("2021-01-01")), Some(ts("2021-01-03")))
+    assert(before.schema("tx/e").dataType.simpleString == "int")
+    fs.evolveFeatureValueType("tx/e", DoubleType)
+    // post-evolution save carries fractional values WITHOUT truncation —
+    // the catalog pin moved with the table schema
+    fs.saveDataFrame(
+      Seq((new java.sql.Timestamp(ts("2021-01-04").getTime), 3.5))
+        .toDF("time", "value"), Some("tx/e"))
+    val after = fs.loadDataFrame(Seq("tx/e"), Some(ts("2021-01-01")), Some(ts("2021-01-04")))
+    assert(after.schema("tx/e").dataType == DoubleType)
+    assert(after.orderBy("time").collect().map(_.getDouble(1)).toSeq ==
+      Seq(0.0, 1.0, 2.0, 3.5))
+  }
+
   test("widen-from-last: resample seed scan is partition-bounded, results unchanged") {
     val fs = freshStore()
     fs.createFeature("test/wfl")
