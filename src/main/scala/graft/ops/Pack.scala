@@ -101,4 +101,77 @@ object Pack {
       // caller's column order so the contract really is "df + shardCol"
       .select((df.columns.toSeq :+ shardCol).map(col): _*)
   }
+
+  /** Training-context SEQUENCE PACKING (sample packing): the corpus is
+    * laid out as one token stream per `groupCols` combination in
+    * `orderCols` order and cut into fixed `contextLen`-token windows;
+    * each document is emitted once per context it OVERLAPS, with its
+    * in-doc slice bounds — exactly the (context, doc, span) manifest a
+    * packed-pretraining data loader materializes. Documents SPLIT
+    * across context boundaries (the attention-mask boundary is the
+    * consumer's concern); zero-token documents emit nothing.
+    *
+    * Output = `df` plus:
+    *   `ctxCol`         0-based context index within the group stream
+    *   `ctx_doc_start`  inclusive in-doc token offset of the slice
+    *   `ctx_doc_end`    exclusive in-doc token offset
+    * Every context except a group's last covers exactly `contextLen`
+    * tokens across its slices — the packing invariant the spec pins.
+    *
+    * Scale: token offsets come from the same exact two-phase
+    * distributed prefix sum as [[packByBudget]] (never one global-sort
+    * task), and the explode fans each doc to ceil(len/L)+1 rows, so
+    * output size ∝ corpus tokens / contextLen. Same `tokenCol`
+    * non-null/non-negative precondition as packByBudget.
+    */
+  def packContexts(
+      df: DataFrame,
+      tokenCol: String,
+      contextLen: Long,
+      orderCols: Seq[String],
+      groupCols: Seq[String] = Nil,
+      ctxCol: String = "ctx_id",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(contextLen > 0, s"context length must be positive, got $contextLen")
+    require(orderCols.nonEmpty, "packContexts needs ordering columns")
+    val internal = Seq(PID, "__ptoks", "__off", "__cum", "__start", "__n")
+    val collisions = df.columns.filter(internal.contains)
+    require(collisions.isEmpty,
+      s"input columns collide with packContexts internals: ${collisions.mkString(", ")}")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val layout = (groupCols ++ orderCols).map(col)
+
+    val ranged = df
+      .repartitionByRange(n, layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .withColumn(PID, spark_partition_id())
+      .localCheckpoint(true)
+
+    val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy((PID +: groupCols).map(col): _*)
+      .agg(sum(col(tokenCol).cast("long")).as("__ptoks"))
+      .withColumn("__off", coalesce(sum(col("__ptoks")).over(offW), lit(0L)))
+      .drop("__ptoks")
+
+    val inW = Window.partitionBy((PID +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = contextLen
+    ranged
+      .join(broadcast(offsets), PID +: groupCols)
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(inW) + col("__off"))
+      .withColumn("__n", col(tokenCol).cast("long"))
+      .withColumn("__start", col("__cum") - col("__n"))
+      .filter(col("__n") > 0)
+      // one row per context the doc overlaps: floor-div window indices
+      .withColumn(ctxCol, explode(sequence(
+        expr(s"__start div CAST($L AS BIGINT)"),
+        expr(s"(__cum - 1) div CAST($L AS BIGINT)"))))
+      .withColumn("ctx_doc_start", greatest(lit(0L), col(ctxCol) * L - col("__start")))
+      .withColumn("ctx_doc_end", least(col("__n"), (col(ctxCol) + 1) * L - col("__start")))
+      .select((df.columns.toSeq ++ Seq(ctxCol, "ctx_doc_start", "ctx_doc_end")).map(col): _*)
+  }
 }

@@ -3032,6 +3032,37 @@ object QueryLib {
            |    AS shard_idx
            |FROM t""".stripMargin))
 
+  private val docPackContexts = Q(
+    "doc_pack_contexts",
+    // SEQUENCE PACKING (sample packing) under the oracle gate: the
+    // corpus as one doc_id-ordered token stream cut into 512-token
+    // training contexts, each doc emitted once per context it overlaps
+    // with its in-doc slice bounds — the (context, doc, span) manifest
+    // a packed-pretraining loader materializes; docs split across
+    // context boundaries. Spark side is the two-phase distributed
+    // prefix sum + a bounded explode (rows ∝ corpus tokens / 512); the
+    // oracle is the single-window formulation, so the hash certifies
+    // the distributed decomposition.
+    (s, dir) =>
+      graft.ops.Pack.packContexts(
+        T(s, dir, "documents").select(
+          col("doc_id"), size(toks).cast("long").as("n_tokens")),
+        tokenCol = "n_tokens", contextLen = 512L, orderCols = Seq("doc_id"))
+        .select(col("doc_id"), col("ctx_id"),
+          col("ctx_doc_start"), col("ctx_doc_end")),
+    Some("""WITH t AS (SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+           |c AS (SELECT doc_id, n,
+           |    CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
+           |  FROM t),
+           |x AS (SELECT doc_id, n, s,
+           |    unnest(generate_series(s // 512, (s + n - 1) // 512)) AS ctx
+           |  FROM c WHERE n > 0)
+           |SELECT doc_id, CAST(ctx AS BIGINT) AS ctx_id,
+           |  CAST(greatest(0, ctx * 512 - s) AS BIGINT) AS ctx_doc_start,
+           |  CAST(least(n, (ctx + 1) * 512 - s) AS BIGINT) AS ctx_doc_end
+           |FROM x""".stripMargin))
+
   // =====================================================================
   // Multimodal plumbing: opaque binary payloads + typed metadata
   // =====================================================================
@@ -4364,7 +4395,7 @@ object QueryLib {
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
-    dedupComponents, dedupIncremental, curateDocs, qPackShards,
+    dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
