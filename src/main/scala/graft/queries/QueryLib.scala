@@ -2369,6 +2369,60 @@ object QueryLib {
            |       coalesce(cl.cluster_id, CAST(b.doc_id AS BIGINT)) AS cluster_id
            |FROM base b LEFT JOIN cl ON cl.node = b.doc_id""".stripMargin))
 
+  private val docHoldoutGroups = Q(
+    "doc_holdout_groups",
+    // LEAKAGE-FREE holdout: split by near-duplicate GROUP, not by doc —
+    // hashing doc_ids (doc_holdout) puts two near-identical documents
+    // on opposite sides of the train/eval fence, and the eval score
+    // silently measures memorization. Here the dedup components
+    // (identical pipeline to dedup_components: banded LSH candidates,
+    // 0.3 Jaccard closure, min-id canonical labels, singleton clusters
+    // for untouched docs) are hashed INSTEAD, so a whole duplicate
+    // family lands on one side by construction. The oracle recomputes
+    // the closure independently (recursive-CTE BFS) and applies the
+    // same group hash — a doc on the wrong side hashes red.
+    (s, dir) => {
+      val base = mat(T(s, dir, "documents").select(
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val pairs = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          aName = "doc_a", bName = "doc_b")
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      graft.functions.Components.totalComponents(base, "doc_id", pairs, "doc_a", "doc_b",
+          assumeUniqueIds = true)
+        .select(col("node").cast("long").as("doc_id"),
+          col("component").cast("long").as("cluster_id"))
+        .withColumn("split",
+          when(substring(md5(concat(lit("grp:"), col("cluster_id").cast("string"))), 1, 2) < "1a",
+            "eval").otherwise("train"))
+    },
+    Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |${lshOracleCtes("base", "sh", Nil)},
+           |pairs AS (SELECT doc_a, doc_b
+           |          FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
+           |          WHERE ${lshVerifySql("sh")} >= 0.3),
+           |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT s AS node, s AS label FROM edges
+           |  UNION
+           |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+           |cl AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |lab AS (SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           |        coalesce(cl.cluster_id, CAST(b.doc_id AS BIGINT)) AS cluster_id
+           |        FROM base b LEFT JOIN cl ON cl.node = b.doc_id)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN substr(md5(concat('grp:', CAST(cluster_id AS VARCHAR))), 1, 2) < '1a'
+           |       THEN 'eval' ELSE 'train' END AS split
+           |FROM lab""".stripMargin))
+
   private val dedupWinnow = Q(
     "dedup_winnow",
     // winnowing-sketch near-dup pairs within (lang, source). The sketch
@@ -4396,6 +4450,7 @@ object QueryLib {
     txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
+    docHoldoutGroups,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
