@@ -2369,6 +2369,45 @@ object QueryLib {
            |       coalesce(cl.cluster_id, CAST(b.doc_id AS BIGINT)) AS cluster_id
            |FROM base b LEFT JOIN cl ON cl.node = b.doc_id""".stripMargin))
 
+  private val txtUnigramSurprisal = Q(
+    "txt_unigram_surprisal",
+    // Unigram-LM quality scoring (the KenLM-proxy every curation
+    // pipeline runs, made hash-gateable): per-token surprisal
+    // -log2 p(t) under the corpus's own add-one-smoothed unigram
+    // model, in WHOLE BITS — floor(log2((N+V)/(cnt+1))) computed
+    // entirely in integers (floor-log2 of a quotient equals floor-log2
+    // of the integer division; the bit count is the binary string
+    // length), so the per-doc mean is an exact integer sum with ONE
+    // closing double division: order-free, engine-exact, no libm-log
+    // parity hazard. High mean = rare-token-heavy (specialized or
+    // noisy) documents — the up/down-weighting signal. Shuffles carry
+    // (token, count) and per-doc longs; the 1-row (N, V) corpus scalar
+    // broadcasts like txt_keywords'.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val tok = d.select(col("doc_id"), explode(toks).as("t"))
+        .filter(length(col("t")) > 0)
+      val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("nn"), count(lit(1)).as("vv"))
+      tok.join(counts, Seq("t"))
+        .crossJoin(broadcast(tot))
+        .withColumn("bits",
+          (length(expr("bin((nn + vv) div (cnt + 1))")) - 1).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(sum(col("bits")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_surprisal_bits"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |tk AS (SELECT * FROM tok WHERE length(t) > 0),
+           |c AS (SELECT t, count(*) AS cnt FROM tk GROUP BY 1),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv FROM c)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(length(bin((nn + vv) // (cnt + 1))) - 1) AS DOUBLE)
+           |        / CAST(count(*) AS DOUBLE), 6) AS mean_surprisal_bits
+           |FROM tk JOIN c USING (t) CROSS JOIN tot
+           |GROUP BY doc_id""".stripMargin))
+
   private val docHoldoutGroups = Q(
     "doc_holdout_groups",
     // LEAKAGE-FREE holdout: split by near-duplicate GROUP, not by doc —
@@ -4455,7 +4494,7 @@ object QueryLib {
     simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
-    qIntervalJoin, graphPagerank, txtNovelty, txtBm25,
+    qIntervalJoin, graphPagerank, txtNovelty, txtBm25, txtUnigramSurprisal,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,

@@ -39,7 +39,10 @@ class PlanContractSpec extends SparkSpec {
   private val nestedLoopAllowed =
     Set("sim_embed_dedup", "sim_cosine_topk", "txt_keywords", "sim_label_centroid",
       "dq_events", "q_drift_hist", "doc_mixture_sample", "sim_ann_pq", "txt_bm25",
-      "q_rolling_distinct_hll")
+      "q_rolling_distinct_hll",
+      // txt_unigram_surprisal broadcasts the 1-row (N, V) corpus scalar,
+      // the same shape as txt_keywords / txt_bm25
+      "txt_unigram_surprisal")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
