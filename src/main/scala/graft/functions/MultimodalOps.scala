@@ -213,11 +213,124 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** One 100ms-ish audio analysis frame: exact integer energy
+    * (sum of squared PCM16 samples fits a long: 32767² × frameLen ≪
+    * 2^63) plus the peak absolute sample — the loudness/clipping
+    * signals an audio-curation pipeline filters on, all
+    * bit-reproducible (no float accumulation anywhere). */
+  final case class AudioFrame(
+      id: Long,
+      frameIdx: Int,
+      nSamples: Int,
+      sumSq: Long,
+      peakAbs: Int)
+
+  /** REAL RIFF/WAVE parsing — pure JVM, no codec library: walk the
+    * chunk list (fmt must declare PCM16 mono — anything else throws
+    * with the offending field named; compressed audio needs an external
+    * decoder and must not silently parse as garbage), then window the
+    * little-endian samples into `frameLen`-sample frames (the last
+    * frame may be partial). Per frame: exact Σ s² and max |s|.
+    */
+  private[graft] def wavDecode(id: Long, payload: Array[Byte], frameLen: Int): Seq[AudioFrame] = {
+    def le32(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    require(payload.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"id=$id: not a RIFF/WAVE payload (${payload.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")})")
+    var off = 12
+    var dataOff = -1
+    var dataLen = -1
+    var fmtSeen = false
+    while (off + 8 <= payload.length && (dataOff < 0 || !fmtSeen)) {
+      val ct = tag(off)
+      val cl = le32(off + 4)
+      if (ct == "fmt ") {
+        val codec = le16(off + 8)
+        val channels = le16(off + 10)
+        val bits = le16(off + 22)
+        require(codec == 1, s"id=$id: WAVE codec $codec is not PCM — decode upstream")
+        require(channels == 1, s"id=$id: $channels channels; this parser handles mono")
+        require(bits == 16, s"id=$id: $bits-bit samples; this parser handles PCM16")
+        fmtSeen = true
+      } else if (ct == "data") {
+        dataOff = off + 8
+        dataLen = cl
+      }
+      off += 8 + cl + (cl & 1) // chunks are word-aligned
+    }
+    require(fmtSeen && dataOff >= 0, s"id=$id: WAVE missing fmt/data chunk")
+    require(dataOff + dataLen <= payload.length, s"id=$id: data chunk overruns payload")
+    val nSamples = dataLen / 2
+    val out = Seq.newBuilder[AudioFrame]
+    var f = 0
+    var i = 0
+    while (i < nSamples) {
+      val end = math.min(i + frameLen, nSamples)
+      var sumSq = 0L
+      var peak = 0
+      var j = i
+      while (j < end) {
+        val s = le16(dataOff + 2 * j).toShort.toInt
+        sumSq += s.toLong * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        j += 1
+      }
+      out += AudioFrame(id, f, end - i, sumSq, peak)
+      f += 1
+      i = end
+    }
+    out.result()
+  }
+
+  /** Partition-parallel audio framing: one narrow mapPartitions from
+    * (id, wav bytes) to per-frame energy rows — no shuffle, scales
+    * with input splits; only (id, 2 ints, long, int) rows ever move.
+    */
+  def decodeAudio(
+      df: DataFrame, idCol: String, binCol: String, frameLen: Int): Dataset[AudioFrame] = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => wavDecode(id, bytes, frameLen) })
+  }
+
+  /** Deterministic PCM16 mono WAV fixture (gate/spec fixture): id's
+    * clip is `id % 5 + 1` full 1600-sample frames plus `id % 7` extra
+    * samples (so partial tails occur), sample i =
+    * ((2654435761·id + 40503·i) mod 2003) − 1001 — a closed form the
+    * oracle can re-aggregate arithmetically, sharing zero code with
+    * the parser. Canonical 44-byte header, word-aligned data. */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val n = ((id % 5 + 1) * 1600 + (id % 7) * 3).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(16000).putInt(32000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0L
+    while (i < n) {
+      bb.putShort((((2654435761L * id + 40503L * i) % 2003L) - 1001L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** STUB codec — deterministic fake for payloads that are NOT real
     * image containers (the spec corpus reuses text bytes as opaque
     * binary). [[headerDecode]] is the real default; this remains the
     * seam's test stand-in and the documented fallback for payload types
-    * with no pure-JVM parser (audio/video containers).
+    * with no pure-JVM parser (video containers).
     */
   private[graft] def stubDecode(id: Long, payload: Array[Byte]): ImageFeatures = {
     val n = payload.length

@@ -3490,6 +3490,44 @@ object QueryLib {
            |  CAST(sum(l) AS DOUBLE) / (1000 * w * h) AS mean_luma
            |FROM px GROUP BY doc_id, w, h""".stripMargin))
 
+  private val mmAudioEnergy = Q(
+    "mm_audio_energy",
+    // REAL audio container parsing under the oracle gate — the audio
+    // leg of the multimodal story, no codec library needed: each
+    // doc_id is rendered as a REAL PCM16 mono WAV (canonical RIFF
+    // header + closed-form samples, encoded in-task), then
+    // MultimodalOps.decodeAudio walks the chunk list back (fmt
+    // validation: PCM/mono/16-bit or throw) and windows the samples
+    // into 1600-sample frames with EXACT integer energy (Σ s², long)
+    // and peak |s| — the loudness/clipping curation signals, no float
+    // accumulation anywhere, so the hash is arithmetic-exact. The
+    // oracle re-aggregates the closed form over a sample grid, sharing
+    // zero code with encoder or parser. Scale: encode+parse ride one
+    // narrow mapPartitions per split; only per-frame integer rows move.
+    (s, dir) => {
+      import s.implicits._
+      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      graft.functions.MultimodalOps.decodeAudio(payloads, "doc_id", "payload", 1600).toDF()
+        .select(col("id").as("doc_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          col("nSamples").cast("long").as("n_samples"),
+          col("sumSq").as("sum_sq"),
+          col("peakAbs").cast("long").as("peak_abs"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    (doc_id % 5 + 1) * 1600 + (doc_id % 7) * 3 AS n FROM documents),
+           |s AS (SELECT doc_id, i, i // 1600 AS f,
+           |    ((2654435761 * doc_id + 40503 * i) % 2003) - 1001 AS v
+           |  FROM d, range(0, 8020) r(i) WHERE i < n)
+           |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           |  CAST(count(*) AS BIGINT) AS n_samples,
+           |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+           |FROM s GROUP BY doc_id, f""".stripMargin))
+
   private val qTransitions = Q(
     "q_transitions",
     // First-order Markov transition counts over each user's time-ordered
@@ -4499,7 +4537,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
-    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats)
+    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

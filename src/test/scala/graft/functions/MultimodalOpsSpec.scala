@@ -178,6 +178,37 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(fallback.width == 128 && fallback.height == 64 && fallback.nChannels == 3)
   }
 
+  test("wavDecode: round-trips the synthetic fixture with exact integer frames") {
+    for (id <- Seq(0L, 3L, 11L, 23L)) {
+      val n = ((id % 5 + 1) * 1600 + (id % 7) * 3).toInt
+      val samples = (0 until n).map(i =>
+        (((2654435761L * id + 40503L * i) % 2003L) - 1001L).toInt)
+      val frames = MultimodalOps.wavDecode(id, MultimodalOps.syntheticWav(id), 1600)
+      assert(frames.map(_.nSamples).sum == n, s"id=$id sample count")
+      assert(frames.length == (n + 1599) / 1600, s"id=$id frame count")
+      frames.foreach { f =>
+        val sl = samples.slice(f.frameIdx * 1600, f.frameIdx * 1600 + f.nSamples)
+        assert(f.sumSq == sl.map(s => s.toLong * s).sum, s"id=$id frame ${f.frameIdx} energy")
+        assert(f.peakAbs == sl.map(math.abs).max, s"id=$id frame ${f.frameIdx} peak")
+      }
+    }
+  }
+
+  test("wavDecode refuses non-WAV, compressed, stereo and truncated payloads") {
+    intercept[IllegalArgumentException](
+      MultimodalOps.wavDecode(1L, "not audio at all..............................".getBytes, 1600))
+    val wav = MultimodalOps.syntheticWav(2L)
+    // flip the channel count to stereo: must refuse, not misparse
+    val stereo = wav.clone(); stereo(22) = 2
+    val e = intercept[IllegalArgumentException](MultimodalOps.wavDecode(2L, stereo, 1600))
+    assert(e.getMessage.contains("channels"))
+    // flip the codec to non-PCM
+    val comp = wav.clone(); comp(20) = 85.toByte
+    intercept[IllegalArgumentException](MultimodalOps.wavDecode(2L, comp, 1600))
+    // truncate the data chunk: overrun must throw
+    intercept[IllegalArgumentException](MultimodalOps.wavDecode(2L, wav.take(100), 1600))
+  }
+
   test("resizeMeta rescales the metadata struct only") {
     val meta = MultimodalOps.decodeImages(docsAsBinary, "doc_id", "payload",
       MultimodalOps.stubDecode).toDF()
