@@ -331,6 +331,17 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     v
   }
 
+  /** Lakehouse RESTORE (txlog backend): roll a stored feature back to
+    * table version `v` as a NEW commit — the undo button for a bad
+    * merge/delete/append; original bytes, nothing rewritten, itself
+    * time-travelable. Fails loudly if vacuum already reclaimed v's
+    * files. Returns the new table version. */
+  def restoreFeature(fullName: String, version: Long): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot restore transformed feature '$fullName'")
+    store(nsObj).restore(f.name, version)
+  }
+
   /** Lakehouse MERGE (txlog backend): physical upsert keyed on `time` —
     * matched times collapse to the source rows, unseen times insert,
     * one atomic commit, only matched files rewrite. The in-place

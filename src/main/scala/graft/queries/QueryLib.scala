@@ -737,6 +737,32 @@ object QueryLib {
            |UNION ALL SELECT 'latest', time, value, quality FROM b
            |UNION ALL SELECT 'v0', time, value, CAST(NULL AS DOUBLE) FROM a""".stripMargin))
 
+  private val fsStoreRestore = Q(
+    "fs_store_restore",
+    // Lakehouse RESTORE under the oracle gate — the undo button: the
+    // purchase series is saved, a window is transactionally DELETED
+    // (a "bad" erasure), then restore() rolls the table back to the
+    // pre-delete version as a NEW commit re-referencing the ORIGINAL
+    // bytes (nothing rewritten, the rollback itself time-travelable).
+    // The post-restore read must equal DuckDB's plain projection of
+    // ALL purchases — a leftover deletion or a dangling re-add hashes
+    // red. Scale: restore is pure log metadata (one commit of
+    // adds/removes), O(files), zero data IO.
+    (s, dir) => {
+      val tmp = scratchDir("restore")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val p = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("ts").as("created_time"), col("value"))
+      st.save("r", p)
+      val vGood = st.tableVersion("r")
+      st.deleteWhere("r",
+        col("time") >= ts("2024-01-10") && col("time") < ts("2024-01-20"))
+      st.restore("r", vGood)
+      st.read("r")
+    },
+    Some("""SELECT ts AS time, ts AS created_time, value FROM events
+           |WHERE event_type = 'purchase'""".stripMargin))
+
   private val fsStoreMerge = Q(
     "fs_store_merge",
     // Lakehouse MERGE INTO (physical upsert) under the oracle gate: the
@@ -4537,6 +4563,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
+    fsStoreRestore,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

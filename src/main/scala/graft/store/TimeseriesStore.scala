@@ -965,6 +965,39 @@ class TimeseriesStore(
       .select(dataCols(schemas).map(col).toIndexedSeq: _*)
   }
 
+  /** Lakehouse RESTORE (txlog backend): make version `v`'s file set
+    * the LATEST state again — as a NEW commit (removes of files v
+    * doesn't reference + re-adds of files it does), so the rollback is
+    * itself time-travelable and nothing is ever rewritten: the
+    * restored files are the ORIGINAL bytes, still on disk as long as
+    * vacuum hasn't reclaimed them (a vacuumed restore fails loudly
+    * up front, listing the first missing file, rather than committing
+    * dangling adds). The undo button for a bad merge/delete/append.
+    * Schema epochs only ever append, so a restore never "un-declares"
+    * a schema: re-added files keep their original write epochs and
+    * read back under the CURRENT epoch with the usual widening/null
+    * alignment. Returns the new version (or the current one if v's
+    * file set is already live).
+    */
+  def restore(name: String, v: Long): Long = {
+    require(logBacked, "restore requires the txlog backend")
+    require(exists(name), s"no such feature: $name")
+    val log = txLog(name)
+    val target = log.snapshot(Some(v))
+    val current = log.snapshot()
+    val targetPaths = target.map(_.path).toSet
+    val currentPaths = current.map(_.path).toSet
+    val adds = target.filterNot(a => currentPaths(a.path))
+    val removes = current.filterNot(a => targetPaths(a.path)).map(a => TxRemove(a.path))
+    if (adds.isEmpty && removes.isEmpty) return log.latestVersion()
+    val f = fs(url)
+    adds.find(a => !f.exists(new Path(s"${featurePath(name)}/${a.path}"))).foreach { a =>
+      throw new IllegalStateException(
+        s"cannot restore '$name' to version $v: ${a.path} was vacuumed")
+    }
+    log.commit(adds, removes)
+  }
+
   /** Resolve an AS OF TIMESTAMP instant to a table version (txlog
     * backend) — feed the result to `read(asOfVersion = …)` /
     * `readChanges`. Delta's commit-mtime fallback rule; see

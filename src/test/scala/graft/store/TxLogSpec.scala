@@ -239,6 +239,32 @@ class TxLogSpec extends SparkSpec {
     assert(tx.read("f").count() == 600)
   }
 
+  test("restore rolls back as a new commit; vacuumed restores refuse") {
+    val dir = tmpDir("graft-tx-restore")
+    val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    tx.save("f", series(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      ("2024-01-02 10:00:00", "2024-01-02 10:00:00", 2.0)))
+    val vGood = tx.tableVersion("f")
+    tx.save("f", series(("2024-01-03 10:00:00", "2024-01-03 10:00:00", 3.0)))
+    assert(tx.deleteWhere("f", col("value") === 2.0) == 1L)
+    assert(tx.read("f").count() == 2L) // the "bad" state: 1.0 and 3.0
+    val vRestored = tx.restore("f", vGood)
+    // rollback is a NEW commit on top of history, not a rewrite of it
+    assert(vRestored == tx.tableVersion("f") && vRestored > vGood + 1)
+    assert(tx.read("f").orderBy("time").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.0, 2.0))
+    // the pre-restore "bad" state itself stays time-travelable
+    assert(tx.read("f", asOfVersion = Some(vRestored - 1)).count() == 2L)
+    // restoring the CURRENT state is a no-op (no empty commit)
+    assert(tx.restore("f", vRestored) == vRestored)
+    // after vacuum reclaims the deleted-era files, restoring to the
+    // bad state must refuse loudly instead of committing dangling adds
+    tx.vacuum("f", retentionMs = 0L)
+    val e = intercept[IllegalStateException](tx.restore("f", vRestored - 1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("mergeInto: physical upsert in one commit; only matched files rewrite") {
     val dir = tmpDir("graft-tx-merge")
     val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
