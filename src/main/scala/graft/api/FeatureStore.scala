@@ -331,6 +331,23 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     v
   }
 
+  /** Declare (or replace) a named CHECK constraint on a stored feature
+    * (txlog backend): every future save/merge batch must satisfy the
+    * boolean SQL expression on every row or the write is rejected
+    * before anything becomes visible; existing rows are validated at
+    * declaration time. Declare "true" to drop. */
+  def addFeatureCheck(fullName: String, constraintName: String, boolExpr: String): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot constrain transformed feature '$fullName'")
+    store(nsObj).addCheck(f.name, constraintName, boolExpr)
+  }
+
+  /** Active CHECK constraints on a stored feature, declaration order. */
+  def featureChecks(fullName: String): Seq[(String, String)] = {
+    val (nsObj, f) = featureOf(fullName)
+    store(nsObj).tableChecks(f.name)
+  }
+
   /** Lakehouse RESTORE (txlog backend): roll a stored feature back to
     * table version `v` as a NEW commit — the undo button for a bad
     * merge/delete/append; original bytes, nothing rewritten, itself

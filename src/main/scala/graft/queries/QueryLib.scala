@@ -737,6 +737,35 @@ object QueryLib {
            |UNION ALL SELECT 'latest', time, value, quality FROM b
            |UNION ALL SELECT 'v0', time, value, CAST(NULL AS DOUBLE) FROM a""".stripMargin))
 
+  private val fsStoreCheck = Q(
+    "fs_store_check",
+    // Table CHECK constraints under the oracle gate (the Delta
+    // ALTER TABLE ADD CONSTRAINT idea): a positivity constraint is
+    // declared on the table, a conforming batch lands, a VIOLATING
+    // batch is rejected before anything becomes visible (caught here —
+    // the write-path contract), and a second conforming batch proves
+    // the table stayed writable. The final read must hash-equal the
+    // two accepted batches exactly: a leaked violating row, a torn
+    // reject, or a wrongly-blocked good batch all hash red. NULL
+    // checks count as violations (the data-pipeline reading of CHECK).
+    (s, dir) => {
+      val tmp = scratchDir("check")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val p = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("ts").as("created_time"),
+          abs(col("value")).as("value"))
+      st.addCheck("c", "positive_value", "value >= 0")
+      st.save("c", p.filter(col("time") < ts("2024-01-15")))
+      val rejected =
+        try { st.save("c", p.withColumn("value", -col("value") - 1)); false }
+        catch { case e: IllegalArgumentException => e.getMessage.contains("positive_value") }
+      require(rejected, "the violating batch must be rejected by name")
+      st.save("c", p.filter(col("time") >= ts("2024-01-15")))
+      st.read("c")
+    },
+    Some("""SELECT ts AS time, ts AS created_time, abs(value) AS value FROM events
+           |WHERE event_type = 'purchase'""".stripMargin))
+
   private val fsStoreRestore = Q(
     "fs_store_restore",
     // Lakehouse RESTORE under the oracle gate — the undo button: the
@@ -4563,7 +4592,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
-    fsStoreRestore,
+    fsStoreRestore, fsStoreCheck,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

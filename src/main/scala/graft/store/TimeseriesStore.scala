@@ -243,12 +243,60 @@ class TimeseriesStore(
     normalized.select((cols :+ col("partition")).toIndexedSeq: _*)
   }
 
+  /** Declare (or replace) a named CHECK constraint on a txlog table
+    * (the Delta table-constraint idea): from this commit on, every
+    * save/merge batch must satisfy `boolExpr` (a SQL boolean over the
+    * normalized columns) on EVERY row or the write is rejected before
+    * anything becomes visible. Existing rows are validated NOW — a
+    * constraint the current table already violates refuses to land,
+    * exactly like ALTER TABLE ADD CONSTRAINT. Declare `"true"` to
+    * effectively drop a constraint. Returns the committed version. */
+  def addCheck(name: String, constraintName: String, boolExpr: String): Long = {
+    require(logBacked, "CHECK constraints require the txlog backend")
+    require(constraintName.nonEmpty, "constraint name must be non-empty")
+    if (exists(name)) {
+      val log = txLog(name)
+      val live = log.snapshot()
+      if (live.nonEmpty) {
+        val cur = openAdds(name, live, log.schemaHistory(), partitionStyle = "date")
+        val bad = cur.filter(!expr(boolExpr) || expr(boolExpr).isNull).count()
+        require(bad == 0,
+          s"cannot add CHECK '$constraintName' ($boolExpr): $bad existing rows violate it")
+      }
+    }
+    txLog(name).commit(Nil, check = Some((constraintName, boolExpr)))
+  }
+
+  /** Active CHECK constraints on a txlog table, declaration-ordered. */
+  def tableChecks(name: String): Seq[(String, String)] = {
+    require(logBacked, "CHECK constraints require the txlog backend")
+    if (!exists(name)) Seq.empty else txLog(name).checks()
+  }
+
+  /** Writer-side constraint enforcement: every active check must hold
+    * on EVERY batch row (nulls count as violations, the ANSI CHECK
+    * reading a data pipeline wants — a null-dodging row is a bug, not
+    * a pass). One combined filter job; rejection names the first
+    * violated constraint and the row count. */
+  private def enforceChecks(log: TxLog, name: String, batch: DataFrame): Unit = {
+    val active = log.checks().filterNot(_._2.trim.equalsIgnoreCase("true"))
+    active.foreach { case (cn, ce) =>
+      val bad = batch.filter(!expr(ce) || expr(ce).isNull).count()
+      if (bad > 0)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$cn' ($ce) violated by $bad rows of the incoming batch for '$name'")
+    }
+  }
+
   /** Stage a batch under the table's CURRENT schema epoch: first write
     * declares the batch's own schema as epoch 0; later writes conform
     * to the declared epoch and their adds carry its index. Returns the
-    * installed adds plus the schema to declare in the same commit. */
+    * installed adds plus the schema to declare in the same commit.
+    * Active CHECK constraints are enforced HERE — before any file is
+    * staged, so a rejected batch leaves nothing to vacuum. */
   private def stageForCommit(log: TxLog, name: String, normalized: DataFrame)
-      : (Seq[TxAdd], Option[String]) =
+      : (Seq[TxAdd], Option[String]) = {
+    enforceChecks(log, name, normalized)
     log.schemaHistory() match {
       case Seq() =>
         (stageInstall(name, normalized).map(_.copy(sv = Some(0L))),
@@ -257,6 +305,7 @@ class TimeseriesStore(
         (stageInstall(name, conformForWrite(normalized, schemaOf(schemas.last)))
           .map(_.copy(sv = Some(schemas.size - 1L))), None)
     }
+  }
 
   /** Epoch of internally REWRITTEN files (compaction/optimize/delete —
     * frames already aligned to the latest declared schema). */
@@ -897,6 +946,8 @@ class TimeseriesStore(
       else Set.empty
     val normalized = TimeseriesStore.normalize(source, partitionStyle, declaredExtras)
     val log = txLog(name)
+    // the MERGE source is new data like any save batch — same CHECKs
+    enforceChecks(log, name, normalized)
     val live = if (exists(name)) log.snapshot() else Seq.empty
     if (live.isEmpty) {
       // empty target: MERGE degenerates to plain insert

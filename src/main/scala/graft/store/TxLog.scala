@@ -60,6 +60,15 @@ final case class TxAction(
     // old version see only the declarations at-or-below it, so old
     // snapshots read the old schema.
     schemaJson: Option[String] = None,
+    // a named CHECK constraint declaration (Delta table constraints):
+    // from this commit on, writers must prove every incoming row
+    // satisfies `checkExpr` (a SQL boolean over the table's columns)
+    // before committing. Constraints accumulate in declaration order;
+    // re-declaring a name REPLACES its expression (declare `true` to
+    // effectively drop one). Enforcement is the WRITER's obligation —
+    // replay just carries the contract.
+    checkName: Option[String] = None,
+    checkExpr: Option[String] = None,
     // commit-info wall-clock (FIRST line of a commit/checkpoint file):
     // AS OF TIMESTAMP resolves from this, not file mtime — mtimes don't
     // survive a byte-copy of the log dir, and the hard-link install
@@ -206,6 +215,11 @@ class TxLog(
     * (pre-evolution logs). */
   def schemaHistory(asOf: Option[Long] = None): Seq[String] = replay(asOf)._4
 
+  /** Active CHECK constraints at `asOf` (default: latest), in
+    * declaration order — (name, boolean SQL expr) pairs writers must
+    * enforce on every incoming batch. */
+  def checks(asOf: Option[Long] = None): Seq[(String, String)] = replay(asOf)._5
+
   /** Has a commit carrying this application transaction id ever landed?
     * The restart-idempotence primitive for streaming writers.
     */
@@ -233,6 +247,7 @@ class TxLog(
   private val cacheTxns = scala.collection.mutable.Set[String]()
   private val cacheApps = scala.collection.mutable.Map[String, Long]()
   private val cacheSchemas = scala.collection.mutable.ArrayBuffer[String]()
+  private val cacheChecks = scala.collection.mutable.LinkedHashMap[String, String]()
   // newest version this instance has OBSERVED (committed, listed, or
   // replayed) — the commit loop's version guess, so a single committer
   // never pays a per-commit directory listing
@@ -242,7 +257,8 @@ class TxLog(
       live: scala.collection.mutable.LinkedHashMap[String, TxAdd],
       txns: scala.collection.mutable.Set[String],
       apps: scala.collection.mutable.Map[String, Long],
-      schemas: scala.collection.mutable.ArrayBuffer[String])(a: TxAction): Unit = {
+      schemas: scala.collection.mutable.ArrayBuffer[String],
+      checks: scala.collection.mutable.LinkedHashMap[String, String])(a: TxAction): Unit = {
     a.add.foreach(ad => live(ad.path) = ad)
     a.remove.foreach(rm => live.remove(rm.path))
     a.txn.foreach(txns += _)
@@ -253,17 +269,20 @@ class TxLog(
     // schema declarations append in replay order — their index IS the
     // epoch an add's `sv` points at
     a.schemaJson.foreach(schemas += _)
+    // named constraints: re-declaring a name replaces its expression
+    for (cn <- a.checkName; ce <- a.checkExpr) checks(cn) = ce
   }
 
   private def replay(asOf: Option[Long])
-      : (Seq[TxAdd], Set[String], Map[String, Long], Seq[String]) = synchronized {
+      : (Seq[TxAdd], Set[String], Map[String, Long], Seq[String], Seq[(String, String)]) = synchronized {
     // listing-free shortcut: the cache IS the exact state at
     // cacheVersion, and committed versions are immutable — a request
     // for precisely that version (the commit loop's validation replay)
     // needs no directory listing at all
     asOf match {
       case Some(u) if u == cacheVersion =>
-        return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap, cacheSchemas.toList)
+        return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap,
+          cacheSchemas.toList, cacheChecks.toList)
       case _ =>
     }
     val vs = versions()
@@ -283,7 +302,7 @@ class TxLog(
         throw new IllegalStateException(
           s"version $upTo has been vacuumed from $logDir: " +
             s"oldest surviving version is ${vs.head._1}")
-      return (Seq.empty, Set.empty, Map.empty, Seq.empty)
+      return (Seq.empty, Set.empty, Map.empty, Seq.empty, Seq.empty)
     }
     val target = eligible.last._1
     val commitSet = eligible.collect { case (v, false) => v }.toSet
@@ -296,22 +315,24 @@ class TxLog(
       ((cacheVersion + 1) to target).forall(commitSet.contains)) {
       ((cacheVersion + 1) to target).foreach { v =>
         readActions(new Path(logDir, f"$v%020d.json"))
-          .foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas))
+          .foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas, cacheChecks))
       }
       cacheVersion = target
-      return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap, cacheSchemas.toList)
+      return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap,
+        cacheSchemas.toList, cacheChecks.toList)
     }
     val ckpt = eligible.filter(_._2).map(_._1).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
     val txns = scala.collection.mutable.Set[String]()
     val apps = scala.collection.mutable.Map[String, Long]()
     val schemas = scala.collection.mutable.ArrayBuffer[String]()
+    val checks = scala.collection.mutable.LinkedHashMap[String, String]()
     ckpt.foreach { cv =>
       readActions(new Path(logDir, f"$cv%020d.checkpoint.json"))
-        .foreach(applyTo(live, txns, apps, schemas))
+        .foreach(applyTo(live, txns, apps, schemas, checks))
     }
     eligible.filterNot(_._2).map(_._1).filter(c => ckpt.forall(_ < c)).foreach { v =>
-      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns, apps, schemas))
+      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns, apps, schemas, checks))
     }
     // adopt this state as the cache unless it is a time-travel read
     // BELOW the version the cache already holds (never regress)
@@ -321,8 +342,9 @@ class TxLog(
       cacheTxns.clear(); cacheTxns ++= txns
       cacheApps.clear(); cacheApps ++= apps
       cacheSchemas.clear(); cacheSchemas ++= schemas
+      cacheChecks.clear(); cacheChecks ++= checks
     }
-    (live.values.toList, txns.toSet, apps.toMap, schemas.toList)
+    (live.values.toList, txns.toSet, apps.toMap, schemas.toList, checks.toList)
   }
 
   private def readActions(p: Path): Seq[TxAction] = {
@@ -363,13 +385,17 @@ class TxLog(
       txnId: Option[String] = None,
       maxAttempts: Int = 20,
       txnAppVer: Option[(String, Long)] = None,
-      schema: Option[String] = None): Long = {
-    require(adds.nonEmpty || removes.nonEmpty || schema.isDefined, "empty commit")
+      schema: Option[String] = None,
+      check: Option[(String, String)] = None): Long = {
+    require(adds.nonEmpty || removes.nonEmpty || schema.isDefined || check.isDefined,
+      "empty commit")
     // commit-info instant FIRST so versionAt reads one line per file;
     // a schema declaration precedes the adds written under it
     val commitTs = System.currentTimeMillis()
     val actions = TxAction(commitTs = Some(commitTs)) +:
       (schema.map(sj => TxAction(schemaJson = Some(sj))).toSeq ++
+        check.map { case (cn, ce) =>
+          TxAction(checkName = Some(cn), checkExpr = Some(ce)) }.toSeq ++
         adds.map(a => TxAction(add = Some(a))) ++
         removes.map(r => TxAction(remove = Some(r))) ++
         txnId.map(t => TxAction(txn = Some(t))) ++
@@ -395,7 +421,7 @@ class TxLog(
       if (txnId.isDefined || txnAppVer.isDefined || removes.nonEmpty) {
         // replay capped at v-1: exactly the commits this attempt builds
         // on; anything landing after is serialized by the rename below
-        val (liveAdds, txns, apps, _) = replay(Some(v - 1))
+        val (liveAdds, txns, apps, _, _) = replay(Some(v - 1))
         if (txnId.exists(txns.contains)) return -1L
         // structured form: duplicate iff this app already landed this
         // version OR NEWER (a zombie replaying an old batch no-ops)
@@ -419,7 +445,7 @@ class TxLog(
           // so a cache sitting at v-1 advances to v with no file read —
           // the checkpoint's replay then needs no listing either
           if (cacheVersion == v - 1) {
-            actions.foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas))
+            actions.foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas, cacheChecks))
             cacheVersion = v
           }
         }
@@ -482,9 +508,11 @@ class TxLog(
       // versionAt keeps resolving v after vacuum prunes the commit.
       // Schema declarations replay IN ORDER ahead of the adds — their
       // indices (the adds' `sv` epochs) must survive the checkpoint.
-      val (adds, txns, apps, schemas) = replay(Some(v))
+      val (adds, txns, apps, schemas, checks) = replay(Some(v))
       val lines = (TxAction(commitTs = Some(commitTs)) +:
         (schemas.map(sj => TxAction(schemaJson = Some(sj))) ++
+          checks.map { case (cn, ce) =>
+            TxAction(checkName = Some(cn), checkExpr = Some(ce)) } ++
           adds.map(a => TxAction(add = Some(a))) ++
           txns.toSeq.sorted.map(t => TxAction(txn = Some(t))) ++
           apps.toSeq.sortBy(_._1).map { case (app, ver) =>

@@ -239,6 +239,32 @@ class TxLogSpec extends SparkSpec {
     assert(tx.read("f").count() == 600)
   }
 
+  test("CHECK constraints: declared in the log, enforced on save/merge, survive checkpoints") {
+    val dir = tmpDir("graft-tx-check")
+    val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
+    tx.save("f", series(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0)))
+    tx.addCheck("f", "positive", "value >= 0")
+    assert(tx.tableChecks("f") == Seq(("positive", "value >= 0")))
+    // conforming save lands; violating save is rejected BY NAME with
+    // nothing becoming visible
+    tx.save("f", series(("2024-01-02 10:00:00", "2024-01-02 10:00:00", 2.0)))
+    val e = intercept[IllegalArgumentException] {
+      tx.save("f", series(("2024-01-03 10:00:00", "2024-01-03 10:00:00", -3.0)))
+    }
+    assert(e.getMessage.contains("positive") && e.getMessage.contains("1 rows"))
+    assert(tx.read("f").count() == 2L)
+    // a violating MERGE source is rejected the same way
+    intercept[IllegalArgumentException] {
+      tx.mergeInto("f", series(("2024-01-02 10:00:00", "2024-01-02 11:00:00", -9.0)))
+    }
+    // a constraint the existing table violates refuses to land
+    intercept[IllegalArgumentException](tx.addCheck("f", "tiny", "value < 1"))
+    // re-declaring as true drops enforcement
+    tx.addCheck("f", "positive", "true")
+    tx.save("f", series(("2024-01-04 10:00:00", "2024-01-04 10:00:00", -4.0)))
+    assert(tx.read("f").count() == 3L)
+  }
+
   test("restore rolls back as a new commit; vacuumed restores refuse") {
     val dir = tmpDir("graft-tx-restore")
     val tx = new TimeseriesStore(spark, s"$dir/tx", backend = "txlog")
