@@ -190,6 +190,20 @@ object SimilarityOps {
 
   // ------------------------------------------------------------ Jaccard
 
+  /** Exact pre-verify size guard: J(a, b) >= t IMPLIES
+    * min(|a|,|b|) >= t · max(|a|,|b|) (the intersection is at most the
+    * smaller set, the union at least the larger), so a candidate pair
+    * failing the size ratio can skip the O(|a|+|b|) intersection
+    * entirely. Conjoin BEFORE the jaccard cut (`guard && jaccard >= t`
+    * — And codegen short-circuits left-to-right): results can never
+    * change, only verify cost. Caller contract: the columns are
+    * already sets (distinct elements), as every sketch/digest column
+    * in this module is — sizes are read raw, no dedup pass.
+    */
+  def jaccardSizeGuard(a: Column, b: Column, t: Double): Column =
+    least(size(a), size(b)).cast("double") >=
+      lit(t) * greatest(size(a), size(b)).cast("double")
+
   /** Exact Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column = {
     val ad = array_distinct(a)

@@ -3064,7 +3064,11 @@ object QueryLib {
           bSideFilter = Some(col("doc_id") >= 400))
         .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        // the size guard is IMPLIED by jaccard >= 0.5 (exact, results
+        // unchanged, oracle untouched) — it just skips the O(|a|+|b|)
+        // intersection for size-mismatched candidates
         .filter(col("doc_b") >= 400 &&
+          SimilarityOps.jaccardSizeGuard(col("sha"), col("shb"), 0.5) &&
           SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       base.filter(col("doc_id") >= 400).select(col("doc_id"))
