@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{SimilarityOps, TextOps}
+import graft.functions.{QuantileSketch, SimilarityOps, TextOps}
+import graft.ops.ZOrder
 
 /** SQL registration of the engine's Column-composition primitives, so
   * a pure-SQL user gets the similarity/text toolkit without touching
   * the Scala API: `SELECT jaccard(a.sh, b.sh) FROM ...`,
   * `minhash_sig(sh, 12)`, `lsh_band_key(sig, 1, 2)`, `simhash16(toks)`,
   * `hamming(x, y)`, `word_shingles(toks, 3)`, `token_count(text)`,
-  * `lang_id(toks)`, `alpha_ratio(text)`, `doc_fingerprint(toks)`.
+  * `lang_id(toks)`, `alpha_ratio(text)`, `doc_fingerprint(toks)`,
+  * `qsketch_bucket(cents, 7)`, `zorder_key(a, b, 16)`.
   *
   * Each builder re-expresses the registered call as the SAME Column
   * composition the Scala API produces (one shared implementation — the
@@ -55,7 +57,13 @@ object GraftSqlFunctions {
     ("token_count", 1, es => TextOps.tokenCount(c(es(0)))),
     ("lang_id", 1, es => TextOps.langId(c(es(0)))),
     ("alpha_ratio", 1, es => TextOps.alphaRatio(c(es(0)))),
-    ("doc_fingerprint", 1, es => TextOps.fingerprint(c(es(0)))))
+    ("doc_fingerprint", 1, es => TextOps.fingerprint(c(es(0)))),
+    // quantile-sketch bucket of an integer-scaled value (s bits)
+    ("qsketch_bucket", 2,
+      es => QuantileSketch.bucketKey(c(es(0)), intLit(es(1), "qsketch_bucket", 2))),
+    // 2-dim Morton key for OPTIMIZE ZORDER-style layouts
+    ("zorder_key", 3, es => ZOrder.interleave(
+      Seq(c(es(0)), c(es(1))), intLit(es(2), "zorder_key", 3))))
 
   private def builder(name: String, arity: Int, b: Seq[Expression] => Column)
       : Seq[Expression] => Expression = { es =>

@@ -4470,6 +4470,101 @@ object QueryLib {
            |            / CAST(h_k AS DOUBLE) END AS distinct_est
            |FROM agg""".stripMargin))
 
+  /** Shared final SELECT for the two quantile-sketch gates: nearest-
+    * rank p50/p90/p99 off the cumulated sketch, ranks in integer
+    * arithmetic (floor((num*n + den-1)/den) — no 0.9*n float product).
+    */
+  private def qsketchOracleSelect: String =
+    """SELECT event_type,
+      |  CAST(min(CASE WHEN cum >= floor((1*n + 1) / 2.0) THEN okey END) AS DOUBLE) / 100.0 AS p50,
+      |  CAST(min(CASE WHEN cum >= floor((9*n + 9) / 10.0) THEN okey END) AS DOUBLE) / 100.0 AS p90,
+      |  CAST(min(CASE WHEN cum >= floor((99*n + 99) / 100.0) THEN okey END) AS DOUBLE) / 100.0 AS p99,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM cum GROUP BY event_type""".stripMargin
+
+  private val qQuantileSketch = Q(
+    "q_quantile_sketch",
+    // Mergeable quantile sketch (functions/QuantileSketch): per-type
+    // p50/p90/p99 through the log-linear bucket table — DDSketch's
+    // relative-error guarantee with the libm log replaced by integer
+    // bit-length arithmetic, so the ESTIMATES hash bit-for-bit against
+    // the oracle replaying the same shifts (no tolerance crutch; exact
+    // interpolated quantiles are q_median's kernel — this is the
+    // fixed-size summary that avoids its (group, value) shuffle). The
+    // one corpus pass is a hash-agg on (type, okey) with map-side
+    // combine: <= ~8k buckets per group ride the shuffle however many
+    // rows feed them; extraction windows over the sketch table alone.
+    (s, dir) => {
+      val sk = graft.functions.QuantileSketch.sketch(
+        T(s, dir, "events"), Seq("event_type"), col("value"), s = 7, scale = 100)
+      graft.functions.QuantileSketch.quantiles(sk, Seq("event_type"),
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)), scale = 100)
+    },
+    Some(s"""WITH src AS (SELECT event_type, value AS v FROM events),
+            |${graft.functions.QuantileSketch.oracleSketchCtes("src", "event_type", 7, 100)}
+            |$qsketchOracleSelect""".stripMargin))
+
+  private val fsStreamQuantile = Q(
+    "fs_stream_quantile",
+    // Streaming quantile profile: the sketch's bucket counts ARE the
+    // grouped running count Structured Streaming already maintains —
+    // state is O(groups × buckets) forever, the streaming-safe way to
+    // track value distributions on an unbounded stream (a sorted
+    // percentile would buffer every row into state). 4 real
+    // micro-batches in Complete mode; extraction closes in batch over
+    // the final sketch view and must hash BIT-FOR-BIT against the same
+    // oracle as the batch gate — stream/batch parity for quantiles.
+    (s, dir) => {
+      val src = T(s, dir, "events").select(col("event_type"), col("value"))
+      val srcDir = stagedSrc("squant", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"squant_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val scaled = round(col("value") * lit(100), 0).cast("long")
+      val sk = stream
+        .select(col("event_type"),
+          graft.functions.QuantileSketch.bucketKey(scaled, 7).as("okey"))
+        .groupBy(col("event_type"), col("okey")).agg(count(lit(1)).as("cnt"))
+      val query = withStatePartitions(s, 4) {
+        sk.writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      graft.functions.QuantileSketch.quantiles(s.table(view), Seq("event_type"),
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)), scale = 100)
+    },
+    Some(s"""WITH src AS (SELECT event_type, value AS v FROM events),
+            |${graft.functions.QuantileSketch.oracleSketchCtes("src", "event_type", 7, 100)}
+            |$qsketchOracleSelect""".stripMargin))
+
+  private val qZorderKey = Q(
+    "q_zorder_key",
+    // Z-order (Morton) clustering key (ops/ZOrder) — the OPTIMIZE
+    // ZORDER layout primitive: day-of-event and user_id interleaved
+    // bit-by-bit into one sort key, so range-splitting files on it
+    // gives BOTH dimensions locality and min/max footer stats prune on
+    // either predicate (ZOrderSpec measures the pruning trade vs a
+    // linear sort; this gate pins the key arithmetic itself — pure
+    // integer shifts, bit-identical in any engine). At 100 TB the key
+    // is a narrow scan-fused projection and the layout is ONE range
+    // shuffle, the same cost as the linear sort it replaces.
+    (s, dir) => {
+      val day = expr("unix_micros(ts) div 86400000000")
+      T(s, dir, "events").select(col("event_id"),
+        graft.ops.ZOrder.interleave(
+          Seq(day.bitwiseAND(lit(65535L)), col("user_id").bitwiseAND(lit(65535L))),
+          bits = 16).as("zkey"))
+    },
+    Some(s"""WITH d AS (SELECT event_id, (epoch_us(ts) // 86400000000) & 65535 AS a,
+            |    user_id & 65535 AS b FROM events)
+            |SELECT event_id,
+            |  CAST(${graft.ops.ZOrder.oracleInterleaveExpr(Seq("a", "b"), 16)} AS BIGINT) AS zkey
+            |FROM d""".stripMargin))
+
   private val fsStoreDeleteRows = Q(
     "fs_store_delete_rows",
     // The lakehouse DELETE under the oracle gate — the GDPR shape: save
@@ -4567,6 +4662,50 @@ object QueryLib {
     Some("""SELECT ts AS time, value FROM events
            |WHERE event_type = 'purchase' AND epoch_us(ts) % 2 = 1""".stripMargin))
 
+  private val fsIncrementalAgg = Q(
+    "fs_incremental_agg",
+    // The change feed CONSUMED: a downstream daily (sum, count)
+    // aggregate maintained incrementally from readFeatureChanges — two
+    // appends, each folded into the running state by aggregating ONLY
+    // that version range's adds and merging by group (sum-of-sums) —
+    // and the result must hash-equal the oracle's full recompute over
+    // all raw events. At 100 TB this is the materialized-view
+    // maintenance shape: per refresh, touch the delta files, never
+    // re-scan the table (the add-only feed supports exactly this
+    // append-only case; deletes/updates need a snapshot re-read — the
+    // facade's documented contract). Sums ride decimal(18,2) so the
+    // merge order can't perturb an IEEE accumulation.
+    (s, dir) => {
+      val tmp = scratchDir("incagg")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("inc", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("inc/metric")
+      val src = T(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("ts").as("time"), col("value"))
+      val day = expr("unix_micros(time) div 86400000000")
+      // versions are 0-based: the pre-save anchor on a fresh log is -1
+      // (latestVersion of an empty log), NOT 0 = the first commit
+      val v0 = fs.featureVersion("inc/metric")
+      fs.saveDataFrame(src.filter(day % 2 === 0), name = Some("inc/metric"))
+      val v1 = fs.featureVersion("inc/metric")
+      fs.saveDataFrame(src.filter(day % 2 === 1), name = Some("inc/metric"))
+      val v2 = fs.featureVersion("inc/metric")
+      def deltaAgg(from: Long, to: Long) =
+        fs.readFeatureChanges("inc/metric", fromVersion = from, toVersion = Some(to))
+          .groupBy(expr("unix_micros(time) div 86400000000").as("day"))
+          .agg(sum(dec(col("value"))).as("s"), count(lit(1)).as("n"))
+      // state after refresh 1, then refresh 2 folds its delta in
+      deltaAgg(v0, v1).unionByName(deltaAgg(v1, v2))
+        .groupBy(col("day"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .select(col("day"), col("s").cast("double").as("sum_value"),
+          col("n").as("n"))
+    },
+    Some("""SELECT epoch_us(ts) // 86400000000 AS day,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -4595,8 +4734,9 @@ object QueryLib {
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
+    qQuantileSketch, fsStreamQuantile, qZorderKey,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
-    fsStoreRestore, fsStoreCheck,
+    fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

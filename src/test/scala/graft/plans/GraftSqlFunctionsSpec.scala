@@ -71,6 +71,21 @@ class GraftSqlFunctionsSpec extends SparkSpec {
     assert(row.toSeq == exp.toSeq)
   }
 
+  test("qsketch_bucket / zorder_key from SQL match the Column API") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT qsketch_bucket(doc_id * 12345, 7) AS qb,
+        |  zorder_key(doc_id, doc_id * 3, 10) AS zk
+        |FROM sqlfn_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = docs.select(
+        graft.functions.QuantileSketch.bucketKey(col("doc_id") * 12345, 7).as("qb"),
+        graft.ops.ZOrder.interleave(Seq(col("doc_id"), col("doc_id") * 3), 10).as("zk"))
+      .orderBy(col("qb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.sortBy(_._1).toSeq == viaCol.toSeq)
+  }
+
   test("sizing arguments must be literals; arity is checked") {
     docs
     intercept[Exception](

@@ -52,11 +52,11 @@ class PlanContractSpec extends SparkSpec {
   private val skipBuild =
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_store_delete_rows",
       "fs_store_update_rows", "fs_store_changes", "fs_store_evolve", "fs_store_merge",
-      "fs_store_restore", "fs_store_check",
+      "fs_store_restore", "fs_store_check", "fs_incremental_agg",
       "fs_training_frame", "fs_transform_dag",
       "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
       "fs_stream_dedup", "fs_stream_attrib", "fs_stream_hll", "fs_stream_ewma",
-      "fs_stream_dedup_lsh",
+      "fs_stream_dedup_lsh", "fs_stream_quantile",
       // iterative trainers: their BUILD runs the full job sequence
       // (pageRank's nodes.count + per-iteration joins; BPE's 3 merge
       // rounds with a collect each) just to stringify the final frame
