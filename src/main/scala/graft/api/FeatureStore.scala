@@ -768,6 +768,45 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
   def first(features: Seq[String], timeTravel: Option[String] = None): Map[String, Option[Any]] =
     endpoint(features, timeTravel, fromTail = false)
 
+  /** Distributed `describe()` for a NUMERIC feature — the summary the
+    * reference leaves to client-side pandas after a full download
+    * (`load_dataframe(...).describe()`), re-expressed as ONE moment
+    * aggregation plus the mergeable quantile sketch, so at 100 TB the
+    * driver receives eight numbers instead of the table. Returns one
+    * row: (n, mean, std, min, max, p25, p50, p75).
+    *
+    * Determinism contract (the repo doctrine): mean/std come from
+    * exact decimal moment sums closed by identical IEEE ops (std is
+    * one correctly-rounded sqrt); quantiles are the log-linear
+    * sketch's nearest-rank edges — every value reproduces bit-for-bit
+    * at any parallelism. std is sample (n-1) and NULL for n <= 1,
+    * min/max are the raw doubles. 2-decimal values are exact in
+    * decimal(18,2); wider payloads need a wider cast, not a different
+    * method.
+    */
+  def describeFeature(
+      fullName: String,
+      fromDate: Option[Timestamp] = None,
+      toDate: Option[Timestamp] = None): DataFrame = {
+    val series = loadSeries(fullName, fromDate, toDate, None, clipFrom = true, Nil)
+      .select(col("value").cast("double").as("value"))
+    val v = col("value").cast("decimal(18,2)")
+    val n = count(lit(1))
+    val moments = series.agg(
+      n.as("n"),
+      (sum(v).cast("double") / n).as("mean"),
+      when(n > 1, sqrt(
+        (sum((v * v).cast("decimal(28,4)")).cast("double") * n -
+          sum(v).cast("double") * sum(v).cast("double")) /
+          (n * (n - 1)).cast("double"))).as("std"),
+      min(col("value")).as("min"),
+      max(col("value")).as("max"))
+    val qs = graft.functions.QuantileSketch.quantiles(
+      graft.functions.QuantileSketch.sketch(series, Nil, col("value")),
+      Nil, Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))).drop("n")
+    moments.crossJoin(qs) // 1-row x 1-row
+  }
+
   // polymorphic selections for the endpoint verbs — the reference's
   // last() runs the same _unpack_list shapes as load (core.py:315-331);
   // the namespace overloads keep name-only spec frames valid on every

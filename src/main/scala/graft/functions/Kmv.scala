@@ -48,4 +48,46 @@ object Kmv {
         when(col("n_sample") < k, col("n_sample").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(HashDomain.toDouble) / col("h_k").cast("double"))
           .as("distinct_est")): _*)
+
+  /** Theta-sketch set-operation estimates between TWO groups of one
+    * [[sketch]] build (the DataSketches theta formulation grown out of
+    * KMV): union / intersection cardinalities WITHOUT ever joining the
+    * underlying sets — at 100 TB, overlap of two billion-member ID
+    * sets from two k-row sketches.
+    *
+    * theta_X = h_k(X) when the group filled its k slots, else the full
+    * hash domain (the sketch IS the set — estimates degrade to exact
+    * counts, the same documented small-side branch as
+    * [[distinctEstimate]]). With theta = min(theta_A, theta_B), every
+    * sketch hash below theta is a fixed-rate uniform sample of BOTH
+    * sets, so |sample ∩| and |sample ∪| scale by domain/theta.
+    * Counts are exact integers and md5 gives one global order, so the
+    * two closing IEEE ops reproduce bit-for-bit cross-engine.
+    *
+    * Returns one row: (union_est, inter_est, containment jaccard_est =
+    * i/u on the sample — exact rational over sampled ints, closed with
+    * one division).
+    */
+  def thetaSetEstimates(
+      sk: DataFrame,
+      groupCol: String,
+      gA: String,
+      gB: String,
+      k: Int): DataFrame = {
+    val two = sk.filter(col(groupCol).isin(gA, gB))
+    val theta = two.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(min(when(col("n") < k, lit(HashDomain)).otherwise(col("hk"))).as("theta"))
+    val scale = lit(HashDomain.toDouble)
+    two.crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+      .groupBy(col("h"), col("theta"))
+      .agg(countDistinct(col(groupCol)).as("ng"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("u"),
+        sum(when(col("ng") === 2, 1L).otherwise(0L)).as("i"))
+      .select(
+        (col("u").cast("double") * scale / col("theta").cast("double")).as("union_est"),
+        (col("i").cast("double") * scale / col("theta").cast("double")).as("inter_est"),
+        (col("i").cast("double") / col("u").cast("double")).as("jaccard_est"))
+  }
 }

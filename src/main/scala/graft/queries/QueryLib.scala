@@ -4541,6 +4541,84 @@ object QueryLib {
             |${graft.functions.QuantileSketch.oracleSketchCtes("src", "event_type", 7, 100)}
             |$qsketchOracleSelect""".stripMargin))
 
+  private val fsDescribe = Q(
+    "fs_describe",
+    // Distributed describe(): the summary the reference computes with
+    // client-side pandas after downloading the table
+    // (load_dataframe().describe()), as ONE exact-decimal moment pass
+    // + the mergeable quantile sketch — eight numbers reach the
+    // driver, never the table. Every statistic hashes bit-for-bit:
+    // decimal moment sums closed by identical IEEE ops (std = one
+    // correctly-rounded sqrt), sketch quantiles are integer bucket
+    // edges.
+    (s, dir) => {
+      val tmp = scratchDir("desc")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("d", s"$tmp/warehouse")
+      fs.createFeature("d/purchase")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("ts").as("time"), col("value")),
+        name = Some("d/purchase"))
+      fs.describeFeature("d/purchase")
+    },
+    Some(s"""WITH src AS (SELECT 1 AS grp, value AS v FROM events WHERE event_type = 'purchase'),
+            |${graft.functions.QuantileSketch.oracleSketchCtes("src", "grp", 7, 100)},
+            |qq AS (SELECT
+            |  CAST(min(CASE WHEN cum >= floor((1*n + 3) / 4.0) THEN okey END) AS DOUBLE) / 100.0 AS p25,
+            |  CAST(min(CASE WHEN cum >= floor((1*n + 1) / 2.0) THEN okey END) AS DOUBLE) / 100.0 AS p50,
+            |  CAST(min(CASE WHEN cum >= floor((3*n + 3) / 4.0) THEN okey END) AS DOUBLE) / 100.0 AS p75
+            |  FROM cum GROUP BY grp),
+            |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+            |  CASE WHEN count(*) > 1 THEN sqrt(
+            |    (CAST(sum(CAST(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))
+            |         AS DECIMAL(28,4))) AS DOUBLE) * count(*)
+            |     - CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+            |       * CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE))
+            |    / CAST(count(*) * (count(*) - 1) AS DOUBLE)) END AS std,
+            |  min(v) AS min, max(v) AS max FROM src)
+            |SELECT m.n, m.mean, m.std, m.min, m.max, q.p25, q.p50, q.p75
+            |FROM mom m, qq q""".stripMargin))
+
+  private val qKmvOverlap = Q(
+    "q_kmv_overlap",
+    // Theta-sketch set operations (functions/Kmv.thetaSetEstimates):
+    // union / intersection / Jaccard of two user cohorts (big spenders
+    // by event type) estimated from two bottom-512 sketches — never a
+    // join of the underlying sets. At sf0.01 both cohorts are under k
+    // and the estimates are EXACT counts (the documented small-side
+    // branch); at sf0.1 both exceed k and the fixed-rate-sample
+    // estimator takes over — the same gate exercises both branches at
+    // the driver's two scales, hash-exact in each (md5 order + integer
+    // counts + two closing IEEE ops).
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .filter(col("value") > 120 && col("event_type").isin("purchase", "click"))
+      val sk = graft.functions.Kmv.sketch(
+        e, Seq("event_type"), col("user_id").cast("string"), k = 512)
+      graft.functions.Kmv.thetaSetEstimates(sk, "event_type", "purchase", "click", k = 512)
+    },
+    Some("""WITH dv AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events
+           |    WHERE value > 120 AND event_type IN ('click', 'purchase')),
+           |h AS (SELECT event_type, v,
+           |    ('0x' || substr(md5(concat('kmv:', v)), 1, 15))::BIGINT AS h FROM dv),
+           |rk AS (SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk FROM h),
+           |sk AS (SELECT event_type, h FROM rk WHERE rk <= 512),
+           |th AS (SELECT min(CASE WHEN n < 512 THEN 1152921504606846976 ELSE hk END) AS theta
+           |  FROM (SELECT event_type, count(*) AS n, max(h) AS hk FROM sk GROUP BY 1)),
+           |probe AS (SELECT s.event_type, s.h, t.theta FROM sk s, th t WHERE s.h < t.theta),
+           |g AS (SELECT h, theta, count(DISTINCT event_type) AS ng FROM probe GROUP BY 1, 2),
+           |agg AS (SELECT theta, count(*) AS u,
+           |    sum(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS i FROM g GROUP BY 1)
+           |SELECT CAST(u AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+           |    / CAST(theta AS DOUBLE) AS union_est,
+           |  CAST(i AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+           |    / CAST(theta AS DOUBLE) AS inter_est,
+           |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard_est
+           |FROM agg""".stripMargin))
+
   private val qZorderKey = Q(
     "q_zorder_key",
     // Z-order (Morton) clustering key (ops/ZOrder) — the OPTIMIZE
@@ -4734,7 +4812,7 @@ object QueryLib {
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
-    qQuantileSketch, fsStreamQuantile, qZorderKey,
+    qQuantileSketch, fsStreamQuantile, qZorderKey, qKmvOverlap, fsDescribe,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)

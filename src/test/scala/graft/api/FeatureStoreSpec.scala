@@ -26,6 +26,32 @@ class FeatureStoreSpec extends SparkSpec {
       (new java.sql.Timestamp(ts(from).getTime + i * 86400000L), f(i))
     }.toDF("time", "value")
 
+  test("describeFeature: one-pass summary matches a driver-side recompute") {
+    val fs = freshStore()
+    fs.createFeature("test/d1")
+    // 1..100 days of values 0.5, 1.0, ..., 50.0 — known exact stats
+    fs.saveDataFrame(dailySeries("2021-01-01", 100, i => (i + 1) * 0.5), Some("test/d1"))
+    val row = fs.describeFeature("test/d1").head
+    val vals = (1 to 100).map(_ * 0.5)
+    assert(row.getLong(0) === 100L)
+    assert(math.abs(row.getDouble(1) - vals.sum / 100) < 1e-12) // mean
+    val mean = vals.sum / 100
+    val sampleVar = vals.map(v => (v - mean) * (v - mean)).sum / 99
+    assert(math.abs(row.getDouble(2) - math.sqrt(sampleVar)) < 1e-9) // std
+    assert(row.getDouble(3) === 0.5 && row.getDouble(4) === 50.0) // min/max
+    // sketch quantiles: lower-edge estimates within 2^-7 relative of
+    // the exact nearest-rank values 12.5 / 25.0 / 37.5
+    for ((idx, exact) <- Seq((5, 12.5), (6, 25.0), (7, 37.5))) {
+      val est = row.getDouble(idx)
+      assert(est <= exact + 1e-9 && (exact - est) / exact <= 1.0 / 128 + 1e-9,
+        s"q$idx est=$est exact=$exact")
+    }
+    // bounded window narrows the stats
+    val win = fs.describeFeature("test/d1",
+      Some(ts("2021-01-01")), Some(ts("2021-01-10"))).head
+    assert(win.getLong(0) === 10L && win.getDouble(4) === 5.0)
+  }
+
   test("save/load round trip with dedup on rewrite (test :350-402)") {
     val fs = freshStore()
     fs.createFeature("test/df1")

@@ -42,7 +42,10 @@ class PlanContractSpec extends SparkSpec {
       "q_rolling_distinct_hll",
       // txt_unigram_surprisal broadcasts the 1-row (N, V) corpus scalar,
       // the same shape as txt_keywords / txt_bm25
-      "txt_unigram_surprisal")
+      "txt_unigram_surprisal",
+      // q_kmv_overlap broadcasts the 1-row theta scalar into the
+      // k-bounded sketch probe — metadata-sized by construction
+      "q_kmv_overlap")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
@@ -52,7 +55,7 @@ class PlanContractSpec extends SparkSpec {
   private val skipBuild =
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_store_delete_rows",
       "fs_store_update_rows", "fs_store_changes", "fs_store_evolve", "fs_store_merge",
-      "fs_store_restore", "fs_store_check", "fs_incremental_agg",
+      "fs_store_restore", "fs_store_check", "fs_incremental_agg", "fs_describe",
       "fs_training_frame", "fs_transform_dag",
       "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
       "fs_stream_dedup", "fs_stream_attrib", "fs_stream_hll", "fs_stream_ewma",
