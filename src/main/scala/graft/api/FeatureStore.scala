@@ -413,6 +413,31 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).vacuum(f.name, retentionMs)
   }
 
+  /** OPTIMIZE ZORDER for a stored feature (txlog backend): rewrite its
+    * live files clustered on the (day, value) Morton key so ranged
+    * reads skip files on time AND [[loadFeatureValueRange]] skips on
+    * value. Rows are unchanged; old versions stay time-travelable
+    * until vacuum. Returns files retired. */
+  def optimizeZorderFeature(fullName: String, bits: Int = 16): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    store(nsObj).optimizeZorder(f.name, bits)
+  }
+
+  /** Value-predicate scan with file skipping (txlog backend): rows of
+    * `fullName` whose value lies in [vlo, vhi] — on a z-ordered table
+    * only the files whose recorded value bounds intersect the range
+    * are opened; on an append layout it degrades to a plain ranged
+    * read. Returns (time, created_time, value). */
+  def loadFeatureValueRange(
+      fullName: String,
+      vlo: Double,
+      vhi: Double,
+      fromDate: Option[Timestamp] = None,
+      toDate: Option[Timestamp] = None): DataFrame = {
+    val (nsObj, f) = featureOf(fullName)
+    store(nsObj).readValueRange(f.name, vlo, vhi, fromDate, toDate)
+  }
+
   // ----------------------------------------------------------- transforms
 
   /** Declare a virtual feature computed by a SQL expression over its arg

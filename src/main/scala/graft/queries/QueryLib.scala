@@ -4541,6 +4541,33 @@ object QueryLib {
             |${graft.functions.QuantileSketch.oracleSketchCtes("src", "event_type", 7, 100)}
             |$qsketchOracleSelect""".stripMargin))
 
+  private val fsStoreZorder = Q(
+    "fs_store_zorder",
+    // OPTIMIZE ZORDER on the txlog backend, end to end: save purchase
+    // values (append layout — time-ranged files, values random inside
+    // each, so a value predicate can skip nothing), z-order-rewrite on
+    // the (day, value) Morton key recording per-file value bounds, and
+    // read back a value slice through the stats-skipping scan. The
+    // result must equal the oracle's plain WHERE over raw events —
+    // skipping changes which files OPEN, never which rows return
+    // (ZOrderStoreSpec asserts the file-count drop itself; this gate
+    // pins the correctness half at both verify scales).
+    (s, dir) => {
+      val tmp = scratchDir("zord")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("z", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("z/metric")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("ts").as("time"), col("value")),
+        name = Some("z/metric"))
+      fs.optimizeZorderFeature("z/metric")
+      fs.loadFeatureValueRange("z/metric", 100.0, 200.0)
+        .select(col("time"), col("value"))
+    },
+    Some("""SELECT ts AS time, value FROM events
+           |WHERE event_type = 'purchase' AND value >= 100 AND value <= 200""".stripMargin))
+
   private val fsDescribe = Q(
     "fs_describe",
     // Distributed describe(): the summary the reference computes with
@@ -4813,6 +4840,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     qQuantileSketch, fsStreamQuantile, qZorderKey, qKmvOverlap, fsDescribe,
+    fsStoreZorder,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)

@@ -385,7 +385,9 @@ class TimeseriesStore(
   private def stageInstall(
       name: String,
       normalized: DataFrame,
-      outPartitions: Option[Int] = None): Seq[TxAdd] = {
+      outPartitions: Option[Int] = None,
+      preLaid: Boolean = false,
+      valueStats: Boolean = false): Seq[TxAdd] = {
     val stage = new Path(s"$url/.stage/$name/${java.util.UUID.randomUUID()}")
     // INT64 micros, not the session default INT96: INT96 carries no
     // usable footer statistics (deprecated), and the per-file time
@@ -394,7 +396,11 @@ class TimeseriesStore(
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.get(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try layoutForWrite(normalized, outPartitions).write
+    // preLaid: the caller already chose the row layout (a z-order
+    // clustered rewrite) — re-ranging by (partition, time) here would
+    // destroy exactly the multi-dimensional locality being installed
+    val laid = if (preLaid) normalized else layoutForWrite(normalized, outPartitions)
+    try laid.write
       .options(storageOptions).option("compression", "snappy")
       .partitionBy("partition").parquet(stage.toString)
     finally spark.conf.set(tsKey, prevTs)
@@ -412,11 +418,13 @@ class TimeseriesStore(
           // the footer is page-cached, and a stats failure degrades to
           // a never-skipped file, never to a failed install
           val (mn, mx) = timeStatsMicros(st.getPath)
+          val (vn, vx) =
+            if (valueStats) doubleStats(st.getPath, ValueCol) else (None, None)
           val dest = new Path(destDir, st.getPath.getName)
           if (!f.rename(st.getPath, dest))
             throw new java.io.IOException(s"stage install failed: ${st.getPath} -> $dest")
           adds += TxAdd(s"$pname/${st.getPath.getName}", pname.stripPrefix("partition="),
-            tmin = mn, tmax = mx)
+            tmin = mn, tmax = mx, vmin = vn, vmax = vx)
         }
     }
     f.delete(stage, true)
@@ -453,6 +461,38 @@ class TimeseriesStore(
           }
         }
         if (ok && mn != Long.MaxValue) (Some(mn), Some(mx)) else (None, None)
+      } finally r.close()
+    } catch { case _: Throwable => (None, None) }
+
+  /** Min/max of a physical-DOUBLE column from footer row-group stats —
+    * the [[timeStatsMicros]] twin for the value dimension. (None, None)
+    * when stats are missing/unusable; the file is then never skipped.
+    */
+  private def doubleStats(p: Path, colName: String): (Option[Double], Option[Double]) =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        var mn = Double.MaxValue
+        var mx = Double.MinValue
+        var ok = true
+        val blocks = r.getFooter.getBlocks
+        if (blocks.isEmpty) ok = false
+        blocks.forEach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Double, z: java.lang.Double) =>
+                  mn = math.min(mn, a.doubleValue); mx = math.max(mx, z.doubleValue)
+                case _ => ok = false
+              }
+            case None => ok = false
+          }
+        }
+        if (ok && mn != Double.MaxValue) (Some(mn), Some(mx)) else (None, None)
       } finally r.close()
     } catch { case _: Throwable => (None, None) }
 
@@ -843,6 +883,111 @@ class TimeseriesStore(
       .map(_.copy(sv = svTag(schemas)))
     log.commit(adds, victims.map(v => TxRemove(v._1.path)))
     victims.size.toLong
+  }
+
+  /** OPTIMIZE ZORDER (txlog backend): rewrite the table's live files
+    * clustered on the Morton interleave of (event-day, value) so that
+    * per-file min/max stats get tight on BOTH dimensions — after the
+    * rewrite, a ranged read skips files by time (as always) AND a
+    * value-predicate scan ([[readValueRange]]) skips files by the
+    * recorded value bounds, where the append layout (time-ranged, value
+    * random per file) can skip nothing on value. Delta's OPTIMIZE
+    * ZORDER BY in the store's shape.
+    *
+    * The rewrite is ONE repartitionByRange((partition, zkey)) shuffle +
+    * per-task sort — the same cost as the linear re-layout `optimize`
+    * performs; within a single date partition the day bits are constant
+    * so the interleave orders by value, giving value-sorted files per
+    * directory. Rows never change (no dedup — `asOfVersion` reads and
+    * generation history are preserved exactly); retire + publish in ONE
+    * commit; old bytes reclaim on `vacuum`. Value stats come from the
+    * freshly-written parquet footers, the same page-cached read as the
+    * time bounds. Numeric (double) values only. Returns files retired.
+    */
+  def optimizeZorder(
+      name: String,
+      bits: Int = 16,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(logBacked, "optimizeZorder requires the txlog backend")
+    if (!exists(name)) return 0L
+    val log = txLog(name)
+    val live = log.snapshot()
+    if (live.isEmpty) return 0L
+    val f = fs(url)
+    val root = featurePath(name)
+    val totalBytes = live.map(_.partition).distinct.map { p =>
+      try f.listStatus(new Path(root, s"partition=$p")).toSeq
+        .filter(_.isFile).map(_.getLen).sum
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    val outFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val schemas = log.schemaHistory()
+    val src = openAdds(name, live, schemas, partitionStyle = "date")
+      .select((dataCols(schemas).map(col) :+ col("partition")).toIndexedSeq: _*)
+    require(src.schema(ValueCol).dataType == org.apache.spark.sql.types.DoubleType,
+      s"optimizeZorder clusters on a numeric value; '$name' stores ${src.schema(ValueCol).dataType}")
+    val mask = (1L << bits) - 1
+    val day = expr(s"unix_micros($TimeCol) div 86400000000").bitwiseAND(lit(mask))
+    val cents = greatest(lit(0L),
+      least(lit(mask), round(col(ValueCol) * 100, 0).cast("long")))
+    val laid = src
+      .withColumn("__zkey", graft.ops.ZOrder.interleave(Seq(day, cents), bits))
+      .repartitionByRange(outFiles, col("partition"), col("__zkey"))
+      .sortWithinPartitions(col("partition"), col("__zkey"))
+      .drop("__zkey")
+    val adds = stageInstall(name, laid, preLaid = true, valueStats = true)
+      .map(_.copy(sv = svTag(schemas)))
+    log.commit(adds, live.map(a => TxRemove(a.path)))
+    live.size.toLong
+  }
+
+  /** Live files whose recorded value bounds intersect [vlo, vhi] (and
+    * whose time bounds intersect [from, to]) — the skipping decision
+    * [[readValueRange]] applies, exposed for tests/diagnostics. Files
+    * without value stats always qualify. */
+  private[graft] def candidateFilesForValueRange(
+      name: String,
+      vlo: Double,
+      vhi: Double,
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None): Seq[TxAdd] = {
+    require(logBacked, "value-range skipping requires the txlog backend")
+    txLog(name).snapshot()
+      .filter(fileStatsOverlap(_, from, to))
+      .filter(a => a.vmax.forall(_ >= vlo) && a.vmin.forall(_ <= vhi))
+  }
+
+  /** Ranged scan with VALUE data skipping (txlog backend): prune files
+    * by partition values + time bounds + recorded value bounds from
+    * the LOG alone, then apply the exact residual predicates. On a
+    * z-ordered table ([[optimizeZorder]]) a narrow value slice opens a
+    * small fraction of the files; on an append layout it degrades to
+    * the plain ranged read (no value stats — nothing skips, nothing
+    * breaks). The anomaly-hunt shape: "value in [x, y] anywhere in
+    * history" without a full scan.
+    */
+  def readValueRange(
+      name: String,
+      vlo: Double,
+      vhi: Double,
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None): DataFrame = {
+    require(logBacked, "readValueRange requires the txlog backend")
+    if (!exists(name)) return emptyFrame(org.apache.spark.sql.types.DoubleType)
+    val log = txLog(name)
+    val schemas = log.schemaHistory()
+    val pruned = prunePartitionValues(
+      candidateFilesForValueRange(name, vlo, vhi, from, to), from, to, "date")
+    if (pruned.isEmpty)
+      return schemas.lastOption.map(sj =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(sj)))
+        .getOrElse(emptyFrame(org.apache.spark.sql.types.DoubleType))
+    val df = openAdds(name, pruned, schemas, partitionStyle = "date")
+    val preds = Seq(col(ValueCol) >= lit(vlo), col(ValueCol) <= lit(vhi)) ++
+      from.map(t => col(TimeCol) >= lit(t)) ++ to.map(t => col(TimeCol) <= lit(t))
+    df.filter(preds.reduce(_ && _))
+      .select(dataCols(schemas).map(col).toIndexedSeq: _*)
   }
 
   /** Row-level transactional delete (the lakehouse DELETE / GDPR

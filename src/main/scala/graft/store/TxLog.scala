@@ -28,7 +28,12 @@ final case class TxAdd(
     partition: String,
     sv: Option[Long] = None,
     tmin: Option[Long] = None,
-    tmax: Option[Long] = None)
+    tmax: Option[Long] = None,
+    // value-column min/max (file skipping on the SECOND dimension —
+    // recorded by z-order-clustered rewrites; absent on plain appends,
+    // and a file without them simply always qualifies)
+    vmin: Option[Double] = None,
+    vmax: Option[Double] = None)
 
 /** One file logically deleted from the table (bytes stay on disk until
   * `vacuum`, so readers holding an older snapshot keep working).
@@ -601,6 +606,10 @@ object TxLog {
     .registerReferencedValueType(classOf[TxAdd], "tmin", classOf[Long])
   com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
     .registerReferencedValueType(classOf[TxAdd], "tmax", classOf[Long])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAdd], "vmin", classOf[Double])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAdd], "vmax", classOf[Double])
 
   val LogDirName = "_txlog"
   val CheckpointEvery = 10
