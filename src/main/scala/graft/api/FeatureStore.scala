@@ -423,6 +423,33 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).optimizeZorder(f.name, bits)
   }
 
+  /** Metadata-only table statistics (txlog backend): one row
+    * (n, tmin, tmax) — exact stored-row count and event-time bounds
+    * answered from the transaction log alone, ZERO Spark jobs and zero
+    * file opens (Delta's numRecords fast path; at 100 TB, an O(1)
+    * driver answer where count(*) is a full scan). Falls back to the
+    * scan-based aggregate when any live file predates the stats
+    * upgrade — callers always get the right numbers, just not always
+    * the fast way. Counts STORED rows (every generation the log
+    * references); dedup-latest logical counts are a read-side concern.
+    */
+  def featureTableStats(fullName: String): DataFrame = {
+    val (nsObj, f) = featureOf(fullName)
+    val st = store(nsObj)
+    st.tableStatsFast(f.name) match {
+      case Some(s) if s.tminMicros.nonEmpty && s.tmaxMicros.nonEmpty =>
+        spark.sql(
+          s"""SELECT ${s.rows}L AS n, timestamp_micros(${s.tminMicros.get}L) AS tmin,
+             |  timestamp_micros(${s.tmaxMicros.get}L) AS tmax""".stripMargin)
+      case Some(s) if s.rows == 0L =>
+        spark.sql("SELECT 0L AS n, CAST(NULL AS TIMESTAMP) AS tmin, CAST(NULL AS TIMESTAMP) AS tmax")
+      case _ =>
+        st.read(f.name, valueType = valueTypeOf(f))
+          .agg(count(lit(1)).as("n"),
+            min(col("time")).as("tmin"), max(col("time")).as("tmax"))
+    }
+  }
+
   /** Value-predicate scan with file skipping (txlog backend): rows of
     * `fullName` whose value lies in [vlo, vhi] — on a z-ordered table
     * only the files whose recorded value bounds intersect the range

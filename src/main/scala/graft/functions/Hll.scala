@@ -34,7 +34,11 @@ object Hll {
 
   def rhoCol(input: Column): Column = {
     val sfx = conv(substring(md5(input), 3, 15), 16, 10).cast("long")
-    when(sfx === 0L, lit(61L)).otherwise(lit(61L) - length(bin(sfx)).cast("long"))
+    // bin_len = the native length(bin(x)) (graft.plans.BinLength): the
+    // same integer the oracles compute from the binary print, minus
+    // the per-row 64-char string allocation on this per-input path
+    when(sfx === 0L, lit(61L))
+      .otherwise(lit(61L) - graft.plans.BinLength.binLen(sfx).cast("long"))
   }
 
   /** Dense per-group register table: one row per (groupCols…, idx) for

@@ -63,8 +63,10 @@ object QuantileSketch {
   def bucketKey(scaled: Column, s: Int): Column = {
     require(s >= 1 && s <= 20, s"sub-bucket bits must be in [1, 20], got $s")
     val av = abs(scaled)
-    // bitlen via unpadded binary print: bin(0)="0" -> msb 0 -> g = 0
-    val msb = (length(bin(av)) - lit(1)).cast("int")
+    // bitlen via the native bin-length (graft.plans.BinLength — the
+    // codegen'd 64-nlz twin of length(bin(x)), no per-row string):
+    // bin(0)="0" -> length 1 -> msb 0 -> g = 0
+    val msb = (graft.plans.BinLength.binLen(av) - lit(1)).cast("int")
     val g = greatest(lit(0), msb - lit(s))
     val edge = call_function("shiftleft", call_function("shiftright", av, g), g)
     when(scaled > 0, edge).when(scaled < 0, -edge).otherwise(lit(0L))

@@ -63,7 +63,9 @@ object GraftSqlFunctions {
       es => QuantileSketch.bucketKey(c(es(0)), intLit(es(1), "qsketch_bucket", 2))),
     // 2-dim Morton key for OPTIMIZE ZORDER-style layouts
     ("zorder_key", 3, es => ZOrder.interleave(
-      Seq(c(es(0)), c(es(1))), intLit(es(2), "zorder_key", 3))))
+      Seq(c(es(0)), c(es(1))), intLit(es(2), "zorder_key", 3))),
+    // native length(bin(x)) — the sketch suite's bit-length primitive
+    ("bin_len", 1, es => BinLength.binLen(c(es(0)))))
 
   private def builder(name: String, arity: Int, b: Seq[Expression] => Column)
       : Seq[Expression] => Expression = { es =>

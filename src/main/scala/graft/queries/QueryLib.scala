@@ -2447,7 +2447,9 @@ object QueryLib {
       tok.join(counts, Seq("t"))
         .crossJoin(broadcast(tot))
         .withColumn("bits",
-          (length(expr("bin((nn + vv) div (cnt + 1))")) - 1).cast("long"))
+          // native bin-length (plans/BinLength): same whole-bits value
+          // the oracle reads off bin()'s print, no string per token
+          (graft.plans.BinLength.binLen(expr("(nn + vv) div (cnt + 1)")) - 1).cast("long"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_tokens"),
           round(sum(col("bits")).cast("double") / count(lit(1)).cast("double"), 6)
@@ -2462,6 +2464,70 @@ object QueryLib {
            |        / CAST(count(*) AS DOUBLE), 6) AS mean_surprisal_bits
            |FROM tk JOIN c USING (t) CROSS JOIN tot
            |GROUP BY doc_id""".stripMargin))
+
+  private val txtBigramSurprisal = Q(
+    "txt_bigram_surprisal",
+    // Bigram LM surprisal with LEAVE-ONE-OUT stupid backoff, in WHOLE
+    // BITS (the txt_unigram_surprisal doctrine one order up): each
+    // bigram occurrence scores against the corpus MINUS itself, so a
+    // corpus-unique ("hapax") bigram really exercises the backoff
+    // branch — bits = floor(log2((c1(w1)-1)/(c2-1))) when the pair
+    // recurs elsewhere, else a flat 2-bit backoff penalty +
+    // floor(log2((N-1+V)/c1(w2))) from the unigram model. All integer
+    // arithmetic on the native bin-length (plans/BinLength), ONE
+    // closing double division per doc — order-free, engine-exact.
+    // High mean = documents stitched from pairs the corpus never
+    // repeats (novel or noisy) — the curation up/down-weight signal.
+    // Shuffles carry (w1, w2, count) rows and per-doc longs; bigram
+    // extraction is a NARROW array transform (no position self-join);
+    // the 1-row (N, V) scalar broadcasts like txt_keywords'.
+    (s, dir) => {
+      val lst = T(s, dir, "documents").select(col("doc_id"),
+        filter(toks, t => length(t) > 0).as("tk"))
+      val tok = lst.select(col("doc_id"), explode(col("tk")).as("t"))
+      val c1 = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = c1.agg(sum(col("c")).as("nn"), count(lit(1)).as("vv"))
+      val bg = lst.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      bg.join(c2, Seq("w1", "w2"))
+        .join(c1.select(col("t").as("w1"), col("c").as("c1w1")), Seq("w1"))
+        .join(c1.select(col("t").as("w2"), col("c").as("c1w2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("bits",
+          when(col("c2") - 1 > 0,
+            (graft.plans.BinLength.binLen(expr("(c1w1 - 1) div (c2 - 1)")) - 1).cast("long"))
+            .otherwise(lit(2L) +
+              (graft.plans.BinLength.binLen(expr("(nn - 1 + vv) div c1w2")) - 1).cast("long")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(sum(col("bits")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_bigram_bits"))
+    },
+    Some("""WITH lst AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk FROM documents),
+           |tok AS (SELECT doc_id, unnest(tk) AS t FROM lst),
+           |c1 AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv FROM c1),
+           |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+           |  FROM lst, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+           |c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+           |scored AS (SELECT b.doc_id,
+           |    CASE WHEN c2.c - 1 > 0
+           |      THEN length(bin((a1.c - 1) // (c2.c - 1))) - 1
+           |      ELSE 2 + length(bin((nn - 1 + vv) // a2.c)) - 1
+           |    END AS bits
+           |  FROM bg b
+           |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+           |  JOIN c1 a1 ON b.w1 = a1.t
+           |  JOIN c1 a2 ON b.w2 = a2.t
+           |  CROSS JOIN tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_bigram_bits
+           |FROM scored GROUP BY doc_id""".stripMargin))
 
   private val docHoldoutGroups = Q(
     "doc_holdout_groups",
@@ -4568,6 +4634,28 @@ object QueryLib {
     Some("""SELECT ts AS time, value FROM events
            |WHERE event_type = 'purchase' AND value >= 100 AND value <= 200""".stripMargin))
 
+  private val fsFastStats = Q(
+    "fs_fast_stats",
+    // Metadata-only COUNT + time bounds (facade featureTableStats):
+    // the answer comes from the transaction log's per-file nrec /
+    // tmin / tmax — ZERO Spark jobs, zero file opens (Delta's
+    // numRecords fast path) — and must still hash-equal the oracle's
+    // full count(*)/min/max over raw events. At 100 TB this is an
+    // O(1) driver answer where the aggregate is a full-table scan.
+    (s, dir) => {
+      val tmp = scratchDir("faststats")
+      val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
+      fs.createNamespace("fstat", s"$tmp/warehouse", backend = "txlog")
+      fs.createFeature("fstat/purchase")
+      fs.saveDataFrame(
+        T(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("ts").as("time"), col("value")),
+        name = Some("fstat/purchase"))
+      fs.featureTableStats("fstat/purchase")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n, min(ts) AS tmin, max(ts) AS tmax
+           |FROM events WHERE event_type = 'purchase'""".stripMargin))
+
   private val fsDescribe = Q(
     "fs_describe",
     // Distributed describe(): the summary the reference computes with
@@ -4836,11 +4924,12 @@ object QueryLib {
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, txtNovelty, txtBm25, txtUnigramSurprisal,
+    txtBigramSurprisal,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     qQuantileSketch, fsStreamQuantile, qZorderKey, qKmvOverlap, fsDescribe,
-    fsStoreZorder,
+    fsStoreZorder, fsFastStats,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)

@@ -9,6 +9,13 @@ import org.apache.spark.sql.types._
 
 import graft.ops.TimeseriesOps._
 
+/** Metadata-only table statistics ([[TimeseriesStore.tableStatsFast]]):
+  * exact stored-row count and event-time bounds in epoch micros. */
+final case class TableStats(
+    rows: Long,
+    tminMicros: Option[Long],
+    tmaxMicros: Option[Long])
+
 /** Physical storage of one namespace: each feature is a hive-partitioned
   * snappy-parquet directory `<url>/feature/<name>/partition=<p>/...`,
   * mirroring the reference layout (`/root/reference/bytehub/_storage/
@@ -417,25 +424,28 @@ class TimeseriesStore(
           // footer stats BEFORE the rename: the file was just written,
           // the footer is page-cached, and a stats failure degrades to
           // a never-skipped file, never to a failed install
-          val (mn, mx) = timeStatsMicros(st.getPath)
+          val (mn, mx, nr) = timeStatsMicros(st.getPath)
           val (vn, vx) =
             if (valueStats) doubleStats(st.getPath, ValueCol) else (None, None)
           val dest = new Path(destDir, st.getPath.getName)
           if (!f.rename(st.getPath, dest))
             throw new java.io.IOException(s"stage install failed: ${st.getPath} -> $dest")
           adds += TxAdd(s"$pname/${st.getPath.getName}", pname.stripPrefix("partition="),
-            tmin = mn, tmax = mx, vmin = vn, vmax = vx)
+            tmin = mn, tmax = mx, vmin = vn, vmax = vx, nrec = nr)
         }
     }
     f.delete(stage, true)
     adds.result()
   }
 
-  /** Event-time bounds of one parquet file in epoch micros, from its
-    * footer row-group statistics (TIMESTAMP_MICROS physical int64).
-    * (None, None) when stats are missing/unusable — the file is then
-    * simply never skipped. */
-  private def timeStatsMicros(p: Path): (Option[Long], Option[Long]) =
+  /** Event-time bounds (epoch micros) AND exact row count of one
+    * parquet file, from its footer row-group statistics
+    * (TIMESTAMP_MICROS physical int64). Time bounds are (None, None)
+    * when their stats are missing/unusable — the file is then simply
+    * never skipped; the row count only needs a readable footer, so it
+    * survives unusable column stats (the fast-count path stays alive
+    * even for files whose time stats degraded). */
+  private def timeStatsMicros(p: Path): (Option[Long], Option[Long], Option[Long]) =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -443,10 +453,12 @@ class TimeseriesStore(
         import scala.jdk.CollectionConverters._
         var mn = Long.MaxValue
         var mx = Long.MinValue
+        var rows = 0L
         var ok = true
         val blocks = r.getFooter.getBlocks
         if (blocks.isEmpty) ok = false
         blocks.forEach { b =>
+          rows += b.getRowCount
           val tc = b.getColumns.asScala.find(_.getPath.toDotString == TimeCol)
           tc match {
             case Some(c) =>
@@ -460,9 +472,10 @@ class TimeseriesStore(
             case None => ok = false
           }
         }
-        if (ok && mn != Long.MaxValue) (Some(mn), Some(mx)) else (None, None)
+        val bounds = if (ok && mn != Long.MaxValue) (Some(mn), Some(mx)) else (None, None)
+        (bounds._1, bounds._2, Some(rows))
       } finally r.close()
-    } catch { case _: Throwable => (None, None) }
+    } catch { case _: Throwable => (None, None, None) }
 
   /** Min/max of a physical-DOUBLE column from footer row-group stats —
     * the [[timeStatsMicros]] twin for the value dimension. (None, None)
@@ -988,6 +1001,34 @@ class TimeseriesStore(
       from.map(t => col(TimeCol) >= lit(t)) ++ to.map(t => col(TimeCol) <= lit(t))
     df.filter(preds.reduce(_ && _))
       .select(dataCols(schemas).map(col).toIndexedSeq: _*)
+  }
+
+  /** Metadata-only table statistics (txlog backend): exact stored-row
+    * count and event-time bounds computed from the LOG alone — zero
+    * Spark jobs, zero file opens; at 100 TB this is the difference
+    * between an O(1) driver answer and a full-table count scan
+    * (Delta's numRecords fast path). Returns None when any live file
+    * predates the stats upgrade for the requested dimension: the row
+    * count needs every add to carry `nrec`, each bound needs every add
+    * to carry it — callers fall back to a scan, never get a wrong
+    * number. Counts are STORED rows (every generation the log
+    * references, exactly what `read` returns); logical rows after
+    * last-writer-wins dedup are a downstream aggregation.
+    */
+  def tableStatsFast(
+      name: String,
+      asOfVersion: Option[Long] = None): Option[TableStats] = {
+    require(logBacked, "tableStatsFast requires the txlog backend")
+    if (!exists(name)) return None
+    val adds = txLog(name).snapshot(asOfVersion)
+    if (adds.isEmpty) return Some(TableStats(0L, None, None))
+    val rows =
+      if (adds.forall(_.nrec.nonEmpty)) Some(adds.flatMap(_.nrec).sum) else None
+    rows.map { n =>
+      TableStats(n,
+        if (adds.forall(_.tmin.nonEmpty)) Some(adds.flatMap(_.tmin).min) else None,
+        if (adds.forall(_.tmax.nonEmpty)) Some(adds.flatMap(_.tmax).max) else None)
+    }
   }
 
   /** Row-level transactional delete (the lakehouse DELETE / GDPR

@@ -33,7 +33,11 @@ final case class TxAdd(
     // recorded by z-order-clustered rewrites; absent on plain appends,
     // and a file without them simply always qualifies)
     vmin: Option[Double] = None,
-    vmax: Option[Double] = None)
+    vmax: Option[Double] = None,
+    // exact row count from the footer (Delta's numRecords): lets
+    // COUNT/bounds queries answer from log metadata with NO scan;
+    // absent on pre-upgrade adds, which disables the fast path only
+    nrec: Option[Long] = None)
 
 /** One file logically deleted from the table (bytes stay on disk until
   * `vacuum`, so readers holding an older snapshot keep working).
@@ -610,6 +614,8 @@ object TxLog {
     .registerReferencedValueType(classOf[TxAdd], "vmin", classOf[Double])
   com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
     .registerReferencedValueType(classOf[TxAdd], "vmax", classOf[Double])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAdd], "nrec", classOf[Long])
 
   val LogDirName = "_txlog"
   val CheckpointEvery = 10

@@ -45,7 +45,10 @@ class PlanContractSpec extends SparkSpec {
       "txt_unigram_surprisal",
       // q_kmv_overlap broadcasts the 1-row theta scalar into the
       // k-bounded sketch probe — metadata-sized by construction
-      "q_kmv_overlap")
+      "q_kmv_overlap",
+      // txt_bigram_surprisal broadcasts the 1-row (N, V) corpus scalar,
+      // the same shape as txt_unigram_surprisal
+      "txt_bigram_surprisal")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
@@ -56,7 +59,7 @@ class PlanContractSpec extends SparkSpec {
     Set("fs_store_roundtrip", "fs_store_txlog", "fs_store_delete_rows",
       "fs_store_update_rows", "fs_store_changes", "fs_store_evolve", "fs_store_merge",
       "fs_store_restore", "fs_store_check", "fs_incremental_agg", "fs_describe",
-      "fs_store_zorder",
+      "fs_store_zorder", "fs_fast_stats",
       "fs_training_frame", "fs_transform_dag",
       "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
       "fs_stream_dedup", "fs_stream_attrib", "fs_stream_hll", "fs_stream_ewma",

@@ -462,6 +462,30 @@ class TxLogSpec extends SparkSpec {
     assert(tx.read("f").count() == 4)
   }
 
+  test("tableStatsFast: metadata-only count/bounds track saves, deletes, rewrites") {
+    val (_, tx) = freshStores()
+    tx.save("fast", series(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1.0),
+      ("2024-01-02 11:30:00", "2024-01-02 11:30:00", 2.0)))
+    tx.save("fast", series(("2024-01-05 09:15:00", "2024-01-05 09:15:00", 3.0)))
+    val s1 = tx.tableStatsFast("fast").get
+    assert(s1.rows === 3L)
+    assert(s1.tminMicros.contains(ts("2024-01-01T10:00:00").getTime * 1000L))
+    assert(s1.tmaxMicros.contains(ts("2024-01-05T09:15:00").getTime * 1000L))
+    // the fast numbers must agree with the scan they replace
+    assert(tx.read("fast").count() === 3L)
+    // delete rewrites victims -> counts and bounds stay exact
+    tx.deleteWhere("fast", col("time") === lit(ts("2024-01-05T09:15:00")))
+    val s2 = tx.tableStatsFast("fast").get
+    assert(s2.rows === 2L)
+    assert(s2.tmaxMicros.contains(ts("2024-01-02T11:30:00").getTime * 1000L))
+    // compaction preserves the row count (dedup: none here)
+    tx.compact("fast")
+    assert(tx.tableStatsFast("fast").get.rows === 2L)
+    // unknown feature -> None; fall back is the caller's scan
+    assert(tx.tableStatsFast("nope").isEmpty)
+  }
+
   test("optimistic commits: racing writers all land, versions distinct") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
