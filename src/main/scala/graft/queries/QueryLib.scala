@@ -4634,6 +4634,57 @@ object QueryLib {
     Some("""SELECT ts AS time, value FROM events
            |WHERE event_type = 'purchase' AND value >= 100 AND value <= 200""".stripMargin))
 
+  /** Declared landing-zone schema for the ingest round-trip gates —
+    * Ingest's rule: schemas are passed, never inferred (inference is a
+    * second full pass over the input at 100 TB). */
+  private def ingestSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("time", TimestampType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+  }
+
+  private val srcCsvRoundtrip = Q(
+    "src_csv_roundtrip",
+    // Raw-text landing zone, CSV leg (sources/Ingest): write purchase
+    // events as headered CSV with the micro-precision timestamp
+    // format, read back through the declared-schema PERMISSIVE reader,
+    // quarantine split — and the clean side must hash-equal the oracle
+    // over raw events: timestamps to the microsecond, doubles exact.
+    // The staged write runs once per JVM (harness scaffolding); the
+    // gate times the READ path, which is what a 100 TB load runs.
+    (s, dir) => {
+      val srcDir = stagedSrc("csvrt", dir) { p =>
+        graft.sources.Ingest.writeCsv(
+          T(s, dir, "events").filter(col("event_type") === "purchase")
+            .select(col("ts").as("time"), col("user_id"), col("value")), p)
+      }
+      val (good, _) = graft.sources.Ingest.quarantine(
+        graft.sources.Ingest.readCsv(s, srcDir, ingestSchema))
+      good
+    },
+    Some("""SELECT ts AS time, user_id, value FROM events
+           |WHERE event_type = 'purchase'""".stripMargin))
+
+  private val srcJsonRoundtrip = Q(
+    "src_json_roundtrip",
+    // JSON-Lines leg of the same contract (one object per line —
+    // splittable, so a 100 TB dump parallelizes by input split where a
+    // pretty-printed array cannot).
+    (s, dir) => {
+      val srcDir = stagedSrc("jsonrt", dir) { p =>
+        graft.sources.Ingest.writeJsonl(
+          T(s, dir, "events").filter(col("event_type") === "purchase")
+            .select(col("ts").as("time"), col("user_id"), col("value")), p)
+      }
+      val (good, _) = graft.sources.Ingest.quarantine(
+        graft.sources.Ingest.readJsonl(s, srcDir, ingestSchema))
+      good
+    },
+    Some("""SELECT ts AS time, user_id, value FROM events
+           |WHERE event_type = 'purchase'""".stripMargin))
+
   private val fsFastStats = Q(
     "fs_fast_stats",
     // Metadata-only COUNT + time bounds (facade featureTableStats):
@@ -4929,7 +4980,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     qQuantileSketch, fsStreamQuantile, qZorderKey, qKmvOverlap, fsDescribe,
-    fsStoreZorder, fsFastStats,
+    fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)

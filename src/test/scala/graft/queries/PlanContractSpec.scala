@@ -60,6 +60,9 @@ class PlanContractSpec extends SparkSpec {
       "fs_store_update_rows", "fs_store_changes", "fs_store_evolve", "fs_store_merge",
       "fs_store_restore", "fs_store_check", "fs_incremental_agg", "fs_describe",
       "fs_store_zorder", "fs_fast_stats",
+      // ingest round-trips stage a text write at build time and pin
+      // the parsed frame (the quarantine contract)
+      "src_csv_roundtrip", "src_json_roundtrip",
       "fs_training_frame", "fs_transform_dag",
       "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
       "fs_stream_dedup", "fs_stream_attrib", "fs_stream_hll", "fs_stream_ewma",
