@@ -4785,6 +4785,54 @@ object QueryLib {
            |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard_est
            |FROM agg""".stripMargin))
 
+  private val qRollingQuantile = Q(
+    "q_rolling_quantile",
+    // Rolling 7-day p50/p90 per event type through the MERGEABLE
+    // quantile sketch — the q_rolling_distinct_hll shape for value
+    // distributions: because the sketch merges by SUM, the roll is
+    // pure bucket-count arithmetic over the tiny daily sketch table
+    // (each daily bucket row fans out to the <= 7 extraction days it
+    // serves — O(7 × buckets) rows, NEVER the event rows), where a
+    // true rolling percentile would re-sort each 7-day window of raw
+    // data per key per day. Extraction days are the observed days
+    // (join with the day grid); ranks are the same integer rationals
+    // as q_quantile_sketch — every estimate hashes bit-for-bit.
+    (s, dir) => {
+      val src = T(s, dir, "events").select(col("event_type").as("grp"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("value").as("v"))
+      val sk = graft.functions.QuantileSketch.sketch(
+        src, Seq("grp", "day"), col("v"), s = 7, scale = 100)
+      val sv = sk.withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(col("grp"), (col("day") + col("o")).as("xday"), col("okey"), col("cnt"))
+        .groupBy(col("grp"), col("xday"), col("okey")).agg(sum(col("cnt")).as("cnt"))
+      val dg = src.select(col("grp"), col("day").as("xday")).distinct()
+      graft.functions.QuantileSketch.quantiles(
+          sv.join(dg, Seq("grp", "xday")), Seq("grp", "xday"),
+          Seq(("p50_7d", 1, 2), ("p90_7d", 9, 10)), scale = 100)
+        .select(col("grp").as("event_type"), col("xday").as("day"),
+          col("p50_7d"), col("p90_7d"), col("n"))
+    },
+    Some(s"""WITH src AS (SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+            |    value AS v FROM events),
+            |c AS (SELECT grp, day, CAST(round(v * 100) AS BIGINT) AS cents FROM src),
+            |g AS (SELECT grp, day, cents, greatest(0, length(bin(abs(cents))) - 1 - 7) AS gg FROM c),
+            |k AS (SELECT grp, day,
+            |    CASE WHEN cents > 0 THEN 1 WHEN cents < 0 THEN -1 ELSE 0 END
+            |      * ((abs(cents) >> gg) << gg) AS okey FROM g),
+            |sk AS (SELECT grp, day, okey, count(*) AS cnt FROM k GROUP BY 1, 2, 3),
+            |sv AS (SELECT grp, day + o AS xday, okey, sum(cnt) AS cnt
+            |  FROM sk CROSS JOIN (SELECT unnest(range(7)) AS o) GROUP BY 1, 2, 3),
+            |dg AS (SELECT DISTINCT grp, day AS xday FROM src),
+            |wd AS (SELECT s.grp, s.xday, s.okey, s.cnt FROM sv s JOIN dg USING (grp, xday)),
+            |cum AS (SELECT grp, xday, okey, cnt,
+            |    sum(cnt) OVER (PARTITION BY grp, xday ORDER BY okey) AS cum,
+            |    sum(cnt) OVER (PARTITION BY grp, xday) AS n FROM wd)
+            |SELECT grp AS event_type, CAST(xday AS BIGINT) AS day,
+            |  CAST(min(CASE WHEN cum >= floor((1*n + 1) / 2.0) THEN okey END) AS DOUBLE) / 100.0 AS p50_7d,
+            |  CAST(min(CASE WHEN cum >= floor((9*n + 9) / 10.0) THEN okey END) AS DOUBLE) / 100.0 AS p90_7d,
+            |  CAST(max(n) AS BIGINT) AS n
+            |FROM cum GROUP BY 1, 2""".stripMargin))
+
   private val qZorderKey = Q(
     "q_zorder_key",
     // Z-order (Morton) clustering key (ops/ZOrder) — the OPTIMIZE
@@ -4979,7 +5027,7 @@ object QueryLib {
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
-    qQuantileSketch, fsStreamQuantile, qZorderKey, qKmvOverlap, fsDescribe,
+    qQuantileSketch, fsStreamQuantile, qRollingQuantile, qZorderKey, qKmvOverlap, fsDescribe,
     fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
