@@ -760,6 +760,84 @@ object ScaleProbe {
         s"DELETE touched partitions beyond the target: $rewrittenParts / $freshParts")
       require(st.read("f").count() == 1000000L - deleted)
     }
+    // Quantile sketch at stream scale: one-pass hash-agg whose output
+    // is O(buckets), not O(stream) — the same economics as HLL/CMS
+    // above, for value distributions. 20M uniform values in (0, 10000]
+    // per 8 keys: the p50 estimate must sit within the 2^-7 relative
+    // bound of 5000 per key.
+    timed("quantile sketch: 20M values / 8 keys, p50/p99 within 2^-7") {
+      val vals = spark.range(20000000L).select(
+        (col("id") % 8L).cast("string").as("g"),
+        (((col("id") * 2654435761L) % 1000000L) + 1L).cast("double").as("v"))
+      val sk = graft.functions.QuantileSketch.sketch(vals, Seq("g"), col("v") * 0.01)
+      val nBuckets = sk.count()
+      require(nBuckets < 8 * 3000, s"sketch outgrew its bucket bound: $nBuckets")
+      val q = graft.functions.QuantileSketch.quantiles(
+        sk, Seq("g"), Seq(("p50", 1, 2), ("p99", 99, 100)))
+      val p50s = q.select(col("p50")).collect().map(_.getDouble(0))
+      val err = p50s.map(v => math.abs(v - 5000.0) / 5000.0).max
+      println(f"[probe]   buckets: $nBuckets; worst p50 rel err: $err%.4f (bound ${1.0 / 128}%.4f)")
+      require(err <= 1.0 / 128 + 1e-9)
+    }
+    // Rolling quantiles: the roll is bucket arithmetic over the DAILY
+    // SKETCH table (x7 fan-out of O(days x buckets) rows), never the
+    // event rows — 365 days x 8 keys from 20M events extracts 2,920
+    // rolling (p50, p90) pairs without re-sorting any raw window.
+    timed("rolling 7-day quantiles: 20M events, 365 days x 8 keys") {
+      val ev = spark.range(20000000L).select(
+        (col("id") % 8L).cast("string").as("g"),
+        (col("id") % 365L).as("day"),
+        (((col("id") * 40503L) % 100000L) + 1L).cast("double").as("v"))
+      val sk = graft.functions.QuantileSketch.sketch(ev, Seq("g", "day"), col("v"))
+      val sv = sk.withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(col("g"), (col("day") + col("o")).as("xday"), col("okey"), col("cnt"))
+        .filter(col("xday") < 365L)
+        .groupBy(col("g"), col("xday"), col("okey")).agg(sum(col("cnt")).as("cnt"))
+      val out = graft.functions.QuantileSketch.quantiles(
+        sv, Seq("g", "xday"), Seq(("p50", 1, 2), ("p90", 9, 10))).count()
+      println(s"[probe]   rolling rows: $out")
+      require(out == 8L * 365L)
+    }
+    // Theta set operations at ID scale: 5M distinct members per side,
+    // 2M shared — union/intersection estimated from two 4096-row
+    // sketches instead of an 8M-row distinct join. Accuracy rides
+    // ~1/sqrt(k); the probe requires 5% on the union and 10% on the
+    // smaller intersection.
+    timed("theta overlap: |A|=5M, |B|=5M, 2M shared, k=4096 sketches") {
+      val a = spark.range(5000000L).select(lit("a").as("g"), concat(lit("u"), col("id")).as("m"))
+      val b = spark.range(3000000L, 8000000L).select(lit("b").as("g"), concat(lit("u"), col("id")).as("m"))
+      val sk = graft.functions.Kmv.sketch(a.unionByName(b), Seq("g"), col("m"), k = 4096)
+      val est = graft.functions.Kmv.thetaSetEstimates(sk, "g", "a", "b", k = 4096).head
+      val (u, i) = (est.getDouble(0), est.getDouble(1))
+      println(f"[probe]   union est: $u%.0f (true 8000000); inter est: $i%.0f (true 2000000)")
+      require(math.abs(u - 8000000) / 8000000.0 < 0.05, s"union off: $u")
+      require(math.abs(i - 2000000) / 2000000.0 < 0.10, s"inter off: $i")
+    }
+    // OPTIMIZE ZORDER at table scale: 1M rows / 30 day-partitions with
+    // per-file value ranges spanning the whole domain (append layout);
+    // after the z-ordered rewrite a 2% value slice must skip >= half
+    // the files from log metadata alone, and the skipping read must
+    // return exactly the predicate's rows.
+    timed("txlog OPTIMIZE ZORDER: 1M rows / 30 partitions, 2% value-slice skipping") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder-probe").toString
+      val st = new graft.store.TimeseriesStore(spark, dir, backend = "txlog")
+      val day0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      st.save("f", spark.range(1000000L).select(
+        timestamp_millis(lit(day0) + (col("id") % 30L) * 86400000L +
+          expr("(id div 30L) % 86400L") * 1000L).as("time"),
+        timestamp_millis(lit(day0) + col("id")).as("created_time"),
+        (((col("id") * 2654435761L) % 50000L).cast("double") / 100.0).as("value")))
+      val retired = st.optimizeZorder("f", targetBytes = 256L * 1024)
+      val live = st.candidateFilesForValueRange("f", 0.0, 500.0)
+      val sliced = st.candidateFilesForValueRange("f", 100.0, 110.0)
+      val hits = st.readValueRange("f", 100.0, 110.0).count()
+      println(s"[probe]   retired $retired files; slice hit ${sliced.size}/${live.size} files; $hits rows")
+      require(sliced.size * 2 <= live.size,
+        s"z-order skipping too weak: ${sliced.size}/${live.size}")
+      require(hits == spark.range(1000000L)
+        .filter((((col("id") * 2654435761L) % 50000L).cast("double") / 100.0)
+          .between(100.0, 110.0)).count())
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
