@@ -4378,6 +4378,25 @@ object QueryLib {
            |    * CAST(2305843009213693952 AS DOUBLE)) / CAST(s AS DOUBLE) AS approx_users_7d
            |FROM agg""".stripMargin))
 
+  /** Shared CMS oracle (txt_cms_counts + its streaming twin): replay
+    * the 4×1024 counter table and the top-10 point queries in SQL. */
+  private val cmsOracleSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |js AS (SELECT unnest(range(4)) AS j),
+      |sk AS (SELECT j, ('0x' || substr(md5(concat('cms', j, ':', term)), 1, 8))::BIGINT
+      |           % 1024 AS bucket, count(*) AS c
+      |  FROM tok CROSS JOIN js GROUP BY 1, 2),
+      |top AS (SELECT term, count(*) AS exact_cnt FROM tok GROUP BY 1
+      |  ORDER BY exact_cnt DESC, term LIMIT 10),
+      |est AS (SELECT t.term, min(coalesce(s.c, 0)) AS cms_est
+      |  FROM top t CROSS JOIN js
+      |  LEFT JOIN sk s ON s.j = js.j AND s.bucket =
+      |    ('0x' || substr(md5(concat('cms', js.j, ':', t.term)), 1, 8))::BIGINT % 1024
+      |  GROUP BY 1)
+      |SELECT top.term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+      |  CAST(cms_est AS BIGINT) AS cms_est
+      |FROM top JOIN est ON top.term = est.term""".stripMargin
+
   private val txtCmsCounts = Q(
     "txt_cms_counts",
     // Count-Min sketch frequency estimates for the top-10 corpus terms,
@@ -4397,21 +4416,46 @@ object QueryLib {
         .join(top, Seq("term"))
         .select(col("term"), col("exact_cnt"), col("cms_est"))
     },
-    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
-           |js AS (SELECT unnest(range(4)) AS j),
-           |sk AS (SELECT j, ('0x' || substr(md5(concat('cms', j, ':', term)), 1, 8))::BIGINT
-           |           % 1024 AS bucket, count(*) AS c
-           |  FROM tok CROSS JOIN js GROUP BY 1, 2),
-           |top AS (SELECT term, count(*) AS exact_cnt FROM tok GROUP BY 1
-           |  ORDER BY exact_cnt DESC, term LIMIT 10),
-           |est AS (SELECT t.term, min(coalesce(s.c, 0)) AS cms_est
-           |  FROM top t CROSS JOIN js
-           |  LEFT JOIN sk s ON s.j = js.j AND s.bucket =
-           |    ('0x' || substr(md5(concat('cms', js.j, ':', t.term)), 1, 8))::BIGINT % 1024
-           |  GROUP BY 1)
-           |SELECT top.term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
-           |  CAST(cms_est AS BIGINT) AS cms_est
-           |FROM top JOIN est ON top.term = est.term""".stripMargin))
+    Some(cmsOracleSql))
+
+  private val fsStreamCms = Q(
+    "fs_stream_cms",
+    // Streaming frequency profile — the 12th streaming certification,
+    // completing the sketch family's stream twins (HLL cardinality,
+    // quantile distribution, CMS frequency): the counter table IS the
+    // grouped running count Structured Streaming maintains, so state
+    // is a FIXED 4×1024 rows forever on an unbounded token stream
+    // where per-term counting state grows with the vocabulary. 4 real
+    // micro-batches in Complete mode; the top-10 point queries close
+    // in batch over the final counter view and must hash BIT-FOR-BIT
+    // against the same oracle as the batch gate.
+    (s, dir) => {
+      val src = T(s, dir, "documents").select(col("text"))
+      val srcDir = stagedSrc("scms", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"scms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val sk = stream.select(explode(TextOps.tokens(col("text"))).as("term"))
+        .select(posexplode(array((0 until graft.functions.Cms.D).map(j =>
+          graft.functions.Cms.bucket(j, col("term"))): _*)).as(Seq("j", "bucket")))
+        .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+      val query = withStatePartitions(s, 4) {
+        sk.writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      val tokens = T(s, dir, "documents").select(explode(toks).as("term"))
+      val top = tokens.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(10)
+      graft.functions.Cms.estimate(s.table(view), top, "term")
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"))
+    },
+    Some(cmsOracleSql))
 
   private val qGroupingSets = Q(
     "q_grouping_sets",
@@ -4833,6 +4877,66 @@ object QueryLib {
             |  CAST(max(n) AS BIGINT) AS n
             |FROM cum GROUP BY 1, 2""".stripMargin))
 
+  private val dqRobustOutliers = Q(
+    "dq_robust_outliers",
+    // Robust anomaly flags — median/MAD instead of mean/stddev
+    // (dq_outliers' z-score): one extreme batch SHIFTS a mean-based
+    // gate's own yardstick (masking), while the median and the median
+    // absolute deviation have 50% breakdown. Both medians come from
+    // the mergeable quantile sketch in INTEGER CENTS (two one-pass
+    // hash-aggs; cut = dev > 5·MAD compared in pure integers — no
+    // float boundary can flip cross-engine), so the whole detector is
+    // two tiny sketch tables + two broadcast joins at any corpus size.
+    (s, dir) => {
+      val c = mat(T(s, dir, "events").select(col("event_type").as("grp"),
+        round(col("value") * 100, 0).cast("long").as("cents")))
+      val med = graft.functions.QuantileSketch.quantiles(
+        graft.functions.QuantileSketch.sketch(
+          c, Seq("grp"), col("cents").cast("double"), s = 7, scale = 1),
+        Seq("grp"), Seq(("medc", 1, 2)), scale = 1)
+        .select(col("grp"), col("medc").cast("long").as("medc"))
+      val d = mat(c.join(broadcast(med), Seq("grp"))
+        .withColumn("dev", abs(col("cents") - col("medc"))))
+      val mad = graft.functions.QuantileSketch.quantiles(
+        graft.functions.QuantileSketch.sketch(
+          d, Seq("grp"), col("dev").cast("double"), s = 7, scale = 1),
+        Seq("grp"), Seq(("madc", 1, 2)), scale = 1)
+        .select(col("grp"), col("madc").cast("long").as("madc"))
+      d.join(broadcast(mad), Seq("grp"))
+        .groupBy(col("grp"))
+        .agg(
+          (max(col("medc")).cast("double") / 100.0).as("median"),
+          (max(col("madc")).cast("double") / 100.0).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(5L) * col("madc"), 1L).otherwise(0L)).as("n_out"))
+        .select(col("grp").as("event_type"), col("median"), col("mad"),
+          col("n"), col("n_out"))
+    },
+    Some("""WITH c AS (SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+           |k1 AS (SELECT grp, CASE WHEN cents > 0 THEN 1 WHEN cents < 0 THEN -1 ELSE 0 END
+           |    * ((abs(cents) >> greatest(0, length(bin(abs(cents))) - 1 - 7))
+           |       << greatest(0, length(bin(abs(cents))) - 1 - 7)) AS okey FROM c),
+           |sk1 AS (SELECT grp, okey, count(*) AS cnt FROM k1 GROUP BY 1, 2),
+           |cum1 AS (SELECT grp, okey, sum(cnt) OVER (PARTITION BY grp ORDER BY okey) AS cum,
+           |    sum(cnt) OVER (PARTITION BY grp) AS n FROM sk1),
+           |med AS (SELECT grp, min(CASE WHEN cum >= floor((1*n + 1) / 2.0) THEN okey END) AS medc
+           |  FROM cum1 GROUP BY 1),
+           |d AS (SELECT c.grp, c.cents, m.medc, abs(c.cents - m.medc) AS dev
+           |  FROM c JOIN med m USING (grp)),
+           |k2 AS (SELECT grp, ((dev >> greatest(0, length(bin(dev)) - 1 - 7))
+           |    << greatest(0, length(bin(dev)) - 1 - 7)) AS okey FROM d),
+           |sk2 AS (SELECT grp, okey, count(*) AS cnt FROM k2 GROUP BY 1, 2),
+           |cum2 AS (SELECT grp, okey, sum(cnt) OVER (PARTITION BY grp ORDER BY okey) AS cum,
+           |    sum(cnt) OVER (PARTITION BY grp) AS n FROM sk2),
+           |mad AS (SELECT grp, min(CASE WHEN cum >= floor((1*n + 1) / 2.0) THEN okey END) AS madc
+           |  FROM cum2 GROUP BY 1)
+           |SELECT d.grp AS event_type,
+           |  CAST(max(d.medc) AS DOUBLE) / 100.0 AS median,
+           |  CAST(max(mad.madc) AS DOUBLE) / 100.0 AS mad,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN d.dev > 5 * mad.madc THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+           |FROM d JOIN mad USING (grp) GROUP BY 1""".stripMargin))
+
   private val qZorderKey = Q(
     "q_zorder_key",
     // Z-order (Morton) clustering key (ops/ZOrder) — the OPTIMIZE
@@ -5028,6 +5132,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     qQuantileSketch, fsStreamQuantile, qRollingQuantile, qZorderKey, qKmvOverlap, fsDescribe,
+    dqRobustOutliers, fsStreamCms,
     fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
