@@ -4552,6 +4552,22 @@ object QueryLib {
            |    * CAST(2305843009213693952 AS DOUBLE)) / CAST(s AS DOUBLE) AS approx_users
            |FROM agg""".stripMargin))
 
+  /** Shared KMV oracle (q_kmv_distinct + its streaming twin): replay
+    * the bottom-512 sketch and the (k-1)·2^60/h_k estimator in SQL. */
+  private val kmvOracleSql: String =
+    """WITH dv AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+      |h AS (SELECT event_type, v,
+      |    ('0x' || substr(md5(concat('kmv:', v)), 1, 15))::BIGINT AS h FROM dv),
+      |rk AS (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk FROM h),
+      |sk AS (SELECT event_type, h FROM rk WHERE rk <= 512),
+      |agg AS (SELECT event_type, count(*) AS n_sample, max(h) AS h_k FROM sk GROUP BY 1)
+      |SELECT event_type,
+      |  CASE WHEN n_sample < 512 THEN CAST(n_sample AS DOUBLE)
+      |       ELSE CAST(511.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)
+      |            / CAST(h_k AS DOUBLE) END AS distinct_est
+      |FROM agg""".stripMargin
+
   private val qKmvDistinct = Q(
     "q_kmv_distinct",
     // KMV bottom-k sketch (functions/Kmv): per-type distinct-user
@@ -4567,18 +4583,47 @@ object QueryLib {
         T(s, dir, "events"), Seq("event_type"), col("user_id").cast("string"), k = 512)
       graft.functions.Kmv.distinctEstimate(sk, Seq("event_type"), k = 512)
     },
-    Some("""WITH dv AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
-           |h AS (SELECT event_type, v,
-           |    ('0x' || substr(md5(concat('kmv:', v)), 1, 15))::BIGINT AS h FROM dv),
-           |rk AS (SELECT event_type, h,
-           |    row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rk FROM h),
-           |sk AS (SELECT event_type, h FROM rk WHERE rk <= 512),
-           |agg AS (SELECT event_type, count(*) AS n_sample, max(h) AS h_k FROM sk GROUP BY 1)
-           |SELECT event_type,
-           |  CASE WHEN n_sample < 512 THEN CAST(n_sample AS DOUBLE)
-           |       ELSE CAST(511.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)
-           |            / CAST(h_k AS DOUBLE) END AS distinct_est
-           |FROM agg""".stripMargin))
+    Some(kmvOracleSql))
+
+  private val fsStreamKmv = Q(
+    "fs_stream_kmv",
+    // The 13th streaming certification, and the KMV leg that makes
+    // "every sketch has a stream twin" TRUE: bottom-k has no built-in
+    // streaming aggregation form, so this is distinct-count sketching
+    // as CUSTOM mapGroupsWithState state — a TreeSet of the k smallest
+    // (hash, value) pairs per key, O(k) forever, IDEMPOTENT under
+    // at-least-once re-delivery (set semantics on the value's own
+    // hash — where a counting state would double). 4 real
+    // micro-batches; the batch-closed (k-1)·2^60/h_k estimates must
+    // hash BIT-FOR-BIT against the same oracle as q_kmv_distinct.
+    (s, dir) => {
+      val src = T(s, dir, "events").select(col("event_type"), col("user_id"))
+      val srcDir = stagedSrc("skmv", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"skmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams
+          .kmvStream(stream, k = 512, keyCol = "event_type", valCol = "user_id")
+          .toDF("k", "gen", "n_sample", "h_k")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // final state per key = the emission with the largest gen
+      s.table(view).groupBy(col("k"))
+        .agg(max_by(struct(col("n_sample"), col("h_k")), col("gen")).as("st"))
+        .select(col("k").as("event_type"),
+          when(col("st.n_sample") < 512, col("st.n_sample").cast("double"))
+            .otherwise(lit(511.0) * lit(graft.functions.Kmv.HashDomain.toDouble)
+              / col("st.h_k").cast("double"))
+            .as("distinct_est"))
+    },
+    Some(kmvOracleSql))
 
   /** Shared final SELECT for the two quantile-sketch gates: nearest-
     * rank p50/p90/p99 off the cumulated sketch, ranks in integer
@@ -5132,7 +5177,7 @@ object QueryLib {
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     qQuantileSketch, fsStreamQuantile, qRollingQuantile, qZorderKey, qKmvOverlap, fsDescribe,
-    dqRobustOutliers, fsStreamCms,
+    dqRobustOutliers, fsStreamCms, fsStreamKmv,
     fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,

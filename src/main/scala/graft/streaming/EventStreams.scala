@@ -136,6 +136,57 @@ object EventStreams {
       }
   }
 
+  /** Exact JVM twin of `Kmv.hash` (conv(substring(md5('kmv:' || v),
+    * 1, 15), 16, 10)): first 15 hex chars of the md5 as a long — the
+    * streaming state must land in the SAME hash order as the batch
+    * sketch or the bottom-k sets diverge. */
+  private def kmvHashJvm(v: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(("kmv:" + v).getBytes("UTF-8"))
+    val hex = dig.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Streaming bottom-k KMV sketch per key — distinct-count sketching
+    * as CUSTOM state rather than an aggregation (the HLL/CMS/quantile
+    * twins are plain streaming aggs; bottom-k has no built-in
+    * streaming form, so the state is a mapGroupsWithState TreeSet of
+    * the k smallest (hash, value) pairs — O(k) forever). Insertion is
+    * IDEMPOTENT (set semantics on the value's own hash), so an
+    * at-least-once source re-delivering a file cannot perturb the
+    * sketch — the KMV property that makes it safe under replay where
+    * a counting sketch would double-count. Emits (key, gen, n_sample,
+    * h_k) per micro-batch; `gen` increments per invocation so the
+    * batch close picks each key's final state with one max_by.
+    */
+  def kmvStream(
+      events: DataFrame, // <keyCol>, <valCol>
+      k: Int,
+      keyCol: String,
+      valCol: String): Dataset[(String, Long, Long, Long)] = {
+    require(k > 1, s"k must be > 1, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"CAST($keyCol AS STRING) AS gk", s"CAST($valCol AS STRING) AS v")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String,
+         rows: Iterator[(String, String)],
+         state: GroupState[(Long, List[(Long, String)])]) =>
+          val (gen0, cur) = state.getOption.getOrElse((0L, List.empty[(Long, String)]))
+          val set = scala.collection.mutable.TreeSet.empty[(Long, String)]
+          set ++= cur
+          rows.foreach { case (_, v) =>
+            set += ((kmvHashJvm(v), v))
+            if (set.size > k) set -= set.last // each add grows by <= 1
+          }
+          val items = set.toList
+          state.update((gen0 + 1, items))
+          (key, gen0 + 1, items.size.toLong, if (items.isEmpty) 0L else items.last._1)
+      }
+  }
+
   def runningLatest(
       events: DataFrame, // ts timestamp, event_type string, value double
       keyCol: String = "event_type"): Dataset[(String, Timestamp, Double)] = {
