@@ -170,6 +170,53 @@ object MultimodalOps {
       sum, mn, mx, sum.toDouble / (1000.0 * w * h))
   }
 
+  /** One cell of an executed nearest-neighbor resize: integer
+    * milli-luma of the source pixel the (gx, gy) grid cell samples. */
+  final case class ResizedCell(id: Long, gx: Int, gy: Int, lumaMilli: Long)
+
+  /** EXECUTED nearest-neighbor resize — the step [[ImageFeatures]]'
+    * resize *planning* sizes, actually run: decode the raster
+    * (ImageIO, the same codec seam), sample the gridW × gridH
+    * nearest-neighbor grid (source pixel = (gx·w ∕ gridW, gy·h ∕
+    * gridH), integer floor division — deterministic, interpolation-
+    * free), and emit each cell's integer milli-luma. The thumbnail
+    * fingerprint an image-curation pipeline feeds to perceptual
+    * near-dedup. Narrow flatMap per input split; only (id, 2 ints,
+    * 1 long) × grid cells move — never rasters. Payloads ImageIO
+    * cannot decode throw (resize has no header fallback: there is no
+    * raster to sample); pre-filter with [[decodeImages]] where inputs
+    * are untrusted.
+    */
+  def resizeNearestLuma(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      gridW: Int,
+      gridH: Int): Dataset[ResizedCell] = {
+    require(gridW > 0 && gridH > 0, s"grid must be positive, got $gridW x $gridH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"ImageIO failed decoding payload for id=$id: ${e.getMessage}", e)
+          }
+        if (img == null)
+          throw new IllegalArgumentException(s"ImageIO has no reader for payload of id=$id")
+        val w = img.getWidth
+        val h = img.getHeight
+        for (gy <- 0 until gridH; gx <- 0 until gridW) yield {
+          val rgb = img.getRGB(gx * w / gridW, gy * h / gridH)
+          val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          ResizedCell(id, gx, gy, l)
+        }
+      })
+  }
+
   /** Partition-parallel REAL pixel decode — same narrow-mapPartitions
     * shape as [[decodeImages]] (no shuffle; scales with input splits),
     * but through [[pixelDecode]]'s full ImageIO raster read.

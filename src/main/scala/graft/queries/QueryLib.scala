@@ -3615,6 +3615,41 @@ object QueryLib {
            |  CAST(sum(l) AS DOUBLE) / (1000 * w * h) AS mean_luma
            |FROM px GROUP BY doc_id, w, h""".stripMargin))
 
+  private val mmResizeExec = Q(
+    "mm_resize_exec",
+    // EXECUTED nearest-neighbor resize under the oracle gate — the
+    // step mm_resize_plan only SIZED, actually run: render each doc_id
+    // as a real PNG (the mm_pixel_stats fixture), decode the raster
+    // back through ImageIO, sample the 4x4 nearest-neighbor grid, and
+    // emit each cell's integer milli-luma (the thumbnail fingerprint a
+    // perceptual near-dedup consumes). The oracle recomputes every
+    // sampled cell ARITHMETICALLY from the closed-form pixel formula
+    // at (gx*w div 4, gy*h div 4) — zero code shared with the
+    // encode/decode/sample chain, so a raster-order, rounding, or
+    // coordinate-mapping bug cannot hash green. Narrow flatMap per
+    // split; only (id, gx, gy, luma) rows move, never rasters.
+    (s, dir) => {
+      import s.implicits._
+      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticPng(id))))
+        .toDF("doc_id", "payload")
+      graft.functions.MultimodalOps
+        .resizeNearestLuma(payloads, "doc_id", "payload", gridW = 4, gridH = 4)
+        .toDF()
+        .select(col("id").as("doc_id"), col("gx"), col("gy"),
+          col("lumaMilli").as("luma_milli"))
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+           |  FROM documents),
+           |cells AS (SELECT doc_id, (gx * w) // 4 AS x, (gy * h) // 4 AS y, gx, gy
+           |  FROM d, range(0, 4) tgx(gx), range(0, 4) tgy(gy))
+           |SELECT doc_id, CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+           |  CAST(299 * ((31 * doc_id + 7 * x + 13 * y) % 256)
+           |     + 587 * ((17 * doc_id + 5 * x + 11 * y) % 256)
+           |     + 114 * ((23 * doc_id + 3 * x + 19 * y) % 256) AS BIGINT) AS luma_milli
+           |FROM cells""".stripMargin))
+
   private val mmAudioEnergy = Q(
     "mm_audio_energy",
     // REAL audio container parsing under the oracle gate — the audio
@@ -5181,7 +5216,8 @@ object QueryLib {
     fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
-    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmAudioEnergy)
+    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmResizeExec,
+    mmAudioEnergy)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -156,6 +156,35 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("resizeNearestLuma samples the exact nearest-neighbor source pixels") {
+    val ids = Seq(2L, 9L, 77L)
+    val payloads = ids.map(id => (id, MultimodalOps.syntheticPng(id))).toDF("id", "payload")
+    val got = MultimodalOps.resizeNearestLuma(payloads, "id", "payload", 4, 4)
+      .collect().map(c => (c.id, c.gx, c.gy) -> c.lumaMilli).toMap
+    for (id <- ids; gy <- 0 until 4; gx <- 0 until 4) {
+      val w = (id % 24 + 8).toInt
+      val h = (id % 16 + 8).toInt
+      val x = gx * w / 4
+      val y = gy * h / 4
+      val exp = 299L * ((31 * id + 7 * x + 13 * y) % 256) +
+        587L * ((17 * id + 5 * x + 11 * y) % 256) +
+        114L * ((23 * id + 3 * x + 19 * y) % 256)
+      assert(got((id, gx, gy)) === exp, s"id=$id cell=($gx,$gy)")
+    }
+    // identity grid: a w x h resize of a w x h image IS the raster
+    val id0 = 2L
+    val (w0, h0) = ((id0 % 24 + 8).toInt, (id0 % 16 + 8).toInt)
+    val full = MultimodalOps.resizeNearestLuma(
+      payloads.filter(col("id") === id0), "id", "payload", w0, h0).collect()
+    assert(full.length === w0 * h0)
+    assert(full.map(_.lumaMilli).sum ===
+      MultimodalOps.pixelDecode(id0, MultimodalOps.syntheticPng(id0)).sumLumaMilli)
+    // corrupt payload: loud refusal (no raster to sample)
+    val bad = Seq((1L, "nope".getBytes)).toDF("id", "payload")
+    intercept[org.apache.spark.SparkException](
+      MultimodalOps.resizeNearestLuma(bad, "id", "payload", 4, 4).collect())
+  }
+
   test("pixelDecode refuses corrupt and non-image payloads loudly") {
     // no reader at all (text bytes)
     val e1 = intercept[IllegalArgumentException](
