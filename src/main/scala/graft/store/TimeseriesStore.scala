@@ -393,8 +393,7 @@ class TimeseriesStore(
       name: String,
       normalized: DataFrame,
       outPartitions: Option[Int] = None,
-      preLaid: Boolean = false,
-      valueStats: Boolean = false): Seq[TxAdd] = {
+      preLaid: Boolean = false): Seq[TxAdd] = {
     val stage = new Path(s"$url/.stage/$name/${java.util.UUID.randomUUID()}")
     // INT64 micros, not the session default INT96: INT96 carries no
     // usable footer statistics (deprecated), and the per-file time
@@ -424,28 +423,32 @@ class TimeseriesStore(
           // footer stats BEFORE the rename: the file was just written,
           // the footer is page-cached, and a stats failure degrades to
           // a never-skipped file, never to a failed install
-          val (mn, mx, nr) = timeStatsMicros(st.getPath)
-          val (vn, vx) =
-            if (valueStats) doubleStats(st.getPath, ValueCol) else (None, None)
+          val fst = footerStats(st.getPath)
           val dest = new Path(destDir, st.getPath.getName)
           if (!f.rename(st.getPath, dest))
             throw new java.io.IOException(s"stage install failed: ${st.getPath} -> $dest")
           adds += TxAdd(s"$pname/${st.getPath.getName}", pname.stripPrefix("partition="),
-            tmin = mn, tmax = mx, vmin = vn, vmax = vx, nrec = nr)
+            tmin = fst.tmin, tmax = fst.tmax, vmin = fst.vmin, vmax = fst.vmax,
+            nrec = fst.nrec)
         }
     }
     f.delete(stage, true)
     adds.result()
   }
 
-  /** Event-time bounds (epoch micros) AND exact row count of one
-    * parquet file, from its footer row-group statistics
-    * (TIMESTAMP_MICROS physical int64). Time bounds are (None, None)
-    * when their stats are missing/unusable — the file is then simply
-    * never skipped; the row count only needs a readable footer, so it
-    * survives unusable column stats (the fast-count path stays alive
-    * even for files whose time stats degraded). */
-  private def timeStatsMicros(p: Path): (Option[Long], Option[Long], Option[Long]) =
+  /** Per-file statistics from ONE footer read: event-time bounds
+    * (epoch micros, TIMESTAMP_MICROS physical int64), exact row count,
+    * and — when the value column's physical type is DOUBLE — value
+    * bounds. Each dimension degrades independently: unusable time
+    * stats only lose time skipping, a non-double value (serialized
+    * features, pre-widening epochs) only loses value skipping, and
+    * the row count needs nothing but a readable footer. A file
+    * without a stat is simply never skipped on that dimension. */
+  private case class FooterStats(
+      tmin: Option[Long], tmax: Option[Long], nrec: Option[Long],
+      vmin: Option[Double], vmax: Option[Double])
+
+  private def footerStats(p: Path): FooterStats =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -453,61 +456,46 @@ class TimeseriesStore(
         import scala.jdk.CollectionConverters._
         var mn = Long.MaxValue
         var mx = Long.MinValue
+        var vmn = Double.MaxValue
+        var vmx = Double.MinValue
         var rows = 0L
-        var ok = true
+        var tOk = true
+        var vOk = true
         val blocks = r.getFooter.getBlocks
-        if (blocks.isEmpty) ok = false
+        if (blocks.isEmpty) { tOk = false; vOk = false }
         blocks.forEach { b =>
           rows += b.getRowCount
-          val tc = b.getColumns.asScala.find(_.getPath.toDotString == TimeCol)
-          tc match {
+          b.getColumns.asScala.find(_.getPath.toDotString == TimeCol) match {
             case Some(c) =>
               val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              if (st == null || st.isEmpty || !st.hasNonNullValue) tOk = false
               else (st.genericGetMin, st.genericGetMax) match {
                 case (a: java.lang.Long, z: java.lang.Long) =>
                   mn = math.min(mn, a.longValue); mx = math.max(mx, z.longValue)
-                case _ => ok = false
+                case _ => tOk = false
               }
-            case None => ok = false
+            case None => tOk = false
           }
-        }
-        val bounds = if (ok && mn != Long.MaxValue) (Some(mn), Some(mx)) else (None, None)
-        (bounds._1, bounds._2, Some(rows))
-      } finally r.close()
-    } catch { case _: Throwable => (None, None, None) }
-
-  /** Min/max of a physical-DOUBLE column from footer row-group stats —
-    * the [[timeStatsMicros]] twin for the value dimension. (None, None)
-    * when stats are missing/unusable; the file is then never skipped.
-    */
-  private def doubleStats(p: Path, colName: String): (Option[Double], Option[Double]) =
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        var mn = Double.MaxValue
-        var mx = Double.MinValue
-        var ok = true
-        val blocks = r.getFooter.getBlocks
-        if (blocks.isEmpty) ok = false
-        blocks.forEach { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+          b.getColumns.asScala.find(_.getPath.toDotString == ValueCol) match {
             case Some(c) =>
               val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              if (st == null || st.isEmpty || !st.hasNonNullValue) vOk = false
               else (st.genericGetMin, st.genericGetMax) match {
                 case (a: java.lang.Double, z: java.lang.Double) =>
-                  mn = math.min(mn, a.doubleValue); mx = math.max(mx, z.doubleValue)
-                case _ => ok = false
+                  vmn = math.min(vmn, a.doubleValue); vmx = math.max(vmx, z.doubleValue)
+                case _ => vOk = false
               }
-            case None => ok = false
+            case None => vOk = false
           }
         }
-        if (ok && mn != Double.MaxValue) (Some(mn), Some(mx)) else (None, None)
+        FooterStats(
+          if (tOk && mn != Long.MaxValue) Some(mn) else None,
+          if (tOk && mn != Long.MaxValue) Some(mx) else None,
+          Some(rows),
+          if (vOk && vmn != Double.MaxValue) Some(vmn) else None,
+          if (vOk && vmn != Double.MaxValue) Some(vmx) else None)
       } finally r.close()
-    } catch { case _: Throwable => (None, None) }
+    } catch { case _: Throwable => FooterStats(None, None, None, None, None) }
 
   /** S2: hive-partitioned snappy parquet append; on the txlog backend
     * the new files become visible in ONE atomic log commit.
@@ -948,7 +936,7 @@ class TimeseriesStore(
       .repartitionByRange(outFiles, col("partition"), col("__zkey"))
       .sortWithinPartitions(col("partition"), col("__zkey"))
       .drop("__zkey")
-    val adds = stageInstall(name, laid, preLaid = true, valueStats = true)
+    val adds = stageInstall(name, laid, preLaid = true)
       .map(_.copy(sv = svTag(schemas)))
     log.commit(adds, live.map(a => TxRemove(a.path)))
     live.size.toLong
@@ -974,10 +962,12 @@ class TimeseriesStore(
     * by partition values + time bounds + recorded value bounds from
     * the LOG alone, then apply the exact residual predicates. On a
     * z-ordered table ([[optimizeZorder]]) a narrow value slice opens a
-    * small fraction of the files; on an append layout it degrades to
-    * the plain ranged read (no value stats — nothing skips, nothing
-    * breaks). The anomaly-hunt shape: "value in [x, y] anywhere in
-    * history" without a full scan.
+    * small fraction of the files; on an append layout each file's
+    * recorded value range typically spans the whole domain (values
+    * arrive time-ordered, not value-ordered), so little skips — but
+    * nothing breaks, and extreme-value probes (beyond most files'
+    * ranges) still prune even un-clustered tables. The anomaly-hunt
+    * shape: "value in [x, y] anywhere in history" without a full scan.
     */
   def readValueRange(
       name: String,

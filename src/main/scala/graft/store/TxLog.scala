@@ -29,9 +29,12 @@ final case class TxAdd(
     sv: Option[Long] = None,
     tmin: Option[Long] = None,
     tmax: Option[Long] = None,
-    // value-column min/max (file skipping on the SECOND dimension —
-    // recorded by z-order-clustered rewrites; absent on plain appends,
-    // and a file without them simply always qualifies)
+    // value-column min/max (file skipping on the SECOND dimension) —
+    // recorded by EVERY staged write whose value column is physically
+    // DOUBLE (same footer read as the time bounds), so the stats
+    // survive DELETE/UPDATE/merge/optimize rewrites; absent on
+    // pre-upgrade adds and non-numeric values, and a file without
+    // them simply always qualifies
     vmin: Option[Double] = None,
     vmax: Option[Double] = None,
     // exact row count from the footer (Delta's numRecords): lets

@@ -31,10 +31,14 @@ class ZOrderStoreSpec extends SparkSpec {
     val before = key(st.read("zf"))
     assert(before.size === 12000)
 
-    // append layout: no value stats — a value slice can skip NOTHING,
-    // but the read is still correct (graceful degradation)
-    val preLive = st.candidateFilesForValueRange("zf", 100.0, 110.0)
-    assert(preLive.forall(_.vmin.isEmpty))
+    // append layout: every file carries value stats (same footer read
+    // as the time bounds) but spans ~the full value range — a mid-range
+    // slice skips (almost) nothing, while the read stays correct
+    val preAll = st.candidateFilesForValueRange("zf", 0.0, 500.0)
+    assert(preAll.forall(a => a.vmin.nonEmpty && a.nrec.nonEmpty))
+    val preSliced = st.candidateFilesForValueRange("zf", 100.0, 110.0)
+    assert(preSliced.size * 10 >= preAll.size * 9,
+      s"append layout should barely skip: ${preSliced.size}/${preAll.size}")
     val expectSlice = before.filter(r => r._2 >= 100.0 && r._2 <= 110.0)
     assert(key(st.readValueRange("zf", 100.0, 110.0)) === expectSlice)
 
@@ -65,5 +69,13 @@ class ZOrderStoreSpec extends SparkSpec {
     val both = st.candidateFilesForValueRange("zf", 100.0, 110.0,
       from = Some(ts("2021-03-05")), to = Some(ts("2021-03-07")))
     assert(both.size <= math.min(sliced.size, tSliced.size))
+
+    // skipping SURVIVES maintenance: a DELETE's rewritten victims keep
+    // value stats (the unified footer read records them on every
+    // staged write, not just z-order rewrites)
+    val erased = st.deleteWhere("zf", col("value") < 1.0)
+    assert(erased > 0)
+    assert(st.candidateFilesForValueRange("zf", 0.0, 500.0)
+      .forall(a => a.vmin.nonEmpty && a.nrec.nonEmpty))
   }
 }
