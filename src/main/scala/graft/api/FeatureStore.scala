@@ -424,29 +424,38 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
   }
 
   /** Metadata-only table statistics (txlog backend): one row
-    * (n, tmin, tmax) — exact stored-row count and event-time bounds
-    * answered from the transaction log alone, ZERO Spark jobs and zero
-    * file opens (Delta's numRecords fast path; at 100 TB, an O(1)
-    * driver answer where count(*) is a full scan). Falls back to the
-    * scan-based aggregate when any live file predates the stats
-    * upgrade — callers always get the right numbers, just not always
-    * the fast way. Counts STORED rows (every generation the log
-    * references); dedup-latest logical counts are a read-side concern.
+    * (n, tmin, tmax, vmin, vmax) — exact stored-row count, event-time
+    * bounds, and value bounds answered from the transaction log alone,
+    * ZERO Spark jobs and zero file opens (Delta's numRecords fast
+    * path; at 100 TB, an O(1) driver answer where the aggregate is a
+    * full scan). Falls back to the scan-based aggregate when any live
+    * file predates the stats upgrade (or stores a non-numeric value) —
+    * callers always get the right numbers, just not always the fast
+    * way. Counts STORED rows (every generation the log references);
+    * dedup-latest logical counts are a read-side concern.
     */
   def featureTableStats(fullName: String): DataFrame = {
     val (nsObj, f) = featureOf(fullName)
     val st = store(nsObj)
     st.tableStatsFast(f.name) match {
-      case Some(s) if s.tminMicros.nonEmpty && s.tmaxMicros.nonEmpty =>
+      case Some(s) if s.tminMicros.nonEmpty && s.tmaxMicros.nonEmpty &&
+          s.vmin.nonEmpty && s.vmax.nonEmpty =>
+        // Double.toString round-trips exactly (shortest repr), so the
+        // literal re-parses to the identical IEEE value
         spark.sql(
           s"""SELECT ${s.rows}L AS n, timestamp_micros(${s.tminMicros.get}L) AS tmin,
-             |  timestamp_micros(${s.tmaxMicros.get}L) AS tmax""".stripMargin)
+             |  timestamp_micros(${s.tmaxMicros.get}L) AS tmax,
+             |  CAST(${s.vmin.get} AS DOUBLE) AS vmin,
+             |  CAST(${s.vmax.get} AS DOUBLE) AS vmax""".stripMargin)
       case Some(s) if s.rows == 0L =>
-        spark.sql("SELECT 0L AS n, CAST(NULL AS TIMESTAMP) AS tmin, CAST(NULL AS TIMESTAMP) AS tmax")
+        spark.sql(
+          """SELECT 0L AS n, CAST(NULL AS TIMESTAMP) AS tmin, CAST(NULL AS TIMESTAMP) AS tmax,
+            |  CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax""".stripMargin)
       case _ =>
         st.read(f.name, valueType = valueTypeOf(f))
           .agg(count(lit(1)).as("n"),
-            min(col("time")).as("tmin"), max(col("time")).as("tmax"))
+            min(col("time")).as("tmin"), max(col("time")).as("tmax"),
+            min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     }
   }
 

@@ -4828,7 +4828,8 @@ object QueryLib {
         name = Some("fstat/purchase"))
       fs.featureTableStats("fstat/purchase")
     },
-    Some("""SELECT CAST(count(*) AS BIGINT) AS n, min(ts) AS tmin, max(ts) AS tmax
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n, min(ts) AS tmin, max(ts) AS tmax,
+           |  min(value) AS vmin, max(value) AS vmax
            |FROM events WHERE event_type = 'purchase'""".stripMargin))
 
   private val fsDescribe = Q(

@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
 import graft.ops.TimeseriesOps._
 
 /** Metadata-only table statistics ([[TimeseriesStore.tableStatsFast]]):
-  * exact stored-row count and event-time bounds in epoch micros. */
+  * exact stored-row count, event-time bounds in epoch micros, and —
+  * for numeric tables whose every live file carries them — value
+  * bounds. */
 final case class TableStats(
     rows: Long,
     tminMicros: Option[Long],
-    tmaxMicros: Option[Long])
+    tmaxMicros: Option[Long],
+    vmin: Option[Double] = None,
+    vmax: Option[Double] = None)
 
 /** Physical storage of one namespace: each feature is a hive-partitioned
   * snappy-parquet directory `<url>/feature/<name>/partition=<p>/...`,
@@ -1017,7 +1021,9 @@ class TimeseriesStore(
     rows.map { n =>
       TableStats(n,
         if (adds.forall(_.tmin.nonEmpty)) Some(adds.flatMap(_.tmin).min) else None,
-        if (adds.forall(_.tmax.nonEmpty)) Some(adds.flatMap(_.tmax).max) else None)
+        if (adds.forall(_.tmax.nonEmpty)) Some(adds.flatMap(_.tmax).max) else None,
+        if (adds.forall(_.vmin.nonEmpty)) Some(adds.flatMap(_.vmin).min) else None,
+        if (adds.forall(_.vmax.nonEmpty)) Some(adds.flatMap(_.vmax).max) else None)
     }
   }
 

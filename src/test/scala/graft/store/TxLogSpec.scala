@@ -472,6 +472,7 @@ class TxLogSpec extends SparkSpec {
     assert(s1.rows === 3L)
     assert(s1.tminMicros.contains(ts("2024-01-01T10:00:00").getTime * 1000L))
     assert(s1.tmaxMicros.contains(ts("2024-01-05T09:15:00").getTime * 1000L))
+    assert(s1.vmin.contains(1.0) && s1.vmax.contains(3.0))
     // the fast numbers must agree with the scan they replace
     assert(tx.read("fast").count() === 3L)
     // delete rewrites victims -> counts and bounds stay exact
