@@ -423,6 +423,71 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).optimizeZorder(f.name, bits)
   }
 
+  /** One-call table maintenance (txlog backend) — the nightly verb:
+    * re-pack small files (`zorder = true` instead runs the z-clustered
+    * FULL rewrite, refreshing value locality after a day of appends),
+    * then vacuum bytes retired longer than `retentionMs` ago. Returns
+    * (filesRepacked, filesVacuumed). Each step is its own atomic
+    * commit; a failure between them leaves a consistent table that the
+    * next run simply finishes. At 100 TB this is the scheduled job
+    * that keeps a micro-batch-fed feature readable: bounded file
+    * counts, tight per-file stats, reclaimed history.
+    */
+  def maintainFeature(
+      fullName: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorder: Boolean = false,
+      retentionMs: Long = 3600000L): (Long, Long) = {
+    val (nsObj, f) = featureOf(fullName)
+    val st = store(nsObj)
+    val repacked =
+      if (zorder) st.optimizeZorder(f.name, targetBytes = targetBytes)
+      else st.optimize(f.name, targetBytes)
+    (repacked, st.vacuum(f.name, retentionMs))
+  }
+
+  /** One-pass profile of EVERY plain numeric feature in a namespace:
+    * the tagged union of all series through one grouped moment
+    * aggregation + one grouped quantile sketch — N features cost ONE
+    * job, not N [[describeFeature]] calls (each its own Spark job and
+    * its own full scan scheduling overhead). Returns one row per
+    * feature: (feature, n, mean, std, min, max, p50). Serialized,
+    * transformed, and non-double features are skipped (their profile
+    * is not a number); an empty namespace yields an empty frame with
+    * the same schema.
+    */
+  def profileNamespace(namespace: String): DataFrame = {
+    val feats = listFeatures(Some(namespace)).filter(f =>
+      f.transform.isEmpty && !f.serialized && valueTypeOf(f) == DoubleType)
+    val empty = spark.sql(
+      """SELECT CAST(NULL AS STRING) AS feature, 0L AS n, CAST(NULL AS DOUBLE) AS mean,
+        |  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+        |  CAST(NULL AS DOUBLE) AS max, CAST(NULL AS DOUBLE) AS p50
+        |WHERE FALSE""".stripMargin)
+    if (feats.isEmpty) return empty
+    val tagged = feats.map { f =>
+      loadSeries(f.fullName, None, None, None, clipFrom = true, Nil)
+        .select(lit(f.name).as("feature"), col("value").cast("double").as("value"))
+    }.reduce(_ unionByName _)
+    val v = col("value").cast("decimal(18,2)")
+    val n = count(lit(1))
+    val moments = tagged.groupBy(col("feature")).agg(
+      n.as("n"),
+      (sum(v).cast("double") / n).as("mean"),
+      when(n > 1, sqrt(
+        (sum((v * v).cast("decimal(28,4)")).cast("double") * n -
+          sum(v).cast("double") * sum(v).cast("double")) /
+          (n * (n - 1)).cast("double"))).as("std"),
+      min(col("value")).as("min"),
+      max(col("value")).as("max"))
+    val p50 = graft.functions.QuantileSketch.quantiles(
+      graft.functions.QuantileSketch.sketch(tagged, Seq("feature"), col("value")),
+      Seq("feature"), Seq(("p50", 1, 2))).select(col("feature"), col("p50"))
+    moments.join(p50, Seq("feature"))
+      .select(col("feature"), col("n"), col("mean"), col("std"),
+        col("min"), col("max"), col("p50"))
+  }
+
   /** Metadata-only table statistics (txlog backend): one row
     * (n, tmin, tmax, vmin, vmax) — exact stored-row count, event-time
     * bounds, and value bounds answered from the transaction log alone,

@@ -52,6 +52,55 @@ class FeatureStoreSpec extends SparkSpec {
     assert(win.getLong(0) === 10L && win.getDouble(4) === 5.0)
   }
 
+  test("profileNamespace: every numeric feature in ONE pass, sketch p50 in bound") {
+    val fs = freshStore()
+    fs.createFeature("test/pa")
+    fs.createFeature("test/pb")
+    fs.createFeature("test/skipme", serialized = true)
+    fs.saveDataFrame(dailySeries("2021-01-01", 50, i => (i + 1) * 1.0), Some("test/pa"))
+    fs.saveDataFrame(dailySeries("2021-01-01", 20, i => 100.0 + i), Some("test/pb"))
+    val rows = fs.profileNamespace("test").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("pa", "pb")) // serialized feature skipped
+    val pa = rows("pa")
+    assert(pa.getLong(1) === 50L)
+    assert(math.abs(pa.getDouble(2) - 25.5) < 1e-9) // mean of 1..50
+    assert(pa.getDouble(4) === 1.0 && pa.getDouble(5) === 50.0)
+    val p50 = pa.getDouble(6) // exact nearest-rank = 25.0; sketch within 2^-7
+    assert(p50 <= 25.0 + 1e-9 && (25.0 - p50) / 25.0 <= 1.0 / 128 + 1e-9, s"p50=$p50")
+    val pb = rows("pb")
+    assert(pb.getLong(1) === 20L && pb.getDouble(4) === 100.0 && pb.getDouble(5) === 119.0)
+    // empty namespace: empty frame, same schema
+    fs.createNamespace("emptyns", tmpDir("graft-emptyns"))
+    val e = fs.profileNamespace("emptyns")
+    assert(e.columns.toSeq === Seq("feature", "n", "mean", "std", "min", "max", "p50"))
+    assert(e.count() === 0)
+  }
+
+  test("maintainFeature: repack + vacuum in one call; zorder leg keeps rows") {
+    val dir = tmpDir("graft-maint")
+    val fs = new FeatureStore(spark, s"$dir/catalog.json")
+    fs.createNamespace("m", s"$dir/warehouse", backend = "txlog")
+    fs.createFeature("m/f")
+    // many tiny commits -> many small files
+    (0 until 6).foreach { b =>
+      fs.saveDataFrame(dailySeries("2021-01-01", 10, i => b * 10.0 + i), Some("m/f"))
+    }
+    val before = fs.loadDataFrame(Seq("m/f"), Some(ts("2021-01-01")), Some(ts("2021-01-10")))
+      .orderBy("time").collect().map(_.getDouble(1)).toSeq
+    val (repacked, vacuumed) = fs.maintainFeature("m/f", retentionMs = 0L)
+    assert(repacked > 0, "small files should repack")
+    assert(vacuumed > 0, "retired bytes should vacuum at retention 0")
+    val after = fs.loadDataFrame(Seq("m/f"), Some(ts("2021-01-01")), Some(ts("2021-01-10")))
+      .orderBy("time").collect().map(_.getDouble(1)).toSeq
+    assert(after === before) // LWW-deduped reads unchanged by maintenance
+    // z-order leg: full rewrite, rows still identical
+    val (rewritten, _) = fs.maintainFeature("m/f", zorder = true, retentionMs = 3600000L)
+    assert(rewritten > 0)
+    assert(fs.loadDataFrame(Seq("m/f"), Some(ts("2021-01-01")), Some(ts("2021-01-10")))
+      .orderBy("time").collect().map(_.getDouble(1)).toSeq === before)
+  }
+
   test("save/load round trip with dedup on rewrite (test :350-402)") {
     val fs = freshStore()
     fs.createFeature("test/df1")
