@@ -84,12 +84,16 @@ object Scale {
       df: DataFrame,
       table: String,
       buckets: Int,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String],
+      path: Option[String] = None): Unit = {
     val w: DataFrameWriter[Row] = df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+    // explicit location -> external table (callers owning their scratch
+    // or lake layout); otherwise the session warehouse
+    path.foreach(p => w.option("path", p))
     w.saveAsTable(table)
   }
 }

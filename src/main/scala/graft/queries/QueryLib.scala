@@ -1186,6 +1186,64 @@ object QueryLib {
            | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
            |WHERE c.user_id % 5 = 0""".stripMargin))
 
+  private val fsStreamAttribOuter = Q(
+    "fs_stream_attrib_outer",
+    // The PRODUCTION attribution configuration: LEFT-OUTER watermarked
+    // stream-stream join in Append mode — unconverted clicks emit with
+    // null purchase columns when the watermark proves the horizon
+    // closed, the state-EVICTION path fs_stream_attrib (inner,
+    // unwatermarked) never exercises. Same replay discipline as the
+    // watermarked window gates: time-ordered weekly slices so no later
+    // batch carries rows older than an earlier batch's watermark, plus
+    // a sentinel batch (one far-future click + one far-future purchase
+    // under DIFFERENT sentinel users, so they can never join) that
+    // advances BOTH sides' watermarks past every real click's horizon
+    // — forcing every surviving unmatched click out of state. The
+    // Append output must then equal the batch LEFT JOIN exactly: a
+    // dropped match, a premature null emission, a double emission, or
+    // an unflushed click all hash red. delay (2h) >= horizon (1h)
+    // keeps boundary clicks alive into the slice carrying their last
+    // possible match.
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("sattro")
+      val src = T(s, dir, "events")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      val sentinel = Seq(
+        (java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+          -999L, "click", 0.0),
+        (java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+          -998L, "purchase", 0.0))
+        .toDF("ts", "user_id", "event_type", "value")
+      val srcDir = stageTimeOrderedReplay("sattro", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"), sentinel = sentinel)
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"sattro_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams
+          .attributionJoinOuter(stream, horizon = "1 hour", delay = "2 hours")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // the sentinel click's own horizon never closes (the watermark
+      // lags delay behind it), so it is still buffered — not emitted —
+      // when the replay ends; the guard filter is belt-and-braces
+      s.table(view).filter(col("user_id") >= 0)
+    },
+    Some("""SELECT c.user_id, c.ts AS click_ts, p.ts AS buy_ts, p.value
+           |FROM events c LEFT JOIN events p
+           |  ON p.user_id = c.user_id
+           | AND p.event_type = 'purchase'
+           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+           |WHERE c.event_type = 'click' AND c.user_id % 5 = 0""".stripMargin))
+
   private val fsTransformDag = Q(
     "fs_transform_dag",
     // §2.9 virtual-feature transforms under the oracle gate (previously
@@ -2423,6 +2481,100 @@ object QueryLib {
            |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
            |       coalesce(cl.cluster_id, CAST(b.doc_id AS BIGINT)) AS cluster_id
            |FROM base b LEFT JOIN cl ON cl.node = b.doc_id""".stripMargin))
+
+  private val graphTriangles = Q(
+    "graph_triangles",
+    // Per-document triangle participation over the verified near-dup
+    // graph — the density signal between "similar pairs" and "dup
+    // groups": a component that is a loose CHAIN (a~b~c, no a~c)
+    // dedups very differently from a tight clique, and triangle counts
+    // are the standard clustering-coefficient numerator that tells
+    // them apart. Pairs are the same J>=0.3 LSH-verified edges
+    // dedup_components closes; triangles then cost two EQUI-joins —
+    // wedge (e1.b = e2.a over canonical a<b edges, so x<y<z exactly
+    // once) + closure against the edge set — never an all-pairs. The
+    // edge frame is pinned once and fans out to all three join legs.
+    // At 100 TB the edge table is candidate-sized (LSH-bounded, not
+    // corpus²); the wedge join's key space is the vertex set, and the
+    // canonical orientation bounds wedge volume by out-degree — the
+    // production refinement is degree-ordered orientation, same plan
+    // shape. The oracle recomputes triangles INDEPENDENTLY from the
+    // shared pair list, so a wedge/closure bug cannot cancel out.
+    (s, dir) => {
+      val base = mat(T(s, dir, "documents").select(
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val edges = mat(SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          aName = "a", bName = "b")
+        .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.3)
+        .select(col("a"), col("b")))
+      val wedges = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val closed = wedges.join(
+        edges.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      closed.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |${lshOracleCtes("base", "sh", Nil)},
+           |e AS (SELECT doc_a AS a, doc_b AS b
+           |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
+           |      WHERE ${lshVerifySql("sh")} >= 0.3),
+           |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |      FROM e e1 JOIN e e2 ON e2.a = e1.b),
+           |t AS (SELECT w.x, w.y, w.z FROM w JOIN e e3 ON e3.a = w.x AND e3.b = w.z),
+           |u AS (SELECT unnest([x, y, z]) AS doc_id FROM t)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM u GROUP BY 1""".stripMargin))
+
+  private val txtReadability = Q(
+    "txt_readability",
+    // Flesch reading-ease as a curation quality signal, in EXACT
+    // integer counts: words = non-empty tokens, sentences = terminal
+    // punctuation marks (floor 1 — headline-style fragments count as
+    // one), syllables = vowel-group runs per word (floor 1/word, the
+    // standard heuristic). The closing 206.835 - 1.015*(w/s) -
+    // 84.6*(syl/w) is a FIXED left-associated IEEE sequence over
+    // exact integers, rounded once at 6 — the determinism doctrine
+    // every scoring gate follows. One narrow token explode + hash-agg
+    // per doc plus a metadata-narrow per-doc sentence count joined on
+    // doc_id: shuffles carry (doc_id, three longs), never text.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val tok = d.select(col("doc_id"), explode(toks).as("t"))
+        .filter(length(col("t")) > 0)
+      val per = tok.groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("long").as("n_words"),
+        sum(greatest(size(regexp_extract_all(col("t"), lit("[aeiouy]+"), lit(0))), lit(1)))
+          .cast("long").as("n_syllables"))
+      val sent = d.select(col("doc_id"),
+        greatest(length(regexp_replace(col("text"), "[^.!?]", "")), lit(1))
+          .cast("long").as("n_sentences"))
+      per.join(sent, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 6)
+            .as("flesch"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |tk AS (SELECT * FROM tok WHERE length(t) > 0),
+           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)) AS BIGINT) AS n_syllables
+           |  FROM tk GROUP BY 1),
+           |sent AS (SELECT doc_id,
+           |    CAST(greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1) AS BIGINT) AS n_sentences
+           |  FROM documents)
+           |SELECT p.doc_id, n_words, n_sentences, n_syllables,
+           |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch
+           |FROM per p JOIN sent s ON s.doc_id = p.doc_id""".stripMargin))
 
   private val txtUnigramSurprisal = Q(
     "txt_unigram_surprisal",
@@ -4809,6 +4961,67 @@ object QueryLib {
     Some("""SELECT ts AS time, user_id, value FROM events
            |WHERE event_type = 'purchase'""".stripMargin))
 
+  private val srcOrcRoundtrip = Q(
+    "src_orc_roundtrip",
+    // Columnar-interchange leg (Ingest.writeOrc/readOrc): the same
+    // purchase slice round-tripped through ORC — the footer-described
+    // format Hive/Trino shops export — under the DECLARED schema, and
+    // the read-back must hash-equal the oracle over raw events:
+    // timestamps to the microsecond (ORC carries nanos natively),
+    // doubles bit-exact. No quarantine split: a columnar file is
+    // self-describing, so corruption fails the task, never a row.
+    // Staged once per JVM like the text legs; the gate times the READ.
+    (s, dir) => {
+      val srcDir = stagedSrc("orcrt", dir) { p =>
+        graft.sources.Ingest.writeOrc(
+          T(s, dir, "events").filter(col("event_type") === "purchase")
+            .select(col("ts").as("time"), col("user_id"), col("value")), p)
+      }
+      graft.sources.Ingest.readOrc(s, srcDir, ingestSchema)
+    },
+    Some("""SELECT ts AS time, user_id, value FROM events
+           |WHERE event_type = 'purchase'""".stripMargin))
+
+  private val fsStoreBucketed = Q(
+    "fs_store_bucketed",
+    // Bucketed co-located join — the layout that deletes the join
+    // shuffle outright: both sides bucketBy the SAME key into the same
+    // bucket count at write time, so every join on that key forever
+    // after reads bucket i against bucket i with NO Exchange on either
+    // side (PlanContractSpec pins the shuffle-free plan with broadcast
+    // disabled). At 100 TB this is THE fact-to-fact pattern: a
+    // broadcast is off the table when both sides are large, and an
+    // exchange would move the full fact table per query — bucketing
+    // pays one layout write, then every repeated join is free. The
+    // gate writes orders and customer bucketed by custkey through the
+    // session catalog, joins them, and the revenue rollup must
+    // hash-equal the oracle's plain join — layout must never change
+    // results.
+    (s, dir) => {
+      val tmp = scratchDir("buck")
+      // DROP first: scratchDir just wiped the previous invocation's
+      // data files, so a surviving catalog entry would point at nothing
+      s.sql("DROP TABLE IF EXISTS graft_buck_orders")
+      s.sql("DROP TABLE IF EXISTS graft_buck_customer")
+      graft.ops.Scale.writeBucketed(
+        T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price")),
+        "graft_buck_orders", 8, Seq("o_custkey"), path = Some(s"$tmp/orders"))
+      graft.ops.Scale.writeBucketed(
+        T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        "graft_buck_customer", 8, Seq("c_custkey"), path = Some(s"$tmp/customer"))
+      s.table("graft_buck_orders")
+        .join(s.table("graft_buck_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("price")).cast("double").as("revenue"))
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY 1""".stripMargin))
+
   private val fsFastStats = Q(
     "fs_fast_stats",
     // Metadata-only COUNT + time bounds (facade featureTableStats):
@@ -5192,7 +5405,7 @@ object QueryLib {
     fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
-    fsStreamAttrib, fsStreamDedupLsh,
+    fsStreamAttrib, fsStreamAttribOuter, fsStreamDedupLsh,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
@@ -5207,14 +5420,15 @@ object QueryLib {
     simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
-    qIntervalJoin, graphPagerank, txtNovelty, txtBm25, txtUnigramSurprisal,
-    txtBigramSurprisal,
+    qIntervalJoin, graphPagerank, graphTriangles, txtNovelty, txtBm25, txtUnigramSurprisal,
+    txtBigramSurprisal, txtReadability,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
     qRollingDistinctHll, txtCmsCounts, qGroupingSets, fsStreamHll, qKmvDistinct,
     qQuantileSketch, fsStreamQuantile, qRollingQuantile, qZorderKey, qKmvOverlap, fsDescribe,
     dqRobustOutliers, fsStreamCms, fsStreamKmv,
-    fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip,
+    fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip, srcOrcRoundtrip,
+    fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmResizeExec,

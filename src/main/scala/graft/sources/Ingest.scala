@@ -60,6 +60,22 @@ object Ingest {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
+  /** ORC — the columnar landing format Hive/Trino shops export.
+    * Self-describing like parquet (schema + stats travel in the file
+    * footer, so there is no corrupt-record lane: a torn file fails the
+    * task, not a row) and splittable by stripe. The reader still takes
+    * the DECLARED schema — a drifted upstream export fails loudly at
+    * analysis time instead of flipping a type mid-load — and ORC
+    * timestamps carry nanosecond precision natively, so micro-precision
+    * event times round-trip without the text formats' explicit
+    * 6-digit-fraction format.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** (clean rows without the corrupt column, quarantined raw lines).
     *
     * The parsed frame is pinned first: Spark refuses a projection that

@@ -90,6 +90,43 @@ object EventStreams {
       .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
   }
 
+  /** LEFT-OUTER stream-stream attribution: every click emits exactly
+    * once — joined to each purchase landing within `horizon` after it,
+    * or with null purchase columns once the watermark PROVES no match
+    * can still arrive. The null row rides state eviction (Spark emits
+    * the unmatched left row when the watermark passes
+    * `click_ts + horizon`), which is why outer stream-stream joins
+    * REQUIRE watermarks on both sides plus a time-range condition —
+    * unbounded buffering could never rule a future match out. Over a
+    * time-ordered finite replay whose final watermark passes every
+    * real click's horizon, the Append output equals the batch LEFT
+    * JOIN exactly (the fs_stream_attrib_outer certification).
+    *
+    * `delay` must be >= `horizon`: time-ordered slices put a boundary
+    * click's last possible match in the very next slice, and the
+    * watermark — lagging `delay` behind max seen time — must not evict
+    * the click's buffered state before that slice lands. State is
+    * O(rows within `horizon + delay` of the watermark) per side — the
+    * bounded-buffer contract that holds on an unbounded stream.
+    */
+  def attributionJoinOuter(
+      events: DataFrame,
+      horizon: String = "1 hour",
+      delay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("ts").as("buy_ts"), col("value"))
+      .withWatermark("buy_ts", delay)
+    clicks.join(buys,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
+  }
+
   /** Streaming last-writer-wins: the continuous analogue of
     * `TimeseriesOps.dedupLatest` — per key, emit the newest (time,
     * value) seen so far whenever it changes. Custom state via

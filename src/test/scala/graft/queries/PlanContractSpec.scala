@@ -62,10 +62,14 @@ class PlanContractSpec extends SparkSpec {
       "fs_store_zorder", "fs_fast_stats",
       // ingest round-trips stage a text write at build time and pin
       // the parsed frame (the quarantine contract)
-      "src_csv_roundtrip", "src_json_roundtrip",
+      "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+      // writes two bucketed catalog tables at build time; its
+      // shuffle-free join contract has its own dedicated test below
+      "fs_store_bucketed",
       "fs_training_frame", "fs_transform_dag",
       "fs_stream_sink", "fs_stream_window", "fs_stream_window_wm", "fs_stream_session", "fs_stream_session_wm",
-      "fs_stream_dedup", "fs_stream_attrib", "fs_stream_hll", "fs_stream_ewma",
+      "fs_stream_dedup", "fs_stream_attrib", "fs_stream_attrib_outer",
+      "fs_stream_hll", "fs_stream_ewma",
       "fs_stream_dedup_lsh", "fs_stream_quantile", "fs_stream_cms", "fs_stream_kmv",
       // iterative trainers: their BUILD runs the full job sequence
       // (pageRank's nodes.count + per-iteration joins; BPE's 3 merge
@@ -242,6 +246,57 @@ class PlanContractSpec extends SparkSpec {
         graft.functions.AnnPq.encodeExpr(cb, col("embedding").cast("array<double>")))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"PQ encode shuffles:\n$p")
+  }
+
+  test("bucketed co-located join plans NO exchange on either side") {
+    // fs_store_bucketed's 100 TB contract, pinned with broadcast
+    // disabled so the bucketing — not a small-side shortcut — must
+    // delete the shuffle: both sides bucketBy the same key into the
+    // same bucket count, and the join reads bucket i against bucket i.
+    // An Exchange under the join means bucketed output partitioning
+    // stopped reaching the planner and every query re-pays the
+    // layout's one-time shuffle.
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("buckspec").toString
+    spark.sql("DROP TABLE IF EXISTS buckspec_l")
+    spark.sql("DROP TABLE IF EXISTS buckspec_r")
+    try {
+      spark.range(200).select((col("id") % 40).as("k"), col("id").as("v"))
+        .write.option("path", s"$tmp/l").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("buckspec_l")
+      spark.range(100).select((col("id") % 40).as("k"), (col("id") * 2).as("w"))
+        .write.option("path", s"$tmp/r").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("buckspec_r")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = spark.table("buckspec_l")
+          .join(spark.table("buckspec_r"), Seq("k"))
+          .queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a co-located shuffle-family join:\n$p")
+        assert(!p.contains("Exchange"), s"bucketed join shuffles:\n$p")
+        assert(count(p, "Bucketed: true") === 2, s"scan not bucket-aware:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS buckspec_l")
+      spark.sql("DROP TABLE IF EXISTS buckspec_r")
+    }
+  }
+
+  test("graph_triangles pins the edge frame once: one corpus scan feeds all three join legs") {
+    // the LSH edge build (sketch + band + verify) must not replay per
+    // wedge/closure leg — same pinning doctrine as the dedup gates
+    val lp = QueryLib.queries("graph_triangles")(spark, dir).queryExecution.optimizedPlan
+    val fileScans = lp.collect {
+      case l if l.getClass.getSimpleName == "LogicalRelation" => l
+    }.size
+    val cacheScans = lp.collect {
+      case l if l.getClass.getSimpleName == "InMemoryRelation" => l
+    }.size
+    assert(fileScans <= 1, s"$fileScans uncached parquet scans — edge replay is back")
+    assert(cacheScans >= 3, s"pinned edge frame not feeding the join legs")
+    spark.catalog.clearCache()
   }
 
   test("q_pack_shards joins slice offsets by broadcast, never by shuffling the corpus") {

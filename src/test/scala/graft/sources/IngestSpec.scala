@@ -36,6 +36,30 @@ class IngestSpec extends SparkSpec {
     assert(good.as[(java.sql.Timestamp, Long, Double)].collect().toSeq === rows)
   }
 
+  test("ORC round-trips micro-precision timestamps and doubles exactly") {
+    val dir = tmpDir("graft-ingest-orc")
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-03-01 10:15:30.123456"), 7L, 35.2),
+      (java.sql.Timestamp.valueOf("2024-03-02 23:59:59.999999"), 9L, 0.01))
+    Ingest.writeOrc(rows.toDF("time", "user_id", "value"), s"$dir/out")
+    val got = Ingest.readOrc(spark, s"$dir/out", schema)
+      .as[(java.sql.Timestamp, Long, Double)].collect().sortBy(_._2)
+    assert(got.toSeq === rows.sortBy(_._2))
+  }
+
+  test("ORC read enforces the DECLARED schema, not the file's") {
+    // the no-inference rule, columnar edition: the frame's shape is the
+    // DECLARED schema regardless of what the file carries — a narrower
+    // declaration prunes columns at the scan (the pushdown contract),
+    // never surfacing undeclared ones.
+    val dir = tmpDir("graft-ingest-orc-schema")
+    Ingest.writeOrc(Seq((1L, 2.0)).toDF("user_id", "value"), s"$dir/out")
+    val narrow = Ingest.readOrc(spark, s"$dir/out",
+      StructType(Seq(StructField("value", DoubleType))))
+    assert(narrow.columns.toSeq === Seq("value"))
+    assert(narrow.as[Double].collect().toSeq === Seq(2.0))
+  }
+
   test("a mangled line quarantines instead of failing the load") {
     val dir = tmpDir("graft-ingest-bad")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))

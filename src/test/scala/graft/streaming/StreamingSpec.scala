@@ -83,6 +83,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 42.0)))
   }
 
+  test("attributionJoinOuter emits unconverted clicks with nulls after the horizon closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.attributionJoinOuter(mem.toDF(), horizon = "1 hour", delay = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("attro").start()
+    mem.addData(mkEvents(
+      ("2024-01-01T10:00:00", 1, "click", 0.0),
+      ("2024-01-01T10:30:00", 1, "purchase", 42.0), // converts within horizon
+      ("2024-01-01T10:05:00", 2, "click", 0.0)): _*) // never converts
+    q.processAllAvailable()
+    // watermark so far: 10:30 - 2h — user 2's horizon (11:05) not yet
+    // provably closed, so only the match may have emitted
+    val mid = spark.table("attro").collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(mid.toSeq == Seq((1L, false)), s"premature null emission: ${mid.toSeq}")
+    // later events push BOTH sides' watermarks past 11:05 + delay ->
+    // the unmatched click must flush with null purchase columns. (One
+    // per side: each withWatermark node only sees rows surviving its
+    // own event-type filter — the sentinel discipline of the gate.)
+    // The 16:00 click's own horizon stays open, so it never emits; the
+    // 16:00 purchase matches no click and left-outer drops it.
+    mem.addData(mkEvents(
+      ("2024-01-01T16:00:00", 8, "click", 0.0),
+      ("2024-01-01T16:00:00", 9, "purchase", 0.0)): _*)
+    q.processAllAvailable()
+    // the null row rides the NO-DATA micro-batch that runs after the
+    // watermark advances; processAllAvailable may return before it
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.table("attro").count() < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(100); q.processAllAvailable()
+    }
+    val out = spark.table("attro").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .sortBy(_._1)
+    q.stop()
+    assert(out.toSeq == Seq((1L, false, 42.0), (2L, true, -1.0)))
+  }
+
   test("dedupStream collapses redelivered keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
