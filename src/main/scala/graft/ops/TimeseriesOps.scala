@@ -804,6 +804,68 @@ object TimeseriesOps {
   def firstRow(df: DataFrame, timeCol: String = TimeCol): DataFrame =
     df.orderBy(col(timeCol).asc).limit(1)
 
+  /** Largest-triangle downsampling for visualization (LTTB, Steinarsson
+    * 2013) in its BUCKET-ANCHOR, fully parallel variant. The classic
+    * algorithm chains each bucket's selection to the PREVIOUS bucket's
+    * selected point — a sequential dependency that cannot distribute;
+    * anchoring each bucket on its NEIGHBOR BUCKETS' centroids keeps
+    * the fidelity property (retain extremes, drop redundant midpoints
+    * — the selected point maximizes the triangle area against the
+    * local trend line) while making every bucket independent: two
+    * hash-aggs, two metadata-sized centroid joins, one per-bucket
+    * window — no sequential pass at any series length. First/last
+    * buckets keep their first/last point, so the series endpoints
+    * always survive (the LTTB contract).
+    *
+    * Raw rows aggregate to a `pointSecs` grid first (candidate points
+    * are grid means), then one point per `bucketSecs` bucket survives.
+    * Determinism doctrine: x is an exact integer grid index, y and
+    * both centroid coordinates are exact sums (decimal for values,
+    * integer for x) closed by one IEEE division each, the triangle
+    * cross-product is a fixed IEEE sequence rounded once at 6, and
+    * area ties resolve to the earliest point.
+    */
+  def lttbDownsample(
+      df: DataFrame,
+      timeCol: String = TimeCol,
+      valueCol: String = "value",
+      pointSecs: Long = 3600L,
+      bucketSecs: Long = 86400L): DataFrame = {
+    require(bucketSecs % pointSecs == 0 && bucketSecs > pointSecs,
+      s"bucketSecs must be a multiple of pointSecs, got $bucketSecs / $pointSecs")
+    val ev = df.select(
+      (unix_timestamp(col(timeCol)) / pointSecs).cast("long").as("hx"),
+      col(valueCol).cast("double").as("v"))
+    def bucketOf(hx: Column): Column =
+      (hx * pointSecs / bucketSecs).cast("long")
+    val anchors = ev.groupBy(bucketOf(col("hx")).as("b")).agg(
+      (sum(col("hx")).cast("double") / count(lit(1))).as("ax"),
+      (sum(col("v").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("ay"))
+    val pts = ev.groupBy(col("hx")).agg(
+        (sum(col("v").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("y"))
+      .withColumn("b", bucketOf(col("hx")))
+    val wa = pts
+      .join(anchors.select((col("b") + 1).as("b"),
+        col("ax").as("pax"), col("ay").as("pay")), Seq("b"), "left")
+      .join(anchors.select((col("b") - 1).as("b"),
+        col("ax").as("nax"), col("ay").as("nay")), Seq("b"), "left")
+      .withColumn("area", when(col("pax").isNotNull && col("nax").isNotNull,
+        round(abs((col("nax") - col("pax")) * (col("y") - col("pay")) -
+          (col("hx").cast("double") - col("pax")) * (col("nay") - col("pay"))), 6)))
+    val wArea = Window.partitionBy(col("b")).orderBy(col("area").desc, col("hx"))
+    val wF = Window.partitionBy(col("b")).orderBy(col("hx"))
+    val wL = Window.partitionBy(col("b")).orderBy(col("hx").desc)
+    wa.withColumn("rn", row_number().over(wArea))
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rl", row_number().over(wL))
+      .filter((col("pax").isNull && col("rf") === 1) ||
+        (col("pax").isNotNull && col("nax").isNull && col("rl") === 1) ||
+        (col("pax").isNotNull && col("nax").isNotNull && col("rn") === 1))
+      .select(col("b"),
+        timestamp_seconds(col("hx") * pointSecs).as(timeCol),
+        col("y").as(valueCol))
+  }
+
   // ---------------------------------------------------------------------
   // A2: time bounds of a feature (dask.py:150-153) — tiny agg job used to
   // default a load's date range.

@@ -336,6 +336,53 @@ object QueryLib {
            |                 TIMESTAMP '1999-12-01', INTERVAL 1 MONTH)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsDownsampleLttb = Q(
+    "fs_downsample_lttb",
+    // Visualization downsampling (TimeseriesOps.lttbDownsample): the
+    // month of hourly purchase means reduced to one point per day by
+    // largest-triangle selection against the neighbor buckets'
+    // centroids — the parallel LTTB variant (the classic chained form
+    // is sequential by construction; the centroid anchor keeps the
+    // keep-extremes property with every bucket independent). The
+    // oracle replays the identical selection: integer hour index,
+    // decimal-exact means, one fixed IEEE cross-product rounded at 6,
+    // ties to the earliest point — so a drifted anchor, a wrong
+    // endpoint rule, or a float-order hazard all hash red. At 100 TB
+    // this is how a dashboard reads a years-deep series: two
+    // hash-aggs + centroid joins, never a collect of the raw points.
+    (s, dir) => TimeseriesOps.lttbDownsample(
+      T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts"), col("value")),
+      timeCol = "ts", valueCol = "value"),
+    Some("""WITH ev AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS hx, value
+           |            FROM events WHERE event_type = 'purchase'),
+           |evb AS (SELECT hx, value, hx // 24 AS b FROM ev),
+           |anchor AS (SELECT b, CAST(sum(hx) AS DOUBLE) / count(*) AS ax,
+           |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ay
+           |           FROM evb GROUP BY b),
+           |pts AS (SELECT hx, hx // 24 AS b,
+           |               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS y
+           |        FROM evb GROUP BY hx),
+           |wa AS (SELECT p.*, pa.ax AS pax, pa.ay AS pay, na.ax AS nax, na.ay AS nay
+           |       FROM pts p LEFT JOIN anchor pa ON pa.b = p.b - 1
+           |                  LEFT JOIN anchor na ON na.b = p.b + 1),
+           |sc AS (SELECT b, hx, y, pax, nax,
+           |         CASE WHEN pax IS NOT NULL AND nax IS NOT NULL THEN
+           |           round(abs((nax - pax) * (y - pay) - (CAST(hx AS DOUBLE) - pax) * (nay - pay)), 6)
+           |         END AS area
+           |       FROM wa),
+           |rn AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY area DESC, hx) AS rn,
+           |              row_number() OVER (PARTITION BY b ORDER BY hx) AS rf,
+           |              row_number() OVER (PARTITION BY b ORDER BY hx DESC) AS rl
+           |       FROM sc)
+           |SELECT CAST(b AS BIGINT) AS b,
+           |       TIMESTAMP '1970-01-01 00:00:00' + to_seconds(hx * 3600) AS ts,
+           |       y AS value
+           |FROM rn
+           |WHERE (pax IS NULL AND rf = 1)
+           |   OR (pax IS NOT NULL AND nax IS NULL AND rl = 1)
+           |   OR (pax IS NOT NULL AND nax IS NOT NULL AND rn = 1)""".stripMargin))
+
   private val fsAlign2 = Q(
     "fs_align_2",
     (s, dir) => {
@@ -1243,6 +1290,46 @@ object QueryLib {
            | AND p.event_type = 'purchase'
            | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
            |WHERE c.event_type = 'click' AND c.user_id % 5 = 0""".stripMargin))
+
+  private val fsStreamEnrich = Q(
+    "fs_stream_enrich",
+    // Stream-static enrichment — the remaining join family §2.10 runs:
+    // each micro-batch of the event stream broadcast-joins the STATIC
+    // customer dimension (EventStreams.enrich), stateless by
+    // construction — no watermark, no state store, the dimension is
+    // re-resolved per batch (which is exactly how a slowly-changing
+    // dim picks up updates between batches on a real stream). Append
+    // output over the 4-file replay must therefore hash-equal the
+    // plain batch left join. At 100 TB/day the dim side stays
+    // broadcast-sized (customers, not events) and the stream side
+    // never shuffles — the certification pins stream/batch parity for
+    // the third join execution path (inner SS, outer SS, and now
+    // stream-static).
+    (s, dir) => {
+      val src = T(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("ts"), col("user_id"), col("value"))
+      val srcDir = stagedSrc("senrich", dir)(p => src.repartition(4).write.parquet(p))
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val stream = s.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"senrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.enrich(stream, dim, "user_id")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""SELECT e.ts, e.user_id, e.value, c.c_mktsegment
+           |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+           |WHERE e.event_type = 'purchase'""".stripMargin))
 
   private val fsTransformDag = Q(
     "fs_transform_dag",
@@ -3586,6 +3673,85 @@ object QueryLib {
            |  1 AS within_5pct
            |FROM events GROUP BY event_type""".stripMargin))
 
+  private val mlChi2Select = Q(
+    "ml_chi2_select",
+    // Chi-square feature selection — the filter-method ranking a
+    // tabular-ML pipeline runs before training: independence of each
+    // candidate feature (6-hour time-of-day bucket, arithmetic
+    // day-of-week, 100-unit value bin) against the event_type label.
+    // Determinism doctrine, three layers: buckets are pure INTEGER
+    // arithmetic on epoch seconds (no engine date functions — dow
+    // conventions differ across engines); each cell term is
+    // (O·N − rt·ct)²/(rt·ct·N) where the numerator root is an
+    // exact-integer-valued double (≤1e10 at sf0.1, inside 2^53), so
+    // x·x and the division are TWO deterministic IEEE ops; and the
+    // per-feature sum folds the cells in fixed (bucket, label) order —
+    // the fs_ewma_last list-fold pattern, since a float SUM aggregate
+    // would be order-nondeterministic. Zero cells (O=0) contribute
+    // rt·ct/N like the textbook statistic, via the grid left join.
+    // One explode + three hash-aggs + metadata-sized grid joins;
+    // shuffles carry (feature, bucket, label, counts), never rows.
+    (s, dir) => {
+      val secs = unix_timestamp(col("ts"))
+      val cells = T(s, dir, "events").select(
+        col("event_type").as("label"),
+        explode(array(
+          struct(lit("hour6").as("feature"),
+            ((secs % 86400L) / 21600L).cast("long").cast("string").as("bucket")),
+          struct(lit("dow").as("feature"),
+            ((secs / 86400L).cast("long") % 7L).cast("string").as("bucket")),
+          struct(lit("val100").as("feature"),
+            coalesce(least(floor(col("value") / 100), lit(4L)).cast("string"), lit("na"))
+              .as("bucket")))).as("fb"))
+        .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"), col("label"))
+      val obs = cells.groupBy(col("feature"), col("bucket"), col("label"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("feature"), col("bucket")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("feature"), col("label")).agg(sum(col("o")).as("ct"))
+      val nn = obs.groupBy(col("feature")).agg(sum(col("o")).as("nn"))
+      val full = rt.join(ct, Seq("feature")).join(nn, Seq("feature"))
+        .join(obs, Seq("feature", "bucket", "label"), "left")
+        .withColumn("x",
+          (coalesce(col("o"), lit(0L)) * col("nn") - col("rt") * col("ct")).cast("double"))
+        .withColumn("term",
+          (col("x") * col("x")) / (col("rt") * col("ct") * col("nn")).cast("double"))
+      full.groupBy(col("feature")).agg(
+        ((countDistinct(col("bucket")) - 1) * (countDistinct(col("label")) - 1))
+          .cast("long").as("dof"),
+        round(aggregate(
+          transform(
+            array_sort(collect_list(struct(col("bucket"), col("label"), col("term")))),
+            t => t.getField("term")),
+          lit(0.0), (a, t) => a + t), 6).as("chi2"))
+    },
+    Some("""WITH s AS (SELECT epoch_us(ts) // 1000000 AS secs, event_type, value FROM events),
+           |cells AS (
+           |  SELECT 'hour6' AS feature, CAST((secs % 86400) // 21600 AS VARCHAR) AS bucket,
+           |         event_type AS label FROM s
+           |  UNION ALL
+           |  SELECT 'dow', CAST((secs // 86400) % 7 AS VARCHAR), event_type FROM s
+           |  UNION ALL
+           |  SELECT 'val100',
+           |         coalesce(CAST(least(CAST(floor(value / 100) AS BIGINT), 4) AS VARCHAR), 'na'),
+           |         event_type FROM s),
+           |obs AS (SELECT feature, bucket, label, CAST(count(*) AS BIGINT) AS o
+           |        FROM cells GROUP BY 1, 2, 3),
+           |rt AS (SELECT feature, bucket, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1, 2),
+           |ct AS (SELECT feature, label, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1, 2),
+           |nn AS (SELECT feature, CAST(sum(o) AS BIGINT) AS nn FROM obs GROUP BY 1),
+           |f AS (SELECT g.feature, g.bucket, g.label,
+           |        CAST(coalesce(o.o, 0) * g.nn - g.rt * g.ct AS DOUBLE) AS x,
+           |        CAST(g.rt * g.ct * g.nn AS DOUBLE) AS den
+           |      FROM (SELECT rt.feature, rt.bucket, ct.label, rt.rt, ct.ct, nn.nn
+           |            FROM rt JOIN ct ON ct.feature = rt.feature
+           |                    JOIN nn ON nn.feature = rt.feature) g
+           |      LEFT JOIN obs o ON o.feature = g.feature AND o.bucket = g.bucket
+           |                     AND o.label = g.label)
+           |SELECT feature,
+           |  CAST((count(DISTINCT bucket) - 1) * (count(DISTINCT label) - 1) AS BIGINT) AS dof,
+           |  round(list_reduce(list((x * x) / den ORDER BY bucket, label), (a, t) -> a + t), 6) AS chi2
+           |FROM f GROUP BY feature""".stripMargin))
+
   private val mlFeatureHash = Q(
     "ml_feature_hash",
     // the hashing trick (Weinberger et al. 2009): vocabulary-free
@@ -5401,11 +5567,11 @@ object QueryLib {
   val all: Seq[Q] = Seq(
     fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
     fsResampleYears,
-    fsResampleMonthly, fsResampleInterp, fsResampleBfill, fsAlign2,
+    fsResampleMonthly, fsResampleInterp, fsResampleBfill, fsAlign2, fsDownsampleLttb,
     fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
-    fsStreamAttrib, fsStreamAttribOuter, fsStreamDedupLsh,
+    fsStreamAttrib, fsStreamAttribOuter, fsStreamEnrich, fsStreamDedupLsh,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
@@ -5418,7 +5584,7 @@ object QueryLib {
     docHoldoutGroups,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
     simLabelCentroid,
-    fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlTargetEncode,
+    fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, graphTriangles, txtNovelty, txtBm25, txtUnigramSurprisal,
     txtBigramSurprisal, txtReadability,

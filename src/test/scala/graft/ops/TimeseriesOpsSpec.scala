@@ -284,6 +284,24 @@ class TimeseriesOpsSpec extends SparkSpec {
       TimeseriesOps.sessionize(df, gapUs = 1L, keyCols = Nil, timeCol = "t"))
   }
 
+  test("lttbDownsample keeps endpoints and picks the max-area point per bucket") {
+    import spark.implicits._
+    // 3 buckets x 4 points (pointSecs=1, bucketSecs=4), flat series
+    // except one spike mid-bucket: first bucket must keep its FIRST
+    // point, last bucket its LAST, and the middle bucket the spike
+    // (largest triangle against the flat neighbor centroids)
+    val df = Seq.tabulate(12) { i =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i.toLong)),
+        if (i == 5) 9.0 else 1.0)
+    }.toDF("time", "value")
+    val out = TimeseriesOps.lttbDownsample(df, "time", "value",
+        pointSecs = 1L, bucketSecs = 4L)
+      .orderBy("b").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getTimestamp(1).toInstant.getEpochSecond).toSeq == Seq(0L, 5L, 11L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 9.0, 1.0))
+  }
+
   test("sessionize is deterministic on duplicate (key, time) rows without a tieBreak") {
     import spark.implicits._
     // three peers at 01:00 after a >gap jump: the RANGE frame must put
