@@ -94,4 +94,34 @@ object MlPrep {
           (((col("__cnt") - 1 + lit(m)) * col("__n")).cast("double")))
       .drop("__cnt", "__sum", "__n", "__gsum")
   }
+
+  /** Exact population covariance matrix over `cols` (the PCA/whitening
+    * precursor), long format: one row per unordered pair `(x, y, cov)`
+    * including the diagonal variances. ONE aggregation pass computes
+    * every Σxᵢ and Σxᵢxⱼ as exact integer-cents decimals (values are
+    * read at 2-decimal precision — the repo's cents convention), so
+    * k columns cost one scan and a 1-row reduce however many pairs
+    * there are — never k² passes, never a collect. Each covariance is
+    * cov = (n·Σxy − Σx·Σy) / (n²·10⁴), all-integer numerator, with the
+    * two casts and one division as the only IEEE steps, rounded at 6 —
+    * the [[targetEncode]] determinism convention. The pair explode runs
+    * on the single aggregate row: metadata-sized.
+    */
+  def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val cents = cols.map(f => round(col(f) * 100).cast("decimal(38,0)"))
+    val pairs = for { i <- cols.indices; j <- i until cols.size } yield (i, j)
+    val aggs = cols.indices.map(i => sum(cents(i)).as(s"__s_$i")) ++
+      pairs.map { case (i, j) => sum(cents(i) * cents(j)).as(s"__p_${i}_$j") }
+    val stats = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("x"), lit(cols(j)).as("y"),
+        round((col("__n") * col(s"__p_${i}_$j") - col(s"__s_$i") * col(s"__s_$j"))
+            .cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double") * lit(10000.0)), 6)
+          .as("cov"))
+    }
+    stats.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"), col("e.cov").as("cov"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity / deduplication primitives for training-data pipelines:
@@ -508,5 +508,66 @@ object SimilarityOps {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as(aName), col(s"y.$idCol").as(bName))
       .distinct()
+  }
+
+  /** Sparse tf-idf pairwise cosine over an inverted index (the
+    * bag-of-words twin of the embedding dedup paths): tokenize → term
+    * frequencies → df-prune → self-join the postings on the term →
+    * hash-agg the dot products → exact integer threshold. The classic
+    * all-pairs-similarity bound applies: candidate volume is Σ_t df(t)²
+    * over SURVIVING terms, so the `maxDfFrac` prune (drop terms in more
+    * than that fraction of the corpus — stopwords carry no similarity
+    * signal anyway) is what caps the join, exactly as in Bayardo et
+    * al., "Scaling Up All Pairs Similarity Search" (WWW 2007).
+    *
+    * Determinism: weights are exact integers — w = tf · bitlen(N ⁄ df)
+    * (the integer-log idf, [[graft.plans.BinLength]] — `ln` is not
+    * cross-engine-stable, bit-length is); dots and norms are exact
+    * integer sums; the cosine threshold is the all-integer comparison
+    * num²·dot² ≥ den²·‖a‖²·‖b‖² for minCos = num/den, so no IEEE op
+    * decides membership. The reported cosine is the closing IEEE
+    * sequence (three casts, multiply, sqrt, divide — all correctly
+    * rounded), rounded at 6.
+    */
+  def tfidfPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCosNum: Int,
+      minCosDen: Int,
+      minDf: Int = 2,
+      maxDfFrac: Int = 20): DataFrame = {
+    require(minCosNum > 0 && minCosDen >= minCosNum,
+      s"minCos must be a fraction in (0,1], got $minCosNum/$minCosDen")
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__term"))
+      .filter(col("__term") =!= "")
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val df_ = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    // the idf join is term-dictionary-sized; the corpus-count scalar
+    // broadcasts as a 1-row frame (the txt_bm25 shape)
+    val w = tf.join(df_, Seq("__term")).crossJoin(broadcast(n))
+      .filter(col("__df") * maxDfFrac <= col("__n") && col("__df") >= minDf)
+      .select(col(idCol), col("__term"),
+        (col("__tf") * graft.plans.BinLength.binLen(
+          (col("__n") / col("__df")).cast("long")).cast("long"))
+          .cast("decimal(38,0)").as("__w"))
+    val nrm = w.groupBy(col(idCol))
+      .agg(sum(col("__w") * col("__w")).as("__nn"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.__term") === col("b.__term") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(sum(col("a.__w") * col("b.__w")).as("__dot"))
+    val num2 = lit(minCosNum.toLong * minCosNum)
+    val den2 = lit(minCosDen.toLong * minCosDen)
+    dots
+      .join(nrm.select(col(idCol).as("d1"), col("__nn").as("__n1")), Seq("d1"))
+      .join(nrm.select(col(idCol).as("d2"), col("__nn").as("__n2")), Seq("d2"))
+      .filter(den2 * col("__dot") * col("__dot") >= num2 * col("__n1") * col("__n2"))
+      .select(col("d1"), col("d2"), col("__dot").cast("long").as("dot"),
+        round(col("__dot").cast("double") /
+          sqrt(col("__n1").cast("double") * col("__n2").cast("double")), 6).as("cos"))
   }
 }

@@ -866,6 +866,93 @@ object TimeseriesOps {
         col("y").as(valueCol))
   }
 
+  /** Two-sided CUSUM (Page 1954) level-shift detection, closed per key:
+    * S⁺ = max(0, S⁺ + (x − μ − slack)), S⁻ = max(0, S⁻ + (μ − x −
+    * slack)) folded over the key's series in `orderCol` order; a large
+    * final S⁺/S⁻ says the series drifted above/below its target level
+    * and never recovered. Each row must carry its target μ in
+    * `targetCol` (typically joined per key from an exact aggregate —
+    * the caller owns μ's determinism). Like [[ewma]], the fold rides
+    * `flatMapSortedGroups`: the sorted group streams through the
+    * recurrence without materializing, one exchange on the key, and the
+    * fixed IEEE order means an engine folding the same sorted list
+    * (DuckDB `list_reduce`) matches bit-for-bit. Sequential per key by
+    * nature — feed it a bounded pre-aggregated grid (hourly/daily
+    * means), not raw events.
+    */
+  def cusum(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      targetCol: String,
+      slack: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
+        col(valueCol).cast("double"), col(targetCol).cast("double"))
+      .as[(String, Long, Double, Double)]
+    ds.groupByKey(_._1)
+      .flatMapSortedGroups(col(orderCol)) { (key, rows) =>
+        var sp = 0.0
+        var sn = 0.0
+        var n = 0L
+        rows.foreach { case (_, _, x, mu) =>
+          sp = math.max(0.0, sp + (x - mu - slack))
+          sn = math.max(0.0, sn + (mu - x - slack))
+          n += 1
+        }
+        Iterator((key, sp, sn, n))
+      }
+      .toDF(keyCol, "cusum_pos", "cusum_neg", "n_points")
+  }
+
+  /** Seasonal-profile anomaly detection: each key's values are profiled
+    * per season bucket (`(epoch / periodSecs) mod (seasonSecs /
+    * periodSecs)` — hour-of-day under the defaults), and a row is
+    * anomalous when its squared residual exceeds `zThreshold²` cell
+    * variances: (n·x − Σx)² > z²·(n·Σx² − (Σx)²), the z-score test
+    * cleared of both the sqrt and the division so the entire decision
+    * is EXACT integer-cents arithmetic — no IEEE op can flip a
+    * borderline row differently on another engine. The reported `zsq`
+    * (the squared z-score) is the one closing IEEE step: two
+    * correctly-rounded casts and a division, rounded at 6. Shape: one
+    * hash-agg builds the (key, bucket) profile — seasons × keys rows,
+    * metadata-sized — broadcast back onto the events; the event side
+    * never shuffles.
+    */
+  def seasonalAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      timeCol: String = TimeCol,
+      valueCol: String = ValueCol,
+      zThreshold: Int = 3,
+      periodSecs: Long = 3600L,
+      seasonSecs: Long = 86400L): DataFrame = {
+    require(seasonSecs % periodSecs == 0 && seasonSecs > periodSecs,
+      s"seasonSecs must be a multiple of periodSecs, got $seasonSecs / $periodSecs")
+    val ev = df.filter(col(valueCol).isNotNull).select(
+      col(idCol), col(keyCol),
+      ((unix_timestamp(col(timeCol)) / periodSecs).cast("long") %
+        (seasonSecs / periodSecs)).as("bucket"),
+      round(col(valueCol) * 100).cast("decimal(38,0)").as("cents"))
+    val prof = ev.groupBy(col(keyCol), col("bucket")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).as("sx"),
+      sum(col("cents") * col("cents")).as("sxx"))
+    val z2 = lit(zThreshold.toLong * zThreshold)
+    val num = (col("n") * col("cents") - col("sx")) *
+      (col("n") * col("cents") - col("sx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    // den = 0 only for a zero-variance cell, where num is also 0 and the
+    // strict > can never hold — the filter itself guards the division
+    ev.join(broadcast(prof), Seq(keyCol, "bucket"))
+      .filter(num > z2 * den)
+      .select(col(idCol), col(keyCol), col("bucket"), col("cents"),
+        round(num.cast("double") / den.cast("double"), 6).as("zsq"))
+  }
+
   // ---------------------------------------------------------------------
   // A2: time bounds of a feature (dask.py:150-153) — tiny agg job used to
   // default a load's date range.

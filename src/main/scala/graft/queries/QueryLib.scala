@@ -5562,6 +5562,237 @@ object QueryLib {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin))
 
+  private val qCusumShift = Q(
+    "q_cusum_shift",
+    // CUSUM level-shift detection (Page 1954) per event_type, closed
+    // over the month: hourly decimal-exact means fold through
+    // S⁺/S⁻ = max(0, S + ±(x − μ) − slack) in fixed (hour) order —
+    // TimeseriesOps.cusum streams each sorted group through the
+    // recurrence (flatMapSortedGroups, one exchange, no collect_list
+    // materialization), and DuckDB folding the same sorted list
+    // (list_reduce over a 0.0-prepended list — CUSUM starts at 0, not
+    // at x₀ like EWMA) matches bit-for-bit. μ is the exact-cents
+    // per-type mean closed by one IEEE division; the fold input is the
+    // bounded hourly grid, never raw events — the recurrence is
+    // sequential by nature, so the pre-aggregation is what makes it
+    // viable at 100 TB (744 points/key/month regardless of corpus).
+    (s, dir) => {
+      val ev = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts")) / 3600).cast("long").as("hx"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+      val hr = ev.groupBy(col("event_type"), col("hx"))
+        .agg((sum(col("cents")).cast("double") / (lit(100.0) * count(lit(1)))).as("m"))
+      val mu = ev.groupBy(col("event_type"))
+        .agg((sum(col("cents")).cast("double") / (lit(100.0) * count(lit(1)))).as("mu"))
+      TimeseriesOps.cusum(hr.join(broadcast(mu), Seq("event_type")),
+          keyCol = "event_type", orderCol = "hx", valueCol = "m",
+          targetCol = "mu", slack = 2.0)
+        .select(col("event_type"),
+          round(col("cusum_pos"), 6).as("cusum_pos"),
+          round(col("cusum_neg"), 6).as("cusum_neg"),
+          col("n_points").as("n_hours"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, (epoch_us(ts)//1000000) // 3600 AS hx,
+           |         CAST(round(value*100) AS HUGEINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |hr AS (
+           |  SELECT event_type, hx, CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS m
+           |  FROM ev GROUP BY 1, 2),
+           |mu AS (
+           |  SELECT event_type, CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS mu
+           |  FROM ev GROUP BY 1)
+           |SELECT h.event_type,
+           |  round(list_reduce(list_prepend(0.0, list(h.m ORDER BY h.hx)),
+           |    (acc, x) -> greatest(0.0, acc + (x - any_value(u.mu) - 2.0))), 6) AS cusum_pos,
+           |  round(list_reduce(list_prepend(0.0, list(h.m ORDER BY h.hx)),
+           |    (acc, x) -> greatest(0.0, acc + (any_value(u.mu) - x - 2.0))), 6) AS cusum_neg,
+           |  CAST(count(*) AS BIGINT) AS n_hours
+           |FROM hr h JOIN mu u USING (event_type)
+           |GROUP BY 1""".stripMargin))
+
+  private val fsSeasonalAnomaly = Q(
+    "fs_seasonal_anomaly",
+    // Seasonal anomaly detection (TimeseriesOps.seasonalAnomalies):
+    // profile each event_type per hour-of-day, flag rows whose squared
+    // residual exceeds 3² cell variances. The DECISION is all-integer
+    // cents arithmetic — (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — so no IEEE
+    // op can flip a borderline row between engines; the reported zsq is
+    // the one closing cast-cast-divide, rounded at 6. Shape: the
+    // (type × 24) profile is metadata-sized and broadcasts back onto
+    // the events — the event side never shuffles, which is the whole
+    // 100 TB story: one scan + one tiny hash-agg + a broadcast join.
+    (s, dir) => TimeseriesOps.seasonalAnomalies(
+        T(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("ts"), col("value")),
+        keyCol = "event_type", idCol = "event_id", timeCol = "ts")
+      .select(col("event_id"), col("event_type"), col("bucket"),
+        col("cents").cast("long").as("cents"), col("zsq")),
+    Some("""WITH ev AS (
+           |  SELECT event_id, event_type,
+           |    (epoch_us(ts)//1000000) // 3600 % 24 AS bucket,
+           |    CAST(round(value*100) AS HUGEINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |prof AS (
+           |  SELECT event_type, bucket, count(*) AS n, sum(cents) AS sx, sum(cents*cents) AS sxx
+           |  FROM ev GROUP BY 1, 2)
+           |SELECT e.event_id, e.event_type, e.bucket, CAST(e.cents AS BIGINT) AS cents,
+           |  round(CAST((p.n*e.cents - p.sx)*(p.n*e.cents - p.sx) AS DOUBLE) /
+           |        CAST(p.n*p.sxx - p.sx*p.sx AS DOUBLE), 6) AS zsq
+           |FROM ev e JOIN prof p USING (event_type, bucket)
+           |WHERE (p.n*e.cents - p.sx)*(p.n*e.cents - p.sx) > 9 * (p.n*p.sxx - p.sx*p.sx)""".stripMargin))
+
+  private val mlCovariance = Q(
+    "ml_covariance",
+    // Exact population covariance matrix (MlPrep.covarianceMatrix) over
+    // the four lineitem measures — the PCA/whitening precursor. ONE
+    // aggregation pass computes every Σxᵢ and Σxᵢxⱼ in integer-cents
+    // decimal space (k columns = one scan + a 1-row reduce, never k²
+    // passes); each covariance is (n·Σxy − Σx·Σy)/(n²·10⁴) with the
+    // two casts and one division as the only IEEE steps, rounded at 6.
+    (s, dir) => graft.functions.MlPrep.covarianceMatrix(
+      T(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some("""WITH s AS (SELECT count(*) AS n,
+           |  sum(CAST(round(l_quantity*100) AS HUGEINT)) AS s0,
+           |  sum(CAST(round(l_extendedprice*100) AS HUGEINT)) AS s1,
+           |  sum(CAST(round(l_discount*100) AS HUGEINT)) AS s2,
+           |  sum(CAST(round(l_tax*100) AS HUGEINT)) AS s3,
+           |  sum(CAST(round(l_quantity*100) AS HUGEINT)*CAST(round(l_quantity*100) AS HUGEINT)) AS p00,
+           |  sum(CAST(round(l_quantity*100) AS HUGEINT)*CAST(round(l_extendedprice*100) AS HUGEINT)) AS p01,
+           |  sum(CAST(round(l_quantity*100) AS HUGEINT)*CAST(round(l_discount*100) AS HUGEINT)) AS p02,
+           |  sum(CAST(round(l_quantity*100) AS HUGEINT)*CAST(round(l_tax*100) AS HUGEINT)) AS p03,
+           |  sum(CAST(round(l_extendedprice*100) AS HUGEINT)*CAST(round(l_extendedprice*100) AS HUGEINT)) AS p11,
+           |  sum(CAST(round(l_extendedprice*100) AS HUGEINT)*CAST(round(l_discount*100) AS HUGEINT)) AS p12,
+           |  sum(CAST(round(l_extendedprice*100) AS HUGEINT)*CAST(round(l_tax*100) AS HUGEINT)) AS p13,
+           |  sum(CAST(round(l_discount*100) AS HUGEINT)*CAST(round(l_discount*100) AS HUGEINT)) AS p22,
+           |  sum(CAST(round(l_discount*100) AS HUGEINT)*CAST(round(l_tax*100) AS HUGEINT)) AS p23,
+           |  sum(CAST(round(l_tax*100) AS HUGEINT)*CAST(round(l_tax*100) AS HUGEINT)) AS p33
+           |  FROM lineitem)
+           |SELECT 'l_quantity' AS x, 'l_quantity' AS y, round(CAST(n*p00 - s0*s0 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) AS cov FROM s
+           |UNION ALL SELECT 'l_quantity', 'l_extendedprice', round(CAST(n*p01 - s0*s1 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_quantity', 'l_discount', round(CAST(n*p02 - s0*s2 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_quantity', 'l_tax', round(CAST(n*p03 - s0*s3 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', round(CAST(n*p11 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_extendedprice', 'l_discount', round(CAST(n*p12 - s1*s2 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_extendedprice', 'l_tax', round(CAST(n*p13 - s1*s3 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_discount', 'l_discount', round(CAST(n*p22 - s2*s2 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_discount', 'l_tax', round(CAST(n*p23 - s2*s3 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s
+           |UNION ALL SELECT 'l_tax', 'l_tax', round(CAST(n*p33 - s3*s3 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*10000.0), 6) FROM s""".stripMargin))
+
+  private val dqExpectations = Q(
+    "dq_expectations",
+    // Multi-table declarative expectation suite (DataQuality.suite) in
+    // the LONG report format a pipeline persists and alerts on — and
+    // the r15 constraint extensions under the gate: MatchesRegex
+    // (format contract on the serialized props) and ForeignKey
+    // (referential integrity as a broadcast anti-join — the dimension
+    // side is a distinct 1-column projection, the fact side never
+    // shuffles). Each table pays ONE scan for all its row-level checks;
+    // Unique/ForeignKey add their own map-side-combined jobs; the
+    // unpivot explodes the 1-row wide report — metadata-sized however
+    // wide the suite gets.
+    (s, dir) => {
+      import graft.functions.DataQuality._
+      suite(Seq(
+        ("orders", T(s, dir, "orders"), Seq(
+          NotNull("o_totalprice"),
+          InRange("o_totalprice", 0.0, 400000.0),
+          InSet("o_orderstatus", Seq("O", "F", "P")),
+          Unique(Seq("o_orderkey")),
+          ForeignKey("o_custkey", T(s, dir, "customer"), "c_custkey"))),
+        ("events", T(s, dir, "events"), Seq(
+          NotNull("value"),
+          InRange("value", 0.0, 400.0),
+          MatchesRegex("props", """^\{"k": [0-9]{2}\}$""")))))
+        .withColumn("passed", col("passed").cast("int"))
+    },
+    Some("""SELECT 'orders' AS tbl, 'not_null' AS expectation, 'o_totalprice' AS column,
+           |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           |  CAST(count(*) AS BIGINT) AS total,
+           |  CAST(CASE WHEN sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INT) AS passed
+           |FROM orders
+           |UNION ALL
+           |SELECT 'orders', 'in_range', 'o_totalprice',
+           |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(*) AS BIGINT),
+           |  CAST(CASE WHEN sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INT)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'orders', 'in_set', 'o_orderstatus',
+           |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(*) AS BIGINT),
+           |  CAST(CASE WHEN sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INT)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'orders', 'unique', 'o_orderkey',
+           |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT), CAST(count(*) AS BIGINT),
+           |  CAST(CASE WHEN count(*) = count(DISTINCT o_orderkey) THEN 1 ELSE 0 END AS INT)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'orders', 'foreign_key', 'o_custkey',
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE o.o_custkey IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           |  CAST(count(*) AS BIGINT),
+           |  CAST(CASE WHEN (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0 THEN 1 ELSE 0 END AS INT)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'events', 'not_null', 'value',
+           |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT),
+           |  CAST(CASE WHEN sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INT)
+           |FROM events
+           |UNION ALL
+           |SELECT 'events', 'in_range', 'value',
+           |  CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(*) AS BIGINT),
+           |  CAST(CASE WHEN sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INT)
+           |FROM events
+           |UNION ALL
+           |SELECT 'events', 'matches_regex', 'props',
+           |  CAST(sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\{"k": [0-9]{2}\}$') THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(*) AS BIGINT),
+           |  CAST(CASE WHEN sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\{"k": [0-9]{2}\}$') THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INT)
+           |FROM events""".stripMargin))
+
+  private val txtTfidfPairs = Q(
+    "txt_tfidf_pairs",
+    // Sparse tf-idf pairwise cosine (SimilarityOps.tfidfPairs): the
+    // bag-of-words twin of the embedding dedup paths — inverted index,
+    // df-prune, postings self-join, integer dot products. Candidate
+    // volume is Σ_t df(t)² over SURVIVING terms, so the max-df prune
+    // (df·20 ≤ N: stopwords out) is what caps the join at scale
+    // (Bayardo et al., WWW 2007). Membership at cos ≥ 3/5 is the
+    // all-integer comparison 25·dot² ≥ 9·‖a‖²·‖b‖² — no IEEE op
+    // decides it; the reported cosine is the closing cast-mul-sqrt-
+    // divide, rounded at 6. Weights use the integer-log idf
+    // (bit-length of N/df, the native BinLength) — `ln` is not
+    // cross-engine-stable, bit-length is.
+    (s, dir) => SimilarityOps.tfidfPairs(
+      T(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+      minCosNum = 3, minCosDen = 5),
+    Some("""WITH tf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE term <> '' GROUP BY 1, 2),
+           |corp AS (SELECT count(*) AS n FROM documents),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |w AS (
+           |  SELECT t.doc_id, t.term,
+           |         CAST(t.tf * length(bin(CAST((SELECT n FROM corp) // d.df AS BIGINT))) AS HUGEINT) AS w
+           |  FROM tf t JOIN df d USING (term)
+           |  WHERE d.df * 20 <= (SELECT n FROM corp) AND d.df >= 2),
+           |nrm AS (SELECT doc_id, sum(w*w) AS nn FROM w GROUP BY 1),
+           |dots AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w*b.w) AS dot
+           |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, CAST(dot AS BIGINT) AS dot,
+           |  round(CAST(dot AS DOUBLE) / sqrt(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)), 6) AS cos
+           |FROM dots JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
+           |WHERE 25 * dot * dot >= 9 * n1.nn * n2.nn""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -5598,7 +5829,8 @@ object QueryLib {
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmResizeExec,
-    mmAudioEnergy)
+    mmAudioEnergy,
+    qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

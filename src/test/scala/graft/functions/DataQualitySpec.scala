@@ -44,4 +44,37 @@ class DataQualitySpec extends SparkSpec {
     val aggs = "Aggregate".r.findAllIn(plan).size
     assert(aggs == 3, s"expected 3 Aggregate nodes (1 scalar + 2 unique), got $aggs:\n$plan")
   }
+
+  test("MatchesRegex counts non-null mismatches; nulls are NotNull's business") {
+    val df = Seq((1L, Some("ab12")), (2L, Some("xx")), (3L, None))
+      .toDF("id", "code")
+    val r = report(df, Seq(MatchesRegex("code", "^[a-z]{2}[0-9]{2}$"))).collect().head
+    assert(r.getAs[Long]("regex_code") == 1L) // "xx" only; null skipped
+  }
+
+  test("ForeignKey counts orphans via an anti-join; null keys are skipped") {
+    val facts = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)), (4L, None))
+      .toDF("id", "custkey")
+    val dim = Seq(10L, 20L, 30L).toDF("c_id")
+    val r = report(facts, Seq(ForeignKey("custkey", dim, "c_id"))).collect().head
+    assert(r.getAs[Long]("fk_custkey") == 1L) // 99 only; null skipped
+  }
+
+  test("suite emits one long-format row per declared expectation with pass flags") {
+    val orders = Seq((1L, Some(5.0)), (2L, Some(99.0)), (2L, None)).toDF("id", "v")
+    val dim = Seq(1L).toDF("k")
+    val rows = suite(Seq(
+        ("orders", orders, Seq(NotNull("v"), InRange("v", 0.0, 10.0),
+          Unique(Seq("id")), ForeignKey("id", dim, "k"))),
+        ("dim", dim, Seq(NotNull("k")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == 5)
+    val byKey = rows.map(t => (t._1, t._2) -> t).toMap
+    assert(byKey(("orders", "not_null")) == ("orders", "not_null", "v", 1L, 3L, false))
+    assert(byKey(("orders", "in_range")) == ("orders", "in_range", "v", 1L, 3L, false))
+    assert(byKey(("orders", "unique")) == ("orders", "unique", "id", 1L, 3L, false))
+    assert(byKey(("orders", "foreign_key")) == ("orders", "foreign_key", "id", 2L, 3L, false))
+    assert(byKey(("dim", "not_null")) == ("dim", "not_null", "k", 0L, 1L, true))
+  }
 }

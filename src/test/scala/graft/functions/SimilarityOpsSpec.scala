@@ -140,6 +140,24 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("tfidfPairs scores the hand-computed inverted-index cosines") {
+    import spark.implicits._
+    // docs: 1 = "a b a", 2 = "a b", 3 = "a c"; c is pruned at minDf=2.
+    // idf = bitlen(3 // df) = 1 for both survivors, so
+    // w(1) = {a:2, b:1} nn=5 ; w(2) = {a:1, b:1} nn=2 ; w(3) = {a:1} nn=1.
+    // dots: (1,2)=3, (1,3)=2, (2,3)=1. At minCos = 3/4 the integer test
+    // 16·dot² >= 9·n1·n2 keeps (1,2) [144>=90] and (1,3) [64>=45],
+    // drops (2,3) [16<18].
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = SimilarityOps.tfidfPairs(docs, "doc_id", "text",
+        minCosNum = 3, minCosDen = 4, minDf = 2, maxDfFrac = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 0.948683), (1L, 3L, 2L, 0.894427)))
+    intercept[IllegalArgumentException](
+      SimilarityOps.tfidfPairs(docs, "doc_id", "text", minCosNum = 5, minCosDen = 4))
+  }
+
   test("sizedPlanesPerBand follows ceil(log2(n)) clamped to [4, 20]") {
     assert(SimilarityOps.sizedPlanesPerBand(1) == 4)       // floor clamp
     assert(SimilarityOps.sizedPlanesPerBand(500) == 9)     // ceil(log2 500)

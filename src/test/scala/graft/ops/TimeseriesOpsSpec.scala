@@ -321,4 +321,40 @@ class TimeseriesOpsSpec extends SparkSpec {
       assert(out == expected)
     }
   }
+
+  test("cusum folds the Page recurrence in order-key order, input order irrelevant") {
+    import spark.implicits._
+    // x = 1, 1, 9 with mu = 5, slack = 0.5:
+    //   S+ : 0 -> max(0,-4.5)=0 -> 0 -> max(0, 0+9-5-0.5)=3.5
+    //   S- : 0 -> max(0, 5-1-0.5)=3.5 -> 7.0 -> max(0, 7+5-9-0.5)=2.5
+    val rows = Seq(("a", 1L, 1.0, 5.0), ("a", 2L, 1.0, 5.0), ("a", 3L, 9.0, 5.0))
+    for (perm <- Seq(rows, rows.reverse)) {
+      val out = TimeseriesOps.cusum(
+          perm.toDF("k", "hx", "x", "mu").repartition(3),
+          keyCol = "k", orderCol = "hx", valueCol = "x", targetCol = "mu",
+          slack = 0.5)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      assert(out.toSeq == Seq(("a", 3.5, 2.5, 3L)))
+    }
+  }
+
+  test("seasonalAnomalies flags the planted outlier with the exact integer decision") {
+    import spark.implicits._
+    // bucket 0 (hour 00): eleven 1.00s + one 10.00 across different days.
+    // n=12, sx=2100, sxx=1,110,000 cents² -> for x=10.00:
+    // num = (12*1000-2100)² = 98,010,000 > 9*(12*1,110,000-2100²) = 80,190,000
+    // and zsq = 98.01/8.91 = 11.0 exactly.
+    val rows = (1 to 11).map(d => (d.toLong, "k", ts(f"2024-01-$d%02dT00:05:00"), 1.0)) :+
+      (99L, "k", ts("2024-01-12T00:05:00"), 10.0)
+    val out = TimeseriesOps.seasonalAnomalies(
+        rows.toDF("id", "k", "time", "value"),
+        keyCol = "k", idCol = "id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq((99L, 0L, 11.0)))
+    // a zero-variance cell divides nowhere: the strict > filter guards it
+    val flat = (1 to 4).map(d => (d.toLong, "k", ts(f"2024-02-0$d%dT03:00:00"), 2.0))
+    assert(TimeseriesOps.seasonalAnomalies(
+      flat.toDF("id", "k", "time", "value"),
+      keyCol = "k", idCol = "id").count() == 0L)
+  }
 }

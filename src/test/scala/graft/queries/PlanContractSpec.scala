@@ -48,7 +48,13 @@ class PlanContractSpec extends SparkSpec {
       "q_kmv_overlap",
       // txt_bigram_surprisal broadcasts the 1-row (N, V) corpus scalar,
       // the same shape as txt_unigram_surprisal
-      "txt_bigram_surprisal")
+      "txt_bigram_surprisal",
+      // dq_expectations folds each table's 1-row wide report with the
+      // 1-row Unique/ForeignKey counts (dq_events' shape, per table)
+      "dq_expectations",
+      // txt_tfidf_pairs broadcasts the 1-row corpus-count scalar into
+      // the df-prune, the txt_bm25 shape
+      "txt_tfidf_pairs")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
