@@ -570,4 +570,58 @@ object SimilarityOps {
         round(col("__dot").cast("double") /
           sqrt(col("__n1").cast("double") * col("__n2").cast("double")), 6).as("cos"))
   }
+
+  /** Containment near-dup pairs — C(A, B) = |A ∩ B| ⁄ min(|A|, |B|) —
+    * the doc-IN-doc detector resemblance misses: a short document
+    * quoted whole inside a long one has containment ≈ 1 but Jaccard ≈
+    * |A|/|B| ≈ 0, so minhash-LSH (which approximates JACCARD) never
+    * surfaces the pair. Candidates come from an inverted shingle index
+    * instead: two docs pair iff they share at least one surviving
+    * shingle, and the exact shared-count falls out of the SAME join
+    * (group the postings self-join by pair — no second verify pass over
+    * the sets). The `maxDf` prune bounds the join: candidate volume is
+    * Σ_g df(g)² ≤ maxDf · Σ_g df(g) = maxDf · |index| — linear in the
+    * corpus for a fixed cap (the Bayardo WWW'07 bound, as in
+    * [[tfidfPairs]]). Semantics are defined on the PRUNED universe
+    * (sizes and intersections both count surviving shingles only):
+    * boilerplate-grams that blanket the corpus carry no containment
+    * signal, exactly as stopwords carry no cosine signal.
+    *
+    * Determinism: sizes and shared counts are exact integers; the
+    * membership cut is the all-integer test den·shared ≥
+    * num·min(|A|,|B|); the reported containment is the one closing
+    * cast-cast-divide, rounded at 6.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      minContainNum: Int,
+      minContainDen: Int,
+      maxDf: Int): DataFrame = {
+    require(minContainNum > 0 && minContainDen >= minContainNum,
+      s"minContain must be a fraction in (0,1], got $minContainNum/$minContainDen")
+    require(maxDf >= 2, s"maxDf < 2 prunes every pairable shingle, got $maxDf")
+    val posts = df.select(col(idCol), explode(col(setCol)).as("__g"))
+    val dfreq = posts.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    // pin the pruned index once: it feeds the size agg and BOTH sides
+    // of the pair join (the lshCandidatePairs persist doctrine)
+    val surv = posts.join(dfreq.filter(col("__df") <= maxDf), Seq("__g"))
+      .select(col(idCol), col("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = surv.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val shared = surv.as("a").join(surv.as("b"),
+        col("a.__g") === col("b.__g") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.select(col(idCol).as("d1"), col("__sz").as("__s1")), Seq("d1"))
+      .join(sz.select(col(idCol).as("d2"), col("__sz").as("__s2")), Seq("d2"))
+      .filter(lit(minContainDen.toLong) * col("shared") >=
+        lit(minContainNum.toLong) * least(col("__s1"), col("__s2")))
+      .select(col("d1"), col("d2"), col("shared"),
+        col("__s1").as("n1"), col("__s2").as("n2"),
+        round(col("shared").cast("double") /
+          least(col("__s1"), col("__s2")).cast("double"), 6).as("containment"))
+  }
 }

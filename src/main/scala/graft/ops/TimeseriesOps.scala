@@ -953,6 +953,50 @@ object TimeseriesOps {
         round(num.cast("double") / den.cast("double"), 6).as("zsq"))
   }
 
+  /** Lag autocorrelation (ACF) of a keyed INTEGER-valued series at each
+    * of `lags`: Pearson r over the aligned pairs (x_t, x_{t+ℓ}), the
+    * classic seasonality/persistence probe (a daily-seasonal hourly
+    * series spikes at ℓ = 24). The input must already be the bounded
+    * pre-aggregated grid (e.g. hourly cents TOTALS — integers, so every
+    * Σx, Σy, Σxy, Σxx, Σyy is exact decimal arithmetic): the lag align
+    * is then a self-join of a calendar-sized table, never of raw
+    * events — the q_cusum_shift pre-aggregation doctrine. Gaps in the
+    * grid self-handle (a missing t+ℓ simply contributes no pair).
+    * Zero-variance slices are dropped by an exact integer test BEFORE
+    * the division (no cross-engine NaN). The reported r is the one
+    * closing IEEE sequence — three correctly-rounded casts, a multiply,
+    * sqrt, divide — rounded at 6.
+    */
+  def acf(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1, got $lags")
+    val x = df.select(col(keyCol), col(orderCol).cast("long").as("__o"),
+      col(valueCol).cast("decimal(38,0)").as("__x"))
+    val lagged = x.withColumn("__lag", explode(array(lags.map(l => lit(l)): _*)))
+    val pairs = lagged.as("a").join(x.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a.__o") + col("a.__lag") === col("b.__o"))
+      .select(col(s"a.$keyCol"), col("a.__lag").as("lag"),
+        col("a.__x").as("__xa"), col("b.__x").as("__xb"))
+    val s = pairs.groupBy(col(keyCol), col("lag")).agg(
+      count(lit(1)).as("__m"),
+      sum(col("__xa")).as("__sx"), sum(col("__xb")).as("__sy"),
+      sum(col("__xa") * col("__xb")).as("__sxy"),
+      sum(col("__xa") * col("__xa")).as("__sxx"),
+      sum(col("__xb") * col("__xb")).as("__syy"))
+    val vx = col("__m") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__m") * col("__syy") - col("__sy") * col("__sy")
+    s.filter(vx > 0 && vy > 0)
+      .select(col(keyCol), col("lag").cast("int").as("lag"),
+        col("__m").as("n_pairs"),
+        round((col("__m") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 6).as("acf"))
+  }
+
   // ---------------------------------------------------------------------
   // A2: time bounds of a feature (dask.py:150-153) — tiny agg job used to
   // default a load's date range.

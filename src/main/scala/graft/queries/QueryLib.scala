@@ -5793,6 +5793,151 @@ object QueryLib {
            |FROM dots JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
            |WHERE 25 * dot * dot >= 9 * n1.nn * n2.nn""".stripMargin))
 
+  private val dedupContainment = Q(
+    "dedup_containment",
+    // Doc-IN-doc detection (SimilarityOps.containmentPairs): containment
+    // C = shared/min(|A|,|B|) over trigram shingle digests via an
+    // inverted index — the near-dup class resemblance-LSH structurally
+    // misses (a short doc quoted inside a long one has J ≈ |A|/|B| ≈ 0).
+    // The exact shared-count falls out of the candidate join itself (no
+    // second verify pass); maxDf = 50 caps candidate volume at
+    // maxDf · |index| (Bayardo WWW'07). Membership is the all-integer
+    // test 5·shared ≥ 4·min; the reported containment is the one
+    // closing divide, rounded at 6.
+    (s, dir) => SimilarityOps.containmentPairs(
+      T(s, dir, "documents").select(
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0),
+      idCol = "doc_id", setCol = "sh",
+      minContainNum = 4, minContainDen = 5, maxDf = 50),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |g0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |         concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
+           |g AS (SELECT doc_id, unnest(sh) AS gr FROM g0 WHERE len(sh) > 0),
+           |d AS (SELECT gr, count(*) AS df FROM g GROUP BY 1),
+           |surv AS (SELECT g.doc_id, g.gr FROM g JOIN d USING (gr) WHERE d.df <= 50),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM surv GROUP BY 1),
+           |sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+           |       FROM surv a JOIN surv b ON a.gr = b.gr AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2)
+           |SELECT d1, d2, CAST(shared AS BIGINT) AS shared,
+           |  CAST(s1.sz AS BIGINT) AS n1, CAST(s2.sz AS BIGINT) AS n2,
+           |  round(CAST(shared AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE), 6) AS containment
+           |FROM sh JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+           |WHERE 5 * shared >= 4 * least(s1.sz, s2.sz)""".stripMargin))
+
+  private val qMarketBasket = Q(
+    "q_market_basket",
+    // Market-basket association rules (Associations.coOccurrence):
+    // parts co-purchased within an order, with support ≥ 3, confidence
+    // = co/count(a), lift = co·N/(count(a)·count(b)). The pair join is
+    // per-order (items-per-order is bounded, so candidates are linear
+    // in orders), pair counts combine map-side, item totals join back
+    // dictionary-sized, and the 1-row order count broadcasts. All
+    // counts are exact integers; each rate closes with one IEEE
+    // division, rounded at 6.
+    (s, dir) => graft.functions.Associations.coOccurrence(
+      T(s, dir, "lineitem"), basketCol = "l_orderkey", itemCol = "l_partkey",
+      minCo = 3L),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+           |n AS (SELECT count(DISTINCT bk) AS n FROM li),
+           |cnt AS (SELECT it, count(*) AS c FROM li GROUP BY 1),
+           |co AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS co
+           |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+           |       GROUP BY 1, 2)
+           |SELECT item_a, item_b, CAST(co AS BIGINT) AS co_count,
+           |  CAST(c1.c AS BIGINT) AS count_a, CAST(c2.c AS BIGINT) AS count_b,
+           |  round(CAST(co AS DOUBLE) / CAST(c1.c AS DOUBLE), 6) AS confidence,
+           |  round(CAST(co * (SELECT n FROM n) AS DOUBLE) / CAST(c1.c * c2.c AS DOUBLE), 6) AS lift
+           |FROM co JOIN cnt c1 ON c1.it = item_a JOIN cnt c2 ON c2.it = item_b
+           |WHERE co >= 3""".stripMargin))
+
+  private val qAcfHourly = Q(
+    "q_acf_hourly",
+    // Lag autocorrelation (TimeseriesOps.acf) of each event_type's
+    // hourly cents-TOTAL series at lags 1-3 — the seasonality/
+    // persistence probe. The hourly pre-aggregation is the 100 TB
+    // story: the lag self-join aligns a calendar-sized grid (744
+    // points/key/month), never raw events, and every Σ is exact
+    // integer-cents decimal so the Pearson r is decided by one closing
+    // cast-mul-sqrt-divide, rounded at 6. Zero-variance slices are
+    // dropped by the exact integer test before any division.
+    (s, dir) => {
+      val hourly = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts")) / 3600).cast("long").as("hx"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+        .groupBy(col("event_type"), col("hx"))
+        .agg(sum(col("cents")).as("x"))
+      TimeseriesOps.acf(hourly, keyCol = "event_type", orderCol = "hx",
+        valueCol = "x", lags = Seq(1, 2, 3))
+    },
+    Some("""WITH h AS (
+           |  SELECT event_type, (epoch_us(ts)//1000000) // 3600 AS hx,
+           |         sum(CAST(round(value*100) AS HUGEINT)) AS x
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |p AS (
+           |  SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
+           |  FROM h a
+           |  JOIN (VALUES (1), (2), (3)) l(lag) ON true
+           |  JOIN h b ON b.event_type = a.event_type AND b.hx = a.hx + l.lag),
+           |s AS (
+           |  SELECT event_type, lag, count(*) AS m,
+           |         sum(xa) AS sx, sum(xb) AS sy, sum(xa*xb) AS sxy,
+           |         sum(xa*xa) AS sxx, sum(xb*xb) AS syy
+           |  FROM p GROUP BY 1, 2)
+           |SELECT event_type, CAST(lag AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+           |  round(CAST(m*sxy - sx*sy AS DOUBLE) /
+           |        sqrt(CAST(m*sxx - sx*sx AS DOUBLE) * CAST(m*syy - sy*sy AS DOUBLE)), 6) AS acf
+           |FROM s WHERE m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0""".stripMargin))
+
+  private val fsStreamCusum = Q(
+    "fs_stream_cusum",
+    // §2.10: streaming CUSUM against a fixed target —
+    // mapGroupsWithState carries (n, S⁺, S⁻) per user across four real
+    // time-ordered micro-batches (the fs_stream_ewma scaffold). Within
+    // a batch rows fold in (ts, value) order on top of the carried
+    // state, so the stream's final state must equal the batch fold —
+    // the oracle is the same DuckDB list_reduce pair as q_cusum_shift
+    // with a constant μ, making this the stream/batch-parity hash gate
+    // for the Page recurrence: a torn batch, doubled replay, or
+    // unsorted in-batch fold all diverge in the last ulp and hash red.
+    (s, dir) => {
+      val tmp = scratchDir("scusum")
+      val src = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("ts"), col("user_id"), col("value"))
+      val srcDir = stageTimeOrderedReplay("scusum", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"),
+        sentinel = src.limit(0)) // empty: nothing must perturb any key's state
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"scusum_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.cusumStream(stream,
+            target = 50.0, slack = 2.0, keyCol = "user_id")
+          .toDF("user_id", "n", "cusum_pos", "cusum_neg")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // the final state per key is the update with the largest n
+      s.table(view).groupBy(col("user_id"))
+        .agg(max_by(struct(col("cusum_pos"), col("cusum_neg")), col("n")).as("f"),
+          max(col("n")).as("n"))
+        .select(col("user_id").cast("long").as("user_id"), col("n"),
+          col("f.cusum_pos").as("cusum_pos"), col("f.cusum_neg").as("cusum_neg"))
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           |  list_reduce(list_prepend(0.0, list(value ORDER BY ts, value)),
+           |    (acc, x) -> greatest(0.0, acc + (x - 50.0 - 2.0))) AS cusum_pos,
+           |  list_reduce(list_prepend(0.0, list(value ORDER BY ts, value)),
+           |    (acc, x) -> greatest(0.0, acc + (50.0 - x - 2.0))) AS cusum_neg
+           |FROM events WHERE value IS NOT NULL
+           |GROUP BY user_id""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -5830,7 +5975,8 @@ object QueryLib {
     fsStoreRestore, fsStoreCheck, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmResizeExec,
     mmAudioEnergy,
-    qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs)
+    qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
+    dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -173,6 +173,49 @@ object EventStreams {
       }
   }
 
+  /** Stateful streaming CUSUM per key — Page's two-sided recurrence
+    * kept live across micro-batches against a FIXED target level (the
+    * production monitoring shape: μ comes from a trained baseline, not
+    * from the stream): S⁺ = max(0, S⁺ + (x − target − slack)),
+    * S⁻ = max(0, S⁻ + (target − x − slack)). `mapGroupsWithState`
+    * carries (n, S⁺, S⁻) per key; within a batch rows fold in
+    * (ts, value) order on top of the carried state, so over a
+    * time-ordered replay the stream's final state equals the batch
+    * [[graft.ops.TimeseriesOps.cusum]] fold — the ewmaStream parity
+    * doctrine, certified by the fs_stream_cusum hash gate. State is
+    * three numbers per key: O(#keys) however long the stream runs.
+    * Emits (key, n, S⁺, S⁻) per key per batch (Update mode); `n` is
+    * monotone, so the final state is arg-max n.
+    */
+  def cusumStream(
+      events: DataFrame, // ts timestamp, <keyCol>, value double
+      target: Double,
+      slack: Double,
+      keyCol: String = "user_id"): Dataset[(String, Long, Double, Double)] = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(s"CAST($keyCol AS STRING) AS k", "ts", "CAST(value AS DOUBLE) AS value")
+      .as[(String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String,
+         rows: Iterator[(String, Timestamp, Double)],
+         state: GroupState[(Long, Double, Double)]) =>
+          // within-batch order is (ts, value) — the same total sort the
+          // batch kernel and the DuckDB list_reduce oracle use
+          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          var (n, sp, sn) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          sorted.foreach { case (_, _, x) =>
+            sp = math.max(0.0, sp + (x - target - slack))
+            sn = math.max(0.0, sn + (target - x - slack))
+            n += 1
+          }
+          state.update((n, sp, sn))
+          (key, n, sp, sn)
+      }
+  }
+
   /** Exact JVM twin of `Kmv.hash` (conv(substring(md5('kmv:' || v),
     * 1, 15), 16, 10)): first 15 hex chars of the md5 as a long — the
     * streaming state must land in the SAME hash order as the batch

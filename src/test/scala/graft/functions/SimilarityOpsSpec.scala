@@ -158,6 +158,29 @@ class SimilarityOpsSpec extends SparkSpec {
       SimilarityOps.tfidfPairs(docs, "doc_id", "text", minCosNum = 5, minCosDen = 4))
   }
 
+  test("containmentPairs finds doc-in-doc pairs resemblance would miss") {
+    import spark.implicits._
+    // doc 1 (5 shingles) is fully contained in doc 2 (10): containment
+    // = 1.0 while Jaccard is only 5/10 — below any dedup cut
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (3L, Seq("x", "y")),
+      (4L, Seq("a", "b"))).toDF("doc_id", "sh")
+    val out = SimilarityOps.containmentPairs(docs, "doc_id", "sh",
+        minContainNum = 4, minContainDen = 5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 2L, 5L, 1.0), (1L, 4L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    // sizes are defined on the PRUNED universe: maxDf=2 drops a and b
+    // (df=3), so doc 4 vanishes and doc 1 becomes {c,d,e} inside doc 2
+    val pruned = SimilarityOps.containmentPairs(docs, "doc_id", "sh",
+        minContainNum = 4, minContainDen = 5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(pruned.toSeq == Seq((1L, 2L, 3L, 3L, 8L, 1.0)))
+  }
+
   test("sizedPlanesPerBand follows ceil(log2(n)) clamped to [4, 20]") {
     assert(SimilarityOps.sizedPlanesPerBand(1) == 4)       // floor clamp
     assert(SimilarityOps.sizedPlanesPerBand(500) == 9)     // ceil(log2 500)

@@ -338,6 +338,22 @@ class TimeseriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("acf: perfect trend gives r=1, alternation gives r=-1, flat slices drop") {
+    import spark.implicits._
+    val trend = Seq(("t", 1L, 1L), ("t", 2L, 2L), ("t", 3L, 3L), ("t", 4L, 4L))
+    val alt = Seq(("w", 1L, 1L), ("w", 2L, 2L), ("w", 3L, 1L), ("w", 4L, 2L))
+    val flat = Seq(("f", 1L, 7L), ("f", 2L, 7L), ("f", 3L, 7L))
+    val out = TimeseriesOps.acf(
+        (trend ++ alt ++ flat).toDF("k", "o", "x"),
+        keyCol = "k", orderCol = "o", valueCol = "x", lags = Seq(1, 2))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("t", 1)) == ((3L, 1.0)))
+    assert(out(("t", 2)) == ((2L, 1.0)))
+    assert(out(("w", 1)) == ((3L, -1.0)))
+    assert(out(("w", 2)) == ((2L, 1.0))) // period-2 series realigns at lag 2
+    assert(!out.keySet.exists(_._1 == "f")) // zero variance never divides
+  }
+
   test("seasonalAnomalies flags the planted outlier with the exact integer decision") {
     import spark.implicits._
     // bucket 0 (hour 00): eleven 1.00s + one 10.00 across different days.

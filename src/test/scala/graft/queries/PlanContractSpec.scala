@@ -54,7 +54,10 @@ class PlanContractSpec extends SparkSpec {
       "dq_expectations",
       // txt_tfidf_pairs broadcasts the 1-row corpus-count scalar into
       // the df-prune, the txt_bm25 shape
-      "txt_tfidf_pairs")
+      "txt_tfidf_pairs",
+      // q_market_basket broadcasts the 1-row basket-count scalar into
+      // the result-sized rule table
+      "q_market_basket")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
@@ -77,6 +80,7 @@ class PlanContractSpec extends SparkSpec {
       "fs_stream_dedup", "fs_stream_attrib", "fs_stream_attrib_outer",
       "fs_stream_enrich", "fs_stream_hll", "fs_stream_ewma",
       "fs_stream_dedup_lsh", "fs_stream_quantile", "fs_stream_cms", "fs_stream_kmv",
+      "fs_stream_cusum",
       // iterative trainers: their BUILD runs the full job sequence
       // (pageRank's nodes.count + per-iteration joins; BPE's 3 merge
       // rounds with a collect each) just to stringify the final frame

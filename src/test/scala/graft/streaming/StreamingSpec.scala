@@ -254,4 +254,27 @@ class StreamingSpec extends SparkSpec {
     assert(store.writeTx("s1", store.normalizeForSave(replay, "date"), "specstream", 2L))
     assert(store.read("s1").count() == 3)
   }
+
+  test("cusumStream carries Page's recurrence across micro-batches, folding in ts order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.cusumStream(mem.toDF(), target = 5.0, slack = 0.5,
+        keyCol = "user_id")
+      .toDF("k", "n", "sp", "sn")
+      .writeStream.outputMode("update").format("memory").queryName("scusum").start()
+    // batch 1, deliberately unsorted: x = 1, 1 in ts order
+    //   S+ = 0 ; S- = 3.5 -> 7.0
+    mem.addData(mkEvents(
+      ("2024-01-01T00:02:00", 1, "x", 1.0),
+      ("2024-01-01T00:01:00", 1, "x", 1.0)): _*)
+    q.processAllAvailable()
+    // batch 2: x = 9 folds ON TOP of the carried (2, 0.0, 7.0) state:
+    //   S+ = max(0, 0+9-5-0.5) = 3.5 ; S- = max(0, 7+5-9-0.5) = 2.5
+    mem.addData(mkEvents(("2024-01-01T00:03:00", 1, "x", 9.0)): _*)
+    q.processAllAvailable()
+    val out = spark.table("scusum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    q.stop()
+    assert(out.toSet == Set(("1", 2L, 0.0, 7.0), ("1", 3L, 3.5, 2.5)))
+  }
 }
