@@ -62,4 +62,47 @@ object Drift {
           round((col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref")) /
             col("p_ref"), 6)))
   }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic per key — the
+    * CONTINUOUS-value drift twin of [[histogramCompare]] (no binning
+    * decision, sensitive to any CDF divergence, the classic
+    * feature-drift alarm): KS = max_v |F_ref(v) − F_cur(v)|. Computed
+    * entirely in integer space: the max runs over
+    * |cum_ref·n_cur − cum_cur·n_ref| (the CDF difference scaled by
+    * n_ref·n_cur — exact decimals, no per-step division), and KS
+    * closes with ONE IEEE division, rounded at 6. The cumulative walk
+    * is a per-key window over the DISTINCT values — the [[Eval]]
+    * dictionary-compression contract, so a 100 TB scan collapses to
+    * one hash-agg + a value-dictionary-sized walk. `valueCol` must be
+    * an exact integer column (cents); keys with an empty side are
+    * dropped by the integer guard rather than dividing by zero.
+    */
+  def ksCompare(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Column,
+      isReference: Column): DataFrame = {
+    val g = df.select(col(keyCol), valueCol.cast("decimal(38,0)").as("__v"),
+        when(isReference, 1L).otherwise(0L).as("__r"))
+      .groupBy(col(keyCol), col("__v"))
+      .agg(sum(col("__r")).as("__c1"), sum(lit(1L) - col("__r")).as("__c2"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    g.select(col(keyCol),
+        sum(col("__c1")).over(cum).as("__cum1"),
+        sum(col("__c2")).over(cum).as("__cum2"),
+        sum(col("__c1")).over(tot).as("__n1"),
+        sum(col("__c2")).over(tot).as("__n2"))
+      .groupBy(col(keyCol))
+      .agg(max(abs(col("__cum1") * col("__n2") - col("__cum2") * col("__n1"))).as("__d"),
+        first(col("__n1")).as("__n1"), first(col("__n2")).as("__n2"))
+      .filter(col("__n1") > 0 && col("__n2") > 0)
+      .select(col(keyCol),
+        col("__n1").cast("long").as("n_ref"),
+        col("__n2").cast("long").as("n_cur"),
+        round(col("__d").cast("double") /
+          (col("__n1") * col("__n2")).cast("double"), 6).as("ks"))
+  }
 }

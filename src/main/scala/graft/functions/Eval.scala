@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact model-evaluation / distribution-shape statistics, computed on
+  * DICTIONARY-COMPRESSED ranks: every statistic here needs a rank or
+  * cumulative over the VALUE distribution, which naively costs a
+  * global sort of the corpus — but ranks only change at distinct
+  * values, so one hash-agg collapses N rows to the value dictionary
+  * (bounded by the value domain — ~40k cents buckets however many
+  * events carry them) and the rank walk runs over that metadata-sized
+  * table. Tie handling is exact by construction: a tie block's
+  * aggregate rank contribution is a closed-form integer in
+  * (count, cum-before), never a per-row position — so the result is
+  * independent of physical row order at any parallelism.
+  */
+object Eval {
+
+  /** Exact ROC-AUC via the rank-sum (Mann-Whitney) identity with
+    * average ranks for ties: AUC = (Σ_pos rank − n⁺(n⁺+1)/2) ⁄ n⁺n⁻.
+    * Doubled to stay integral (avg rank of a tie block is
+    * cum_before + (c+1)/2 — a half-integer), the positives' doubled
+    * rank-sum is Σ_v pos_v·(2·cum_before_v + c_v + 1): exact decimal
+    * arithmetic end-to-end, AUC closes with ONE IEEE division, rounded
+    * at 6. The cumulative walk is a single-partition window over the
+    * value dictionary — metadata-sized by the object's contract.
+    * `scoreCol` must be an exact integer column (cents — the repo
+    * convention); `labelCol` a boolean. Returns one row
+    * (n_pos, n_neg, auc); degenerate single-class input yields no rows
+    * rather than a division by zero.
+    */
+  def aucExact(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val g = df.select(scoreCol.cast("decimal(38,0)").as("__v"),
+        when(labelCol, 1L).otherwise(0L).as("__pos"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__pos")).as("__p"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s = g.select(col("__c"), col("__p"),
+        coalesce(sum(col("__c")).over(w), lit(0L)).as("__cb"))
+      .agg(
+        sum(col("__p") * (lit(2) * col("__cb") + col("__c") + 1)).as("__s2"),
+        sum(col("__p")).as("__np"),
+        sum(col("__c") - col("__p")).as("__nn"))
+    s.filter(col("__np") > 0 && col("__nn") > 0)
+      .select(col("__np").cast("long").as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        round((col("__s2") - col("__np") * (col("__np") + 1)).cast("double") /
+          (lit(2) * col("__np") * col("__nn")).cast("double"), 6).as("auc"))
+  }
+
+  /** Exact Gini concentration coefficient per key over a NON-NEGATIVE
+    * exact-integer value column: G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) ⁄ (n·Σx)
+    * on the ascending sort — the revenue/usage-concentration statistic.
+    * A tie block of c copies of v after cum_before smaller rows
+    * contributes v·(2·c·cum_before + c·(c+1)) to the doubled rank-sum
+    * (invariant under any within-tie permutation), so the walk runs
+    * per key over the value dictionary, never over raw rows. One
+    * closing IEEE division, rounded at 6; all-zero keys are dropped by
+    * the exact integer guard rather than dividing by zero.
+    */
+  def gini(df: DataFrame, keyCol: String, valueCol: Column): DataFrame = {
+    val g = df.select(col(keyCol), valueCol.cast("decimal(38,0)").as("__v"))
+      .groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.select(col(keyCol), col("__v"), col("__c"),
+        coalesce(sum(col("__c")).over(w), lit(0L)).as("__cb"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__c") * col("__v")).as("__sv"),
+        sum(col("__v") * (lit(2) * col("__c") * col("__cb") +
+          col("__c") * (col("__c") + 1))).as("__num"))
+      .filter(col("__n") * col("__sv") > 0)
+      .select(col(keyCol), col("__n").cast("long").as("n"),
+        round((col("__num") - (col("__n") + 1) * col("__sv")).cast("double") /
+          (col("__n") * col("__sv")).cast("double"), 6).as("gini"))
+  }
+}

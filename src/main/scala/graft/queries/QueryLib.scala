@@ -5938,6 +5938,90 @@ object QueryLib {
            |FROM events WHERE value IS NOT NULL
            |GROUP BY user_id""".stripMargin))
 
+  private val mlAuc = Q(
+    "ml_auc",
+    // Exact ROC-AUC (Eval.aucExact) of "value predicts purchase" — the
+    // model-eval primitive, via the rank-sum identity with average-rank
+    // ties DOUBLED to stay integral: Σ_v pos_v·(2·cum_before + c + 1)
+    // over the value DICTIONARY (one hash-agg collapses the corpus to
+    // ≤40k cents buckets; the rank walk is metadata-sized), one closing
+    // IEEE division rounded at 6. AUC ≈ 0.49: value genuinely does not
+    // predict purchase in this synthetic data — the gate pins the
+    // arithmetic, not the model.
+    (s, dir) => graft.functions.Eval.aucExact(
+      T(s, dir, "events").filter(col("value").isNotNull),
+      labelCol = col("event_type") === "purchase",
+      scoreCol = round(col("value") * 100)),
+    Some("""WITH e AS (
+           |  SELECT CAST(round(value*100) AS HUGEINT) AS v,
+           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT v, count(*) AS cnt, sum(pos) AS pos FROM e GROUP BY 1),
+           |w AS (SELECT v, cnt, pos,
+           |        coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |      FROM g),
+           |s AS (SELECT sum(pos*(2*cb + cnt + 1)) AS s2, sum(pos) AS np, sum(cnt - pos) AS nn FROM w)
+           |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           |  round(CAST(s2 - np*(np+1) AS DOUBLE) / CAST(2*np*nn AS DOUBLE), 6) AS auc
+           |FROM s WHERE np > 0 AND nn > 0""".stripMargin))
+
+  private val mlKsDrift = Q(
+    "ml_ks_drift",
+    // Exact two-sample Kolmogorov-Smirnov drift (Drift.ksCompare):
+    // first half of the month as the reference window vs the second as
+    // current, per event_type — the binning-free CDF drift alarm
+    // complementing q_drift_hist's chi-square histogram. The max runs
+    // over the INTEGER |cum_ref·n_cur − cum_cur·n_ref| so no per-step
+    // division can drift cross-engine; one closing division, rounded
+    // at 6; the cumulative walk rides the value dictionary.
+    (s, dir) => graft.functions.Drift.ksCompare(
+      T(s, dir, "events").filter(col("value").isNotNull),
+      keyCol = "event_type",
+      valueCol = round(col("value") * 100),
+      isReference = col("ts") < lit("2024-01-16").cast("timestamp")),
+    Some("""WITH e AS (
+           |  SELECT event_type, CAST(round(value*100) AS HUGEINT) AS v,
+           |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ref
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT event_type, v, sum(ref) AS c1, sum(1 - ref) AS c2 FROM e GROUP BY 1, 2),
+           |w AS (SELECT event_type, v,
+           |        sum(c1) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+           |        sum(c2) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+           |        sum(c1) OVER (PARTITION BY event_type) AS n1,
+           |        sum(c2) OVER (PARTITION BY event_type) AS n2
+           |      FROM g),
+           |m AS (SELECT event_type, any_value(n1) AS n1, any_value(n2) AS n2,
+           |        max(abs(cum1*n2 - cum2*n1)) AS d FROM w GROUP BY 1)
+           |SELECT event_type, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+           |  round(CAST(d AS DOUBLE) / CAST(n1*n2 AS DOUBLE), 6) AS ks
+           |FROM m WHERE n1 > 0 AND n2 > 0""".stripMargin))
+
+  private val qGini = Q(
+    "q_gini",
+    // Exact Gini concentration per event_type (Eval.gini) — "how
+    // concentrated is value across events": the doubled rank-sum
+    // Σ v·(2·c·cum_before + c·(c+1)) over the per-key value dictionary
+    // (tie blocks contribute a closed form, so physical row order is
+    // irrelevant at any parallelism), G = (num − (n+1)·Σx)/(n·Σx) with
+    // one closing IEEE division rounded at 6. ~0.5 on uniform [0,400]:
+    // the gate pins the rank arithmetic.
+    (s, dir) => graft.functions.Eval.gini(
+      T(s, dir, "events").filter(col("value").isNotNull),
+      keyCol = "event_type",
+      valueCol = round(col("value") * 100)),
+    Some("""WITH e AS (
+           |  SELECT event_type, CAST(round(value*100) AS HUGEINT) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+           |w AS (SELECT event_type, v, c,
+           |        coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |      FROM g),
+           |s AS (SELECT event_type, sum(c) AS n, sum(c*v) AS sv,
+           |        sum(v*(2*c*cb + c*(c+1))) AS num FROM w GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  round(CAST(num - (n+1)*sv AS DOUBLE) / CAST(n*sv AS DOUBLE), 6) AS gini
+           |FROM s WHERE n*sv > 0""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -5976,7 +6060,8 @@ object QueryLib {
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmResizeExec,
     mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
-    dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum)
+    dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
+    mlAuc, mlKsDrift, qGini)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

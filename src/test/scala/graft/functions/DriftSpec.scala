@@ -43,4 +43,19 @@ class DriftSpec extends SparkSpec {
     assert(flip.forall(t => t._1.isEmpty))           // p_ref NULL
     assert(flip.forall(t => t._3.isEmpty))           // drift NULL, not Inf
   }
+
+  test("ksCompare: hand-built CDF gap, zero for identical samples, one-sided drops") {
+    import org.apache.spark.sql.functions.lit
+    // ref {1,2} vs cur {2,3}: the scaled CDF gap peaks at 2/(2*2) = 0.5
+    val df = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 2L, false), ("a", 3L, false),
+      ("b", 7L, true), ("b", 9L, true), ("b", 7L, false), ("b", 9L, false),
+      ("c", 4L, true)) // no current sample: guarded out, no 0-division
+      .toDF("k", "v", "ref")
+    val out = Drift.ksCompare(df, "k", col("v"), col("ref"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") == ((2L, 2L, 0.5)))
+    assert(out("b") == ((2L, 2L, 0.0)))
+    assert(!out.contains("c"))
+  }
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucExact matches the hand-counted pair probability, half-credit ties") {
+    // pos scores {3, 2}, neg scores {2, 1}: of the 4 (pos, neg) pairs
+    // three rank the positive higher and one ties -> AUC = 3.5/4
+    val df = Seq((true, 3L), (true, 2L), (false, 2L), (false, 1L))
+      .toDF("label", "score")
+    val out = Eval.aucExact(df, col("label"), col("score")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((2L, 2L, 0.875)))
+    // a random score (all distinct, alternating) sanity-bounds in [0,1];
+    // a single-class frame yields NO row instead of dividing by zero
+    assert(Eval.aucExact(Seq((true, 1L), (true, 2L)).toDF("label", "score"),
+      col("label"), col("score")).count() == 0L)
+  }
+
+  test("aucExact is invariant to row order and partitioning") {
+    val rows = Seq((true, 3L), (true, 2L), (false, 2L), (false, 1L))
+    for (perm <- Seq(rows, rows.reverse)) {
+      val out = Eval.aucExact(perm.toDF("label", "score").repartition(3),
+        col("label"), col("score")).collect()
+      assert(out.head.getDouble(2) == 0.875)
+    }
+  }
+
+  test("gini: concentrated mass scores (n-1)/n, equal shares score 0, zeros drop") {
+    val df = Seq(
+      ("c", 0L), ("c", 0L), ("c", 10L), // all mass on one of three
+      ("e", 5L), ("e", 5L), ("e", 5L),  // perfectly equal
+      ("z", 0L), ("z", 0L))             // degenerate: no mass
+      .toDF("k", "v")
+    val out = Eval.gini(df, "k", col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("c") == ((3L, 0.666667)))
+    assert(out("e") == ((3L, 0.0)))
+    assert(!out.contains("z"))
+  }
+}
