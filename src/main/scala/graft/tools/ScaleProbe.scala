@@ -838,6 +838,69 @@ object ScaleProbe {
         .filter((((col("id") * 2654435761L) % 50000L).cast("double") / 100.0)
           .between(100.0, 110.0)).count())
     }
+    // Containment dedup at corpus scale: 1M docs x 24 shingle digests
+    // drawn zipf-ish from a 3M-gram universe, so grams span df=1 up to
+    // heavy boilerplate; the maxDf=64 cap bounds the postings self-join
+    // at maxDf * |index| candidates however the df tail is shaped.
+    timed("containmentPairs: 1M docs x 24 shingles, maxDf=64 inverted index") {
+      val nd = 1000000L
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        transform(sequence(lit(0), lit(23)),
+          j => pmod(hash(col("id") * 31 + j).cast("long") *
+            hash(col("id") + j * 7919).cast("long"), lit(3000000L))).as("sh"))
+      val pairs = graft.functions.SimilarityOps.containmentPairs(
+        docs, "doc_id", "sh", minContainNum = 4, minContainDen = 5, maxDf = 64)
+      println(s"[probe]   containment pairs: ${pairs.count()}")
+    }
+    // Market-basket rules at fact-table scale: 10M lines / 2M baskets x
+    // ~5 items from a 100k-item catalog — candidates are linear in
+    // baskets (bounded width), pair counts combine map-side.
+    timed("coOccurrence: 10M lines, 2M baskets, 100k items") {
+      val lines = spark.range(10000000L).select(
+        (col("id") % 2000000L).as("bk"),
+        pmod(hash(col("id") * 2654435761L), lit(100000)).cast("long").as("it"))
+      val rules = graft.functions.Associations.coOccurrence(lines, "bk", "it", minCo = 3L)
+      println(s"[probe]   rules at minCo=3: ${rules.count()}")
+    }
+    // Rank statistics at 20M rows: the dictionary compression is the
+    // whole story — AUC/Gini/KS collapse the scan to <= 40k distinct
+    // cents buckets, so the rank walk is metadata-sized at any corpus.
+    timed("rank stats: AUC + Gini + KS over 20M rows, 40k-value dictionary") {
+      val ev = spark.range(20000000L).select(
+        (col("id") % 8).cast("string").as("k"),
+        pmod(hash(col("id")), lit(40000)).cast("long").as("v"),
+        (col("id") % 5 === 0).as("pos"),
+        (col("id") % 2 === 0).as("ref"))
+      val auc = graft.functions.Eval.aucExact(ev, col("pos"), col("v")).head.getDouble(2)
+      val gin = graft.functions.Eval.gini(ev, "k", col("v")).count()
+      val ks = graft.functions.Drift.ksCompare(ev, "k", col("v"), col("ref")).count()
+      println(f"[probe]   auc=$auc%.4f gini_keys=$gin ks_keys=$ks")
+    }
+    // CUSUM + ACF on the pre-aggregated grid: 20M raw events collapse
+    // to 1000 keys x ~720 hours before any sequential fold or lag join
+    // touches them — the recurrence/lag cost is calendar-sized.
+    timed("cusum + acf: 20M events -> 1000 keys x 720-hour grids") {
+      // hx must be INDEPENDENT of the key residue: id%1000 and id%720
+      // share gcd 40, which would space each key's hours 40 apart and
+      // leave lag 1 with zero aligned pairs
+      val hours = spark.range(20000000L).select(
+        (col("id") % 1000).cast("string").as("k"),
+        ((col("id") / 1000).cast("long") % 720).as("hx"),
+        pmod(hash(col("id")), lit(10000)).cast("long").as("cents"))
+        .groupBy(col("k"), col("hx")).agg(sum(col("cents")).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mu = hours.groupBy(col("k"))
+        .agg((sum(col("x")).cast("double") / count(lit(1))).as("mu"))
+      val cs = TimeseriesOps.cusum(
+        hours.join(broadcast(mu), Seq("k")).select(col("k"), col("hx"),
+          col("x").cast("double").as("xv"), col("mu")),
+        keyCol = "k", orderCol = "hx", valueCol = "xv", targetCol = "mu",
+        slack = 100.0).count()
+      val ac = TimeseriesOps.acf(hours, keyCol = "k", orderCol = "hx",
+        valueCol = "x", lags = Seq(1, 2, 3, 24)).count()
+      hours.unpersist(blocking = false)
+      println(s"[probe]   cusum keys=$cs acf slices=$ac")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
