@@ -465,4 +465,23 @@ object MultimodalOps {
     df.withColumn("out_width", (col("width") * scale).cast("int"))
       .withColumn("out_height", (col("height") * scale).cast("int"))
   }
+
+  /** 16-bit perceptual average-hash from a [[resizeNearestLuma]] 4×4
+    * grid: bit (gy·4 + gx) is set iff that cell's luma exceeds the
+    * image mean — the classic aHash, robust to re-encoding and mild
+    * edits because only the thumbnail's bright/dark PATTERN survives
+    * into the fingerprint. The comparison is the exact integer test
+    * 16·l > Σl (no mean division), and the bit fold is an
+    * order-independent SUM of disjoint powers of two, so the hash is
+    * identical at any partitioning. One hash-agg over 16-row groups;
+    * output is (id, ahash) — 2 longs per image, never rasters.
+    */
+  def aHash16(cells: DataFrame, idCol: String = "id"): DataFrame =
+    cells.groupBy(col(idCol)).agg(
+        sum(col("lumaMilli")).as("__tot"),
+        collect_list(struct((col("gy") * 4 + col("gx")).cast("int").as("pos"),
+          col("lumaMilli").as("l"))).as("__cs"))
+      .select(col(idCol), aggregate(col("__cs"), lit(0L),
+        (acc, c) => acc + when(lit(16L) * c.getField("l") > col("__tot"),
+          call_function("shiftleft", lit(1L), c.getField("pos"))).otherwise(0L)).as("ahash"))
 }

@@ -571,6 +571,48 @@ object SimilarityOps {
           sqrt(col("__n1").cast("double") * col("__n2").cast("double")), 6).as("cos"))
   }
 
+  /** Banded hamming candidate pairs over a small integer fingerprint
+    * (aHash/pHash/simhash up to 64 bits): the fingerprint is cut into
+    * `bands` disjoint `bandBits`-bit slices and docs pair iff SOME
+    * slice matches exactly — an equi-join on (band, slice, blockKeys)
+    * that shuffle-partitions at any corpus size, never an all-pairs
+    * XOR scan. Pigeonhole-COMPLETE for hamming ≤ bands − 1 (that few
+    * differing bits cannot dirty every band), so a verify cut at
+    * maxHamming ≤ bands − 1 loses nothing — the same guarantee
+    * simhashAgg60's 4×15 banding rides. Emits one row per surviving
+    * pair with its exact hamming distance (band multiplicity collapsed
+    * by the distinct on pair identity).
+    */
+  def hammingCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bandBits: Int,
+      bands: Int,
+      maxHamming: Int,
+      blockKeys: Seq[String] = Nil,
+      aName: String = "id_a",
+      bName: String = "id_b"): DataFrame = {
+    require(bandBits >= 1 && bands >= 1 && bandBits * bands <= 64,
+      s"banding must fit 64 bits, got $bands x $bandBits")
+    require(maxHamming <= bands - 1,
+      s"banding is only complete for hamming <= ${bands - 1}, got cut $maxHamming")
+    val mask = lit((1L << bandBits) - 1)
+    val bandFrames = (0 until bands).map { b =>
+      df.select((Seq(col(idCol), col(hashCol)) ++ blockKeys.map(col)) ++ Seq(
+        lit(b).as("__band"),
+        shiftright(col(hashCol), b * bandBits).bitwiseAND(mask).as("__bkey")): _*)
+    }.reduce(_ unionByName _)
+    val joinCond = (Seq("__band", "__bkey") ++ blockKeys)
+      .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+      col(s"x.$idCol") < col(s"y.$idCol")
+    bandFrames.as("x").join(bandFrames.as("y"), joinCond)
+      .select(col(s"x.$idCol").as(aName), col(s"y.$idCol").as(bName),
+        hamming(col(s"x.$hashCol"), col(s"y.$hashCol")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Containment near-dup pairs — C(A, B) = |A ∩ B| ⁄ min(|A|, |B|) —
     * the doc-IN-doc detector resemblance misses: a short document
     * quoted whole inside a long one has containment ≈ 1 but Jaccard ≈

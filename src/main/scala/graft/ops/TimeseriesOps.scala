@@ -930,17 +930,51 @@ object TimeseriesOps {
       zThreshold: Int = 3,
       periodSecs: Long = 3600L,
       seasonSecs: Long = 86400L): DataFrame = {
-    require(seasonSecs % periodSecs == 0 && seasonSecs > periodSecs,
-      s"seasonSecs must be a multiple of periodSecs, got $seasonSecs / $periodSecs")
-    val ev = df.filter(col(valueCol).isNotNull).select(
-      col(idCol), col(keyCol),
-      ((unix_timestamp(col(timeCol)) / periodSecs).cast("long") %
-        (seasonSecs / periodSecs)).as("bucket"),
-      round(col(valueCol) * 100).cast("decimal(38,0)").as("cents"))
+    val ev = seasonalPrep(df, keyCol, idCol, timeCol, valueCol, periodSecs, seasonSecs)
     val prof = ev.groupBy(col(keyCol), col("bucket")).agg(
       count(lit(1)).as("n"),
       sum(col("cents")).as("sx"),
       sum(col("cents") * col("cents")).as("sxx"))
+    seasonalFlag(ev, prof, keyCol, idCol, zThreshold)
+  }
+
+  /** Shared (id, key, bucket, cents) projection for the seasonal
+    * anomaly paths — batch ([[seasonalAnomalies]]) and streaming
+    * (`EventStreams.anomalyStream`) run THIS one expression set, so the
+    * bucket arithmetic and cents quantization can never drift between
+    * the trained profile and the scored stream.
+    */
+  def seasonalPrep(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      timeCol: String,
+      valueCol: String,
+      periodSecs: Long,
+      seasonSecs: Long): DataFrame = {
+    require(seasonSecs % periodSecs == 0 && seasonSecs > periodSecs,
+      s"seasonSecs must be a multiple of periodSecs, got $seasonSecs / $periodSecs")
+    df.filter(col(valueCol).isNotNull).select(
+      col(idCol), col(keyCol),
+      ((unix_timestamp(col(timeCol)) / periodSecs).cast("long") %
+        (seasonSecs / periodSecs)).as("bucket"),
+      round(col(valueCol) * 100).cast("decimal(38,0)").as("cents"))
+  }
+
+  /** The seasonal anomaly DECISION against a (key, bucket, n, sx, sxx)
+    * profile: flag rows where (n·x − Σx)² > z²·(n·Σx² − (Σx)²) — exact
+    * integer arithmetic, so no IEEE op can flip a borderline row; the
+    * reported zsq is the one closing cast-cast-divide, rounded at 6.
+    * The profile broadcasts (keys × buckets rows — metadata-sized), so
+    * the event side never shuffles: the same plan whether `ev` is a
+    * batch frame or a streaming micro-batch.
+    */
+  def seasonalFlag(
+      ev: DataFrame,
+      prof: DataFrame,
+      keyCol: String,
+      idCol: String,
+      zThreshold: Int): DataFrame = {
     val z2 = lit(zThreshold.toLong * zThreshold)
     val num = (col("n") * col("cents") - col("sx")) *
       (col("n") * col("cents") - col("sx"))

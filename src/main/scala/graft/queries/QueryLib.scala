@@ -6022,6 +6022,108 @@ object QueryLib {
            |  round(CAST(num - (n+1)*sv AS DOUBLE) / CAST(n*sv AS DOUBLE), 6) AS gini
            |FROM s WHERE n*sv > 0""".stripMargin))
 
+  private val mmPhash = Q(
+    "mm_phash",
+    // IMAGE near-dedup by perceptual hash — the multimodal twin of the
+    // text LSH paths: render each doc as a real PNG (the mm_pixel_stats
+    // fixture), decode + 4×4-sample through the executed-resize chain,
+    // fold the thumbnail into a 16-bit aHash (bit = cell brighter than
+    // the image mean, the exact integer test 16·l > Σl), then find
+    // hamming ≤ 1 pairs within (lang, source) via 4×4-bit banded
+    // equi-join candidates — pigeonhole-complete for hamming ≤ 3, so
+    // the cut loses nothing vs all-pairs, which is exactly what the
+    // oracle runs (500 docs) while Spark runs the scale path. Only
+    // (id, one long) rides the candidate join — never rasters.
+    (s, dir) => {
+      import s.implicits._
+      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticPng(id))))
+        .toDF("doc_id", "payload")
+      val cells = graft.functions.MultimodalOps
+        .resizeNearestLuma(payloads, "doc_id", "payload", gridW = 4, gridH = 4).toDF()
+      val h = mat(graft.functions.MultimodalOps.aHash16(cells, "id")
+        .select(col("id").as("doc_id"), col("ahash"))
+        .join(T(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+          Seq("doc_id")))
+      SimilarityOps.hammingCandidatePairs(h, "doc_id", "ahash",
+        bandBits = 4, bands = 4, maxHamming = 1,
+        blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, source,
+           |    doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM documents),
+           |cells AS (SELECT doc_id, gy*4 + gx AS pos, (gx * w) // 4 AS x, (gy * h) // 4 AS y
+           |  FROM d, range(0, 4) tgx(gx), range(0, 4) tgy(gy)),
+           |lum AS (SELECT doc_id, pos,
+           |    299 * ((31 * doc_id + 7 * x + 13 * y) % 256)
+           |  + 587 * ((17 * doc_id + 5 * x + 11 * y) % 256)
+           |  + 114 * ((23 * doc_id + 3 * x + 19 * y) % 256) AS l FROM cells),
+           |tot AS (SELECT doc_id, sum(l) AS tot FROM lum GROUP BY 1),
+           |hsh AS (SELECT l.doc_id, sum(CASE WHEN 16 * l.l > t.tot
+           |    THEN (CAST(1 AS BIGINT) << l.pos) ELSE 0 END) AS ahash
+           |  FROM lum l JOIN tot t USING (doc_id) GROUP BY 1),
+           |hb AS (SELECT h.doc_id, d.lang, d.source, h.ahash FROM hsh h JOIN d USING (doc_id))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+           |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+           |  AND a.lang = b.lang AND a.source = b.source
+           |WHERE bit_count(xor(a.ahash, b.ahash)) <= 1""".stripMargin))
+
+  private val fsStreamAnomaly = Q(
+    "fs_stream_anomaly",
+    // §2.10: streaming seasonal anomaly scoring — the 17th
+    // certification, and the DEPLOYED shape of fs_seasonal_anomaly:
+    // the (event_type × hour-of-day) profile is trained on the static
+    // history, broadcast into every micro-batch, and arriving events
+    // are flagged by the shared exact-integer decision (the stream
+    // runs the SAME seasonalPrep/seasonalFlag expressions as the batch
+    // kernel — shared code, not a reimplementation, so the two paths
+    // cannot drift). Stateless: no watermark, no state store; Append
+    // over the 4-file replay must hash-equal the batch gate's oracle,
+    // certifying stream/batch parity for a broadcast-scored stream.
+    (s, dir) => {
+      val src = T(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      val srcDir = stagedSrc("sanom", dir)(p => src.repartition(4).write.parquet(p))
+      val prof = TimeseriesOps.seasonalPrep(T(s, dir, "events"),
+          keyCol = "event_type", idCol = "event_id", timeCol = "ts",
+          valueCol = "value", periodSecs = 3600L, seasonSecs = 86400L)
+        .groupBy(col("event_type"), col("bucket")).agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sx"),
+          sum(col("cents") * col("cents")).as("sxx"))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"sanom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.anomalyStream(stream, prof,
+            keyCol = "event_type", idCol = "event_id")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      s.table(view).select(col("event_id"), col("event_type"), col("bucket"),
+        col("cents").cast("long").as("cents"), col("zsq"))
+    },
+    // the SAME oracle as fs_seasonal_anomaly: the stream must reproduce
+    // the batch result exactly
+    Some("""WITH ev AS (
+           |  SELECT event_id, event_type,
+           |    (epoch_us(ts)//1000000) // 3600 % 24 AS bucket,
+           |    CAST(round(value*100) AS HUGEINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |prof AS (
+           |  SELECT event_type, bucket, count(*) AS n, sum(cents) AS sx, sum(cents*cents) AS sxx
+           |  FROM ev GROUP BY 1, 2)
+           |SELECT e.event_id, e.event_type, e.bucket, CAST(e.cents AS BIGINT) AS cents,
+           |  round(CAST((p.n*e.cents - p.sx)*(p.n*e.cents - p.sx) AS DOUBLE) /
+           |        CAST(p.n*p.sxx - p.sx*p.sx AS DOUBLE), 6) AS zsq
+           |FROM ev e JOIN prof p USING (event_type, bucket)
+           |WHERE (p.n*e.cents - p.sx)*(p.n*e.cents - p.sx) > 9 * (p.n*p.sxx - p.sx*p.sx)""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6061,7 +6163,7 @@ object QueryLib {
     mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
-    mlAuc, mlKsDrift, qGini)
+    mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

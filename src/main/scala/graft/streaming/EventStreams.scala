@@ -173,6 +173,33 @@ object EventStreams {
       }
   }
 
+  /** Streaming seasonal anomaly scoring against a TRAINED static
+    * profile — the production monitoring deployment of
+    * [[graft.ops.TimeseriesOps.seasonalAnomalies]]: the (key, bucket,
+    * n, Σx, Σx²) profile is fit offline on history, broadcast into
+    * every micro-batch, and each arriving event is flagged by the
+    * exact integer decision (n·x − Σx)² > z²·(n·Σx² − (Σx)²).
+    * Stateless by construction (no watermark, no state store — the
+    * profile is resolved per batch, so a nightly re-fit is picked up
+    * between batches), and bucket/cents prep plus the decision are the
+    * SAME shared expressions the batch path runs
+    * ([[graft.ops.TimeseriesOps.seasonalPrep]]/`seasonalFlag`), so
+    * Append output over a full replay must hash-equal the batch gate —
+    * stream/batch parity certified by `fs_stream_anomaly`.
+    */
+  def anomalyStream(
+      events: DataFrame, // streaming: ts, <keyCol>, <idCol>, value
+      profile: DataFrame, // static: (<keyCol>, bucket, n, sx, sxx)
+      keyCol: String,
+      idCol: String,
+      zThreshold: Int = 3,
+      periodSecs: Long = 3600L,
+      seasonSecs: Long = 86400L): DataFrame = {
+    val ev = graft.ops.TimeseriesOps.seasonalPrep(
+      events, keyCol, idCol, "ts", "value", periodSecs, seasonSecs)
+    graft.ops.TimeseriesOps.seasonalFlag(ev, profile, keyCol, idCol, zThreshold)
+  }
+
   /** Stateful streaming CUSUM per key — Page's two-sided recurrence
     * kept live across micro-batches against a FIXED target level (the
     * production monitoring shape: μ comes from a trained baseline, not

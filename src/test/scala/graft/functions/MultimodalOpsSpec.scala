@@ -247,4 +247,20 @@ class MultimodalOpsSpec extends SparkSpec {
       ow <= 100 && oh <= 100 && ow >= 0 && oh >= 0
     })
   }
+
+  test("aHash16 sets exactly the brighter-than-mean bits, any row order") {
+    import spark.implicits._
+    // bottom half (pos 8..15) bright: mean test sets bits 8..15 -> 0xFF00
+    val cells = for (gy <- 0 until 4; gx <- 0 until 4)
+      yield (1L, gx, gy, if (gy >= 2) 1000L else 0L)
+    for (perm <- Seq(cells, cells.reverse)) {
+      val out = MultimodalOps.aHash16(
+        perm.toDF("id", "gx", "gy", "lumaMilli").repartition(3), "id").collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0xFF00L)))
+    }
+    // perfectly flat image: no cell is STRICTLY brighter than the mean
+    val flat = (for (gy <- 0 until 4; gx <- 0 until 4) yield (2L, gx, gy, 500L))
+      .toDF("id", "gx", "gy", "lumaMilli")
+    assert(MultimodalOps.aHash16(flat, "id").collect().head.getLong(1) == 0L)
+  }
 }

@@ -158,6 +158,24 @@ class SimilarityOpsSpec extends SparkSpec {
       SimilarityOps.tfidfPairs(docs, "doc_id", "text", minCosNum = 5, minCosDen = 4))
   }
 
+  test("hammingCandidatePairs: banded equi-join finds all pairs within the pigeonhole bound") {
+    import spark.implicits._
+    // 15 vs 14 differ in one bit; 0 is hamming 4/3 away — only (1,2)
+    // survives the cut, found via the three clean high bands
+    val df = Seq((1L, 15L), (2L, 14L), (3L, 0L)).toDF("id", "h")
+    val out = SimilarityOps.hammingCandidatePairs(df, "id", "h",
+        bandBits = 4, bands = 4, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1)))
+    // a cut past bands-1 would silently lose pairs: refuse it
+    intercept[IllegalArgumentException](SimilarityOps.hammingCandidatePairs(
+      df, "id", "h", bandBits = 4, bands = 4, maxHamming = 4))
+    // block keys fence the join: same hashes, different blocks, no pair
+    val blocked = Seq((1L, 15L, "en"), (2L, 14L, "de")).toDF("id", "h", "lang")
+    assert(SimilarityOps.hammingCandidatePairs(blocked, "id", "h",
+      bandBits = 4, bands = 4, maxHamming = 1, blockKeys = Seq("lang")).count() == 0L)
+  }
+
   test("containmentPairs finds doc-in-doc pairs resemblance would miss") {
     import spark.implicits._
     // doc 1 (5 shingles) is fully contained in doc 2 (10): containment

@@ -255,6 +255,36 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("s1").count() == 3)
   }
 
+  test("anomalyStream scores micro-batches against the trained static profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    // train on the TimeseriesOpsSpec fixture: eleven 1.00s + one 10.00
+    // in hour 0 -> only the outlier trips the integer decision (zsq=11)
+    val hist = ((1 to 11).map(d => Ev(ts(f"2024-01-$d%02dT00:05:00"), d.toLong, "k", 1.0)) :+
+      Ev(ts("2024-01-12T00:05:00"), 99L, "k", 10.0)).toDF()
+    val prof = graft.ops.TimeseriesOps.seasonalPrep(hist,
+        keyCol = "event_type", idCol = "user_id", timeCol = "ts",
+        valueCol = "value", periodSecs = 3600L, seasonSecs = 86400L)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.anomalyStream(mem.toDF(), prof,
+        keyCol = "event_type", idCol = "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("sanom").start()
+    mem.addData(mkEvents(
+      ("2024-01-05T00:10:00", 1, "k", 1.0),     // normal for hour 0
+      ("2024-01-12T00:05:00", 99, "k", 10.0)): _*) // the trained outlier
+    q.processAllAvailable()
+    mem.addData(mkEvents(("2024-01-13T00:30:00", 7, "k", 9.5)): _*) // near-outlier, later batch
+    q.processAllAvailable()
+    val out = spark.table("sanom").collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    q.stop()
+    assert(out.map(_._1).toSet == Set(99L, 7L)) // both batches flag, 1.0 stays quiet
+    assert(out.toMap.apply(99L) == 11.0)
+  }
+
   test("cusumStream carries Page's recurrence across micro-batches, folding in ts order") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
