@@ -6124,6 +6124,51 @@ object QueryLib {
            |FROM ev e JOIN prof p USING (event_type, bucket)
            |WHERE (p.n*e.cents - p.sx)*(p.n*e.cents - p.sx) > 9 * (p.n*p.sxx - p.sx*p.sx)""".stripMargin))
 
+  private val qRfmSegments = Q(
+    "q_rfm_segments",
+    // RFM user segmentation — the classic marketing-analytics cut:
+    // recency (integer days before the fixed 2024-02-01 anchor),
+    // frequency, monetary (exact cents), each quintiled into 1-5 and
+    // composed into the 3-digit segment code. One hash-agg collapses
+    // events to the USER table, so the three ntile windows run over a
+    // user-dictionary-sized frame (the Eval rank-statistics doctrine).
+    // ntile assigns by ROW POSITION — ties across a bucket boundary
+    // are physical-order lottery unless the sort is total, so every
+    // window orders by (metric, user_id): deterministic at any
+    // parallelism, and the oracle mirrors the same total order. All
+    // columns are exact integers; no IEEE op anywhere.
+    (s, dir) => {
+      val anchorUs = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli * 1000L
+      val u = T(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("user_id")).agg(
+          ((lit(anchorUs) - max(unix_micros(col("ts")))) / 86400000000L)
+            .cast("long").as("r_days"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("decimal(38,0)")).cast("long")
+            .as("monetary_cents"))
+      def bin(m: String) = ntile(5).over(
+        Window.orderBy(col(m), col("user_id"))).cast("int")
+      u.select(col("user_id"), col("r_days"), col("freq"), col("monetary_cents"),
+          bin("r_days").as("r_bin"), bin("freq").as("f_bin"),
+          bin("monetary_cents").as("m_bin"))
+        .withColumn("segment",
+          (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin")).cast("int"))
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id,
+           |    (epoch_us(TIMESTAMP '2024-02-01') - max(epoch_us(ts))) // 86400000000 AS r_days,
+           |    CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(sum(CAST(round(value*100) AS HUGEINT)) AS BIGINT) AS monetary_cents
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+           |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, freq, monetary_cents,
+           |  CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS INT) AS r_bin,
+           |  CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f_bin,
+           |  CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS m_bin,
+           |  CAST(ntile(5) OVER (ORDER BY r_days, user_id) * 100
+           |     + ntile(5) OVER (ORDER BY freq, user_id) * 10
+           |     + ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS segment
+           |FROM u""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6163,7 +6208,7 @@ object QueryLib {
     mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
-    mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly)
+    mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
