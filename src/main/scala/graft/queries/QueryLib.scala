@@ -6169,6 +6169,41 @@ object QueryLib {
            |     + ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS segment
            |FROM u""".stripMargin))
 
+  private val qTimeToConvert = Q(
+    "q_time_to_convert",
+    // Funnel LATENCY — not whether users convert (q_funnel) but how
+    // long it takes: each purchase carries the exact integer-micros
+    // gap since that user's most recent at-or-before click, via the
+    // SAME keyed backward as-of kernel the feature store runs
+    // (one exchange on user_id, window fill, no self-join explosion;
+    // duplicate click times collapse by the kernel's documented
+    // max-struct tie rule, which is value-invariant here because the
+    // carried value IS the click time). Purchases with no prior click
+    // keep a NULL latency — the never-clicked-buyer segment is signal,
+    // not noise. The oracle computes the same gap independently as a
+    // grouped max over the time-bounded join.
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("time"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("time"), col("ts").as("click_ts"))
+      TimeseriesOps.asofJoin(buys, clicks, Seq("click_ts"),
+          timeCol = "time", by = Seq("user_id"))
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("time")) - unix_micros(col("click_ts"))).as("latency_us"))
+    },
+    Some("""WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+           |buys AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+           |m AS (
+           |  SELECT b.user_id, b.event_id, b.ts, max(c.ts) AS last_click
+           |  FROM buys b LEFT JOIN clicks c
+           |    ON c.user_id = b.user_id AND c.ts <= b.ts
+           |  GROUP BY 1, 2, 3)
+           |SELECT user_id, event_id,
+           |  CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS latency_us
+           |FROM m""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6208,7 +6243,8 @@ object QueryLib {
     mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
-    mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments)
+    mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
+    qTimeToConvert)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
