@@ -61,10 +61,27 @@ object Eval {
     * closing IEEE division, rounded at 6; all-zero keys are dropped by
     * the exact integer guard rather than dividing by zero.
     */
-  def gini(df: DataFrame, keyCol: String, valueCol: Column): DataFrame = {
-    val g = df.select(col(keyCol), valueCol.cast("decimal(38,0)").as("__v"))
-      .groupBy(col(keyCol), col("__v"))
-      .agg(count(lit(1)).as("__c"))
+  def gini(df: DataFrame, keyCol: String, valueCol: Column): DataFrame =
+    giniFromCounts(
+      df.select(col(keyCol), valueCol.cast("decimal(38,0)").as("__v"))
+        .groupBy(col(keyCol), col("__v"))
+        .agg(count(lit(1)).as("__c")),
+      keyCol, "__v", "__c")
+
+  /** [[gini]] from a pre-aggregated (key, value, count) dictionary —
+    * the form a STREAMING pipeline maintains: per-(key, value) counts
+    * are a plain grouped streaming aggregation (state = the value
+    * dictionary, bounded by the value domain however long the stream
+    * runs), and the batch-closed dictionary feeds this exact same rank
+    * walk — certified by the fs_stream_gini stream/batch-parity gate.
+    */
+  def giniFromCounts(
+      counts: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      countCol: String): DataFrame = {
+    val g = counts.select(col(keyCol), col(valueCol).cast("decimal(38,0)").as("__v"),
+      col(countCol).cast("long").as("__c"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     g.select(col(keyCol), col("__v"), col("__c"),

@@ -6204,6 +6204,130 @@ object QueryLib {
            |  CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS latency_us
            |FROM m""".stripMargin))
 
+  private val fsStreamGini = Q(
+    "fs_stream_gini",
+    // §2.10: rank statistics as STREAMING state — the 18th
+    // certification, and the streaming deployment of q_gini's
+    // dictionary doctrine: the per-(key, cents) count dictionary IS
+    // the grouped running count Structured Streaming maintains
+    // (state bounded by the value domain — ≤40k cents buckets however
+    // long the stream runs, where a naive rank statistic buffers every
+    // row), and the batch-closed dictionary feeds the SAME
+    // giniFromCounts rank walk as the batch gate. Complete-mode close
+    // over the 4-file replay must hash-equal q_gini's oracle exactly.
+    (s, dir) => {
+      val src = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+      val srcDir = stagedSrc("sgini", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"sgini_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val counts = stream.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val query = withStatePartitions(s, 4) {
+        counts.writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      graft.functions.Eval.giniFromCounts(s.table(view),
+        keyCol = "event_type", valueCol = "cents", countCol = "c")
+    },
+    // the SAME oracle as q_gini: the stream-closed dictionary must
+    // reproduce the batch statistic exactly
+    Some("""WITH e AS (
+           |  SELECT event_type, CAST(round(value*100) AS HUGEINT) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+           |w AS (SELECT event_type, v, c,
+           |        coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |      FROM g),
+           |s AS (SELECT event_type, sum(c) AS n, sum(c*v) AS sv,
+           |        sum(v*(2*c*cb + c*(c+1))) AS num FROM w GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  round(CAST(num - (n+1)*sv AS DOUBLE) / CAST(n*sv AS DOUBLE), 6) AS gini
+           |FROM s WHERE n*sv > 0""".stripMargin))
+
+  private val qPaths2Step = Q(
+    "q_paths_2step",
+    // Second-order path counts — q_transitions one step deeper: the
+    // (e₁ → e₂ → e₃) trigram frequencies behavioural analytics feeds
+    // into Sankey diagrams and second-order Markov models (first-order
+    // chains miss "view→click→purchase vs view→click→error" splits by
+    // construction). Same shape: ONE per-user window (two lags share
+    // one sort) + one hash-agg to O(|types|³) rows; ties inside a
+    // user-microsecond break by event_id, so the sequence is
+    // deterministic at any partitioning.
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"),
+          lag(col("event_type"), 2).over(w).as("e1"),
+          lag(col("event_type"), 1).over(w).as("e2"),
+          col("event_type").as("e3"))
+        .filter(col("e1").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_paths"))
+    },
+    Some("""WITH seq AS (SELECT user_id,
+           |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+           |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+           |    event_type AS e3
+           |  FROM events)
+           |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+           |FROM seq WHERE e1 IS NOT NULL
+           |GROUP BY 1, 2, 3""".stripMargin))
+
+  private val qBenford = Q(
+    "q_benford",
+    // Benford first-digit screening — the classic fraud/fabrication
+    // probe an analytics engine runs over money columns: the observed
+    // first-digit distribution of non-zero cents vs Benford's
+    // log10(1+1/d), with the expected frequencies as LITERAL constants
+    // (identical on both engines — no libm log at query time) and the
+    // divergence term (obs − exp)²/exp as one fixed IEEE sequence (the
+    // q_drift_hist pattern). First digit via the value's decimal
+    // STRING head — integer-exact, no log/pow arithmetic anywhere.
+    (s, dir) => {
+      val exp = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+        0.066947, 0.057992, 0.051153, 0.045757)
+      val expCol = element_at(array(exp.map(lit): _*), col("digit").cast("int"))
+      val d = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+        .filter(col("cents") > 0)
+        .select(col("event_type"),
+          substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      d.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("digit"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("obs_freq"),
+          expCol.as("exp_freq"),
+          round((col("n").cast("double") / col("total").cast("double") - expCol) *
+            (col("n").cast("double") / col("total").cast("double") - expCol) /
+            expCol, 6).as("divergence"))
+    },
+    Some("""WITH d AS (
+           |  SELECT event_type,
+           |    CAST(substr(CAST(CAST(round(value*100) AS HUGEINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM events WHERE value IS NOT NULL AND round(value*100) > 0),
+           |c AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
+           |t AS (SELECT event_type, digit, n, sum(n) OVER (PARTITION BY event_type) AS total FROM c),
+           |x AS (SELECT *, (CAST([0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+           |                  0.066947, 0.057992, 0.051153, 0.045757] AS DOUBLE[]))[digit] AS exp_freq
+           |      FROM t)
+           |SELECT event_type, digit, CAST(n AS BIGINT) AS n,
+           |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_freq,
+           |  exp_freq,
+           |  round((CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp_freq)
+           |      * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp_freq) / exp_freq, 6) AS divergence
+           |FROM x""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6244,7 +6368,7 @@ object QueryLib {
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
-    qTimeToConvert)
+    qTimeToConvert, fsStreamGini, qPaths2Step, qBenford)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -29,6 +29,17 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("giniFromCounts over the pre-aggregated dictionary equals gini over rows") {
+    val rows = Seq(("c", 0L), ("c", 0L), ("c", 10L), ("e", 5L), ("e", 5L), ("e", 7L))
+    val df = rows.toDF("k", "v")
+    val fromRows = Eval.gini(df, "k", col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val counts = df.groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val fromCounts = Eval.giniFromCounts(counts, "k", "v", "c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromRows == fromCounts && fromRows.nonEmpty)
+  }
+
   test("gini: concentrated mass scores (n-1)/n, equal shares score 0, zeros drop") {
     val df = Seq(
       ("c", 0L), ("c", 0L), ("c", 10L), // all mass on one of three
