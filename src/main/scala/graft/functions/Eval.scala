@@ -97,4 +97,48 @@ object Eval {
         round((col("__num") - (col("__n") + 1) * col("__sv")).cast("double") /
           (col("__n") * col("__sv")).cast("double"), 6).as("gini"))
   }
+
+  /** Exact gains/lift table at `buckets` evenly-spaced population cuts
+    * (the model-targeting complement of [[aucExact]]: "mail the top 5%
+    * scored by the model — how many converters does that capture, and
+    * at what lift over random?"). Per the object's contract everything
+    * runs on the score DICTIONARY: cumulative (count, positives) walk
+    * down the descending scores, then each cut k resolves to the ONE
+    * dictionary block whose cumulative count crosses the rational rank
+    * ceil(k·n/buckets) — floor((k·n + buckets−1)/buckets) in exact
+    * integer arithmetic, never 0.05·n. The `buckets`-row spine rides a
+    * broadcast non-equi join against the dictionary (metadata ×
+    * constant — the 1-row-scalar pattern, allow-listed in the plan
+    * contract). lift = (cum_pos·n)/(cum_n·total_pos) cross-multiplied
+    * in exact integers with ONE closing IEEE division, rounded at 6.
+    * Tie blocks straddling a cut report the block-closing cum_n — the
+    * honest "score threshold" semantics (you cannot mail half a tie).
+    */
+  def liftTable(df: DataFrame, labelCol: Column, scoreCol: Column,
+      buckets: Int = 20): DataFrame = {
+    val g = df.select(scoreCol.cast("decimal(38,0)").as("__v"),
+        when(labelCol, 1L).otherwise(0L).as("__pos"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__pos")).as("__p"))
+    val wOrd = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("__v"), col("__cnt"),
+      sum(col("__cnt")).over(wOrd).as("cum_n"),
+      sum(col("__p")).over(wOrd).as("cum_pos"))
+    val totals = g.agg(sum(col("__cnt")).as("__n"), sum(col("__p")).as("__np"))
+    val spine = df.sparkSession.range(1, buckets + 1L).toDF("bucket")
+    val cut = expr(s"(bucket * __n + ${buckets - 1}) div $buckets")
+    cum.crossJoin(broadcast(totals))
+      .join(broadcast(spine),
+        (col("cum_n") - col("__cnt") < cut) && (cut <= col("cum_n")))
+      .select(col("bucket").cast("long").as("bucket"),
+        cut.cast("long").as("cut"),
+        col("__v").cast("long").as("score_cents"),
+        col("cum_n").cast("long").as("cum_n"),
+        col("cum_pos").cast("long").as("cum_pos"),
+        round((col("cum_pos") * col("__n")).cast("double") /
+          (col("cum_n") * col("__np")).cast("double"), 6).as("lift"),
+        round(col("cum_pos").cast("double") /
+          col("__np").cast("double"), 6).as("capture"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation-platform kernels: deterministic A/B assignment and
+  * CUPED variance reduction — the two primitives an analytics engine
+  * runs on every experiment readout. Both follow the repo's
+  * determinism doctrine: assignment is a pure salted-md5 bucket (same
+  * user → same variant on any engine, any rerun, any partitioning —
+  * unlike rand(seed), whose draw depends on the physical split), and
+  * the CUPED moments accumulate as exact integers so θ and the
+  * adjusted means close with a FIXED sequence of IEEE operations.
+  */
+object Experiment {
+
+  /** Deterministic variant assignment: the unit lands in `control` iff
+    * the leading hex digits of md5(salt ":" unit) sort below
+    * `controlHexCut` — a 50/50 split at cut "8", and any m/16ⁿ split by
+    * widening the cut string (e.g. "c" → 75/25, "0d" → ~5% control).
+    * Salting by experiment name keeps assignments independent across
+    * concurrent experiments on the same population. Pure expression —
+    * no shuffle, no state, reproducible cross-engine (md5 of identical
+    * bytes, lexicographic compare on lowercase hex both sides).
+    */
+  def assignVariant(unit: Column, salt: String,
+      controlHexCut: String = "8"): Column =
+    when(substring(md5(concat(lit(salt + ":"), unit.cast("string"))),
+        1, controlHexCut.length) < controlHexCut,
+      lit("control")).otherwise(lit("treatment"))
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data) adjusted
+    * means per variant: ŷᵥ = ȳᵥ − θ·(x̄ᵥ − x̄), θ = cov(x,y)/var(x)
+    * pooled over ALL units — the industry-standard variance-reduction
+    * readout (Deng et al., WSDM 2013). `perUser` carries one row per
+    * unit with integer-exact pre-period covariate `xCol` and
+    * post-period metric `yCol` (cents — the repo convention): the four
+    * moments Σx, Σy, Σxy, Σx² accumulate as exact decimals in ONE
+    * hash-agg, θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) closes with one IEEE
+    * division ROUNDED AT 6 BEFORE use (so both engines adjust with the
+    * same θ), and each variant's adjusted mean is three exact-integer
+    * divisions composed in a fixed order, rounded at 6. The 1-row θ
+    * frame rides a broadcast — per-variant work never re-shuffles.
+    */
+  def cuped(perUser: DataFrame, variantCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val a = perUser.select(col(variantCol).as("variant"),
+      col(xCol).cast("decimal(38,0)").as("__x"),
+      col(yCol).cast("decimal(38,0)").as("__y"))
+    val th = a.agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n"), col("__sx"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"),
+          6).as("theta"))
+    a.groupBy(col("variant"))
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__x")).as("__sxv"),
+        sum(col("__y")).as("__syv"))
+      .crossJoin(broadcast(th))
+      .select(col("variant"),
+        col("__nv").cast("long").as("n_users"),
+        col("theta"),
+        round(col("__syv").cast("double") / col("__nv").cast("double"),
+          6).as("raw_mean"),
+        round(col("__syv").cast("double") / col("__nv").cast("double") -
+          col("theta") * (col("__sxv").cast("double") / col("__nv").cast("double") -
+            col("__sx").cast("double") / col("__n").cast("double")),
+          6).as("cuped_mean"))
+  }
+}

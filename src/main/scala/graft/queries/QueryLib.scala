@@ -6328,6 +6328,136 @@ object QueryLib {
            |      * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp_freq) / exp_freq, 6) AS divergence
            |FROM x""".stripMargin))
 
+  private val qAbAssign = Q(
+    "q_ab_assign",
+    // Experiment readout head: deterministic salted-md5 variant
+    // assignment (Experiment.assignVariant — same user → same arm on
+    // any engine/rerun/partitioning, independent across experiments by
+    // salt) + the per-variant topline and the sample-ratio-mismatch
+    // chi-square term against the designed 50/50 split (SRM is the
+    // first guardrail every experimentation platform checks before
+    // trusting a readout). One hash-agg over events; assignment is a
+    // pure expression so nothing shuffles twice; srm closes in a fixed
+    // IEEE sequence off exact integer counts.
+    (s, dir) => {
+      val ev = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"),
+          graft.functions.Experiment.assignVariant(col("user_id"), "exp1").as("variant"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+      val v = ev.groupBy(col("variant"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"))
+      val t = v.agg(sum(col("n_users")).as("total_users"))
+      v.crossJoin(broadcast(t))
+        .select(col("variant"),
+          col("n_users").cast("long").as("n_users"),
+          col("n_events").cast("long").as("n_events"),
+          col("sum_cents").cast("long").as("sum_cents"),
+          round(col("sum_cents").cast("double") / col("n_events").cast("double"),
+            6).as("mean_cents"),
+          round((col("n_users").cast("double") - col("total_users").cast("double") * 0.5) *
+            (col("n_users").cast("double") - col("total_users").cast("double") * 0.5) /
+            (col("total_users").cast("double") * 0.5), 6).as("srm_term"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id,
+           |    CASE WHEN substr(md5(concat('exp1:', CAST(user_id AS VARCHAR))), 1, 1) < '8'
+           |         THEN 'control' ELSE 'treatment' END AS variant,
+           |    CAST(round(value*100) AS HUGEINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |v AS (SELECT variant, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+           |        sum(cents) AS sum_cents FROM ev GROUP BY 1),
+           |t AS (SELECT sum(n_users) AS total_users FROM v)
+           |SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+           |  CAST(n_events AS BIGINT) AS n_events, CAST(sum_cents AS BIGINT) AS sum_cents,
+           |  round(CAST(sum_cents AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS mean_cents,
+           |  round((CAST(n_users AS DOUBLE) - CAST(total_users AS DOUBLE)*0.5)
+           |      * (CAST(n_users AS DOUBLE) - CAST(total_users AS DOUBLE)*0.5)
+           |      / (CAST(total_users AS DOUBLE)*0.5), 6) AS srm_term
+           |FROM v CROSS JOIN t""".stripMargin))
+
+  private val qCuped = Q(
+    "q_cuped",
+    // CUPED variance-reduced experiment readout (Experiment.cuped):
+    // pre-period spend (before the mid-month cutoff ml_ks_drift also
+    // uses) as the covariate, post-period spend as the metric, variant
+    // by the SAME salted-md5 assignment as q_ab_assign. Per-user sums
+    // stay exact integers (never per-user means — a per-user division
+    // would inject accumulation-order noise into the moments); θ and
+    // the adjusted means close in a fixed IEEE sequence. θ here barely
+    // moves the means (synthetic pre/post spend is uncorrelated,
+    // θ≈0.07) — the gate pins the arithmetic, not the lift.
+    (s, dir) => {
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val u = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"),
+          when(col("ts") < cutoff, 1).otherwise(0).as("pre"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents") * col("pre")).as("x"),
+          sum(col("cents") * (lit(1) - col("pre"))).as("y"))
+        .withColumn("variant",
+          graft.functions.Experiment.assignVariant(col("user_id"), "exp1"))
+      graft.functions.Experiment.cuped(u, "variant", "x", "y")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(round(value*100) AS HUGEINT) AS cents,
+           |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS pre
+           |  FROM events WHERE value IS NOT NULL),
+           |u AS (SELECT user_id, sum(cents*pre) AS x, sum(cents*(1-pre)) AS y FROM e GROUP BY 1),
+           |a AS (SELECT user_id, x, y,
+           |    CASE WHEN substr(md5(concat('exp1:', CAST(user_id AS VARCHAR))), 1, 1) < '8'
+           |         THEN 'control' ELSE 'treatment' END AS variant FROM u),
+           |t AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x*y) AS sxy, sum(x*x) AS sxx FROM a),
+           |th AS (SELECT n, sx,
+           |    round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS theta FROM t),
+           |v AS (SELECT variant, count(*) AS nv, sum(x) AS sxv, sum(y) AS syv FROM a GROUP BY 1)
+           |SELECT variant, CAST(nv AS BIGINT) AS n_users, th.theta AS theta,
+           |  round(CAST(syv AS DOUBLE)/CAST(nv AS DOUBLE), 6) AS raw_mean,
+           |  round(CAST(syv AS DOUBLE)/CAST(nv AS DOUBLE)
+           |      - th.theta*(CAST(sxv AS DOUBLE)/CAST(nv AS DOUBLE)
+           |                  - CAST(th.sx AS DOUBLE)/CAST(th.n AS DOUBLE)), 6) AS cuped_mean
+           |FROM v CROSS JOIN th""".stripMargin))
+
+  private val mlLiftTable = Q(
+    "ml_lift_table",
+    // Gains/lift table at 5% population cuts (Eval.liftTable) — the
+    // model-TARGETING readout next to ml_auc's model-RANKING one:
+    // "score everything, act on the top k% — what lift over random?".
+    // Same score/label as ml_auc (cents predicting purchase), so the
+    // two gates certify one evaluation stack. Everything runs on the
+    // score dictionary: cumulative walk + a 20-row broadcast spine
+    // resolving each rational-rank cut ceil(k·n/20) to its crossing
+    // block; lift cross-multiplies exact integers with one closing
+    // IEEE division. Lift ≈ 1.0 everywhere: value does not predict
+    // purchase in this synthetic data — the gate pins the arithmetic.
+    (s, dir) => graft.functions.Eval.liftTable(
+      T(s, dir, "events").filter(col("value").isNotNull),
+      labelCol = col("event_type") === "purchase",
+      scoreCol = round(col("value") * 100),
+      buckets = 20),
+    Some("""WITH e AS (
+           |  SELECT CAST(round(value*100) AS HUGEINT) AS v,
+           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT v, count(*) AS cnt, sum(pos) AS p FROM e GROUP BY 1),
+           |w AS (SELECT v, cnt, p,
+           |    sum(cnt) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           |    sum(p)   OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+           |    sum(cnt) OVER () AS n, sum(p) OVER () AS np
+           |  FROM g),
+           |k AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(1, 21))
+           |SELECT k.bucket,
+           |  CAST((k.bucket*w.n + 19) // 20 AS BIGINT) AS cut,
+           |  CAST(w.v AS BIGINT) AS score_cents,
+           |  CAST(w.cum_n AS BIGINT) AS cum_n, CAST(w.cum_p AS BIGINT) AS cum_pos,
+           |  round(CAST(w.cum_p*w.n AS DOUBLE) / CAST(w.cum_n*w.np AS DOUBLE), 6) AS lift,
+           |  round(CAST(w.cum_p AS DOUBLE) / CAST(w.np AS DOUBLE), 6) AS capture
+           |FROM k JOIN w ON w.cum_n - w.cnt < (k.bucket*w.n + 19) // 20
+           |             AND (k.bucket*w.n + 19) // 20 <= w.cum_n""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6368,7 +6498,8 @@ object QueryLib {
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
-    qTimeToConvert, fsStreamGini, qPaths2Step, qBenford)
+    qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
+    qAbAssign, qCuped, mlLiftTable)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

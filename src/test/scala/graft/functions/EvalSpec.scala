@@ -40,6 +40,23 @@ class EvalSpec extends SparkSpec {
     assert(fromRows == fromCounts && fromRows.nonEmpty)
   }
 
+  test("liftTable: perfect ranking front-loads capture; full population lifts 1.0") {
+    // 4 positives carry the 4 highest scores of 8 rows: the 50% cut
+    // (bucket 10 of 20) captures ALL positives at lift 2, and the
+    // final bucket always closes at lift 1.0, capture 1.0.
+    val df = (1 to 8).map(i => (i > 4, i.toLong)).toDF("label", "score")
+    val out = Eval.liftTable(df, col("label"), col("score"), buckets = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    assert(out.length == 20)
+    val mid = out.find(_._1 == 10).get
+    assert(mid == ((10L, 4L, 4L, 2.0, 1.0)))
+    val last = out.last
+    assert(last._2 == 8L && last._4 == 1.0 && last._5 == 1.0)
+    // capture is monotone down the table
+    assert(out.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("gini: concentrated mass scores (n-1)/n, equal shares score 0, zeros drop") {
     val df = Seq(
       ("c", 0L), ("c", 0L), ("c", 10L), // all mass on one of three

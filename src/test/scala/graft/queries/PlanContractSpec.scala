@@ -57,7 +57,12 @@ class PlanContractSpec extends SparkSpec {
       "txt_tfidf_pairs",
       // q_market_basket broadcasts the 1-row basket-count scalar into
       // the result-sized rule table
-      "q_market_basket")
+      "q_market_basket",
+      // q_ab_assign / q_cuped broadcast the 1-row totals/θ scalar into
+      // the variant rollup; ml_lift_table additionally broadcasts the
+      // 20-row bucket spine into the score-dictionary non-equi probe —
+      // both sides metadata-sized by construction
+      "q_ab_assign", "q_cuped", "ml_lift_table")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
