@@ -72,4 +72,51 @@ object Experiment {
             col("__sx").cast("double") / col("__n").cast("double")),
           6).as("cuped_mean"))
   }
+
+  /** Welch's unequal-variance two-sample t readout over one-row-per-
+    * unit data: t = (ȳₜ − ȳ꜀)/√(s²꜀/n꜀ + s²ₜ/nₜ) with Welch–
+    * Satterthwaite degrees of freedom — the significance line under
+    * [[cuped]]'s point estimates. Deterministic cross-engine WITHOUT
+    * any closing-division restriction: the six moments (n, Σy, Σy²
+    * per arm) accumulate as exact integers in ONE conditional
+    * hash-agg (no join — the arm indicator multiplies into each sum),
+    * and everything after is division/multiplication/sqrt only — all
+    * correctly-rounded IEEE operations, so the chain is bit-identical
+    * on any engine; only double SUMS (accumulation order) are banned
+    * by the doctrine, and there are none here. `variantCol` must hold
+    * the [[assignVariant]] labels; output rounds at 6.
+    */
+  def welchT(perUser: DataFrame, variantCol: String, yCol: String): DataFrame = {
+    val ctl = when(col(variantCol) === "control", lit(1)).otherwise(lit(0))
+      .cast("decimal(38,0)")
+    val m = perUser.select(ctl.as("__ctl"),
+        col(yCol).cast("decimal(38,0)").as("__y"))
+      .agg(sum(col("__ctl")).as("__nc"),
+        sum(lit(1) - col("__ctl")).as("__nt"),
+        sum(col("__y") * col("__ctl")).as("__sc"),
+        sum(col("__y") * (lit(1) - col("__ctl"))).as("__st"),
+        sum(col("__y") * col("__y") * col("__ctl")).as("__qc"),
+        sum(col("__y") * col("__y") * (lit(1) - col("__ctl"))).as("__qt"))
+    val s = m.select(col("__nc"), col("__nt"),
+      (col("__sc").cast("double") / col("__nc").cast("double")).as("__mc"),
+      (col("__st").cast("double") / col("__nt").cast("double")).as("__mt"),
+      ((col("__nc") * col("__qc") - col("__sc") * col("__sc")).cast("double") /
+        (col("__nc") * (col("__nc") - 1)).cast("double")).as("__vc"),
+      ((col("__nt") * col("__qt") - col("__st") * col("__st")).cast("double") /
+        (col("__nt") * (col("__nt") - 1)).cast("double")).as("__vt"))
+    val f = s.select(col("__nc"), col("__nt"), col("__mc"), col("__mt"),
+      (col("__vc") / col("__nc").cast("double")).as("__ac"),
+      (col("__vt") / col("__nt").cast("double")).as("__at"))
+    f.select(col("__nc").cast("long").as("n_control"),
+      col("__nt").cast("long").as("n_treatment"),
+      round(col("__mc"), 6).as("mean_control"),
+      round(col("__mt"), 6).as("mean_treatment"),
+      round(col("__mt") - col("__mc"), 6).as("diff"),
+      round((col("__mt") - col("__mc")) / sqrt(col("__ac") + col("__at")),
+        6).as("t_stat"),
+      round((col("__ac") + col("__at")) * (col("__ac") + col("__at")) /
+        (col("__ac") * col("__ac") / (col("__nc") - 1).cast("double") +
+         col("__at") * col("__at") / (col("__nt") - 1).cast("double")),
+        6).as("df"))
+  }
 }

@@ -6458,6 +6458,53 @@ object QueryLib {
            |FROM k JOIN w ON w.cum_n - w.cnt < (k.bucket*w.n + 19) // 20
            |             AND (k.bucket*w.n + 19) // 20 <= w.cum_n""".stripMargin))
 
+  private val qAbTtest = Q(
+    "q_ab_ttest",
+    // The significance line under q_cuped's point estimates: Welch's
+    // unequal-variance t on per-user total spend between the md5 arms
+    // (Experiment.welchT). Six integer-exact moments in ONE
+    // conditional hash-agg — the arm indicator multiplies into each
+    // sum, so there is no join anywhere — then division/sqrt only
+    // (all correctly-rounded IEEE ops, deterministic as a chain;
+    // the doctrine bans double SUMS, not double arithmetic).
+    // t ≈ −0.12 on this null synthetic experiment: the gate pins the
+    // moment arithmetic and the Welch–Satterthwaite df formula.
+    (s, dir) => {
+      val u = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("y"))
+        .withColumn("variant",
+          graft.functions.Experiment.assignVariant(col("user_id"), "exp1"))
+      graft.functions.Experiment.welchT(u, "variant", "y")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(round(value*100) AS HUGEINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |u AS (SELECT user_id, sum(cents) AS y FROM e GROUP BY 1),
+           |a AS (SELECT y,
+           |    CASE WHEN substr(md5(concat('exp1:', CAST(user_id AS VARCHAR))), 1, 1) < '8'
+           |         THEN 1 ELSE 0 END AS ctl FROM u),
+           |m AS (SELECT sum(ctl) AS nc, sum(1-ctl) AS nt,
+           |        sum(y*ctl) AS sc, sum(y*(1-ctl)) AS st,
+           |        sum(y*y*ctl) AS qc, sum(y*y*(1-ctl)) AS qt FROM a),
+           |s AS (SELECT nc, nt,
+           |        CAST(sc AS DOUBLE)/CAST(nc AS DOUBLE) AS mc,
+           |        CAST(st AS DOUBLE)/CAST(nt AS DOUBLE) AS mt,
+           |        CAST(nc*qc - sc*sc AS DOUBLE)/CAST(nc*(nc-1) AS DOUBLE) AS vc,
+           |        CAST(nt*qt - st*st AS DOUBLE)/CAST(nt*(nt-1) AS DOUBLE) AS vt
+           |      FROM m),
+           |f AS (SELECT nc, nt, mc, mt,
+           |        vc/CAST(nc AS DOUBLE) AS ac, vt/CAST(nt AS DOUBLE) AS at FROM s)
+           |SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+           |  round(mc, 6) AS mean_control, round(mt, 6) AS mean_treatment,
+           |  round(mt - mc, 6) AS diff,
+           |  round((mt - mc) / sqrt(ac + at), 6) AS t_stat,
+           |  round((ac + at)*(ac + at)
+           |      / (ac*ac/CAST(nc-1 AS DOUBLE) + at*at/CAST(nt-1 AS DOUBLE)), 6) AS df
+           |FROM f""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6499,7 +6546,7 @@ object QueryLib {
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
-    qAbAssign, qCuped, mlLiftTable)
+    qAbAssign, qCuped, mlLiftTable, qAbTtest)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

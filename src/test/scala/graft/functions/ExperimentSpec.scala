@@ -39,4 +39,16 @@ class ExperimentSpec extends SparkSpec {
     // xbar = 25 -> global ybar = 50 for both arms after adjustment
     assert(out.toSeq == Seq(("control", 2L, 2.0, 50.0), ("treatment", 2L, 2.0, 50.0)))
   }
+
+  test("welchT matches the hand-computed statistic on a tiny experiment") {
+    // control {1, 3}: mean 2, var 2; treatment {4, 8}: mean 6, var 8.
+    // se = sqrt(2/2 + 8/2) = sqrt(5); t = 4/sqrt(5) = 1.788854;
+    // df = 25/(1/1 + 16/1) = 1.470588.
+    val rows = Seq(("control", 1L), ("control", 3L),
+      ("treatment", 4L), ("treatment", 8L))
+    val out = Experiment.welchT(rows.toDF("variant", "y"), "variant", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq((2L, 2L, 2.0, 6.0, 4.0, 1.788854, 1.470588)))
+  }
 }
