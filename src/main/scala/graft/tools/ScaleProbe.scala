@@ -901,6 +901,32 @@ object ScaleProbe {
       hours.unpersist(blocking = false)
       println(s"[probe]   cusum keys=$cs acf slices=$ac")
     }
+    // Experimentation readout end-to-end: the corpus is touched ONCE
+    // (per-user hash-agg with map-side combine); assignment is a pure
+    // md5 expression fused into that agg's project, CUPED/Welch close
+    // over 1-row broadcast scalars and the lift table over the 40k-row
+    // score dictionary — so the whole readout is corpus-scan-bound and
+    // the downstream never re-shuffles anything user-sized.
+    timed("experiment readout: 50M events -> 5M users, assign+CUPED+Welch+lift") {
+      val perUser = spark.range(50000000L).select(
+          (col("id") % 5000000L).as("u"),
+          pmod(hash(col("id")), lit(10000)).cast("long").as("cents"),
+          (col("id") % 2 === 0).cast("int").as("pre"))
+        .groupBy(col("u"))
+        .agg(sum(col("cents") * col("pre")).as("x"),
+          sum(col("cents") * (lit(1) - col("pre"))).as("y"))
+        .withColumn("variant",
+          graft.functions.Experiment.assignVariant(col("u"), "probe"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cu = graft.functions.Experiment.cuped(perUser, "variant", "x", "y")
+        .collect()
+      val t = graft.functions.Experiment.welchT(perUser, "variant", "y")
+        .head.getDouble(5)
+      val lift = graft.functions.Eval.liftTable(
+        perUser, col("variant") === "treatment", col("y"), buckets = 20).count()
+      perUser.unpersist(blocking = false)
+      println(f"[probe]   arms=${cu.length} t=$t%.4f lift_rows=$lift")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
