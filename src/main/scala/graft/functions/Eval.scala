@@ -31,11 +31,30 @@ object Eval {
     * (n_pos, n_neg, auc); degenerate single-class input yields no rows
     * rather than a division by zero.
     */
-  def aucExact(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
-    val g = df.select(scoreCol.cast("decimal(38,0)").as("__v"),
-        when(labelCol, 1L).otherwise(0L).as("__pos"))
-      .groupBy(col("__v"))
-      .agg(count(lit(1)).as("__c"), sum(col("__pos")).as("__p"))
+  def aucExact(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame =
+    aucFromCounts(
+      df.select(scoreCol.cast("decimal(38,0)").as("__v"),
+          when(labelCol, 1L).otherwise(0L).as("__pos"))
+        .groupBy(col("__v"))
+        .agg(count(lit(1)).as("__c"), sum(col("__pos")).as("__p")),
+      "__v", "__c", "__p")
+
+  /** [[aucExact]] from a pre-aggregated (score, count, positives)
+    * dictionary — the form a STREAMING model monitor maintains:
+    * per-score (count, positives) is a plain grouped streaming
+    * aggregation (state bounded by the score domain however long the
+    * stream runs — live AUC of a deployed model without buffering a
+    * single row), and the batch-closed dictionary feeds this exact
+    * same rank walk — certified by the fs_stream_auc parity gate.
+    */
+  def aucFromCounts(
+      counts: DataFrame,
+      valueCol: String,
+      countCol: String,
+      posCol: String): DataFrame = {
+    val g = counts.select(col(valueCol).cast("decimal(38,0)").as("__v"),
+      col(countCol).cast("long").as("__c"),
+      col(posCol).cast("long").as("__p"))
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val s = g.select(col("__c"), col("__p"),

@@ -6505,6 +6505,52 @@ object QueryLib {
            |      / (ac*ac/CAST(nc-1 AS DOUBLE) + at*at/CAST(nt-1 AS DOUBLE)), 6) AS df
            |FROM f""".stripMargin))
 
+  private val fsStreamAuc = Q(
+    "fs_stream_auc",
+    // §2.10: live model-quality monitoring as the 19th streaming
+    // certification — AUC of a deployed model over an event stream
+    // WITHOUT buffering a row: the per-score (count, positives)
+    // dictionary IS the grouped running aggregation Structured
+    // Streaming maintains (state bounded by the score domain, ≤40k
+    // cents buckets forever), and the batch-closed dictionary feeds
+    // the SAME Eval.aucFromCounts rank walk as ml_auc. Complete-mode
+    // close over the 4-file replay must hash-equal ml_auc's oracle.
+    (s, dir) => {
+      val src = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("decimal(38,0)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val srcDir = stagedSrc("sauc", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"sauc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val counts = stream.groupBy(col("cents"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      val query = withStatePartitions(s, 4) {
+        counts.writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      graft.functions.Eval.aucFromCounts(s.table(view),
+        valueCol = "cents", countCol = "c", posCol = "p")
+    },
+    // the SAME oracle as ml_auc: the stream-closed dictionary must
+    // reproduce the batch statistic exactly
+    Some("""WITH e AS (
+           |  SELECT CAST(round(value*100) AS HUGEINT) AS v,
+           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT v, count(*) AS cnt, sum(pos) AS pos FROM e GROUP BY 1),
+           |w AS (SELECT v, cnt, pos,
+           |        coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |      FROM g),
+           |s AS (SELECT sum(pos*(2*cb + cnt + 1)) AS s2, sum(pos) AS np, sum(cnt - pos) AS nn FROM w)
+           |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           |  round(CAST(s2 - np*(np+1) AS DOUBLE) / CAST(2*np*nn AS DOUBLE), 6) AS auc
+           |FROM s WHERE np > 0 AND nn > 0""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6546,7 +6592,7 @@ object QueryLib {
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
-    qAbAssign, qCuped, mlLiftTable, qAbTtest)
+    qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -40,6 +40,18 @@ class EvalSpec extends SparkSpec {
     assert(fromRows == fromCounts && fromRows.nonEmpty)
   }
 
+  test("aucFromCounts over the pre-aggregated dictionary equals aucExact over rows") {
+    val rows = Seq((true, 3L), (true, 2L), (false, 2L), (false, 1L), (true, 1L))
+    val df = rows.toDF("label", "score")
+    val fromRows = Eval.aucExact(df, col("label"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val counts = df.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(when(col("label"), 1L).otherwise(0L)).as("p"))
+    val fromCounts = Eval.aucFromCounts(counts, "score", "c", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromRows == fromCounts && fromRows.nonEmpty)
+  }
+
   test("liftTable: perfect ranking front-loads capture; full population lifts 1.0") {
     // 4 positives carry the 4 highest scores of 8 rows: the 50% cut
     // (bucket 10 of 20) captures ALL positives at lift 2, and the
