@@ -86,6 +86,24 @@ object Drift {
         when(isReference, 1L).otherwise(0L).as("__r"))
       .groupBy(col(keyCol), col("__v"))
       .agg(sum(col("__r")).as("__c1"), sum(lit(1L) - col("__r")).as("__c2"))
+    ksFromCounts(g, keyCol, "__v", "__c1", "__c2")
+  }
+
+  /** [[ksCompare]] over an ALREADY-AGGREGATED per-(key, value)
+    * count dictionary — the entry point for state a streaming query
+    * maintains (fs_stream_drift closes its grouped (ref, cur) counts
+    * through this) or for pre-rolled histograms a catalog stores. Same
+    * integer-exact walk and single closing division.
+    */
+  def ksFromCounts(
+      counts: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      refCountCol: String,
+      curCountCol: String): DataFrame = {
+    val g = counts.select(col(keyCol), col(valueCol).as("__v"),
+      col(refCountCol).cast("decimal(38,0)").as("__c1"),
+      col(curCountCol).cast("decimal(38,0)").as("__c2"))
     val cum = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

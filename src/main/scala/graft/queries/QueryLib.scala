@@ -6551,6 +6551,186 @@ object QueryLib {
            |  round(CAST(s2 - np*(np+1) AS DOUBLE) / CAST(2*np*nn AS DOUBLE), 6) AS auc
            |FROM s WHERE np > 0 AND nn > 0""".stripMargin))
 
+  private val mlNaiveBayes = Q(
+    "ml_naive_bayes",
+    // Multinomial Naive Bayes language classifier in WHOLE BITS
+    // (functions/NbClassifier) — the fastText-shaped corpus classifier
+    // every curation pipeline runs, with zero libm-log hazard: token
+    // costs are floor-log2 integer surprisals (bin-length arithmetic,
+    // the txt_unigram_surprisal doctrine lifted to classification),
+    // scores are exact integer sums, prediction is the min-bits class
+    // with ties to the smallest label. Training is ONE (class, token)
+    // hash-agg; inference joins token occurrences on the vocabulary
+    // key fanned by a |classes|-row broadcast — both ends distributed,
+    // nothing driver-side. Self-classification of `documents` by lang.
+    (s, dir) => graft.functions.NbClassifier.classify(
+      T(s, dir, "documents"), idCol = "doc_id", labelCol = "lang", toksCol = toks),
+    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+           |            FROM documents),
+           |tk AS (SELECT * FROM tok WHERE length(t) > 0),
+           |cnt AS (SELECT lang AS c, t, count(*) AS cnt FROM tk GROUP BY 1, 2),
+           |nc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS nc FROM cnt GROUP BY 1),
+           |dc AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS dc FROM documents GROUP BY 1),
+           |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vv FROM tk),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |cls AS (SELECT c, nc, dc, vv, n FROM nc JOIN dc USING (c) CROSS JOIN vv CROSS JOIN nd),
+           |b AS (SELECT tk.doc_id, tk.lang, cls.c,
+           |        CAST(sum(length(bin((cls.nc + cls.vv) // (coalesce(cnt.cnt, 0) + 1))) - 1) AS BIGINT) AS tokbits
+           |      FROM tk CROSS JOIN cls
+           |      LEFT JOIN cnt ON cnt.c = cls.c AND cnt.t = tk.t
+           |      GROUP BY 1, 2, 3),
+           |s AS (SELECT b.doc_id, b.lang, b.c,
+           |        b.tokbits + length(bin(cls.n // cls.dc)) - 1 AS bits
+           |      FROM b JOIN cls USING (c))
+           |SELECT doc_id, lang, c AS pred, CAST(bits AS BIGINT) AS bits FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bits, c) AS rn
+           |  FROM s) WHERE rn = 1""".stripMargin))
+
+  private val dedupSemantic = Q(
+    "dedup_semantic",
+    // SemDeDup (Abbas et al. 2023): cluster-then-local-cosine semantic
+    // pruning — the quadratic pair search confined to coarse-quantizer
+    // cells, so candidates are a self-equi-join ON THE CELL ID (k grows
+    // with the corpus; per-cell work stays bounded), never all-pairs.
+    // The deterministic-codebook configuration (AnnIvf.buildFixed: 16
+    // lowest-id vectors, zero Lloyd iterations; round-6 before every
+    // argmax/threshold) makes codebook -> assignment -> within-cell
+    // cosine -> min-id survivor chain recomputable in ANSI SQL; the
+    // trained-KMeans path is the quality variant, spec-verified like
+    // sim_ann_recall. tau = 0.3: this synthetic corpus has no true
+    // duplicates (within-cell max cosine ~0.49), so the loose cut keeps
+    // the survivor set non-trivial, as dedup_embed_lsh's verify does.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val index = graft.functions.AnnIvf.buildFixed(e, "embedding", idCol = "vec_id", k = 16)
+      graft.functions.SemDedup.prune(index, "vec_id", tau = 0.3)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv,
+           |         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) / 2 AS half
+           |  FROM e ORDER BY vec_id LIMIT 16),
+           |assign AS (SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent) WHERE rr = 1),
+           |dropped AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |   AND round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+           |       (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+           |        sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6) >= 0.3)
+           |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS kept
+           |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin))
+
+  private val fsStreamDrift = Q(
+    "fs_stream_drift",
+    // §2.10: live drift monitoring as the 20th streaming certification
+    // — the ml_ks_drift alarm maintained over a stream WITHOUT
+    // buffering a row: the per-(key, value) (ref, cur) count dictionary
+    // IS the grouped running aggregation (state bounded by the value
+    // domain), and the batch-closed dictionary feeds Drift.ksFromCounts
+    // — the same integer-exact CDF walk. Complete-mode close over the
+    // 4-file replay must hash-equal the batch gate's oracle.
+    (s, dir) => {
+      val src = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"),
+          when(col("ts") < ts("2024-01-16"), 1L).otherwise(0L).as("ref"))
+      val srcDir = stagedSrc("sdrift", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"sdrift_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val counts = stream.groupBy(col("event_type"), col("cents"))
+        .agg(sum(col("ref")).as("c_ref"), sum(lit(1L) - col("ref")).as("c_cur"))
+      val query = withStatePartitions(s, 4) {
+        counts.writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      graft.functions.Drift.ksFromCounts(s.table(view),
+        keyCol = "event_type", valueCol = "cents",
+        refCountCol = "c_ref", curCountCol = "c_cur")
+    },
+    // the SAME oracle as ml_ks_drift: the stream-closed dictionary must
+    // reproduce the batch statistic exactly
+    Some("""WITH e AS (
+           |  SELECT event_type, CAST(round(value*100) AS HUGEINT) AS v,
+           |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ref
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT event_type, v, sum(ref) AS c1, sum(1 - ref) AS c2 FROM e GROUP BY 1, 2),
+           |w AS (SELECT event_type, v,
+           |        sum(c1) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+           |        sum(c2) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+           |        sum(c1) OVER (PARTITION BY event_type) AS n1,
+           |        sum(c2) OVER (PARTITION BY event_type) AS n2
+           |      FROM g),
+           |m AS (SELECT event_type, any_value(n1) AS n1, any_value(n2) AS n2,
+           |        max(abs(cum1*n2 - cum2*n1)) AS d FROM w GROUP BY 1)
+           |SELECT event_type, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+           |  round(CAST(d AS DOUBLE) / CAST(n1*n2 AS DOUBLE), 6) AS ks
+           |FROM m WHERE n1 > 0 AND n2 > 0""".stripMargin))
+
+  private val mlCalibration = Q(
+    "ml_calibration",
+    // Reliability diagram — the calibration readout closing the
+    // evaluation stack next to ml_auc (ranking) and ml_lift_table
+    // (targeting): fixed-width score bins (2500-cent buckets; fixed
+    // widths, not quantiles, so bin identity is corpus-independent and
+    // mergeable across shards/days), per-bin empirical positive rate vs
+    // mean score. Exact integer counts and decimal cent sums, TWO
+    // closing IEEE divisions rounded at 6 — no per-row float math.
+    (s, dir) => T(s, dir, "events").filter(col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(expr("cents div 2500").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("cents").cast("decimal(38,0)")).as("__sc"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("frac_pos"),
+        round(col("__sc").cast("double") / (lit(100L) * col("n")).cast("double"), 6)
+          .as("mean_value")),
+    Some("""WITH e AS (
+           |  SELECT CAST(round(value*100) AS BIGINT) AS cents,
+           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           |  FROM events WHERE value IS NOT NULL)
+           |SELECT cents // 2500 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(pos) AS BIGINT) AS n_pos,
+           |  round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_pos,
+           |  round(CAST(sum(cents) AS DOUBLE) / CAST(100*count(*) AS DOUBLE), 6) AS mean_value
+           |FROM e GROUP BY 1""".stripMargin))
+
+  private val qDauWau = Q(
+    "q_dau_wau",
+    // DAU/WAU stickiness — the engagement ratio every product pipeline
+    // reports: per-day exact distinct users over the enclosing 7-day
+    // block's distinct users. Integer day/week keys from epoch-micros
+    // division (TZ-free — the calendar-math doctrine), two distinct
+    // aggs joined on the week key, one closing division. At 100 TB
+    // both distincts are standard two-phase hash-aggs on (period,
+    // user); the week agg's key space is 1/7th the day one's.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      val dau = e.groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
+      val wau = e.groupBy(expr("day div 7").as("week"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, expr("day div 7") === col("week"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+           |d AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM e GROUP BY 1),
+           |w AS (SELECT day // 7 AS week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+           |      FROM e GROUP BY 1)
+           |SELECT d.day, dau, wau,
+           |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+           |FROM d JOIN w ON d.day // 7 = w.week""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6592,7 +6772,8 @@ object QueryLib {
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
-    qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc)
+    qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc,
+    mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -58,4 +58,21 @@ class DriftSpec extends SparkSpec {
     assert(out("b") == ((2L, 2L, 0.0)))
     assert(!out.contains("c"))
   }
+
+  test("ksFromCounts over a pre-aggregated dictionary equals ksCompare on rows") {
+    val rows = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 2L, false), ("a", 3L, false),
+      ("b", 7L, true), ("b", 9L, true), ("b", 7L, false), ("b", 9L, false))
+      .toDF("k", "v", "ref")
+    val fromRows = Drift.ksCompare(rows, "k", col("v"), col("ref"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the dictionary a streaming query would close with
+    val counts = rows.groupBy(col("k"), col("v"))
+      .agg(
+        sum(when(col("ref"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ref"), 0L).otherwise(1L)).as("c2"))
+    val fromCounts = Drift.ksFromCounts(counts, "k", "v", "c1", "c2")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(fromCounts == fromRows)
+  }
 }

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny 4-dim corpus: ids 0..3 seed the (k=4) deterministic codebook;
+  // id 10 is a near-copy of id 0 (same direction, scaled), id 11 is a
+  // near-copy of id 1, id 12 is far from everything
+  private def corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+    (10L, Array(2.0f, 0.1f, 0.0f, 0.0f)),
+    (11L, Array(0.1f, 2.0f, 0.0f, 0.0f)),
+    (12L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    .toDF("vec_id", "embedding")
+
+  test("prune drops the higher id of each within-cell near-dup pair") {
+    val index = AnnIvf.buildFixed(corpus, "embedding", idCol = "vec_id", k = 4)
+    val out = SemDedup.prune(index, "vec_id", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 7)
+    assert(!out(10L), "near-copy of id 0 must be dropped")
+    assert(!out(11L), "near-copy of id 1 must be dropped")
+    assert(out(0L) && out(1L), "lower-id representatives survive")
+    assert(out(2L) && out(3L) && out(12L), "non-duplicates survive")
+  }
+
+  test("tau = 1.0 over distinct directions keeps everything") {
+    val index = AnnIvf.buildFixed(corpus, "embedding", idCol = "vec_id", k = 4)
+    val out = SemDedup.prune(index, "vec_id", tau = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // cosine of the scaled near-copies is < 1 after round-6, so nothing
+    // clears an exact-1.0 threshold
+    assert(out.values.forall(identity))
+  }
+
+  test("cells come from the nearest deterministic centroid") {
+    val index = AnnIvf.buildFixed(corpus, "embedding", idCol = "vec_id", k = 4)
+    val cells = SemDedup.prune(index, "vec_id", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each basis vector is its own centroid; the near-copies land with
+    // their originals (centroid order = id order: 0,1,2,3)
+    assert(cells(10L) == cells(0L))
+    assert(cells(11L) == cells(1L))
+  }
+}
