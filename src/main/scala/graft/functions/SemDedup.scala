@@ -54,4 +54,104 @@ object SemDedup {
       .select(col(idCol), col("cell"),
         coalesce(!col("__drop"), lit(true)).as("kept"))
   }
+
+  /** Corpus-scale variant: k must grow with the corpus (k ≈
+    * n / target_cell_size keeps the within-cell quadratic flat — the
+    * 1M-vector probe measured k=256 at 195 s; k=4096 collapses the
+    * pair volume 256×), but [[AnnIvf]]'s embedded-literal assignment
+    * expression caps k at tens of centroids before the codegen tree
+    * explodes, a row fan-out (n × k rows through a broadcast join)
+    * shuffles the corpus k-fold, and a higher-order-function fold is
+    * interpreted per element. Flat-quantizer assignment is O(n·k·d)
+    * arithmetic with NO data movement, so the right Spark shape is the
+    * documented mapPartitions last resort: a tight JVM argmax loop per
+    * row against the driver-collected codebook (k·d doubles — tiny),
+    * pipelined with the scan. Same round-6-before-argmax and
+    * tie-toward-larger-centroid-id semantics as AnnIvf.probeCells
+    * (SemDedupSpec pins parity with [[prune]] on a shared corpus).
+    *
+    * `centroids` carries (cidCol: numeric id, cvecCol: float/double
+    * array). Returns (idCol, cell, kept) like [[prune]].
+    */
+  def pruneWithCentroids(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      cidCol: String,
+      cvecCol: String,
+      tau: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // codebook to the driver once: ids ascending so the argmax loop's
+    // ">= best" update realizes the tie-toward-larger-id convention
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect()
+      .map(r => {
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, v.map(x => x * x).sum / 2)
+      })
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = vecs
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        val scores = new Array[Double](cb.length) // reused across rows
+        def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        it.map { case (id, v) =>
+          // pass 1: raw scores + raw max — NO per-candidate decimal
+          // rounding (a BigDecimal per (row, centroid) dominated the
+          // probe: 4e9 allocations ≈ 5x the dot-product arithmetic)
+          var maxRaw = Double.NegativeInfinity
+          var i = 0
+          while (i < cb.length) {
+            val cv = cb(i)._2
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { d += v(j) * cv(j); j += 1 }
+            val s = d - cb(i)._3
+            scores(i) = s
+            if (s > maxRaw) maxRaw = s
+            i += 1
+          }
+          // pass 2: the SAME HALF_UP round-at-6 argmax Spark's round()
+          // gives prune() — but only candidates close enough to the
+          // raw max to possibly round equal to it (two values > 1e-6
+          // apart, plus representation slack, can never round to the
+          // same 6-decimal grid point) pay the decimal conversion
+          var bestS = Double.NegativeInfinity
+          var bestJ = -1L
+          val cut = maxRaw - 1.01e-6
+          i = 0
+          while (i < cb.length) {
+            if (scores(i) >= cut) {
+              val s = round6(scores(i))
+              if (s >= bestS) { bestS = s; bestJ = cb(i)._1 }
+            }
+            i += 1
+          }
+          (id, v, bestJ)
+        }
+      }
+      .toDF(idCol, "__v", "cell")
+      // pin: BOTH pair-join sides and the final survivor select read
+      // this frame — unpinned, the O(n·k·d) assignment loop re-runs
+      // once per reference (measured 3x = ~50 s of the 65 s probe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col(idCol).as("__ida"), col("cell"), col("__v").as("__va"))
+    val b = assigned.select(col(idCol).as("__idb"), col("cell"), col("__v").as("__vb"))
+    val dropped = a.join(b,
+        a("cell") === b("cell") && col("__ida") < col("__idb") &&
+          round(CosineSimilarity.cosineSim(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
 }

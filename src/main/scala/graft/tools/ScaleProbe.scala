@@ -927,6 +927,59 @@ object ScaleProbe {
       perUser.unpersist(blocking = false)
       println(f"[probe]   arms=${cu.length} t=$t%.4f lift_rows=$lift")
     }
+    // Naive Bayes at corpus scale: training is one (class, token)
+    // hash-agg over the exploded corpus; inference re-joins tokens on
+    // the vocabulary key fanned by the |classes|-row broadcast. The
+    // probe's corpus is 1M docs x 20 tokens from a 100k-type synthetic
+    // vocabulary with 5 class-skewed distributions — the work profile
+    // (2 shuffles keyed on the token dictionary + 1 doc-keyed agg) is
+    // what a 100 TB lang/quality classifier pass runs.
+    timed("NB classifier: 1M docs x 20 tokens, 100k vocab, 5 classes") {
+      // 25% of positions draw from a 20k-type class-private block, the
+      // rest from a 100k-type shared block — separable but noisy, like
+      // a language-id corpus
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat(lit("c"), (col("id") % 5).cast("string")).as("label"),
+        transform(sequence(lit(1), lit(20)), i =>
+          concat(lit("t"),
+            when(pmod(hash(col("id") * 31 + i), lit(4)) === 0,
+              (col("id") % 5) * 20000 + pmod(hash(col("id") * 17 + i), lit(20000)))
+              .otherwise(pmod(hash(col("id") * 31 + i), lit(100000)) + 100000)
+              .cast("string"))).as("toks"))
+      val out = graft.functions.NbClassifier.classify(
+        docs, "doc_id", "label", col("toks"))
+      val acc = out.agg(
+        avg(when(col("label") === col("pred"), 1.0).otherwise(0.0))).head.getDouble(0)
+      println(f"[probe]   self-accuracy=$acc%.3f")
+    }
+    // SemDeDup at corpus scale: k MUST grow with the corpus — k=256
+    // over these 1M vectors measured 195 s (≈ 4k rows/cell, ~2e9
+    // within-cell pairs); k=4096 collapses the pair volume 256×. Flat
+    // assignment at that k is the mapPartitions argmax loop against
+    // the driver-collected codebook (pruneWithCentroids) — an n×k row
+    // fan-out or a k-wide literal expression both fall over first.
+    // Corpus: distinct directions + 1% planted scaled duplicates; the
+    // prune must drop ≈ the planted 1%.
+    timed("SemDeDup: 1M x 16-dim vectors, 4096 cells, tau=0.999 prune") {
+      val dupOf = when(col("id") >= 990000L, col("id") - 990000L).otherwise(col("id"))
+      // near-copies perturb by 0.1% — big enough to be distinct rows,
+      // small enough to keep the copy in its original's cell (an
+      // unnormalized 2x scale can cross a negHalfDist cell boundary)
+      val scale = when(col("id") >= 990000L, 1.001).otherwise(1.0)
+      val vecs = spark.range(1000000L).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(16)), i =>
+          pmod(hash(dupOf * 131 + i), lit(1000)).cast("double") * scale).as("v"))
+      val cents = spark.range(4096L).select(
+        col("id").as("c_id"),
+        transform(sequence(lit(1), lit(16)), i =>
+          pmod(hash(col("id") * 131 + i), lit(1000)).cast("double")).as("cv"))
+      val kept = graft.functions.SemDedup.pruneWithCentroids(
+          vecs, "vec_id", "v", cents, "c_id", "cv", tau = 0.999)
+        .filter(col("kept")).count()
+      println(s"[probe]   kept=$kept of 1000000 (990000 distinct)")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class SemDedupSpec extends SparkSpec {
@@ -36,6 +38,19 @@ class SemDedupSpec extends SparkSpec {
     // cosine of the scaled near-copies is < 1 after round-6, so nothing
     // clears an exact-1.0 threshold
     assert(out.values.forall(identity))
+  }
+
+  test("pruneWithCentroids matches prune given the same codebook") {
+    val index = AnnIvf.buildFixed(corpus, "embedding", idCol = "vec_id", k = 4)
+    val viaExpr = SemDedup.prune(index, "vec_id", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // the same 4 lowest-id vectors as a centroid TABLE
+    val cents = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val viaLoop = SemDedup.pruneWithCentroids(
+        corpus, "vec_id", "embedding", cents, "c_id", "cv", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaLoop == viaExpr)
   }
 
   test("cells come from the nearest deterministic centroid") {
