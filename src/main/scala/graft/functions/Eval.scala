@@ -160,4 +160,60 @@ object Eval {
         round(col("cum_pos").cast("double") /
           col("__np").cast("double"), 6).as("capture"))
   }
+
+  /** Multiclass confusion matrix with per-cell rates: one row per
+    * OBSERVED (actual, pred) pair — (actual, pred, n, n_actual,
+    * n_pred, recall_frac, precision_frac). recall_frac on the diagonal
+    * is per-class recall, precision_frac per-class precision; off-
+    * diagonal cells read as "share of actual-c mass leaking to pred".
+    * One hash-agg to the |classes|² dictionary, two dictionary-sized
+    * self-rollups joined back — the corpus is touched ONCE. Exact
+    * integer counts, two closing divisions rounded at 6.
+    */
+  def confusion(df: DataFrame, actualCol: Column, predCol: Column): DataFrame = {
+    val cells = df.select(actualCol.as("actual"), predCol.as("pred"))
+      .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
+    val cols_ = cells.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
+    cells.join(broadcast(rows), Seq("actual")).join(broadcast(cols_), Seq("pred"))
+      .select(col("actual"), col("pred"), col("n"),
+        col("n_actual"), col("n_pred"),
+        round(col("n").cast("double") / col("n_actual").cast("double"), 6)
+          .as("recall_frac"),
+        round(col("n").cast("double") / col("n_pred").cast("double"), 6)
+          .as("precision_frac"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelings
+    * (classifier vs gold, or two annotators): κ = (p_o − p_e)/(1 − p_e)
+    * computed as the all-integer identity (N·Σdiag − Σ_c row_c·col_c) ⁄
+    * (N² − Σ_c row_c·col_c), so no per-step proportion can drift
+    * cross-engine; ONE closing division, rounded at 6. Everything
+    * downstream of the one corpus hash-agg is |classes|-dictionary-
+    * sized. Returns one row (n, n_agree, kappa); the degenerate
+    * p_e = 1 case (both sides constant) yields no rows rather than 0/0.
+    */
+  def cohenKappa(df: DataFrame, actualCol: Column, predCol: Column): DataFrame = {
+    val cells = df.select(actualCol.as("actual"), predCol.as("pred"))
+      .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("__n"))
+    val rows = cells.groupBy(col("actual")).agg(sum(col("__n")).as("__r"))
+    val cols_ = cells.groupBy(col("pred")).agg(sum(col("__n")).as("__c"))
+    val e = rows.join(cols_, col("actual") === col("pred"))
+      .agg(sum(col("__r") * col("__c")).as("__e"))
+    val d = cells.agg(
+      sum(col("__n")).as("__nn"),
+      sum(when(col("actual") === col("pred"), col("__n")).otherwise(lit(0L))).as("__diag"))
+    d.crossJoin(e)
+      // classes missing from one side contribute 0 to Σ row·col — the
+      // inner join drops them, matching the closed-form convention
+      .select(col("__nn").cast("long").as("n"),
+        col("__diag").cast("long").as("n_agree"),
+        col("__nn").cast("decimal(38,0)").as("__nd"),
+        col("__diag").cast("decimal(38,0)").as("__dd"),
+        coalesce(col("__e"), lit(0L)).cast("decimal(38,0)").as("__ee"))
+      .filter(col("__nd") * col("__nd") =!= col("__ee"))
+      .select(col("n"), col("n_agree"),
+        round((col("__nd") * col("__dd") - col("__ee")).cast("double") /
+          (col("__nd") * col("__nd") - col("__ee")).cast("double"), 6).as("kappa"))
+  }
 }

@@ -71,7 +71,19 @@ object SemDedup {
     * (SemDedupSpec pins parity with [[prune]] on a shared corpus).
     *
     * `centroids` carries (cidCol: numeric id, cvecCol: float/double
-    * array). Returns (idCol, cell, kept) like [[prune]].
+    * array). Returns (idCol, cell, kept) like [[prune]] — `cell` is
+    * the primary (nearest) cell.
+    *
+    * `nProbe` > 1 multi-assigns each vector to its nProbe nearest
+    * cells and pairs vectors sharing ANY of them — the standard
+    * multi-probe refinement for the single-assignment boundary miss
+    * (a near-dup pair straddling a cell boundary is invisible to
+    * nProbe = 1: the probe plants 10,000 scaled copies and single
+    * assignment misses 23). Candidate volume grows ≤ nProbe× — still
+    * an equi-join on the cell key, never all-pairs. nProbe = 1 keeps
+    * the exact round-6 argmax parity with [[prune]] (spec-pinned);
+    * the multi-probe ranking uses raw scores (it has no SQL-oracle
+    * twin to stay bit-parallel with).
     */
   def pruneWithCentroids(
       vecs: DataFrame,
@@ -80,7 +92,9 @@ object SemDedup {
       centroids: DataFrame,
       cidCol: String,
       cvecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val spark = vecs.sparkSession
     import spark.implicits._
     // codebook to the driver once: ids ascending so the argmax loop's
@@ -122,34 +136,56 @@ object SemDedup {
           // gives prune() — but only candidates close enough to the
           // raw max to possibly round equal to it (two values > 1e-6
           // apart, plus representation slack, can never round to the
-          // same 6-decimal grid point) pay the decimal conversion
+          // same 6-decimal grid point) pay the decimal conversion.
+          // nProbe > 1 then fills the remaining slots by raw score
+          // (descending, ties toward larger cid like everything else)
           var bestS = Double.NegativeInfinity
-          var bestJ = -1L
+          var bestJ = -1
           val cut = maxRaw - 1.01e-6
           i = 0
           while (i < cb.length) {
             if (scores(i) >= cut) {
               val s = round6(scores(i))
-              if (s >= bestS) { bestS = s; bestJ = cb(i)._1 }
+              if (s >= bestS) { bestS = s; bestJ = i }
             }
             i += 1
           }
-          (id, v, bestJ)
+          val cells = new Array[Long](math.min(nProbe, cb.length))
+          cells(0) = cb(bestJ)._1
+          if (cells.length > 1) {
+            scores(bestJ) = Double.NegativeInfinity // consumed
+            var slot = 1
+            while (slot < cells.length) {
+              var mi = 0
+              var m = Double.NegativeInfinity
+              i = 0
+              while (i < cb.length) {
+                if (scores(i) >= m) { m = scores(i); mi = i }
+                i += 1
+              }
+              cells(slot) = cb(mi)._1
+              scores(mi) = Double.NegativeInfinity
+              slot += 1
+            }
+          }
+          (id, v, cells)
         }
       }
-      .toDF(idCol, "__v", "cell")
+      .toDF(idCol, "__v", "__cells")
       // pin: BOTH pair-join sides and the final survivor select read
       // this frame — unpinned, the O(n·k·d) assignment loop re-runs
       // once per reference (measured 3x = ~50 s of the 65 s probe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col(idCol).as("__ida"), col("cell"), col("__v").as("__va"))
-    val b = assigned.select(col(idCol).as("__idb"), col("cell"), col("__v").as("__vb"))
+    val byCell = assigned.select(col(idCol), col("__v"),
+      explode(col("__cells")).as("cell"))
+    val a = byCell.select(col(idCol).as("__ida"), col("cell"), col("__v").as("__va"))
+    val b = byCell.select(col(idCol).as("__idb"), col("cell"), col("__v").as("__vb"))
     val dropped = a.join(b,
         a("cell") === b("cell") && col("__ida") < col("__idb") &&
           round(CosineSimilarity.cosineSim(col("__va"), col("__vb")), 6) >= tau)
       .select(col("__idb").as(idCol)).distinct()
       .withColumn("__drop", lit(true))
-    assigned.select(col(idCol), col("cell"))
+    assigned.select(col(idCol), element_at(col("__cells"), 1).as("cell"))
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cell"),
         coalesce(!col("__drop"), lit(true)).as("kept"))

@@ -6731,6 +6731,201 @@ object QueryLib {
            |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
            |FROM d JOIN w ON d.day // 7 = w.week""".stripMargin))
 
+  /** Shared oracle CTE: the txt_langid heuristic's predictions as
+    * (doc_id, actual, pred) — the "deployed model" the confusion/kappa
+    * readouts evaluate against gold labels.
+    */
+  private val langidPredCtes: String =
+    """h AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','is'))) AS en,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y'))) AS es,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS de,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est'))) AS fr,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('的','了','是','我','不'))) AS zh
+      |FROM documents),
+      |p AS (SELECT doc_id, lang AS actual,
+      |  CASE WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
+      |       WHEN es >= de AND es >= fr AND es >= zh THEN 'es'
+      |       WHEN de >= fr AND de >= zh THEN 'de'
+      |       WHEN fr >= zh THEN 'fr'
+      |       ELSE 'zh' END AS pred
+      |FROM h)""".stripMargin
+
+  private val mlConfusion = Q(
+    "ml_confusion",
+    // Multiclass confusion matrix of the deployed langid heuristic vs
+    // gold labels (Eval.confusion) — the error-ANATOMY readout next to
+    // the scalar metrics: per observed (actual, pred) cell, count +
+    // per-class recall/precision fractions. One corpus hash-agg to the
+    // |classes|^2 dictionary; the row/column rollups and join-backs are
+    // dictionary-sized broadcasts. The zh row is the interesting one:
+    // space-tokenized zh text rarely hits the marker set, so its mass
+    // leaks wherever the tie-break CASE sends empty scores.
+    (s, dir) => graft.functions.Eval.confusion(
+      T(s, dir, "documents").select(col("lang"), TextOps.langId(toks).as("pred")),
+      actualCol = col("lang"), predCol = col("pred")),
+    Some(s"""WITH $langidPredCtes,
+           |cells AS (SELECT actual, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+           |r AS (SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1),
+           |c AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1)
+           |SELECT cells.actual, cells.pred, n, n_actual, n_pred,
+           |  round(CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) AS recall_frac,
+           |  round(CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision_frac
+           |FROM cells JOIN r USING (actual) JOIN c USING (pred)""".stripMargin))
+
+  private val mlCohenKappa = Q(
+    "ml_cohen_kappa",
+    // Cohen's kappa between the langid heuristic and gold labels
+    // (Eval.cohenKappa) — chance-corrected agreement, the one scalar a
+    // labeling pipeline reports when raw accuracy flatters an
+    // imbalanced corpus. All-integer identity (N·Σdiag − Σ row·col) /
+    // (N² − Σ row·col) with ONE closing division; everything after the
+    // corpus hash-agg is |classes|-dictionary-sized.
+    (s, dir) => graft.functions.Eval.cohenKappa(
+      T(s, dir, "documents").select(col("lang"), TextOps.langId(toks).as("pred")),
+      actualCol = col("lang"), predCol = col("pred")),
+    Some(s"""WITH $langidPredCtes,
+           |cells AS (SELECT actual, pred, count(*) AS n FROM p GROUP BY 1, 2),
+           |r AS (SELECT actual, sum(n) AS rn FROM cells GROUP BY 1),
+           |c AS (SELECT pred, sum(n) AS cn FROM cells GROUP BY 1),
+           |e AS (SELECT sum(rn*cn) AS e FROM r JOIN c ON r.actual = c.pred),
+           |d AS (SELECT sum(n) AS nn,
+           |        sum(CASE WHEN actual = pred THEN n ELSE 0 END) AS diag FROM cells)
+           |SELECT CAST(nn AS BIGINT) AS n, CAST(diag AS BIGINT) AS n_agree,
+           |  round(CAST(nn*diag - e AS DOUBLE) / CAST(nn*nn - e AS DOUBLE), 6) AS kappa
+           |FROM d CROSS JOIN e WHERE nn*nn <> e""".stripMargin))
+
+  private val dqKAnonymity = Q(
+    "dq_k_anonymity",
+    // k-anonymity screening (Sweeney 2002) — the privacy gate a
+    // training-data release runs: any quasi-identifier combination
+    // shared by FEWER than k records is a re-identification handle.
+    // Quasi-ids here: (lang, source, 100-char length band). ONE
+    // hash-agg to the quasi-id dictionary, then the < k filter — at
+    // 100 TB this is exactly a group-by-count whose key space is the
+    // quasi-id product, and the violating-group report (not the row
+    // list) is what travels back. Integer length bands, no floats.
+    (s, dir) => T(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("chars_band"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 5),
+    Some("""SELECT lang, source, n_chars // 100 AS chars_band,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin))
+
+  private val docMixtureTemperature = Q(
+    "doc_mixture_temperature",
+    // Temperature-balanced mixture sampling (the multilingual α = 0.5
+    // rebalance of XLM-R / mT5: target share ∝ p^α, so tail domains
+    // keep MORE mass than the uniform-target downsample of
+    // doc_mixture_sample, head domains still shrink): keep-rate per
+    // source = sqrt(n_min / n_source) — the α = 0.5 rate normalized so
+    // the smallest source keeps everything. Same scan → broadcast-rate
+    // → hash-threshold filter plan as doc_mixture_sample (no sorts, no
+    // per-domain single-task quota windows; membership is per-doc
+    // stable under corpus growth). Determinism: the rate chain is
+    // BIGINT→double divide, sqrt, ×2^32, floor — every step correctly
+    // rounded IEEE, identical cross-engine (the repo doctrine bans
+    // libm ln/pow, NOT division/sqrt chains).
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      val rates = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .crossJoin(d.groupBy("source").agg(count(lit(1)).as("n"))
+          .agg(min("n").as("n_min")))
+        .withColumn("thr",
+          floor(sqrt(col("n_min").cast("double") / col("n").cast("double")) *
+            lit(4294967296.0)).cast("long"))
+        .select("source", "thr")
+      d.join(broadcast(rates), "source")
+        .filter(conv(substring(md5(concat(lit("mixt:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") < col("thr"))
+        .select("doc_id", "source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           |m AS (SELECT min(n) AS n_min FROM c),
+           |r AS (SELECT c.source,
+           |    CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n AS DOUBLE))
+           |               * 4294967296.0) AS BIGINT) AS thr
+           |  FROM c, m)
+           |SELECT d.doc_id, d.source
+           |FROM documents d JOIN r ON d.source = r.source
+           |WHERE ('0x' || substr(md5(concat('mixt:', CAST(d.doc_id AS VARCHAR))), 1, 8))::BIGINT
+           |      < r.thr""".stripMargin))
+
+  private val curateSurvivors = Q(
+    "curate_survivors",
+    // Quality-aware survivor selection — the step AFTER dedup_components'
+    // clustering: instead of "keep the min id", keep the HIGHEST-QUALITY
+    // doc of each duplicate group (round-6 quality, doc_id tie-break —
+    // a total order, so the choice is deterministic at any parallelism).
+    // Pipeline: LSH pairs → connected components → per-cluster argmax
+    // via one min-struct hash-agg over (−quality rank) ... expressed as
+    // max(struct(quality, doc_id)) — cluster-dictionary-sized, never a
+    // window over the corpus. The oracle recomputes the closure
+    // INDEPENDENTLY (recursive-CTE BFS) like dedup_components, so a
+    // contraction bug cannot cancel out.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = mat(d.select(
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val pairs = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          aName = "doc_a", bName = "doc_b")
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = graft.functions.Components.totalComponents(
+          base, "doc_id", pairs, "doc_a", "doc_b", assumeUniqueIds = true)
+        .select(col("node").cast("long").as("doc_id"),
+          col("component").cast("long").as("cluster_id"))
+      val quality = d.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text"), toks, Stopwords), 6).as("q"))
+      val scored = clusters.join(quality, Seq("doc_id"))
+      val winners = scored.groupBy(col("cluster_id"))
+        .agg(max(struct(col("q"), col("doc_id"))).as("__w"))
+        .select(col("cluster_id"), col("__w.doc_id").as("survivor_id"))
+      scored.join(winners, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+          col("q").as("quality"),
+          (col("doc_id") === col("survivor_id")).as("kept"))
+    },
+    Some(s"""WITH RECURSIVE toksq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toksq),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |${lshOracleCtes("base", "sh", Nil)},
+           |pairs AS (SELECT doc_a, doc_b
+           |          FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
+           |          WHERE ${lshVerifySql("sh")} >= 0.3),
+           |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           |  SELECT s AS node, s AS label FROM edges
+           |  UNION
+           |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+           |cl AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |clusters AS (SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           |       coalesce(cl.cluster_id, CAST(b.doc_id AS BIGINT)) AS cluster_id
+           |  FROM base b LEFT JOIN cl ON cl.node = b.doc_id),
+           |qual AS (SELECT doc_id,
+           |    round((CAST(len(list_filter(string_split(text,' '),
+           |           x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+           |           / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5
+           |        + (CAST(len(string_split(text,' ')) AS DOUBLE)
+           |           / (CAST(len(string_split(text,' ')) AS DOUBLE) + 50.0)) * 0.5, 6) AS q
+           |  FROM documents),
+           |scored AS (SELECT c.doc_id, c.cluster_id, q FROM clusters c JOIN qual USING (doc_id)),
+           |winners AS (SELECT cluster_id, doc_id AS survivor_id FROM (
+           |    SELECT cluster_id, doc_id,
+           |      row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id DESC) AS rn
+           |    FROM scored) WHERE rn = 1)
+           |SELECT s.doc_id, s.cluster_id, w.survivor_id, s.q AS quality,
+           |  (s.doc_id = w.survivor_id) AS kept
+           |FROM scored s JOIN winners w USING (cluster_id)""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6773,7 +6968,8 @@ object QueryLib {
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
     qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc,
-    mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau)
+    mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau,
+    mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

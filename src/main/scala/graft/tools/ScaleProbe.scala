@@ -978,7 +978,13 @@ object ScaleProbe {
       val kept = graft.functions.SemDedup.pruneWithCentroids(
           vecs, "vec_id", "v", cents, "c_id", "cv", tau = 0.999)
         .filter(col("kept")).count()
-      println(s"[probe]   kept=$kept of 1000000 (990000 distinct)")
+      // multi-probe closes the single-assignment boundary miss: a
+      // planted near-copy whose perturbation crossed a cell boundary
+      // is invisible to nProbe=1 but pairs through its second cell
+      val kept2 = graft.functions.SemDedup.pruneWithCentroids(
+          vecs, "vec_id", "v", cents, "c_id", "cv", tau = 0.999, nProbe = 2)
+        .filter(col("kept")).count()
+      println(s"[probe]   kept=$kept (nProbe=1) -> $kept2 (nProbe=2) of 1000000 (990000 distinct)")
     }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)

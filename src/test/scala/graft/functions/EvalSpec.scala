@@ -81,4 +81,35 @@ class EvalSpec extends SparkSpec {
     assert(out("e") == ((3L, 0.0)))
     assert(!out.contains("z"))
   }
+
+  test("confusion: cell counts and per-class recall/precision fractions") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "a"), ("b", "b"))
+      .toDF("actual", "pred")
+    val out = Eval.confusion(df, col("actual"), col("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(("a", "a")) == ((2L, 3L, 3L, 0.666667, 0.666667)))
+    assert(out(("a", "b")) == ((1L, 3L, 3L, 0.333333, 0.333333)))
+    assert(out(("b", "a"))._1 == 1L && out(("b", "b"))._1 == 2L)
+    assert(out.size == 4)
+  }
+
+  test("cohenKappa: hand-computed value; perfect agreement = 1; constant sides drop") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "a"), ("b", "b"))
+      .toDF("actual", "pred")
+    // N=6, diag=4, rows a/b = 3/3, cols a/b = 3/3: kappa =
+    // (6*4 - 18) / (36 - 18) = 1/3
+    val out = Eval.cohenKappa(df, col("actual"), col("pred")).head
+    assert(out.getLong(0) == 6L && out.getLong(1) == 4L)
+    assert(out.getDouble(2) == 0.333333)
+    val perfect = Seq(("a", "a"), ("b", "b")).toDF("actual", "pred")
+    assert(Eval.cohenKappa(perfect, col("actual"), col("pred")).head.getDouble(2) == 1.0)
+    // both sides constant: p_e = 1, kappa undefined -> no rows
+    val const = Seq(("a", "a"), ("a", "a")).toDF("actual", "pred")
+    assert(Eval.cohenKappa(const, col("actual"), col("pred")).isEmpty)
+  }
 }

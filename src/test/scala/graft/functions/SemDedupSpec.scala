@@ -53,6 +53,28 @@ class SemDedupSpec extends SparkSpec {
     assert(viaLoop == viaExpr)
   }
 
+  test("nProbe=2 catches a near-dup pair straddling a cell boundary") {
+    // two cells; v1/v2 sit just either side of the boundary (nearest
+    // cells differ) at cosine ~0.998 — invisible to single assignment,
+    // paired through the shared second-choice cell under multi-probe
+    val cents = Seq(
+      (0L, Array(2.0f, 0.0f)), (1L, Array(1.5f, 1.5f)))
+      .toDF("c_id", "cv")
+    val vecs = Seq(
+      (1L, Array(2.0f, 0.75f)), (2L, Array(2.0f, 0.9f)))
+      .toDF("vec_id", "v")
+    val single = SemDedup.pruneWithCentroids(
+        vecs, "vec_id", "v", cents, "c_id", "cv", tau = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(single(1L)._1 != single(2L)._1, "fixture must straddle the boundary")
+    assert(single(1L)._2 && single(2L)._2, "single assignment misses the pair")
+    val multi = SemDedup.pruneWithCentroids(
+        vecs, "vec_id", "v", cents, "c_id", "cv", tau = 0.99, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(multi(1L)._2 && !multi(2L)._2, "multi-probe pairs them; higher id drops")
+    assert(multi(1L)._1 == single(1L)._1, "primary cell is unchanged")
+  }
+
   test("cells come from the nearest deterministic centroid") {
     val index = AnnIvf.buildFixed(corpus, "embedding", idCol = "vec_id", k = 4)
     val cells = SemDedup.prune(index, "vec_id", tau = 0.95)
