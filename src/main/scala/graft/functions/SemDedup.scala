@@ -34,12 +34,21 @@ object SemDedup {
   /** Mark every row kept/dropped. Returns (idCol, cell, kept) — one row
     * per input vector; `kept = false` iff a lower-id same-cell vector
     * has round-6 cosine >= tau with it.
+    *
+    * `dropSide` restricts which rows can be DROPPED (the higher-id
+    * pair side) — the incremental-dedup asymmetry of
+    * [[SimilarityOps.lshCandidatePairs]]'s bSideFilter: judging a new
+    * batch against corpus + itself filters the join's b side from the
+    * whole corpus to the batch, so at 100 TB the historical cells only
+    * ever pair against new-batch rows instead of re-pairing themselves
+    * every run; rows outside the predicate always come back kept.
     */
-  def prune(index: AnnIvf.Index, idCol: String, tau: Double): DataFrame = {
+  def prune(index: AnnIvf.Index, idCol: String, tau: Double,
+      dropSide: Option[Column] = None): DataFrame = {
     val a = index.assigned.select(
       col(idCol).as("__ida"), col("cell"),
       col(index.embCol).cast("array<double>").as("__va"))
-    val b = index.assigned.select(
+    val b = dropSide.fold(index.assigned)(index.assigned.filter).select(
       col(idCol).as("__idb"), col("cell"),
       col(index.embCol).cast("array<double>").as("__vb"))
     // each dropped id appears once no matter how many lower-id

@@ -6926,6 +6926,160 @@ object QueryLib {
            |  (s.doc_id = w.survivor_id) AS kept
            |FROM scored s JOIN winners w USING (cluster_id)""".stripMargin))
 
+  private val fsRollingCorr = Q(
+    "fs_rolling_corr",
+    // Rolling 24-hour Pearson correlation between two series (purchase
+    // vs view hourly cent totals) — the co-movement monitor next to
+    // q_corr_activity's single global coefficient. The corpus
+    // pre-aggregates to ONE bounded hourly grid (the cusum doctrine:
+    // recurrences and windows run on the grid, never raw events; 744
+    // points/month however big the corpus), both series land in one
+    // conditional hash-agg pass, and the rolling moments are decimal-
+    // exact ROWS-frame sums — n·Σxy − ΣxΣy cross-multiplied in integer
+    // space, ONE closing double sqrt/division rounded at 6, NULL where
+    // either window variance is 0 (guarded, not 0/0).
+    (s, dir) => {
+      val hr = T(s, dir, "events").filter(col("value").isNotNull)
+        .select((unix_timestamp(col("ts")) / 3600).cast("long").as("hx"),
+          col("event_type"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+        .groupBy(col("hx"))
+        .agg(
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("x"),
+          sum(when(col("event_type") === "view", col("cents"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("y"))
+      val w = Window.orderBy(col("hx")).rowsBetween(-23, 0)
+      hr.select(col("hx"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+          sum(col("x") * col("y")).over(w).as("sxy"),
+          sum(col("x") * col("x")).over(w).as("sxx"),
+          sum(col("y") * col("y")).over(w).as("syy"))
+        .select(col("hx"), col("n"),
+          when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+            .as("corr24"))
+    },
+    Some("""WITH e AS (
+           |  SELECT (epoch_us(ts)//1000000) // 3600 AS hx, event_type,
+           |         CAST(round(value*100) AS HUGEINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |hr AS (SELECT hx,
+           |    sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS x,
+           |    sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS y
+           |  FROM e GROUP BY 1),
+           |m AS (SELECT hx,
+           |    count(*) OVER w AS n,
+           |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+           |    sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy
+           |  FROM hr WINDOW w AS (ORDER BY hx ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+           |SELECT hx, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+           |    round(CAST(n*sxy - sx*sy AS DOUBLE) /
+           |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           |  END AS corr24
+           |FROM m""".stripMargin))
+
+  private val qDedupWindow = Q(
+    "q_dedup_window",
+    // Windowed event dedup — the "ignore repeats within N minutes"
+    // rule every event pipeline runs (double-clicks, retry storms):
+    // keep an event iff the PREVIOUS same-(user, type) event is at
+    // least 10 minutes older. One lag() over the per-key sort with the
+    // (ts, event_id) total order pinning ties — a same-timestamp
+    // repeat is deterministically dropped on both engines. One
+    // exchange on the key, no self-join; at 100 TB the per-key window
+    // is the standard sessionize shuffle shape.
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) >= 600000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    },
+    Some("""WITH w AS (SELECT event_id, user_id, event_type, ts,
+           |    lag(ts) OVER (PARTITION BY user_id, event_type
+           |                  ORDER BY ts, event_id) AS prev
+           |  FROM events)
+           |SELECT event_id, user_id, event_type, ts
+           |FROM w WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 600000000""".stripMargin))
+
+  private val dqJoinFanout = Q(
+    "dq_join_fanout",
+    // Pre-join cardinality estimation — the guard a pipeline runs
+    // BEFORE a key-join melts a cluster: for a self-join on
+    // (user_id, day), the output volume per day is Σ_u n_u² (exact,
+    // from the same count dictionary a salting decision reads). Emits
+    // per-day exact pair volume, the heaviest key, and the blow-up
+    // ratio vs a perfectly uniform key distribution (Σn² ⁄ (N²/k) —
+    // 1.0 means no skew; integer cross-multiplication, one closing
+    // division). The corpus is touched ONCE (hash-agg to the key
+    // dictionary); everything downstream is dictionary-sized.
+    (s, dir) => {
+      val c = T(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      c.groupBy(col("day"))
+        .agg(sum(col("n")).as("__nn"),
+          count(lit(1)).as("n_keys"),
+          sum(col("n") * col("n")).as("est_pairs"),
+          max(col("n")).as("max_key_rows"))
+        .select(col("day"), col("n_keys"), col("est_pairs"), col("max_key_rows"),
+          round((col("est_pairs") * col("n_keys")).cast("double") /
+            (col("__nn") * col("__nn")).cast("double"), 6).as("skew_ratio"))
+    },
+    Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+           |             count(*) AS n
+           |           FROM events GROUP BY 1, 2)
+           |SELECT day, CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(n*n) AS BIGINT) AS est_pairs,
+           |  CAST(max(n) AS BIGINT) AS max_key_rows,
+           |  round(CAST(sum(n*n)*count(*) AS DOUBLE) /
+           |        CAST(sum(n)*sum(n) AS DOUBLE), 6) AS skew_ratio
+           |FROM c GROUP BY 1""".stripMargin))
+
+  private val dedupSemanticIncremental = Q(
+    "dedup_semantic_incremental",
+    // Incremental SemDeDup — the production shape (dedup_incremental's
+    // asymmetry applied to the embedding path): vectors with
+    // vec_id >= 375 are "today's batch", judged against corpus + batch,
+    // and ONLY batch rows can be dropped — prune's dropSide filters the
+    // pair join's b side from the whole corpus to the batch, so the
+    // historical cells never re-pair against themselves. Output is the
+    // batch's verdicts; corpus rows are not re-judged.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val index = graft.functions.AnnIvf.buildFixed(e, "embedding", idCol = "vec_id", k = 16)
+      graft.functions.SemDedup.prune(index, "vec_id", tau = 0.3,
+          dropSide = Some(col("vec_id") >= 375))
+        .filter(col("vec_id") >= 375)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv,
+           |         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) / 2 AS half
+           |  FROM e ORDER BY vec_id LIMIT 16),
+           |assign AS (SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent) WHERE rr = 1),
+           |dropped AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.vec_id >= 375
+           |   AND round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+           |       (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+           |        sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6) >= 0.3)
+           |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS kept
+           |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+           |WHERE a.vec_id >= 375""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -6969,7 +7123,8 @@ object QueryLib {
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
     qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc,
     mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau,
-    mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors)
+    mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
+    fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

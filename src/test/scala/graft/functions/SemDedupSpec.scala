@@ -40,6 +40,21 @@ class SemDedupSpec extends SparkSpec {
     assert(out.values.forall(identity))
   }
 
+  test("dropSide restricts which rows can be dropped (incremental asymmetry)") {
+    val index = AnnIvf.buildFixed(corpus, "embedding", idCol = "vec_id", k = 4)
+    // batch = ids >= 10: the near-copies are droppable and drop
+    val batch = SemDedup.prune(index, "vec_id", tau = 0.95,
+        dropSide = Some(col("vec_id") >= 10))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!batch(10L) && !batch(11L) && batch(0L) && batch(1L))
+    // inverted predicate: the droppable side (ids < 10) is never the
+    // HIGHER id of a near-dup pair here, so nothing drops at all
+    val inverted = SemDedup.prune(index, "vec_id", tau = 0.95,
+        dropSide = Some(col("vec_id") < 10))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(inverted.values.forall(identity))
+  }
+
   test("pruneWithCentroids matches prune given the same codebook") {
     val index = AnnIvf.buildFixed(corpus, "embedding", idCol = "vec_id", k = 4)
     val viaExpr = SemDedup.prune(index, "vec_id", tau = 0.95)
