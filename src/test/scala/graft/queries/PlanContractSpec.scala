@@ -62,7 +62,18 @@ class PlanContractSpec extends SparkSpec {
       // the variant rollup; ml_lift_table additionally broadcasts the
       // 20-row bucket spine into the score-dictionary non-equi probe —
       // both sides metadata-sized by construction
-      "q_ab_assign", "q_cuped", "ml_lift_table")
+      "q_ab_assign", "q_cuped", "ml_lift_table",
+      // ml_naive_bayes fans token occurrences and the doc-length frame
+      // by the |classes|-row model-stats broadcast (plus the 1-row
+      // vocab/doc-count scalars inside it) — class-dictionary-sized by
+      // construction; the corpus-sized side never broadcasts
+      "ml_naive_bayes",
+      // ml_cohen_kappa folds two 1-row aggregate frames (diag/total x
+      // expected-agreement) — dq_events' 1-row-scalar shape
+      "ml_cohen_kappa",
+      // doc_mixture_temperature cross-joins the 1-row min-source count
+      // into the per-source rate table — doc_mixture_sample's shape
+      "doc_mixture_temperature")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
@@ -86,6 +97,7 @@ class PlanContractSpec extends SparkSpec {
       "fs_stream_enrich", "fs_stream_hll", "fs_stream_ewma",
       "fs_stream_dedup_lsh", "fs_stream_quantile", "fs_stream_cms", "fs_stream_kmv",
       "fs_stream_cusum", "fs_stream_anomaly", "fs_stream_gini", "fs_stream_auc",
+      "fs_stream_drift",
       // iterative trainers: their BUILD runs the full job sequence
       // (pageRank's nodes.count + per-iteration joins; BPE's 3 merge
       // rounds with a collect each) just to stringify the final frame
