@@ -7080,6 +7080,71 @@ object QueryLib {
            |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
            |WHERE a.vec_id >= 375""".stripMargin))
 
+  private val fsResampleFfillLimit = Q(
+    "fs_resample_ffill_limit",
+    // Gap-LIMITED forward fill — pandas resample().ffill(limit=N), the
+    // staleness control fs_resample_1d's unbounded carry lacks: a grid
+    // point more than 3 days past the last observation reads NULL
+    // instead of a stale value (series that go quiet must not haunt a
+    // training frame forever). Composed from the existing kernels:
+    // daily spine × staleness-bounded as-of (asofJoin toleranceUs) —
+    // the same one-exchange union-fill plan as fs_asof_tolerance, with
+    // the grid side generated, not scanned.
+    (s, dir) => {
+      val grid = s.range(1).select(explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 00:00:00', interval 1 day)"))
+        .as("time"))
+      val purchases = T(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      TimeseriesOps.asofJoin(grid, purchases,
+        rightValueCols = Seq("value"), by = Seq(),
+        toleranceUs = Some(3L * 86400 * 1000000))
+    },
+    Some("""WITH p AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+           |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+           |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
+           |SELECT g.time,
+           |  CASE WHEN p.time >= g.time - INTERVAL 3 DAY THEN p.value END AS value
+           |FROM grid g ASOF LEFT JOIN p ON p.time <= g.time""".stripMargin))
+
+  private val mlQuantizeInt8 = Q(
+    "ml_quantize_int8",
+    // Int8 embedding quantization — the storage-economics op of a
+    // 100 TB vector corpus (float32 → int8 = 4× less scan IO, the PQ
+    // gate's cousin with exact per-vector reconstruction): max-abs
+    // symmetric scale, q = round(x·127/scale) ties-away-from-zero
+    // (Spark round == DuckDB round on identical doubles), checksums in
+    // exact integers, reconstruction MSE as one fixed IEEE chain
+    // rounded at 6. Pure narrow per-row expressions — no shuffle, no
+    // UDF; zero vectors are guarded out (q undefined at scale 0).
+    (s, dir) => T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("m") > 0)
+      .withColumn("qv", transform(col("v"),
+        x => round(x * lit(127.0) / col("m")).cast("long")))
+      .select(col("vec_id"), round(col("m"), 6).as("scale"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+        round(
+          aggregate(
+            zip_with(col("v"), col("qv"), (x, q) =>
+              (x - q.cast("double") * col("m") / lit(127.0)) *
+                (x - q.cast("double") * col("m") / lit(127.0))),
+            lit(0.0), (acc, x) => acc + x) / lit(64.0), 6).as("mse")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+           |q AS (SELECT vec_id, m, v,
+           |        list_transform(v, x -> CAST(round(x * 127 / m) AS BIGINT)) AS qv
+           |      FROM s WHERE m > 0)
+           |SELECT vec_id, round(m, 6) AS scale,
+           |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           |  round(list_sum(list_transform(range(1, 65), i ->
+           |    (v[i] - qv[i]*m/127) * (v[i] - qv[i]*m/127))) / 64.0, 6) AS mse
+           |FROM q""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -7124,7 +7189,8 @@ object QueryLib {
     qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc,
     mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau,
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
-    fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental)
+    fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
+    fsResampleFfillLimit, mlQuantizeInt8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
