@@ -143,6 +143,33 @@ object Bench {
     // survives truncation regardless of line length.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), line + "\n")
     catch { case _: Throwable => }
+    // The file was necessary but not sufficient: EVERY round's driver
+    // artifact (BENCH_r01..r14) still recorded parsed:null, because the
+    // 2000-char tail holds only the MIDDLE of the full line once the
+    // suite passed ~80 gates (~9 KB at 194). The LAST stdout line is
+    // therefore a self-contained <=1.8 KB digest with the same schema:
+    // the full-suite total (every gate still counts toward "value"),
+    // per-query entries for the slowest gates that fit a byte budget,
+    // and exact reconstruction fields for the elided rest — so a tail
+    // capture of ANY length >= the digest always ends with one complete
+    // parseable line, whichever of head-grep / tail-grep / last-line
+    // the consumer uses (the full line above parses for the first two).
+    val bySlowest = results.toSeq.sortBy(-_._3)
+    var used = 0
+    val picked = bySlowest.takeWhile { case (k, _, t, _, _, _) =>
+      val w = k.length + f3(t).length + 4
+      if (used + w <= 1400) { used += w; true } else false
+    }
+    val omitted = results.size - picked.size
+    val omittedSec = total - picked.map(_._3).sum
+    val qsC = picked.map { case (k, _, t, _, _, _) => s"\"" + k + "\":" + f3(t) }
+      .mkString("{", ",", "}")
+    val errsC = errList.take(8).map(k => s"\"" + k + "\"").mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":$value,"unit":"sec","gates":${results.size},""" +
+      s""""queries":$qsC,"queries_omitted":$omitted,"omitted_sec":${f3(omittedSec)},""" +
+      s""""reruns":${rerunList.size},"n_errs":${errList.size},"errs":$errsC,""" +
+      s""""load":$loads,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     // A crashed query must surface as a failed RUN, not just a JSON field:
     // round 12 recorded rc:0 with 31 erred gates and read as a pass.
