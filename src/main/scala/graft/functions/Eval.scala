@@ -198,8 +198,12 @@ object Eval {
       .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("__n"))
     val rows = cells.groupBy(col("actual")).agg(sum(col("__n")).as("__r"))
     val cols_ = cells.groupBy(col("pred")).agg(sum(col("__n")).as("__c"))
+    // row·col products in decimal BEFORE the sum: two classes over a
+    // multi-billion-row corpus push Σ row·col past Long.MaxValue, and a
+    // long wrap here corrupts the p_e = 1 guard and kappa silently
     val e = rows.join(cols_, col("actual") === col("pred"))
-      .agg(sum(col("__r") * col("__c")).as("__e"))
+      .agg(sum(col("__r").cast("decimal(38,0)") * col("__c").cast("decimal(38,0)"))
+        .as("__e"))
     val d = cells.agg(
       sum(col("__n")).as("__nn"),
       sum(when(col("actual") === col("pred"), col("__n")).otherwise(lit(0L))).as("__diag"))

@@ -23,11 +23,13 @@ import graft.plans.BinLength
   *
   * Scale shape (100 TB): training = ONE hash-agg over (class, token)
   * plus a class-dictionary-sized rollup; inference joins each token
-  * occurrence against the class-token table on the token key — a
-  * shuffle whose key space is the vocabulary — fanned out by the class
-  * dimension (a tiny broadcast: |classes| rows). Nothing driver-side:
-  * both passes are plain distributed aggregations, and the model
-  * itself is a DataFrame (persistable as a feature table).
+  * occurrence against the class-token model table on the token key —
+  * broadcast when the vocabulary is closed (the default), a plain
+  * vocabulary-keyed shuffle when it is open (`broadcastModel = false`)
+  * — and the dense class fan-out happens only at doc granularity.
+  * Nothing driver-side: both passes are plain distributed
+  * aggregations, and the model itself is a DataFrame (persistable as
+  * a feature table).
   *
   * The self-training shape (fit and predict over the same corpus) is
   * what the gate exercises; splitting train/apply frames is the
@@ -52,11 +54,21 @@ object NbClassifier {
     * only at doc granularity (len × |classes| rows) for the final
     * argmin.
     */
+  /** `broadcastModel`: the correction join's model side is the
+    * DISTINCT (token, class) table — vocabulary-dictionary-sized, NOT
+    * |classes|-sized. For a closed vocabulary (language markers, BPE
+    * vocab, bounded cents-like domains) broadcasting it keeps the
+    * corpus-sized token frame exchange-free; an OPEN web-corpus
+    * vocabulary (10⁸-10⁹ types) would blow the 8 GB broadcast ceiling
+    * — pass false and the correction join becomes a plain shuffle on
+    * the token key, the shape the scale contract above describes.
+    */
   def classify(
       docs: DataFrame,
       idCol: String,
       labelCol: String,
-      toksCol: Column): DataFrame = {
+      toksCol: Column,
+      broadcastModel: Boolean = true): DataFrame = {
     // pin: four consumers read the exploded token frame (class-token
     // counts, the vocab scalar, the correction join, doc lengths) —
     // unpinned, each re-scans and re-explodes the corpus
@@ -82,7 +94,7 @@ object NbClassifier {
       .select(col("__c"), col("__t"),
         (BinLength.binLen(expr("(__nc + __vv) div (__cnt + 1L)")) -
           BinLength.binLen(expr("__nc + __vv"))).cast("long").as("__save"))
-    val corr = tok.join(broadcast(model), Seq("__t"))
+    val corr = tok.join(if (broadcastModel) broadcast(model) else model, Seq("__t"))
       .groupBy(col(idCol), col("__c")).agg(sum(col("__save")).as("__corr"))
     val len = tok.groupBy(col(idCol), col(labelCol))
       .agg(count(lit(1)).as("__len"))

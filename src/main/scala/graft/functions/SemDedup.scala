@@ -116,6 +116,10 @@ object SemDedup {
         (r.getLong(0), v, v.map(x => x * x).sum / 2)
       })
       .sortBy(_._1)
+    require(cents.nonEmpty, "pruneWithCentroids: the centroid table is empty")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"pruneWithCentroids: centroid dimensions differ (expected $dim)")
     val bc = spark.sparkContext.broadcast(cents)
     val assigned = vecs
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -126,6 +130,14 @@ object SemDedup {
         def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         it.map { case (id, v) =>
+          // loud per-row input validation: a truncated vector would
+          // silently score a PARTIAL dot and land in the wrong cell;
+          // a NaN component makes every comparison false and the
+          // argmax would index -1 two screens later with no hint why
+          if (v == null || v.length != cb.head._2.length)
+            throw new IllegalArgumentException(
+              s"pruneWithCentroids: id=$id embedding has dim " +
+                s"${if (v == null) "null" else v.length}, codebook has ${cb.head._2.length}")
           // pass 1: raw scores + raw max — NO per-candidate decimal
           // rounding (a BigDecimal per (row, centroid) dominated the
           // probe: 4e9 allocations ≈ 5x the dot-product arithmetic)
@@ -159,6 +171,11 @@ object SemDedup {
             }
             i += 1
           }
+          // all-NaN scores (a NaN embedding component) leave bestJ at
+          // -1: fail with the cause, not an index error downstream
+          if (bestJ < 0)
+            throw new IllegalArgumentException(
+              s"pruneWithCentroids: id=$id scored no centroid (NaN embedding component?)")
           val cells = new Array[Long](math.min(nProbe, cb.length))
           cells(0) = cb(bestJ)._1
           if (cells.length > 1) {

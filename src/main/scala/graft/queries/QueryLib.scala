@@ -6788,7 +6788,8 @@ object QueryLib {
            |cells AS (SELECT actual, pred, count(*) AS n FROM p GROUP BY 1, 2),
            |r AS (SELECT actual, sum(n) AS rn FROM cells GROUP BY 1),
            |c AS (SELECT pred, sum(n) AS cn FROM cells GROUP BY 1),
-           |e AS (SELECT sum(rn*cn) AS e FROM r JOIN c ON r.actual = c.pred),
+           |e AS (SELECT coalesce(sum(rn*cn), 0) AS e
+           |      FROM r JOIN c ON r.actual = c.pred),
            |d AS (SELECT sum(n) AS nn,
            |        sum(CASE WHEN actual = pred THEN n ELSE 0 END) AS diag FROM cells)
            |SELECT CAST(nn AS BIGINT) AS n, CAST(diag AS BIGINT) AS n_agree,
@@ -7023,16 +7024,22 @@ object QueryLib {
     // division). The corpus is touched ONCE (hash-agg to the key
     // dictionary); everything downstream is dictionary-sized.
     (s, dir) => {
+      // n² and the ratio cross-products in decimal: one 3e9-row hot key
+      // wraps a LongType n² negative — the guard must not overflow at
+      // exactly the blow-up scale it exists to detect (the oracle's
+      // HUGEINT arithmetic is exact)
       val c = T(s, dir, "events")
         .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
       c.groupBy(col("day"))
         .agg(sum(col("n")).as("__nn"),
           count(lit(1)).as("n_keys"),
-          sum(col("n") * col("n")).as("est_pairs"),
-          max(col("n")).as("max_key_rows"))
-        .select(col("day"), col("n_keys"), col("est_pairs"), col("max_key_rows"),
-          round((col("est_pairs") * col("n_keys")).cast("double") /
+          sum(col("n") * col("n")).as("__p2"),
+          max(col("n")).as("__mx"))
+        .select(col("day"), col("n_keys"),
+          col("__p2").cast("long").as("est_pairs"),
+          col("__mx").cast("long").as("max_key_rows"),
+          round((col("__p2") * col("n_keys")).cast("double") /
             (col("__nn") * col("__nn")).cast("double"), 6).as("skew_ratio"))
     },
     Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
@@ -7094,14 +7101,19 @@ object QueryLib {
       val grid = s.range(1).select(explode(expr(
         "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 00:00:00', interval 1 day)"))
         .as("time"))
+      // equal-timestamp ties resolved to max(value) BEFORE the as-of
+      // (the fs_resample_1d convention): DuckDB's ASOF picks an
+      // arbitrary row among same-time matches, so the contract must
+      // not lean on the generator's ts uniqueness
       val purchases = T(s, dir, "events")
         .filter(col("event_type") === "purchase")
-        .select(col("ts").as("time"), col("value"))
+        .groupBy(col("ts").as("time")).agg(max(col("value")).as("value"))
       TimeseriesOps.asofJoin(grid, purchases,
         rightValueCols = Seq("value"), by = Seq(),
         toleranceUs = Some(3L * 86400 * 1000000))
     },
-    Some("""WITH p AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase'),
+    Some("""WITH p AS (SELECT ts AS time, max(value) AS value FROM events
+           |           WHERE event_type = 'purchase' GROUP BY 1),
            |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time,

@@ -952,6 +952,10 @@ object ScaleProbe {
       val acc = out.agg(
         avg(when(col("label") === col("pred"), 1.0).otherwise(0.0))).head.getDouble(0)
       println(f"[probe]   self-accuracy=$acc%.3f")
+      // classify pins its 20M-row token frame — sweep it so the next
+      // probe's timings aren't skewed by resident cache (Bench does
+      // the same between gates)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // SemDeDup at corpus scale: k MUST grow with the corpus — k=256
     // over these 1M vectors measured 195 s (≈ 4k rows/cell, ~2e9
@@ -981,10 +985,14 @@ object ScaleProbe {
       // multi-probe closes the single-assignment boundary miss: a
       // planted near-copy whose perturbation crossed a cell boundary
       // is invisible to nProbe=1 but pairs through its second cell
+      // sweep the nProbe=1 run's pinned assigned frame before timing
+      // the nProbe=2 leg, and both after
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val kept2 = graft.functions.SemDedup.pruneWithCentroids(
           vecs, "vec_id", "v", cents, "c_id", "cv", tau = 0.999, nProbe = 2)
         .filter(col("kept")).count()
       println(s"[probe]   kept=$kept (nProbe=1) -> $kept2 (nProbe=2) of 1000000 (990000 distinct)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)

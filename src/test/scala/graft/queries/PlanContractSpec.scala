@@ -63,10 +63,12 @@ class PlanContractSpec extends SparkSpec {
       // 20-row bucket spine into the score-dictionary non-equi probe —
       // both sides metadata-sized by construction
       "q_ab_assign", "q_cuped", "ml_lift_table",
-      // ml_naive_bayes fans token occurrences and the doc-length frame
-      // by the |classes|-row model-stats broadcast (plus the 1-row
-      // vocab/doc-count scalars inside it) — class-dictionary-sized by
-      // construction; the corpus-sized side never broadcasts
+      // ml_naive_bayes fans the doc-length frame by the |classes|-row
+      // class-stats broadcast (plus the 1-row vocab/doc-count scalars
+      // inside it); the vocabulary-sized model table rides a broadcast
+      // HASH join (closed marker vocabulary here — classify's
+      // broadcastModel=false flips it to a token-keyed shuffle for
+      // open vocabularies). The corpus-sized side never broadcasts
       "ml_naive_bayes",
       // ml_cohen_kappa folds two 1-row aggregate frames (diag/total x
       // expected-agreement) — dq_events' 1-row-scalar shape
