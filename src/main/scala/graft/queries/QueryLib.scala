@@ -7157,6 +7157,126 @@ object QueryLib {
            |    (v[i] - qv[i]*m/127) * (v[i] - qv[i]*m/127))) / 64.0, 6) AS mse
            |FROM q""".stripMargin))
 
+  private val simHardNegatives = Q(
+    "sim_hard_negatives",
+    // Hard-negative mining for contrastive training — the step after
+    // top-k retrieval: per anchor, the candidates ranked JUST BELOW
+    // the positives (ranks 6..15 by exact cosine) are the negatives
+    // that teach a bi-encoder the decision boundary; uniform-random
+    // negatives are too easy to carry gradient. Identical plan shape
+    // to sim_cosine_topk (broadcast the 10 anchors into the fused
+    // codegen'd scoring join, windowed rank pushdown) — only the rank
+    // window differs, so the mining step costs exactly one retrieval.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val scored = c.crossJoin(broadcast(q)).select(
+        col("q_id"), col("c_id"),
+        round(CosineSimilarity.cosineSim(col("qv"), col("cv")), 6).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") >= 6 && col("rank") <= 15)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 10),
+           |s AS (SELECT q_id, c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cosine
+           |  FROM c, q)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT q_id, c_id, cosine,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s) WHERE rank BETWEEN 6 AND 15""".stripMargin))
+
+  private val curateAudit = Q(
+    "curate_audit",
+    // Explainable curation — curate_docs' pipeline re-expressed as an
+    // AUDIT: one row PER INPUT DOC with the flag of every stage that
+    // judged it (quality gate, exact-dup, near-dup) and the final
+    // verdict, so a data owner can answer "why did my document
+    // disappear?" without re-running anything. Same stage logic and
+    // banding as curate_docs (its survivor set must equal this gate's
+    // kept=true set); the flags ride three dictionary/drop-list-sized
+    // left joins back onto the corpus — the report costs one extra
+    // broadcast-join pass over the pipeline it explains.
+    (s, dir) => {
+      val base = T(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"), col("text"),
+        size(toks).as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
+          length(col("text")).cast("double")).as("alpha_ratio"))
+        .withColumn("passed_quality",
+          col("n_tokens") >= 20 && col("alpha_ratio") >= 0.8)
+      val quality = base.filter(col("passed_quality"))
+      val exactRn = quality
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), (col("rn") > 1).as("is_exact_dup"))
+      val exact = mat(quality.join(exactRn, Seq("doc_id"))
+        .filter(!col("is_exact_dup")))
+      val sh = mat(exact.select(col("doc_id"), col("lang"), col("source"),
+        digestShingles(TextOps.wordShingles(toks, 2)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val (bb, rr) = SimilarityOps.sizedBanding(0.5)
+      val nearDrops = SimilarityOps.lshCandidatePairs(sh, "doc_id", "sh",
+          blockKeys = Seq("lang", "source"), aName = "doc_a", bName = "doc_b",
+          bands = bb, rowsPerBand = rr)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("near", lit(true))
+      base.select(col("doc_id"), col("lang"), col("passed_quality"))
+        .join(exactRn, Seq("doc_id"), "left")
+        .join(nearDrops, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("passed_quality"),
+          coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+          coalesce(col("near"), lit(false)).as("is_near_dup"))
+        .withColumn("kept",
+          col("passed_quality") && !col("is_exact_dup") && !col("is_near_dup"))
+    },
+    Some(s"""WITH base AS (
+           |  SELECT doc_id, lang, source, text,
+           |    len(string_split(text, ' ')) AS n_tokens,
+           |    CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) /
+           |      CAST(length(text) AS DOUBLE) AS alpha_ratio
+           |  FROM documents),
+           |flagged AS (SELECT *, (n_tokens >= 20 AND alpha_ratio >= 0.8) AS passed_quality
+           |  FROM base),
+           |quality AS (SELECT * FROM flagged WHERE passed_quality),
+           |exactrn AS (
+           |  SELECT doc_id, (row_number() OVER
+           |      (PARTITION BY md5(text) ORDER BY doc_id)) > 1 AS is_exact_dup
+           |  FROM quality),
+           |exact AS (SELECT q.* FROM quality q JOIN exactrn e USING (doc_id)
+           |          WHERE NOT e.is_exact_dup),
+           |sh0 AS (SELECT doc_id, lang, source,
+           |    list_distinct(list_transform(list_transform(range(1, len(string_split(text,' '))), i ->
+           |      concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1])), s -> substr(md5(s), 1, 12))) AS sh
+           |  FROM exact),
+           |sh AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+           |${lshOracleCtes("sh", "sh", Seq("lang", "source"), bands = 6, rowsPerBand = 2)},
+           |drops AS (
+           |  SELECT DISTINCT doc_b AS doc_id
+           |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+           |            JOIN sh y ON y.doc_id = cand.doc_b
+           |  WHERE ${lshVerifySql("sh")} >= 0.5)
+           |SELECT f.doc_id, f.lang, f.passed_quality,
+           |  coalesce(e.is_exact_dup, FALSE) AS is_exact_dup,
+           |  (d.doc_id IS NOT NULL) AS is_near_dup,
+           |  (f.passed_quality AND NOT coalesce(e.is_exact_dup, FALSE)
+           |     AND d.doc_id IS NULL) AS kept
+           |FROM flagged f
+           |LEFT JOIN exactrn e USING (doc_id)
+           |LEFT JOIN drops d USING (doc_id)""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -7202,7 +7322,7 @@ object QueryLib {
     mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau,
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
-    fsResampleFfillLimit, mlQuantizeInt8)
+    fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

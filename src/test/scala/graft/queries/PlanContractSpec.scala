@@ -75,7 +75,10 @@ class PlanContractSpec extends SparkSpec {
       "ml_cohen_kappa",
       // doc_mixture_temperature cross-joins the 1-row min-source count
       // into the per-source rate table — doc_mixture_sample's shape
-      "doc_mixture_temperature")
+      "doc_mixture_temperature",
+      // sim_hard_negatives broadcasts the 10 anchor vectors into the
+      // scoring join — sim_cosine_topk's shape, different rank window
+      "sim_hard_negatives")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
