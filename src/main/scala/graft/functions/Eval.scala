@@ -170,9 +170,24 @@ object Eval {
     * self-rollups joined back — the corpus is touched ONCE. Exact
     * integer counts, two closing divisions rounded at 6.
     */
-  def confusion(df: DataFrame, actualCol: Column, predCol: Column): DataFrame = {
-    val cells = df.select(actualCol.as("actual"), predCol.as("pred"))
-      .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+  def confusion(df: DataFrame, actualCol: Column, predCol: Column): DataFrame =
+    confusionFromCounts(
+      df.select(actualCol.as("actual"), predCol.as("pred"))
+        .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n")),
+      "actual", "pred", "n")
+
+  /** [[confusion]] over an ALREADY-AGGREGATED (actual, pred, count)
+    * cell dictionary — the streaming-state entry point (a grouped
+    * running count IS the matrix; fs_stream_confusion closes through
+    * this), mirroring aucFromCounts / giniFromCounts / ksFromCounts.
+    */
+  def confusionFromCounts(
+      cells0: DataFrame,
+      actualCol: String,
+      predCol: String,
+      countCol: String): DataFrame = {
+    val cells = cells0.select(col(actualCol).as("actual"),
+      col(predCol).as("pred"), col(countCol).cast("long").as("n"))
     val rows = cells.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
     val cols_ = cells.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
     cells.join(broadcast(rows), Seq("actual")).join(broadcast(cols_), Seq("pred"))

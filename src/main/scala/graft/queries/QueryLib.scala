@@ -7277,6 +7277,50 @@ object QueryLib {
            |LEFT JOIN exactrn e USING (doc_id)
            |LEFT JOIN drops d USING (doc_id)""".stripMargin))
 
+  private val fsStreamConfusion = Q(
+    "fs_stream_confusion",
+    // §2.10: live classifier monitoring as the 21st streaming
+    // certification — the confusion matrix of a deployed model
+    // maintained over a document stream WITHOUT buffering a row: the
+    // langid prediction is a stateless projection INSIDE the stream
+    // (the deployed-model shape), the (actual, pred) cell counts ARE
+    // the grouped running aggregation (state bounded by |classes|²
+    // forever), and the batch-closed cells feed the SAME
+    // Eval.confusionFromCounts rollup as ml_confusion. Completes the
+    // live-eval suite: AUC (ranking), Gini (concentration), KS
+    // (drift), confusion (error anatomy). Complete-mode close over
+    // the 4-file replay must hash-equal the batch gate's oracle.
+    (s, dir) => {
+      val src = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val srcDir = stagedSrc("sconf", dir)(p => src.repartition(4).write.parquet(p))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val view = s"sconf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val cells = stream
+        .select(col("lang").as("actual"), TextOps.langId(toks).as("pred"))
+        .groupBy(col("actual"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val query = withStatePartitions(s, 4) {
+        cells.writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      graft.functions.Eval.confusionFromCounts(s.table(view), "actual", "pred", "n")
+    },
+    // the SAME oracle as ml_confusion: the stream-closed cell
+    // dictionary must reproduce the batch matrix exactly
+    Some(s"""WITH $langidPredCtes,
+           |cells AS (SELECT actual, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+           |r AS (SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1),
+           |c AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1)
+           |SELECT cells.actual, cells.pred, n, n_actual, n_pred,
+           |  round(CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) AS recall_frac,
+           |  round(CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS precision_frac
+           |FROM cells JOIN r USING (actual) JOIN c USING (pred)""".stripMargin))
+
   // =====================================================================
 
   val all: Seq[Q] = Seq(
@@ -7322,7 +7366,8 @@ object QueryLib {
     mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau,
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
-    fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit)
+    fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
+    fsStreamConfusion)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

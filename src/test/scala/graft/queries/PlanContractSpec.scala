@@ -102,7 +102,7 @@ class PlanContractSpec extends SparkSpec {
       "fs_stream_enrich", "fs_stream_hll", "fs_stream_ewma",
       "fs_stream_dedup_lsh", "fs_stream_quantile", "fs_stream_cms", "fs_stream_kmv",
       "fs_stream_cusum", "fs_stream_anomaly", "fs_stream_gini", "fs_stream_auc",
-      "fs_stream_drift",
+      "fs_stream_drift", "fs_stream_confusion",
       // iterative trainers: their BUILD runs the full job sequence
       // (pageRank's nodes.count + per-iteration joins; BPE's 3 merge
       // rounds with a collect each) just to stringify the final frame
