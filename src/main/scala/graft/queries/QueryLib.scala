@@ -139,31 +139,50 @@ object QueryLib {
     stagedSrc(tag, dir) { rootStr =>
       val root = java.nio.file.Paths.get(rootStr)
       java.nio.file.Files.createDirectories(root)
-      val lows = None +: cuts.map(Option(_))
-      val highs = cuts.map(Option(_)) :+ None
-      val slices = lows.zip(highs).map { case (lo, hi) =>
-        src.filter(
-          lo.map(c => col("ts") >= ts(c)).getOrElse(lit(true)) &&
-            hi.map(c => col("ts") < ts(c)).getOrElse(lit(true)))
-      } :+ sentinel
-      slices.zipWithIndex.foreach { case (df, i) =>
-        val stage = s"$tmp/stage/$tag/$i"
-        df.coalesce(1).write.parquet(stage)
-        import scala.jdk.CollectionConverters._
-        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-        val part = try listing.iterator().asScala
-          .find(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
-        finally listing.close()
-        val target = root.resolve(f"slice$i%02d.parquet")
-        java.nio.file.Files.move(part, target)
-        // FileStreamSource orders new files by modification time;
-        // stamp an explicit ascending minute per slice so replay order
-        // IS time order regardless of write timing granularity
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      // ONE job stages every slice. The slice ordinal is a COLUMN
+      // (count of cuts at-or-before ts; the sentinel rides as the
+      // final ordinal), and a slice-keyed repartition + partitionBy
+      // write lands exactly one part file per non-empty slice — hash
+      // partitioning on the ordinal puts each slice's rows in one
+      // task, and partitionBy splits a task holding two colliding
+      // ordinals into one file per directory either way. The r15
+      // shape (one filter+coalesce(1) job PER slice) re-ran the
+      // source scan once per slice and cost fs_stream_ewma a 3.4x
+      // clean-anchor regression; this is the same bytes in one scan.
+      // An EMPTY slice (e.g. the ewma/cusum limit(0) sentinel) now
+      // stages no file at all instead of an empty parquet — a batch
+      // that carried zero rows never changed any gate's state, so the
+      // replay is semantically identical with one fewer trigger.
+      val sliceOrd = cuts.map(c => when(col("ts") >= ts(c), 1).otherwise(0))
+        .reduceOption((a, b) => a + b).getOrElse(lit(0))
+      val staged = src.withColumn("__slice", sliceOrd)
+        .unionByName(sentinel.withColumn("__slice", lit(cuts.size + 1)))
+      val stage = s"$tmp/stage/$tag"
+      staged.repartition(cuts.size + 2, col("__slice"))
+        .write.partitionBy("__slice").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      val stagePath = java.nio.file.Paths.get(stage)
+      val sliceDirs = {
+        val listing = java.nio.file.Files.list(stagePath)
+        try listing.iterator().asScala.toList.filter(
+          _.getFileName.toString.startsWith("__slice=")) finally listing.close()
       }
+      sliceDirs.map(p => (p.getFileName.toString.stripPrefix("__slice=").toInt, p))
+        .sortBy(_._1).foreach { case (i, sliceDir) =>
+          val listing = java.nio.file.Files.list(sliceDir)
+          val part = try listing.iterator().asScala
+            .find(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $sliceDir"))
+          finally listing.close()
+          val target = root.resolve(f"slice$i%02d.parquet")
+          java.nio.file.Files.move(part, target)
+          // FileStreamSource orders new files by modification time;
+          // stamp an explicit ascending minute per slice so replay order
+          // IS time order regardless of write timing granularity
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
     }
 
   /** Run `body` (starting a streaming query) with shuffle partitions —
@@ -3602,7 +3621,10 @@ object QueryLib {
       val tmp = scratchDir("sewma")
       val src = T(s, dir, "events").filter(col("value").isNotNull)
         .select(col("ts"), col("user_id"), col("value"))
-      val srcDir = stageTimeOrderedReplay("sewma", dir, tmp, src,
+      // tag shared with fs_stream_cusum: identical source, cuts and
+      // (empty) sentinel, so the two certifications replay ONE staged
+      // tree — the second gate's staging cost is a memo hit
+      val srcDir = stageTimeOrderedReplay("svreplay", dir, tmp, src,
         cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"),
         sentinel = src.limit(0)) // empty: nothing must perturb any key's state
       val stream = s.readStream.schema(src.schema)
@@ -5906,7 +5928,8 @@ object QueryLib {
       val tmp = scratchDir("scusum")
       val src = T(s, dir, "events").filter(col("value").isNotNull)
         .select(col("ts"), col("user_id"), col("value"))
-      val srcDir = stageTimeOrderedReplay("scusum", dir, tmp, src,
+      // tag shared with fs_stream_ewma (same source, cuts, sentinel)
+      val srcDir = stageTimeOrderedReplay("svreplay", dir, tmp, src,
         cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"),
         sentinel = src.limit(0)) // empty: nothing must perturb any key's state
       val stream = s.readStream.schema(src.schema)
