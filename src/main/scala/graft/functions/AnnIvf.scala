@@ -39,6 +39,30 @@ object AnnIvf {
       model.transform(feat).drop("__fv"), embCol)
   }
 
+  /** Index from an EXTERNALLY trained codebook: attaches the nearest-
+    * centroid `cell` column (the same narrow assignment expression the
+    * probe side uses). The scale path pairs this with [[Lloyd]]:
+    * bounded-sample driver-local training, centroids into the plan as
+    * literals — no per-iteration Spark jobs.
+    */
+  def withCenters(df: DataFrame, embCol: String, centers: Seq[Array[Double]]): Index = {
+    val bare = Index(centers, df, embCol)
+    val assigned = df.withColumn("cell",
+      element_at(probeCells(bare, col(embCol).cast("array<double>"), 1), 1))
+    Index(centers, assigned, embCol)
+  }
+
+  /** Trained IVF the way a production index trains: k-means++ + Lloyd
+    * on a bounded deterministic sample ([[Lloyd.sampleVectors]]),
+    * assignment as one narrow expression. Equivalent quality to
+    * [[build]] at a tiny fraction of its scheduler cost (a spark.ml
+    * fit is ~maxIter driver round-trips regardless of data size).
+    */
+  def buildSampled(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+                   maxIter: Int = 20, maxSample: Int = 4096): Index =
+    withCenters(df, embCol,
+      Lloyd.fit(Lloyd.sampleVectors(df, embCol, maxSample), k, seed, maxIter).toSeq)
+
   /** Deterministic codebook: the `k` lowest-`idCol` rows become the
     * centroids — IVF with sampled initialization and zero Lloyd
     * iterations. Quantization quality sits below a converged KMeans,

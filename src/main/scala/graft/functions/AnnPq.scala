@@ -102,6 +102,30 @@ object AnnPq {
     } finally { arr.unpersist(); () }
   }
 
+  /** Trained codebooks from a DRIVER-SIDE sample: slice each sampled
+    * vector into its m subvectors and run [[Lloyd]] per subspace —
+    * m × k × subDim doubles of arithmetic, zero Spark jobs. Pass the
+    * same sample an IVF codebook trained on ([[Lloyd.sampleVectors]])
+    * and the whole IVF+PQ quality stack trains off ONE corpus touch.
+    */
+  def buildTrainedFromSample(sample: Array[Array[Double]], m: Int, k: Int,
+                             seed: Long = 42L, maxIter: Int = 20): Codebooks = {
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    Codebooks(subDim, (0 until m).map { mi =>
+      Lloyd.fit(sample.map(_.slice(mi * subDim, (mi + 1) * subDim)),
+        k, seed + mi, maxIter).toSeq
+    })
+  }
+
+  /** [[buildTrainedFromSample]] with the sampling step included. */
+  def buildTrainedSampled(df: DataFrame, embCol: String, m: Int, k: Int,
+                          seed: Long = 42L, maxIter: Int = 20,
+                          maxSample: Int = 4096): Codebooks =
+    buildTrainedFromSample(Lloyd.sampleVectors(df, embCol, maxSample), m, k, seed, maxIter)
+
   private def litArr(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
 
   /** Per-subspace nearest-centroid code (L2 via the negHalfDist trick,

@@ -41,12 +41,31 @@ object Bpe {
 
   final case class Merge(left: String, right: String, count: Long)
 
-  /** Train `k` merges over a (word, cnt) table. Returns the merge list
-    * in rank order; ties on pair count break lexicographically (both
+  /** Train `k` merges over a (word, cnt) table — EXACT sequential BPE
+    * (recount between every merge). Returns the merge list in rank
+    * order; ties on pair count break lexicographically (both
     * deterministic and SQL-mirrorable). Each round collects exactly
     * one row (the argmax pair) — driver-size by construction.
+    *
+    * SCALE RULE: this path costs ONE driver round (pair-count job +
+    * 1-row collect + rewrite) PER MERGE — exactly right for a
+    * handful of merges and for oracle verification, and the wrong
+    * shape for a production vocabulary: 32k merges = 32k sequential
+    * Spark jobs. Past k ≈ 100, call [[trainMergesBatched]], which
+    * lands `batch` non-interfering merges per driver round (~k/batch
+    * rounds; ScaleProbe certifies 500 merges within 60 driver
+    * rounds). The batched list may diverge from the sequential one
+    * ONLY where top pairs interfere — the standard fast-trainer
+    * trade; it is NOT a drop-in default because sequential greedy
+    * recount IS the BPE definition the specs and oracles pin.
     */
-  def trainMerges(wordCounts: DataFrame, k: Int): Seq[Merge] = {
+  def trainMerges(wordCounts: DataFrame, k: Int): Seq[Merge] =
+    trainMergesExact(wordCounts, k)
+
+  /** The 1-merge-per-driver-round exact trainer behind [[trainMerges]]
+    * — named so call sites can state the intent explicitly when both
+    * trainers are in scope. */
+  def trainMergesExact(wordCounts: DataFrame, k: Int): Seq[Merge] = {
     require(k >= 1, s"k must be >= 1, got $k")
     var vocab = wordCounts.select(
       initSymbols(col("word")).as("w"), col("cnt"))
