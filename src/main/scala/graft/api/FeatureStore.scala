@@ -403,6 +403,27 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).versionAt(f.name, at.getTime)
   }
 
+  /** Export a feature's snapshot (optionally version-pinned) as a
+    * plain hive-partitioned parquet tree + manifest any engine reads
+    * without graft — the open-format bridge out of the txlog
+    * warehouse ([[graft.store.TimeseriesStore.exportSnapshot]]).
+    * Returns the exported version. */
+  def exportFeature(fullName: String, dstDir: String,
+                    asOfVersion: Option[Long] = None): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot export transformed feature '$fullName'")
+    store(nsObj).exportSnapshot(f.name, dstDir, asOfVersion)
+  }
+
+  /** Import an exported tree (or any plain `partition=`-layout parquet)
+    * as a NEW stored feature — the inverse bridge; one atomic commit.
+    * Returns the committed version. */
+  def importFeature(fullName: String, srcDir: String): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot import into transformed feature '$fullName'")
+    store(nsObj).importSnapshot(f.name, srcDir)
+  }
+
   /** Garbage-collect data files retired by compaction. Only meaningful
     * on a txlog-backed namespace, where compaction retires files
     * logically (readers with older snapshots keep working) and vacuum

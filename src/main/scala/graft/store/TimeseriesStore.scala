@@ -1316,9 +1316,126 @@ class TimeseriesStore(
     }
   }
 
+  // --- open-format bridge -----------------------------------------------
+
+  /** Export a txlog snapshot as a PLAIN hive-partitioned parquet tree
+    * any engine reads directly (DuckDB, another Spark, pandas — no
+    * graft code, no log): the open-format escape hatch the bespoke
+    * log protocol otherwise lacks. Two paths, chosen by what the
+    * snapshot physically is:
+    *
+    *  - VERBATIM (single schema epoch): every live file is byte-copied
+    *    into `dstDir` under its `partition=<p>/` directory — zero
+    *    recompute, bit-identical pages, and the copy parallelism is
+    *    the file count (at 100 TB this is an object-store server-side
+    *    copy per file, no data through compute).
+    *  - ALIGNED (mixed schema epochs): raw mixed-epoch files would
+    *    force every external reader to solve schema merge, so the
+    *    snapshot is read epoch-aware (`openAdds`), aligned to the
+    *    version's declared schema, and rewritten as one partitioned
+    *    write — the same one-exchange layout the store itself writes.
+    *
+    * A `_graft_manifest.json` lands last (underscore-prefixed: Spark
+    * and Hadoop globbing ignore it) recording table, version, mode,
+    * schema and row count — enough for [[importSnapshot]] to rebuild a
+    * log-backed table, and for an auditor to tie the tree to its
+    * source version. Returns the exported version.
+    */
+  def exportSnapshot(name: String, dstDir: String, asOfVersion: Option[Long] = None): Long = {
+    require(logBacked, "exportSnapshot requires the txlog backend")
+    val log = txLog(name)
+    val v = asOfVersion.getOrElse(log.latestVersion())
+    require(v >= 0, s"feature '$name' has no committed version to export")
+    val adds = log.snapshot(Some(v))
+    val schemas = log.schemaHistory(Some(v))
+    val f = fs(url)
+    val dst = new Path(dstDir)
+    val dstFs = dst.getFileSystem(hadoopConf)
+    require(!dstFs.exists(dst) || dstFs.listStatus(dst).isEmpty,
+      s"export destination $dstDir exists and is not empty")
+    dstFs.mkdirs(dst)
+    val verbatim = adds.map(_.sv.getOrElse(0L)).distinct.size <= 1
+    if (verbatim) {
+      val root = new Path(featurePath(name))
+      adds.foreach { a =>
+        val to = new Path(dst, a.path)
+        if (!dstFs.exists(to.getParent)) dstFs.mkdirs(to.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(
+          f, new Path(root, a.path), dstFs, to, false, hadoopConf)
+      }
+    } else if (adds.nonEmpty) {
+      val df = openAdds(name, adds, schemas, partitionStyle = "date")
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.get(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try layoutForWrite(df).write
+        .options(storageOptions).option("compression", "snappy")
+        .partitionBy("partition").mode("append").parquet(dstDir)
+      finally spark.conf.set(tsKey, prevTs)
+      // drop Spark's _SUCCESS marker: the tree should carry ONLY data
+      // files and the manifest
+      dstFs.delete(new Path(dst, "_SUCCESS"), false)
+    }
+    val manifest = Map[String, Any](
+      "table" -> name, "version" -> v,
+      "mode" -> (if (verbatim) "verbatim" else "aligned"),
+      "files" -> (if (verbatim) adds.map(_.path) else Nil),
+      "rows" -> adds.flatMap(_.nrec).sum,
+      "schemaJson" -> schemas.lastOption.orNull)
+    val out = dstFs.create(new Path(dst, TimeseriesStore.ManifestName), true)
+    try out.write(TimeseriesStore.manifestMapper.writeValueAsBytes(manifest))
+    finally out.close()
+    v
+  }
+
+  /** Import an [[exportSnapshot]] tree (or any plain hive-partitioned
+    * `partition=<p>/` parquet tree) as feature `name`: ONE atomic
+    * commit containing every staged file, declaring the manifest's
+    * schema when present (an aligned export re-declares its evolved
+    * columns; a bare tree infers). The inverse bridge: a warehouse
+    * handed around as plain parquet re-enters log management without
+    * a row of rewrite beyond the staging copy. Returns the committed
+    * version.
+    */
+  def importSnapshot(name: String, srcDir: String): Long = {
+    require(logBacked, "importSnapshot requires the txlog backend")
+    require(!exists(name) || txLog(name).latestVersion() < 0,
+      s"feature '$name' already has commits; import into a fresh name")
+    val src = new Path(srcDir)
+    val srcFs = src.getFileSystem(hadoopConf)
+    val manifestPath = new Path(src, TimeseriesStore.ManifestName)
+    val schemaJson: Option[String] =
+      if (srcFs.exists(manifestPath)) {
+        val in = srcFs.open(manifestPath)
+        val node = try TimeseriesStore.manifestMapper.readTree(
+          new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
+        Option(node.get("schemaJson")).filterNot(_.isNull).map(_.asText())
+      } else None
+    val df = spark.read.options(storageOptions)
+      .option("basePath", srcDir).parquet(srcDir)
+    require(df.columns.contains("partition"),
+      s"$srcDir is not a hive-partitioned export (no partition= directories)")
+    val log = txLog(name)
+    val adds = stageInstall(name,
+      df.withColumn("partition", col("partition").cast(StringType)))
+      .map(_.copy(sv = Some(0L)))
+    require(adds.nonEmpty, s"no rows found under $srcDir")
+    log.commit(adds, schema = schemaJson.orElse(Some(structJson(
+      df.drop("partition")))))
+  }
+
 }
 
 object TimeseriesStore {
+
+  /** Manifest file of an exported snapshot — underscore-prefixed so
+    * parquet directory listings (Spark, Hadoop globs) skip it. */
+  val ManifestName = "_graft_manifest.json"
+
+  private[store] val manifestMapper =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .addModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      .build()
 
   /** S3 envelope normalization, STATIC so the streaming feature sink
     * applies the exact same casts, extraneous-column rejection, and
