@@ -3920,6 +3920,82 @@ object QueryLib {
            |        unnest(range(0, octet_length(CAST(text AS BLOB)) // 64 + 1, 3)) AS f
            |      FROM documents)""".stripMargin))
 
+  /** Closed-form MP4 fixture for the mm_video_index gate — the
+    * mm_image_headers doctrine applied to ISO BMFF: every box length
+    * and field is pure doc_id arithmetic, so the DuckDB oracle can
+    * recompute the demuxer's whole output (timestamps, sizes, chunked
+    * offsets) without parsing a byte. Layout: ftyp(16) + moov(180+4n)
+    * { trak { mdia { mdhd v0, minf { stbl { stts 1 run, stsz
+    * per-sample, stsc 2 chunk runs, stco 2 offsets }}}}} + mdat, so
+    * chunk 1 starts at 204+4n and chunk 2 runs contiguous after the
+    * first ceil(n/2) samples.
+    */
+  private def mp4Fixture(d: Long): Array[Byte] = {
+    val n = (d % 6 + 2).toInt
+    val delta = d % 40 + 25
+    val timescale = 600 + (d % 5) * 100
+    val sizes = (0 until n).map(i => (d + i * 7) % 96 + 8)
+    val k1 = (n + 1) / 2
+    def u32s(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt))
+      bb.array()
+    }
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(tpe.getBytes("ISO-8859-1"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val chunk1 = 204L + 4 * n
+    val chunk2 = chunk1 + sizes.take(k1).sum
+    val stbl = box("stbl",
+      box("stts", u32s(0, 1, n, delta)),
+      box("stsz", u32s(Seq(0L, 0L, n.toLong) ++ sizes.map(_.toLong): _*)),
+      box("stsc", u32s(0, 2, 1, k1, 1, 2, n - k1, 1)),
+      box("stco", u32s(0, 2, chunk1, chunk2)))
+    val mdhd = box("mdhd", u32s(0, 0, 0, timescale, n * delta, 0))
+    val moov = box("moov", box("trak", box("mdia", mdhd, box("minf", stbl))))
+    val mdat = box("mdat", new Array[Byte](sizes.sum.toInt))
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), u32s(0))
+    ftyp ++ moov ++ mdat
+  }
+
+  private val mmVideoIndex = Q(
+    "mm_video_index",
+    // REAL video container parsing under the oracle gate — the last
+    // documented stub seam closed: each doc_id becomes a structurally
+    // valid MP4 (closed-form boxes, mp4Fixture) and Mp4.sampleIndex
+    // walks its actual moov/trak/mdia/minf/stbl tables — stts run
+    // expansion, per-sample stsz, the stsc chunk-run walk and stco
+    // bases — emitting one row per sample with DTS, size and absolute
+    // offset. The oracle recomputes every value arithmetically
+    // (offsets as a prefix sum over the closed-form sizes), so a
+    // one-byte slip anywhere in the box walk lands on the wrong field
+    // and hashes red. videoIndex is a narrow flatMap over the scan:
+    // only (id, 4 longs) rows leave the stage, never payload bytes.
+    (s, dir) => {
+      import s.implicits._
+      val vids = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(d => (d, mp4Fixture(d))).toDF("doc_id", "payload")
+      graft.functions.MultimodalOps.videoIndex(vids, "doc_id", "payload").toDF()
+        .select(col("id").as("doc_id"),
+          col("sampleIdx").cast("long").as("sample_idx"),
+          col("dts"), col("size"), col("offset"), col("timescale"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+           |    doc_id % 6 + 2 AS n, doc_id % 40 + 25 AS delta,
+           |    600 + (doc_id % 5) * 100 AS timescale FROM documents),
+           |s AS (SELECT doc_id, n, delta, timescale, unnest(range(0, n)) AS i FROM p),
+           |z AS (SELECT *, (doc_id + i * 7) % 96 + 8 AS sz FROM s)
+           |SELECT doc_id, CAST(i AS BIGINT) AS sample_idx,
+           |  CAST(i * delta AS BIGINT) AS dts, CAST(sz AS BIGINT) AS size,
+           |  CAST(204 + 4 * n + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+           |  CAST(timescale AS BIGINT) AS timescale
+           |FROM z""".stripMargin))
+
   private val mmResizePlan = Q(
     "mm_resize_plan",
     // the metadata-only resize planning pass: decode-free Catalyst
@@ -7426,8 +7502,8 @@ object QueryLib {
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsIncrementalAgg,
-    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmResizePlan, mmPixelStats, mmResizeExec,
-    mmAudioEnergy,
+    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmResizePlan, mmPixelStats,
+    mmResizeExec, mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
