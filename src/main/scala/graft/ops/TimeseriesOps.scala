@@ -128,7 +128,13 @@ object TimeseriesOps {
       if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
     val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // one Project for ALL columns (withColumns), never a per-column
+    // withColumn fold: the fold nests one Project per value column and
+    // a 1,000-feature frame sends the analyzer's recursion 1,000 plan
+    // nodes deep — the wide-align ScaleProbe died in
+    // DeduplicateRelations exactly there (same rule below and in every
+    // other multi-column rewrite in this file)
+    df.withColumns(valueCols.map(c => c -> last(col(c), ignoreNulls = true).over(w)).toMap)
   }
 
   /** Distributed forward fill: phase 1 fills within each time bucket in
@@ -170,8 +176,8 @@ object TimeseriesOps {
       if (tieFree) {
         val wRows = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        valueCols.foldLeft(withB)((d, c) =>
-          d.withColumn(c, last(col(c), ignoreNulls = true).over(wRows)))
+        withB.withColumns(valueCols.map(c =>
+          c -> last(col(c), ignoreNulls = true).over(wRows)).toMap)
       } else {
         val wIn = Window.partitionBy(col(B)).orderBy(orderCols.map(col): _*)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -192,11 +198,11 @@ object TimeseriesOps {
         // picks an arbitrary winner — is inherent (no ordering exists
         // to break the tie) and matches the global-window fallback,
         // which reads the physically-last peer.
-        valueCols.foldLeft(withB)((d, c) =>
-          if (isOrderable(d.schema(c).dataType))
-            d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(wIn).getField("v"))
+        withB.withColumns(valueCols.map(c =>
+          if (isOrderable(withB.schema(c).dataType))
+            c -> runningLastNonNull(ordStruct, col(c)).over(wIn).getField("v")
           else
-            d.withColumn(c, max_by(col(c), when(col(c).isNotNull, ordStruct)).over(wIn)))
+            c -> max_by(col(c), when(col(c).isNotNull, ordStruct)).over(wIn)).toMap)
       }
     // last non-null value per bucket: max over (orderKey, value) restricted
     // to non-null values — deterministic, partial-agg friendly. Map-typed
@@ -222,8 +228,8 @@ object TimeseriesOps {
     // would fail analysis under year()).
     val wSeed = Window.partitionBy(pmod(hash(col(B)), lit(1)))
       .orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)
-    val seeds = valueCols.foldLeft(perBucket)((d, c) =>
-      d.withColumn(s"__seed_$c", last(col(c), ignoreNulls = true).over(wSeed)))
+    val seeds = perBucket.withColumns(valueCols.map(c =>
+      s"__seed_$c" -> last(col(c), ignoreNulls = true).over(wSeed)).toMap)
       .select(col(B) +: valueCols.map(c => col(s"__seed_$c")): _*)
     filled
       .join(broadcast(seeds), Seq(B), "left")
@@ -418,7 +424,7 @@ object TimeseriesOps {
       // overwrites the originals in place)
       .withColumn(PT, when(col(S) === 0, col(timeCol)))
       .withColumn(NT, when(col(S) === 0, col(timeCol)))
-    val withCopies = valueCols.foldLeft(union)((d, c) => d.withColumn(nv(c), col(c)))
+    val withCopies = union.withColumns(valueCols.map(c => nv(c) -> col(c)).toMap)
     val spanDays = (endUs - startUs) / 86400000000L
     val bucketUnit = if (spanDays <= 120) "day" else if (spanDays <= 1830) "month" else "year"
     // pass 1 (ascending): prev value per value col + shared prev time
@@ -435,14 +441,14 @@ object TimeseriesOps {
     val tUs = unix_micros(col(timeCol))
     val ptUs = unix_micros(col(PT))
     val ntUs = unix_micros(col(NT))
-    val lerped = valueCols.foldLeft(bwd)((d, c) =>
-      d.withColumn(c,
+    val lerped = bwd.withColumns(valueCols.map(c =>
+      c -> (
         when(col(PT) === col(NT), col(c)) // exact hit (or single point)
           .when(col(PT).isNotNull && col(NT).isNotNull,
             col(c) + (col(nv(c)) - col(c)) *
               ((tUs - ptUs).cast("double") / (ntUs - ptUs).cast("double")))
           .when(col(PT).isNotNull, col(c)) // trailing: flat carry
-        ))
+        )).toMap)
     lerped.filter(col(S) === 1)
       .select(col(timeCol) +: valueCols.map(col): _*)
   }
@@ -451,6 +457,22 @@ object TimeseriesOps {
   // J1: multi-feature alignment — N-way full outer join on time, then
   // forward-fill every value column (_timeseries.py:11-26).
   // ---------------------------------------------------------------------
+  /** Union a same-schema family as a BALANCED pairwise tree — O(log N)
+    * plan depth. A left-deep `reduce(_ union _)` is O(N) deep and
+    * Catalyst's recursive analysis rules walk (and for relation dedup,
+    * recurse into) every level: past a few hundred inputs the driver
+    * dies in the analyzer, not the cluster. */
+  private[graft] def unionBalanced(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionBalanced needs at least one input")
+    var level = dfs
+    while (level.size > 1)
+      level = level.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a)    => a
+      }.toSeq
+    level.head
+  }
+
   def alignJoin(dfs: Seq[DataFrame], timeCol: String = TimeCol): DataFrame = {
     require(dfs.nonEmpty, "alignJoin needs at least one input")
     // guard BOTH paths: the join chain would otherwise fail much later
@@ -478,7 +500,14 @@ object TimeseriesOps {
           df.select(col(timeCol), lit(n).as("__series"),
             col(s"`$n`").as("__value"))
         }
-        tagged.reduce(_ unionByName _)
+        // BALANCED union tree, not reduce's left-deep chain: at 1,000
+        // series a 999-deep nested Union sends the analyzer's
+        // relation-dedup recursion (and several other tree walks)
+        // 1,000 frames deep — the ScaleProbe wide-align run died in
+        // DeduplicateRelations before ever shuffling a row. Pairwise
+        // levels keep plan depth at log2(N) (~10 at width 1,000) with
+        // the identical flattened physical union.
+        unionBalanced(tagged)
           .groupBy(col(timeCol))
           .pivot("__series", names)
           .agg(max(col("__value")))
@@ -539,8 +568,8 @@ object TimeseriesOps {
     // the matched right TIME rides the fill whenever the result is
     // age-dependent: tolerance masking, or nearest's distance compare
     val withRt = toleranceUs.isDefined || nearest
-    val l2base = rightValueCols.foldLeft(left.withColumn(M, lit(1)))((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val l2base = left.withColumn(M, lit(1)).withColumns(rightValueCols.map(c =>
+      c -> lit(null).cast(right.schema(c).dataType)).toMap)
     val l2 = if (withRt) l2base.withColumn(RT, lit(null).cast(right.schema(timeCol).dataType))
       else l2base
     val rightSel = right.select((by :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
@@ -584,8 +613,8 @@ object TimeseriesOps {
       else rightSel
     val r2base = if (withRt) rightBase.withColumn(M, lit(0)).withColumn(RT, col(timeCol))
       else rightBase.withColumn(M, lit(0))
-    val r2 = leftOnly.foldLeft(r2base)((d, c) =>
-      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val r2 = r2base.withColumns(leftOnly.map(c =>
+      c -> lit(null).cast(left.schema(c).dataType)).toMap)
     // at equal time the right row (M=0) precedes the left row — under
     // BOTH orderings (time, M) and (-time, M) — so the match is
     // inclusive of right.time == left.time in every direction
@@ -593,7 +622,8 @@ object TimeseriesOps {
     // nearest: copies carry the forward pass (the backward pass fills
     // the originals in place, like resampleInterpolated's two passes)
     val union = if (nearest)
-      rightValueCols.foldLeft(union0.withColumn(NT, col(RT)))((d, c) => d.withColumn(nv(c), col(c)))
+      union0.withColumn(NT, col(RT))
+        .withColumns(rightValueCols.map(c => nv(c) -> col(c)).toMap)
     else union0
     // contributors are tie-free by promise (rightUnique), by collapse
     // (needsAgg), or by the value column riding the order key itself
@@ -614,8 +644,8 @@ object TimeseriesOps {
         } else if (collapsible || rightUnique) {
           val w = Window.partitionBy(by.map(col): _*).orderBy(ordCols.map(col): _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          cols.foldLeft(base)((d, c) =>
-            d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+          base.withColumns(cols.map(c =>
+            c -> last(col(c), ignoreNulls = true).over(w)).toMap)
         } else {
           // non-orderable (map-typed) values can't collapse via max:
           // keep the RANGE frame so duplicate (time, M) right rows
@@ -625,11 +655,11 @@ object TimeseriesOps {
           val w = Window.partitionBy(by.map(col): _*).orderBy(col(ordKey), col(M))
             .rangeBetween(Window.unboundedPreceding, Window.currentRow)
           val ordStruct = struct(col(ordKey), col(M))
-          cols.foldLeft(base)((d, c) =>
+          base.withColumns(cols.map(c =>
             if (isOrderable(base.schema(c).dataType))
-              d.withColumn(c, runningLastNonNull(ordStruct, col(c)).over(w).getField("v"))
+              c -> runningLastNonNull(ordStruct, col(c)).over(w).getField("v")
             else
-              d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+              c -> last(col(c), ignoreNulls = true).over(w)).toMap)
         }
       if (reversed) out.drop(NEG) else out
     }

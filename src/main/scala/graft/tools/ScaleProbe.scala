@@ -994,6 +994,47 @@ object ScaleProbe {
       println(s"[probe]   kept=$kept (nProbe=1) -> $kept2 (nProbe=2) of 1000000 (990000 distinct)")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // Wide pivot alignment at production WIDTH: 1,000 single-valued
+    // series (1,000 rows each = 1M input rows) must take the
+    // union+pivot path — zero joins however many series — and align
+    // in one hash exchange plus the fill/sort pair, not 999 chained
+    // full-outer joins. What this actually stresses at width 1,000 is
+    // the DRIVER side: a 1,000-relation union, a 1,000-bucket
+    // PivotFirst aggregate and a 1,001-column fill — the analysis/
+    // codegen costs a narrow spec never sees.
+    timed("alignJoin pivot: 1000 series x 1000 ts (1M rows), no join chain") {
+      // one partition per series (spark.range's default 32 would make
+      // the union stage 32,000 micro-tasks — measured 582 s of pure
+      // task overhead; a real feature is 1+ parquet splits, so 1,000
+      // series ≈ 1,000 union tasks is the representative shape)
+      val series = (0 until 1000).map { i =>
+        spark.range(0, 1000, 1, 1).select(
+          timestamp_millis(lit(base) + col("id") * 3600000L).as("time"),
+          (col("id") + lit(i)).cast("double").as(s"f$i"))
+      }
+      // stage split: how much is the union+pivot itself vs the
+      // 1,000-column fill machinery that follows it
+      val t0 = System.nanoTime()
+      val names = (0 until 1000).map(i => s"f$i")
+      val pivoted = TimeseriesOps.unionBalanced(series.zip(names).map { case (df, n) =>
+        df.select(col("time"), lit(n).as("__series"), col(s"`$n`").as("__value"))
+      }).groupBy(col("time")).pivot("__series", names).agg(max(col("__value")))
+      pivoted.count()
+      println(f"[probe]   union+pivot alone: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val out = TimeseriesOps.alignJoin(series)
+      // the ONLY join allowed is ffill's one-row-per-bucket broadcast
+      // seed; a full-outer node means the N-1 join chain came back
+      val joins = out.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType.sql
+      }
+      require(!joins.exists(_.contains("FULL")) && joins.size <= 1,
+        s"wide align fell back to a join chain (${joins.mkString(",")})")
+      val rows = out.count()
+      require(rows == 1000L, s"expected 1000 aligned rows, got $rows")
+      val exchanges = out.queryExecution.executedPlan.toString
+        .linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+      println(s"[probe]   0 joins, $exchanges exchanges, ${series.length + 1} output cols")
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
