@@ -3308,6 +3308,75 @@ object QueryLib {
            |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rank
            |  FROM s) WHERE rank <= 5""".stripMargin))
 
+  private val simAnnIvfPq = Q(
+    "sim_ann_ivfpq",
+    // the PRODUCTION retrieval stack composed end-to-end (AnnIvfPq):
+    // coarse IVF probe prunes the corpus to 4 of 16 cells, and ONLY
+    // those cells' PQ codes are ADC-scored via the per-query LUT —
+    // the billion-vector layout where the candidate term (nProbe/k)
+    // and the IO term (codes vs floats) multiply. Both codebooks are
+    // the deterministic fixed configurations their standalone gates
+    // pin (sim_ann_ivf / sim_ann_pq), so the full composition —
+    // assignment, probe, in-cell ADC with the exact per-subspace
+    // summation nesting, top-k — is recomputable by the oracle.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "c_id")
+      val ivf = graft.functions.AnnIvf.buildFixed(corpus, "embedding", idCol = "c_id", k = 16)
+      val pq = graft.functions.AnnPq.buildFixed(corpus, "embedding", idCol = "c_id", m = 8, k = 16)
+      val encoded = ivf.assigned.select(col("c_id"), col("cell"),
+        graft.functions.AnnPq.encodeExpr(
+          pq, col("embedding").cast("array<double>")).as("code"))
+      graft.functions.AnnIvfPq.query(ivf, pq, encoded,
+        e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        qIdCol = "q_id", embCol = "embedding", cIdCol = "c_id", codeCol = "code",
+        topK = 5, nProbe = 4)
+        .select("q_id", "c_id", "adc", "rank")
+    },
+    // the sim_ann_ivf oracle's cent/assign/probe CTEs + the sim_ann_pq
+    // oracle's codes/rec CTEs, with the scan restricted to probed cells
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv,
+           |         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) / 2 AS half
+           |  FROM e WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+           |assign AS (SELECT vec_id AS c_id, cell FROM (
+           |    SELECT e.vec_id, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id >= 10)
+           |  WHERE rr = 1),
+           |probe AS (SELECT q_id, qv, cell FROM (
+           |    SELECT e.vec_id AS q_id, e.v AS qv, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS pr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id < 10)
+           |  WHERE pr <= 4),
+           |codes AS (SELECT c_id, m, cv FROM (
+           |    SELECT e.vec_id AS c_id, ms.m AS m, cent.cv,
+           |      row_number() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+           |        round(list_sum(list_transform(range(1, 9),
+           |                i -> e.v[ms.m * 8 + i] * cent.cv[ms.m * 8 + i]))
+           |          - list_sum(list_transform(range(1, 9),
+           |                i -> cent.cv[ms.m * 8 + i] * cent.cv[ms.m * 8 + i])) / 2, 6)
+           |        DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+           |    WHERE e.vec_id >= 10)
+           |  WHERE rr = 1),
+           |rec AS (SELECT c_id,
+           |    flatten(list(list_slice(cv, m * 8 + 1, m * 8 + 8) ORDER BY m)) AS rv
+           |  FROM codes GROUP BY c_id),
+           |s AS (SELECT p.q_id, a.c_id,
+           |    round(list_sum(list_transform(range(0, 8), m ->
+           |      list_sum(list_transform(range(1, 9),
+           |        i -> p.qv[m * 8 + i] * rec.rv[m * 8 + i])))), 6) AS adc
+           |  FROM probe p JOIN assign a USING (cell) JOIN rec ON rec.c_id = a.c_id)
+           |SELECT q_id, c_id, adc, rank FROM (
+           |  SELECT q_id, c_id, adc,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin))
+
   /** Measured recall of the TRAINED (KMeans) ANN paths vs exact cosine
     * top-10 — the quality configurations `sim_ann_ivf`/`sim_ann_pq`
     * cannot oracle-check bit-for-bit (Lloyd iterations are not
@@ -3995,6 +4064,41 @@ object QueryLib {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
            |  CAST(timescale AS BIGINT) AS timescale
            |FROM z""".stripMargin))
+
+  private val mmVideoFrames = Q(
+    "mm_video_frames",
+    // strided frame extraction over REAL containers: sampleFrames
+    // walks each fixture MP4's actual sample table (the mm_video_index
+    // fixtures) and emits every 3rd sample's (index, absolute byte
+    // offset) — the read plan a frame decoder executes: seek offsets
+    // for exactly the samples wanted, nothing else touched. Same
+    // closed-form arithmetic as mm_video_index with an i % 3 = 0 cut,
+    // so the REAL-index branch of sampleFrames (not the synthetic
+    // fallback mm_frame_sample certifies) is what's under the hash.
+    (s, dir) => {
+      import s.implicits._
+      val vids = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(d => (d, mp4Fixture(d))).toDF("doc_id", "payload")
+      graft.functions.MultimodalOps.sampleFrames(vids, "doc_id", "payload", stride = 3)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          col("offsetBytes").as("offset_bytes"))
+    },
+    // NB: offsets must prefix-sum over ALL prior samples, so the
+    // stride cut lives in an outer query — a WHERE on the windowed
+    // SELECT would filter BEFORE the window and sum only kept rows
+    Some("""WITH p AS (SELECT doc_id,
+           |    doc_id % 6 + 2 AS n FROM documents),
+           |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+           |z AS (SELECT *, (doc_id + i * 7) % 96 + 8 AS sz FROM s),
+           |o AS (SELECT doc_id, i,
+           |  CAST(204 + 4 * n + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |    AS offset_bytes
+           |  FROM z)
+           |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, offset_bytes
+           |FROM o WHERE i % 3 = 0""".stripMargin))
 
   private val mmResizePlan = Q(
     "mm_resize_plan",
@@ -7487,8 +7591,8 @@ object QueryLib {
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
-    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnRecall,
-    simLabelCentroid,
+    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq,
+    simAnnRecall, simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, graphTriangles, txtNovelty, txtBm25, txtUnigramSurprisal,
@@ -7502,8 +7606,8 @@ object QueryLib {
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsIncrementalAgg,
-    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmResizePlan, mmPixelStats,
-    mmResizeExec, mmAudioEnergy,
+    mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmResizePlan,
+    mmPixelStats, mmResizeExec, mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
