@@ -719,6 +719,34 @@ object QueryLib {
            |SELECT 'export' AS side, time, value FROM d
            |UNION ALL SELECT 'import' AS side, time, value FROM d""".stripMargin))
 
+  private val fsStoreExportDelta = Q(
+    "fs_store_export_delta",
+    // the OPEN-STANDARD hop past fs_store_export's plain-parquet tree:
+    // the pinned snapshot is exported WITH a Delta-protocol _delta_log
+    // (protocol/metaData/add actions per delta.io PROTOCOL.md), then
+    // read back STRICTLY through the log — DeltaBridge.read lists only
+    // the files the add actions name and takes partition values from
+    // the log's partitionValues maps, never from directory inference.
+    // What's certified: the log is complete (a missing add = missing
+    // rows), leak-free (batch B landed after the pin; an extra add =
+    // extra rows), and its partitionValues are faithful (the partition
+    // column in the output comes FROM the log and must equal the
+    // date_format the store derived at write time).
+    (s, dir) => {
+      val tmp = scratchDir("expdl")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val src = T(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"))
+      st.save("clicks", src.filter(col("time") < ts("2024-01-16")))
+      val pinned = st.tableVersion("clicks")
+      st.save("clicks", src.filter(col("time") >= ts("2024-01-16"))) // post-pin trap
+      st.exportSnapshotDelta("clicks", s"$tmp/delta", asOfVersion = Some(pinned))
+      graft.store.DeltaBridge.read(s, s"$tmp/delta")
+        .select(col("time"), col("value"), col("partition"))
+    },
+    Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
+           |FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-16'""".stripMargin))
+
   private val fsStreamDedupLsh = Q(
     "fs_stream_dedup_lsh",
     // Streaming NEAR-dedup (the 10th streaming hash gate): the batch
@@ -7605,7 +7633,7 @@ object QueryLib {
     fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip, srcOrcRoundtrip,
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
-    fsStoreRestore, fsStoreCheck, fsStoreExport, fsIncrementalAgg,
+    fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmResizePlan,
     mmPixelStats, mmResizeExec, mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,

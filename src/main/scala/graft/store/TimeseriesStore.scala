@@ -1388,6 +1388,20 @@ class TimeseriesStore(
     v
   }
 
+  /** [[exportSnapshot]] plus a Delta-protocol `_delta_log` describing
+    * the exported tree ([[DeltaBridge.writeLog]]): the snapshot becomes
+    * a table any Delta reader opens natively — the open-STANDARD hop
+    * the plain-parquet export alone lacks (readers that want a table,
+    * not a directory). Returns the exported txlog version; the Delta
+    * table id is derived from (table, version) so identical exports
+    * produce byte-identical logs.
+    */
+  def exportSnapshotDelta(name: String, dstDir: String, asOfVersion: Option[Long] = None): Long = {
+    val v = exportSnapshot(name, dstDir, asOfVersion)
+    DeltaBridge.writeLog(spark, dstDir, s"$name@$v", hadoopConf)
+    v
+  }
+
   /** Import an [[exportSnapshot]] tree (or any plain hive-partitioned
     * `partition=<p>/` parquet tree) as feature `name`: ONE atomic
     * commit containing every staged file, declaring the manifest's

@@ -1,0 +1,96 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The Delta-protocol bridge: export writes a log any Delta reader
+  * opens; read replays adds/removes strictly from the log (no
+  * directory inference) and refuses reader versions it can't honor. */
+class DeltaBridgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exportSnapshotDelta roundtrips through DeltaBridge.read, pinned version honored") {
+    val root = tmpDir("deltart")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    val a = Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-02T02:00:00"), 2.0)).toDF("time", "value")
+    val b = Seq((ts("2024-01-03T03:00:00"), 3.0)).toDF("time", "value")
+    st.save("f", a)
+    val pinned = st.tableVersion("f")
+    st.save("f", b) // lands AFTER the pin; must not leak into the export
+    st.exportSnapshotDelta("f", s"$root/delta", asOfVersion = Some(pinned))
+
+    val got = DeltaBridge.read(spark, s"$root/delta")
+      .select(col("time"), col("value"), col("partition"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01 01:00:00.0", 1.0, "2024-01-01"),
+      ("2024-01-02 02:00:00.0", 2.0, "2024-01-02")))
+
+    // the log itself names exactly the two live files
+    val log = Files.readString(
+      Paths.get(s"$root/delta/_delta_log/00000000000000000000.json"))
+    assert(log.linesIterator.count(_.contains("\"add\"")) === 2)
+    assert(log.contains("\"minReaderVersion\":1"))
+    assert(log.contains("\"partitionColumns\":[\"partition\"]"))
+  }
+
+  test("read replays multi-commit logs with removes, partition values from the log alone") {
+    val root = tmpDir("deltamc")
+    // three FLAT files (no hive dirs): partition values must come from
+    // the log's partitionValues, never from path inference
+    def plant(stage: String, name: String): Unit = {
+      val listing = Files.list(Paths.get(s"$root/$stage"))
+      val part = try listing.toArray.map(_.toString)
+        .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+      finally listing.close()
+      Files.move(Paths.get(part), Paths.get(s"$root/$name"))
+    }
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$root/s0")
+    Seq(2).toDF("v").coalesce(1).write.parquet(s"$root/s1")
+    Seq(3).toDF("v").coalesce(1).write.parquet(s"$root/s2")
+    plant("s0", "a.parquet"); plant("s1", "b.parquet"); plant("s2", "c.parquet")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType))).json
+      .replace("\"", "\\\"")
+    val logDir = Paths.get(s"$root/_delta_log")
+    Files.createDirectories(logDir)
+    def add(f: String, p: String) =
+      s"""{"add":{"path":"$f","partitionValues":{"p":"$p"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    Files.write(logDir.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["p"],"configuration":{}}}""",
+      add("a.parquet", "east"), add("b.parquet", "west")
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(logDir.resolve("00000000000000000001.json"), Seq(
+      """{"remove":{"path":"a.parquet","dataChange":true}}""",
+      add("c.parquet", "east")
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    val got = DeltaBridge.read(spark, root)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((2, "west"), (3, "east"))) // a.parquet removed
+  }
+
+  test("read refuses a log demanding an unsupported reader version") {
+    val root = tmpDir("deltavr")
+    val logDir = Paths.get(s"$root/_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      DeltaBridge.read(spark, root)
+    }
+    assert(e.getMessage.contains("minReaderVersion"))
+  }
+}
