@@ -93,7 +93,7 @@ object AnnIvf {
     * oracle-determinism invariant): a last-ulp summation difference
     * between engines can never reorder two centroids.
     */
-  private[functions] def probeCells(index: Index, q: Column, nProbe: Int): Column = {
+  private[graft] def probeCells(index: Index, q: Column, nProbe: Int): Column = {
     val scored = index.centers.zipWithIndex.map { case (c, j) =>
       val cArr = array(c.toIndexedSeq.map(lit): _*)
       val negHalfDist = round(

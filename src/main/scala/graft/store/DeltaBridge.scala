@@ -53,6 +53,72 @@ object DeltaBridge {
   private def decodePath(enc: String): String =
     new java.net.URI(enc).getPath
 
+  /** Per-file Delta `stats` JSON from ONE footer read: exact row count
+    * always; min/max/nullCount for top-level numeric primitives
+    * (INT32/INT64 without temporal annotation, FLOAT, DOUBLE). This is
+    * what downstream Delta readers use for data skipping and count(*)
+    * pushdown — numRecords alone answers COUNT from the log with zero
+    * data IO. Temporal/string/nested columns are deliberately omitted:
+    * their stats need per-reader serialization rules (ISO forms,
+    * truncation semantics) and a wrong stat causes silent row loss in
+    * a skipping reader, while a missing stat only costs pruning.
+    */
+  private def fileStats(p: Path, hc: Configuration): Option[String] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hc)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var rows = 0L
+        val mins = mutable.LinkedHashMap.empty[String, Any]
+        val maxs = mutable.LinkedHashMap.empty[String, Any]
+        val nulls = mutable.LinkedHashMap.empty[String, Long]
+        val bad = mutable.Set.empty[String] // any block without stats poisons the column
+        r.getFooter.getBlocks.forEach { b =>
+          rows += b.getRowCount
+          b.getColumns.forEach { cc =>
+            val path = cc.getPath.toArray
+            if (path.length == 1) {
+              val name = path.head
+              val pt = cc.getPrimitiveType
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+              val numeric = (pt.getPrimitiveTypeName match {
+                case INT32 | INT64 | FLOAT | DOUBLE => true
+                case _ => false
+              }) && (pt.getLogicalTypeAnnotation match {
+                case null => true
+                case _: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+                case _ => false // dates, timestamps, decimals: skip
+              })
+              val st = cc.getStatistics
+              if (!numeric || st == null || !st.hasNonNullValue || st.getNumNulls < 0)
+                bad += name
+              else {
+                def asNum(v: AnyRef): Any = v match {
+                  case n: java.lang.Number => n
+                  case other => other.toString
+                }
+                val mn = asNum(st.genericGetMin.asInstanceOf[AnyRef])
+                val mx = asNum(st.genericGetMax.asInstanceOf[AnyRef])
+                def lt(a: Any, b: Any): Boolean = (a, b) match {
+                  case (x: java.lang.Number, y: java.lang.Number) =>
+                    x.doubleValue < y.doubleValue
+                  case _ => false
+                }
+                if (!mins.contains(name) || lt(mn, mins(name))) mins(name) = mn
+                if (!maxs.contains(name) || lt(maxs(name), mx)) maxs(name) = mx
+                nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+              }
+            }
+          }
+        }
+        bad.foreach { n => mins.remove(n); maxs.remove(n); nulls.remove(n) }
+        Some(mapper.writeValueAsString(Map(
+          "numRecords" -> rows,
+          "minValues" -> mins.toMap, "maxValues" -> maxs.toMap,
+          "nullCount" -> nulls.toMap)))
+      } finally r.close()
+    } catch { case _: Throwable => None } // a file without stats is never skipped
+
   /** Write `_delta_log/00000000000000000000.json` describing every
     * `*.parquet` data file already under `dir`. Partition columns and
     * their per-file values are parsed from the files' `k=v` directory
@@ -125,11 +191,14 @@ object DeltaBridge {
       "configuration" -> Map.empty[String, String],
       "createdTime" -> maxMtime))
     sorted.foreach { case (rel, size, mtime) =>
-      actions += Map("add" -> Map(
+      val base = Map[String, Any](
         "path" -> encodePath(rel),
         "partitionValues" -> partsOf(rel).toMap,
         "size" -> size, "modificationTime" -> mtime,
-        "dataChange" -> true))
+        "dataChange" -> true)
+      val withStats = fileStats(new Path(root, rel), hc)
+        .map(s => base + ("stats" -> s)).getOrElse(base)
+      actions += Map("add" -> withStats)
     }
 
     val logDir = new Path(root, LogDirName)

@@ -1002,6 +1002,43 @@ object ScaleProbe {
     // the DRIVER side: a 1,000-relation union, a 1,000-bucket
     // PivotFirst aggregate and a 1,001-column fill — the analysis/
     // codegen costs a narrow spec never sees.
+    // The composed retrieval stack at corpus scale: candidate
+    // ACCOUNTING is the point — the probe must prove the coarse
+    // quantizer actually prunes (candidates << queries x corpus) and
+    // that the pruned ADC pass finishes in seconds, because at 100 TB
+    // the exhaustive term is what makes brute-force impossible.
+    timed("IVF+PQ retrieval: 1M x 32-dim corpus, 128 cells, nProbe=4, 64 queries") {
+      val dim = 32
+      def vecs(ids: org.apache.spark.sql.DataFrame, salt: Int) = ids.select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          pmod(hash(col("id") * salt + i), lit(1000)).cast("double")).as("v"))
+      val corpus = vecs(spark.range(1000000L).toDF("id"), 131)
+      val queries = vecs(spark.range(64L).toDF("id"), 977)
+      val t0 = System.nanoTime()
+      val ivf = graft.functions.AnnIvf.buildFixed(corpus, "v", idCol = "vec_id", k = 128)
+      val pq = graft.functions.AnnPq.buildFixed(corpus, "v", idCol = "vec_id", m = 8, k = 16)
+      val encoded = ivf.assigned.select(col("vec_id"), col("cell"),
+        graft.functions.AnnPq.encodeExpr(pq, col("v")).as("code"))
+        .localCheckpoint() // the index artifact a real system persists ONCE
+      println(f"[probe]   index build (assign+encode 1M): ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      // candidate accounting: pruning must be real, not aspirational
+      val cellSizes = encoded.groupBy("cell").count()
+      val probed = queries.select(col("vec_id").as("qid"),
+        explode(graft.functions.AnnIvf.probeCells(ivf, col("v"), 4)).as("cell"))
+      val cands = probed.join(cellSizes, "cell").agg(sum("count")).head().getLong(0)
+      val full = 64L * 1000000L
+      println(s"[probe]   ADC candidates: $cands of $full exhaustive (${cands * 100 / full}%)")
+      require(cands < full / 10, s"coarse probe did not prune: $cands candidates")
+      val t1 = System.nanoTime()
+      val top = graft.functions.AnnIvfPq.query(ivf, pq, encoded, queries,
+        qIdCol = "vec_id", embCol = "v", cIdCol = "vec_id", codeCol = "code",
+        topK = 10, nProbe = 4)
+      val n = top.count()
+      println(f"[probe]   query 64 x top-10: ${(System.nanoTime() - t1) / 1e9}%.1fs, $n rows")
+      require(n == 640L, s"expected 640 result rows, got $n")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     timed("alignJoin pivot: 1000 series x 1000 ts (1M rows), no join chain") {
       // one partition per series (spark.range's default 32 would make
       // the union stage 32,000 micro-tasks — measured 582 s of pure

@@ -38,6 +38,20 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(log.linesIterator.count(_.contains("\"add\"")) === 2)
     assert(log.contains("\"minReaderVersion\":1"))
     assert(log.contains("\"partitionColumns\":[\"partition\"]"))
+
+    // per-file stats ride each add: numRecords sums to the snapshot's
+    // rows, and the double value column gets min/max (timestamps are
+    // deliberately stat-less — wrong temporal stats cause silent row
+    // loss in skipping readers, missing ones only cost pruning)
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val stats = log.linesIterator.filter(_.contains("\"add\"")).map { l =>
+      mapper.readTree(l).get("add").get("stats").asText()
+    }.map(mapper.readTree).toSeq
+    assert(stats.map(_.get("numRecords").asLong()).sum === 2L)
+    val allMin = stats.map(_.get("minValues").get("value").asDouble()).min
+    val allMax = stats.map(_.get("maxValues").get("value").asDouble()).max
+    assert(allMin === 1.0 && allMax === 2.0)
+    assert(stats.forall(s => !s.get("minValues").has("time")))
   }
 
   test("read replays multi-commit logs with removes, partition values from the log alone") {
