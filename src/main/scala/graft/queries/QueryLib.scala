@@ -3412,7 +3412,7 @@ object QueryLib {
     * and AnnRecallGateSpec (which prints the raw values and asserts
     * headroom above the gate floors).
     */
-  private[graft] def annTrainedRecalls(s: SparkSession, dir: String): (Double, Double, Long) = {
+  private[graft] def annTrainedRecalls(s: SparkSession, dir: String): (Double, Double, Double, Long) = {
     val e = T(s, dir, "embeddings")
     val corpus = mat(e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv")))
@@ -3434,22 +3434,29 @@ object QueryLib {
     // concurrent subspace fits = ~180 tiny scheduler round-trips and
     // the gate's whole 7.6 s anchor cost was that overhead
     val sample = graft.functions.Lloyd.sampleVectors(corpus, "cv", maxSample = 4096)
-    // the IVF and PQ evaluations are independent driver-coordinated
-    // pipelines (encodes, recall joins); run them as concurrent job
-    // groups so the gate's wall time is one branch, not the sum
+    // train ONCE on the driver (Lloyd is driver-local math over the
+    // bounded sample); all three evaluation legs share these artifacts
+    // — "train once" stays literal even with the composed leg added.
+    // restarts=8: a probed sweep (restarts 1/4/8/16 x maxIter 20/50 at
+    // sf0.001/0.01/0.1) plateaus recall at 0.79-0.84 from restarts=8
+    // on; more iterations move nothing (SSE-optimal and recall-optimal
+    // clusterings differ on this corpus — the spark.ml run's 0.91 was
+    // one lucky k-means|| draw, with partitioning-dependent variance
+    // this path no longer has)
+    val centers = graft.functions.Lloyd.fit(
+      sample, 16, seed = 42L, maxIter = 20, restarts = 8).toSeq
+    // trained PQ: 16 subspaces (64-bit codes), shortlist use
+    val pq = graft.functions.AnnPq.buildTrainedFromSample(
+      sample, m = 16, k = 16, seed = 42L, maxIter = 20)
+    // the evaluation legs are independent driver-coordinated pipelines
+    // (encodes, recall joins); run them as concurrent job groups so
+    // the gate's wall time is one branch, not the sum
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val ivfF = Future {
       // trained IVF: k=16 cells, probe half of them, direct top-10
       val ivfIndex = graft.functions.AnnIvf.withCenters(
-        corpus.withColumnRenamed("cv", "emb"), "emb",
-        // restarts=8: a probed sweep (restarts 1/4/8/16 x maxIter
-        // 20/50 at sf0.001/0.01/0.1) plateaus recall at 0.79-0.84 from
-        // restarts=8 on; more iterations move nothing (SSE-optimal and
-        // recall-optimal clusterings differ on this corpus — the
-        // spark.ml run's 0.91 was one lucky k-means|| draw, with
-        // partitioning-dependent variance this path no longer has)
-        graft.functions.Lloyd.fit(sample, 16, seed = 42L, maxIter = 20, restarts = 8).toSeq)
+        corpus.withColumnRenamed("cv", "emb"), "emb", centers)
       val ivfGot = graft.functions.AnnIvf.query(ivfIndex,
           queries.withColumnRenamed("qv", "emb"),
           qIdCol = "q_id", topK = 10, nProbe = 8, cIdCol = "c_id")
@@ -3457,10 +3464,8 @@ object QueryLib {
       truth.join(ivfGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
     }
     val pqF = Future {
-      // trained PQ: 16 subspaces (64-bit codes), shortlist recall@10-in-50
-      // — the production use (scan codes, exact-rerank the shortlist)
-      val pq = graft.functions.AnnPq.buildTrainedFromSample(
-        sample, m = 16, k = 16, seed = 42L, maxIter = 20)
+      // shortlist recall@10-in-50 — the production use (scan codes,
+      // exact-rerank the shortlist)
       val encoded = corpus.select(col("c_id"),
         graft.functions.AnnPq.encodeExpr(pq, col("cv")).as("code"))
       val pqGot = graft.functions.AnnPq.query(pq, encoded,
@@ -3469,11 +3474,28 @@ object QueryLib {
         .select(col("q_id"), col("c_id"))
       truth.join(pqGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
     }
-    val (ivfRecall, pqRecall) = (
+    val ivfpqF = Future {
+      // the COMPOSED production stack end-to-end: both approximations
+      // compound (coarse probe can drop a true neighbor's cell, ADC
+      // can mis-rank inside the shortlist), so this is the number a
+      // deployed retrieval index actually delivers
+      val ivfIndex = graft.functions.AnnIvf.withCenters(
+        corpus.withColumnRenamed("cv", "emb"), "emb", centers)
+      val encoded = ivfIndex.assigned.select(col("c_id"), col("cell"),
+        graft.functions.AnnPq.encodeExpr(pq, col("emb")).as("code"))
+      val got = graft.functions.AnnIvfPq.query(ivfIndex, pq, encoded,
+          queries.withColumnRenamed("qv", "emb"),
+          qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code",
+          topK = 50, nProbe = 8)
+        .select(col("q_id"), col("c_id"))
+      truth.join(got, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
+    }
+    val (ivfRecall, pqRecall, ivfpqRecall) = (
       Await.result(ivfF, scala.concurrent.duration.Duration.Inf),
-      Await.result(pqF, scala.concurrent.duration.Duration.Inf))
+      Await.result(pqF, scala.concurrent.duration.Duration.Inf),
+      Await.result(ivfpqF, scala.concurrent.duration.Duration.Inf))
     corpus.unpersist(); truth.unpersist()
-    (ivfRecall, pqRecall, total)
+    (ivfRecall, pqRecall, ivfpqRecall, total)
   }
 
   private val simAnnRecall = Q(
@@ -3487,17 +3509,20 @@ object QueryLib {
     // init variation cannot flip the bit; AnnRecallGateSpec tracks the
     // raw numbers).
     (s, dir) => {
-      val (ivfRecall, pqRecall, total) = annTrainedRecalls(s, dir)
+      val (ivfRecall, pqRecall, ivfpqRecall, total) = annTrainedRecalls(s, dir)
       import s.implicits._
       Seq(
         ("ivf_trained", total.toInt, 0.70, if (ivfRecall >= 0.70) 1 else 0),
-        ("pq_trained", total.toInt, 0.60, if (pqRecall >= 0.60) 1 else 0))
+        ("pq_trained", total.toInt, 0.60, if (pqRecall >= 0.60) 1 else 0),
+        ("ivfpq_trained", total.toInt, 0.55, if (ivfpqRecall >= 0.55) 1 else 0))
         .toDF("method", "truth_pairs", "floor", "pass")
     },
     Some("""SELECT 'ivf_trained' AS method, 100 AS truth_pairs,
            |       CAST(0.70 AS DOUBLE) AS floor, 1 AS pass
            |UNION ALL
-           |SELECT 'pq_trained', 100, CAST(0.60 AS DOUBLE), 1""".stripMargin))
+           |SELECT 'pq_trained', 100, CAST(0.60 AS DOUBLE), 1
+           |UNION ALL
+           |SELECT 'ivfpq_trained', 100, CAST(0.55 AS DOUBLE), 1""".stripMargin))
 
   private val dedupIncremental = Q(
     "dedup_incremental",

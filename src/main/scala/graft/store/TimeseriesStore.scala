@@ -1425,8 +1425,15 @@ class TimeseriesStore(
           new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
         Option(node.get("schemaJson")).filterNot(_.isNull).map(_.asText())
       } else None
-    val df = spark.read.options(storageOptions)
-      .option("basePath", srcDir).parquet(srcDir)
+    // a tree carrying a Delta log imports THROUGH the log (only live
+    // files, partition values from the log) — the return leg for
+    // exportSnapshotDelta trees and for tables other Delta writers
+    // produced, as long as they carry the store's `partition` column
+    val df =
+      if (srcFs.exists(new Path(src, "_delta_log")))
+        DeltaBridge.read(spark, srcDir, hadoopConf)
+      else spark.read.options(storageOptions)
+        .option("basePath", srcDir).parquet(srcDir)
     require(df.columns.contains("partition"),
       s"$srcDir is not a hive-partitioned export (no partition= directories)")
     val log = txLog(name)

@@ -12,23 +12,31 @@ class AnnRecallGateSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("trained IVF and PQ recalls clear the gate floors with headroom") {
+  test("trained IVF, PQ and composed IVF+PQ recalls clear the gate floors with headroom") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
-    val (ivf, pq, total) = QueryLib.annTrainedRecalls(spark, sfDir)
+    val (ivf, pq, ivfpq, total) = QueryLib.annTrainedRecalls(spark, sfDir)
     info(f"trained-IVF recall@10 (nProbe=8/16):    $ivf%.3f (gate floor 0.70)")
     info(f"trained-PQ shortlist recall@10-in-50:   $pq%.3f (gate floor 0.60)")
+    info(f"composed IVF+PQ recall@10-in-50:        $ivfpq%.3f (gate floor 0.55)")
     assert(total == 100, s"expected 10 queries x top-10 = 100 truth pairs, got $total")
     // spec floors sit ABOVE the gate floors: if recall erodes to within
     // 0.05 of the gate, this fails first, before the driver gate can flake
     assert(ivf >= 0.75, f"trained-IVF recall $ivf%.3f within 0.05 of the 0.70 gate floor")
     assert(pq >= 0.65, f"trained-PQ recall $pq%.3f within 0.05 of the 0.60 gate floor")
+    assert(ivfpq >= 0.60, f"composed IVF+PQ recall $ivfpq%.3f within 0.05 of the 0.55 gate floor")
+    // composition sanity: the composed leg searches a SUBSET of the
+    // pure-PQ leg's candidates (probed cells only, same codes, same
+    // shortlist size), so it can never exceed pure PQ
+    assert(ivfpq <= pq + 1e-9,
+      f"composed recall $ivfpq%.3f exceeds pure-PQ $pq%.3f — probe not pruning?")
   }
 
   test("gate query emits the exact oracle rows at sf0.001") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val rows = QueryLib.queries("sim_ann_recall")(spark, sfDir)
       .orderBy("method").collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("ivf_trained", "pq_trained"))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("ivf_trained", "ivfpq_trained", "pq_trained"))
     assert(rows.forall(_.getInt(3) == 1), "a trained ANN path fell below its recall floor")
     assert(rows.forall(_.getInt(1) == 100))
   }

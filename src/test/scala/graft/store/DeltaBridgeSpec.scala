@@ -54,6 +54,25 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(stats.forall(s => !s.get("minValues").has("time")))
   }
 
+  test("importSnapshot routes a delta-logged tree through the log") {
+    val root = tmpDir("deltaimp")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-02-01T01:00:00"), 4.0),
+      (ts("2024-02-02T02:00:00"), 5.0)).toDF("time", "value"))
+    st.exportSnapshotDelta("f", s"$root/delta")
+    // plant an UNREFERENCED parquet next to the live ones: a raw
+    // directory read would pick it up, a log-driven read must not
+    Seq((ts("2030-01-01T00:00:00"), 99.0)).toDF("time", "value")
+      .coalesce(1).write.parquet(s"$root/delta/partition=2030-01-01")
+    st.importSnapshot("g", s"$root/delta")
+    val got = st.read("g").select(col("time"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    assert(got === Set(
+      ("2024-02-01 01:00:00.0", 4.0),
+      ("2024-02-02 02:00:00.0", 5.0)))
+  }
+
   test("read replays multi-commit logs with removes, partition values from the log alone") {
     val root = tmpDir("deltamc")
     // three FLAT files (no hive dirs): partition values must come from
