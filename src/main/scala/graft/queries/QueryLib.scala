@@ -747,6 +747,35 @@ object QueryLib {
     Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
            |FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-16'""".stripMargin))
 
+  private val fsStoreDeltaSync = Q(
+    "fs_store_delta_sync",
+    // the CONTINUOUS leg of the Delta bridge: after the initial
+    // export, the table moves (an append AND a delete-rewrite) and
+    // syncSnapshotDelta publishes the net change as ONE Delta commit —
+    // new files byte-copied + add actions, rewritten-away files as
+    // remove tombstones — plus a protocol parquet checkpoint
+    // (checkpointEvery=1), so the read-back goes checkpoint-first.
+    // What's certified: the add/remove diff is exact (a missed remove
+    // = resurrected deleted rows, a missed add = lost appends), and
+    // the checkpoint round-trips the full state (the reader seeds from
+    // parquet, not the JSON commits). At 100 TB this is the shape that
+    // matters: a daily sync moves the day's files, never the table.
+    (s, dir) => {
+      val tmp = scratchDir("dlsync")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val src = T(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"))
+      st.save("clicks", src.filter(col("time") < ts("2024-01-16")))
+      st.exportSnapshotDelta("clicks", s"$tmp/delta") // Delta commit 0
+      st.save("clicks", src.filter(col("time") >= ts("2024-01-16")))
+      st.deleteWhere("clicks", col("time") < ts("2024-01-08"))
+      st.syncSnapshotDelta("clicks", s"$tmp/delta", checkpointEvery = 1)
+      graft.store.DeltaBridge.read(s, s"$tmp/delta")
+        .select(col("time"), col("value"), col("partition"))
+    },
+    Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
+           |FROM events WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-08'""".stripMargin))
+
   private val fsStreamDedupLsh = Q(
     "fs_stream_dedup_lsh",
     // Streaming NEAR-dedup (the 10th streaming hash gate): the batch
@@ -3036,6 +3065,158 @@ object QueryLib {
            |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
            |  FROM s) WHERE rank <= 5""".stripMargin))
 
+  private val simHybridRrf = Q(
+    "sim_hybrid_rrf",
+    // Hybrid retrieval by reciprocal-rank fusion (Cormack et al., SIGIR
+    // 2009): the lexical leg (BM25, the txt_bm25 kernel verbatim) and
+    // the semantic leg (query-vector cosine, the sim_cosine_topk
+    // kernel) each produce their own top-50, and the fused score is
+    // Σ 1/(60+rank) over the legs a doc appears in — rank fusion needs
+    // no score calibration between BM25's unbounded scale and cosine's
+    // [-1,1], which is exactly why production RAG stacks use RRF.
+    // Scale shape: each leg cuts to k DISTRIBUTEDLY first (TakeOrdered
+    // for BM25, broadcast-query scoring + top-k for cosine; at corpus
+    // scale the cosine leg is the ANN index, same ranks) — the rank
+    // windows and the full-outer fusion join then run over ≤k rows, so
+    // fusion cost is independent of corpus size. Ranks are determinized
+    // by (score, id) ties; 1/(60+r) is one IEEE division per leg,
+    // bit-stable cross-engine.
+    (s, dir) => {
+      val lexTop = bm25ThreeTerm(T(s, dir, "documents"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val lex = lexTop.withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val semTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(CosineSimilarity.cosineSim(col("qv"), col("v")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+      val sem = semTop.withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_sem"))
+
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0)).as("r_sem"),
+          (coalesce(lit(1.0) / (lit(60).cast("double") + col("r_lex").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60).cast("double") + col("r_sem").cast("double")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+           |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+           |tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           |  WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.term,
+           |    ((corpus.n - CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+           |     (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+           |    ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+           |     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+           |      (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |       (CAST(dl.dl AS DOUBLE) / corpus.avgdl)))) AS s
+           |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus),
+           |agg AS (SELECT doc_id,
+           |    coalesce(max(CASE WHEN term = 'hash' THEN s END), CAST(0 AS DOUBLE)) +
+           |    coalesce(max(CASE WHEN term = 'join' THEN s END), CAST(0 AS DOUBLE)) +
+           |    coalesce(max(CASE WHEN term = 'merge' THEN s END), CAST(0 AS DOUBLE)) AS score
+           |  FROM sc GROUP BY 1),
+           |lex_top AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 50),
+           |lex AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM lex_top),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+           |cos AS (SELECT vec_id AS doc_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> q[i] * v[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> q[i] * q[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS cosine
+           |  FROM e, qv WHERE vec_id <> 0),
+           |sem_top AS (SELECT doc_id, cosine FROM cos ORDER BY cosine DESC, doc_id LIMIT 50),
+           |sem AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_sem FROM sem_top)
+           |SELECT doc_id,
+           |  CAST(coalesce(r_lex, 0) AS BIGINT) AS r_lex,
+           |  CAST(coalesce(r_sem, 0) AS BIGINT) AS r_sem,
+           |  coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_lex AS DOUBLE)), CAST(0 AS DOUBLE)) +
+           |  coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r_sem AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+           |FROM lex FULL OUTER JOIN sem USING (doc_id)
+           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+
+  private val mlNdcg = Q(
+    "ml_ndcg",
+    // Retrieval-quality metrics over a ranked list: for each of 10
+    // query vectors, rank the corpus by cosine (the sim_cosine_topk
+    // kernel, top-10), mark a hit when the candidate's label matches
+    // the query's, and score the ranking with the three numbers every
+    // retrieval eval reports — nDCG@10 (graded position-discounted
+    // gain / ideal), MRR (1/first-hit rank), and precision@10. This is
+    // the harness that grades an embedding model or an ANN index
+    // against labels. Scale shape: ranking is broadcast-query scoring
+    // + distributed top-k per query; the metric windows then run over
+    // 10 rows/query — eval cost scales with queries × k, not corpus.
+    // log(2,x) and the divisions are rounded at 6dp to absorb last-ulp
+    // transcendental differences between engines.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label").as("q_label"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("label").as("c_label"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      val ranked = c.crossJoin(broadcast(q)).select(
+          col("q_id"), col("c_id"),
+          round(CosineSimilarity.cosineSim(col("qv"), col("cv")), 6).as("cosine"),
+          when(col("c_label") === col("q_label"), lit(1)).otherwise(lit(0)).as("rel"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      ranked.groupBy(col("q_id")).agg(
+        round(coalesce(
+          sum(col("rel").cast("double") / log(2.0, col("rank").cast("double") + lit(1.0))) /
+            // ideal DCG for h hits in 10 slots: hits packed at the top —
+            // Σ_{i=1..h} 1/log2(i+1), a closed form over the hit COUNT,
+            // so no second ranking pass is needed
+            when(sum(col("rel")) > 0,
+              expr("aggregate(sequence(1, int(sum(rel))), 0.0d, (a, i) -> a + 1.0d / log2(double(i) + 1.0d))")),
+          lit(0.0)), 6).as("ndcg"),
+        round(coalesce(
+          lit(1.0) / min(when(col("rel") === 1, col("rank"))).cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        round(sum(col("rel")).cast("double") / lit(10.0), 6).as("p_at_10"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS c_id, v AS cv, label AS c_label FROM e WHERE vec_id >= 10),
+           |s AS (SELECT q_id, c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cosine,
+           |    CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel
+           |  FROM c, q),
+           |ranked AS (SELECT q_id, c_id, cosine, rel,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s QUALIFY rank <= 10)
+           |SELECT q_id,
+           |  round(coalesce(
+           |    sum(CAST(rel AS DOUBLE) / log2(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+           |    CASE WHEN sum(rel) > 0 THEN (
+           |      SELECT sum(CAST(1.0 AS DOUBLE) / log2(CAST(i AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+           |      FROM range(1, 11) t(i) WHERE i <= sum(rel)) END,
+           |    CAST(0 AS DOUBLE)), 6) AS ndcg,
+           |  round(coalesce(
+           |    CAST(1.0 AS DOUBLE) / CAST(min(CASE WHEN rel = 1 THEN rank END) AS DOUBLE),
+           |    CAST(0 AS DOUBLE)), 6) AS mrr,
+           |  round(CAST(sum(rel) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) AS p_at_10
+           |FROM ranked GROUP BY q_id""".stripMargin))
+
   private val simEmbedDedup = Q(
     "sim_embed_dedup",
     (s, dir) => {
@@ -4529,6 +4710,38 @@ object QueryLib {
            |    / CAST(count(*) AS DOUBLE) AS novelty
            |FROM bg JOIN df USING (bg) GROUP BY 1""".stripMargin))
 
+  /** BM25 scores (k1=1.2 b=0.75, log-free idf) for the fixed 3-term
+    * query over `documents` — the shared lexical kernel of `txt_bm25`
+    * and the hybrid-fusion gate, kept in ONE place so the two stay
+    * bit-identical. Returns (doc_id, score) for every matching doc.
+    */
+  private def bm25ThreeTerm(d: DataFrame): DataFrame = {
+    val dl = d.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val corpus = d.agg(count(lit(1)).as("n"),
+      (sum(size(toks).cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin("hash", "join", "merge"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val k1 = lit(1.2); val b = lit(0.75)
+    val s_ = tf.join(df_, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"),
+        (((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * (k1 + lit(1.0))) /
+            (col("tf").cast("double") +
+              k1 * (lit(1.0) - b + b * (col("dl").cast("double") / col("avgdl"))))))
+          .as("s"))
+    s_.groupBy(col("doc_id")).agg(
+        max(when(col("term") === "hash", col("s"))).as("s_hash"),
+        max(when(col("term") === "join", col("s"))).as("s_join"),
+        max(when(col("term") === "merge", col("s"))).as("s_merge"))
+      .select(col("doc_id"),
+        (coalesce(col("s_hash"), lit(0.0)) + coalesce(col("s_join"), lit(0.0)) +
+          coalesce(col("s_merge"), lit(0.0))).as("score"))
+  }
+
   private val txtBm25 = Q(
     "txt_bm25",
     // BM25 retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) for a fixed
@@ -4540,35 +4753,10 @@ object QueryLib {
     // accumulation-order-dependent. Top-10 cut ties broken by doc_id.
     // Shape: tf/df hash-aggs carry O(matching terms); the corpus text
     // never shuffles; doc-length and corpus stats broadcast back.
-    (s, dir) => {
-      val d = T(s, dir, "documents")
-      val dl = d.select(col("doc_id"), size(toks).cast("long").as("dl"))
-      val corpus = d.agg(count(lit(1)).as("n"),
-        (sum(size(toks).cast("long")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = d.select(col("doc_id"), explode(toks).as("term"))
-        .filter(col("term").isin("hash", "join", "merge"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val k1 = lit(1.2); val b = lit(0.75)
-      val s_ = tf.join(df_, Seq("term")).join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(corpus))
-        .select(col("doc_id"), col("term"),
-          (((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) *
-            ((col("tf").cast("double") * (k1 + lit(1.0))) /
-              (col("tf").cast("double") +
-                k1 * (lit(1.0) - b + b * (col("dl").cast("double") / col("avgdl"))))))
-            .as("s"))
-      s_.groupBy(col("doc_id")).agg(
-          max(when(col("term") === "hash", col("s"))).as("s_hash"),
-          max(when(col("term") === "join", col("s"))).as("s_join"),
-          max(when(col("term") === "merge", col("s"))).as("s_merge"))
-        .select(col("doc_id"),
-          (coalesce(col("s_hash"), lit(0.0)) + coalesce(col("s_join"), lit(0.0)) +
-            coalesce(col("s_merge"), lit(0.0))).as("score"))
+    (s, dir) =>
+      bm25ThreeTerm(T(s, dir, "documents"))
         .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
-    },
+        .limit(10),
     Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            |dl AS (SELECT doc_id, len(t) AS dl FROM tk),
            |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -7658,7 +7846,8 @@ object QueryLib {
     fsStoreZorder, fsFastStats, srcCsvRoundtrip, srcJsonRoundtrip, srcOrcRoundtrip,
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
-    fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsIncrementalAgg,
+    fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
+    fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmResizePlan,
     mmPixelStats, mmResizeExec, mmAudioEnergy,
     qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
@@ -7670,7 +7859,7 @@ object QueryLib {
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
-    fsStreamConfusion)
+    fsStreamConfusion, simHybridRrf, mlNdcg)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -39,11 +39,28 @@ object DeltaBridge {
 
   private val LogDirName = "_delta_log"
   private val CommitFile: Regex = """(\d{20})\.json""".r
+  private val LastCheckpointName = "_last_checkpoint"
   private def mapper = TimeseriesStore.manifestMapper
 
   private final case class AddEntry(
       path: String,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String],
+      size: Long,
+      modificationTime: Long,
+      stats: Option[String])
+
+  /** The driver-side replay result: protocol floor, table metadata and
+    * the live add set, in first-seen order. This is metadata-sized by
+    * construction (one entry per live FILE) — the same driver-resident
+    * snapshot state Delta's own reader keeps.
+    */
+  private final case class LogState(
+      metaId: String,
+      createdTime: Long,
+      schemaString: String,
+      partCols: Seq[String],
+      live: mutable.LinkedHashMap[String, AddEntry],
+      latestVersion: Long)
 
   /** Percent-encode a relative file path the way the Delta spec stores
     * `add.path` (RFC 2396 path encoding, '/' kept as separator). */
@@ -216,22 +233,79 @@ object DeltaBridge {
     * multi-commit logs with `add`/`remove` reconciliation; refuses
     * `minReaderVersion` > 1.
     */
-  def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame = {
-    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
-    val root = new Path(dir)
-    val fs = root.getFileSystem(hc)
-    val logDir = new Path(root, LogDirName)
-    require(fs.exists(logDir), s"$dir has no $LogDirName — not a Delta table")
-    val commits = fs.listStatus(logDir).toSeq
+  private def listCommits(
+      fs: org.apache.hadoop.fs.FileSystem, logDir: Path): Seq[(Long, Path)] =
+    fs.listStatus(logDir).toSeq
       .flatMap(st => st.getPath.getName match {
         case CommitFile(v) => Some((v.toLong, st.getPath))
         case _ => None
       }).sortBy(_._1)
-    require(commits.nonEmpty, s"$dir/$LogDirName holds no commit json files")
 
+  /** Replay the log under `dir` to its current driver-side state. When
+    * a `_last_checkpoint` is present the replay SEEDS from the named
+    * parquet checkpoint and walks only the JSON commits after it — the
+    * protocol's own bound on replay cost for long-lived logs (a daily
+    * sync produces 365 commits/year; the checkpoint keeps open-a-table
+    * at O(1) files read, which is the whole point at warehouse scale).
+    */
+  private def replayState(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      dir: String): LogState = {
+    val logDir = new Path(root, LogDirName)
+    require(fs.exists(logDir), s"$dir has no $LogDirName — not a Delta table")
+
+    var metaId: String = null
+    var createdTime = 0L
     var schemaString: String = null
     var partCols: Seq[String] = Nil
     val live = mutable.LinkedHashMap.empty[String, AddEntry]
+    var seeded = -1L
+
+    val lastCkpt = new Path(logDir, LastCheckpointName)
+    if (fs.exists(lastCkpt)) {
+      val in = fs.open(lastCkpt)
+      val node = try mapper.readTree(
+        new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
+      val v = node.get("version").asLong()
+      val ckpt = new Path(logDir, f"$v%020d.checkpoint.parquet")
+      require(fs.exists(ckpt),
+        s"$dir names checkpoint version $v but ${ckpt.getName} is missing")
+      val df = spark.read.parquet(ckpt.toString)
+      val cols = df.columns.toSet
+      df.collect().foreach { r =>
+        if (cols("protocol") && r.getAs[Row]("protocol") != null) {
+          val pr = r.getAs[Row]("protocol")
+          val rv = pr.getAs[Int]("minReaderVersion")
+          require(rv <= 1, s"unsupported Delta minReaderVersion $rv (bridge reads v1)")
+        }
+        if (cols("metaData") && r.getAs[Row]("metaData") != null) {
+          val md = r.getAs[Row]("metaData")
+          metaId = md.getAs[String]("id")
+          schemaString = md.getAs[String]("schemaString")
+          partCols = md.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+          createdTime = Option(md.getAs[java.lang.Long]("createdTime"))
+            .map(_.longValue).getOrElse(0L)
+        }
+        if (cols("add") && r.getAs[Row]("add") != null) {
+          val a = r.getAs[Row]("add")
+          live(decodePath(a.getAs[String]("path"))) = AddEntry(
+            decodePath(a.getAs[String]("path")),
+            Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+              .map(_.toMap).getOrElse(Map.empty),
+            a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
+            Option(a.getAs[String]("stats")))
+        }
+        if (cols("remove") && r.getAs[Row]("remove") != null)
+          live.remove(decodePath(r.getAs[Row]("remove").getAs[String]("path")))
+      }
+      seeded = v
+    }
+
+    val commits = listCommits(fs, logDir).filter(_._1 > seeded)
+    require(seeded >= 0 || commits.nonEmpty,
+      s"$dir/$LogDirName holds no commit json files")
     commits.foreach { case (_, p) =>
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -243,24 +317,183 @@ object DeltaBridge {
           require(v <= 1, s"unsupported Delta minReaderVersion $v (bridge reads v1)")
         }
         Option(node.get("metaData")).foreach { md =>
+          metaId = md.get("id").asText()
           schemaString = md.get("schemaString").asText()
           val pcs = md.get("partitionColumns")
           partCols = (0 until pcs.size()).map(pcs.get(_).asText())
+          createdTime = Option(md.get("createdTime"))
+            .filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
         }
         Option(node.get("add")).foreach { a =>
-          val path = a.get("path").asText()
+          val path = decodePath(a.get("path").asText())
           val pvNode = a.get("partitionValues")
           val pv = partCols.map { c =>
             val v = pvNode.get(c)
             c -> (if (v == null || v.isNull) null else v.asText())
           }.toMap
-          live(path) = AddEntry(path, pv)
+          live(path) = AddEntry(path, pv,
+            Option(a.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
+            Option(a.get("modificationTime")).filterNot(_.isNull)
+              .map(_.asLong()).getOrElse(0L),
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
         }
-        Option(node.get("remove")).foreach(r => live.remove(r.get("path").asText()))
+        Option(node.get("remove")).foreach(r =>
+          live.remove(decodePath(r.get("path").asText())))
       }
     }
     require(schemaString != null, s"$dir log carries no metaData action")
-    val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
+    val latest = (seeded +: commits.map(_._1)).max
+    LogState(metaId, createdTime, schemaString, partCols, live, latest)
+  }
+
+  /** Append one Delta commit describing an incremental change: new data
+    * files (already physically under `dir`) become `add` actions with
+    * per-file stats, and logically dropped files become `remove`
+    * tombstones — the bytes STAY on disk so Delta readers holding older
+    * versions keep working (vacuum is a separate, retention-gated
+    * concern). Timestamps derive from file mtimes (the new adds', else
+    * the live set's max), never wall clock, so a replayed sync writes a
+    * byte-identical commit. Returns the new Delta log version.
+    */
+  def appendCommit(
+      spark: SparkSession,
+      dir: String,
+      addRel: Seq[String],
+      removeRel: Seq[String],
+      conf: Configuration = null): Long = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val state = replayState(spark, fs, root, dir)
+    val version = state.latestVersion + 1
+
+    def partsOf(rel: String): Seq[(String, String)] =
+      rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+      }
+    addRel.foreach { rel =>
+      require(partsOf(rel).map(_._1) == state.partCols,
+        s"sync add $rel does not match partition columns ${state.partCols}")
+      require(!state.live.contains(rel), s"sync add $rel is already live")
+    }
+    removeRel.foreach { rel =>
+      require(state.live.contains(rel), s"sync remove $rel is not live")
+    }
+
+    val addSt = addRel.sorted.map { rel =>
+      val p = new Path(root, rel)
+      val st = fs.getFileStatus(p)
+      (rel, st.getLen, st.getModificationTime, fileStats(p, hc))
+    }
+    val ts = (addSt.map(_._3) ++ state.live.values.map(_.modificationTime)).max
+
+    val actions = mutable.ArrayBuffer.empty[Map[String, Any]]
+    actions += Map("commitInfo" -> Map(
+      "timestamp" -> ts, "operation" -> "SYNC",
+      "operationParameters" -> Map.empty[String, String],
+      "engineInfo" -> "graft-delta-bridge"))
+    addSt.foreach { case (rel, size, mtime, stats) =>
+      val base = Map[String, Any](
+        "path" -> encodePath(rel),
+        "partitionValues" -> partsOf(rel).toMap,
+        "size" -> size, "modificationTime" -> mtime,
+        "dataChange" -> true)
+      actions += Map("add" -> stats.map(s => base + ("stats" -> s)).getOrElse(base))
+    }
+    removeRel.sorted.foreach { rel =>
+      actions += Map("remove" -> Map(
+        "path" -> encodePath(rel),
+        "deletionTimestamp" -> ts, "dataChange" -> true))
+    }
+
+    val out = fs.create(new Path(new Path(root, LogDirName),
+      f"$version%020d.json"), false)
+    try actions.foreach { a =>
+      out.write(mapper.writeValueAsBytes(a)); out.write('\n') }
+    finally out.close()
+    version
+  }
+
+  /** Write a Delta-protocol parquet checkpoint of the log's CURRENT
+    * state (`N.checkpoint.parquet` + `_last_checkpoint`): one row per
+    * action — protocol, metaData, and every live add with its stats.
+    * Readers (this bridge's [[read]] and real Delta readers alike) then
+    * open the table from one parquet file plus the commits after N,
+    * instead of replaying the whole JSON history — the protocol's
+    * replay-cost bound, which is what makes a continuously synced table
+    * open in O(1) at the thousandth commit. Returns the checkpointed
+    * version.
+    */
+  def writeCheckpoint(spark: SparkSession, dir: String, conf: Configuration = null): Long = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val state = replayState(spark, fs, root, dir)
+    val v = state.latestVersion
+    require(v >= 0, s"$dir has no committed Delta version to checkpoint")
+
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val schema = StructType(Seq(
+      StructField("protocol", protoT), StructField("metaData", metaT),
+      StructField("add", addT)))
+
+    val rows = mutable.ArrayBuffer.empty[Row]
+    rows += Row(Row(1, 2), null, null)
+    rows += Row(null, Row(state.metaId, Row("parquet", Map.empty[String, String]),
+      state.schemaString, state.partCols, Map.empty[String, String],
+      state.createdTime), null)
+    state.live.values.foreach { a =>
+      rows += Row(null, null, Row(encodePath(a.path), a.partitionValues,
+        a.size, a.modificationTime, true, a.stats.orNull))
+    }
+
+    val logDir = new Path(root, LogDirName)
+    val tmp = new Path(logDir, s".ckpt_tmp_$v")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"checkpoint write under $tmp produced no part file"))
+    val dst = new Path(logDir, f"$v%020d.checkpoint.parquet")
+    fs.delete(dst, false)
+    fs.rename(part, dst)
+    fs.delete(tmp, true)
+
+    val out = fs.create(new Path(logDir, LastCheckpointName), true)
+    try out.write(mapper.writeValueAsBytes(Map(
+      "version" -> v, "size" -> rows.size)))
+    finally out.close()
+    v
+  }
+
+  def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val state = replayState(spark, fs, root, dir)
+    val live = state.live
+    val partCols = state.partCols
+    val schema = DataType.fromJson(state.schemaString).asInstanceOf[StructType]
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
 
     if (live.isEmpty)
@@ -275,7 +508,7 @@ object DeltaBridge {
     // recovered by stripping the qualified root off the scan's
     // _metadata.file_path.
     val rootStr = fs.makeQualified(root).toString.stripSuffix("/")
-    val paths = adds.map(a => new Path(root, decodePath(a.path)).toString)
+    val paths = adds.map(a => new Path(root, a.path).toString)
     val data = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__file", when(
         col("_metadata.file_path").startsWith(rootStr + "/"),
@@ -287,7 +520,7 @@ object DeltaBridge {
     val pvSchema = StructType(StructField("__file", StringType) +:
       partCols.map(c => StructField(s"__pv_$c", StringType, nullable = true)))
     val pvRows = adds.map(a => Row.fromSeq(
-      decodePath(a.path) +: partCols.map(c => a.partitionValues.getOrElse(c, null))))
+      a.path +: partCols.map(c => a.partitionValues.getOrElse(c, null))))
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
 

@@ -1402,6 +1402,85 @@ class TimeseriesStore(
     v
   }
 
+  /** Incrementally publish txlog commits SINCE the last export/sync as
+    * ONE new Delta commit on an [[exportSnapshotDelta]] tree: new
+    * snapshot files are byte-copied (at object-store scale:
+    * server-side copies, zero compute) and become `add` actions with
+    * per-file stats; files no longer live become `remove` tombstones —
+    * their bytes stay, so Delta readers pinned to older versions keep
+    * working. This is the continuous-sync story the full re-export
+    * lacks: a daily sync of a 100 TB table moves only the day's delta,
+    * never the table, and compaction/DELETE rewrites flow through as
+    * plain add/remove pairs. Every `checkpointEvery`-th Delta commit
+    * also writes a protocol parquet checkpoint so open-the-table stays
+    * O(1) files read as the sync history grows. No-ops (returns the
+    * current version) when the table hasn't moved. Requires the export
+    * to be verbatim (single schema epoch) and the schema unchanged —
+    * evolved tables re-export, because mixing physical epochs in one
+    * plain-parquet tree would hand external readers a schema merge the
+    * format doesn't promise.
+    */
+  def syncSnapshotDelta(name: String, dstDir: String, checkpointEvery: Int = 10): Long = {
+    require(logBacked, "syncSnapshotDelta requires the txlog backend")
+    val dst = new Path(dstDir)
+    val dstFs = dst.getFileSystem(hadoopConf)
+    val manifestPath = new Path(dst, TimeseriesStore.ManifestName)
+    require(dstFs.exists(manifestPath),
+      s"$dstDir carries no manifest — exportSnapshotDelta first, then sync")
+    val in = dstFs.open(manifestPath)
+    val node = try TimeseriesStore.manifestMapper.readTree(
+      new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
+    require(node.get("table").asText() == name,
+      s"$dstDir was exported from '${node.get("table").asText()}', not '$name'")
+    require(node.get("mode").asText() == "verbatim",
+      s"$dstDir is an aligned (rewritten) export; sync needs verbatim — re-export")
+    val prevV = node.get("version").asLong()
+    val prevFiles = {
+      val fn = node.get("files")
+      (0 until fn.size()).map(fn.get(_).asText()).toSet
+    }
+    val prevSchema = Option(node.get("schemaJson")).filterNot(_.isNull).map(_.asText())
+
+    val log = txLog(name)
+    val v = log.latestVersion()
+    if (v == prevV) return v
+    require(v > prevV, s"table '$name' is at version $v but $dstDir was " +
+      s"exported at $prevV — a newer tree cannot sync backwards")
+    val adds = log.snapshot(Some(v))
+    val schemas = log.schemaHistory(Some(v))
+    require(schemas.lastOption == prevSchema,
+      s"schema of '$name' changed since the export; re-export (sync " +
+        "cannot mix physical schema epochs in a plain-parquet tree)")
+    require(adds.map(_.sv.getOrElse(0L)).distinct.size <= 1,
+      s"snapshot of '$name' spans schema epochs; re-export aligned")
+
+    val newFiles = adds.filterNot(a => prevFiles(a.path))
+    val goneFiles = (prevFiles -- adds.map(_.path)).toSeq.sorted
+    val f = fs(url)
+    val root = new Path(featurePath(name))
+    newFiles.foreach { a =>
+      val to = new Path(dst, a.path)
+      if (!dstFs.exists(to.getParent)) dstFs.mkdirs(to.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, new Path(root, a.path), dstFs, to, false, hadoopConf)
+    }
+    val deltaV = DeltaBridge.appendCommit(
+      spark, dstDir, newFiles.map(_.path), goneFiles, hadoopConf)
+
+    val manifest = Map[String, Any](
+      "table" -> name, "version" -> v, "mode" -> "verbatim",
+      "files" -> adds.map(_.path),
+      "rows" -> adds.flatMap(_.nrec).sum,
+      "schemaJson" -> schemas.lastOption.orNull)
+    val out = dstFs.create(manifestPath, true)
+    try out.write(TimeseriesStore.manifestMapper.writeValueAsBytes(manifest))
+    finally out.close()
+
+    if (checkpointEvery > 0 && deltaV % checkpointEvery == 0)
+      DeltaBridge.writeCheckpoint(spark, dstDir, hadoopConf)
+    v
+  }
+
   /** Import an [[exportSnapshot]] tree (or any plain hive-partitioned
     * `partition=<p>/` parquet tree) as feature `name`: ONE atomic
     * commit containing every staged file, declaring the manifest's

@@ -114,6 +114,91 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(got === Set((2, "west"), (3, "east"))) // a.parquet removed
   }
 
+  test("syncSnapshotDelta publishes txlog deltas as one Delta commit; no-ops when idle") {
+    val root = tmpDir("deltasync")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-03-01T01:00:00"), 1.0),
+      (ts("2024-03-02T02:00:00"), 2.0)).toDF("time", "value"))
+    st.exportSnapshotDelta("f", s"$root/delta") // Delta commit 0
+
+    // idle table: sync writes NOTHING (no spurious empty commits)
+    val v0 = st.syncSnapshotDelta("f", s"$root/delta")
+    assert(v0 === st.tableVersion("f"))
+    assert(!Files.exists(
+      Paths.get(s"$root/delta/_delta_log/00000000000000000001.json")))
+
+    // move the table: append a day, delete a day (file rewrite)
+    st.save("f", Seq((ts("2024-03-03T03:00:00"), 3.0)).toDF("time", "value"))
+    st.deleteWhere("f", col("time") < ts("2024-03-02T00:00:00"))
+    st.syncSnapshotDelta("f", s"$root/delta")
+
+    val commit1 = Files.readString(
+      Paths.get(s"$root/delta/_delta_log/00000000000000000001.json"))
+    assert(commit1.linesIterator.count(_.contains("\"add\"")) >= 1)
+    assert(commit1.linesIterator.count(_.contains("\"remove\"")) >= 1)
+
+    val got = DeltaBridge.read(spark, s"$root/delta")
+      .select(col("time"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    assert(got === Set(
+      ("2024-03-02 02:00:00.0", 2.0),
+      ("2024-03-03 03:00:00.0", 3.0)))
+
+    // removed bytes STAY on disk (older Delta versions stay readable);
+    // only the log says they're gone
+    val day1 = Paths.get(s"$root/delta/partition=2024-03-01")
+    assert(Files.exists(day1))
+
+    // schema evolution refuses to sync: plain-parquet trees can't mix epochs
+    val cur = st.tableSchema("f").get
+    st.evolveSchema("f", org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(
+        "tag", org.apache.spark.sql.types.StringType)))
+    val e = intercept[IllegalArgumentException] {
+      st.syncSnapshotDelta("f", s"$root/delta")
+    }
+    assert(e.getMessage.toLowerCase.contains("schema"))
+  }
+
+  test("writeCheckpoint bounds replay: read seeds from the parquet checkpoint") {
+    val root = tmpDir("deltackpt")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq((ts("2024-04-01T01:00:00"), 1.0)).toDF("time", "value"))
+    st.exportSnapshotDelta("f", s"$root/delta")
+    st.save("f", Seq((ts("2024-04-02T02:00:00"), 2.0)).toDF("time", "value"))
+    st.syncSnapshotDelta("f", s"$root/delta") // Delta commit 1
+    val full = DeltaBridge.read(spark, s"$root/delta")
+      .select(col("time"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+
+    val ckptV = DeltaBridge.writeCheckpoint(spark, s"$root/delta")
+    assert(ckptV === 1L)
+    assert(Files.exists(Paths.get(
+      s"$root/delta/_delta_log/00000000000000000001.checkpoint.parquet")))
+    assert(Files.exists(Paths.get(s"$root/delta/_delta_log/_last_checkpoint")))
+
+    // prove the checkpoint is the ONLY thing read for versions <= 1:
+    // corrupt the json commits it supersedes — a replay that still
+    // touched them would now fail
+    Files.write(Paths.get(s"$root/delta/_delta_log/00000000000000000000.json"),
+      "not json".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$root/delta/_delta_log/00000000000000000001.json"),
+      "not json".getBytes(StandardCharsets.UTF_8))
+    val viaCkpt = DeltaBridge.read(spark, s"$root/delta")
+      .select(col("time"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    assert(viaCkpt === full)
+
+    // and commits AFTER the checkpoint still apply on top of it
+    st.save("f", Seq((ts("2024-04-03T03:00:00"), 3.0)).toDF("time", "value"))
+    st.syncSnapshotDelta("f", s"$root/delta") // Delta commit 2 > ckpt
+    val after = DeltaBridge.read(spark, s"$root/delta")
+      .select(col("time"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    assert(after === full + (("2024-04-03 03:00:00.0", 3.0)))
+  }
+
   test("read refuses a log demanding an unsupported reader version") {
     val root = tmpDir("deltavr")
     val logDir = Paths.get(s"$root/_delta_log")
