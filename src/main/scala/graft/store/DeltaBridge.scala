@@ -252,7 +252,8 @@ object DeltaBridge {
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path,
-      dir: String): LogState = {
+      dir: String,
+      asOf: Option[Long] = None): LogState = {
     val logDir = new Path(root, LogDirName)
     require(fs.exists(logDir), s"$dir has no $LogDirName — not a Delta table")
 
@@ -263,8 +264,12 @@ object DeltaBridge {
     val live = mutable.LinkedHashMap.empty[String, AddEntry]
     var seeded = -1L
 
+    // a time-travel read pinned BELOW the checkpoint replays the JSON
+    // commits from 0 instead (the checkpoint only holds current state);
+    // that needs those commits to still exist — the same contract Delta
+    // itself has for pre-checkpoint time travel
     val lastCkpt = new Path(logDir, LastCheckpointName)
-    if (fs.exists(lastCkpt)) {
+    if (fs.exists(lastCkpt) && asOf.isEmpty) {
       val in = fs.open(lastCkpt)
       val node = try mapper.readTree(
         new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
@@ -303,7 +308,15 @@ object DeltaBridge {
       seeded = v
     }
 
-    val commits = listCommits(fs, logDir).filter(_._1 > seeded)
+    val allCommits = listCommits(fs, logDir)
+    asOf.foreach { v =>
+      require(allCommits.exists(_._1 == v),
+        s"$dir has no Delta commit $v to time-travel to " +
+          s"(versions: ${allCommits.map(_._1).mkString(",")})")
+    }
+    val commits = allCommits
+      .filter(_._1 > seeded)
+      .filter(c => asOf.forall(c._1 <= _))
     require(seeded >= 0 || commits.nonEmpty,
       s"$dir/$LogDirName holds no commit json files")
     commits.foreach { case (_, p) =>
@@ -486,11 +499,26 @@ object DeltaBridge {
     v
   }
 
-  def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame = {
+  def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame =
+    readVersion(spark, dir, None, conf)
+
+  /** [[read]] pinned to a Delta log version (`versionAsOf`): replays
+    * only commits ≤ `version`, so a reader keeps a stable view while
+    * syncs land — remove tombstones leave the referenced bytes on disk
+    * precisely so these pinned reads stay valid. Pins below the latest
+    * checkpoint replay the JSON commits from 0 (checkpoints hold only
+    * current state), which is Delta's own pre-checkpoint time-travel
+    * contract.
+    */
+  def readVersion(
+      spark: SparkSession,
+      dir: String,
+      version: Option[Long],
+      conf: Configuration = null): DataFrame = {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
-    val state = replayState(spark, fs, root, dir)
+    val state = replayState(spark, fs, root, dir, version)
     val live = state.live
     val partCols = state.partCols
     val schema = DataType.fromJson(state.schemaString).asInstanceOf[StructType]

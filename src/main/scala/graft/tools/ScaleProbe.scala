@@ -1072,6 +1072,41 @@ object ScaleProbe {
         .linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
       println(s"[probe]   0 joins, $exchanges exchanges, ${series.length + 1} output cols")
     }
+    timed("delta sync: 1M-row/90-partition export, then a 1%-delta sync") {
+      // the claim under test: syncSnapshotDelta moves the DELTA, never
+      // the table — a 1% append + a 2-partition delete must cost a
+      // small fraction of the initial export, and the Delta commit it
+      // writes must name only the changed files
+      val dir = java.nio.file.Files.createTempDirectory("graft-dlsync-probe").toString
+      val st = new graft.store.TimeseriesStore(spark, s"$dir/wh", backend = "txlog")
+      val rows = spark.range(1000000).select(
+        timestamp_millis(lit(base) + (col("id") % 90) * 86400000L +
+          (col("id") / 90).cast("long") * 7000L).as("time"),
+        (col("id") % 1000).cast("double").as("value"))
+      st.save("t", rows)
+      val t0 = System.nanoTime()
+      st.exportSnapshotDelta("t", s"$dir/delta")
+      val exportSecs = (System.nanoTime() - t0) / 1e9
+      // the day's increment: 10k new rows on fresh partitions
+      st.save("t", spark.range(10000).select(
+        timestamp_millis(lit(base) + 91L * 86400000L + col("id") * 8000L).as("time"),
+        col("id").cast("double").as("value")))
+      st.deleteWhere("t", col("time") < new Timestamp(base + 2L * 86400000L))
+      val t1 = System.nanoTime()
+      st.syncSnapshotDelta("t", s"$dir/delta")
+      val syncSecs = (System.nanoTime() - t1) / 1e9
+      val commit1 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/delta/_delta_log/00000000000000000001.json")), "UTF-8")
+      val adds = commit1.linesIterator.count(_.contains("\"add\""))
+      val removes = commit1.linesIterator.count(_.contains("\"remove\""))
+      val n2 = graft.store.DeltaBridge.read(spark, s"$dir/delta").count()
+      println(f"[probe]   export $exportSecs%.1fs; sync $syncSecs%.1fs " +
+        f"(${exportSecs / syncSecs}%.1fx cheaper), commit1: $adds adds/$removes removes, " +
+        s"live rows $n2")
+      require(syncSecs < exportSecs,
+        "sync must be cheaper than re-export at a 1% delta")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

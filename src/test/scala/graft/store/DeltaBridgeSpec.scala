@@ -150,6 +150,15 @@ class DeltaBridgeSpec extends SparkSpec {
     val day1 = Paths.get(s"$root/delta/partition=2024-03-01")
     assert(Files.exists(day1))
 
+    // ...and a reader pinned to Delta version 0 still sees the
+    // pre-sync snapshot, INCLUDING the row the sync's remove dropped
+    val pinned = DeltaBridge.readVersion(spark, s"$root/delta", Some(0L))
+      .select(col("time"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    assert(pinned === Set(
+      ("2024-03-01 01:00:00.0", 1.0),
+      ("2024-03-02 02:00:00.0", 2.0)))
+
     // schema evolution refuses to sync: plain-parquet trees can't mix epochs
     val cur = st.tableSchema("f").get
     st.evolveSchema("f", org.apache.spark.sql.types.StructType(
