@@ -78,7 +78,15 @@ class PlanContractSpec extends SparkSpec {
       "doc_mixture_temperature",
       // sim_hard_negatives broadcasts the 10 anchor vectors into the
       // scoring join — sim_cosine_topk's shape, different rank window
-      "sim_hard_negatives")
+      "sim_hard_negatives",
+      // sim_hybrid_rrf: the BM25 leg's 1-row (N, avgdl) corpus scalar
+      // (txt_bm25's shape) plus the 1-row query vector into the cosine
+      // leg — both metadata-sized; the fusion join itself is a
+      // full-outer EQUI join over two ≤50-row rank lists
+      "sim_hybrid_rrf",
+      // ml_ndcg broadcasts the 10 query vectors into the scoring join —
+      // sim_cosine_topk's shape with label-match relevance on top
+      "ml_ndcg")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
