@@ -3217,6 +3217,79 @@ object QueryLib {
            |  round(CAST(sum(rel) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) AS p_at_10
            |FROM ranked GROUP BY q_id""".stripMargin))
 
+  private val docSourceCap = Q(
+    "doc_source_cap",
+    // Per-source frequency cap (the RefinedWeb/C4 curation step: no
+    // single domain may dominate the training mix): keep at most 10
+    // docs per source, selected by a SEEDED multiplicative-hash order —
+    // (doc_id * 2654435761) mod 2^31-1, Knuth's constant — so the cap
+    // is reproducible, unbiased by ingestion order, and identically
+    // computable in exact integer arithmetic by any engine (xxhash
+    // would be Spark-only). Scale shape: one hash-partition by source
+    // + per-source rank; the hot-domain skew case doesn't buffer docs
+    // (row_number streams its sort), and an extreme hot key can
+    // pre-prune with an approximate per-source count + hash-threshold
+    // filter before the exact rank — the window never sees more than
+    // the survivors.
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"))
+    },
+    Some("""WITH h AS (SELECT doc_id, source,
+           |    (doc_id * 2654435761) % 2147483647 AS h FROM documents),
+           |r AS (SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
+           |SELECT doc_id, source FROM r WHERE rk <= 10""".stripMargin))
+
+  private val mlPrCurve = Q(
+    "ml_pr_curve",
+    // Precision/recall curve at 20 fixed score thresholds — the
+    // model-eval companion to ml_auc for imbalanced labels (purchase
+    // base rate here is ~1/6, where ROC flatters). Same dictionary
+    // doctrine as ml_auc: one hash-agg collapses the corpus to ≤40k
+    // cents buckets, the 20-row threshold spine broadcasts into a
+    // non-equi probe over the DICTIONARY (metadata x 20, never corpus
+    // x 20), and each point is integral sums + ONE closing division —
+    // no float accumulation anywhere, so the curve is bit-stable
+    // cross-engine without rounding tricks. Trapezoid-summing into a
+    // scalar AP is deliberately left to the caller: that sum's float
+    // accumulation order is engine-dependent; the curve itself is not.
+    (s, dir) => {
+      val dict = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("pos"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pos"))
+      val spine = s.range(0, 20).select((col("id") * 2500L).as("thr"))
+      val tot = dict.agg(sum(col("pos")).as("np")).select(col("np"))
+      dict.join(broadcast(spine), col("v") >= col("thr"))
+        .groupBy(col("thr"))
+        .agg(sum(col("pos")).as("tp"), sum(col("cnt")).as("kept"))
+        .crossJoin(broadcast(tot))
+        .select(col("thr"),
+          col("tp").cast("long").as("tp"), col("kept").cast("long").as("kept"),
+          round(col("tp").cast("double") / col("kept").cast("double"), 6).as("precision"),
+          round(col("tp").cast("double") / col("np").cast("double"), 6).as("recall"))
+    },
+    Some("""WITH e AS (
+           |  SELECT CAST(round(value*100) AS BIGINT) AS v,
+           |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT v, count(*) AS cnt, sum(pos) AS pos FROM e GROUP BY 1),
+           |tot AS (SELECT sum(pos) AS np FROM g),
+           |spine AS (SELECT CAST(t * 2500 AS BIGINT) AS thr FROM range(0, 20) r(t)),
+           |pts AS (SELECT thr, sum(g.pos) AS tp, sum(g.cnt) AS kept
+           |  FROM spine JOIN g ON g.v >= spine.thr GROUP BY 1)
+           |SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(kept AS BIGINT) AS kept,
+           |  round(CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE), 6) AS precision,
+           |  round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) AS recall
+           |FROM pts CROSS JOIN tot""".stripMargin))
+
   private val simEmbedDedup = Q(
     "sim_embed_dedup",
     (s, dir) => {
@@ -7859,7 +7932,7 @@ object QueryLib {
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
-    fsStreamConfusion, simHybridRrf, mlNdcg)
+    fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

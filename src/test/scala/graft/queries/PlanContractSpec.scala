@@ -86,7 +86,11 @@ class PlanContractSpec extends SparkSpec {
       "sim_hybrid_rrf",
       // ml_ndcg broadcasts the 10 query vectors into the scoring join —
       // sim_cosine_topk's shape with label-match relevance on top
-      "ml_ndcg")
+      "ml_ndcg",
+      // ml_pr_curve probes the value dictionary with the broadcast
+      // 20-row threshold spine (non-equi >=) and folds the 1-row
+      // positives total — ml_lift_table's bucket-spine shape
+      "ml_pr_curve")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
