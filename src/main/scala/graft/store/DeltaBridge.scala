@@ -499,6 +499,53 @@ object DeltaBridge {
     v
   }
 
+  /** Physically delete data files that are tombstoned in the CURRENT
+    * state and whose `deletionTimestamp` is older than the retention
+    * window — Delta's VACUUM contract: time travel inside the window
+    * stays intact, pinned readers older than it lose their files (the
+    * documented trade, identical to Delta's). The log itself is never
+    * touched. Returns the deleted file count. Wall clock enters only
+    * at RUN time (the cutoff), never into any on-disk artifact.
+    */
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      conf: Configuration = null): Int = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val state = replayState(spark, fs, root, dir)
+    val cutoff = System.currentTimeMillis() - retentionMs
+
+    // tombstones = every removed path with its deletion time, minus
+    // anything re-added since (live wins: a path can cycle through
+    // remove/add across compactions)
+    val logDir = new Path(root, LogDirName)
+    val dead = mutable.LinkedHashMap.empty[String, Long]
+    listCommits(fs, logDir).foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      lines.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        Option(node.get("add")).foreach(a =>
+          dead.remove(decodePath(a.get("path").asText())))
+        Option(node.get("remove")).foreach { r =>
+          val path = decodePath(r.get("path").asText())
+          val ts = Option(r.get("deletionTimestamp"))
+            .filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+          dead(path) = ts
+        }
+      }
+    }
+    val victims = dead.collect {
+      case (path, ts) if ts < cutoff && !state.live.contains(path) => path
+    }.toSeq
+    victims.foreach { rel => fs.delete(new Path(root, rel), false) }
+    victims.size
+  }
+
   def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame =
     readVersion(spark, dir, None, conf)
 

@@ -208,6 +208,31 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(after === full + (("2024-04-03 03:00:00.0", 3.0)))
   }
 
+  test("vacuum deletes only expired tombstones; live files and the window survive") {
+    val root = tmpDir("deltavac")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-05-01T01:00:00"), 1.0),
+      (ts("2024-05-02T02:00:00"), 2.0)).toDF("time", "value"))
+    st.exportSnapshotDelta("f", s"$root/delta")
+    st.deleteWhere("f", col("time") < ts("2024-05-02T00:00:00"))
+    st.syncSnapshotDelta("f", s"$root/delta") // tombstones day 1
+
+    // inside the retention window: nothing is deleted
+    assert(DeltaBridge.vacuum(spark, s"$root/delta") === 0)
+    assert(Files.list(Paths.get(s"$root/delta/partition=2024-05-01")).count() > 0)
+
+    // retention 0: the tombstoned file goes, the live one stays, and
+    // the current read is untouched
+    val n = DeltaBridge.vacuum(spark, s"$root/delta", retentionMs = -1L)
+    assert(n === 1)
+    val day1 = Files.list(Paths.get(s"$root/delta/partition=2024-05-01"))
+    assert(try day1.noneMatch(p => p.toString.endsWith(".parquet")) finally day1.close())
+    val got = DeltaBridge.read(spark, s"$root/delta")
+      .select(col("value")).collect().map(_.getDouble(0)).toSet
+    assert(got === Set(2.0))
+  }
+
   test("read refuses a log demanding an unsupported reader version") {
     val root = tmpDir("deltavr")
     val logDir = Paths.get(s"$root/_delta_log")
