@@ -255,6 +255,36 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("s1").count() == 3)
   }
 
+  test("stream sink + incremental Delta sync: micro-batches publish continuously to the open format") {
+    // the full 100 TB pipeline shape composed end-to-end: streaming
+    // exactly-once commits into the txlog table, and a periodic
+    // syncSnapshotDelta publishes whatever landed since the last sync
+    // as ONE Delta commit — external Delta readers follow a live
+    // stream without either side rewriting the table
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft-stream-delta")
+    val store = new graft.store.TimeseriesStore(spark, s"$dir/wh", backend = "txlog")
+    val mem = MemoryStream[Ev]
+    val series = mem.toDF().select(col("ts").as("time"), col("value"))
+    val q = EventStreams.featureSinkTx(series, store, "s1", s"$dir/ckpt", "dstream").start()
+    mem.addData(mkEvents(("2024-01-01T00:01:00", 1, "x", 1.0)): _*)
+    q.processAllAvailable()
+    store.exportSnapshotDelta("s1", s"$dir/delta") // Delta v0 after batch 0
+    mem.addData(mkEvents(("2024-01-02T00:01:00", 2, "x", 2.0)): _*)
+    q.processAllAvailable()
+    mem.addData(mkEvents(("2024-01-03T00:01:00", 3, "x", 3.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    store.syncSnapshotDelta("s1", s"$dir/delta") // batches 1-2 -> Delta v1
+    val got = graft.store.DeltaBridge.read(spark, s"$dir/delta")
+      .select(col("value")).collect().map(_.getDouble(0)).toSet
+    assert(got === Set(1.0, 2.0, 3.0))
+    // and the pre-sync Delta version still reads as batch 0 alone
+    val v0 = graft.store.DeltaBridge.readVersion(spark, s"$dir/delta", Some(0L))
+      .select(col("value")).collect().map(_.getDouble(0)).toSet
+    assert(v0 === Set(1.0))
+  }
+
   test("anomalyStream scores micro-batches against the trained static profile") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{count, lit, sum}
