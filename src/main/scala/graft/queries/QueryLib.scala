@@ -2730,6 +2730,71 @@ object QueryLib {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
            |FROM u GROUP BY 1""".stripMargin))
 
+  private val graphLabelProp = Q(
+    "graph_labelprop",
+    // Two rounds of synchronous majority-vote label propagation
+    // (Raghavan et al. 2007) over the SAME verified near-dup edge
+    // graph the components/triangles gates close — the community
+    // labeler of the graph family: components answers "which docs are
+    // transitively connected", LP answers "what does the cluster
+    // AGREE on" (here: spreading the lang tag through dup clusters —
+    // the curation pattern that labels a scraped dup by its cluster's
+    // consensus, and flags the minority-label members as suspect).
+    // Determinized: synchronous rounds (votes always read the PREVIOUS
+    // round's labels), ties broken by (count desc, label asc) in both
+    // engines, isolated docs keep their own label. Scale shape: each
+    // round is one edge-sized hash-agg on (node, label) + a per-node
+    // rank over ≤|labels| rows — O(E) per round, the standard LP cost;
+    // rounds are a fixed small constant (LP plateaus fast and each
+    // round is a full shuffle — unbounded iteration is a scale bug,
+    // not a feature).
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = mat(d.select(
+          col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val edges = mat(SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+          aName = "a", bName = "b")
+        .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .filter(SimilarityOps.jaccard(col("sha"), col("shb")) >= 0.3)
+        .select(col("a"), col("b")))
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val l0 = d.select(col("doc_id"), col("lang").as("label"))
+      def prop(labels: DataFrame): DataFrame = {
+        val votes = sym
+          .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
+          .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("a")).orderBy(col("c").desc, col("nl"))
+        val winner = votes.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).select(col("a").as("doc_id"), col("nl").as("wl"))
+        labels.join(winner, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("wl"), col("label")).as("label"))
+      }
+      prop(prop(l0))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |${lshOracleCtes("base", "sh", Nil)},
+           |e AS (SELECT doc_a AS a, doc_b AS b
+           |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b
+           |      WHERE ${lshVerifySql("sh")} >= 0.3),
+           |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+           |l0 AS (SELECT doc_id, lang AS label FROM documents),
+           |v1 AS (SELECT sym.a, l0.label AS nl, count(*) AS c
+           |       FROM sym JOIN l0 ON l0.doc_id = sym.b GROUP BY 1, 2),
+           |w1 AS (SELECT a, nl, row_number() OVER (PARTITION BY a ORDER BY c DESC, nl) AS rk FROM v1),
+           |l1 AS (SELECT l0.doc_id, coalesce(t.nl, l0.label) AS label
+           |       FROM l0 LEFT JOIN (SELECT a, nl FROM w1 WHERE rk = 1) t ON t.a = l0.doc_id),
+           |v2 AS (SELECT sym.a, l1.label AS nl, count(*) AS c
+           |       FROM sym JOIN l1 ON l1.doc_id = sym.b GROUP BY 1, 2),
+           |w2 AS (SELECT a, nl, row_number() OVER (PARTITION BY a ORDER BY c DESC, nl) AS rk FROM v2),
+           |l2 AS (SELECT l1.doc_id, coalesce(t.nl, l1.label) AS label
+           |       FROM l1 LEFT JOIN (SELECT a, nl FROM w2 WHERE rk = 1) t ON t.a = l1.doc_id)
+           |SELECT doc_id, label FROM l2""".stripMargin))
+
   private val txtReadability = Q(
     "txt_readability",
     // Flesch reading-ease as a curation quality signal, in EXACT
@@ -7909,7 +7974,7 @@ object QueryLib {
     simAnnRecall, simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
-    qIntervalJoin, graphPagerank, graphTriangles, txtNovelty, txtBm25, txtUnigramSurprisal,
+    qIntervalJoin, graphPagerank, graphTriangles, graphLabelProp, txtNovelty, txtBm25, txtUnigramSurprisal,
     txtBigramSurprisal, txtReadability,
     mlWinsorize, qCorrActivity, qJoinSalted, mlPercentileRank, txtBpePairs,
     qSetopIntersect, qUnpivot, txtBpeTrain, txtBpeTrainBatched, txtBpeEncode, dedupEditVerify,
