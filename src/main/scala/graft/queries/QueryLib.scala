@@ -3312,6 +3312,87 @@ object QueryLib {
            |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
            |SELECT doc_id, source FROM r WHERE rk <= 10""".stripMargin))
 
+  private val mlBootstrapCi = Q(
+    "ml_bootstrap_ci",
+    // Bootstrap confidence interval for the mean purchase value, in the
+    // ONE shape that survives 100 TB: the Poisson bootstrap (Chamandy
+    // et al., Google 2012) — instead of materializing B resamples,
+    // every row draws a Poisson(1) replication WEIGHT per replicate in
+    // a single pass, so the whole thing is one explode(x B) + one
+    // hash-agg, no per-resample shuffle and no draw-index joins.
+    // Everything is determinized: the "randomness" is a multiplicative
+    // hash of (event_id, b) mapped through the exact Poisson(1) CDF
+    // breakpoints (both engines compare the same division against the
+    // same double literals), weights and cent-values are INTEGRAL so
+    // every per-replicate sum is exact, and each replicate mean is one
+    // closing division. The CI is nearest-rank order stats of the 100
+    // replicate means (r=3 and r=98 for 95%) — sorted picks, no
+    // interpolation to drift.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      val b = s.range(0, 100).select(col("id").as("b"))
+      // the replicate index must enter MULTIPLICATIVELY (then be
+      // re-multiplied mod p): a naive `+ b*K` additive term steps u by
+      // only K/p per replicate, leaving every row's weight essentially
+      // CONSTANT across all 100 replicates — measured: replicate-mean
+      // std collapsed 13x and the CI excluded the sample mean, because
+      // rows with u < e^-1 were dropped from EVERY resample. After the
+      // second multiply, replicate means center on the sample mean
+      // with std ~ the theoretical se (0.92 vs 1.08 at sf0.01)
+      val u = ((((col("event_id") * lit(2654435761L) +
+        (col("b") + lit(1)) * lit(1013904223L)) % lit(2147483647L)) *
+        lit(40503L) % lit(2147483647L)).cast("double") / lit(2147483647.0))
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L).when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L).when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L).when(u < 0.999916758850712, 6L)
+        .when(u < 0.9999897508033253, 7L).otherwise(8L)
+      val means = e.crossJoin(broadcast(b))
+        .select(col("b"), w.as("w"), col("cents"))
+        .groupBy(col("b"))
+        .agg((sum(col("w") * col("cents")).cast("double") /
+          (sum(col("w")) * lit(100)).cast("double")).as("m"))
+      val rk = means.withColumn("rk",
+        row_number().over(Window.orderBy(col("m"), col("b"))))
+      val point = e.agg((sum(col("cents")).cast("double") /
+        (count(lit(1)) * lit(100)).cast("double")).as("mean"))
+      point.crossJoin(broadcast(
+          rk.filter(col("rk") === 3).select(round(col("m"), 6).as("ci_lo"))))
+        .crossJoin(broadcast(
+          rk.filter(col("rk") === 98).select(round(col("m"), 6).as("ci_hi"))))
+        .select(round(col("mean"), 6).as("mean"), col("ci_lo"), col("ci_hi"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+           |reps AS (SELECT e.event_id, e.cents, b.b,
+           |    CAST(((e.event_id * 2654435761 + (b.b + 1) * 1013904223) % 2147483647)
+           |      * 40503 % 2147483647 AS DOUBLE)
+           |      / CAST(2147483647 AS DOUBLE) AS u
+           |  FROM e CROSS JOIN (SELECT CAST(t AS BIGINT) AS b FROM range(0, 100) r(t)) b),
+           |wts AS (SELECT b, cents,
+           |    CASE WHEN u < 0.36787944117144233 THEN 0
+           |         WHEN u < 0.7357588823428847 THEN 1
+           |         WHEN u < 0.9196986029286058 THEN 2
+           |         WHEN u < 0.9810118431238463 THEN 3
+           |         WHEN u < 0.9963401531726563 THEN 4
+           |         WHEN u < 0.9994058151824183 THEN 5
+           |         WHEN u < 0.999916758850712 THEN 6
+           |         WHEN u < 0.9999897508033253 THEN 7
+           |         ELSE 8 END AS w
+           |  FROM reps),
+           |means AS (SELECT b, CAST(sum(w * cents) AS DOUBLE) /
+           |    CAST(sum(w) * 100 AS DOUBLE) AS m FROM wts GROUP BY 1),
+           |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+           |pt AS (SELECT CAST(sum(cents) AS DOUBLE) /
+           |    CAST(count(*) * 100 AS DOUBLE) AS mean FROM e)
+           |SELECT round(mean, 6) AS mean,
+           |  (SELECT round(m, 6) FROM rk WHERE rk = 3) AS ci_lo,
+           |  (SELECT round(m, 6) FROM rk WHERE rk = 98) AS ci_hi
+           |FROM pt""".stripMargin))
+
   private val mlPrCurve = Q(
     "ml_pr_curve",
     // Precision/recall curve at 20 fixed score thresholds — the
@@ -7997,7 +8078,7 @@ object QueryLib {
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
-    fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve)
+    fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve, mlBootstrapCi)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

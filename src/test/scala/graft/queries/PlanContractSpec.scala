@@ -90,7 +90,11 @@ class PlanContractSpec extends SparkSpec {
       // ml_pr_curve probes the value dictionary with the broadcast
       // 20-row threshold spine (non-equi >=) and folds the 1-row
       // positives total — ml_lift_table's bucket-spine shape
-      "ml_pr_curve")
+      "ml_pr_curve",
+      // ml_bootstrap_ci explodes the purchase stream by the broadcast
+      // 100-row replicate spine (the Poisson bootstrap's one-pass
+      // shape) and folds the two 1-row CI order-stat frames
+      "ml_bootstrap_ci")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
