@@ -1038,6 +1038,54 @@ object QueryLib {
            |                 TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS time)
            |SELECT g.time, d.value FROM grid g ASOF LEFT JOIN data d ON d.time <= g.time""".stripMargin))
 
+  private val fsStreamDelta = Q(
+    "fs_stream_delta",
+    // The 22nd streaming certification closes the round's loop: a LIVE
+    // stream publishes continuously to the OPEN format. Two micro-batch
+    // txns land through the exactly-once sink, the snapshot exports as
+    // a Delta table, the SAME stream (same checkpoint) resumes over two
+    // later-arriving files, and syncSnapshotDelta publishes the new
+    // txlog commits as ONE incremental Delta commit (checkpointEvery=1,
+    // so the read-back seeds from the parquet checkpoint). What hashes
+    // red: a torn/doubled batch at the sink (exactly-once drift), a
+    // sync diff that misses or resurrects files, and any checkpoint
+    // round-trip loss. This is the production shape end-to-end —
+    // stream -> ACID table -> periodic open-format publication — with
+    // each leg already certified alone (fs_stream_sink,
+    // fs_store_export_delta, fs_store_delta_sync); this gate certifies
+    // the COMPOSITION, where the failure modes live at the seams.
+    (s, dir) => {
+      val tmp = scratchDir("sdelta")
+      val src = T(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"))
+      val early = src.filter(col("time") < ts("2024-01-16"))
+      val late = src.filter(col("time") >= ts("2024-01-16"))
+      val sdir = s"$tmp/stream_src"
+      early.repartition(2).write.parquet(sdir)
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      def drain(): Unit = {
+        val stream = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(sdir)
+        val q = withStatePartitions(s, 4) {
+          graft.streaming.EventStreams
+            .featureSinkTx(stream, st, "clicks",
+              checkpointDir = s"$tmp/ckpt", streamId = "sdelta")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+      }
+      drain() // batches 0-1: the early files
+      st.exportSnapshotDelta("clicks", s"$tmp/delta") // Delta v0
+      late.repartition(2).write.mode("append").parquet(sdir)
+      drain() // the SAME checkpoint resumes over the 2 new files
+      st.syncSnapshotDelta("clicks", s"$tmp/delta", checkpointEvery = 1) // Delta v1 + ckpt
+      graft.store.DeltaBridge.read(s, s"$tmp/delta")
+        .select(col("time"), col("value"), col("partition"))
+    },
+    Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
+           |FROM events WHERE event_type = 'click'""".stripMargin))
+
   private val fsStreamWindow = Q(
     "fs_stream_window",
     // §2.10's stateful side under the oracle gate: the events table is
@@ -8039,7 +8087,7 @@ object QueryLib {
     fsResampleMonthly, fsResampleInterp, fsResampleBfill, fsAlign2, fsDownsampleLttb,
     fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
+    fsStreamSink, fsStreamDelta, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
     fsStreamAttrib, fsStreamAttribOuter, fsStreamEnrich, fsStreamDedupLsh,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
