@@ -561,12 +561,60 @@ object DeltaBridge {
       spark: SparkSession,
       dir: String,
       version: Option[Long],
+      conf: Configuration = null): DataFrame =
+    readPruned(spark, dir, version, _ => true, conf)
+
+  /** [[read]] with LOG-DRIVEN partition pruning: `pred` sees each live
+    * add's partitionValues map and files it rejects never reach the
+    * scan — Delta's partition-skipping story, decided on driver-side
+    * metadata. A pruned open of one day out of a 3-year table lists
+    * one day's files; the data job never learns the rest existed.
+    */
+  def readWhere(
+      spark: SparkSession,
+      dir: String,
+      pred: Map[String, String] => Boolean,
+      conf: Configuration = null): DataFrame =
+    readPruned(spark, dir, None, a => pred(a.partitionValues), conf)
+
+  /** [[read]] with STATS-DRIVEN file skipping on one numeric column:
+    * drops files whose per-add stats prove `[lo, hi]` cannot match
+    * (maxValues < lo or minValues > hi). Files WITHOUT stats for the
+    * column always scan — the safe direction, same rule the txlog
+    * backend uses. The returned frame is NOT post-filtered: callers
+    * compose their own row predicate; this prunes IO, the zone-map
+    * contract, so the one data job reads only possibly-matching files.
+    */
+  def readRange(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      conf: Configuration = null): DataFrame =
+    readPruned(spark, dir, None, a => a.stats.forall { s =>
+      try {
+        val node = mapper.readTree(s)
+        val mn = Option(node.get("minValues")).flatMap(m => Option(m.get(column)))
+        val mx = Option(node.get("maxValues")).flatMap(m => Option(m.get(column)))
+        (mn, mx) match {
+          case (Some(a0), Some(b0)) => b0.asDouble() >= lo && a0.asDouble() <= hi
+          case _ => true // no stats for the column: must scan
+        }
+      } catch { case _: Throwable => true } // unreadable stats: must scan
+    }, conf)
+
+  private def readPruned(
+      spark: SparkSession,
+      dir: String,
+      version: Option[Long],
+      keep: AddEntry => Boolean,
       conf: Configuration = null): DataFrame = {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
     val state = replayState(spark, fs, root, dir, version)
-    val live = state.live
+    val live = mutable.LinkedHashMap.from(state.live.filter(kv => keep(kv._2)))
     val partCols = state.partCols
     val schema = DataType.fromJson(state.schemaString).asInstanceOf[StructType]
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))

@@ -233,6 +233,49 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(got === Set(2.0))
   }
 
+  test("readWhere/readRange prune files from log metadata before the scan") {
+    val root = tmpDir("deltaprune")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-06-01T01:00:00"), 1.0),
+      (ts("2024-06-02T02:00:00"), 5.0),
+      (ts("2024-06-03T03:00:00"), 9.0)).toDF("time", "value"))
+    st.exportSnapshotDelta("f", s"$root/delta")
+    val all = DeltaBridge.read(spark, s"$root/delta")
+    assert(all.inputFiles.length === 3)
+
+    // partition pruning: only day 2's file is LISTED, not just filtered
+    val oneDay = DeltaBridge.readWhere(spark, s"$root/delta",
+      pv => pv.get("partition").contains("2024-06-02"))
+    assert(oneDay.inputFiles.length === 1)
+    assert(oneDay.select(col("value")).collect().map(_.getDouble(0)).toSet === Set(5.0))
+
+    // stats skipping: value range [4, 6] proves days 1 and 3 can't match
+    val mid = DeltaBridge.readRange(spark, s"$root/delta", "value", 4.0, 6.0)
+    assert(mid.inputFiles.length === 1)
+    assert(mid.select(col("value")).collect().map(_.getDouble(0)).toSet === Set(5.0))
+
+    // a file without stats must always scan: strip the stats off one
+    // add line (a real JSON rewrite, not a regex) and confirm the
+    // rangeless file comes back
+    val log0 = Paths.get(s"$root/delta/_delta_log/00000000000000000000.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rewritten = Files.readString(log0).linesIterator.filter(_.trim.nonEmpty).map { l =>
+      val node = om.readTree(l)
+      if (node.has("add") && node.get("add").get("path").asText().contains("2024-06-01"))
+        node.get("add").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .remove("stats")
+      om.writeValueAsString(node)
+    }.mkString("", "\n", "\n")
+    Files.writeString(log0, rewritten)
+    // the rewrite bypassed Hadoop's LocalFS, whose .crc sidecar now
+    // disagrees — drop it so the reader sees the new bytes
+    Files.deleteIfExists(
+      Paths.get(s"$root/delta/_delta_log/.00000000000000000000.json.crc"))
+    val mid2 = DeltaBridge.readRange(spark, s"$root/delta", "value", 4.0, 6.0)
+    assert(mid2.inputFiles.length === 2) // stats-less day 1 must scan
+  }
+
   test("read refuses a log demanding an unsupported reader version") {
     val root = tmpDir("deltavr")
     val logDir = Paths.get(s"$root/_delta_log")
