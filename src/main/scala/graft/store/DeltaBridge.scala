@@ -227,12 +227,6 @@ object DeltaBridge {
     sorted.size
   }
 
-  /** Replay a Delta log under `dir` and return the live snapshot as a
-    * DataFrame in the log's declared schema (data columns + partition
-    * columns, cast from the log's string partitionValues). Supports
-    * multi-commit logs with `add`/`remove` reconciliation; refuses
-    * `minReaderVersion` > 1.
-    */
   private def listCommits(
       fs: org.apache.hadoop.fs.FileSystem, logDir: Path): Seq[(Long, Path)] =
     fs.listStatus(logDir).toSeq
@@ -339,11 +333,20 @@ object DeltaBridge {
         }
         Option(node.get("add")).foreach { a =>
           val path = decodePath(a.get("path").asText())
-          val pvNode = a.get("partitionValues")
-          val pv = partCols.map { c =>
-            val v = pvNode.get(c)
-            c -> (if (v == null || v.isNull) null else v.asText())
-          }.toMap
+          // read partitionValues off the action's OWN fields, not the
+          // metaData's partitionColumns: actions within a commit are
+          // not ordered by the protocol, so a foreign log may declare
+          // metaData after its adds — keying off partCols would then
+          // silently drop every partition value
+          val pv = Option(a.get("partitionValues")).map { pvNode =>
+            val it = pvNode.fields()
+            val m = mutable.LinkedHashMap.empty[String, String]
+            while (it.hasNext) {
+              val e = it.next()
+              m(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText()
+            }
+            m.toMap
+          }.getOrElse(Map.empty)
           live(path) = AddEntry(path, pv,
             Option(a.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
             Option(a.get("modificationTime")).filterNot(_.isNull)
@@ -546,6 +549,13 @@ object DeltaBridge {
     victims.size
   }
 
+  /** Replay a Delta log under `dir` and return the live snapshot as a
+    * DataFrame in the log's declared schema (data columns + partition
+    * columns, cast from the log's string partitionValues). Supports
+    * multi-commit logs with `add`/`remove` reconciliation, seeds from
+    * a parquet checkpoint when one is named; refuses
+    * `minReaderVersion` > 1.
+    */
   def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame =
     readVersion(spark, dir, None, conf)
 

@@ -99,10 +99,14 @@ class DeltaBridgeSpec extends SparkSpec {
     Files.createDirectories(logDir)
     def add(f: String, p: String) =
       s"""{"add":{"path":"$f","partitionValues":{"p":"$p"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    // adds deliberately BEFORE the metaData declaration: the protocol
+    // does not order actions within a commit, so partition values must
+    // come off each add's own partitionValues map, never be re-keyed
+    // through a partitionColumns list that may not be parsed yet
     Files.write(logDir.resolve("00000000000000000000.json"), Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["p"],"configuration":{}}}""",
-      add("a.parquet", "east"), add("b.parquet", "west")
+      add("a.parquet", "east"), add("b.parquet", "west"),
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["p"],"configuration":{}}}"""
     ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.write(logDir.resolve("00000000000000000001.json"), Seq(
       """{"remove":{"path":"a.parquet","dataChange":true}}""",
