@@ -424,6 +424,27 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).importSnapshot(f.name, srcDir)
   }
 
+  /** [[exportFeature]] plus a Delta-protocol `_delta_log`, so any Delta
+    * reader opens the export as a table
+    * ([[graft.store.TimeseriesStore.exportSnapshotDelta]]). */
+  def exportFeatureDelta(fullName: String, dstDir: String,
+                         asOfVersion: Option[Long] = None): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot export transformed feature '$fullName'")
+    store(nsObj).exportSnapshotDelta(f.name, dstDir, asOfVersion)
+  }
+
+  /** Publish txlog commits landed since the last export/sync as ONE
+    * incremental Delta commit on an [[exportFeatureDelta]] tree —
+    * continuous open-format publication; no-ops when the feature
+    * hasn't moved ([[graft.store.TimeseriesStore.syncSnapshotDelta]]). */
+  def syncFeatureDelta(fullName: String, dstDir: String,
+                       checkpointEvery: Int = 10): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot sync transformed feature '$fullName'")
+    store(nsObj).syncSnapshotDelta(f.name, dstDir, checkpointEvery)
+  }
+
   /** Garbage-collect data files retired by compaction. Only meaningful
     * on a txlog-backed namespace, where compaction retires files
     * logically (readers with older snapshots keep working) and vacuum

@@ -318,7 +318,13 @@ object DeltaBridge {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toVector finally in.close()
       lines.filter(_.trim.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
+        // name the file on a parse failure: "the table won't open"
+        // with a Jackson stack and no path is undebuggable at a
+        // thousand-commit log
+        val node =
+          try mapper.readTree(line)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"unparseable Delta action in ${p.getName}: ${e.getMessage}") }
         Option(node.get("protocol")).foreach { pr =>
           val v = pr.get("minReaderVersion").asInt()
           require(v <= 1, s"unsupported Delta minReaderVersion $v (bridge reads v1)")
