@@ -142,6 +142,16 @@ class PlanContractSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString("; "))
   }
 
+  test("sim_hybrid_rrf cuts each leg with a distributed top-k before fusing") {
+    // both legs must reach their top-50 via TakeOrderedAndProject (the
+    // distributed heap cut) — a global Sort before the limit would
+    // funnel the corpus through one task and break the "fusion cost is
+    // corpus-size-independent" contract
+    val p = plan("sim_hybrid_rrf")
+    assert(count(p, "TakeOrderedAndProject") >= 2,
+      s"legs should cut via TakeOrdered, not a global sort:\n$p")
+  }
+
   test("q_sessionize rides a single hash exchange") {
     assert(count(plan("q_sessionize"), "Exchange hashpartitioning") === 1)
   }
