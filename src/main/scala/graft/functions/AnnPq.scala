@@ -114,10 +114,18 @@ object AnnPq {
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    Codebooks(subDim, (0 until m).map { mi =>
-      Lloyd.fit(sample.map(_.slice(mi * subDim, (mi + 1) * subDim)),
-        k, seed + mi, maxIter).toSeq
-    })
+    // the m subspace fits are independent (disjoint slices, per-index
+    // seeds) — train them concurrently on the driver; output order is
+    // by subspace index, so the codebooks are bit-identical to the
+    // sequential loop's
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Codebooks(subDim, Await.result(
+      Future.sequence((0 until m).map { mi => Future {
+        Lloyd.fit(sample.map(_.slice(mi * subDim, (mi + 1) * subDim)),
+          k, seed + mi, maxIter).toSeq
+      }}), Duration.Inf))
   }
 
   /** [[buildTrainedFromSample]] with the sampling step included. */

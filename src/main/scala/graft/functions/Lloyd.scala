@@ -47,25 +47,29 @@ object Lloyd {
   def fit(points: Array[Array[Double]], k: Int, seed: Long, maxIter: Int,
           restarts: Int = 4): Array[Array[Double]] = {
     require(restarts >= 1, s"restarts must be >= 1, got $restarts")
-    var best: Array[Array[Double]] = null
-    var bestSse = Double.PositiveInfinity
-    var r = 0
-    while (r < restarts) {
-      val cs = fitOnce(points, k, seed + r, maxIter)
-      val sse = points.iterator.map { p =>
-        var m = Double.PositiveInfinity; var j = 0
-        while (j < k) {
-          var s = 0.0; var i = 0
-          while (i < p.length) { val d = p(i) - cs(j)(i); s += d * d; i += 1 }
-          if (s < m) m = s
-          j += 1
-        }
-        m
-      }.sum
-      if (sse < bestSse) { bestSse = sse; best = cs }
-      r += 1
-    }
-    best
+    // restarts are seed-independent runs — evaluate them CONCURRENTLY
+    // (driver cores are idle while Lloyd spins); determinism is
+    // untouched because each run's seed is fixed by its index and the
+    // winner is selected by (sse, lowest index), never completion order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Await.result(
+      Future.sequence((0 until restarts).map { r => Future {
+        val cs = fitOnce(points, k, seed + r, maxIter)
+        val sse = points.iterator.map { p =>
+          var m = Double.PositiveInfinity; var j = 0
+          while (j < k) {
+            var s = 0.0; var i = 0
+            while (i < p.length) { val d = p(i) - cs(j)(i); s += d * d; i += 1 }
+            if (s < m) m = s
+            j += 1
+          }
+          m
+        }.sum
+        (sse, r, cs)
+      }}), Duration.Inf)
+    runs.minBy(t => (t._1, t._2))._3
   }
 
   /** One seeded k-means++ + Lloyd run. `points` must be non-empty rows
