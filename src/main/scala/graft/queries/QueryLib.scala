@@ -3338,22 +3338,18 @@ object QueryLib {
     // (doc_id * 2654435761) mod 2^31-1, Knuth's constant — so the cap
     // is reproducible, unbiased by ingestion order, and identically
     // computable in exact integer arithmetic by any engine (xxhash
-    // would be Spark-only). Scale shape: one hash-partition by source
-    // + per-source rank; the hot-domain skew case doesn't buffer docs
-    // (row_number streams its sort), and an extreme hot key can
-    // pre-prune with an approximate per-source count + hash-threshold
-    // filter before the exact rank — the window never sees more than
-    // the survivors.
-    (s, dir) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("h"), col("doc_id"))
-      T(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).as("h"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
-        .select(col("doc_id"), col("source"))
-    },
+    // would be Spark-only). Scale shape: ops/Scale.capByKey — per-key
+    // counts pick a hash threshold, the stream is pruned to
+    // ~cap x margin candidates per key BEFORE the exchange, the exact
+    // rank runs on survivors, and starved keys fall back to the full
+    // window (exact by construction, never probabilistic; ScaleSpec
+    // pins equality incl. the fallback, ScaleProbe times the hot-key
+    // case).
+    (s, dir) =>
+      graft.ops.Scale.capByKey(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        keyCol = "source", idCol = "doc_id", cap = 10)
+        .select(col("doc_id"), col("source")),
     Some("""WITH h AS (SELECT doc_id, source,
            |    (doc_id * 2654435761) % 2147483647 AS h FROM documents),
            |r AS (SELECT doc_id, source,

@@ -1072,6 +1072,46 @@ object ScaleProbe {
         .linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
       println(s"[probe]   0 joins, $exchanges exchanges, ${series.length + 1} output cols")
     }
+    timed(s"capByKey hot-key frequency cap over $n rows") {
+      // 5 keys, one owning 60% of the corpus: the shape where the
+      // naive per-key window funnels 6M rows through ONE task's sort
+      // buffer. The claim under test is the MEMORY bound, not local
+      // CPU (see the capByKey scaladoc's cost model): the exact-rank
+      // window's input must be ~cap x margin per key regardless of
+      // skew, and the result must equal the naive window bit-for-bit.
+      val skewed = df.select(
+        when(col("value") < 600, lit("hot")).otherwise(
+          concat(lit("k"), (col("value") % 4).cast("string"))).as("k"),
+        col("created_time").cast("long").as("id"))
+      val t0 = System.nanoTime()
+      val fast = graft.ops.Scale.capByKey(skewed, "k", "id", cap = 1000)
+      val fastN = fast.count()
+      val fastSecs = (System.nanoTime() - t0) / 1e9
+      // the bound: reconstruct the candidate set the window saw and
+      // measure its hottest key — 6M raw rows must have become <= 8k
+      val P = 2147483647L
+      val counts = skewed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hotThr = math.min(P, math.ceil(P.toDouble * 1000 * 4.0 / counts("hot")).toLong)
+      val hotCand = skewed.filter(col("k") === "hot" &&
+        (col("id") * 2654435761L) % P <= hotThr).count()
+      require(hotCand <= 8000 && hotCand >= 1000,
+        s"hot-key window input $hotCand outside the [cap, 2 x cap x margin] bound")
+      val t1 = System.nanoTime()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+        .orderBy(((col("id") * 2654435761L) % P), col("id"))
+      val naive = skewed.withColumn("__rk",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rk") <= 1000).drop("__rk")
+      val naiveN = naive.count()
+      val naiveSecs = (System.nanoTime() - t1) / 1e9
+      require(fastN == naiveN, s"row counts diverged: $fastN vs $naiveN")
+      val diff = fast.except(naive).count() + naive.except(fast).count()
+      require(diff == 0, s"capByKey diverged from the naive window by $diff rows")
+      println(f"[probe]   window input for the 6M-row hot key: $hotCand rows " +
+        f"(bound 8k); capByKey $fastSecs%.1fs vs naive $naiveSecs%.1fs at 10M " +
+        "(naive wins CPU while the hot key fits one task — see the cost model)")
+    }
     timed("delta sync: 1M-row/90-partition export, then a 1%-delta sync") {
       // the claim under test: syncSnapshotDelta moves the DELTA, never
       // the table — a 1% append + a 2-partition delete must cost a

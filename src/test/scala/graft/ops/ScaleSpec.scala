@@ -7,6 +7,31 @@ import graft.SparkSpec
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("capByKey equals the naive per-key window, including the fallback path") {
+    // heavy skew (one key owns 80% of rows), plus a tiny key BELOW the
+    // cap, plus non-contiguous ids so the hash order is non-trivial
+    val df = ((0 until 4000).map(i => ("hot", i * 7L + 3)) ++
+      (0 until 900).map(i => ("warm", 100000L + i * 11)) ++
+      (0 until 3).map(i => ("tiny", 900000L + i))).toDF("k", "id")
+    def naive(cap: Int) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+        .orderBy(((col("id") * 2654435761L) % 2147483647L), col("id"))
+      df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= cap)
+        .select(col("k"), col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    for (cap <- Seq(1, 25, 1000)) {
+      val got = Scale.capByKey(df, "k", "id", cap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === naive(cap), s"cap=$cap diverged")
+    }
+    // margin 1.01 starves thresholds often enough to exercise the
+    // detect-and-fall-back leg — the result must STILL be exact
+    val tight = Scale.capByKey(df, "k", "id", 25, margin = 1.01)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(tight === naive(25), "fallback path diverged")
+  }
+
   test("salted dedup equals unsalted dedup (max_by associativity)") {
     val df = (0 until 5000).map { i =>
       // heavy skew: 90% of rows hit one (user, time) key
