@@ -53,6 +53,13 @@ object TextOps {
   def tokenHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isin(set.map(lit): _*)))
 
+  /** Number of DISTINCT members of `set` present in `toks` — the shape
+    * of Gopher's "contains at least 2 of the 8 common English words"
+    * rule (hits of the same stopword don't accumulate).
+    */
+  def distinctTokenHits(toks: Column, set: Seq[String]): Column =
+    size(array_intersect(toks, array(set.map(lit): _*)))
+
   /** Stopword ratio — classic quality signal. */
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
     tokenHits(toks, stopwords).cast("double") / size(toks).cast("double")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{SimilarityOps, TextOps}
+import graft.functions.{Dsir, SimilarityOps, TextOps}
 import graft.ops.TimeseriesOps
 import graft.plans.CosineSimilarity
 
@@ -2069,6 +2069,128 @@ object QueryLib {
            |          AS top_bigram_frac FROM cnt GROUP BY 1)
            |SELECT doc_id, dup_token_ratio, top_bigram_frac
            |FROM dup JOIN top USING (doc_id)""".stripMargin))
+
+  private val txtGopherRules = Q(
+    "txt_gopher_rules",
+    // The Gopher quality-FILTER battery (Rae et al. 2021 §A1.1, the
+    // rule set RefinedWeb/Dolma inherit) as an auditable per-document
+    // rule table: each rule is its own boolean column plus the
+    // composite keep flag, so a curation run can report WHICH rule
+    // killed a document (the same explainability doctrine as
+    // curate_audit) instead of a bare survivor set. Rules: word count
+    // in bounds, mean word length in bounds, >=80% of words contain an
+    // alphabetic character, and >=2 DISTINCT members of the common-
+    // stopword set (distinct is Gopher's wording — repeats of one
+    // stopword don't count). Bounds are fixture-tuned so both branches
+    // of every data-dependent rule are exercised at verify scale
+    // (median 56 words / mean word length ~4.5); production bounds
+    // (50..100k words, 3..10 chars) are a config, not a shape change.
+    // Plan shape: one narrow projection over the scan — array lambdas
+    // and rational arithmetic only, no shuffle, no UDF; at 100 TB this
+    // is pure map tasks inside whole-stage codegen.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val n = size(toks).cast("double")
+      val meanLen = TextOps.avgTokenLen(col("text"), toks)
+      val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n
+      val stopHits = TextOps.distinctTokenHits(
+        toks, Seq("the", "a", "of", "and", "is", "to", "in", "that")).cast("long")
+      d.select(
+        col("doc_id"),
+        n.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.as("n_stop_distinct"),
+        (n >= 30 && n <= 80).as("r_words"),
+        (meanLen >= 3.0 && meanLen <= 4.8).as("r_meanlen"),
+        (alphaFrac >= 0.8).as("r_alpha"),
+        (stopHits >= 2).as("r_stop"))
+        .withColumn("keep",
+          col("r_words") && col("r_meanlen") && col("r_alpha") && col("r_stop"))
+    },
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+           |m AS (SELECT doc_id,
+           |    CAST(len(tk) AS DOUBLE) AS n,
+           |    CAST(len(text) - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+           |      AS mean_word_len,
+           |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           |      / CAST(len(tk) AS DOUBLE) AS alpha_word_frac,
+           |    CAST(len(list_distinct(list_filter(tk,
+           |      x -> x IN ('the','a','of','and','is','to','in','that')))) AS BIGINT)
+           |      AS n_stop_distinct
+           |  FROM t)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_words, mean_word_len, alpha_word_frac,
+           |  n_stop_distinct,
+           |  (n >= 30 AND n <= 80) AS r_words,
+           |  (mean_word_len >= 3.0 AND mean_word_len <= 4.8) AS r_meanlen,
+           |  (alpha_word_frac >= 0.8) AS r_alpha,
+           |  (n_stop_distinct >= 2) AS r_stop,
+           |  ((n >= 30 AND n <= 80) AND (mean_word_len >= 3.0 AND mean_word_len <= 4.8)
+           |    AND (alpha_word_frac >= 0.8) AND (n_stop_distinct >= 2)) AS keep
+           |FROM m""".stripMargin))
+
+  /** Shared DSIR oracle CTEs: per-(doc,bucket) hashed-n-gram counts and
+    * the Laplace-smoothed per-bucket log-ratio table, mirroring
+    * [[graft.functions.Dsir.weights]] term by term (target = lang='en').
+    */
+  private val dsirOracleCtes: String =
+    """tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |ng AS (SELECT doc_id, lang, unnest(t) AS ng FROM tk
+      |       UNION ALL
+      |       SELECT doc_id, lang,
+      |              unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1])))
+      |       FROM tk),
+      |bk AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(concat('dsir:', ng)), 1, 8))::BIGINT % 1024 AS b FROM ng),
+      |db AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+      |tot AS (SELECT b, count(*) AS r, count(*) FILTER (WHERE lang = 'en') AS t
+      |        FROM bk GROUP BY 1),
+      |cons AS (SELECT sum(r) AS rt, sum(t) AS tt FROM tot),
+      |lr AS (SELECT b,
+      |    ln(t + 1.0) - ln((SELECT tt FROM cons) + 1024.0)
+      |      - ln(r + 1.0) + ln((SELECT rt FROM cons) + 1024.0) AS lr
+      |  FROM tot),
+      |w AS (SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      |             round(sum(c * lr), 6) AS weight
+      |      FROM db JOIN lr USING (b) GROUP BY 1)""".stripMargin
+
+  private val docDsirWeights = Q(
+    "doc_dsir_weights",
+    // DSIR importance weights (Xie et al. 2023) — the published
+    // data-selection method between blunt rule filters and expensive
+    // model-based scoring: hashed-n-gram unigram LMs for the target
+    // slice (lang='en' here) and the raw pool, each document scored by
+    // its log importance ratio. See [[graft.functions.Dsir]] for the
+    // 100 TB shape (text never shuffles; both LMs ride one 1024-row
+    // broadcast). The gate certifies every per-doc weight against
+    // DuckDB's arithmetic recomputation of the hash, the smoothing and
+    // the log-ratio sum.
+    (s, dir) =>
+      Dsir.weights(T(s, dir, "documents"), "doc_id", toks, col("lang") === "en"),
+    Some(s"""WITH $dsirOracleCtes
+           |SELECT doc_id, n_feats, weight FROM w""".stripMargin))
+
+  private val docDsirSample = Q(
+    "doc_dsir_sample",
+    // The selection step of DSIR: keep the k most target-like raw
+    // documents by importance weight. A distributed top-k
+    // (TakeOrderedAndProject — no global sort), ordered by the ROUNDED
+    // weight with doc_id as the tiebreak so the cut is deterministic
+    // cross-engine even where ln() ulps differ. Joins lang back so the
+    // gate also certifies the expected behavior: the en slice (whose
+    // n-grams the target model was fit on) dominates the selection.
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      Dsir.weights(d, "doc_id", toks, col("lang") === "en")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "weight")
+    },
+    Some(s"""WITH $dsirOracleCtes
+           |SELECT w.doc_id, d.lang, w.weight
+           |FROM w JOIN documents d ON d.doc_id = w.doc_id
+           |ORDER BY w.weight DESC, w.doc_id LIMIT 100""".stripMargin))
 
   private val txtKeywords = Q(
     "txt_keywords",
@@ -8090,6 +8212,7 @@ object QueryLib {
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
     qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
+    txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
