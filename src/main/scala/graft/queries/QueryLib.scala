@@ -6086,6 +6086,39 @@ object QueryLib {
            |  min(value) AS vmin, max(value) AS vmax
            |FROM events WHERE event_type = 'purchase'""".stripMargin))
 
+  private val fsStoreBloomSkip = Q(
+    "fs_store_bloom_skip",
+    // Bloom-filter point-lookup file skipping (the Delta bloom-index
+    // idea): the table declares a bloom index over an evolved
+    // `user_id` column, every subsequent write attaches a 1 KB
+    // per-file bloom to its log entry, and the entity lookup prunes
+    // files from LOG METADATA alone before the scan opens anything —
+    // the skip min/max stats can't give when key values interleave
+    // across every file. At 100 TB "all history for entity X" (the
+    // GDPR subject-access shape) reads the handful of files whose
+    // blooms admit the key instead of the table. The gate certifies
+    // the full lookup pipeline (epoch-0 files without the column
+    // align to null and drop out; bloomed files filter exactly);
+    // FileBloomSpec certifies that pruning actually happens.
+    (s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val tmp = scratchDir("bloomskip")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("ts").as("created_time"),
+          col("value"), col("user_id"))
+      val d05 = ts("2024-01-05")
+      st.save("bk", src.filter(col("time") < d05).drop("user_id"))
+      st.evolveSchema("bk", st.tableSchema("bk").get.add("user_id", LongType))
+      st.declareBloomIndex("bk", "user_id")
+      st.save("bk", src.filter(col("time") >= d05))
+      st.readKeyEquals("bk", "user_id", 7L)
+        .select("time", "value", "user_id")
+    },
+    Some("""SELECT ts AS time, value, user_id FROM events
+           |WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-05'
+           |  AND user_id = 7""".stripMargin))
+
   private val fsDescribe = Q(
     "fs_describe",
     // Distributed describe(): the summary the reference computes with
@@ -8233,6 +8266,7 @@ object QueryLib {
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
+    fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmResizePlan,
     mmPixelStats, mmResizeExec, mmAudioEnergy,

@@ -414,6 +414,20 @@ class TimeseriesStore(
       .options(storageOptions).option("compression", "snappy")
       .partitionBy("partition").parquet(stage.toString)
     finally spark.conf.set(tsKey, prevTs)
+    // per-file bloom build BEFORE the renames (one Spark job over the
+    // staged tree, page-cached bytes): rewrites (DELETE/UPDATE/merge/
+    // optimize) route through here too, so blooms survive them the
+    // same way the footer stats do. A build failure degrades to
+    // never-skipped files, never to a failed install.
+    val bloomCfg: Option[(String, Int, Int)] =
+      if (logBacked) try txLog(name).bloomConfig() catch { case _: Throwable => None }
+      else None
+    val blooms: Map[String, String] = bloomCfg match {
+      case Some((bcol, bits, k)) if laid.columns.contains(bcol) =>
+        try FileBloom.buildForStage(spark, stage.toString, bcol, bits, k)
+        catch { case _: Throwable => Map.empty }
+      case _ => Map.empty
+    }
     val f = fs(url)
     val featureRoot = new Path(featurePath(name))
     val adds = Seq.newBuilder[TxAdd]
@@ -431,9 +445,12 @@ class TimeseriesStore(
           val dest = new Path(destDir, st.getPath.getName)
           if (!f.rename(st.getPath, dest))
             throw new java.io.IOException(s"stage install failed: ${st.getPath} -> $dest")
-          adds += TxAdd(s"$pname/${st.getPath.getName}", pname.stripPrefix("partition="),
+          val rel = s"$pname/${st.getPath.getName}"
+          adds += TxAdd(rel, pname.stripPrefix("partition="),
             tmin = fst.tmin, tmax = fst.tmax, vmin = fst.vmin, vmax = fst.vmax,
-            nrec = fst.nrec)
+            nrec = fst.nrec,
+            blc = blooms.get(rel).flatMap(_ => bloomCfg.map(_._1)),
+            bl = blooms.get(rel))
         }
     }
     f.delete(stage, true)
@@ -992,6 +1009,82 @@ class TimeseriesStore(
         .getOrElse(emptyFrame(org.apache.spark.sql.types.DoubleType))
     val df = openAdds(name, pruned, schemas, partitionStyle = "date")
     val preds = Seq(col(ValueCol) >= lit(vlo), col(ValueCol) <= lit(vhi)) ++
+      from.map(t => col(TimeCol) >= lit(t)) ++ to.map(t => col(TimeCol) <= lit(t))
+    df.filter(preds.reduce(_ && _))
+      .select(dataCols(schemas).map(col).toIndexedSeq: _*)
+  }
+
+  /** Declare a Bloom-filter index over `column` (txlog backend; the
+    * Delta bloom-filter-index table property): every subsequent write
+    * — appends AND rewrite ops, since both route through the staged
+    * install — attaches a `bits`-bit / `k`-hash [[FileBloom]] over the
+    * column to each added file. Existing files keep no bloom and are
+    * simply never skipped; `optimizeCompact`/`optimizeZorder` rewrite
+    * them through the install path and pick blooms up. Declaring
+    * `bits = 0` drops the index. Returns the committed log version.
+    */
+  def declareBloomIndex(name: String, column: String, bits: Int = 8192, k: Int = 6): Long = {
+    require(logBacked, "bloom indexes require the txlog backend")
+    require(bits == 0 || (bits % 64 == 0 && bits > 0),
+      s"bloom bits must be 0 (drop) or a positive multiple of 64: $bits")
+    txLog(name).commit(Nil, bloom = Some((column, bits, k)))
+  }
+
+  /** Live files whose bloom (over `column`) admits `value`, intersected
+    * with the time-bounds skip — the decision [[readKeyEquals]]
+    * applies, exposed for tests/diagnostics. Files without a bloom on
+    * this column always qualify (pre-declaration epochs, null-only
+    * files, foreign-column blooms).
+    */
+  private[graft] def candidateFilesForKey(
+      name: String,
+      column: String,
+      value: String,
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None): Seq[TxAdd] = {
+    require(logBacked, "bloom skipping requires the txlog backend")
+    txLog(name).snapshot()
+      .filter(fileStatsOverlap(_, from, to))
+      .filter(FileBloom.addMightContain(_, column, value))
+  }
+
+  /** Point-lookup scan with BLOOM file skipping (txlog backend): prune
+    * files by partition values + time bounds + per-file blooms from the
+    * log alone, then apply the exact equality predicate. The shape
+    * min/max stats cannot give: on an append-ordered table every file's
+    * value range straddles every probe, but a key's bloom bits identify
+    * the handful of files that can contain it — "all history for entity
+    * X" without a full scan, the GDPR-subject-access / entity-audit
+    * query. `value` must be a non-null String/Long/Int/Boolean — types
+    * whose Spark string cast equals their JVM rendering, the contract
+    * the build side hashed under (fractional types round-trip
+    * ambiguously; range-probe those via [[readValueRange]]).
+    */
+  def readKeyEquals(
+      name: String,
+      column: String,
+      value: Any,
+      from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None): DataFrame = {
+    require(value != null, "bloom point lookup requires a non-null probe value")
+    require(
+      value.isInstanceOf[String] || value.isInstanceOf[Long] || value.isInstanceOf[Int] ||
+        value.isInstanceOf[Boolean],
+      s"unsupported probe type ${value.getClass.getName}: the bloom hashed the column's " +
+        "STRING rendering, which only integral/string/boolean types reproduce exactly")
+    require(logBacked, "readKeyEquals requires the txlog backend")
+    if (!exists(name)) return emptyFrame(org.apache.spark.sql.types.DoubleType)
+    val log = txLog(name)
+    val schemas = log.schemaHistory()
+    val pruned = prunePartitionValues(
+      candidateFilesForKey(name, column, value.toString, from, to), from, to, "date")
+    if (pruned.isEmpty)
+      return schemas.lastOption.map(sj =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(sj)))
+        .getOrElse(emptyFrame(org.apache.spark.sql.types.DoubleType))
+    val df = openAdds(name, pruned, schemas, partitionStyle = "date")
+    val preds = Seq(col(column) === lit(value)) ++
       from.map(t => col(TimeCol) >= lit(t)) ++ to.map(t => col(TimeCol) <= lit(t))
     df.filter(preds.reduce(_ && _))
       .select(dataCols(schemas).map(col).toIndexedSeq: _*)

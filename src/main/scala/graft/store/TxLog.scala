@@ -40,7 +40,15 @@ final case class TxAdd(
     // exact row count from the footer (Delta's numRecords): lets
     // COUNT/bounds queries answer from log metadata with NO scan;
     // absent on pre-upgrade adds, which disables the fast path only
-    nrec: Option[Long] = None)
+    nrec: Option[Long] = None,
+    // per-file Bloom filter over column `blc` (Delta's bloom index):
+    // exact-match probes skip files whose bloom excludes the key —
+    // the dimension min/max stats can't prune when values interleave
+    // across files. `bl` is the self-describing FileBloom payload;
+    // absent (pre-declaration files, undecodable payloads, probes on
+    // a different column) degrades to never-skip
+    blc: Option[String] = None,
+    bl: Option[String] = None)
 
 /** One file logically deleted from the table (bytes stay on disk until
   * `vacuum`, so readers holding an older snapshot keep working).
@@ -81,6 +89,13 @@ final case class TxAction(
     // replay just carries the contract.
     checkName: Option[String] = None,
     checkExpr: Option[String] = None,
+    // bloom-index declaration (Delta's bloom filter index as a table
+    // property): from this commit on, writers attach a `bloomBits`-bit
+    // `bloomK`-hash FileBloom over column `bloomCol` to every add.
+    // Latest declaration wins; declaring bits = 0 drops the index.
+    bloomCol: Option[String] = None,
+    bloomBits: Option[Int] = None,
+    bloomK: Option[Int] = None,
     // commit-info wall-clock (FIRST line of a commit/checkpoint file):
     // AS OF TIMESTAMP resolves from this, not file mtime — mtimes don't
     // survive a byte-copy of the log dir, and the hard-link install
@@ -232,6 +247,12 @@ class TxLog(
     * enforce on every incoming batch. */
   def checks(asOf: Option[Long] = None): Seq[(String, String)] = replay(asOf)._5
 
+  /** Active bloom-index declaration at `asOf` (default: latest), if
+    * any: (column, bits, hashes). Latest declaration wins; a bits = 0
+    * declaration reads back as None (index dropped). */
+  def bloomConfig(asOf: Option[Long] = None): Option[(String, Int, Int)] =
+    replay(asOf)._6.lastOption.filter(_._2 > 0)
+
   /** Has a commit carrying this application transaction id ever landed?
     * The restart-idempotence primitive for streaming writers.
     */
@@ -260,6 +281,7 @@ class TxLog(
   private val cacheApps = scala.collection.mutable.Map[String, Long]()
   private val cacheSchemas = scala.collection.mutable.ArrayBuffer[String]()
   private val cacheChecks = scala.collection.mutable.LinkedHashMap[String, String]()
+  private val cacheBlooms = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
   // newest version this instance has OBSERVED (committed, listed, or
   // replayed) — the commit loop's version guess, so a single committer
   // never pays a per-commit directory listing
@@ -270,7 +292,8 @@ class TxLog(
       txns: scala.collection.mutable.Set[String],
       apps: scala.collection.mutable.Map[String, Long],
       schemas: scala.collection.mutable.ArrayBuffer[String],
-      checks: scala.collection.mutable.LinkedHashMap[String, String])(a: TxAction): Unit = {
+      checks: scala.collection.mutable.LinkedHashMap[String, String],
+      blooms: scala.collection.mutable.ArrayBuffer[(String, Int, Int)])(a: TxAction): Unit = {
     a.add.foreach(ad => live(ad.path) = ad)
     a.remove.foreach(rm => live.remove(rm.path))
     a.txn.foreach(txns += _)
@@ -283,10 +306,13 @@ class TxLog(
     a.schemaJson.foreach(schemas += _)
     // named constraints: re-declaring a name replaces its expression
     for (cn <- a.checkName; ce <- a.checkExpr) checks(cn) = ce
+    // bloom declarations append; the LAST one is in effect
+    for (bc <- a.bloomCol; bb <- a.bloomBits; bk <- a.bloomK) blooms += ((bc, bb, bk))
   }
 
   private def replay(asOf: Option[Long])
-      : (Seq[TxAdd], Set[String], Map[String, Long], Seq[String], Seq[(String, String)]) = synchronized {
+      : (Seq[TxAdd], Set[String], Map[String, Long], Seq[String], Seq[(String, String)],
+         Seq[(String, Int, Int)]) = synchronized {
     // listing-free shortcut: the cache IS the exact state at
     // cacheVersion, and committed versions are immutable — a request
     // for precisely that version (the commit loop's validation replay)
@@ -294,7 +320,7 @@ class TxLog(
     asOf match {
       case Some(u) if u == cacheVersion =>
         return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap,
-          cacheSchemas.toList, cacheChecks.toList)
+          cacheSchemas.toList, cacheChecks.toList, cacheBlooms.toList)
       case _ =>
     }
     val vs = versions()
@@ -314,7 +340,7 @@ class TxLog(
         throw new IllegalStateException(
           s"version $upTo has been vacuumed from $logDir: " +
             s"oldest surviving version is ${vs.head._1}")
-      return (Seq.empty, Set.empty, Map.empty, Seq.empty, Seq.empty)
+      return (Seq.empty, Set.empty, Map.empty, Seq.empty, Seq.empty, Seq.empty)
     }
     val target = eligible.last._1
     val commitSet = eligible.collect { case (v, false) => v }.toSet
@@ -327,11 +353,11 @@ class TxLog(
       ((cacheVersion + 1) to target).forall(commitSet.contains)) {
       ((cacheVersion + 1) to target).foreach { v =>
         readActions(new Path(logDir, f"$v%020d.json"))
-          .foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas, cacheChecks))
+          .foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas, cacheChecks, cacheBlooms))
       }
       cacheVersion = target
       return (cacheLive.values.toList, cacheTxns.toSet, cacheApps.toMap,
-        cacheSchemas.toList, cacheChecks.toList)
+        cacheSchemas.toList, cacheChecks.toList, cacheBlooms.toList)
     }
     val ckpt = eligible.filter(_._2).map(_._1).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, TxAdd]()
@@ -339,12 +365,14 @@ class TxLog(
     val apps = scala.collection.mutable.Map[String, Long]()
     val schemas = scala.collection.mutable.ArrayBuffer[String]()
     val checks = scala.collection.mutable.LinkedHashMap[String, String]()
+    val blooms = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     ckpt.foreach { cv =>
       readActions(new Path(logDir, f"$cv%020d.checkpoint.json"))
-        .foreach(applyTo(live, txns, apps, schemas, checks))
+        .foreach(applyTo(live, txns, apps, schemas, checks, blooms))
     }
     eligible.filterNot(_._2).map(_._1).filter(c => ckpt.forall(_ < c)).foreach { v =>
-      readActions(new Path(logDir, f"$v%020d.json")).foreach(applyTo(live, txns, apps, schemas, checks))
+      readActions(new Path(logDir, f"$v%020d.json"))
+        .foreach(applyTo(live, txns, apps, schemas, checks, blooms))
     }
     // adopt this state as the cache unless it is a time-travel read
     // BELOW the version the cache already holds (never regress)
@@ -355,8 +383,9 @@ class TxLog(
       cacheApps.clear(); cacheApps ++= apps
       cacheSchemas.clear(); cacheSchemas ++= schemas
       cacheChecks.clear(); cacheChecks ++= checks
+      cacheBlooms.clear(); cacheBlooms ++= blooms
     }
-    (live.values.toList, txns.toSet, apps.toMap, schemas.toList, checks.toList)
+    (live.values.toList, txns.toSet, apps.toMap, schemas.toList, checks.toList, blooms.toList)
   }
 
   private def readActions(p: Path): Seq[TxAction] = {
@@ -398,9 +427,10 @@ class TxLog(
       maxAttempts: Int = 20,
       txnAppVer: Option[(String, Long)] = None,
       schema: Option[String] = None,
-      check: Option[(String, String)] = None): Long = {
-    require(adds.nonEmpty || removes.nonEmpty || schema.isDefined || check.isDefined,
-      "empty commit")
+      check: Option[(String, String)] = None,
+      bloom: Option[(String, Int, Int)] = None): Long = {
+    require(adds.nonEmpty || removes.nonEmpty || schema.isDefined || check.isDefined ||
+      bloom.isDefined, "empty commit")
     // commit-info instant FIRST so versionAt reads one line per file;
     // a schema declaration precedes the adds written under it
     val commitTs = System.currentTimeMillis()
@@ -408,6 +438,8 @@ class TxLog(
       (schema.map(sj => TxAction(schemaJson = Some(sj))).toSeq ++
         check.map { case (cn, ce) =>
           TxAction(checkName = Some(cn), checkExpr = Some(ce)) }.toSeq ++
+        bloom.map { case (bc, bb, bk) =>
+          TxAction(bloomCol = Some(bc), bloomBits = Some(bb), bloomK = Some(bk)) }.toSeq ++
         adds.map(a => TxAction(add = Some(a))) ++
         removes.map(r => TxAction(remove = Some(r))) ++
         txnId.map(t => TxAction(txn = Some(t))) ++
@@ -433,7 +465,7 @@ class TxLog(
       if (txnId.isDefined || txnAppVer.isDefined || removes.nonEmpty) {
         // replay capped at v-1: exactly the commits this attempt builds
         // on; anything landing after is serialized by the rename below
-        val (liveAdds, txns, apps, _, _) = replay(Some(v - 1))
+        val (liveAdds, txns, apps, _, _, _) = replay(Some(v - 1))
         if (txnId.exists(txns.contains)) return -1L
         // structured form: duplicate iff this app already landed this
         // version OR NEWER (a zombie replaying an old batch no-ops)
@@ -457,7 +489,8 @@ class TxLog(
           // so a cache sitting at v-1 advances to v with no file read —
           // the checkpoint's replay then needs no listing either
           if (cacheVersion == v - 1) {
-            actions.foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas, cacheChecks))
+            actions.foreach(applyTo(cacheLive, cacheTxns, cacheApps, cacheSchemas,
+              cacheChecks, cacheBlooms))
             cacheVersion = v
           }
         }
@@ -520,11 +553,15 @@ class TxLog(
       // versionAt keeps resolving v after vacuum prunes the commit.
       // Schema declarations replay IN ORDER ahead of the adds — their
       // indices (the adds' `sv` epochs) must survive the checkpoint.
-      val (adds, txns, apps, schemas, checks) = replay(Some(v))
+      val (adds, txns, apps, schemas, checks, blooms) = replay(Some(v))
       val lines = (TxAction(commitTs = Some(commitTs)) +:
         (schemas.map(sj => TxAction(schemaJson = Some(sj))) ++
           checks.map { case (cn, ce) =>
             TxAction(checkName = Some(cn), checkExpr = Some(ce)) } ++
+          // only the LATEST bloom declaration is in effect, but replay
+          // semantics are last-wins, so one line preserves them
+          blooms.lastOption.toSeq.map { case (bc, bb, bk) =>
+            TxAction(bloomCol = Some(bc), bloomBits = Some(bb), bloomK = Some(bk)) } ++
           adds.map(a => TxAction(add = Some(a))) ++
           txns.toSeq.sorted.map(t => TxAction(txn = Some(t))) ++
           apps.toSeq.sortBy(_._1).map { case (app, ver) =>
