@@ -73,7 +73,13 @@ object Dsir {
     * @return (idCol, n_feats, weight) — weight rounded to 6 decimals
     */
   def weights(docs: DataFrame, idCol: String, toks: Column, isTarget: Column): DataFrame = {
-    val perDoc = docBucketCounts(docs.withColumn("_tgt", isTarget), idCol, toks)
+    // pin the (doc, bucket) counts: they feed BOTH the bucket-total
+    // aggregation and the final weight join, and without the pin
+    // Catalyst replans — and re-executes — the explode+md5 stage (the
+    // expensive part, one hash per n-gram) once per consumer. The
+    // pinned frame is (id, int, count) rows — tiny relative to text.
+    val perDoc = docBucketCounts(docs, idCol, toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bucket totals for BOTH models in one pass over the (doc,bucket)
     // counts: raw = everyone, target = the flagged slice. The result is

@@ -1147,6 +1147,62 @@ object ScaleProbe {
         "sync must be cheaper than re-export at a 1% delta")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+    timed("bloom point-lookup file skipping: 1M rows / 90 daily files") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bloom-probe").toString
+      val st = new graft.store.TimeseriesStore(spark, dir, backend = "txlog")
+      // keys interleave across every file BY CONSTRUCTION (id mod),
+      // so min/max stats can never prune a probe — the bloom's case
+      st.save("t", spark.range(4).select(
+        timestamp_millis(lit(base) + col("id") * 60000L).as("time"),
+        col("id").cast("double").as("value")))
+      st.evolveSchema("t", st.tableSchema("t").get
+        .add("user_id", org.apache.spark.sql.types.LongType))
+      st.declareBloomIndex("t", "user_id")
+      val t0 = System.nanoTime()
+      st.save("t", spark.range(1000000L).select(
+        timestamp_millis(lit(base) + (col("id") % 90L) * 86400000L +
+          (col("id") / 90L).cast("long") * 7000L).as("time"),
+        col("id").cast("double").as("value"),
+        // ~11k distinct keys per file, every key in exactly one file
+        // of the 90 — the needle a full scan would hunt everywhere
+        (col("id") % 90000L).as("user_id")))
+      val writeSecs = (System.nanoTime() - t0) / 1e9
+      val live = new graft.store.TxLog(
+        spark.sessionState.newHadoopConf(), s"$dir/feature/t").snapshot().size
+      val cand = st.candidateFilesForKey("t", "user_id", "12345").size
+      val t1 = System.nanoTime()
+      val hits = st.readKeyEquals("t", "user_id", 12345L).count()
+      val lookupSecs = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val full = st.read("t").filter(col("user_id") === 12345L).count()
+      val scanSecs = (System.nanoTime() - t2) / 1e9
+      println(f"[probe]   write+bloom $writeSecs%.1fs; probe prunes $live files -> $cand " +
+        f"candidates; lookup $lookupSecs%.2fs vs full filter $scanSecs%.2fs, rows $hits/$full")
+      require(hits == full && cand < live / 4,
+        s"bloom probe must prune most of $live files (kept $cand) and stay exact")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+
+    timed("DSIR weights over 1M synthetic docs") {
+      // 20-word docs over a 4k vocabulary; the target slice (10%)
+      // skews to the low half of the vocabulary, so weights separate
+      val vocabSize = 4000
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        (col("id") % 10L === 0L).as("tgt"),
+        concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("w"), when(col("id") % 10L === 0L,
+            pmod(col("id") * (2 * j + 1), lit(vocabSize / 2)))
+            .otherwise(pmod(col("id") * (2 * j + 1), lit(vocabSize))))): _*).as("text"))
+      val w = graft.functions.Dsir.weights(
+        docs, "doc_id", graft.functions.TextOps.tokens(col("text")), col("tgt"))
+      val sep = w.join(docs.select("doc_id", "tgt"), "doc_id")
+        .groupBy("tgt").agg(avg("weight").as("mw")).collect()
+        .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      println(f"[probe]   mean weight target=${sep(true)}%.3f vs raw=${sep(false)}%.3f")
+      require(sep(true) > sep(false), "target slice must outscore the raw pool")
+    }
+
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
