@@ -2499,6 +2499,50 @@ object QueryLib {
            |  CAST((row_number() OVER (ORDER BY ord, doc_id) - 1) % 16 AS BIGINT) AS shard
            |FROM k""".stripMargin))
 
+  private val qInterleaveSources = Q(
+    "q_interleave_sources",
+    // Deterministic round-robin SOURCE INTERLEAVING — the curriculum
+    // layout between q_shuffle_seeded (one global stream) and
+    // doc_mixture_sample (rate rebalancing): adjacent training
+    // positions cycle through the sources (pos ≡ source_index mod
+    // n_sources), so no batch is ever a single-domain run, without
+    // changing what's in the corpus. Per-source positions come from
+    // Pack's two-phase distributed prefix sum GROUPED by source — no
+    // per-source single-task window anywhere; the only driver-side
+    // object is the source-index table (distinct sources — metadata-
+    // sized by definition of "domain"). Positions are strictly
+    // increasing and unique; where sources have unequal sizes the
+    // exhausted residues simply stop appearing (the tail is the
+    // leftover of the biggest sources), which is the standard
+    // round-robin-until-exhausted semantics.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        md5(concat(lit("il:"), col("doc_id").cast("string"))).as("ord"),
+        lit(1L).as("__one"))
+      val ranked = graft.ops.Pack.packByBudget(
+        d, tokenCol = "__one", budget = 1L,
+        groupCols = Seq("source"), orderCols = Seq("ord", "doc_id"), shardCol = "__p")
+      // distinct sources: driver/metadata-sized; the ordered window
+      // here runs over that tiny frame, not the corpus
+      val idx = d.select("source").distinct()
+        .withColumn("__si", row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      val n = idx.agg(count(lit(1)).as("__ns"))
+      ranked.join(broadcast(idx), "source").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("source"),
+          (col("__p") * col("__ns") + col("__si")).cast("long").as("pos"))
+    },
+    Some("""WITH k AS (SELECT doc_id, source,
+           |    md5(concat('il:', CAST(doc_id AS VARCHAR))) AS ord FROM documents),
+           |r AS (SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY ord, doc_id) - 1 AS p
+           |  FROM k),
+           |s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS si
+           |  FROM (SELECT DISTINCT source FROM documents)),
+           |n AS (SELECT count(*) AS ns FROM s)
+           |SELECT r.doc_id, r.source, CAST(r.p * n.ns + s.si AS BIGINT) AS pos
+           |FROM r JOIN s USING (source) CROSS JOIN n""".stripMargin))
+
   private val docMixtureSample = Q(
     "doc_mixture_sample",
     // Domain-mixture rebalancing — downsample every over-represented
@@ -7460,6 +7504,74 @@ object QueryLib {
            |  round(CAST(s2 - np*(np+1) AS DOUBLE) / CAST(2*np*nn AS DOUBLE), 6) AS auc
            |FROM s WHERE np > 0 AND nn > 0""".stripMargin))
 
+  /** DuckDB recomputation of [[graft.functions.LogReg.train]]: the K
+    * GD epochs unrolled as CTE stages, mirroring the kernel term by
+    * term (same hash seed, intercept bucket, Laplace-free full-batch
+    * update). `w0` seeds zero weights for exactly the buckets present
+    * in the corpus — absent buckets stay 0 in both engines and never
+    * influence a score.
+    */
+  private def logregOracleCtes(epochs: Int, lrate: Double): String = {
+    val steps = (1 to epochs).map { e =>
+      s"""z$e AS (SELECT f.doc_id, sum(f.c * w${e - 1}.w) AS z
+         |  FROM f JOIN w${e - 1} USING (b) GROUP BY 1),
+         |r$e AS (SELECT y.doc_id, y.y - 1.0/(1.0 + exp(-z$e.z)) AS r
+         |  FROM y JOIN z$e USING (doc_id)),
+         |g$e AS (SELECT f.b, sum(f.c * r$e.r) AS g
+         |  FROM f JOIN r$e USING (doc_id) GROUP BY 1),
+         |w$e AS (SELECT w${e - 1}.b, w${e - 1}.w + $lrate * g$e.g / (SELECT n FROM nn) AS w
+         |  FROM w${e - 1} JOIN g$e USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |f0 AS (SELECT doc_id,
+       |    ('0x' || substr(md5(concat('lr:', t)), 1, 8))::BIGINT % 256 AS b,
+       |    CAST(count(*) AS DOUBLE) AS c
+       |  FROM tk GROUP BY 1, 2),
+       |f AS (SELECT * FROM f0
+       |      UNION ALL SELECT doc_id, 256, 1.0 FROM documents),
+       |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |      FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |w0 AS (SELECT DISTINCT b, 0.0 AS w FROM f),
+       |$steps""".stripMargin
+  }
+
+  private val mlLogregHash = Q(
+    "ml_logreg_hash",
+    // In-engine quality-classifier TRAINING (the GPT-3/CCNet-style
+    // linear filter): logistic regression over hashed bag-of-words
+    // features, 3 full-batch GD epochs, label = "is the curated
+    // slice" (lang='en' stands in). See [[graft.functions.LogReg]]
+    // for the 100 TB shape: the corpus-sized work is one persisted
+    // explode+hash pass; each epoch is one agg (weights ride the plan
+    // as a 257-double array literal — no weight-table join) + one
+    // gradient agg collapsing to <=257 driver rows. The gate hashes
+    // every trained weight against DuckDB's unrolled recomputation of
+    // the full training run — optimizer trajectory as a correctness
+    // surface, not just the final fit quality.
+    (s, dir) => {
+      val m = graft.functions.LogReg.train(
+        T(s, dir, "documents"), "doc_id", toks, col("lang") === "en")
+      m.weightsDF.select(col("b"), round(col("w"), 6).as("w"))
+    },
+    Some(s"""WITH ${logregOracleCtes(3, 0.5)}
+           |SELECT b, round(w, 6) AS w FROM w3""".stripMargin))
+
+  private val mlLogregScore = Q(
+    "ml_logreg_score",
+    // The trained classifier's SCORING pass — per-document
+    // P(curated), the number a curation pipeline thresholds. Same
+    // trained weights as ml_logreg_hash (shared kernel), certified
+    // end-to-end: hash -> counts -> margin -> sigmoid per doc.
+    (s, dir) => {
+      val m = graft.functions.LogReg.train(
+        T(s, dir, "documents"), "doc_id", toks, col("lang") === "en")
+      m.scores.select(col("doc_id"), round(col("score"), 6).as("score"))
+    },
+    Some(s"""WITH ${logregOracleCtes(3, 0.5)}
+           |SELECT f.doc_id, round(1.0/(1.0 + exp(-sum(f.c * w3.w))), 6) AS score
+           |FROM f JOIN w3 USING (b) GROUP BY 1""".stripMargin))
+
   private val mlNaiveBayes = Q(
     "ml_naive_bayes",
     // Multinomial Naive Bayes language classifier in WHOLE BITS
@@ -8247,7 +8359,8 @@ object QueryLib {
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
-    txtContamination, txtDecontamBloom, qShuffleSeeded, docMixtureSample, txtPiiRedact,
+    txtContamination, txtDecontamBloom, qShuffleSeeded, qInterleaveSources,
+    docMixtureSample, txtPiiRedact,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
@@ -8279,7 +8392,8 @@ object QueryLib {
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
-    fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve, mlBootstrapCi)
+    fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve, mlBootstrapCi,
+    mlLogregHash, mlLogregScore)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
