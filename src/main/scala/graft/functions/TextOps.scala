@@ -115,6 +115,43 @@ object TextOps {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
+  /** Tracking query parameters a URL canonicalizer strips (with the
+    * parameter's trailing '&' so the remaining query stays well-formed).
+    * Java∩RE2 subset, like the PII patterns — the corpus must
+    * canonicalize identically wherever it is audited.
+    */
+  val TrackingParamPattern: String = "(utm_[a-z]+|fbclid)=[^&#]*&?"
+
+  /** URL canonicalization — the normalization pass before exact URL
+    * dedup of a web corpus (the same page arrives as `HTTPS://Site.COM
+    * :443/p/?utm_source=feed#top` and `https://site.com/p`): lowercase
+    * scheme+host (NOT the path — paths are case-sensitive), strip
+    * scheme-default ports, drop the fragment, strip tracking params,
+    * clean the emptied query, collapse the path's trailing slash.
+    * A pure narrow regexp chain — map tasks only at any scale; rule
+    * ORDER is part of the contract (fragment before params before
+    * query cleanup before slash), mirrored step-for-step by the
+    * oracle.
+    */
+  def normalizeUrl(u: Column): Column = {
+    val prefix = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0))
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(https://[^/?#:]*):443$", "$1"),
+      "^(http://[^/?#:]*):80$", "$1")
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val cleaned =
+      regexp_replace(                              // 5. trailing path slash
+        regexp_replace(                            // 4. slash(es) before query
+          regexp_replace(                          // 3. emptied/trailing query junk
+            regexp_replace(                        // 2. tracking params
+              regexp_replace(rest, "#.*$", ""),    // 1. fragment
+              TrackingParamPattern, ""),
+            "[?&]+$", ""),
+          "/+\\?", "?"),
+        "/$", "")
+    concat(noPort, cleaned)
+  }
+
   // =====================================================================
   // PII scrubbing — the pre-training redaction pass
   // =====================================================================

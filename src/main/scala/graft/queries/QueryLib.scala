@@ -2637,6 +2637,70 @@ object QueryLib {
            |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
            |FROM aug""".stripMargin))
 
+  private val txtUrlNormalize = Q(
+    "txt_url_normalize",
+    // URL canonicalization before exact URL dedup — the txt_pii_redact
+    // doctrine applied to provenance: the corpus has no URL column, so
+    // the gate PLANTS deterministic doc_id-derived URLs covering the
+    // normalizer's cases (uppercase scheme+host, default :443 port,
+    // tracking params around a real one, fragments, trailing slashes,
+    // case-sensitive paths that must NOT fold) identically in both
+    // engines, and hash-certifies the full canonical string. The chain
+    // is pure narrow regexps (TextOps.normalizeUrl) — nothing but map
+    // tasks at 100 TB; rule ORDER is the contract and the oracle
+    // mirrors it step for step.
+    (s, dir) => {
+      val planted = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".COM:443/Path/"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit("/?utm_source=feed&id="), pmod(col("doc_id"), lit(11)).cast("string"),
+          lit("&utm_campaign=x#sec"), pmod(col("doc_id"), lit(2)).cast("string")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("http://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".com:80/Path"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("?id="), pmod(col("doc_id"), lit(11)).cast("string")))
+        .otherwise(
+          concat(lit("https://www.site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".com/path/"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("/?fbclid=c"), col("doc_id").cast("string")))
+      T(s, dir, "documents").select(
+        col("doc_id"), planted.as("url"),
+        TextOps.normalizeUrl(planted).as("canon"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+           |    CASE doc_id % 3
+           |      WHEN 0 THEN concat('HTTPS://WWW.Site', CAST(doc_id % 7 AS VARCHAR),
+           |        '.COM:443/Path/', CAST(doc_id % 5 AS VARCHAR),
+           |        '/?utm_source=feed&id=', CAST(doc_id % 11 AS VARCHAR),
+           |        '&utm_campaign=x#sec', CAST(doc_id % 2 AS VARCHAR))
+           |      WHEN 1 THEN concat('http://site', CAST(doc_id % 7 AS VARCHAR),
+           |        '.com:80/Path', CAST(doc_id % 5 AS VARCHAR),
+           |        '?id=', CAST(doc_id % 11 AS VARCHAR))
+           |      ELSE concat('https://www.site', CAST(doc_id % 7 AS VARCHAR),
+           |        '.com/path/', CAST(doc_id % 5 AS VARCHAR),
+           |        '/?fbclid=c', CAST(doc_id AS VARCHAR))
+           |    END AS url FROM documents),
+           |parts AS (SELECT doc_id, url,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
+           |        '^(https://[^/?#:]*):443$', '\1'),
+           |      '^(http://[^/?#:]*):80$', '\1') AS pre,
+           |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+           |  FROM u)
+           |SELECT doc_id, url,
+           |  concat(pre,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(rest, '#.*$', ''),
+           |            '(utm_[a-z]+|fbclid)=[^&#]*&?', '', 'g'),
+           |          '[?&]+$', ''),
+           |        '/+\?', '?'),
+           |      '/$', '')) AS canon
+           |FROM parts""".stripMargin))
+
   // =====================================================================
   // Deduplication & similarity (training-data extensions)
   // =====================================================================
@@ -6891,6 +6955,46 @@ object QueryLib {
            |FROM events WHERE value IS NOT NULL
            |GROUP BY user_id""".stripMargin))
 
+  private val fsStreamQuota = Q(
+    "fs_stream_quota",
+    // §2.10, 23rd streaming certification: per-key QUOTA enforcement —
+    // flatMapGroupsWithState carrying ONE counter per user across four
+    // real time-ordered micro-batches, each purchase emitted once with
+    // its arrival index and admitted verdict (the streaming rate-cap in
+    // front of a hot source). The oracle is the batch row_number
+    // formulation over (ts, event_id) — stream/batch parity for the
+    // cheapest custom state shape: a doubled replay, torn batch or
+    // unsorted in-batch fold shifts every later index and hashes red.
+    (s, dir) => {
+      val tmp = scratchDir("squota")
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts"), col("user_id"), col("event_id"))
+      val srcDir = stageTimeOrderedReplay("squota", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"),
+        sentinel = src.limit(0))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"squota_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.quotaStream(stream,
+            keyCol = "user_id", timeCol = "ts", idCol = "event_id", cap = 3L)
+          .toDF("user_id", "event_id", "seq", "admitted")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      s.table(view).select("user_id", "event_id", "seq", "admitted")
+    },
+    Some("""SELECT user_id, event_id,
+           |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |       AS BIGINT) AS seq,
+           |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 3
+           |    AS admitted
+           |FROM events WHERE event_type = 'purchase'""".stripMargin))
+
   private val mlAuc = Q(
     "ml_auc",
     // Exact ROC-AUC (Eval.aucExact) of "value predicts purchase" — the
@@ -8360,7 +8464,7 @@ object QueryLib {
     txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination, txtDecontamBloom, qShuffleSeeded, qInterleaveSources,
-    docMixtureSample, txtPiiRedact,
+    docMixtureSample, txtPiiRedact, txtUrlNormalize,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
@@ -8393,7 +8497,7 @@ object QueryLib {
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
     fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve, mlBootstrapCi,
-    mlLogregHash, mlLogregScore)
+    mlLogregHash, mlLogregScore, fsStreamQuota)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -332,6 +332,46 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming per-key QUOTA enforcement — the rate-cap a continuous
+    * ingestion pipeline puts in front of a hot key (the streaming
+    * analogue of the batch per-source frequency cap): every event is
+    * emitted with its 1-based per-key arrival index and an `admitted`
+    * verdict (index <= cap). State per key is ONE counter — O(#keys)
+    * forever, the cheapest custom state in the suite, and the verdict
+    * for an admitted event never changes later (Append-mode-safe by
+    * construction). Within a micro-batch rows fold in (event time, id)
+    * order on top of the carried count, so under time-ordered replay
+    * the admitted set equals the batch row_number formulation EXACTLY
+    * — a doubled replay or unsorted in-batch fold shifts indexes and
+    * hashes red at the gate.
+    */
+  def quotaStream(
+      events: DataFrame, // keyCol long, timeCol timestamp, idCol long
+      keyCol: String,
+      timeCol: String,
+      idCol: String,
+      cap: Long): Dataset[(Long, Long, Long, Boolean)] = {
+    require(cap >= 1, s"quota cap must be >= 1, got $cap")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long"), unix_micros(col(timeCol)), col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long,
+         rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).map { case (_, _, id) =>
+            n += 1
+            (key, id, n, n <= cap)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the continuous analogue of `dedup_exact`
     * for at-least-once sources (Kafka redeliveries, retried producers):
     * drop repeats of the same key seen within the watermark horizon.

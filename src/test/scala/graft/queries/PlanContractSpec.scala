@@ -94,7 +94,14 @@ class PlanContractSpec extends SparkSpec {
       // ml_bootstrap_ci explodes the purchase stream by the broadcast
       // 100-row replicate spine (the Poisson bootstrap's one-pass
       // shape) and folds the two 1-row CI order-stat frames
-      "ml_bootstrap_ci")
+      "ml_bootstrap_ci",
+      // doc_dsir_* fold the 1-row (R, T) model-normalizer scalar into
+      // the <=1024-row bucket log-ratio table — both metadata-sized by
+      // construction (dq_events' 1-row-scalar shape)
+      "doc_dsir_weights", "doc_dsir_sample",
+      // q_interleave_sources cross-joins the 1-row source-count scalar
+      // into the positioned corpus — txt_keywords' corpus-size shape
+      "q_interleave_sources")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
