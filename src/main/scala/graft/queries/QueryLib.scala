@@ -3321,6 +3321,65 @@ object QueryLib {
            |          JOIN sk y ON y.doc_id = cand.doc_b
            |WHERE ${lshVerifySql("sketch")} >= 0.5""".stripMargin))
 
+  private val simAnnIvfStored = Q(
+    "sim_ann_ivf_stored",
+    // The IVF index AS A TABLE ON DISK — the leg sim_ann_ivf leaves
+    // hypothetical: assignments are materialized hive-partitioned BY
+    // CELL, and the probe filters the read to the probed cells before
+    // any join, so the scan's PartitionFilters prune the unprobed
+    // directories — at 100 TB the query opens nProbe/k of the index
+    // FILES, not just nProbe/k of the rows. The probed-cell set is
+    // collected from the query frame (nProbe x |queries| ids —
+    // metadata-sized; a streaming deployment would let dynamic
+    // partition pruning derive the same filter from the broadcast
+    // join). Results must hash-equal sim_ann_ivf's oracle exactly:
+    // storage layout is an IO decision and may never change a result.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val index = graft.functions.AnnIvf.buildFixed(
+        e.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "c_id"),
+        "embedding", idCol = "c_id", k = 16)
+      val stored = scratchDir("ivfstore")
+      index.assigned.write.mode("overwrite").partitionBy("cell").parquet(stored)
+      val queries = e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id")
+      val probed = queries.select(explode(graft.functions.AnnIvf.probeCells(
+          index, col("embedding").cast("array<double>"), nProbe = 4)).as("cell"))
+        .distinct().collect().map(_.getInt(0)) // <= nProbe x |queries| ids
+      val prunedIndex = index.copy(assigned =
+        s.read.parquet(stored).filter(col("cell").isin(probed.toIndexedSeq: _*)))
+      graft.functions.AnnIvf.query(
+        prunedIndex, queries, qIdCol = "q_id", topK = 5, nProbe = 4, cIdCol = "c_id")
+        .select("q_id", "c_id", "cosine", "rank")
+    },
+    // byte-identical semantics to sim_ann_ivf: same oracle
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv,
+           |         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) / 2 AS half
+           |  FROM e WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+           |assign AS (SELECT vec_id AS c_id, v AS cv, j AS cell FROM (
+           |    SELECT e.vec_id, e.v, cent.j,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id >= 10)
+           |  WHERE rr = 1),
+           |probe AS (SELECT q_id, qv, cell FROM (
+           |    SELECT e.vec_id AS q_id, e.v AS qv, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS pr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id < 10)
+           |  WHERE pr <= 4),
+           |s AS (SELECT q_id, c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cosine
+           |  FROM assign JOIN probe USING (cell))
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT q_id, c_id, cosine,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin))
+
   /** DuckDB recomputation of the 60-bit SimHash pipeline, generated
     * bit-for-bit against `SimilarityOps.simhashAgg60`: bit j of the
     * fingerprint reads hex nibble 8 - j/4 (j < 32) or 15 - (j-32)/4 of
@@ -8468,7 +8527,8 @@ object QueryLib {
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
-    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq,
+    simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnIvfStored,
+    simAnnPq, simAnnIvfPq,
     simAnnRecall, simLabelCentroid,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
