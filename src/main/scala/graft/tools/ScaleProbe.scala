@@ -1183,6 +1183,30 @@ object ScaleProbe {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
 
+    timed("LogReg classifier: 3 epochs over 1M synthetic docs") {
+      // disjoint vocabularies -> separable; the probe certifies the
+      // epoch-cost shape (one persisted feature pass + K agg rounds)
+      // and that the fit separates at scale, not just at spec size
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        (col("id") % 2L === 0L).as("good"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(when(col("id") % 2L === 0L, lit("g")).otherwise(lit("j")),
+            pmod(col("id") * (j + 1), lit(500)))): _*).as("text"))
+      val t0 = System.nanoTime()
+      val m = graft.functions.LogReg.train(
+        docs, "doc_id", graft.functions.TextOps.tokens(col("text")),
+        col("good"), epochs = 3, lrate = 1.0)
+      val trainSecs = (System.nanoTime() - t0) / 1e9
+      val acc = m.scores
+        .join(docs.select(col("doc_id"), col("good")), "doc_id")
+        .select(avg(when((col("score") >= 0.5) === col("good"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      m.unpersist()
+      println(f"[probe]   3 epochs $trainSecs%.1fs, in-sample accuracy $acc%.3f")
+      require(acc > 0.9, s"1M-doc separable fit must separate: acc=$acc")
+    }
+
     timed("DSIR weights over 1M synthetic docs") {
       // 20-word docs over a 4k vocabulary; the target slice (10%)
       // skews to the low half of the vocabulary, so weights separate
