@@ -8038,6 +8038,102 @@ object QueryLib {
            |WHERE ('0x' || substr(md5(concat('mixt:', CAST(d.doc_id AS VARCHAR))), 1, 8))::BIGINT
            |      < r.thr""".stripMargin))
 
+  private val docMixtureTokens = Q(
+    "doc_mixture_tokens",
+    // TOKEN-weighted mixture rebalancing — the form production
+    // pretraining mixtures actually use (Pile/LLaMA weights are token
+    // shares, not document counts): each source's keep-rate targets
+    // the smallest source's TOKEN mass, so a source of few huge docs
+    // and a source of many small docs equalize on what the training
+    // run consumes. Rates = exact integer token sums (whitespace
+    // tokens, matching txt_stats) through the same DECIMAL/HUGEINT
+    // 2^32 threshold arithmetic as doc_mixture_sample; the plan is
+    // identical — one token-count agg (the only corpus-sized work),
+    // broadcast rate table, narrow hash-threshold filter. Selection
+    // stays per-doc Bernoulli: kept TOKEN mass is binomial around the
+    // target, the stable-under-growth trade every mixture gate makes.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"), col("source"), size(toks).cast("long").as("tok"))
+      val rates = d.groupBy("source").agg(sum("tok").as("t"))
+        .crossJoin(d.groupBy("source").agg(sum("tok").as("t"))
+          .agg(min("t").as("t_min")))
+        .withColumn("thr",
+          expr("CAST((CAST(t_min AS DECIMAL(38,0)) * 4294967296) DIV t AS BIGINT)"))
+        .select("source", "thr")
+      d.join(broadcast(rates), "source")
+        .filter(conv(substring(md5(concat(lit("mixtok:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") < col("thr"))
+        .select("doc_id", "source", "tok")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+           |c AS (SELECT source, sum(tok) AS t FROM d GROUP BY 1),
+           |m AS (SELECT min(t) AS t_min FROM c),
+           |r AS (SELECT c.source,
+           |    CAST((CAST(m.t_min AS HUGEINT) * 4294967296) // c.t AS BIGINT) AS thr
+           |  FROM c, m)
+           |SELECT d.doc_id, d.source, d.tok
+           |FROM d JOIN r ON d.source = r.source
+           |WHERE ('0x' || substr(md5(concat('mixtok:', CAST(d.doc_id AS VARCHAR))), 1, 8))::BIGINT
+           |      < r.thr""".stripMargin))
+
+  private val simPrefixRerank = Q(
+    "sim_prefix_rerank",
+    // Two-stage prefix retrieval — the Matryoshka-embedding pattern
+    // (Kusupati et al. 2022): stage 1 ranks the corpus by cosine over
+    // the FIRST 16 of 64 dimensions (4x less arithmetic and, with
+    // prefix-truncated storage, 4x less scan IO) and keeps top-20 per
+    // query; stage 2 re-ranks only those 20 by full-width cosine and
+    // emits top-5. At scale stage 1 is the ANN-index sweep and stage 2
+    // touches a constant candidate set per query — the gate certifies
+    // the STAGING contract: cut by rounded prefix score with id
+    // tiebreaks (deterministic cross-engine), re-rank exact. Both
+    // stages are broadcast-query scoring joins + windowed top-k; no
+    // corpus-sized shuffle anywhere.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val c = e.filter(col("vec_id") >= 10).select(
+        col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val q = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val stage1 = c.crossJoin(broadcast(q)) // 10 broadcast queries: the sim_cosine_topk shape
+        .select(col("q_id"), col("c_id"), col("qv"), col("cv"),
+          round(CosineSimilarity.cosineSim(slice(col("qv"), 1, 16), slice(col("cv"), 1, 16)), 6)
+            .as("pcos"))
+      val w1 = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("c_id"))
+      val shortlist = stage1.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 20)
+      val w2 = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      shortlist
+        .select(col("q_id"), col("c_id"),
+          round(CosineSimilarity.cosineSim(col("qv"), col("cv")), 6).as("cosine"))
+        .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 5)
+        .select("q_id", "c_id", "cosine", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |s1 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.v AS qv, c.v AS cv,
+           |    round(
+           |      list_sum(list_transform(range(1, 17), i -> q.v[i] * c.v[i])) /
+           |      (sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i]))) *
+           |       sqrt(list_sum(list_transform(range(1, 17), i -> c.v[i] * c.v[i])))), 6)
+           |      AS pcos
+           |  FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+           |short AS (SELECT q_id, c_id, qv, cv FROM (
+           |    SELECT q_id, c_id, qv, cv,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, c_id) AS r1
+           |    FROM s1) WHERE r1 <= 20),
+           |s2 AS (SELECT q_id, c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cosine
+           |  FROM short)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT q_id, c_id, cosine,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s2) WHERE rank <= 5""".stripMargin))
+
   private val curateSurvivors = Q(
     "curate_survivors",
     // Quality-aware survivor selection — the step AFTER dedup_components'
@@ -8555,6 +8651,7 @@ object QueryLib {
     mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau,
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
+    docMixtureTokens, simPrefixRerank,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
     fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve, mlBootstrapCi,
     mlLogregHash, mlLogregScore, fsStreamQuota)

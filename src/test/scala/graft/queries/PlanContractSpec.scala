@@ -101,7 +101,13 @@ class PlanContractSpec extends SparkSpec {
       "doc_dsir_weights", "doc_dsir_sample",
       // q_interleave_sources cross-joins the 1-row source-count scalar
       // into the positioned corpus — txt_keywords' corpus-size shape
-      "q_interleave_sources")
+      "q_interleave_sources",
+      // sim_prefix_rerank broadcasts the 10 query vectors into the
+      // stage-1 prefix scoring join — sim_cosine_topk's shape
+      "sim_prefix_rerank",
+      // doc_mixture_tokens cross-joins the 1-row min-token-mass scalar
+      // into the per-source rate table — doc_mixture_sample's shape
+      "doc_mixture_tokens")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
