@@ -2701,6 +2701,60 @@ object QueryLib {
            |      '/$', '')) AS canon
            |FROM parts""".stripMargin))
 
+  private val dedupUrl = Q(
+    "dedup_url",
+    // Exact dedup BY CANONICAL URL — what txt_url_normalize exists
+    // for: the same page fetched under cosmetic variants (authority
+    // case, default port, tracking params, fragments, trailing slash)
+    // collapses to one keeper (min doc_id) with its duplicate count.
+    // Both planted branches canonicalize to https://www.siteK.com/p/X
+    // for equal (doc_id%7, doc_id%5), so the gate proves REAL
+    // collisions across variant spellings, not just string cleanup.
+    // One hash-agg on the canonical string — dedup_exact's shape with
+    // the normalizer fused into the scan projection.
+    (s, dir) => {
+      val planted = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".COM:443/p/"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit("/?utm_source=feed#sec")))
+        .otherwise(
+          concat(lit("https://www.site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".com/p/"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("/?fbclid=c"), col("doc_id").cast("string")))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.normalizeUrl(planted).as("canon"))
+        .groupBy("canon")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN concat('HTTPS://WWW.Site',
+           |      CAST(doc_id % 7 AS VARCHAR), '.COM:443/p/',
+           |      CAST(doc_id % 5 AS VARCHAR), '/?utm_source=feed#sec')
+           |    ELSE concat('https://www.site', CAST(doc_id % 7 AS VARCHAR),
+           |      '.com/p/', CAST(doc_id % 5 AS VARCHAR),
+           |      '/?fbclid=c', CAST(doc_id AS VARCHAR)) END AS url
+           |  FROM documents),
+           |c AS (SELECT doc_id, concat(
+           |    regexp_replace(
+           |      regexp_replace(
+           |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
+           |        '^(https://[^/?#:]*):443$', '\1'),
+           |      '^(http://[^/?#:]*):80$', '\1'),
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(
+           |              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+           |              '#.*$', ''),
+           |            '(utm_[a-z]+|fbclid)=[^&#]*&?', '', 'g'),
+           |          '[?&]+$', ''),
+           |        '/+\?', '?'),
+           |      '/$', '')) AS canon
+           |  FROM u)
+           |SELECT canon, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dups
+           |FROM c GROUP BY 1""".stripMargin))
+
   // =====================================================================
   // Deduplication & similarity (training-data extensions)
   // =====================================================================
@@ -8619,7 +8673,7 @@ object QueryLib {
     txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination, txtDecontamBloom, qShuffleSeeded, qInterleaveSources,
-    docMixtureSample, txtPiiRedact, txtUrlNormalize,
+    docMixtureSample, txtPiiRedact, txtUrlNormalize, dedupUrl,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
