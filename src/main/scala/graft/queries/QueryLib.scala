@@ -7941,6 +7941,92 @@ object QueryLib {
            |  round(CAST(sum(cents) AS DOUBLE) / CAST(100*count(*) AS DOUBLE), 6) AS mean_value
            |FROM e GROUP BY 1""".stripMargin))
 
+  private val mlEce = Q(
+    "ml_ece",
+    // Expected calibration error — the one-number summary of the
+    // reliability diagram (ml_calibration's bins reduced to the metric
+    // model cards report): ECE = Σ_b (n_b/N)·|acc_b − conf_b|, plus
+    // the max per-bin gap. Confidence is the deterministic [0,1)
+    // sub-unit of the cent score (pmod 100 — corpus-independent bin
+    // identity like the 2500-cent buckets). Exact integer/decimal
+    // sums, rational closing arithmetic, round(6) — one hash-agg, one
+    // 1-row fold; nothing at scale but map-side partials.
+    (s, dir) => {
+      val e = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .select(expr("cents div 2500").as("bucket"),
+          pmod(col("cents"), lit(100L)).as("ic"), // conf·100, exact int
+          col("pos"))
+      val bins = e.groupBy("bucket").agg(
+        count(lit(1)).as("n"), sum("pos").as("n_pos"), sum("ic").as("__ic"))
+      bins.agg(
+        sum("n").cast("long").as("n"),
+        round(
+          sum(abs(col("n_pos") * lit(100L) - col("__ic")).cast("double")) /
+            (lit(100.0) * sum("n").cast("double")), 6).as("ece"),
+        round(max(abs(col("n_pos") * lit(100L) - col("__ic")).cast("double") /
+          (lit(100.0) * col("n").cast("double"))), 6).as("max_ce"))
+    },
+    Some("""WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS cents,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           |  FROM events WHERE value IS NOT NULL),
+           |b AS (SELECT cents // 2500 AS bucket, count(*) AS n, sum(pos) AS n_pos,
+           |    sum(cents % 100) AS ic
+           |  FROM e GROUP BY 1)
+           |SELECT CAST(sum(n) AS BIGINT) AS n,
+           |  round(sum(CAST(abs(n_pos * 100 - ic) AS DOUBLE)) / (100.0 * sum(n)), 6) AS ece,
+           |  round(max(CAST(abs(n_pos * 100 - ic) AS DOUBLE) / (100.0 * n)), 6) AS max_ce
+           |FROM b""".stripMargin))
+
+  private val mlPsi = Q(
+    "ml_psi",
+    // Population stability index — the industry drift number next to
+    // ml_ks_drift (exact ranks) and q_drift_hist (per-bin counts):
+    // PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) between the pre- and
+    // post-2024-01-15 value distributions, per event_type, over the
+    // fixed 2500-cent bins (corpus-independent identity, mergeable
+    // partials). Laplace-0.5 smoothing keeps absent bins finite and is
+    // applied over the bin set each TYPE observed — both engines
+    // derive it from the same counts. ln under the round(6) doctrine.
+    // Shape: one (type, bucket) hash-agg with conditional count
+    // partials, a per-type totals fold, one narrow term projection —
+    // the whole metric is metadata-sized after the first agg.
+    (s, dir) => {
+      val d15 = ts("2024-01-15")
+      val e = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT) div 2500").as("bucket"),
+          (col("ts") < d15).as("pre"))
+      val counts = e.groupBy("event_type", "bucket").agg(
+        sum(when(col("pre"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("pre"), 1L).otherwise(0L)).as("b"))
+      val tot = counts.groupBy("event_type").agg(
+        sum("a").as("na"), sum("b").as("nb"), count(lit(1)).as("nbins"))
+      counts.join(tot, "event_type")
+        .select(col("event_type"),
+          ((col("a") + lit(0.5)) / (col("na") + lit(0.5) * col("nbins"))).as("p"),
+          ((col("b") + lit(0.5)) / (col("nb") + lit(0.5) * col("nbins"))).as("q"))
+        .groupBy("event_type")
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |    CAST(round(value*100) AS BIGINT) // 2500 AS bucket,
+           |    (ts < TIMESTAMP '2024-01-15') AS pre
+           |  FROM events WHERE value IS NOT NULL),
+           |c AS (SELECT event_type, bucket,
+           |    count(*) FILTER (WHERE pre) AS a,
+           |    count(*) FILTER (WHERE NOT pre) AS b
+           |  FROM e GROUP BY 1, 2),
+           |t AS (SELECT event_type, sum(a) AS na, sum(b) AS nb, count(*) AS nbins
+           |  FROM c GROUP BY 1),
+           |terms AS (SELECT c.event_type,
+           |    (c.a + 0.5) / (t.na + 0.5 * t.nbins) AS p,
+           |    (c.b + 0.5) / (t.nb + 0.5 * t.nbins) AS q
+           |  FROM c JOIN t USING (event_type))
+           |SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+           |FROM terms GROUP BY 1""".stripMargin))
+
   private val qDauWau = Q(
     "q_dau_wau",
     // DAU/WAU stickiness — the engagement ratio every product pipeline
@@ -8702,7 +8788,7 @@ object QueryLib {
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
     qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc,
-    mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, qDauWau,
+    mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, mlEce, mlPsi, qDauWau,
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     docMixtureTokens, simPrefixRerank,
