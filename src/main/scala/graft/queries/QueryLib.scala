@@ -7979,6 +7979,39 @@ object QueryLib {
            |  round(max(CAST(abs(n_pos * 100 - ic) AS DOUBLE) / (100.0 * n)), 6) AS max_ce
            |FROM b""".stripMargin))
 
+  private val mlBrier = Q(
+    "ml_brier",
+    // Brier score — the proper scoring rule closing the eval set
+    // (AUC ranks, ECE calibrates, Brier does both at once):
+    // mean (conf − y)². With conf = ic/100 on exact integer cents,
+    // the sum expands to (Σic² − 200·Σ ic·y + 10000·Σy) / (10000·N) —
+    // three EXACT integer sums (ic² ≤ 9801, no overflow at any corpus
+    // size under decimal(38)) and ONE closing division rounded at 6.
+    // The refinement/uncertainty decomposition's base rate rides
+    // along for free. Pure map-side partials; a 2-row driver answer.
+    (s, dir) => {
+      val e = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(
+          pmod(round(col("value") * 100).cast("long"), lit(100L)).as("ic"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      e.agg(
+        count(lit(1)).as("n"),
+        round(
+          (sum((col("ic") * col("ic")).cast("decimal(38,0)")).cast("double")
+            - lit(200.0) * sum((col("ic") * col("y")).cast("decimal(38,0)")).cast("double")
+            + lit(10000.0) * sum(col("y").cast("decimal(38,0)")).cast("double"))
+            / (lit(10000.0) * count(lit(1)).cast("double")), 6).as("brier"),
+        round(sum("y").cast("double") / count(lit(1)).cast("double"), 6).as("base_rate"))
+    },
+    Some("""WITH e AS (SELECT CAST(round(value*100) AS BIGINT) % 100 AS ic,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           |  FROM events WHERE value IS NOT NULL)
+           |SELECT CAST(count(*) AS BIGINT) AS n,
+           |  round((CAST(sum(ic*ic) AS DOUBLE) - 200.0 * CAST(sum(ic*y) AS DOUBLE)
+           |         + 10000.0 * CAST(sum(y) AS DOUBLE)) / (10000.0 * count(*)), 6) AS brier,
+           |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS base_rate
+           |FROM e""".stripMargin))
+
   private val mlPsi = Q(
     "ml_psi",
     // Population stability index — the industry drift number next to
@@ -8788,7 +8821,8 @@ object QueryLib {
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,
     qAbAssign, qCuped, mlLiftTable, qAbTtest, fsStreamAuc,
-    mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, mlEce, mlPsi, qDauWau,
+    mlNaiveBayes, dedupSemantic, fsStreamDrift, mlCalibration, mlEce, mlPsi, mlBrier,
+    qDauWau,
     mlConfusion, mlCohenKappa, dqKAnonymity, docMixtureTemperature, curateSurvivors,
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     docMixtureTokens, simPrefixRerank,
