@@ -235,4 +235,41 @@ object Eval {
         round((col("__nd") * col("__dd") - col("__ee")).cast("double") /
           (col("__nd") * col("__nd") - col("__ee")).cast("double"), 6).as("kappa"))
   }
+
+  /** Kaplan-Meier product-limit survival estimator over
+    * (duration, observed) rows — the time-to-event readout behind every
+    * retention / churn / time-to-failure analysis. Input: one row per
+    * subject with an exact-INTEGER `durationCol` (the repo convention:
+    * pre-bucketed hours/days, never raw floats) and a boolean
+    * `observedCol` (false = right-censored at that duration). Output:
+    * one row per distinct duration with ≥1 observed event —
+    * (t, n_risk, n_event, survival) where survival = Π_{u≤t}
+    * (1 − d_u/n_u).
+    *
+    * Shape: one hash-agg collapses N subjects to the duration
+    * dictionary (metadata-sized — the object's contract), then the
+    * risk-set walk and the product run as windows over that dictionary,
+    * never the corpus. Determinism: n/d are exact integers (the
+    * cumulative risk set is total − running-sum, all integer); each
+    * step factor (n−d)/n is ONE IEEE division; the running product is
+    * exp∘Σ∘ln in ascending-t order — the same transcendental doctrine
+    * as PSI/surprisal — closed by one round(6).
+    */
+  def kaplanMeier(
+      df: DataFrame, durationCol: Column, observedCol: Column): DataFrame = {
+    val steps = df.select(durationCol.cast("long").as("t"),
+        observedCol.cast("boolean").as("obs"))
+      .groupBy(col("t")).agg(
+        count(lit(1)).as("c"),
+        sum(when(col("obs"), 1L).otherwise(0L)).as("d"))
+    val wt = Window.orderBy(col("t"))
+    steps
+      .withColumn("n_risk",
+        sum(col("c")).over(wt.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("d") > 0)
+      .withColumn("survival", round(exp(sum(
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+        .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 6))
+      .select(col("t"), col("n_risk"), col("d").as("n_event"), col("survival"))
+  }
 }

@@ -896,6 +896,47 @@ object TimeseriesOps {
         col("y").as(valueCol))
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014): per time bucket keep
+    * the ≤4 rows a pixel-perfect line rendering needs — first, last,
+    * min-value, max-value — and nothing else. The companion to
+    * [[lttbDownsample]]: LTTB picks ONE perceptually-best point per
+    * bucket, M4 guarantees EXACT min/max envelopes (a monitoring
+    * dashboard wants M4; a smooth trend line wants LTTB). Shape: one
+    * hash-agg per bucket folding four struct-extremes (map-side
+    * partial, mergeable — the agg state is 4 fixed-width structs per
+    * bucket regardless of bucket population), one explode of ≤4, one
+    * distinct. No window, no sort, no sequential pass — at 100 TB this
+    * is a single shuffle whose key space is the bucket grid, and the
+    * shuffle carries 4 structs per bucket, never the raw series.
+    * Determinism: extremes are struct-lexicographic min/max, so value
+    * ties resolve by the (exact-integer) micro timestamp and row
+    * duplicates collapse in the closing distinct.
+    */
+  def m4Downsample(
+      df: DataFrame,
+      timeCol: String = TimeCol,
+      valueCol: String = "value",
+      bucketSecs: Long = 86400L): DataFrame = {
+    val ev = df.select(
+      (unix_micros(col(timeCol)) / (bucketSecs * 1000000L)).cast("long").as("b"),
+      unix_micros(col(timeCol)).as("tu"),
+      col(valueCol).cast("double").as("v"))
+    ev.groupBy(col("b")).agg(
+        min(struct(col("tu"), col("v"))).as("first"),
+        max(struct(col("tu"), col("v"))).as("last"),
+        min(struct(col("v"), col("tu"))).as("vmin"),
+        max(struct(col("v"), col("tu"))).as("vmax"))
+      .select(col("b"), explode(array(
+        struct(col("first.tu").as("tu"), col("first.v").as("v")),
+        struct(col("last.tu").as("tu"), col("last.v").as("v")),
+        struct(col("vmin.tu").as("tu"), col("vmin.v").as("v")),
+        struct(col("vmax.tu").as("tu"), col("vmax.v").as("v")))).as("p"))
+      .select(col("b"), col("p.tu").as("tu"), col("p.v").as("v"))
+      .distinct()
+      .select(col("b"), timestamp_micros(col("tu")).as(timeCol),
+        col("v").as(valueCol))
+  }
+
   /** Two-sided CUSUM (Page 1954) level-shift detection, closed per key:
     * S⁺ = max(0, S⁺ + (x − μ − slack)), S⁻ = max(0, S⁻ + (μ − x −
     * slack)) folded over the key's series in `orderCol` order; a large

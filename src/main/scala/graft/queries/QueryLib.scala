@@ -402,6 +402,33 @@ object QueryLib {
            |   OR (pax IS NOT NULL AND nax IS NULL AND rl = 1)
            |   OR (pax IS NOT NULL AND nax IS NOT NULL AND rn = 1)""".stripMargin))
 
+  private val fsDownsampleM4 = Q(
+    "fs_downsample_m4",
+    // M4 downsampling (TimeseriesOps.m4Downsample): the month of
+    // purchase events reduced to the ≤4 rows per day a pixel-exact
+    // envelope rendering needs (first/last/min/max) — the lossless-
+    // extremes companion to fs_downsample_lttb. One hash-agg whose
+    // state is 4 fixed-width structs per bucket, one explode, one
+    // distinct; no window, no sort. The oracle replays the identical
+    // struct-lexicographic tie rule via four rank orders, so a drifted
+    // tie-break or a lost envelope point hashes red. Values pass
+    // through untouched (no arithmetic) — nothing to round.
+    (s, dir) => TimeseriesOps.m4Downsample(
+      T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts"), col("value")),
+      timeCol = "ts", valueCol = "value"),
+    Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS b, epoch_us(ts) AS tu,
+           |                   value AS v
+           |            FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT b, tu, v,
+           |    row_number() OVER (PARTITION BY b ORDER BY tu, v) AS rf,
+           |    row_number() OVER (PARTITION BY b ORDER BY tu DESC, v DESC) AS rl,
+           |    row_number() OVER (PARTITION BY b ORDER BY v, tu) AS rvmin,
+           |    row_number() OVER (PARTITION BY b ORDER BY v DESC, tu DESC) AS rvmax
+           |  FROM ev)
+           |SELECT DISTINCT CAST(b AS BIGINT) AS b, make_timestamp(tu) AS ts, v AS value
+           |FROM r WHERE rf = 1 OR rl = 1 OR rvmin = 1 OR rvmax = 1""".stripMargin))
+
   private val fsAlign2 = Q(
     "fs_align_2",
     (s, dir) => {
@@ -8012,6 +8039,50 @@ object QueryLib {
            |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS base_rate
            |FROM e""".stripMargin))
 
+  private val mlSurvivalKm = Q(
+    "ml_survival_km",
+    // Kaplan-Meier survival (Eval.kaplanMeier) — time from each user's
+    // first event to their first 'error', right-censored at a fixed
+    // 48-hour administrative horizon (the censoring EVERY production
+    // time-to-event readout needs: open-ended subjects must enter the
+    // risk sets without ever counting as failures). Durations are
+    // exact integer hours (epoch-micros div — the calendar-math
+    // doctrine); the subject table collapses to the duration
+    // dictionary in one hash-agg; risk sets are reverse-cumulative
+    // integers; each step factor is one IEEE division and the running
+    // product is exp∘Σ∘ln in ascending-t order under the round(6)
+    // transcendental doctrine. d=0 steps are dropped BEFORE the
+    // product in both engines (their factor is exactly 1 — ln 1 = 0 —
+    // so the estimator is unchanged and the fold orders agree).
+    (s, dir) => {
+      val u = T(s, dir, "events").groupBy(col("user_id")).agg(
+        min(col("ts")).as("f"),
+        min(when(col("event_type") === "error", col("ts"))).as("fe"))
+      val subj = u
+        .select(expr("(unix_micros(fe) - unix_micros(f)) div 3600000000").as("h"))
+        .select(
+          when(col("h").isNotNull && col("h") < 48, col("h")).otherwise(lit(48L)).as("t"),
+          (col("h").isNotNull && col("h") < 48).as("obs"))
+      graft.functions.Eval.kaplanMeier(subj, col("t"), col("obs"))
+    },
+    Some("""WITH u AS (SELECT user_id, min(ts) AS f,
+           |             min(CASE WHEN event_type = 'error' THEN ts END) AS fe
+           |           FROM events GROUP BY 1),
+           |s AS (SELECT h FROM (SELECT (epoch_us(fe) - epoch_us(f)) // 3600000000 AS h FROM u)),
+           |subj AS (SELECT CASE WHEN h IS NOT NULL AND h < 48 THEN h ELSE 48 END AS t,
+           |                (h IS NOT NULL AND h < 48) AS obs FROM s),
+           |st AS (SELECT t, CAST(count(*) AS BIGINT) AS c,
+           |              CAST(count(*) FILTER (WHERE obs) AS BIGINT) AS d
+           |       FROM subj GROUP BY 1),
+           |r AS (SELECT t, c, d, sum(c) OVER
+           |        (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+           |      FROM st),
+           |f AS (SELECT * FROM r WHERE d > 0)
+           |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event,
+           |  round(exp(sum(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+           |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+           |FROM f""".stripMargin))
+
   private val mlPsi = Q(
     "ml_psi",
     // Population stability index — the industry drift number next to
@@ -8780,6 +8851,7 @@ object QueryLib {
     fsScanRange, fsDedupLatest, fsDedupSalted, fsOhlc, fsTimeTravel, fsResample1d,
     fsResampleYears,
     fsResampleMonthly, fsResampleInterp, fsResampleBfill, fsAlign2, fsDownsampleLttb,
+    fsDownsampleM4, mlSurvivalKm,
     fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
     fsStreamSink, fsStreamDelta, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
