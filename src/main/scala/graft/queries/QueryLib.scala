@@ -2989,6 +2989,76 @@ object QueryLib {
            |      FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin))
 
+  private val dedupLshRecall = Q(
+    "dedup_lsh_recall",
+    // The LSH recall AUDIT as a first-class gate: exact trigram-Jaccard
+    // ground truth (shingle-postings co-count — an equi-join on the
+    // shingle key plus a pair-count hash-agg, never an all-pairs join)
+    // against the default 3×2 banded candidates, recall reported per
+    // truth threshold. This pins the production banding's measured
+    // recall curve as a hash gate — the number LshRecallSpec asserts
+    // floors over becomes a driver-verified artifact (and a banding or
+    // signature-layout drift flips it red). The truth side is the
+    // audit path, not the dedup path: postings co-count costs Σ df²
+    // pairs and is the EXACT tool you run on a sample to calibrate
+    // banding; production candidate generation stays banded-LSH
+    // (dedup_minhash_lsh) whose key space shuffle-partitions at any
+    // corpus size. Arithmetic: intersection/sizes are exact integers,
+    // Jaccard is one IEEE division, recall is one division rounded at
+    // 6 — no transcendentals, bit-stable.
+    (s, dir) => {
+      val base = mat(T(s, dir, "documents").select(
+        col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val post = base.select(col("doc_id"), explode(col("sh")).as("t"))
+      val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val truth = post.as("a").join(post.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("j", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("j") >= 0.5)
+      val cand = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
+        aName = "doc_a", bName = "doc_b")
+      truth.join(cand.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .select(col("j"), coalesce(col("hit"), lit(0L)).as("hit"),
+          explode(array(lit(0.5), lit(0.6), lit(0.7), lit(0.8))).as("thr"))
+        .filter(col("j") >= col("thr"))
+        .groupBy(col("thr")).agg(
+          count(lit(1)).as("truth_pairs"),
+          sum(col("hit")).as("caught"))
+        .select(col("thr"), col("truth_pairs"), col("caught"),
+          round(col("caught").cast("double") / col("truth_pairs").cast("double"), 6)
+            .as("recall"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |base0 AS (SELECT doc_id, list_distinct(list_transform(list_transform(range(1, len(tk) - 1), i ->
+           |           concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])), s -> substr(md5(s), 1, 12))) AS sh FROM toks),
+           |base AS (SELECT * FROM base0 WHERE len(sh) > 0),
+           |post AS (SELECT doc_id, unnest(sh) AS t FROM base),
+           |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM base),
+           |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+           |       FROM post a JOIN post b ON a.t = b.t AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |truth0 AS (SELECT doc_a, doc_b,
+           |    CAST(inter AS DOUBLE) / CAST(x0.n + y0.n - inter AS DOUBLE) AS j
+           |  FROM co JOIN sz x0 ON x0.doc_id = doc_a JOIN sz y0 ON y0.doc_id = doc_b),
+           |truth AS (SELECT * FROM truth0 WHERE j >= 0.5),
+           |${lshOracleCtes("base", "sh", Nil)},
+           |m AS (SELECT t.j, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+           |      FROM truth t LEFT JOIN cand c
+           |        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+           |x AS (SELECT thr, j, hit FROM m
+           |      CROSS JOIN (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS thr) th
+           |      WHERE j >= thr)
+           |SELECT thr, CAST(count(*) AS BIGINT) AS truth_pairs,
+           |       CAST(sum(hit) AS BIGINT) AS caught,
+           |       round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+           |FROM x GROUP BY thr""".stripMargin))
+
   private val dedupComponents = Q(
     "dedup_components",
     // duplicate-GROUP assignment — the step between "similar pairs" and
@@ -4756,6 +4826,79 @@ object QueryLib {
            |  CAST((count(DISTINCT bucket) - 1) * (count(DISTINCT label) - 1) AS BIGINT) AS dof,
            |  round(list_reduce(list((x * x) / den ORDER BY bucket, label), (a, t) -> a + t), 6) AS chi2
            |FROM f GROUP BY feature""".stripMargin))
+
+  private val mlMiSelect = Q(
+    "ml_mi_select",
+    // Mutual-information feature selection — chi2's information-
+    // theoretic sibling over the SAME (hour6, dow, val100) × label
+    // cells: I(F;L) = Σ_{b,l} (o/N)·ln(o·N/(rt·ct)), observed cells
+    // only (absent cells contribute exactly 0). MI ranks features for
+    // classification without chi2's large-sample assumptions, and
+    // unlike chi2 it is bounded by min(H(F),H(L)) — comparable across
+    // features with different arities. Determinism: every operand is
+    // an exact integer count cast to double (≤2^53 at any conceivable
+    // corpus), the term is a fixed IEEE sequence (one division, one
+    // ln, one multiply), and the per-feature sum folds cells in fixed
+    // (bucket, label) order — the chi2/fs_ewma_last list-fold rule —
+    // closed by round(6). Shape: identical to chi2 — one explode,
+    // three hash-aggs, metadata-sized joins; shuffles carry counts.
+    (s, dir) => {
+      val secs = unix_timestamp(col("ts"))
+      val cells = T(s, dir, "events").select(
+        col("event_type").as("label"),
+        explode(array(
+          struct(lit("hour6").as("feature"),
+            ((secs % 86400L) / 21600L).cast("long").cast("string").as("bucket")),
+          struct(lit("dow").as("feature"),
+            ((secs / 86400L).cast("long") % 7L).cast("string").as("bucket")),
+          struct(lit("val100").as("feature"),
+            coalesce(least(floor(col("value") / 100), lit(4L)).cast("string"), lit("na"))
+              .as("bucket")))).as("fb"))
+        .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"), col("label"))
+      val obs = cells.groupBy(col("feature"), col("bucket"), col("label"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("feature"), col("bucket")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("feature"), col("label")).agg(sum(col("o")).as("ct"))
+      val nn = obs.groupBy(col("feature")).agg(sum(col("o")).as("nn"))
+      val terms = obs.join(rt, Seq("feature", "bucket"))
+        .join(ct, Seq("feature", "label")).join(nn, Seq("feature"))
+        .withColumn("term",
+          (col("o").cast("double") / col("nn").cast("double")) *
+            log((col("o").cast("double") * col("nn").cast("double")) /
+              (col("rt").cast("double") * col("ct").cast("double"))))
+      terms.groupBy(col("feature")).agg(
+        count(lit(1)).as("n_cells"),
+        round(aggregate(
+          transform(
+            array_sort(collect_list(struct(col("bucket"), col("label"), col("term")))),
+            t => t.getField("term")),
+          lit(0.0), (a, t) => a + t), 6).as("mi"))
+    },
+    Some("""WITH s AS (SELECT epoch_us(ts) // 1000000 AS secs, event_type, value FROM events),
+           |cells AS (
+           |  SELECT 'hour6' AS feature, CAST((secs % 86400) // 21600 AS VARCHAR) AS bucket,
+           |         event_type AS label FROM s
+           |  UNION ALL
+           |  SELECT 'dow', CAST((secs // 86400) % 7 AS VARCHAR), event_type FROM s
+           |  UNION ALL
+           |  SELECT 'val100',
+           |         coalesce(CAST(least(CAST(floor(value / 100) AS BIGINT), 4) AS VARCHAR), 'na'),
+           |         event_type FROM s),
+           |obs AS (SELECT feature, bucket, label, CAST(count(*) AS BIGINT) AS o
+           |        FROM cells GROUP BY 1, 2, 3),
+           |rt AS (SELECT feature, bucket, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1, 2),
+           |ct AS (SELECT feature, label, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1, 2),
+           |nn AS (SELECT feature, CAST(sum(o) AS BIGINT) AS nn FROM obs GROUP BY 1),
+           |t AS (SELECT obs.feature, obs.bucket, obs.label,
+           |        (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE)) *
+           |          ln((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)) /
+           |             (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) AS term
+           |      FROM obs JOIN rt ON rt.feature = obs.feature AND rt.bucket = obs.bucket
+           |               JOIN ct ON ct.feature = obs.feature AND ct.label = obs.label
+           |               JOIN nn ON nn.feature = obs.feature)
+           |SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+           |  round(list_reduce(list(term ORDER BY bucket, label), (a, t) -> a + t), 6) AS mi
+           |FROM t GROUP BY feature""".stripMargin))
 
   private val mlFeatureHash = Q(
     "ml_feature_hash",
@@ -8865,13 +9008,13 @@ object QueryLib {
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination, txtDecontamBloom, qShuffleSeeded, qInterleaveSources,
     docMixtureSample, txtPiiRedact, txtUrlNormalize, dedupUrl,
-    dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash, dedupWinnow,
+    dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupLshRecall, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnIvfStored,
     simAnnPq, simAnnIvfPq,
     simAnnRecall, simLabelCentroid,
-    fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlTargetEncode,
+    fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlMiSelect, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, graphTriangles, graphLabelProp, txtNovelty, txtBm25, txtUnigramSurprisal,
     txtBigramSurprisal, txtReadability,
