@@ -179,4 +179,78 @@ object Scale {
     val cols = df.columns.map(col).toSeq
     fast.select(cols: _*).union(slow.select(cols: _*))
   }
+
+  /** Exact heavy hitters WITHOUT a full key-space shuffle: per-partition
+    * Misra-Gries summaries (capacity counters each) nominate a bounded
+    * candidate set, and only candidates are exactly recounted. The MG
+    * guarantee makes the output EXACT, not approximate: any key with
+    * global count > n/(capacity+1) survives some partition's summary
+    * (pigeonhole over Σ per-partition thresholds), so with
+    * minShare ≥ 1/(capacity+1) the candidate set provably contains
+    * every qualifying key — the recount then restores exact counts and
+    * applies the cut. Output is partitioning-INVARIANT by construction
+    * (ScaleSpec pins it): candidates may differ per layout, qualifiers
+    * never. Shape at 100 TB: scan 1 emits ≤ capacity keys + 1 count
+    * per partition (driver-size metadata); scan 2's agg carries only
+    * candidate-key rows — the shuffle key space is ≤ partitions ×
+    * capacity, never the key dictionary. The naive alternative
+    * (groupBy.count over all keys, then filter) shuffles the full
+    * dictionary — this is the tool when keys are power-law-many
+    * (tokens, URLs, user ids) and only the head matters.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      capacity: Int,
+      minShare: Double): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(minShare * (capacity + 1) >= 1.0,
+      s"minShare $minShare below the MG guarantee 1/(capacity+1) " +
+        s"= ${1.0 / (capacity + 1)} — candidates could miss qualifying keys")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // pass 1: per-partition MG; each partition emits its candidate
+    // keys (null count) plus one (null key, rows-seen) tally row
+    val summaries = df.select(col(keyCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var seen = 0L
+        it.foreach { k =>
+          seen += 1
+          counters.get(k) match {
+            case Some(c) => counters.update(k, c + 1)
+            case None =>
+              if (counters.size < capacity) counters.update(k, 1L)
+              else {
+                // decrement-all eviction: O(capacity) amortized per
+                // non-resident key — the classic MG step
+                val dead = List.newBuilder[String]
+                counters.foreach { case (key, c) =>
+                  if (c == 1L) dead += key else counters.update(key, c - 1)
+                }
+                dead.result().foreach(counters.remove)
+              }
+          }
+        }
+        Iterator.single((Option.empty[String], seen)) ++
+          counters.keysIterator.map(k => (Option(k), 0L))
+      }.toDF("k", "c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = summaries.filter(col("k").isNull)
+      .agg(sum(col("c")).as("n"))
+    val cands = summaries.filter(col("k").isNotNull)
+      .select(col("k").as(keyCol)).distinct()
+    // pass 2: exact recount of candidates only; the broadcast semi-join
+    // prunes map-side so the agg shuffle carries candidate rows alone
+    // the pin stays until the harness cache sweep: total and cands are
+    // both consumed lazily inside `out`, so an eager unpersist here
+    // would force the MG pass to run twice
+    df.select(col(keyCol).cast("string").as(keyCol))
+      .join(broadcast(cands), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt").cast("double") > col("n").cast("double") * lit(minShare))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("n").cast("double"), 6).as("share"))
+  }
 }

@@ -3796,6 +3796,28 @@ object QueryLib {
            |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
            |SELECT doc_id, source FROM r WHERE rk <= 10""".stripMargin))
 
+  private val qApproxTopk = Q(
+    "q_approx_topk",
+    // Heavy hitters WITHOUT the full key-space shuffle
+    // (Scale.heavyHitters): per-partition Misra-Gries summaries
+    // nominate candidates, an exact recount restores true counts, and
+    // the share cut emits only provably-qualifying keys — exact output
+    // (the MG pigeonhole guarantees no qualifying key can be missed
+    // when minShare ≥ 1/(capacity+1)), approximate COST. The oracle is
+    // the naive full groupBy + HAVING — equality IS the guarantee.
+    // capacity 3 < the 5-language dictionary forces real MG evictions
+    // at gate scale; ScaleSpec pins partitioning-invariance and the
+    // guarantee boundary, ScaleProbe times the Zipf case where the
+    // dictionary is millions and the head is three keys.
+    (s, dir) =>
+      graft.ops.Scale.heavyHitters(
+        T(s, dir, "documents").select(col("lang")),
+        keyCol = "lang", capacity = 3, minShare = 0.25),
+    Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+           |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1)
+           |SELECT lang, cnt, round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+           |FROM c, n WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) * 0.25""".stripMargin))
+
   private val mlBootstrapCi = Q(
     "ml_bootstrap_ci",
     // Bootstrap confidence interval for the mean purchase value, in the
@@ -9042,7 +9064,7 @@ object QueryLib {
     fsRollingCorr, qDedupWindow, dqJoinFanout, dedupSemanticIncremental,
     docMixtureTokens, simPrefixRerank,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
-    fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, mlPrCurve, mlBootstrapCi,
+    fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, qApproxTopk, mlPrCurve, mlBootstrapCi,
     mlLogregHash, mlLogregScore, fsStreamQuota)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

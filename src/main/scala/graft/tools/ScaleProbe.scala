@@ -1227,6 +1227,26 @@ object ScaleProbe {
       require(sep(true) > sep(false), "target slice must outscore the raw pool")
     }
 
+    // Misra-Gries heavy hitters vs the naive full groupBy at a 1M-key
+    // dictionary: the head (3 keys ~ 45%) must come back exact while
+    // the candidate shuffle carries ≤ partitions × capacity keys
+    // instead of the million-key dictionary.
+    timed("heavyHitters: 10M rows, 1M-key Zipf-ish dictionary, 3-key head") {
+      val hh = spark.range(10000000L).select(
+        when(col("id") % 5L === 0L, lit("hot0"))
+          .when(col("id") % 5L === 1L, lit("hot1"))
+          .when(col("id") % 10L === 2L, lit("hot2"))
+          .otherwise(concat(lit("t"), pmod(col("id") * 2654435761L, lit(1000000L))))
+          .as("k"))
+      val got = graft.ops.Scale.heavyHitters(hh, "k", capacity = 19, minShare = 0.05)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(got == Map("hot0" -> 2000000L, "hot1" -> 2000000L, "hot2" -> 1000000L),
+        s"heavy-hitter head diverged: $got")
+      val naive = hh.groupBy("k").count()
+        .filter(col("count") > 500000L).count()
+      require(naive == 3L, "naive cross-check diverged")
+    }
+
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

@@ -118,4 +118,33 @@ class ScaleSpec extends SparkSpec {
     assert(counts("2021-01-01") == 1) // compacted day
     assert(counts("2021-01-02") == 2) // untouched day still has 2 generations
   }
+
+  test("heavyHitters is exact and partitioning-invariant (the MG guarantee)") {
+    // Zipf-ish head over a wide dictionary: two qualifying keys, one
+    // key sitting just UNDER the cut, a long uniform tail
+    val rows = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(190)("gamma") ++ (0 until 110).map(i => s"tail$i")
+    val n = rows.size // 1000
+    val naive = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c.toDouble > n * 0.2 }.toMap
+    assert(naive.keySet === Set("alpha", "beta"), "fixture sanity")
+    // capacity 4 ≥ 1/0.2 − 1: the guarantee holds at the boundary;
+    // every physical layout must produce the same exact answer even
+    // though each layout nominates different candidate sets
+    for (parts <- Seq(1, 3, 13, 32)) {
+      val df = rows.toDF("k").repartition(parts)
+      val got = Scale.heavyHitters(df, "k", capacity = 4, minShare = 0.2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === naive, s"parts=$parts diverged")
+    }
+    // gamma at 19% must NEVER appear (it is below the cut even though
+    // MG summaries will often nominate it)
+    val wide = Scale.heavyHitters(rows.toDF("k").repartition(8), "k", 9, 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide === Map("alpha" -> 400L, "beta" -> 300L, "gamma" -> 190L))
+    // below the guarantee line the call must refuse, not silently drop
+    intercept[IllegalArgumentException] {
+      Scale.heavyHitters(rows.toDF("k"), "k", capacity = 3, minShare = 0.2)
+    }
+  }
 }
