@@ -164,4 +164,61 @@ object Lloyd {
     }
     centers
   }
+
+  /** Distributed Lloyd over the FULL frame — the complement of the
+    * bounded-sample [[fit]]: when the OUTPUT is the clustering itself
+    * (segmentation, not a quantizer codebook), every row must be
+    * assigned, so each iteration is one map-side argmin against k
+    * broadcast-literal centroids plus one k-key hash-agg (map-side
+    * partials — the shuffle carries k×(d+1) numbers per task, never
+    * rows). The driver round per iteration collects exactly k rows.
+    * At 100 TB: iters scans, zero row-shuffles, driver state = k
+    * centroids — the textbook scalable Lloyd.
+    *
+    * Fully deterministic, engine-replayable (the ml_kmeans oracle
+    * unrolls it in SQL): init is the k lowest-`idCol` rows' features;
+    * the distance is a fixed IEEE sequence over exact-integer features
+    * and round(6) centroids; ties break to the lowest cluster id; new
+    * centroids are exact integer sums closed by one division and
+    * round(6). A cluster that empties simply disappears from the next
+    * argmin (both engines derive the survivor set from the same
+    * grouped assignment). Returns the final (cluster, n, per-column
+    * means) frame.
+    */
+  def fitDistributed(
+      feats: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      xCols: Seq[String],
+      k: Int,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got $k/$iters")
+    val xd = xCols.map(c => col(c).cast("double"))
+    var centers: Seq[(Int, Seq[Double])] = feats.orderBy(col(idCol)).limit(k)
+      .select(xCols.map(c => col(c).cast("double")): _*)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, j) => (j, xCols.indices.map(r.getDouble)) }
+    def assignExpr: Column = {
+      val scored = centers.map { case (j, cvec) =>
+        val d = xCols.indices
+          .map(i => (xd(i) - lit(cvec(i))) * (xd(i) - lit(cvec(i))))
+          .reduce(_ + _)
+        struct(d.as("d"), lit(j).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }
+    var out: org.apache.spark.sql.DataFrame = null
+    for (_ <- 0 until iters) {
+      val meanCols = xCols.map(c =>
+        round(sum(col(c)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as(s"c_$c"))
+      out = feats.withColumn("__c", assignExpr)
+        .groupBy(col("__c").as("cluster"))
+        .agg(count(lit(1)).as("n"), meanCols: _*)
+      centers = out.collect().toSeq.map(r =>
+        (r.getInt(0), xCols.indices.map(i => r.getDouble(2 + i))))
+    }
+    out
+  }
 }

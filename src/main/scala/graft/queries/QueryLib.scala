@@ -7981,6 +7981,58 @@ object QueryLib {
            |SELECT f.doc_id, round(1.0/(1.0 + exp(-sum(f.c * w3.w))), 6) AS score
            |FROM f JOIN w3 USING (b) GROUP BY 1""".stripMargin))
 
+  /** One ml_kmeans oracle Lloyd round: assign every feature row to its
+    * nearest centroid from `prev` (fixed IEEE distance, ties to the
+    * lowest cluster id), then re-center. Mirrors
+    * [[graft.functions.Lloyd.fitDistributed]] exactly.
+    */
+  private def kmeansRoundCtes(i: Int, prev: String): String =
+    s"""a$i AS (SELECT user_id, x1, x2, c FROM (
+       |    SELECT f.user_id, f.x1, f.x2, i.c,
+       |      row_number() OVER (PARTITION BY f.user_id ORDER BY
+       |        (CAST(f.x1 AS DOUBLE) - i.m1) * (CAST(f.x1 AS DOUBLE) - i.m1) +
+       |        (CAST(f.x2 AS DOUBLE) - i.m2) * (CAST(f.x2 AS DOUBLE) - i.m2), i.c) AS rk
+       |    FROM f CROSS JOIN $prev i) WHERE rk = 1),
+       |k$i AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+       |         round(CAST(sum(x1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS m1,
+       |         round(CAST(sum(x2) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS m2
+       |       FROM a$i GROUP BY 1)""".stripMargin
+
+  private val mlKmeans = Q(
+    "ml_kmeans",
+    // Distributed Lloyd k-means as the USER-FACING clustering operator
+    // (Lloyd.fitDistributed) — distinct from the driver-local
+    // bounded-sample codebook training the ANN indexes use: here the
+    // output IS the clustering (user segmentation on exact-integer
+    // features: events count × total spend cents), so every row gets
+    // assigned each round. Per iteration: map-side argmin against k
+    // broadcast-literal centroids + one k-key hash-agg with map-side
+    // partials — iters full scans, zero row shuffles, k-row driver
+    // rounds. The oracle UNROLLS all three rounds in SQL (the
+    // ml_logreg doctrine: an iterative trainer's only honest oracle is
+    // the trajectory itself): deterministic init (k lowest user_ids),
+    // fixed IEEE distances, ties to the lowest cluster id, exact
+    // integer sums closed by one division and round(6) per centroid.
+    (s, dir) => {
+      val f = T(s, dir, "events").groupBy(col("user_id")).agg(
+        count(lit(1)).as("x1"),
+        coalesce(sum(expr("CAST(round(value*100) AS BIGINT)")), lit(0L)).as("x2"))
+      graft.functions.Lloyd.fitDistributed(f, "user_id", Seq("x1", "x2"), k = 3, iters = 3)
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          col("c_x1"), col("c_x2"))
+    },
+    Some(s"""WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x1,
+           |      CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)), 0) AS BIGINT) AS x2
+           |    FROM events GROUP BY 1),
+           |k0 AS (SELECT CAST(row_number() OVER (ORDER BY user_id) - 1 AS INTEGER) AS c,
+           |         CAST(x1 AS DOUBLE) AS m1, CAST(x2 AS DOUBLE) AS m2
+           |       FROM f ORDER BY user_id LIMIT 3),
+           |${kmeansRoundCtes(1, "k0")},
+           |${kmeansRoundCtes(2, "k1")},
+           |${kmeansRoundCtes(3, "k2")}
+           |SELECT CAST(c AS BIGINT) AS cluster, n, m1 AS c_x1, m2 AS c_x2
+           |FROM k3""".stripMargin))
+
   private val mlNaiveBayes = Q(
     "ml_naive_bayes",
     // Multinomial Naive Bayes language classifier in WHOLE BITS
@@ -9065,7 +9117,7 @@ object QueryLib {
     docMixtureTokens, simPrefixRerank,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
     fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, qApproxTopk, mlPrCurve, mlBootstrapCi,
-    mlLogregHash, mlLogregScore, fsStreamQuota)
+    mlLogregHash, mlLogregScore, fsStreamQuota, mlKmeans)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1247,6 +1247,22 @@ object ScaleProbe {
       require(naive == 3L, "naive cross-check diverged")
     }
 
+    // Distributed Lloyd at 10M rows: 3 rounds of map-side argmin +
+    // k-key hash-agg; the driver holds k centroids, the shuffle holds
+    // k×(d+1) partials per task. Three planted integer bands must come
+    // back as three clusters with exact sizes.
+    timed("kmeans fitDistributed: 10M rows x 2 features, k=3, 3 iters") {
+      val km = spark.range(10000000L).select(
+        col("id").as("rid"),
+        (col("id") % 3L * 1000L + col("id") % 7L).cast("long").as("x1"),
+        (col("id") % 3L * 5000L + col("id") % 11L).cast("long").as("x2"))
+      val res = graft.functions.Lloyd
+        .fitDistributed(km, "rid", Seq("x1", "x2"), k = 3, iters = 3)
+        .collect().map(r => r.getLong(1)).sorted
+      require(res.sameElements(Array(3333333L, 3333333L, 3333334L)),
+        s"planted bands not recovered: ${res.mkString(",")}")
+    }
+
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)
