@@ -7300,6 +7300,65 @@ object QueryLib {
            |    AS admitted
            |FROM events WHERE event_type = 'purchase'""".stripMargin))
 
+  private val fsStreamTopk = Q(
+    "fs_stream_topk",
+    // §2.10, 24th streaming certification: BOUNDED-STATE heavy hitters
+    // on a live stream (EventStreams.mgCandidatesStream) — per-bucket
+    // Misra-Gries summaries folded ACROSS four time-ordered
+    // micro-batches (state ≤ capacity counters per bucket forever),
+    // then the candidates' exact recount with the share cut. The
+    // streaming twin of q_approx_topk: the MG superset guarantee holds
+    // under ANY batching, so the recounted qualifiers must equal the
+    // batch oracle's naive groupBy + HAVING bit-for-bit — a dropped
+    // batch, a state round-trip loss, or a broken cross-batch fold
+    // loses a candidate and hashes red. minShare 0.2 = the guarantee
+    // line for capacity 4 (1/(cap+1)); at sf0.01 three of the five
+    // event types sit just above the cut and two just below — the
+    // boundary does real work.
+    (s, dir) => {
+      val tmp = scratchDir("stopk")
+      val src = T(s, dir, "events").select(col("ts"), col("event_type"))
+      val srcDir = stageTimeOrderedReplay("stopk", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"),
+        sentinel = src.limit(0))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"stopk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.mgCandidatesStream(stream,
+            keyCol = "event_type", buckets = 4, capacity = 4)
+          .toDF("bucket", "epoch", "k")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // each bucket's FINAL summary = its last-epoch emission; the
+      // recount replays the very files that streamed
+      // window-rank, not a self-join: a MemoryPlan joined against an
+      // aggregate of itself trips conflicting-reference resolution
+      val wLast = Window.partitionBy(col("bucket")).orderBy(col("epoch").desc)
+      val cands = s.table(view)
+        .withColumn("__rk", rank().over(wLast)).filter(col("__rk") === 1)
+        .select(col("k").as("event_type")).distinct()
+      val replayed = s.read.parquet(srcDir).select(col("event_type"))
+      val total = replayed.agg(count(lit(1)).as("n"))
+      replayed.join(broadcast(cands), Seq("event_type"), "left_semi")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt").cast("double") > col("n").cast("double") * lit(0.2))
+        .select(col("event_type"), col("cnt"),
+          round(col("cnt").cast("double") / col("n").cast("double"), 6).as("share"))
+    },
+    Some("""WITH n AS (SELECT count(*) AS n FROM events),
+           |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM events GROUP BY 1)
+           |SELECT event_type, cnt,
+           |       round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+           |FROM c, n WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) * 0.2""".stripMargin))
+
   private val mlAuc = Q(
     "ml_auc",
     // Exact ROC-AUC (Eval.aucExact) of "value predicts purchase" — the
@@ -9117,7 +9176,7 @@ object QueryLib {
     docMixtureTokens, simPrefixRerank,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
     fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, qApproxTopk, mlPrCurve, mlBootstrapCi,
-    mlLogregHash, mlLogregScore, fsStreamQuota, mlKmeans)
+    mlLogregHash, mlLogregScore, fsStreamQuota, fsStreamTopk, mlKmeans)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -372,6 +372,61 @@ object EventStreams {
       }
   }
 
+  /** Streaming Misra-Gries heavy-hitter CANDIDATES — the bounded-state
+    * continuous analogue of `Scale.heavyHitters`: keys hash to
+    * `buckets` state groups, each group folds its rows through one
+    * capacity-bounded MG summary that persists across micro-batches
+    * (MG is sequential-foldable, so batch-by-batch folding equals one
+    * pass over the concatenated stream). State per group is ≤ capacity
+    * counters FOREVER — the property that lets a heavy-hitter monitor
+    * run on an unbounded stream. Each invocation emits the group's
+    * refreshed candidate set tagged with a per-group epoch; the caller
+    * keeps each group's LAST epoch and exactly recounts those
+    * candidates (the superset guarantee — any key with global count
+    * > n·minShare, minShare ≥ 1/(capacity+1) — holds for EVERY arrival
+    * order and batching, because a key lives in exactly one group and
+    * the per-group threshold only tightens). The recount, not the
+    * summary, is the output: candidate sets are order-sensitive,
+    * qualified keys never are.
+    */
+  def mgCandidatesStream(
+      events: DataFrame,
+      keyCol: String,
+      buckets: Int,
+      capacity: Int): Dataset[(Int, Long, String)] = {
+    require(buckets >= 1 && capacity >= 1,
+      s"need buckets >= 1 and capacity >= 1, got $buckets/$capacity")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string")).as[String]
+      .groupByKey(k => math.floorMod(k.hashCode, buckets))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (bucket: Int,
+         rows: Iterator[String],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (epoch0, saved) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          counters ++= saved
+          rows.foreach { k =>
+            counters.get(k) match {
+              case Some(c) => counters.update(k, c + 1)
+              case None =>
+                if (counters.size < capacity) counters.update(k, 1L)
+                else {
+                  val dead = List.newBuilder[String]
+                  counters.foreach { case (key, c) =>
+                    if (c == 1L) dead += key else counters.update(key, c - 1)
+                  }
+                  dead.result().foreach(counters.remove)
+                }
+            }
+          }
+          val epoch = epoch0 + 1
+          state.update((epoch, counters.toMap))
+          counters.keysIterator.map(k => (bucket, epoch, k)).toList.iterator
+      }
+  }
+
   /** Streaming exact dedup — the continuous analogue of `dedup_exact`
     * for at-least-once sources (Kafka redeliveries, retried producers):
     * drop repeats of the same key seen within the watermark horizon.

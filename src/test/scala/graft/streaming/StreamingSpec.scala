@@ -140,6 +140,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq((1L, "click"), (2L, "click")))
   }
 
+  test("mgCandidatesStream folds the bounded summary across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.mgCandidatesStream(
+        mem.toDF(), "event_type", buckets = 1, capacity = 2)
+      .toDF("bucket", "epoch", "k")
+      .writeStream.outputMode("append").format("memory").queryName("mgc").start()
+    // batch 1: {a:2, b:1} fills the capacity-2 summary
+    mem.addData(mkEvents(
+      ("2024-01-01T00:00:00", 1, "a", 0.0),
+      ("2024-01-01T00:00:10", 2, "a", 0.0),
+      ("2024-01-01T00:00:20", 3, "b", 0.0)): _*)
+    q.processAllAvailable()
+    // batch 2: first c decrements the SAVED counters (a 2→1, b 1→dead
+    // — only possible if batch-1 state persisted), second c takes the
+    // freed slot
+    mem.addData(mkEvents(
+      ("2024-01-01T00:01:00", 4, "c", 0.0),
+      ("2024-01-01T00:01:10", 5, "c", 0.0)): _*)
+    q.processAllAvailable()
+    val byEpoch = spark.table("mgc").collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    q.stop()
+    assert(byEpoch(1L) == Set("a", "b"), "batch-1 summary")
+    assert(byEpoch(2L) == Set("a", "c"), "cross-batch MG fold")
+  }
+
   test("lshDedupStream flags near-duplicates across micro-batches, not just within") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[String])]
