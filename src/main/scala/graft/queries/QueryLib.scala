@@ -4354,15 +4354,24 @@ object QueryLib {
     // trained PQ: 16 subspaces (64-bit codes), shortlist use
     val pq = graft.functions.AnnPq.buildTrainedFromSample(
       sample, m = 16, k = 16, seed = 42L, maxIter = 20)
+    // ONE shared index + ONE pinned (cell, code, emb) frame: the three
+    // legs previously each re-executed the cell assignment and/or PQ
+    // encode over the corpus (the composed leg paid both); pinning the
+    // encoded assignment makes those a single corpus pass that every
+    // leg reads back
+    val ivfIndex0 = graft.functions.AnnIvf.withCenters(
+      corpus.withColumnRenamed("cv", "emb"), "emb", centers)
+    val encodedAll = mat(ivfIndex0.assigned.select(
+      col("c_id"), col("cell"), col("emb"),
+      graft.functions.AnnPq.encodeExpr(pq, col("emb")).as("code")))
+    val ivfIndex = ivfIndex0.copy(assigned = encodedAll)
     // the evaluation legs are independent driver-coordinated pipelines
-    // (encodes, recall joins); run them as concurrent job groups so
-    // the gate's wall time is one branch, not the sum
+    // (recall joins); run them as concurrent job groups so the gate's
+    // wall time is one branch, not the sum
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val ivfF = Future {
       // trained IVF: k=16 cells, probe half of them, direct top-10
-      val ivfIndex = graft.functions.AnnIvf.withCenters(
-        corpus.withColumnRenamed("cv", "emb"), "emb", centers)
       val ivfGot = graft.functions.AnnIvf.query(ivfIndex,
           queries.withColumnRenamed("qv", "emb"),
           qIdCol = "q_id", topK = 10, nProbe = 8, cIdCol = "c_id")
@@ -4372,9 +4381,8 @@ object QueryLib {
     val pqF = Future {
       // shortlist recall@10-in-50 — the production use (scan codes,
       // exact-rerank the shortlist)
-      val encoded = corpus.select(col("c_id"),
-        graft.functions.AnnPq.encodeExpr(pq, col("cv")).as("code"))
-      val pqGot = graft.functions.AnnPq.query(pq, encoded,
+      val pqGot = graft.functions.AnnPq.query(pq,
+          encodedAll.select(col("c_id"), col("code")),
           queries.withColumnRenamed("qv", "emb"),
           qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code", topK = 50)
         .select(col("q_id"), col("c_id"))
@@ -4385,11 +4393,8 @@ object QueryLib {
       // compound (coarse probe can drop a true neighbor's cell, ADC
       // can mis-rank inside the shortlist), so this is the number a
       // deployed retrieval index actually delivers
-      val ivfIndex = graft.functions.AnnIvf.withCenters(
-        corpus.withColumnRenamed("cv", "emb"), "emb", centers)
-      val encoded = ivfIndex.assigned.select(col("c_id"), col("cell"),
-        graft.functions.AnnPq.encodeExpr(pq, col("emb")).as("code"))
-      val got = graft.functions.AnnIvfPq.query(ivfIndex, pq, encoded,
+      val got = graft.functions.AnnIvfPq.query(ivfIndex, pq,
+          encodedAll.select(col("c_id"), col("cell"), col("code")),
           queries.withColumnRenamed("qv", "emb"),
           qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code",
           topK = 50, nProbe = 8)
@@ -4400,7 +4405,7 @@ object QueryLib {
       Await.result(ivfF, scala.concurrent.duration.Duration.Inf),
       Await.result(pqF, scala.concurrent.duration.Duration.Inf),
       Await.result(ivfpqF, scala.concurrent.duration.Duration.Inf))
-    corpus.unpersist(); truth.unpersist()
+    corpus.unpersist(); truth.unpersist(); encodedAll.unpersist()
     (ivfRecall, pqRecall, ivfpqRecall, total)
   }
 
