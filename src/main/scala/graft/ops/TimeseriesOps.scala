@@ -978,6 +978,56 @@ object TimeseriesOps {
       .toDF(keyCol, "cusum_pos", "cusum_neg", "n_points")
   }
 
+  /** Holt's double exponential smoothing (level + trend), closed per
+    * key — the one-step forecaster a capacity/monitoring pipeline runs
+    * per series: l′ = α·x + (1−α)(l+b), b′ = β(l′−l) + (1−β)b folded
+    * in `orderCol` order, initialized l₀ = x₀, b₀ = 0. Returns the
+    * final (level, trend, forecast = level+trend, n_points) per key.
+    * Like [[ewma]]/[[cusum]] the fold rides `flatMapSortedGroups` —
+    * one exchange on the key, the sorted group streams through without
+    * materializing — and feeds on a bounded pre-aggregated grid, never
+    * raw events. Determinism: the recurrence is a fixed IEEE sequence,
+    * so an engine folding the same sorted list matches bit-for-bit —
+    * PROVIDED α and 1−α (and β, 1−β) are both exactly-parsed literals
+    * on both sides: pick smoothing constants whose complement is
+    * exactly representable (0.5, 0.25, 0.125…), because `1.0 − 0.3` in
+    * IEEE is NOT the double that "0.7" parses to, and that one-ulp
+    * seed difference compounds through every step of the fold.
+    */
+  def holtWinters(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oneMinusAlpha = 1.0 - alpha
+    val oneMinusBeta = 1.0 - beta
+    val ds = df.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapSortedGroups(col(orderCol)) { (key, rows) =>
+        var init = false
+        var l = 0.0
+        var b = 0.0
+        var n = 0L
+        rows.foreach { case (_, _, x) =>
+          if (!init) { l = x; init = true }
+          else {
+            val lp = alpha * x + oneMinusAlpha * (l + b)
+            b = beta * (lp - l) + oneMinusBeta * b
+            l = lp
+          }
+          n += 1
+        }
+        Iterator((key, l, b, l + b, n))
+      }
+      .toDF(keyCol, "level", "trend", "forecast", "n_points")
+  }
+
   /** Seasonal-profile anomaly detection: each key's values are profiled
     * per season bucket (`(epoch / periodSecs) mod (seasonSecs /
     * periodSecs)` — hour-of-day under the defaults), and a row is

@@ -1855,6 +1855,49 @@ object QueryLib {
            |  round(quantile_cont(value, 0.75), 4) AS p75
            |FROM events GROUP BY 1""".stripMargin))
 
+  private val qWeightedMedian = Q(
+    "q_weighted_median",
+    // WEIGHTED quantiles (per-lang token-count percentiles weighted by
+    // character mass) — the corpus-stats primitive behind "median
+    // document length by bytes, not by count": a size-weighted
+    // median answers what a byte-budgeted sampler actually draws.
+    // Exact-integer end-to-end: one hash-agg collapses docs to the
+    // (lang, value) dictionary with summed weights, an integer
+    // cumulative walk over that dictionary, and the lower weighted
+    // quantile rule as pure integer comparisons (4·cum ≥ k·total) —
+    // no division anywhere, nothing to round. Scale shape: the
+    // Quantiles-object doctrine — the corpus collapses first, rank
+    // walks run on the dictionary.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(col("lang"),
+        size(toks).cast("long").as("v"), col("n_chars").as("w"))
+      val g = d.groupBy(col("lang"), col("v")).agg(sum(col("w")).as("wsum"))
+      val wn = Window.partitionBy(col("lang")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("lang"))
+      val c = g.withColumn("cum", sum(col("wsum")).over(wn))
+        .withColumn("tot", sum(col("wsum")).over(tot))
+      c.groupBy(col("lang")).agg(
+        min(when(col("cum") * 4 >= col("tot"), col("v"))).as("w_p25"),
+        min(when(col("cum") * 2 >= col("tot"), col("v"))).as("w_median"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("w_p75"),
+        max(col("tot")).as("total_w"))
+    },
+    Some("""WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+           |                  n_chars AS w FROM documents),
+           |g AS (SELECT lang, v, CAST(sum(w) AS BIGINT) AS wsum FROM d GROUP BY 1, 2),
+           |c AS (SELECT lang, v, wsum,
+           |    sum(wsum) OVER (PARTITION BY lang ORDER BY v
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(wsum) OVER (PARTITION BY lang) AS tot
+           |  FROM g)
+           |SELECT lang,
+           |  CAST(min(CASE WHEN cum * 4 >= tot THEN v END) AS BIGINT) AS w_p25,
+           |  CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS w_median,
+           |  CAST(min(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS BIGINT) AS w_p75,
+           |  CAST(max(tot) AS BIGINT) AS total_w
+           |FROM c GROUP BY 1""".stripMargin))
+
   private val qSessionize = Q(
     "q_sessionize",
     // Gap-based sessionization (30-min inactivity cut), the canonical
@@ -3058,6 +3101,73 @@ object QueryLib {
            |       CAST(sum(hit) AS BIGINT) AS caught,
            |       round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
            |FROM x GROUP BY thr""".stripMargin))
+
+  private val dedupSubstring = Q(
+    "dedup_substring",
+    // EXACT substring dedup across documents (the Lee et al. 2022
+    // "Deduplicating Training Data" granularity, at 8-token windows):
+    // any 8-token span whose digest occurs anywhere else in the corpus
+    // — another doc OR another position of the same doc — is removed
+    // except at its canonical first occurrence (min (doc_id, pos)),
+    // and surviving tokens reassemble into the cleaned text. This is
+    // the step BETWEEN document-level near-dedup (which misses a
+    // boilerplate paragraph pasted into distinct docs) and span
+    // self-repetition (dedup_spans, within-doc only). Shape at 100 TB:
+    // the gram postings shuffle on the digest key (dictionary-sized,
+    // shingles digested before the exchange — the shuffles-never-carry-
+    // corpus-text doctrine); only digests with count > 1 join back (the
+    // duplicated minority); the canonical pick is a min over an
+    // integer-packed (doc, pos) — no second pass, no window; per-doc
+    // span lists are bounded by doc length and the rebuild is one
+    // array expression, never a shuffle of token rows.
+    (s, dir) => {
+      val W = 8
+      val d = mat(T(s, dir, "documents").select(col("doc_id"), toks.as("tk")))
+      val g = d.select(col("doc_id"), explode(when(size(col("tk")) >= W,
+          transform(sequence(lit(0), size(col("tk")) - W),
+            i => struct(i.as("pos"),
+              substring(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(W)))), 1, 16)
+                .as("dg"))))
+          .otherwise(array().cast("array<struct<pos:int,dg:string>>"))).as("gr"))
+        .select(col("doc_id"), col("gr.pos").as("pos"), col("gr.dg").as("dg"))
+      val dup = g.groupBy(col("dg")).agg(count(lit(1)).as("cnt"),
+          min(col("doc_id") * 1000000L + col("pos")).as("canon"))
+        .filter(col("cnt") > 1)
+      val rem = g.join(dup, Seq("dg"))
+        .filter(col("doc_id") * 1000000L + col("pos") =!= col("canon"))
+        .groupBy(col("doc_id")).agg(sort_array(collect_set(col("pos"))).as("starts"))
+      val out = d.join(rem, Seq("doc_id"), "left")
+        .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      val kept = filter(
+        transform(col("tk"), (t, j) => struct(t.as("t"), j.as("j"))),
+        x => !exists(col("starts"),
+          s0 => s0 <= x.getField("j") && x.getField("j") <= s0 + (W - 1)))
+      out.select(col("doc_id"),
+        concat_ws(" ", transform(kept, x => x.getField("t"))).as("clean_text"),
+        (size(col("tk")) - size(kept)).cast("long").as("n_removed"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |g AS (SELECT doc_id, i AS pos,
+           |        substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 16) AS dg
+           |      FROM d, unnest(range(0, greatest(len(tk) - 7, 0))) AS t(i)),
+           |dup AS (SELECT dg, count(*) AS cnt,
+           |          min(doc_id * 1000000 + pos) AS canon
+           |        FROM g GROUP BY 1 HAVING count(*) > 1),
+           |rem AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (dg)
+           |        WHERE g.doc_id * 1000000 + g.pos <> dup.canon),
+           |st AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+           |       FROM rem GROUP BY 1),
+           |o AS (SELECT d.doc_id, d.tk, coalesce(st.starts, []) AS starts
+           |      FROM d LEFT JOIN st USING (doc_id)),
+           |k AS (SELECT doc_id, len(tk) AS n,
+           |        list_filter(list_transform(range(0, len(tk)), j ->
+           |          CASE WHEN len(list_filter(starts,
+           |                 s -> s <= j AND j <= s + 7)) = 0
+           |               THEN tk[j+1] END), x -> x IS NOT NULL) AS kept
+           |      FROM o)
+           |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           |       CAST(n - len(kept) AS BIGINT) AS n_removed
+           |FROM k""".stripMargin))
 
   private val dedupComponents = Q(
     "dedup_components",
@@ -6938,6 +7048,66 @@ object QueryLib {
            |FROM hr h JOIN mu u USING (event_type)
            |GROUP BY 1""".stripMargin))
 
+  private val fsHoltWinters = Q(
+    "fs_holt_winters",
+    // Holt's double exponential smoothing per event_type
+    // (TimeseriesOps.holtWinters) — the level+trend one-step
+    // forecaster next to fs_ewma_last (level only) and q_cusum_shift
+    // (shift detection), folded over the same bounded hourly-mean grid
+    // in fixed hx order. The oracle folds the identical recurrence via
+    // list_reduce over (l, b) structs seeded (x₀, 0). Smoothing
+    // constants are chosen so BOTH α/β and their complements are
+    // exactly-parsed literals in both engines (0.5/0.25 — `1.0 − 0.3`
+    // is not the double "0.7" parses to, and a one-ulp seed difference
+    // compounds through every fold step); one round(6) per output.
+    (s, dir) => {
+      val ev = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts")) / 3600).cast("long").as("hx"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
+      val hr = ev.groupBy(col("event_type"), col("hx"))
+        .agg((sum(col("cents")).cast("double") / (lit(100.0) * count(lit(1)))).as("m"))
+      TimeseriesOps.holtWinters(hr, keyCol = "event_type", orderCol = "hx",
+          valueCol = "m", alpha = 0.5, beta = 0.25)
+        .select(col("event_type"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("forecast"), 6).as("forecast"),
+          col("n_points").as("n_hours"))
+    },
+    // NOT a list_reduce oracle like cusum: DuckDB's list_reduce
+    // evaluates a struct accumulator's fields SEQUENTIALLY, so the b
+    // field's expression sees the ALREADY-UPDATED acc.l (measured:
+    // fold [(1,0),(5,0),(3,0)] gives b=0.40625, not the 0.4375 a
+    // simultaneous update yields) — a two-state recurrence must ride a
+    // recursive CTE, where each step's frame is immutable by
+    // construction and the l/b expressions share one textual (hence
+    // one IEEE) l′.
+    Some("""WITH RECURSIVE ev AS (
+           |  SELECT event_type, (epoch_us(ts)//1000000) // 3600 AS hx,
+           |         CAST(round(value*100) AS HUGEINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |hr AS (
+           |  SELECT event_type, hx, CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS m
+           |  FROM ev GROUP BY 1, 2),
+           |seq AS (SELECT event_type, m,
+           |          row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+           |        FROM hr),
+           |hw AS (
+           |  SELECT event_type, rn, m AS l, CAST(0.0 AS DOUBLE) AS b
+           |  FROM seq WHERE rn = 1
+           |  UNION ALL
+           |  SELECT s.event_type, s.rn,
+           |         0.5*s.m + 0.5*(h.l + h.b) AS l,
+           |         0.25*((0.5*s.m + 0.5*(h.l + h.b)) - h.l) + 0.75*h.b AS b
+           |  FROM hw h JOIN seq s ON s.event_type = h.event_type AND s.rn = h.rn + 1),
+           |f AS (SELECT event_type, l, b, rn,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rk
+           |      FROM hw)
+           |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
+           |       round(l + b, 6) AS forecast, CAST(rn AS BIGINT) AS n_hours
+           |FROM f WHERE rk = 1""".stripMargin))
+
   private val fsSeasonalAnomaly = Q(
     "fs_seasonal_anomaly",
     // Seasonal anomaly detection (TimeseriesOps.seasonalAnomalies):
@@ -9140,13 +9310,13 @@ object QueryLib {
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
-    qStatsVar, qMedian, qSessionize, qFunnel, qRetention,
+    qStatsVar, qMedian, qWeightedMedian, qSessionize, qFunnel, qRetention,
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
     txtContamination, txtDecontamBloom, qShuffleSeeded, qInterleaveSources,
     docMixtureSample, txtPiiRedact, txtUrlNormalize, dedupUrl,
-    dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupLshRecall, dedupSimhash, dedupWinnow,
+    dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupLshRecall, dedupSubstring, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnIvfStored,
@@ -9169,7 +9339,7 @@ object QueryLib {
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmResizePlan,
     mmPixelStats, mmResizeExec, mmAudioEnergy,
-    qCusumShift, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
+    qCusumShift, fsHoltWinters, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
     qTimeToConvert, fsStreamGini, qPaths2Step, qBenford,

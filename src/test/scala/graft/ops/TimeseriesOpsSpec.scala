@@ -373,4 +373,55 @@ class TimeseriesOpsSpec extends SparkSpec {
       flat.toDF("id", "k", "time", "value"),
       keyCol = "k", idCol = "id").count() == 0L)
   }
+
+  test("m4Downsample keeps exactly first/last/min/max per bucket, ties to earliest") {
+    import spark.implicits._
+    // bucket 0 (secs 0-86399): first(1.0)@0, spike max 9@20k, dip
+    // min -3@40k, last 2.0@80k, plus interior rows that must vanish;
+    // bucket 1: a CONSTANT series — first==last==min==max collapse to
+    // the two endpoint rows via the distinct
+    val rows = Seq(
+      (0L, 1.0), (10000L, 5.0), (20000L, 9.0), (40000L, -3.0),
+      (60000L, 5.0), (80000L, 2.0),
+      (86400L, 7.0), (100000L, 7.0), (172700L, 7.0))
+    val df = rows.map { case (s, v) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), v)
+    }.toDF("time", "value")
+    val out = TimeseriesOps.m4Downsample(df, "time", "value")
+      .orderBy("b", "time").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond, r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1.0), (0L, 20000L, 9.0), (0L, 40000L, -3.0), (0L, 80000L, 2.0),
+      (1L, 86400L, 7.0), (1L, 172700L, 7.0)))
+    // duplicate-value ties resolve by the struct order, deterministically:
+    // max(struct(v, tu)) keeps the LATEST of the two tied maxima (@20),
+    // never an arbitrary one
+    val tie = Seq((0L, 1.0), (10L, 9.0), (20L, 9.0), (30L, 1.0)).map { case (s, v) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), v)
+    }.toDF("time", "value")
+    val got = TimeseriesOps.m4Downsample(tie, "time", "value")
+      .collect().map(r => r.getTimestamp(1).toInstant.getEpochSecond).sorted
+    assert(got.toSeq == Seq(0L, 20L, 30L))
+  }
+
+  test("holtWinters: constant series has zero trend, linear series learns the slope") {
+    import spark.implicits._
+    val const = (0 until 50).map(i => ("k", i.toLong, 5.0)).toDF("k", "hx", "m")
+    val c = TimeseriesOps.holtWinters(const, "k", "hx", "m", alpha = 0.5, beta = 0.25)
+      .collect().head
+    assert(c.getDouble(1) == 5.0 && c.getDouble(2) == 0.0 && c.getDouble(3) == 5.0)
+    // linear ramp x_t = 2t: level tracks, trend converges to the slope
+    val lin = (0 until 200).map(i => ("k", i.toLong, 2.0 * i)).toDF("k", "hx", "m")
+    val l = TimeseriesOps.holtWinters(lin, "k", "hx", "m", alpha = 0.5, beta = 0.25)
+      .collect().head
+    assert(math.abs(l.getDouble(2) - 2.0) < 1e-6,
+      s"trend ${l.getDouble(2)} should approach the slope 2.0")
+    assert(math.abs(l.getDouble(3) - (l.getDouble(1) + l.getDouble(2))) < 1e-12)
+    // fold order is by hx, not input order
+    val shuffled = scala.util.Random.shuffle((0 until 200).toList)
+      .map(i => ("k", i.toLong, 2.0 * i)).toDF("k", "hx", "m").repartition(7)
+    val l2 = TimeseriesOps.holtWinters(shuffled, "k", "hx", "m", alpha = 0.5, beta = 0.25)
+      .collect().head
+    assert(l2.getDouble(1) == l.getDouble(1) && l2.getDouble(2) == l.getDouble(2))
+  }
 }

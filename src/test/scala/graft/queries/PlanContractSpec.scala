@@ -107,7 +107,11 @@ class PlanContractSpec extends SparkSpec {
       "sim_prefix_rerank",
       // doc_mixture_tokens cross-joins the 1-row min-token-mass scalar
       // into the per-source rate table — doc_mixture_sample's shape
-      "doc_mixture_tokens")
+      "doc_mixture_tokens",
+      // the heavy-hitter gates cross-join the broadcast 1-row total-n
+      // scalar into the ≤(partitions × capacity)-key recount — both
+      // sides metadata-sized by the MG construction
+      "q_approx_topk", "fs_stream_topk")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
