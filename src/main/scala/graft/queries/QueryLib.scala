@@ -1898,6 +1898,59 @@ object QueryLib {
            |  CAST(max(tot) AS BIGINT) AS total_w
            |FROM c GROUP BY 1""".stripMargin))
 
+  private val qHistogramEqh = Q(
+    "q_histogram_eqh",
+    // Equi-height histogram (the optimizer/statistics primitive every
+    // engine keeps per column): 4 buckets per event_type over value
+    // cents, boundaries by the exact nearest-rank rule on the value
+    // DICTIONARY (4·cum ≥ k·n integer comparisons — the
+    // q_weighted_median doctrine, no division), then each dictionary
+    // value lands in bucket Σ_k [v > t_k] and the per-bucket exact
+    // counts and min/max close the histogram. With heavy ties the
+    // heights are deliberately UNEVEN — that skew surfacing is what an
+    // equi-height histogram is for. All integer; scale = two
+    // dictionary-sized hash-aggs and a 3-row-per-type broadcast of
+    // boundaries.
+    (s, dir) => {
+      val e = T(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      val g = e.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      val bounds = c.groupBy(col("event_type")).agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("t1"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("t2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("t3"))
+      c.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("b",
+          (col("v") > col("t1")).cast("long") + (col("v") > col("t2")).cast("long") +
+            (col("v") > col("t3")).cast("long"))
+        .groupBy(col("event_type"), col("b")).agg(
+          min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
+          sum(col("c")).as("cnt"))
+    },
+    Some("""WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+           |cw AS (SELECT event_type, v, c,
+           |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(c) OVER (PARTITION BY event_type) AS n
+           |  FROM g),
+           |bd AS (SELECT event_type,
+           |    min(CASE WHEN cum * 4 >= n THEN v END) AS t1,
+           |    min(CASE WHEN cum * 2 >= n THEN v END) AS t2,
+           |    min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS t3
+           |  FROM cw GROUP BY 1)
+           |SELECT cw.event_type,
+           |  CAST((cw.v > bd.t1)::INT + (cw.v > bd.t2)::INT + (cw.v > bd.t3)::INT AS BIGINT) AS b,
+           |  CAST(min(cw.v) AS BIGINT) AS lo_cents, CAST(max(cw.v) AS BIGINT) AS hi_cents,
+           |  CAST(sum(cw.c) AS BIGINT) AS cnt
+           |FROM cw JOIN bd USING (event_type)
+           |GROUP BY 1, 2""".stripMargin))
+
   private val qSessionize = Q(
     "q_sessionize",
     // Gap-based sessionization (30-min inactivity cut), the canonical
@@ -2405,6 +2458,60 @@ object QueryLib {
            |  CASE WHEN n_ref > 0 THEN round(
            |    (p_cur - p_ref) * (p_cur - p_ref) / p_ref, 6) END AS drift
            |FROM p""".stripMargin))
+
+  private val txtMaskSpans = Q(
+    "txt_mask_spans",
+    // T5-style span corruption (Raffel et al. 2020) — the masked-LM
+    // data prep that turns a clean corpus into (masked_text, targets)
+    // pairs: deterministic candidate starts on a stride-10 grid, a
+    // seeded multiplicative-hash coin (the doc_source_cap doctrine —
+    // reproducible, engine-identical integer arithmetic, reduced mod
+    // 2^31−7 BEFORE the Knuth multiply so no BIGINT overflow at any
+    // doc_id), 3-token spans replaced by numbered <extra_id_k>
+    // sentinels, targets carrying the removed spans under the same
+    // numbering. Stride > span makes spans non-overlapping BY
+    // CONSTRUCTION — no greedy left-to-right chain, so the selection
+    // is a pure per-position predicate and the whole op is one narrow
+    // array expression per doc: nothing shuffles, masking pipelines
+    // with the scan at any corpus size.
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+      val cand = d.withColumn("starts", filter(
+        sequence(lit(0), greatest(size(col("tk")) - 1, lit(0))),
+        s0 => s0 % 10 === 0 && s0 + 2 < size(col("tk")) &&
+          (((col("doc_id") * 1000003L + s0) % 2147483647L) * 2654435761L)
+            % 2147483647L % 5 < 2))
+      cand.select(col("doc_id"),
+        concat_ws(" ", flatten(transform(col("tk"), (t, j) =>
+          when(array_position(col("starts"), j) > 0,
+            array(concat(lit("<extra_id_"),
+              (array_position(col("starts"), j) - 1).cast("string"), lit(">"))))
+          .when(exists(col("starts"), s0 => s0 < j && j <= s0 + 2),
+            array().cast("array<string>"))
+          .otherwise(array(t))))).as("masked_text"),
+        concat_ws(" ", transform(col("starts"), (s0, k) =>
+          concat(lit("<extra_id_"), k.cast("string"), lit("> "),
+            concat_ws(" ", slice(col("tk"), s0 + 1, lit(3)))))).as("targets"),
+        size(col("starts")).cast("long").as("n_spans"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |cand AS (SELECT doc_id, tk, list_filter(range(0, len(tk)),
+           |    s -> s % 10 = 0 AND s + 2 < len(tk) AND
+           |      (((doc_id * 1000003 + s) % 2147483647) * 2654435761)
+           |        % 2147483647 % 5 < 2) AS starts
+           |  FROM d)
+           |SELECT doc_id,
+           |  coalesce(array_to_string(flatten(list_transform(range(0, len(tk)), j ->
+           |    CASE
+           |      WHEN list_position(starts, j) > 0
+           |        THEN ['<extra_id_' || CAST(list_position(starts, j) - 1 AS VARCHAR) || '>']
+           |      WHEN len(list_filter(starts, s -> s < j AND j <= s + 2)) > 0 THEN []
+           |      ELSE [tk[j+1]] END)), ' '), '') AS masked_text,
+           |  coalesce(array_to_string(list_transform(starts, (s, k) ->
+           |    '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' ||
+           |    array_to_string(tk[s+1:s+3], ' ')), ' '), '') AS targets,
+           |  CAST(len(starts) AS BIGINT) AS n_spans
+           |FROM cand""".stripMargin))
 
   private val txtVocab = Q(
     "txt_vocab",
@@ -9310,11 +9417,11 @@ object QueryLib {
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
-    qStatsVar, qMedian, qWeightedMedian, qSessionize, qFunnel, qRetention,
+    qStatsVar, qMedian, qWeightedMedian, qHistogramEqh, qSessionize, qFunnel, qRetention,
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
-    txtContamination, txtDecontamBloom, qShuffleSeeded, qInterleaveSources,
+    txtContamination, txtDecontamBloom, txtMaskSpans, qShuffleSeeded, qInterleaveSources,
     docMixtureSample, txtPiiRedact, txtUrlNormalize, dedupUrl,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupLshRecall, dedupSubstring, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
