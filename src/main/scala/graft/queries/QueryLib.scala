@@ -8374,6 +8374,92 @@ object QueryLib {
            |SELECT CAST(c AS BIGINT) AS cluster, n, m1 AS c_x1, m2 AS c_x2
            |FROM k3""".stripMargin))
 
+  private val mlBestSplit = Q(
+    "ml_best_split",
+    // Exact greedy split finding — the kernel inside every tree
+    // ensemble (XGBoost's "exact" tree method): for each feature, scan
+    // the value DICTIONARY in order and score every cut by the
+    // variance-reduction identity Δ = S_L²/n_L + S_R²/n_R − S²/n over
+    // integer label sums. The dictionary doctrine end-to-end: one
+    // hash-agg collapses users to (feature, value) with integer
+    // (count, Σy) partials, cumulative walks produce every candidate
+    // split's (n_L, S_L) in one window pass, and the argmax ranks on
+    // the ROUNDED score with a value tie-break (round-before-rank).
+    // Determinism bound stated honestly: S² and the divisions stay
+    // exact-integer-valued doubles while S < 2^26.5 (~9·10⁷) — far
+    // above these label sums; a corpus beyond that moves this to
+    // decimal cross-multiplied comparisons. Scale: no per-row state,
+    // no sort of the corpus — split search cost is the dictionary,
+    // which is why the exact method survives wide data.
+    (s, dir) => {
+      val u = T(s, dir, "events").groupBy(col("user_id")).agg(
+        count(lit(1)).as("x1"),
+        coalesce(sum(expr("CAST(round(value*100) AS BIGINT)")), lit(0L)).as("x2"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val long = u.select(col("y"), explode(array(
+          struct(lit("n_events").as("f"), col("x1").as("v")),
+          struct(lit("cents").as("f"), col("x2").as("v")))).as("fv"))
+        .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
+      val dict = long.groupBy(col("f"), col("v"))
+        .agg(count(lit(1)).as("nv"), sum(col("y")).as("sv"))
+      val wv = Window.partitionBy(col("f")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("f"))
+      val c = dict
+        .withColumn("nl", sum(col("nv")).over(wv))
+        .withColumn("sl", sum(col("sv")).over(wv))
+        .withColumn("n", sum(col("nv")).over(wt))
+        .withColumn("s", sum(col("sv")).over(wt))
+        .filter(col("nl") < col("n"))
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("sr", col("s") - col("sl"))
+        .withColumn("score", round(
+          (col("sl") * col("sl")).cast("double") / col("nl").cast("double") +
+            (col("sr") * col("sr")).cast("double") / col("nr").cast("double"), 6))
+        .withColumn("gain", round(
+          (col("sl") * col("sl")).cast("double") / col("nl").cast("double") +
+            (col("sr") * col("sr")).cast("double") / col("nr").cast("double") -
+            (col("s") * col("s")).cast("double") / col("n").cast("double"), 6))
+      val wr = Window.partitionBy(col("f")).orderBy(col("score").desc, col("v"))
+      c.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+        .select(col("f").as("feature"), col("v").as("split_v"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          round(col("sl").cast("double") / col("nl").cast("double"), 6).as("mean_left"),
+          round(col("sr").cast("double") / col("nr").cast("double"), 6).as("mean_right"),
+          col("gain"))
+    },
+    Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x1,
+           |      CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)), 0) AS BIGINT) AS x2,
+           |      CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+           |    FROM events GROUP BY 1),
+           |l AS (SELECT 'n_events' AS f, x1 AS v, y FROM u
+           |      UNION ALL SELECT 'cents', x2, y FROM u),
+           |dict AS (SELECT f, v, CAST(count(*) AS BIGINT) AS nv,
+           |           CAST(sum(y) AS BIGINT) AS sv FROM l GROUP BY 1, 2),
+           |c AS (SELECT f, v, nv, sv,
+           |    sum(nv) OVER (PARTITION BY f ORDER BY v
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+           |    sum(sv) OVER (PARTITION BY f ORDER BY v
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+           |    sum(nv) OVER (PARTITION BY f) AS n,
+           |    sum(sv) OVER (PARTITION BY f) AS s
+           |  FROM dict),
+           |sc AS (SELECT f, v, nl, n - nl AS nr, sl, s - sl AS sr,
+           |    round(CAST(sl * sl AS DOUBLE) / CAST(nl AS DOUBLE) +
+           |          CAST((s - sl) * (s - sl) AS DOUBLE) / CAST(n - nl AS DOUBLE), 6) AS score,
+           |    round(CAST(sl * sl AS DOUBLE) / CAST(nl AS DOUBLE) +
+           |          CAST((s - sl) * (s - sl) AS DOUBLE) / CAST(n - nl AS DOUBLE) -
+           |          CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gain
+           |  FROM c WHERE nl < n),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY f ORDER BY score DESC, v) AS rk
+           |      FROM sc)
+           |SELECT f AS feature, v AS split_v,
+           |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           |  round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS mean_left,
+           |  round(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS mean_right,
+           |  gain
+           |FROM r WHERE rk = 1""".stripMargin))
+
   private val mlNaiveBayes = Q(
     "ml_naive_bayes",
     // Multinomial Naive Bayes language classifier in WHOLE BITS
@@ -9458,7 +9544,7 @@ object QueryLib {
     docMixtureTokens, simPrefixRerank,
     fsResampleFfillLimit, mlQuantizeInt8, simHardNegatives, curateAudit,
     fsStreamConfusion, simHybridRrf, mlNdcg, docSourceCap, qApproxTopk, mlPrCurve, mlBootstrapCi,
-    mlLogregHash, mlLogregScore, fsStreamQuota, fsStreamTopk, mlKmeans)
+    mlLogregHash, mlLogregScore, fsStreamQuota, fsStreamTopk, mlKmeans, mlBestSplit)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
