@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for large-scale training-data pipelines:
@@ -185,4 +185,52 @@ object TextOps {
     */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Exact cross-document substring dedup at `w`-token windows (the
+    * Lee et al. 2022 "Deduplicating Training Data" granularity): every
+    * w-token span whose digest occurs anywhere else in the corpus —
+    * another doc or another position of the same doc — is removed
+    * except at its canonical first occurrence (min (id, pos)), and the
+    * surviving tokens reassemble into `clean_text`. Scale shape: gram
+    * postings shuffle DIGESTS only (12-byte md5 prefixes, never span
+    * text); only count>1 digests (the duplicated minority) join back;
+    * the canonical survivor falls out of a min over an integer-packed
+    * (id, pos) — no window, no second corpus pass; per-doc removed-
+    * span lists are doc-length-bounded arrays and the rebuild is one
+    * array expression. `idCol` must be a non-negative integral id and
+    * positions must fit under `posPack` (1e6 default — a 10⁶-token doc
+    * bound, validated nowhere cheap, so callers with longer docs raise
+    * it).
+    */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      w: Int = 8,
+      posPack: Long = 1000000L): DataFrame = {
+    val d = docs.select(col(idCol), col(tokensCol).as("__tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = d.select(col(idCol), explode(when(size(col("__tk")) >= w,
+        transform(sequence(lit(0), size(col("__tk")) - w),
+          i => struct(i.as("pos"),
+            substring(md5(concat_ws(" ", slice(col("__tk"), i + 1, lit(w)))), 1, 16)
+              .as("dg"))))
+        .otherwise(array().cast("array<struct<pos:int,dg:string>>"))).as("gr"))
+      .select(col(idCol), col("gr.pos").as("pos"), col("gr.dg").as("dg"))
+    val dup = g.groupBy(col("dg")).agg(count(lit(1)).as("cnt"),
+        min(col(idCol) * posPack + col("pos")).as("canon"))
+      .filter(col("cnt") > 1)
+    val rem = g.join(dup, Seq("dg"))
+      .filter(col(idCol) * posPack + col("pos") =!= col("canon"))
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    val out = d.join(rem, Seq(idCol), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+    val kept = filter(
+      transform(col("__tk"), (t, j) => struct(t.as("t"), j.as("j"))),
+      x => !exists(col("__starts"),
+        s0 => s0 <= x.getField("j") && x.getField("j") <= s0 + (w - 1)))
+    out.select(col(idCol),
+      concat_ws(" ", transform(kept, x => x.getField("t"))).as("clean_text"),
+      (size(col("__tk")) - size(kept)).cast("long").as("n_removed"))
+  }
 }

@@ -1898,6 +1898,44 @@ object QueryLib {
            |  CAST(max(tot) AS BIGINT) AS total_w
            |FROM c GROUP BY 1""".stripMargin))
 
+  private val qScd2Intervals = Q(
+    "q_scd2_intervals",
+    // Slowly-changing-dimension type-2 build from a change stream: per
+    // user, collapse consecutive equal purchase values into validity
+    // intervals [valid_from, valid_to) with an is_current flag — the
+    // dimension-table shape every warehouse maintains. Two windows
+    // over ONE (user_id, ts, event_id) ordering: lag() marks change
+    // points, lead() over the surviving change points closes each
+    // interval — both satisfied by a single exchange (same partition
+    // key, same sort). Order is (ts, event_id) — unique, so every
+    // frame is deterministic. At 100 TB this is the standard one-
+    // shuffle windowed pass; nothing widens.
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev", lag(col("cents"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("cents"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("cents"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+           |    CAST(round(value*100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+           |m AS (SELECT *, lag(cents) OVER
+           |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |      FROM e),
+           |c AS (SELECT * FROM m WHERE prev IS NULL OR prev <> cents)
+           |SELECT user_id, cents, ts AS valid_from,
+           |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |    AS is_current
+           |FROM c""".stripMargin))
+
   private val qHistogramEqh = Q(
     "q_histogram_eqh",
     // Equi-height histogram (the optimizer/statistics primitive every
@@ -3227,32 +3265,9 @@ object QueryLib {
     // integer-packed (doc, pos) — no second pass, no window; per-doc
     // span lists are bounded by doc length and the rebuild is one
     // array expression, never a shuffle of token rows.
-    (s, dir) => {
-      val W = 8
-      val d = mat(T(s, dir, "documents").select(col("doc_id"), toks.as("tk")))
-      val g = d.select(col("doc_id"), explode(when(size(col("tk")) >= W,
-          transform(sequence(lit(0), size(col("tk")) - W),
-            i => struct(i.as("pos"),
-              substring(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(W)))), 1, 16)
-                .as("dg"))))
-          .otherwise(array().cast("array<struct<pos:int,dg:string>>"))).as("gr"))
-        .select(col("doc_id"), col("gr.pos").as("pos"), col("gr.dg").as("dg"))
-      val dup = g.groupBy(col("dg")).agg(count(lit(1)).as("cnt"),
-          min(col("doc_id") * 1000000L + col("pos")).as("canon"))
-        .filter(col("cnt") > 1)
-      val rem = g.join(dup, Seq("dg"))
-        .filter(col("doc_id") * 1000000L + col("pos") =!= col("canon"))
-        .groupBy(col("doc_id")).agg(sort_array(collect_set(col("pos"))).as("starts"))
-      val out = d.join(rem, Seq("doc_id"), "left")
-        .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
-      val kept = filter(
-        transform(col("tk"), (t, j) => struct(t.as("t"), j.as("j"))),
-        x => !exists(col("starts"),
-          s0 => s0 <= x.getField("j") && x.getField("j") <= s0 + (W - 1)))
-      out.select(col("doc_id"),
-        concat_ws(" ", transform(kept, x => x.getField("t"))).as("clean_text"),
-        (size(col("tk")) - size(kept)).cast("long").as("n_removed"))
-    },
+    (s, dir) => TextOps.substringDedup(
+      T(s, dir, "documents").select(col("doc_id"), toks.as("tk")),
+      idCol = "doc_id", tokensCol = "tk", w = 8),
     Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
            |g AS (SELECT doc_id, i AS pos,
            |        substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 16) AS dg
@@ -4265,6 +4280,59 @@ object QueryLib {
        |    CAST(count(*) AS DOUBLE) AS purity
        |FROM assign WHERE rr = 1 GROUP BY label""".stripMargin
   }
+
+  private val simCentroidDrift = Q(
+    "sim_centroid_drift",
+    // Embedding-space drift monitor: per label, the cosine between the
+    // centroid of cohort A and cohort B (vec_id parity split stands in
+    // for yesterday/today) — the cheap continuous check that an
+    // embedding model's output distribution hasn't rotated. The
+    // determinism trick: float vectors DON'T sum order-independently,
+    // so each coordinate is quantized to exact integer micro-units
+    // FIRST (round(x·10⁶) — the monitor's own resolution, not a
+    // compromise) and the per-(label, dim) sums are then exact in any
+    // aggregation order at any parallelism; products cast to decimal
+    // BEFORE multiplying (a per-dim sum at corpus scale squares past
+    // int64), and cosine closes as one division over two
+    // correctly-rounded sqrts, round(6). Scale: one narrow explode,
+    // one (label × 64)-key hash-agg with map-side partials, a
+    // label-sized close — the corpus never shuffles.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")))
+        .select(col("label"), col("pos").as("d"),
+          round(col("col") * 1000000).cast("long").as("xi"),
+          (col("vec_id") % 2 === 0).as("pre"))
+      val sums = e.groupBy(col("label"), col("d")).agg(
+        sum(when(col("pre"), col("xi")).otherwise(0L)).as("a"),
+        sum(when(!col("pre"), col("xi")).otherwise(0L)).as("b"))
+      sums.groupBy(col("label")).agg(
+        round(
+          sum(col("a").cast("decimal(38,0)") * col("b").cast("decimal(38,0)"))
+            .cast("double") /
+            (sqrt(sum(col("a").cast("decimal(38,0)") * col("a").cast("decimal(38,0)"))
+              .cast("double")) *
+             sqrt(sum(col("b").cast("decimal(38,0)") * col("b").cast("decimal(38,0)"))
+              .cast("double"))), 6).as("centroid_cosine"),
+        count(lit(1)).as("dims"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |x AS (SELECT vec_id, label, d,
+           |        CAST(round(v[d] * 1000000) AS BIGINT) AS xi,
+           |        (vec_id % 2 = 0) AS pre
+           |      FROM e, unnest(range(1, 65)) t(d)),
+           |s AS (SELECT label, d,
+           |        CAST(sum(CASE WHEN pre THEN xi ELSE 0 END) AS BIGINT) AS a,
+           |        CAST(sum(CASE WHEN NOT pre THEN xi ELSE 0 END) AS BIGINT) AS b
+           |      FROM x GROUP BY 1, 2)
+           |SELECT label, round(
+           |    CAST(sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS DOUBLE) /
+           |    (sqrt(CAST(sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS DOUBLE)) *
+           |     sqrt(CAST(sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS DOUBLE))), 6)
+           |    AS centroid_cosine,
+           |  CAST(count(*) AS BIGINT) AS dims
+           |FROM s GROUP BY 1""".stripMargin))
 
   private val simLabelCentroid = Q(
     "sim_label_centroid",
@@ -9503,7 +9571,7 @@ object QueryLib {
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,
     qAntiJoin, qSemiJoin, qSetopExcept, qRollupOrders, qCubeOrders, qTopkOrders,
-    qStatsVar, qMedian, qWeightedMedian, qHistogramEqh, qSessionize, qFunnel, qRetention,
+    qStatsVar, qMedian, qWeightedMedian, qHistogramEqh, qScd2Intervals, qSessionize, qFunnel, qRetention,
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
@@ -9514,7 +9582,7 @@ object QueryLib {
     docHoldoutGroups,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnIvfStored,
     simAnnPq, simAnnIvfPq,
-    simAnnRecall, simLabelCentroid,
+    simAnnRecall, simLabelCentroid, simCentroidDrift,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlMiSelect, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,
     qIntervalJoin, graphPagerank, graphTriangles, graphLabelProp, txtNovelty, txtBm25, txtUnigramSurprisal,

@@ -1263,6 +1263,33 @@ object ScaleProbe {
         s"planted bands not recovered: ${res.mkString(",")}")
     }
 
+    // Exact substring dedup at 1M docs: 10% of docs carry one shared
+    // 8-token boilerplate run; every copy but the canonical first must
+    // lose exactly those 8 tokens, nothing else. ~24M gram postings
+    // shuffle as digests; one duplicated digest family joins back.
+    timed("substringDedup: 1M docs x ~24 tokens, 100k boilerplate copies") {
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        // filler tokens are id-INJECTIVE (stride 17 > 2x8 positions), so
+        // no accidental cross-doc gram can dup — a modular vocab here
+        // makes whole residue classes share their filler grams and
+        // breaks the closed-form count
+        concat(
+          transform(sequence(lit(0), lit(7)),
+            j => concat(lit("w"), col("id") * 17L + j)),
+          when(col("id") % 10L === 0L,
+            split(lit("the quick brown fox jumps over lazy dogs"), " "))
+            .otherwise(array().cast("array<string>")),
+          transform(sequence(lit(0), lit(7)),
+            j => concat(lit("v"), col("id") * 17L + j)))
+          .as("tk"))
+      val removed = graft.functions.TextOps
+        .substringDedup(docs, "doc_id", "tk", w = 8)
+        .agg(sum("n_removed")).collect()(0).getLong(0)
+      require(removed == 8L * 99999L,
+        s"expected ${8L * 99999L} removed boilerplate tokens, got $removed")
+    }
+
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

@@ -112,4 +112,26 @@ class EvalSpec extends SparkSpec {
     val const = Seq(("a", "a"), ("a", "a")).toDF("actual", "pred")
     assert(Eval.cohenKappa(const, col("actual"), col("pred")).isEmpty)
   }
+
+  test("kaplanMeier matches the hand-computed product-limit curve") {
+    // durations: 1(event), 2(censored), 3(event), 3(event), 4(censored)
+    // t=1: n=5, d=1 -> S=4/5; t=3: n=3, d=2 -> S=0.8*(1/3)
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true), (4L, false))
+      .toDF("t", "obs")
+    val out = Eval.kaplanMeier(df, col("t"), col("obs"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 5L, 1L, 0.8), (3L, 3L, 2L, 0.266667)))
+    // censored-only steps never appear; survival is non-increasing by
+    // construction (every factor <= 1); all-censored input -> no rows
+    val cens = Seq((1L, false), (2L, false)).toDF("t", "obs")
+    assert(Eval.kaplanMeier(cens, col("t"), col("obs")).isEmpty)
+    // order/partitioning invariance: the dictionary collapse makes the
+    // curve independent of physical row order
+    val shuffled = Seq((3L, true), (4L, false), (1L, true), (3L, true), (2L, false))
+      .toDF("t", "obs").repartition(5)
+    val out2 = Eval.kaplanMeier(shuffled, col("t"), col("obs"))
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out2.toSeq == Seq((1L, 0.8), (3L, 0.266667)))
+  }
 }
