@@ -2551,6 +2551,83 @@ object QueryLib {
            |  CAST(len(starts) AS BIGINT) AS n_spans
            |FROM cand""".stripMargin))
 
+  private val txtPerplexity = Q(
+    "txt_perplexity",
+    // Perplexity filtering (the CCNet/KenLM curation signal): an
+    // add-half-smoothed bigram LM TRAINS on the reference slice
+    // (doc_id < 400) and scores the candidate slice (≥ 400) — a
+    // candidate doc whose word pairs the reference corpus never uses
+    // scores high and gets down-weighted or dropped. Distinct from
+    // txt_bigram_surprisal (whole-corpus leave-one-out, integer bits):
+    // this is the train/score split a production filter runs, with
+    // true perplexity exp(−mean ln p). OOV needs no sentinel token —
+    // unseen words/pairs simply take count 0 and the smoothing mass
+    // (coalesce after the left joins). Determinism: counts and the
+    // half-integer denominators are exact; one ln per bigram under the
+    // round(6) transcendental doctrine; the per-doc mean folds terms
+    // in POSITION order (a float SUM would be order-nondeterministic),
+    // and per-doc term lists are doc-length-bounded — the context-
+    // window bound every training doc already obeys. Shuffles carry
+    // (w1, w2, count) and per-doc scalars, never text.
+    (s, dir) => {
+      val lst = T(s, dir, "documents").select(col("doc_id"),
+        filter(toks, t => length(t) > 0).as("tk"))
+      val trainTok = lst.filter(col("doc_id") < 400)
+        .select(explode(col("tk")).as("t"))
+      val c1 = trainTok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      val vv = broadcast(c1.agg(count(lit(1)).as("v")))
+      val trainBg = lst.filter(col("doc_id") < 400 && size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val testBg = lst.filter(col("doc_id") >= 400 && size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(i AS i, element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.i").as("i"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      testBg
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1.select(col("t").as("w1"), col("c1")), Seq("w1"), "left")
+        .crossJoin(vv)
+        .withColumn("term", log(
+          (coalesce(col("c2"), lit(0L)).cast("double") + lit(0.5)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              lit(0.5) * (col("v") + lit(1L)).cast("double"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(exp(-aggregate(
+            transform(array_sort(collect_list(struct(col("i"), col("term")))),
+              t => t.getField("term")),
+            lit(0.0), (a, t) => a + t) / count(lit(1)).cast("double")), 6)
+            .as("perplexity"))
+    },
+    Some("""WITH lst AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk FROM documents),
+           |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1
+           |       FROM (SELECT unnest(tk) AS t FROM lst WHERE doc_id < 400) GROUP BY 1),
+           |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+           |    SELECT tk[i] AS w1, tk[i+1] AS w2
+           |    FROM lst, unnest(range(1, len(tk))) AS u(i)
+           |    WHERE doc_id < 400 AND len(tk) >= 2) GROUP BY 1, 2),
+           |tb AS (SELECT doc_id, i, tk[i] AS w1, tk[i+1] AS w2
+           |       FROM lst, unnest(range(1, len(tk))) AS u(i)
+           |       WHERE doc_id >= 400 AND len(tk) >= 2),
+           |sc AS (SELECT tb.doc_id, tb.i,
+           |    ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) + 0.5) /
+           |       (CAST(coalesce(c1.c1, 0) AS DOUBLE) + 0.5 * CAST(v + 1 AS DOUBLE)))
+           |      AS term
+           |  FROM tb LEFT JOIN c2 ON tb.w1 = c2.w1 AND tb.w2 = c2.w2
+           |          LEFT JOIN c1 ON tb.w1 = c1.t
+           |          CROSS JOIN vv)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(exp(-list_reduce(list(term ORDER BY i), (a, t) -> a + t)
+           |        / CAST(count(*) AS DOUBLE)), 6) AS perplexity
+           |FROM sc GROUP BY 1""".stripMargin))
+
   private val txtVocab = Q(
     "txt_vocab",
     // Global vocabulary builder — the tokenizer-training pre-step
@@ -9575,7 +9652,7 @@ object QueryLib {
     txtStats, txtChunks, txtLangid, txtFingerprint, txtQuality, txtRepetition, txtKeywords,
     txtGopherRules, docDsirWeights, docDsirSample,
     dqEvents, qDriftHist, qSampleStratified, qPivotSources, txtVocab, docHoldout,
-    txtContamination, txtDecontamBloom, txtMaskSpans, qShuffleSeeded, qInterleaveSources,
+    txtContamination, txtDecontamBloom, txtMaskSpans, txtPerplexity, qShuffleSeeded, qInterleaveSources,
     docMixtureSample, txtPiiRedact, txtUrlNormalize, dedupUrl,
     dedupSpans, dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupLshRecall, dedupSubstring, dedupSimhash, dedupWinnow,
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
