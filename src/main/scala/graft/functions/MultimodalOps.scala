@@ -284,7 +284,12 @@ object MultimodalOps {
     * little-endian samples into `frameLen`-sample frames (the last
     * frame may be partial). Per frame: exact Σ s² and max |s|.
     */
-  private[graft] def wavDecode(id: Long, payload: Array[Byte], frameLen: Int): Seq[AudioFrame] = {
+  /** Shared RIFF chunk walk: locate the PCM16-mono data chunk (or
+    * throw naming the offending field). Returns (dataOff, dataLen,
+    * sampleRate). Used by [[wavDecode]] and [[decimateAudio]] so the
+    * two parsers can never drift.
+    */
+  private[graft] def wavPcmRange(id: Long, payload: Array[Byte]): (Int, Int, Int) = {
     def le32(o: Int): Int =
       (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
         ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
@@ -296,6 +301,7 @@ object MultimodalOps {
     var dataOff = -1
     var dataLen = -1
     var fmtSeen = false
+    var rate = 0
     while (off + 8 <= payload.length && (dataOff < 0 || !fmtSeen)) {
       val ct = tag(off)
       val cl = le32(off + 4)
@@ -306,6 +312,7 @@ object MultimodalOps {
         require(codec == 1, s"id=$id: WAVE codec $codec is not PCM — decode upstream")
         require(channels == 1, s"id=$id: $channels channels; this parser handles mono")
         require(bits == 16, s"id=$id: $bits-bit samples; this parser handles PCM16")
+        rate = le32(off + 12)
         fmtSeen = true
       } else if (ct == "data") {
         dataOff = off + 8
@@ -315,6 +322,12 @@ object MultimodalOps {
     }
     require(fmtSeen && dataOff >= 0, s"id=$id: WAVE missing fmt/data chunk")
     require(dataOff + dataLen <= payload.length, s"id=$id: data chunk overruns payload")
+    (dataOff, dataLen, rate)
+  }
+
+  private[graft] def wavDecode(id: Long, payload: Array[Byte], frameLen: Int): Seq[AudioFrame] = {
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    val (dataOff, dataLen, _) = wavPcmRange(id, payload)
     val nSamples = dataLen / 2
     val out = Seq.newBuilder[AudioFrame]
     var f = 0
@@ -350,6 +363,49 @@ object MultimodalOps {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => wavDecode(id, bytes, frameLen) })
+  }
+
+  /** Audio decimation resample — keep every `factor`-th sample and
+    * REBUILD a valid PCM16 mono WAV (canonical 44-byte header, rate
+    * divided by `factor`, word-aligned data). The audio analogue of
+    * the image resize leg: the WRITE path of the binary column, not
+    * just the parse — downstream consumers (including [[decodeAudio]]
+    * itself, which the gate round-trips through) must read the
+    * rewritten container. Anti-aliasing deliberately out of scope
+    * (documented): a proper low-pass needs a filter kernel; naive
+    * decimation is the honest pure-JVM step and the fixture signal is
+    * closed-form either way. One narrow mapPartitions — payloads never
+    * shuffle, only the (id, rebuilt-bytes) rows of this map move.
+    */
+  def decimateAudio(
+      df: DataFrame, idCol: String, binCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (dataOff, dataLen, rate) = wavPcmRange(id, bytes)
+        val nIn = dataLen / 2
+        val nOut = (nIn + factor - 1) / factor
+        val outLen = nOut * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + outLen + (outLen & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + outLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)
+          .putInt(rate / factor).putInt(2 * (rate / factor))
+          .putShort(2).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(outLen)
+        var i = 0
+        while (i < nIn) {
+          bb.put(bytes(dataOff + 2 * i)).put(bytes(dataOff + 2 * i + 1))
+          i += factor
+        }
+        (id, bb.array())
+      })
+      .toDF(idCol, binCol)
   }
 
   /** Deterministic PCM16 mono WAV fixture (gate/spec fixture): id's

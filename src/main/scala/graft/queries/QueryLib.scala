@@ -5654,6 +5654,45 @@ object QueryLib {
            |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
            |FROM s GROUP BY doc_id, f""".stripMargin))
 
+  private val mmAudioDecimate = Q(
+    "mm_audio_decimate",
+    // The audio WRITE path (MultimodalOps.decimateAudio): decimate
+    // each fixture clip 4x and REBUILD a valid RIFF/WAVE container
+    // (new header, rate/4, word-aligned data), then prove the rewrite
+    // by round-tripping the rebuilt bytes through the real parser
+    // (decodeAudio) — a malformed header, a dropped alignment pad, or
+    // an off-grid sample pick breaks the chunk walk or the exact
+    // integer energies and hashes red. The oracle re-aggregates the
+    // closed-form fixture at indices ≡ 0 (mod 4), sharing zero code
+    // with encoder, resampler, or parser. Anti-aliasing documented
+    // out-of-scope at the def site. Scale: two narrow mapPartitions
+    // back-to-back, no shuffle anywhere.
+    (s, dir) => {
+      import s.implicits._
+      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      val dec = graft.functions.MultimodalOps
+        .decimateAudio(payloads, "doc_id", "payload", factor = 4)
+      graft.functions.MultimodalOps.decodeAudio(dec, "doc_id", "payload", 1600).toDF()
+        .select(col("id").as("doc_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          col("nSamples").cast("long").as("n_samples"),
+          col("sumSq").as("sum_sq"),
+          col("peakAbs").cast("long").as("peak_abs"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    (doc_id % 5 + 1) * 1600 + (doc_id % 7) * 3 AS n FROM documents),
+           |s AS (SELECT doc_id, (i // 4) // 1600 AS f,
+           |    ((2654435761 * doc_id + 40503 * i) % 2003) - 1001 AS v
+           |  FROM d, range(0, 8020) r(i) WHERE i < n AND i % 4 = 0)
+           |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           |  CAST(count(*) AS BIGINT) AS n_samples,
+           |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+           |FROM s GROUP BY doc_id, f""".stripMargin))
+
   private val qTransitions = Q(
     "q_transitions",
     // First-order Markov transition counts over each user's time-ordered
@@ -9676,7 +9715,7 @@ object QueryLib {
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmResizePlan,
-    mmPixelStats, mmResizeExec, mmAudioEnergy,
+    mmPixelStats, mmResizeExec, mmAudioEnergy, mmAudioDecimate,
     qCusumShift, fsHoltWinters, fsSeasonalAnomaly, mlCovariance, dqExpectations, txtTfidfPairs,
     dedupContainment, qMarketBasket, qAcfHourly, fsStreamCusum,
     mlAuc, mlKsDrift, qGini, mmPhash, fsStreamAnomaly, qRfmSegments,
