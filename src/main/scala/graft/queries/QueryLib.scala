@@ -1201,6 +1201,60 @@ object QueryLib {
            |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2, 3""".stripMargin))
 
+  private val fsStreamM4 = Q(
+    "fs_stream_m4",
+    // §2.10, 25th streaming certification: LIVE M4 envelope
+    // downsampling (EventStreams.m4Stream) — the streaming twin of
+    // fs_downsample_m4, per-day first/last/min/max struct extremes
+    // aggregated incrementally across four time-ordered micro-batches,
+    // watermarked Append so each day's envelope emits exactly once on
+    // finalization (the unbounded-dashboard configuration). The oracle
+    // is the batch four-rank formulation; a late-dropped row, a tie
+    // resolved off the struct order, or a double-emitted window all
+    // hash red.
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("sm4")
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts"), col("value"))
+      val sentinel = Seq((
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+        0.0)).toDF("ts", "value")
+      val srcDir = stageTimeOrderedReplay("sm4", dir, tmp, src,
+        cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22"), sentinel = sentinel)
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(srcDir)
+      val view = s"sm4_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = withStatePartitions(s, 4) {
+        graft.streaming.EventStreams.m4Stream(stream,
+            timeCol = "ts", valueCol = "value",
+            windowDur = "1 day", watermarkDelay = "1 hour")
+          .writeStream.format("memory").queryName(view)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      s.table(view)
+    },
+    Some("""WITH ev AS (SELECT date_trunc('day', ts) AS w, epoch_us(ts) AS tu, value AS v
+           |            FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT w, tu, v,
+           |    row_number() OVER (PARTITION BY w ORDER BY tu, v) AS rf,
+           |    row_number() OVER (PARTITION BY w ORDER BY tu DESC, v DESC) AS rl,
+           |    row_number() OVER (PARTITION BY w ORDER BY v, tu) AS rmn,
+           |    row_number() OVER (PARTITION BY w ORDER BY v DESC, tu DESC) AS rmx
+           |  FROM ev)
+           |SELECT w AS window_start, w + INTERVAL 1 DAY AS window_end,
+           |  max(CASE WHEN rf = 1 THEN make_timestamp(tu) END) AS first_ts,
+           |  max(CASE WHEN rf = 1 THEN v END) AS first_v,
+           |  max(CASE WHEN rl = 1 THEN make_timestamp(tu) END) AS last_ts,
+           |  max(CASE WHEN rl = 1 THEN v END) AS last_v,
+           |  max(CASE WHEN rmn = 1 THEN v END) AS min_v,
+           |  max(CASE WHEN rmx = 1 THEN v END) AS max_v
+           |FROM r GROUP BY 1""".stripMargin))
+
   private val fsStreamSession = Q(
     "fs_stream_session",
     // §2.10's session-window path — the hardest stateful code: sessions
@@ -9682,7 +9736,7 @@ object QueryLib {
     fsDownsampleM4, mlSurvivalKm,
     fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamDelta, fsStreamWindow, fsStreamWindowWm, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
+    fsStreamSink, fsStreamDelta, fsStreamWindow, fsStreamWindowWm, fsStreamM4, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
     fsStreamAttrib, fsStreamAttribOuter, fsStreamEnrich, fsStreamDedupLsh,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,

@@ -372,6 +372,44 @@ object EventStreams {
       }
   }
 
+  /** Streaming M4 envelope downsampling — the live-dashboard twin of
+    * `TimeseriesOps.m4Downsample`: per watermarked tumbling window,
+    * the four struct-lexicographic extremes (first/last by time,
+    * min/max by value) aggregate incrementally (each is an ordinary
+    * min/max over a struct — mergeable agg state of 4 fixed-width
+    * structs per window, evicted when the watermark passes). Append
+    * mode emits each window's finalized envelope exactly once: the
+    * unbounded-stream configuration a monitoring pipeline runs. Tie
+    * rule identical to the batch kernel (struct order), so the batch
+    * oracle must match bit-for-bit under time-ordered replay.
+    */
+  def m4Stream(
+      events: DataFrame,
+      timeCol: String,
+      valueCol: String,
+      windowDur: String,
+      watermarkDelay: String): DataFrame = {
+    val tu = unix_micros(col(timeCol))
+    val v = col(valueCol).cast("double")
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(
+        min(struct(tu.as("tu"), v.as("v"))).as("first"),
+        max(struct(tu.as("tu"), v.as("v"))).as("last"),
+        min(struct(v.as("v"), tu.as("tu"))).as("vmin"),
+        max(struct(v.as("v"), tu.as("tu"))).as("vmax"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        timestamp_micros(col("first.tu")).as("first_ts"),
+        col("first.v").as("first_v"),
+        timestamp_micros(col("last.tu")).as("last_ts"),
+        col("last.v").as("last_v"),
+        col("vmin.v").as("min_v"),
+        col("vmax.v").as("max_v"))
+  }
+
   /** Streaming Misra-Gries heavy-hitter CANDIDATES — the bounded-state
     * continuous analogue of `Scale.heavyHitters`: keys hash to
     * `buckets` state groups, each group folds its rows through one
