@@ -111,7 +111,10 @@ class PlanContractSpec extends SparkSpec {
       // the heavy-hitter gates cross-join the broadcast 1-row total-n
       // scalar into the ≤(partitions × capacity)-key recount — both
       // sides metadata-sized by the MG construction
-      "q_approx_topk", "fs_stream_topk")
+      "q_approx_topk", "fs_stream_topk",
+      // txt_perplexity folds the 1-row train-vocab scalar into the
+      // scored bigrams — txt_keywords' corpus-size shape
+      "txt_perplexity")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive
