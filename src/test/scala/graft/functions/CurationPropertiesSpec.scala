@@ -88,4 +88,32 @@ class CurationPropertiesSpec extends SparkSpec {
         s"default port survived: $u -> $n1")
     }
   }
+
+  test("substringDedup: dup-free corpus is identity, canonical keeps its span") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every token unique per doc AND per corpus -> no digest can dup
+    val clean = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"u${i * 100 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val out = TextOps.substringDedup(clean, "doc_id", "tk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.forall(_._3 == 0L), "dup-free corpus must lose nothing")
+    assert(out.map(_._2).forall(_.split(" ").length == 12))
+    // one boilerplate run pasted into three docs: the LOWEST (doc, pos)
+    // keeps it verbatim, both later copies lose exactly the 8 tokens
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (5L, s"x1 x2 $boiler x3 x4"),
+      (2L, s"y1 $boiler y2 y3"), // lowest doc_id -> canonical
+      (9L, s"$boiler z1 z2"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val got = TextOps.substringDedup(docs, "doc_id", "tk")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(2L) == (s"y1 $boiler y2 y3", 0L), "canonical must keep its span")
+    assert(got(5L) == ("x1 x2 x3 x4", 8L))
+    assert(got(9L) == ("z1 z2", 8L))
+  }
 }
