@@ -46,4 +46,46 @@ object AnnIvfPq {
     val w = Window.partitionBy(col(qOut)).orderBy(col("adc").desc, col(cOut))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
+
+  /** The SHIPPED retrieval configuration: ADC shortlist (`shortlist`
+    * candidates from the `nProbe` probed cells) closed by an EXACT
+    * full-vector cosine re-rank to `topK` — the sim_prefix_rerank
+    * stage-2 kernel applied to the IVF+PQ shortlist. ADC mis-ranking
+    * inside the shortlist stops costing recall entirely; what remains
+    * is pure shortlist membership (probe + shortlist width), which is
+    * why this leg carries the quality bar the composed ADC-only top-k
+    * cannot. Shape at 100 TB: stage 1 is [[query]] (code-width scan of
+    * probed cells); stage 2 touches `|queries| x shortlist` rows — the
+    * shortlist and the query vectors broadcast, and the full-vector
+    * fetch is a semi-join-pruned point read of shortlisted ids only
+    * (with a cell-partitioned store, nProbe/k of the files), never a
+    * corpus rescan.
+    */
+  def queryRerank(
+      ivf: AnnIvf.Index,
+      cb: AnnPq.Codebooks,
+      encoded: DataFrame, // (cIdCol, cell, codeCol)
+      corpus: DataFrame, // (cIdCol, embCol) — full-width vectors
+      queries: DataFrame, // (qIdCol, embCol)
+      qIdCol: String, embCol: String, cIdCol: String, codeCol: String,
+      topK: Int, shortlist: Int, nProbe: Int): DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist $shortlist must be >= topK $topK — the re-rank only reorders")
+    val (qOut, cOut) =
+      if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
+    val short = query(ivf, cb, encoded, queries,
+        qIdCol, embCol, cIdCol, codeCol, shortlist, nProbe)
+      .select(col(qOut), col(cOut))
+    val qv = queries.select(
+      col(qIdCol).as(qOut), col(embCol).cast("array<double>").as("__qv"))
+    val scored = corpus
+      .select(col(cIdCol).as(cOut), col(embCol).cast("array<double>").as("__cv"))
+      .join(broadcast(short), Seq(cOut))
+      .join(broadcast(qv), Seq(qOut))
+      .select(col(qOut), col(cOut),
+        round(graft.plans.CosineSimilarity.cosineSim(col("__qv"), col("__cv")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col(qOut)).orderBy(col("cosine").desc, col(cOut))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
 }

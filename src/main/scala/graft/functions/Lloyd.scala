@@ -209,6 +209,7 @@ object Lloyd {
       array_min(array(scored: _*)).getField("c")
     }
     var out: org.apache.spark.sql.DataFrame = null
+    var finalRows: Array[org.apache.spark.sql.Row] = Array.empty
     for (_ <- 0 until iters) {
       val meanCols = xCols.map(c =>
         round(sum(col(c)).cast("double") / count(lit(1)).cast("double"), 6)
@@ -216,9 +217,15 @@ object Lloyd {
       out = feats.withColumn("__c", assignExpr)
         .groupBy(col("__c").as("cluster"))
         .agg(count(lit(1)).as("n"), meanCols: _*)
-      centers = out.collect().toSeq.map(r =>
+      finalRows = out.collect()
+      centers = finalRows.toSeq.map(r =>
         (r.getInt(0), xCols.indices.map(i => r.getDouble(2 + i))))
     }
-    out
+    // return the k rows already collected by the last driver round as
+    // a local frame — a caller action on the lazy `out` plan would
+    // otherwise re-run the final full-corpus assign+agg scan, one
+    // whole extra scan under the iters-scans cost model
+    feats.sparkSession.createDataFrame(
+      java.util.Arrays.asList(finalRows: _*), out.schema)
   }
 }

@@ -548,6 +548,78 @@ object MultimodalOps {
       }
   }
 
+  /** One DECODED video frame: dimensions and exact mean luma. */
+  final case class DecodedFrame(
+      id: Long, frameIdx: Int, width: Int, height: Int, lumaMean: Double)
+
+  /** REAL video frame decode for MJPEG tracks — the one codec a pure
+    * JVM can honestly decode: in Motion-JPEG every sample IS a
+    * standalone JPEG, so the [[Mp4.sampleIndex]] byte ranges feed the
+    * same ImageIO seam [[decodeImages]] uses for stills. Every
+    * `stride`-th sample's bytes are sliced out of the payload, decoded,
+    * and reduced to (dims, mean luma) — a narrow flatMap over the scan;
+    * rasters and coded bytes never leave the stage, only (id, 2 ints,
+    * 2 ints, 1 double) rows do. At 100 TB with range-readable storage
+    * this is the plan that reads the index plus every Nth sample's
+    * bytes, never the stream. Luma: band 0 for single-band (grayscale)
+    * frames; the integer ITU-R BT.601 round for RGB. Samples that are
+    * not JPEG bytes REFUSE with the sample's id/index (an MJPEG track
+    * never contains them; inter-frame codecs — H.264+ — remain the
+    * documented seam: no conformant pure-JVM decoder exists).
+    */
+  def decodeVideoFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int): Dataset[DecodedFrame] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val ix =
+          try Mp4.sampleIndex(bytes)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"id=$id: ${e.getMessage}", e) }
+        ix.samples.indices.by(stride).map { f =>
+          val s = ix.samples(f)
+          require(s.offset >= 0 && s.offset + s.size <= bytes.length,
+            s"id=$id sample ${s.idx}: byte range [${s.offset}, ${s.offset + s.size}) " +
+              s"outside payload of ${bytes.length}")
+          val coded = java.util.Arrays.copyOfRange(
+            bytes, s.offset.toInt, (s.offset + s.size).toInt)
+          require(coded.length >= 2 &&
+            (coded(0) & 0xff) == 0xff && (coded(1) & 0xff) == 0xd8,
+            s"id=$id sample ${s.idx}: not JPEG bytes — not an MJPEG track " +
+              "(inter-frame codecs are a documented seam, refusing)")
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(coded))
+            catch { case e: Exception => throw new IllegalArgumentException(
+              s"id=$id sample ${s.idx}: JPEG decode failed: ${e.getMessage}", e) }
+          require(img != null, s"id=$id sample ${s.idx}: ImageIO returned no raster")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (if (raster.getNumBands == 1) raster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+                math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
+              })
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(id, s.idx, w, h, sum.toDouble / (w.toLong * h))
+        }
+      }
+  }
+
   /** Metadata-only "resize": rescales the typed struct without touching
     * payloads — the cheap planning pass a real pipeline runs before the
     * expensive decode, entirely in Catalyst expressions.

@@ -192,7 +192,8 @@ object TextOps {
     * another doc or another position of the same doc — is removed
     * except at its canonical first occurrence (min (id, pos)), and the
     * surviving tokens reassemble into `clean_text`. Scale shape: gram
-    * postings shuffle DIGESTS only (12-byte md5 prefixes, never span
+    * postings shuffle DIGESTS only (16-hex-char = 8-byte md5 prefixes,
+    * never span
     * text); only count>1 digests (the duplicated minority) join back;
     * the canonical survivor falls out of a min over an integer-packed
     * (id, pos) — no window, no second corpus pass; per-doc removed-

@@ -210,12 +210,19 @@ object Scale {
     val spark = df.sparkSession
     import spark.implicits._
     // pass 1: per-partition MG; each partition emits its candidate
-    // keys (null count) plus one (null key, rows-seen) tally row
+    // keys (null count) plus one (null key, rows-seen) tally row.
+    // Null keys are REJECTED loudly: the tally row overloads the null
+    // slot, and the candidate semi-join below is not null-safe — a
+    // null heavy hitter would be silently dropped while still counting
+    // in the denominator. Callers filter or coalesce nulls upstream.
     val summaries = df.select(col(keyCol).cast("string")).as[String]
       .mapPartitions { it =>
         val counters = scala.collection.mutable.HashMap.empty[String, Long]
         var seen = 0L
         it.foreach { k =>
+          require(k != null,
+            s"heavyHitters: null key in '$keyCol' — filter or coalesce " +
+              "nulls upstream (null overloads the tally-row sentinel)")
           seen += 1
           counters.get(k) match {
             case Some(c) => counters.update(k, c + 1)

@@ -917,10 +917,19 @@ object TimeseriesOps {
       timeCol: String = TimeCol,
       valueCol: String = "value",
       bucketSecs: Long = 86400L): DataFrame = {
+    // bucket = FLOOR division in pure integer arithmetic (the oracle's
+    // `//`): `tu - pmod(tu, unit)` is the floor multiple (pmod is
+    // non-negative for negative micros too), and `div` closes the
+    // exactly-divisible quotient as bigint — no double true-division,
+    // so pre-1970 epochs floor correctly and |micros| never meets a
+    // 2^53 mantissa cliff
+    val unit = bucketSecs * 1000000L
     val ev = df.select(
-      (unix_micros(col(timeCol)) / (bucketSecs * 1000000L)).cast("long").as("b"),
-      unix_micros(col(timeCol)).as("tu"),
-      col(valueCol).cast("double").as("v"))
+        unix_micros(col(timeCol)).as("tu"),
+        col(valueCol).cast("double").as("v"))
+      .select(
+        expr(s"(tu - pmod(tu, ${unit}L)) div ${unit}L").as("b"),
+        col("tu"), col("v"))
     ev.groupBy(col("b")).agg(
         min(struct(col("tu"), col("v"))).as("first"),
         max(struct(col("tu"), col("v"))).as("last"),

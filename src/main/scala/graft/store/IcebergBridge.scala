@@ -1,0 +1,660 @@
+package graft.store
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg-format metadata bridge — the second leg of the open-format
+  * story next to [[DeltaBridge]] (the BASELINE north star names both):
+  * writes Iceberg v2 table metadata (metadata.json + Avro
+  * manifest-list + Avro manifest, per the apache/iceberg spec
+  * https://iceberg.apache.org/spec/) describing a plain
+  * hive-partitioned parquet tree, and replays a simple Iceberg table's
+  * CURRENT snapshot back into a DataFrame — so a txlog snapshot
+  * exported through [[TimeseriesStore.exportSnapshotIceberg]] opens in
+  * any Iceberg reader (Spark+iceberg-runtime, Trino, DuckDB iceberg
+  * extension, pyiceberg), and simple tables those engines write can be
+  * read here without format jars (Avro itself rides Spark's own
+  * classpath).
+  *
+  * Deliberately scoped to the floor every reader supports, with the
+  * [[DeltaBridge]] refuse-don't-misread doctrine: identity partition
+  * transforms only, no delete files (v2 row-level deletes), no
+  * branches/refs beyond `current-snapshot-id`, primitive column types.
+  * [[read]] REFUSES tables beyond the floor instead of silently
+  * misreading them — a skipped delete file would resurrect deleted
+  * rows, a misapplied transform would fabricate partition values.
+  *
+  * Scale shape: metadata replay is driver-side by design — Iceberg's
+  * own planning is: the manifest LIST is one small Avro file per
+  * snapshot, manifests carry one entry per data FILE (KBs per commit,
+  * never per row). The data read is one multi-file parquet scan with
+  * an explicit schema; partition values ride a broadcast
+  * (file -> values) map joined on the scan's `_metadata.file_path` —
+  * never re-inferred from directory names (Iceberg files need not use
+  * hive paths). Deterministic output: table uuid / snapshot id derive
+  * from the caller's tableId and timestamps from data-file mtimes, so
+  * identical exports produce byte-identical metadata trees.
+  */
+object IcebergBridge {
+
+  private val MetaDirName = "metadata"
+  private def mapper = TimeseriesStore.manifestMapper
+
+  // ---------------------------------------------------------------
+  // Avro schemas (field-ids per the Iceberg spec's manifest tables)
+  // ---------------------------------------------------------------
+
+  /** Iceberg int-keyed maps are Avro arrays of key/value records with
+    * logicalType=map (spec: "Schemas > map"). */
+  private def kvMapSchema(name: String, kId: Int, vId: Int, vType: String): String =
+    s"""["null", {"type": "array", "logicalType": "map", "items": {
+       |  "type": "record", "name": "$name", "fields": [
+       |    {"name": "key", "type": "int", "field-id": $kId},
+       |    {"name": "value", "type": "$vType", "field-id": $vId}
+       |]}}]""".stripMargin
+
+  /** The per-spec partition struct (r102): one optional string field
+    * per identity-partition column (the bridge's floor keeps exported
+    * partition values as strings, the hive k=v form they came from).
+    */
+  private def partitionStructJson(partCols: Seq[String]): String = {
+    val fields = partCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name": ${mapper.writeValueAsString(c)}, "type": ["null", "string"],
+         | "default": null, "field-id": ${1000 + i}}""".stripMargin
+    }
+    s"""{"type": "record", "name": "r102", "fields": [${fields.mkString(",")}]}"""
+  }
+
+  private def manifestEntrySchema(partCols: Seq[String]): Schema =
+    new Schema.Parser().parse(
+      s"""{"type": "record", "name": "manifest_entry", "fields": [
+         |  {"name": "status", "type": "int", "field-id": 0},
+         |  {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+         |  {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+         |  {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+         |  {"name": "data_file", "field-id": 2, "type": {
+         |    "type": "record", "name": "r2", "fields": [
+         |      {"name": "content", "type": "int", "field-id": 134},
+         |      {"name": "file_path", "type": "string", "field-id": 100},
+         |      {"name": "file_format", "type": "string", "field-id": 101},
+         |      {"name": "partition", "type": ${partitionStructJson(partCols)}, "field-id": 102},
+         |      {"name": "record_count", "type": "long", "field-id": 103},
+         |      {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+         |      {"name": "value_counts", "type": ${kvMapSchema("k119_v120", 119, 120, "long")}, "default": null, "field-id": 109},
+         |      {"name": "null_value_counts", "type": ${kvMapSchema("k121_v122", 121, 122, "long")}, "default": null, "field-id": 110},
+         |      {"name": "lower_bounds", "type": ${kvMapSchema("k126_v127", 126, 127, "bytes")}, "default": null, "field-id": 125},
+         |      {"name": "upper_bounds", "type": ${kvMapSchema("k129_v130", 129, 130, "bytes")}, "default": null, "field-id": 128}
+         |  ]}}
+         |]}""".stripMargin)
+
+  private val manifestFileSchema: Schema =
+    new Schema.Parser().parse(
+      """{"type": "record", "name": "manifest_file", "fields": [
+        |  {"name": "manifest_path", "type": "string", "field-id": 500},
+        |  {"name": "manifest_length", "type": "long", "field-id": 501},
+        |  {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        |  {"name": "content", "type": "int", "field-id": 517},
+        |  {"name": "sequence_number", "type": "long", "field-id": 515},
+        |  {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        |  {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        |  {"name": "added_files_count", "type": "int", "field-id": 504},
+        |  {"name": "existing_files_count", "type": "int", "field-id": 505},
+        |  {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        |  {"name": "added_rows_count", "type": "long", "field-id": 512},
+        |  {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        |  {"name": "deleted_rows_count", "type": "long", "field-id": 514}
+        |]}""".stripMargin)
+
+  // ---------------------------------------------------------------
+  // Type mapping (the supported primitive floor; refuse the rest)
+  // ---------------------------------------------------------------
+
+  private def icebergType(dt: DataType, where: String): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"IcebergBridge: unsupported column type ${other.sql} at $where — " +
+        "the bridge floor is primitive columns (refuse-don't-misread)")
+  }
+
+  private val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+
+  private def sparkType(t: String, where: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    case other => throw new IllegalArgumentException(
+      s"IcebergBridge: unsupported Iceberg type '$other' at $where — " +
+        "refusing rather than misreading (bridge floor is primitives)")
+  }
+
+  // ---------------------------------------------------------------
+  // Per-file stats from one parquet footer read
+  // ---------------------------------------------------------------
+
+  private final case class ColStats(
+      min: Any, max: Any, nulls: Long, values: Long, typeName: String)
+
+  /** Exact row count always; per-column bounds for top-level
+    * non-temporal numeric primitives (the [[DeltaBridge.fileStats]]
+    * doctrine: a wrong bound loses rows in a skipping reader, a
+    * missing one only costs pruning).
+    */
+  private def footerStats(p: Path, hc: Configuration): (Long, Map[String, ColStats]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hc)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var rows = 0L
+      val acc = mutable.LinkedHashMap.empty[String, ColStats]
+      val bad = mutable.Set.empty[String]
+      r.getFooter.getBlocks.forEach { b =>
+        rows += b.getRowCount
+        b.getColumns.forEach { cc =>
+          val path = cc.getPath.toArray
+          if (path.length == 1) {
+            val name = path.head
+            val pt = cc.getPrimitiveType
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val tn = pt.getPrimitiveTypeName match {
+              case INT32 => "int"
+              case INT64 => "long"
+              case FLOAT => "float"
+              case DOUBLE => "double"
+              case _ => null
+            }
+            val numeric = tn != null && (pt.getLogicalTypeAnnotation match {
+              case null => true
+              case _: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+              case _ => false // dates/timestamps/decimals: skip bounds
+            })
+            val st = cc.getStatistics
+            if (!numeric || st == null || !st.hasNonNullValue || st.getNumNulls < 0)
+              bad += name
+            else {
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Number]
+              val mx = st.genericGetMax.asInstanceOf[java.lang.Number]
+              acc.get(name) match {
+                case None =>
+                  acc(name) = ColStats(mn, mx, st.getNumNulls, b.getRowCount, tn)
+                case Some(prev) =>
+                  def d(x: Any) = x.asInstanceOf[java.lang.Number].doubleValue()
+                  acc(name) = ColStats(
+                    if (d(mn) < d(prev.min)) mn else prev.min,
+                    if (d(mx) > d(prev.max)) mx else prev.max,
+                    prev.nulls + st.getNumNulls, prev.values + b.getRowCount, tn)
+              }
+            }
+          }
+        }
+      }
+      (rows, (acc -- bad).toMap)
+    } finally r.close()
+  }
+
+  /** Iceberg single-value serialization: little-endian fixed-width
+    * bytes for numeric primitives (spec "Appendix D: Single-value
+    * serialization").
+    */
+  private def boundBytes(v: Any, typeName: String): ByteBuffer = {
+    val n = v.asInstanceOf[java.lang.Number]
+    val bb = typeName match {
+      case "int" => ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n.intValue())
+      case "long" => ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(n.longValue())
+      case "float" => ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(n.floatValue())
+      case "double" => ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(n.doubleValue())
+    }
+    bb.flip(); bb
+  }
+
+  // ---------------------------------------------------------------
+  // Write path
+  // ---------------------------------------------------------------
+
+  private def writeAvro(
+      fs: FileSystem, p: Path, schema: Schema,
+      meta: Seq[(String, String)], records: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    val out = fs.create(p, true)
+    try {
+      w.create(schema, out)
+      records.foreach(w.append)
+      w.close()
+    } finally out.close()
+    fs.getFileStatus(p).getLen
+  }
+
+  private def kvArray(
+      schema: Schema, entries: Seq[(Int, Any)]): java.util.List[GenericRecord] = {
+    val items = schema.getTypes.get(1).getElementType // ["null", array] -> items
+    entries.map { case (k, v) =>
+      val r = new GenericData.Record(items)
+      r.put("key", k); r.put("value", v); r: GenericRecord
+    }.asJava
+  }
+
+  /** Write Iceberg v2 table metadata describing the parquet tree under
+    * `dir`: one manifest, one manifest-list, `v1.metadata.json` and
+    * `version-hint.text` (the HadoopCatalog convention) under
+    * `dir/metadata/`. Partition columns come from hive `k=v` path
+    * segments (identity transforms); per-file stats (record count,
+    * numeric bounds, null/value counts keyed by field-id) come from
+    * one footer read per file. Returns the number of data files
+    * described.
+    */
+  def writeTable(
+      spark: SparkSession,
+      dir: String,
+      tableId: String,
+      conf: Configuration = null): Int = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    val location = fs.makeQualified(root).toString.stripSuffix("/")
+
+    val files = mutable.ArrayBuffer.empty[(String, Long, Long)] // (rel, size, mtime)
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      val rel = p.stripPrefix(rootUri).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !rel.startsWith(MetaDirName) &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        files += ((rel, st.getLen, st.getModificationTime))
+    }
+    require(files.nonEmpty, s"no parquet data files under $dir to describe")
+    val sorted = files.sortBy(_._1).toSeq
+
+    def partsOf(rel: String): Seq[(String, String)] =
+      rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+      }
+    val partCols = partsOf(sorted.head._1).map(_._1)
+    sorted.foreach { case (rel, _, _) =>
+      require(partsOf(rel).map(_._1) == partCols,
+        s"inconsistent partition layout: $rel vs columns $partCols") }
+
+    // table schema: data columns (ids 1..n) + partition columns
+    // (string, ids n+1..) — Iceberg partition sources are ordinary
+    // table columns the spec references by id
+    val dataSchema = spark.read.parquet(
+      new Path(root, sorted.head._1).toString).schema
+    dataSchema.foreach(f => icebergType(f.dataType, s"column ${f.name}"))
+    val fieldIds: Map[String, Int] =
+      (dataSchema.map(_.name) ++ partCols).zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val schemaFields: Seq[Map[String, Any]] =
+      dataSchema.map(f => Map[String, Any](
+        "id" -> fieldIds(f.name), "name" -> f.name,
+        "required" -> false, "type" -> icebergType(f.dataType, f.name))) ++
+      partCols.map(c => Map[String, Any](
+        "id" -> fieldIds(c), "name" -> c, "required" -> false, "type" -> "string"))
+
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      ("iceberg:" + tableId).getBytes(StandardCharsets.UTF_8))
+    val snapshotId = uuid.getMostSignificantBits & Long.MaxValue
+    val maxMtime = sorted.map(_._3).max
+    val metaDir = new Path(root, MetaDirName)
+    fs.mkdirs(metaDir)
+
+    // ---- manifest: one ADDED entry per data file, with footer stats
+    val entrySchema = manifestEntrySchema(partCols)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    var totalRows = 0L
+    val entries = sorted.map { case (rel, size, _) =>
+      val (rows, stats) = footerStats(new Path(root, rel), hc)
+      totalRows += rows
+      val part = new GenericData.Record(partSchema)
+      partsOf(rel).foreach { case (k, v) => part.put(k, v) }
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 0)
+      df.put("file_path", s"$location/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", size)
+      val statEntries = stats.toSeq
+        .flatMap { case (n, s) => fieldIds.get(n).map(_ -> s) }.sortBy(_._1)
+      if (statEntries.nonEmpty) {
+        df.put("value_counts", kvArray(
+          dataFileSchema.getField("value_counts").schema(),
+          statEntries.map { case (id, s) => id -> (s.values: Any) }))
+        df.put("null_value_counts", kvArray(
+          dataFileSchema.getField("null_value_counts").schema(),
+          statEntries.map { case (id, s) => id -> (s.nulls: Any) }))
+        df.put("lower_bounds", kvArray(
+          dataFileSchema.getField("lower_bounds").schema(),
+          statEntries.map { case (id, s) => id -> (boundBytes(s.min, s.typeName): Any) }))
+        df.put("upper_bounds", kvArray(
+          dataFileSchema.getField("upper_bounds").schema(),
+          statEntries.map { case (id, s) => id -> (boundBytes(s.max, s.typeName): Any) }))
+      }
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", 1L)
+      e.put("file_sequence_number", 1L)
+      e.put("data_file", df)
+      e: GenericRecord
+    }
+    val specFieldsJson = partCols.zipWithIndex.map { case (c, i) =>
+      Map[String, Any]("name" -> c, "transform" -> "identity",
+        "source-id" -> fieldIds(c), "field-id" -> (1000 + i))
+    }
+    val schemaJson = mapper.writeValueAsString(Map[String, Any](
+      "type" -> "struct", "schema-id" -> 0, "fields" -> schemaFields))
+    val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema,
+      Seq(
+        "schema" -> schemaJson,
+        "partition-spec" -> mapper.writeValueAsString(specFieldsJson),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data"),
+      entries)
+
+    // ---- manifest-list: one entry naming the manifest
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", s"$location/$MetaDirName/${manifestPath.getName}")
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0) // data
+    mf.put("sequence_number", 1L)
+    mf.put("min_sequence_number", 1L)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_files_count", sorted.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", totalRows)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
+    writeAvro(fs, listPath, manifestFileSchema,
+      Seq("snapshot-id" -> snapshotId.toString,
+        "parent-snapshot-id" -> "null",
+        "sequence-number" -> "1",
+        "format-version" -> "2"),
+      Seq(mf))
+
+    // ---- vN.metadata.json + version-hint.text
+    val metadata = mutable.LinkedHashMap[String, Any](
+      "format-version" -> 2,
+      "table-uuid" -> uuid.toString,
+      "location" -> location,
+      "last-sequence-number" -> 1,
+      "last-updated-ms" -> maxMtime,
+      "last-column-id" -> fieldIds.size,
+      "current-schema-id" -> 0,
+      "schemas" -> Seq(mapper.readValue(schemaJson, classOf[Object])),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map[String, Any](
+        "spec-id" -> 0, "fields" -> specFieldsJson)),
+      "last-partition-id" -> (999 + partCols.size),
+      "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map[String, Any](
+        "order-id" -> 0, "fields" -> Seq.empty[Object])),
+      "properties" -> Map.empty[String, String],
+      "current-snapshot-id" -> snapshotId,
+      "snapshots" -> Seq(Map[String, Any](
+        "snapshot-id" -> snapshotId,
+        "timestamp-ms" -> maxMtime,
+        "sequence-number" -> 1,
+        "summary" -> Map(
+          "operation" -> "append",
+          "added-data-files" -> sorted.size.toString,
+          "added-records" -> totalRows.toString),
+        "manifest-list" -> s"$location/$MetaDirName/${listPath.getName}",
+        "schema-id" -> 0)),
+      "snapshot-log" -> Seq(Map[String, Any](
+        "snapshot-id" -> snapshotId, "timestamp-ms" -> maxMtime)),
+      "metadata-log" -> Seq.empty[Object])
+    val metaOut = fs.create(new Path(metaDir, "v1.metadata.json"), true)
+    try metaOut.write(mapper.writeValueAsBytes(metadata)) finally metaOut.close()
+    val hintOut = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hintOut.write("1".getBytes(StandardCharsets.UTF_8)) finally hintOut.close()
+    sorted.size
+  }
+
+  // ---------------------------------------------------------------
+  // Read path
+  // ---------------------------------------------------------------
+
+  private def readAvro(fs: FileSystem, p: Path): (Seq[GenericRecord], Map[String, String]) = {
+    val len = fs.getFileStatus(p).getLen
+    require(len < 256L * 1024 * 1024, s"$p: manifest over 256 MB — not metadata-sized")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val rd = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try {
+      val metaKeys = rd.getMetaKeys.asScala.toSeq
+      val meta = metaKeys.filter(!_.startsWith("avro.")).map(k => k -> rd.getMetaString(k)).toMap
+      (rd.iterator().asScala.toVector, meta)
+    } finally rd.close()
+  }
+
+  /** Resolve a path recorded in the metadata: Iceberg stores absolute
+    * locations, so a RELOCATED tree's recorded prefixes no longer
+    * exist — strip the recorded table `location` and re-root under the
+    * actual `root` (the reason the bridge never trusts recorded
+    * absolute paths blindly). Paths outside the recorded location pass
+    * through as-is.
+    */
+  private def resolve(root: Path, location: String, p: String): Path = {
+    val loc = location.stripSuffix("/")
+    if (p.startsWith(loc + "/")) new Path(root, p.substring(loc.length + 1))
+    else new Path(p)
+  }
+
+  private final case class DataFileEntry(
+      path: String, partitionValues: Map[String, String], recordCount: Long)
+
+  private final case class TableState(
+      schema: StructType,
+      partCols: Seq[String],
+      files: Seq[DataFileEntry],
+      location: String) // the RECORDED location — path resolution must
+                        // strip this, not the reader's current root
+
+  private def jStr(n: com.fasterxml.jackson.databind.JsonNode, k: String): String = {
+    val v = n.get(k)
+    require(v != null, s"Iceberg metadata missing '$k'")
+    v.asText()
+  }
+
+  private def loadState(
+      spark: SparkSession, fs: FileSystem, root: Path): TableState = {
+    val metaDir = new Path(root, MetaDirName)
+    // version-hint first (HadoopCatalog convention); else max vN
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val metaFile =
+      if (fs.exists(hintPath)) {
+        val in = fs.open(hintPath)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        new Path(metaDir, s"v$v.metadata.json")
+      } else {
+        val vRe = """v(\d+)\.metadata\.json""".r
+        val versions = fs.listStatus(metaDir).toSeq.flatMap(_.getPath.getName match {
+          case vRe(v) => Some(v.toLong)
+          case _ => None
+        })
+        require(versions.nonEmpty, s"no vN.metadata.json under $metaDir")
+        new Path(metaDir, s"v${versions.max}.metadata.json")
+      }
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in) finally in.close()
+
+    val fv = node.get("format-version").asInt()
+    require(fv == 1 || fv == 2,
+      s"Iceberg format-version $fv unsupported (bridge floor is v1/v2) — refusing")
+    val location = jStr(node, "location")
+
+    // schema: current-schema-id among schemas (v1 fallback: "schema")
+    val schemaNode = Option(node.get("schemas")).map { ss =>
+      val cur = node.get("current-schema-id").asInt()
+      ss.elements().asScala.find(_.get("schema-id").asInt() == cur)
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-schema-id $cur not in schemas"))
+    }.orElse(Option(node.get("schema"))).getOrElse(
+      throw new IllegalArgumentException("Iceberg metadata carries no schema"))
+    val fieldsById = mutable.LinkedHashMap.empty[Int, StructField]
+    schemaNode.get("fields").elements().asScala.foreach { f =>
+      val name = jStr(f, "name")
+      require(f.get("type").isTextual,
+        s"IcebergBridge: nested type at column $name — bridge floor is primitives, refusing")
+      fieldsById(f.get("id").asInt()) =
+        StructField(name, sparkType(f.get("type").asText(), s"column $name"),
+          nullable = !f.get("required").asBoolean(false))
+    }
+
+    // partition spec: default-spec-id, identity transforms only
+    val partCols: Seq[String] = Option(node.get("partition-specs")).map { specs =>
+      val cur = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      val spec = specs.elements().asScala.find(_.get("spec-id").asInt() == cur)
+        .getOrElse(throw new IllegalArgumentException(s"default-spec-id $cur not in partition-specs"))
+      spec.get("fields").elements().asScala.map { f =>
+        val t = jStr(f, "transform")
+        require(t == "identity",
+          s"IcebergBridge: partition transform '$t' unsupported (identity floor) — refusing")
+        jStr(f, "name")
+      }.toSeq
+    }.getOrElse(Seq.empty)
+
+    val curSnap = Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L)
+    if (curSnap == -1L)
+      return TableState(StructType(fieldsById.values.toSeq), partCols, Seq.empty, location)
+    val snap = node.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curSnap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current-snapshot-id $curSnap not among snapshots"))
+    val listPath = resolve(root, location, jStr(snap, "manifest-list"))
+
+    val (manifests, _) = readAvro(fs, listPath)
+    val files = mutable.ArrayBuffer.empty[DataFileEntry]
+    manifests.foreach { mf =>
+      val content = Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+      require(content == 0,
+        "IcebergBridge: DELETE manifest present (v2 row-level deletes) — " +
+          "refusing rather than resurrecting deleted rows")
+      val mPath = resolve(root, location, mf.get("manifest_path").toString)
+      val (entries, _) = readAvro(fs, mPath)
+      entries.foreach { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status != 2) { // 0=existing, 1=added; 2=deleted drops out
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val fileContent = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          require(fileContent == 0,
+            "IcebergBridge: delete file in a data manifest — refusing")
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"IcebergBridge: file format $fmt unsupported (parquet floor) — refusing")
+          val part = df.get("partition").asInstanceOf[GenericRecord]
+          val pv = partCols.map { c =>
+            c -> Option(part.get(c)).map(_.toString).orNull
+          }.toMap
+          files += DataFileEntry(df.get("file_path").toString, pv,
+            df.get("record_count").asInstanceOf[Long])
+        }
+      }
+    }
+    // duplicate adds across manifests would double-read rows
+    val dup = files.groupBy(_.path).collectFirst { case (p, fs0) if fs0.size > 1 => p }
+    require(dup.isEmpty, s"IcebergBridge: data file listed twice: ${dup.get} — refusing")
+    TableState(StructType(fieldsById.values.toSeq), partCols, files.toSeq, location)
+  }
+
+  /** Replay the table's CURRENT snapshot into a DataFrame: schema from
+    * the metadata (never footer-merged), file list strictly from the
+    * manifests (an unreferenced parquet in the tree is invisible, as
+    * Iceberg requires), partition values from the manifests' partition
+    * structs joined onto the scan's `_metadata.file_path` (cast to the
+    * schema's column types) — never re-inferred from directory names.
+    */
+  def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame =
+    readPruned(spark, dir, _ => true, conf)
+
+  /** [[read]] with MANIFEST-DRIVEN partition pruning: `pred` sees each
+    * data file's partition values and rejected files never reach the
+    * scan — Iceberg's planning story, decided on driver-side metadata.
+    */
+  def readWhere(
+      spark: SparkSession,
+      dir: String,
+      pred: Map[String, String] => Boolean,
+      conf: Configuration = null): DataFrame =
+    readPruned(spark, dir, f => pred(f.partitionValues), conf)
+
+  private def readPruned(
+      spark: SparkSession,
+      dir: String,
+      keep: DataFileEntry => Boolean,
+      conf: Configuration): DataFrame = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val state = loadState(spark, fs, root)
+    val files = state.files.filter(keep)
+    val schema = state.schema
+    val partCols = state.partCols
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+    val paths = files.map(f => resolve(root, state.location, f.path).toString)
+    // join key: the file path as Spark's scan reports it (qualified);
+    // unique per file by the duplicate-add refusal above
+    val qualified = files.zip(paths).map { case (f, p) =>
+      (fs.makeQualified(new Path(p)).toString, f)
+    }
+    val data = spark.read.schema(dataSchema).parquet(paths: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+    if (partCols.isEmpty) return data.drop("__file")
+
+    val pvSchema = StructType(StructField("__file", StringType) +:
+      partCols.map(c => StructField(s"__pv_$c", StringType, nullable = true)))
+    val pvRows = qualified.map { case (q, f) => Row.fromSeq(
+      q +: partCols.map(c => f.partitionValues.getOrElse(c, null))) }
+    val pvDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+    val joined = data.join(broadcast(pvDf), Seq("__file"))
+    joined.select(schema.fields.toIndexedSeq.map { f =>
+      if (partCols.contains(f.name))
+        col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+      else col(f.name)
+    }: _*)
+  }
+}

@@ -1498,6 +1498,21 @@ class TimeseriesStore(
     v
   }
 
+  /** [[exportSnapshot]] plus Iceberg v2 table metadata describing the
+    * exported tree ([[IcebergBridge.writeTable]]): the snapshot becomes
+    * a table any Iceberg reader opens natively (Spark+iceberg-runtime,
+    * Trino, DuckDB's iceberg extension, pyiceberg) — the second
+    * open-standard leg next to [[exportSnapshotDelta]]. Returns the
+    * exported txlog version; the Iceberg table uuid / snapshot id are
+    * derived from (table, version), so identical exports produce
+    * byte-identical metadata trees.
+    */
+  def exportSnapshotIceberg(name: String, dstDir: String, asOfVersion: Option[Long] = None): Long = {
+    val v = exportSnapshot(name, dstDir, asOfVersion)
+    IcebergBridge.writeTable(spark, dstDir, s"$name@$v", hadoopConf)
+    v
+  }
+
   /** Incrementally publish txlog commits SINCE the last export/sync as
     * ONE new Delta commit on an [[exportSnapshotDelta]] tree: new
     * snapshot files are byte-copied (at object-store scale:

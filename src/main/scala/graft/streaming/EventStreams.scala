@@ -437,7 +437,15 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col(keyCol).cast("string")).as[String]
-      .groupByKey(k => math.floorMod(k.hashCode, buckets))
+      .groupByKey { k =>
+        // loud rejection, matching ops.Scale.heavyHitters: a null key
+        // would NPE inside the stream (k.hashCode) and kill the query
+        // with an opaque error — fail with the actionable message
+        require(k != null,
+          s"mgCandidatesStream: null key in '$keyCol' — filter or " +
+            "coalesce nulls upstream (consistent with heavyHitters)")
+        math.floorMod(k.hashCode, buckets)
+      }
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (bucket: Int,
          rows: Iterator[String],

@@ -1037,6 +1037,20 @@ object ScaleProbe {
       val n = top.count()
       println(f"[probe]   query 64 x top-10: ${(System.nanoTime() - t1) / 1e9}%.1fs, $n rows")
       require(n == 640L, s"expected 640 result rows, got $n")
+      // the SHIPPED configuration: ADC shortlist + exact full-vector
+      // re-rank (AnnIvfPq.queryRerank). The accounting claim of the
+      // rerank stage is that stage 2 touches |queries| x shortlist
+      // rows (64 x 50 = 3,200 here — driver-trivial) and the
+      // full-vector fetch is a semi-join point read against the
+      // corpus, never a rescan of the 1M vectors
+      val t2 = System.nanoTime()
+      val reranked = graft.functions.AnnIvfPq.queryRerank(ivf, pq, encoded,
+        corpus.select(col("vec_id"), col("v")), queries,
+        qIdCol = "vec_id", embCol = "v", cIdCol = "vec_id", codeCol = "code",
+        topK = 10, shortlist = 50, nProbe = 4)
+      val nr = reranked.count()
+      println(f"[probe]   rerank 64 x top-10 (shortlist 50): ${(System.nanoTime() - t2) / 1e9}%.1fs, $nr rows")
+      require(nr == 640L, s"expected 640 reranked rows, got $nr")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     timed("alignJoin pivot: 1000 series x 1000 ts (1M rows), no join chain") {

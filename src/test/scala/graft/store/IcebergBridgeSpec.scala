@@ -1,0 +1,179 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The Iceberg-format bridge: export writes v2 metadata any Iceberg
+  * reader opens; read replays the current snapshot strictly from the
+  * manifests (no directory inference) and refuses tables beyond the
+  * floor (delete files, non-identity transforms, nested types,
+  * future format versions) instead of misreading them. */
+class IcebergBridgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def export(root: String): TimeseriesStore = {
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    val a = Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-02T02:00:00"), 2.0)).toDF("time", "value")
+    val b = Seq((ts("2024-01-03T03:00:00"), 3.0)).toDF("time", "value")
+    st.save("f", a)
+    val pinned = st.tableVersion("f")
+    st.save("f", b) // lands AFTER the pin; must not leak into the export
+    st.exportSnapshotIceberg("f", s"$root/ib", asOfVersion = Some(pinned))
+    st
+  }
+
+  private def readBack(dir: String): Set[(String, Double, String)] =
+    IcebergBridge.read(spark, dir)
+      .select(col("time"), col("value"), col("partition"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getString(2)))
+      .toSet
+
+  private val expected = Set(
+    ("2024-01-01 01:00:00.0", 1.0, "2024-01-01"),
+    ("2024-01-02 02:00:00.0", 2.0, "2024-01-02"))
+
+  /** Rewrite a metadata file in place — and drop Hadoop LocalFS's
+    * `.crc` sidecar, which the bridge's writer created and a byte-level
+    * test edit would otherwise invalidate. */
+  private def rewrite(p: java.nio.file.Path, content: String): Unit = {
+    Files.writeString(p, content)
+    Files.deleteIfExists(p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+  }
+
+  test("exportSnapshotIceberg roundtrips through IcebergBridge.read, pinned version honored") {
+    val root = tmpDir("ibrt")
+    export(root)
+    assert(readBack(s"$root/ib") === expected)
+
+    // the metadata tree is complete and v2
+    val metaDir = Paths.get(s"$root/ib/metadata")
+    assert(Files.readString(metaDir.resolve("version-hint.text")) === "1")
+    val meta = Files.readString(metaDir.resolve("v1.metadata.json"))
+    assert(meta.contains("\"format-version\":2"))
+    assert(meta.contains("\"transform\":\"identity\""))
+    assert(meta.contains("\"timestamptz\""))
+  }
+
+  test("reads are manifest-driven: planted decoy parquet is invisible") {
+    val root = tmpDir("ibdecoy")
+    export(root)
+    Seq((ts("2024-09-09T09:00:00"), 99.0)).toDF("time", "value")
+      .write.parquet(s"$root/ib/partition=9999-12-31")
+    assert(readBack(s"$root/ib") === expected)
+  }
+
+  test("relocated tree reads via location-relative resolution") {
+    val root = tmpDir("ibmove")
+    export(root)
+    val moved = tmpDir("ibmoved") + "/table"
+    Files.move(Paths.get(s"$root/ib"), Paths.get(moved))
+    // recorded absolute location no longer exists; resolve() re-roots
+    assert(readBack(moved) === expected)
+  }
+
+  test("readWhere prunes files from manifests before the scan") {
+    val root = tmpDir("ibprune")
+    export(root)
+    val pruned = IcebergBridge.readWhere(spark, s"$root/ib",
+      pv => pv("partition") == "2024-01-02")
+    assert(pruned.inputFiles.length === 1) // one file never reached the scan
+    assert(pruned.select("value").as[Double].collect().toSeq === Seq(2.0))
+  }
+
+  test("manifest stats: record counts and LE numeric bounds per file") {
+    val root = tmpDir("ibstats")
+    export(root)
+    val metaDir = Paths.get(s"$root/ib/metadata")
+    val mPath = {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(metaDir)
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith("-m0.avro")).get
+      finally listing.close()
+    }
+    val bytes = Files.readAllBytes(mPath)
+    val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    import scala.jdk.CollectionConverters._
+    val entries = rd.iterator().asScala.toSeq
+    assert(rd.getMetaString("format-version") === "2")
+    assert(rd.getMetaString("content") === "data")
+    rd.close()
+    assert(entries.size === 2)
+    val dfs = entries.map(_.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord])
+    assert(dfs.map(_.get("record_count").asInstanceOf[Long]).sum === 2L)
+    // the double 'value' column carries little-endian bounds, keyed by
+    // its field id from the table schema (verbatim-mode store files
+    // also carry created_time, so the id is schema-derived, not fixed)
+    val metaJson = Files.readString(metaDir.resolve("v1.metadata.json"))
+    val valueId = """\{"id":(\d+),"name":"value"""".r
+      .findFirstMatchIn(metaJson).get.group(1).toInt
+    val allBounds = dfs.flatMap { d =>
+      Option(d.get("lower_bounds")).toSeq.flatMap(
+        _.asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]].asScala)
+    }.filter(_.get("key").asInstanceOf[Int] == valueId).map { kv =>
+      val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.getDouble
+    }
+    assert(allBounds.toSet === Set(1.0, 2.0))
+  }
+
+  test("refuses delete manifests, non-identity transforms, future format versions") {
+    val root = tmpDir("ibrefuse")
+    export(root)
+    val metaPath = Paths.get(s"$root/ib/metadata/v1.metadata.json")
+    val meta = Files.readString(metaPath)
+
+    // future format version
+    rewrite(metaPath, meta.replace("\"format-version\":2", "\"format-version\":3"))
+    val e1 = intercept[IllegalArgumentException](readBack(s"$root/ib"))
+    assert(e1.getMessage.contains("format-version"))
+
+    // non-identity transform
+    rewrite(metaPath, meta.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[16]\""))
+    val e2 = intercept[IllegalArgumentException](readBack(s"$root/ib"))
+    assert(e2.getMessage.contains("transform"))
+
+    // nested column type in the schema
+    rewrite(metaPath, meta.replaceFirst(
+      "\"type\":\"double\"",
+      "\"type\":{\"type\":\"list\",\"element-id\":99,\"element\":\"double\",\"element-required\":false}"))
+    val e3 = intercept[IllegalArgumentException](readBack(s"$root/ib"))
+    assert(e3.getMessage.contains("nested"))
+    rewrite(metaPath, meta) // restore
+    assert(readBack(s"$root/ib") === expected)
+  }
+
+  test("empty table (no current snapshot) reads as an empty frame with the schema") {
+    val root = tmpDir("ibempty")
+    export(root)
+    val metaPath = Paths.get(s"$root/ib/metadata/v1.metadata.json")
+    val meta = Files.readString(metaPath)
+    val snapId = """"current-snapshot-id":(\d+)""".r
+      .findFirstMatchIn(meta).get.group(1)
+    rewrite(metaPath,
+      meta.replace(s""""current-snapshot-id":$snapId""", "\"current-snapshot-id\":-1"))
+    val out = IcebergBridge.read(spark, s"$root/ib")
+    assert(out.columns.toSeq === Seq("time", "created_time", "value", "partition"))
+    assert(out.count() === 0L)
+  }
+
+  test("identical exports produce byte-identical metadata json") {
+    val r1 = tmpDir("ibdet1"); val r2 = tmpDir("ibdet2")
+    export(r1); export(r2)
+    def canon(root: String): String =
+      Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
+        .replaceAll("\"location\":\"[^\"]+\"", "")
+        .replaceAll("\"(manifest-list|manifest_path)\":\"[^\"]+\"", "")
+        .replaceAll("\"last-updated-ms\":\\d+", "")
+        .replaceAll("\"timestamp-ms\":\\d+", "")
+    assert(canon(r1) === canon(r2))
+  }
+}
