@@ -227,6 +227,19 @@ object DeltaBridge {
     sorted.size
   }
 
+  /** Column mapping (name or id mode) renames the PHYSICAL parquet
+    * columns away from the logical schema names — a naive read returns
+    * all-null columns, silent row corruption. The bridge's floor is
+    * reader v1 without mapping; refuse, don't misread.
+    */
+  private def requireNoColumnMapping(cfg: Map[String, String], dir: String): Unit = {
+    val mode = cfg.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none",
+      s"$dir uses delta.columnMapping.mode=$mode — physical parquet column " +
+        "names differ from the schema; the bridge refuses rather than " +
+        "return all-null columns (reader-v1-without-mapping floor)")
+  }
+
   private def listCommits(
       fs: org.apache.hadoop.fs.FileSystem, logDir: Path): Seq[(Long, Path)] =
     fs.listStatus(logDir).toSeq
@@ -268,11 +281,28 @@ object DeltaBridge {
       val node = try mapper.readTree(
         new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
       val v = node.get("version").asLong()
-      val ckpt = new Path(logDir, f"$v%020d.checkpoint.parquet")
-      require(fs.exists(ckpt),
-        s"$dir names checkpoint version $v but ${ckpt.getName} is missing")
-      val df = spark.read.parquet(ckpt.toString)
+      // third-party writers split large checkpoints into N parts
+      // (`parts` in _last_checkpoint; file pattern
+      // <v>.checkpoint.<i>.<n>.parquet) — the actions are simply
+      // sharded, so reading all parts as one scan replays identically
+      val ckptPaths = Option(node.get("parts")).filterNot(_.isNull)
+        .map(_.asInt()) match {
+        case None => Seq(new Path(logDir, f"$v%020d.checkpoint.parquet"))
+        case Some(n) =>
+          require(n >= 1, s"$dir _last_checkpoint declares parts=$n")
+          (1 to n).map(i =>
+            new Path(logDir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"))
+      }
+      ckptPaths.foreach(p => require(fs.exists(p),
+        s"$dir names checkpoint version $v but ${p.getName} is missing"))
+      val df = spark.read.parquet(ckptPaths.map(_.toString): _*)
       val cols = df.columns.toSet
+      // third-party checkpoints may omit optional add fields (stats,
+      // even partitionValues on unpartitioned tables) — read every
+      // field schema-safely instead of assuming this bridge's layout
+      def fOpt[T](r: Row, name: String): Option[T] =
+        if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+          Some(r.getAs[T](name)) else None
       df.collect().foreach { r =>
         if (cols("protocol") && r.getAs[Row]("protocol") != null) {
           val pr = r.getAs[Row]("protocol")
@@ -284,17 +314,21 @@ object DeltaBridge {
           metaId = md.getAs[String]("id")
           schemaString = md.getAs[String]("schemaString")
           partCols = md.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
-          createdTime = Option(md.getAs[java.lang.Long]("createdTime"))
+          createdTime = fOpt[java.lang.Long](md, "createdTime")
             .map(_.longValue).getOrElse(0L)
+          requireNoColumnMapping(
+            fOpt[scala.collection.Map[String, String]](md, "configuration")
+              .map(_.toMap).getOrElse(Map.empty), dir)
         }
         if (cols("add") && r.getAs[Row]("add") != null) {
           val a = r.getAs[Row]("add")
           live(decodePath(a.getAs[String]("path"))) = AddEntry(
             decodePath(a.getAs[String]("path")),
-            Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+            fOpt[scala.collection.Map[String, String]](a, "partitionValues")
               .map(_.toMap).getOrElse(Map.empty),
-            a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-            Option(a.getAs[String]("stats")))
+            fOpt[java.lang.Long](a, "size").map(_.longValue).getOrElse(0L),
+            fOpt[java.lang.Long](a, "modificationTime").map(_.longValue).getOrElse(0L),
+            fOpt[String](a, "stats"))
         }
         if (cols("remove") && r.getAs[Row]("remove") != null)
           live.remove(decodePath(r.getAs[Row]("remove").getAs[String]("path")))
@@ -336,6 +370,13 @@ object DeltaBridge {
           partCols = (0 until pcs.size()).map(pcs.get(_).asText())
           createdTime = Option(md.get("createdTime"))
             .filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+          val cfg = Option(md.get("configuration")).filterNot(_.isNull).map { c =>
+            val it = c.fields()
+            val m = mutable.LinkedHashMap.empty[String, String]
+            while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText() }
+            m.toMap
+          }.getOrElse(Map.empty[String, String])
+          requireNoColumnMapping(cfg, dir)
         }
         Option(node.get("add")).foreach { a =>
           val path = decodePath(a.get("path").asText())

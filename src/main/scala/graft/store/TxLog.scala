@@ -500,6 +500,14 @@ class TxLog(
       fs.delete(tmp, false)
       resync = true
       attempt += 1
+      // contention backoff (the r17 multi-writer probe's finding: 8
+      // foreign writers in a tight commit loop starved one past 20
+      // lost renames): a lost rename means ANOTHER writer advanced the
+      // log, so sleeping a bounded attempt-scaled interval before the
+      // re-list turns an N-writer retry storm — O(N^2) list+stage work
+      // per committed version — into near-linear hand-offs. Timing
+      // only; committed bytes and version order are unaffected.
+      Thread.sleep(math.min(5L << math.min(attempt, 5), 100L))
     }
     throw new java.io.IOException(
       s"tx commit failed after $maxAttempts attempts (writer contention on $logDir)")

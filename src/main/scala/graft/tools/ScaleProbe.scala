@@ -1304,6 +1304,92 @@ object ScaleProbe {
         s"expected ${8L * 99999L} removed boilerplate tokens, got $removed")
     }
 
+    timed("txlog contention: 8 foreign writers x 25 commits + compactor, zero lost") {
+      // Optimistic concurrency under REAL parallel committers: each
+      // writer thread gets its OWN TxLog instance (a fresh instance =
+      // a foreign writer process — no shared knownHighWater, no shared
+      // JVM lock; everything serializes through the no-overwrite
+      // rename alone), racing pure appends while one compactor races
+      // remove+add rewrites of files it picked BEFORE its commit
+      // attempt. Claims under test: no lost commits (every returned
+      // version unique), a linear history (versions contiguous from
+      // 0), and no dangling state (final live set == appended minus
+      // compacted-away plus rewrite outputs, exactly).
+      val dir = java.nio.file.Files.createTempDirectory("txcontend").toString
+      val hc = spark.sessionState.newHadoopConf()
+      val writers = 8
+      val commitsEach = 25
+      val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val compacted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val rewrites = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      var compactorConflicts = 0
+      // daemon threads: a failed assertion inside a Runnable must fail
+      // the probe, not leave non-daemon workers pinning the JVM open
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        writers + 1,
+        (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val log = new graft.store.TxLog(hc, dir) // foreign writer
+            (0 until commitsEach).foreach { i =>
+              val p = s"partition=p$w/f$w-$i.parquet"
+              val v = log.commit(Seq(graft.store.TxAdd(p, s"p$w")))
+              require(v >= 0 && versions.add(v), s"version $v returned twice — lost commit")
+              appended.add(p)
+            }
+          }
+        })
+      } :+ pool.submit(new Runnable {
+        def run(): Unit = {
+          val log = new graft.store.TxLog(hc, dir)
+          (0 until 10).foreach { k =>
+            Thread.sleep(20)
+            // pick victims from a snapshot taken BEFORE the attempt —
+            // the stale-removes validation path is what's under test
+            val live = log.snapshot(None).map(_.path)
+              .filterNot(p => p.contains("/rw-") || compacted.contains(p))
+            if (live.size >= 2) {
+              val victims = live.take(2)
+              val out = s"partition=rw/rw-$k.parquet"
+              try {
+                val v = log.commit(
+                  Seq(graft.store.TxAdd(out, "rw")),
+                  removes = victims.map(graft.store.TxRemove(_)))
+                require(v >= 0 && versions.add(v), s"compactor version $v duplicated")
+                victims.foreach(compacted.add)
+                rewrites.add(out)
+              } catch {
+                // racing a concurrent retirement of the same victim is
+                // the DESIGNED loser outcome (staged files vacuumable)
+                case _: java.util.ConcurrentModificationException =>
+                  compactorConflicts += 1
+              }
+            }
+          }
+        }
+      })
+      tasks.foreach(_.get())
+      pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      val check = new graft.store.TxLog(hc, dir)
+      val latest = check.latestVersion()
+      val vs = versions.iterator().asScala.toSeq.sorted
+      require(vs == (0L to latest).toSeq,
+        s"non-linear history: ${vs.size} committed versions, latest $latest")
+      require(vs.size == writers * commitsEach + rewrites.size,
+        s"lost commits: ${vs.size} versions for ${writers * commitsEach} appends + ${rewrites.size} rewrites")
+      val live = check.snapshot(None).map(_.path).toSet
+      val expected = appended.iterator().asScala.toSet --
+        compacted.iterator().asScala.toSet ++ rewrites.iterator().asScala.toSet
+      require(live == expected,
+        s"dangling state: ${live.size} live vs ${expected.size} expected " +
+          s"(extra=${(live -- expected).take(3)}, missing=${(expected -- live).take(3)})")
+      println(s"[probe]   ${vs.size} commits linear 0..$latest, " +
+        s"${live.size} live files exact, $compactorConflicts compactor conflicts (designed losers)")
+    }
+
     // a silent filter miss would look like an instant successful run —
     // say so loudly instead (labels are case-sensitive substrings)
     if (ran == 0)

@@ -292,4 +292,105 @@ class DeltaBridgeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("minReaderVersion"))
   }
+
+  // -- third-party-writer shapes: logs this bridge did not produce --
+
+  private def plantFile(root: String, stage: String, name: String): Unit = {
+    val listing = Files.list(Paths.get(s"$root/$stage"))
+    val part = try listing.toArray.map(_.toString)
+      .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+    finally listing.close()
+    Files.move(Paths.get(part), Paths.get(s"$root/$name"))
+  }
+
+  private def flatSchemaJson: String =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.IntegerType))).json
+      .replace("\"", "\\\"")
+
+  test("third-party shapes: stats-less adds and remove without dataChange replay fine") {
+    val root = tmpDir("delta3p")
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$root/s0")
+    Seq(2).toDF("v").coalesce(1).write.parquet(s"$root/s1")
+    plantFile(root, "s0", "a.parquet"); plantFile(root, "s1", "b.parquet")
+    val logDir = Paths.get(s"$root/_delta_log")
+    Files.createDirectories(logDir)
+    // adds carry NO stats, NO size, NO modificationTime (all optional
+    // for a reader); the remove carries no dataChange — compaction
+    // writers emit exactly this and the file must still drop out
+    Files.write(logDir.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(logDir.resolve("00000000000000000001.json"),
+      """{"remove":{"path":"b.parquet"}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val got = DeltaBridge.read(spark, root).collect().map(_.getInt(0)).toSet
+    assert(got === Set(1))
+    // stats-less files always scan under readRange (the safe direction)
+    val ranged = DeltaBridge.readRange(spark, root, "v", 100.0, 200.0)
+      .collect().map(_.getInt(0)).toSet
+    assert(ranged === Set(1))
+  }
+
+  test("third-party shapes: multi-part checkpoint seeds the replay") {
+    val root = tmpDir("deltamp")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-02T02:00:00"), 2.0),
+      (ts("2024-01-03T03:00:00"), 3.0)).toDF("time", "value"))
+    st.exportSnapshotDelta("f", s"$root/delta")
+    DeltaBridge.writeCheckpoint(spark, s"$root/delta")
+    val expectedRows = DeltaBridge.read(spark, s"$root/delta")
+      .select("time", "value").collect().map(_.toString).toSet
+
+    // split the single-part checkpoint into 2 parts the way a large
+    // third-party writer shards it, and delete the JSON commits so the
+    // read can ONLY succeed by seeding from the sharded checkpoint
+    val logDir = Paths.get(s"$root/delta/_delta_log")
+    val single = logDir.resolve("00000000000000000000.checkpoint.parquet")
+    val ck = spark.read.parquet(single.toString).cache()
+    val n = ck.count().toInt
+    assert(n >= 2, s"need >= 2 checkpoint actions to shard, got $n")
+    val rows = ck.collect()
+    def writePart(i: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val stage = s"$root/ckpart$i"
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), ck.schema)
+        .coalesce(1).write.parquet(stage)
+      plantFile(root, s"ckpart$i",
+        f"delta/_delta_log/00000000000000000000.checkpoint.$i%010d.${2}%010d.parquet")
+    }
+    writePart(1, rows.take(1)); writePart(2, rows.drop(1))
+    ck.unpersist()
+    Files.delete(single)
+    Files.deleteIfExists(logDir.resolve(".00000000000000000000.checkpoint.parquet.crc"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      s"""{"version":0,"size":$n,"parts":2}""".getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(logDir.resolve("._last_checkpoint.crc"))
+    Files.delete(logDir.resolve("00000000000000000000.json"))
+    Files.deleteIfExists(logDir.resolve(".00000000000000000000.json.crc"))
+
+    val got = DeltaBridge.read(spark, s"$root/delta")
+      .select("time", "value").collect().map(_.toString).toSet
+    assert(got === expectedRows)
+  }
+
+  test("third-party shapes: column mapping mode refuses rather than misreads") {
+    val root = tmpDir("deltacm")
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$root/s0")
+    plantFile(root, "s0", "a.parquet")
+    val logDir = Paths.get(s"$root/_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException](DeltaBridge.read(spark, root))
+    assert(e.getMessage.contains("columnMapping"))
+  }
 }
