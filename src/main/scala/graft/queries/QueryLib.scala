@@ -120,6 +120,32 @@ object QueryLib {
       root.toString
     })
 
+  /** ONE shared staged replay tree per (table, sfDir) for the
+    * non-watermarked streaming gates. Before r17 each of the ~14
+    * repartition(4) gates staged its OWN projection of the same table
+    * — 14 staging write jobs per JVM for one table's bytes; now
+    * staging is a single job per table and every gate projects/filters
+    * INSIDE the stream. Gate semantics are unchanged: the same rows
+    * reach each operator (projection commutes with the file replay),
+    * and per-batch membership was already arbitrary under
+    * repartition(4), so any gate green under the old layout is
+    * batching-insensitive by construction. The watermarked gates keep
+    * their own calendar-sliced trees (stageTimeOrderedReplay) — THEIR
+    * batch boundaries are semantic.
+    */
+  private def stagedEventsWide(
+      s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val src = T(s, dir, "events").select(
+      col("ts"), col("event_id"), col("user_id"), col("event_type"), col("value"))
+    (stagedSrc("sevw", dir)(p => src.repartition(4).write.parquet(p)), src.schema)
+  }
+
+  private def stagedDocsWide(
+      s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val src = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    (stagedSrc("sdocw", dir)(p => src.repartition(4).write.parquet(p)), src.schema)
+  }
+
   /** Stage `src` as TIME-ORDERED slice files plus a final sentinel
     * batch — the replay discipline that makes a finite file replay safe
     * under a watermark: slices are calendar-disjoint ascending (so no
@@ -1068,17 +1094,17 @@ object QueryLib {
       // events.parquet is TIMESTAMP(NANOS), which the streaming parquet
       // source rejects like the batch one; stage through Tables (ns→µs)
       // into plain µs parquet and stream from that.
-      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
-        .select(col("ts").as("time"), col("value"))
-      val srcDir = stagedSrc("ssink", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val fs = new graft.api.FeatureStore(s, s"$tmp/catalog.json")
       fs.createNamespace("st", s"$tmp/warehouse", backend = "txlog")
       fs.createFeature("st/purchase")
       val nsObj = fs.catalog.getNamespace("st").get
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 micro-batch txns
         .parquet(srcDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
       // no state stores here (foreachBatch), but each micro-batch's
       // writeTx runs the ranged layout exchange — 4 partitions matches
       // the tiny per-batch volume instead of 32 near-empty write tasks
@@ -1163,12 +1189,12 @@ object QueryLib {
     // txlog path; Complete mode on an unbounded stream would be wrong
     // at 100 TB by construction.
     (s, dir) => {
-      val src = T(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
-      val srcDir = stagedSrc("swin", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 stateful micro-batches
         .parquet(srcDir)
+        .select(col("ts"), col("event_type"), col("value"))
       // unique per invocation: the memory sink registers a session temp
       // view (bench re-runs the query; a fixed name would collide)
       val view = s"swin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1308,12 +1334,12 @@ object QueryLib {
     // is the correctness harness; production session stats keep the
     // watermark and run Append.
     (s, dir) => {
-      val src = T(s, dir, "events").select(col("ts"), col("user_id"), col("value"))
-      val srcDir = stagedSrc("ssess", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1") // 4 files -> 4 merging micro-batches
         .parquet(srcDir)
+        .select(col("ts"), col("user_id"), col("value"))
       val view = s"ssess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams.sessionStats(stream, "30 minutes", watermark = None)
@@ -1480,14 +1506,13 @@ object QueryLib {
       // a deterministic 20% user slice keeps the gate's output compact
       // (the oracle slices identically); the exec + cross-batch state
       // semantics certified are the same as a full replay
-      val src = T(s, dir, "events")
-        .filter(col("user_id") % 5 === 0)
-        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      val srcDir = stagedSrc("sattr", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .filter(col("user_id") % 5 === 0)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       val view = s"sattr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams
@@ -1580,16 +1605,15 @@ object QueryLib {
     // the third join execution path (inner SS, outer SS, and now
     // stream-static).
     (s, dir) => {
-      val src = T(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("ts"), col("user_id"), col("value"))
-      val srcDir = stagedSrc("senrich", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val dim = T(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("ts"), col("user_id"), col("value"))
       val view = s"senrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams.enrich(stream, dim, "user_id")
@@ -6881,12 +6905,12 @@ object QueryLib {
     // in batch over the final counter view and must hash BIT-FOR-BIT
     // against the same oracle as the batch gate.
     (s, dir) => {
-      val src = T(s, dir, "documents").select(col("text"))
-      val srcDir = stagedSrc("scms", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, docSchema) = stagedDocsWide(s, dir)
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .select(col("text"))
       val view = s"scms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val sk = stream.select(explode(TextOps.tokens(col("text"))).as("term"))
         .select(posexplode(array((0 until graft.functions.Cms.D).map(j =>
@@ -6949,13 +6973,13 @@ object QueryLib {
     // BIT-FOR-BIT against the oracle computing the same sketch from
     // the plain events table — stream/batch parity for sketches.
     (s, dir) => {
-      val src = T(s, dir, "events").select(col("event_type"),
-        concat(lit("hll:"), col("user_id").cast("string")).as("hin"))
-      val srcDir = stagedSrc("shll", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .select(col("event_type"),
+          concat(lit("hll:"), col("user_id").cast("string")).as("hin"))
       val view = s"shll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val regs = stream.select(col("event_type"),
           graft.functions.Hll.idxCol(col("hin")).as("idx"),
@@ -7048,12 +7072,12 @@ object QueryLib {
     // micro-batches; the batch-closed (k-1)·2^60/h_k estimates must
     // hash BIT-FOR-BIT against the same oracle as q_kmv_distinct.
     (s, dir) => {
-      val src = T(s, dir, "events").select(col("event_type"), col("user_id"))
-      val srcDir = stagedSrc("skmv", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .select(col("event_type"), col("user_id"))
       val view = s"skmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams
@@ -7121,12 +7145,12 @@ object QueryLib {
     // the final sketch view and must hash BIT-FOR-BIT against the same
     // oracle as the batch gate — stream/batch parity for quantiles.
     (s, dir) => {
-      val src = T(s, dir, "events").select(col("event_type"), col("value"))
-      val srcDir = stagedSrc("squant", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val stream = s.readStream
-        .schema(src.schema)
+        .schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .select(col("event_type"), col("value"))
       val view = s"squant_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val scaled = round(col("value") * lit(100), 0).cast("long")
       val sk = stream
@@ -8373,9 +8397,7 @@ object QueryLib {
     // over the 4-file replay must hash-equal the batch gate's oracle,
     // certifying stream/batch parity for a broadcast-scored stream.
     (s, dir) => {
-      val src = T(s, dir, "events")
-        .select(col("ts"), col("event_id"), col("event_type"), col("value"))
-      val srcDir = stagedSrc("sanom", dir)(p => src.repartition(4).write.parquet(p))
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
       val prof = TimeseriesOps.seasonalPrep(T(s, dir, "events"),
           keyCol = "event_type", idCol = "event_id", timeCol = "ts",
           valueCol = "value", periodSecs = 3600L, seasonSecs = 86400L)
@@ -8383,9 +8405,10 @@ object QueryLib {
           count(lit(1)).as("n"),
           sum(col("cents")).as("sx"),
           sum(col("cents") * col("cents")).as("sxx"))
-      val stream = s.readStream.schema(src.schema)
+      val stream = s.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .select(col("ts"), col("event_id"), col("event_type"), col("value"))
       val view = s"sanom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val query = withStatePartitions(s, 4) {
         graft.streaming.EventStreams.anomalyStream(stream, prof,
@@ -8507,13 +8530,13 @@ object QueryLib {
     // giniFromCounts rank walk as the batch gate. Complete-mode close
     // over the 4-file replay must hash-equal q_gini's oracle exactly.
     (s, dir) => {
-      val src = T(s, dir, "events").filter(col("value").isNotNull)
-        .select(col("event_type"),
-          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
-      val srcDir = stagedSrc("sgini", dir)(p => src.repartition(4).write.parquet(p))
-      val stream = s.readStream.schema(src.schema)
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
+      val stream = s.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("decimal(38,0)").as("cents"))
       val view = s"sgini_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val counts = stream.groupBy(col("event_type"), col("cents"))
         .agg(count(lit(1)).as("c"))
@@ -8807,13 +8830,13 @@ object QueryLib {
     // the SAME Eval.aucFromCounts rank walk as ml_auc. Complete-mode
     // close over the 4-file replay must hash-equal ml_auc's oracle.
     (s, dir) => {
-      val src = T(s, dir, "events").filter(col("value").isNotNull)
-        .select(round(col("value") * 100).cast("decimal(38,0)").as("cents"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
-      val srcDir = stagedSrc("sauc", dir)(p => src.repartition(4).write.parquet(p))
-      val stream = s.readStream.schema(src.schema)
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
+      val stream = s.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+        .filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("decimal(38,0)").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       val view = s"sauc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val counts = stream.groupBy(col("cents"))
         .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
@@ -9130,14 +9153,14 @@ object QueryLib {
     // — the same integer-exact CDF walk. Complete-mode close over the
     // 4-file replay must hash-equal the batch gate's oracle.
     (s, dir) => {
-      val src = T(s, dir, "events").filter(col("value").isNotNull)
+      val (srcDir, evSchema) = stagedEventsWide(s, dir)
+      val stream = s.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           round(col("value") * 100).cast("decimal(38,0)").as("cents"),
           when(col("ts") < ts("2024-01-16"), 1L).otherwise(0L).as("ref"))
-      val srcDir = stagedSrc("sdrift", dir)(p => src.repartition(4).write.parquet(p))
-      val stream = s.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
       val view = s"sdrift_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val counts = stream.groupBy(col("event_type"), col("cents"))
         .agg(sum(col("ref")).as("c_ref"), sum(lit(1L) - col("ref")).as("c_cur"))
@@ -10047,9 +10070,8 @@ object QueryLib {
     // (drift), confusion (error anatomy). Complete-mode close over
     // the 4-file replay must hash-equal the batch gate's oracle.
     (s, dir) => {
-      val src = T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-      val srcDir = stagedSrc("sconf", dir)(p => src.repartition(4).write.parquet(p))
-      val stream = s.readStream.schema(src.schema)
+      val (srcDir, docSchema) = stagedDocsWide(s, dir)
+      val stream = s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
       val view = s"sconf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
