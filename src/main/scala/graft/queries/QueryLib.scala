@@ -864,6 +864,36 @@ object QueryLib {
     Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
            |FROM events WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-08'""".stripMargin))
 
+  private val fsStoreIcebergSync = Q(
+    "fs_store_iceberg_sync",
+    // the CONTINUOUS leg of the Iceberg bridge (fs_store_delta_sync's
+    // twin): after the initial export, the table moves (an append AND
+    // a delete-rewrite) and syncSnapshotIceberg publishes the net
+    // change as ONE new Iceberg snapshot — new files byte-copied and
+    // ADDED to a fresh single manifest, retired files dropped from
+    // the new snapshot (bytes stay on disk: older snapshots keep
+    // reading them, Iceberg's own time-travel contract), metadata
+    // advanced to v2.metadata.json. What's certified: the add/drop
+    // diff is exact (a missed drop = resurrected deleted rows, a
+    // missed add = lost appends) and the reader plans from the NEW
+    // current snapshot. At 100 TB a daily sync moves the day's files
+    // plus one manifest + one metadata json, never the table.
+    (s, dir) => {
+      val tmp = scratchDir("ibsync")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val src = T(s, dir, "events").filter(col("event_type") === "signup")
+        .select(col("ts").as("time"), col("value"))
+      st.save("signups", src.filter(col("time") < ts("2024-01-16")))
+      st.exportSnapshotIceberg("signups", s"$tmp/iceberg") // snapshot 1
+      st.save("signups", src.filter(col("time") >= ts("2024-01-16")))
+      st.deleteWhere("signups", col("time") < ts("2024-01-08"))
+      st.syncSnapshotIceberg("signups", s"$tmp/iceberg") // snapshot 2
+      graft.store.IcebergBridge.read(s, s"$tmp/iceberg")
+        .select(col("time"), col("value"), col("partition"))
+    },
+    Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
+           |FROM events WHERE event_type = 'signup' AND ts >= TIMESTAMP '2024-01-08'""".stripMargin))
+
   private val fsStreamDedupLsh = Q(
     "fs_stream_dedup_lsh",
     // Streaming NEAR-dedup (the 10th streaming hash gate): the batch
@@ -10139,7 +10169,7 @@ object QueryLib {
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
-    fsStoreExportIceberg,
+    fsStoreExportIceberg, fsStoreIcebergSync,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

@@ -447,6 +447,235 @@ object IcebergBridge {
     sorted.size
   }
 
+  /** Publish one incremental snapshot on an existing bridge-written
+    * table: `newFiles` (root-relative, already physically under `dir`)
+    * become ADDED entries with footer stats, `removedFiles` drop out,
+    * and everything else carries forward as EXISTING entries keeping
+    * the sequence number of the snapshot that added them (the v2
+    * inheritance rule). One NEW manifest holds the ENTIRE live set —
+    * the single-manifest-per-snapshot shape a compacting writer uses,
+    * legal per spec and the simplest state a reader can plan from —
+    * so a snapshot's manifest-list always names exactly one manifest.
+    * Bytes of removed files STAY on disk: older snapshots in the
+    * metadata keep reading them (Iceberg's own time-travel contract).
+    * Writes v(N+1).metadata.json + version-hint and returns the new
+    * snapshot id. The daily-sync shape at 100 TB: the commit moves
+    * one manifest + one metadata json, never the table.
+    */
+  def appendSnapshot(
+      spark: SparkSession,
+      dir: String,
+      newFiles: Seq[String],
+      removedFiles: Seq[String],
+      conf: Configuration = null): Long = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val metaDir = new Path(root, MetaDirName)
+    val (metaFile, metaVersion) = currentMetaFile(fs, metaDir)
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in) finally in.close()
+    val fv = node.get("format-version").asInt()
+    require(fv == 2, s"appendSnapshot needs a v2 table, got format-version $fv")
+    val location = jStr(node, "location")
+    val prevState = loadState(spark, fs, root)
+    val partCols = prevState.partCols
+
+    def relOf(p: String): String =
+      if (p.startsWith(location.stripSuffix("/") + "/"))
+        p.substring(location.stripSuffix("/").length + 1) else p
+    val removedSet = removedFiles.map(relOf).toSet
+    val carried = prevState.files.filterNot(f => removedSet(relOf(f.path)))
+    val carriedRel = carried.map(f => relOf(f.path)).toSet
+    val freshNew = newFiles.map(relOf).filterNot(carriedRel)
+    require((removedSet -- prevState.files.map(f => relOf(f.path)).toSet).isEmpty,
+      s"appendSnapshot: removing files not in the current snapshot: " +
+        s"${(removedSet -- prevState.files.map(f => relOf(f.path)).toSet).take(3)}")
+
+    val newSeq = node.get("last-sequence-number").asLong() + 1
+    val tableUuid = jStr(node, "table-uuid")
+    val snapUuid = java.util.UUID.nameUUIDFromBytes(
+      (s"iceberg-snap:$tableUuid:$newSeq").getBytes(StandardCharsets.UTF_8))
+    val snapshotId = snapUuid.getMostSignificantBits & Long.MaxValue
+
+    // field ids from the current schema (stats keys)
+    val schemaNode = node.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == node.get("current-schema-id").asInt()).get
+    val fieldIds: Map[String, Int] = schemaNode.get("fields").elements().asScala
+      .map(f => jStr(f, "name") -> f.get("id").asInt()).toMap
+
+    def partsOf(rel: String): Seq[(String, String)] =
+      rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+      }
+    freshNew.foreach(rel => require(partsOf(rel).map(_._1) == partCols,
+      s"appendSnapshot: $rel does not match partition columns $partCols"))
+
+    val entrySchema = manifestEntrySchema(partCols)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    var addedRows = 0L
+    var existingRows = 0L
+    val newEntries = freshNew.map { rel =>
+      val p = new Path(root, rel)
+      require(fs.exists(p), s"appendSnapshot: new file $rel not under $dir")
+      val (rows, stats) = footerStats(p, hc)
+      addedRows += rows
+      val part = new GenericData.Record(partSchema)
+      partsOf(rel).foreach { case (k, v) => part.put(k, v) }
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 0)
+      df.put("file_path", s"$location/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
+      val statEntries = stats.toSeq
+        .flatMap { case (n, s) => fieldIds.get(n).map(_ -> s) }.sortBy(_._1)
+      if (statEntries.nonEmpty) {
+        df.put("value_counts", kvArray(
+          dataFileSchema.getField("value_counts").schema(),
+          statEntries.map { case (id, s) => id -> (s.values: Any) }))
+        df.put("null_value_counts", kvArray(
+          dataFileSchema.getField("null_value_counts").schema(),
+          statEntries.map { case (id, s) => id -> (s.nulls: Any) }))
+        df.put("lower_bounds", kvArray(
+          dataFileSchema.getField("lower_bounds").schema(),
+          statEntries.map { case (id, s) => id -> (boundBytes(s.min, s.typeName): Any) }))
+        df.put("upper_bounds", kvArray(
+          dataFileSchema.getField("upper_bounds").schema(),
+          statEntries.map { case (id, s) => id -> (boundBytes(s.max, s.typeName): Any) }))
+      }
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", newSeq)
+      e.put("file_sequence_number", newSeq)
+      e.put("data_file", df)
+      e: GenericRecord
+    }
+    val carriedEntries = carried.map { f =>
+      existingRows += f.recordCount
+      val part = new GenericData.Record(partSchema)
+      f.partitionValues.foreach { case (k, v) => part.put(k, v) }
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 0)
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", f.recordCount)
+      df.put("file_size_in_bytes", f.sizeBytes)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 0) // EXISTING — keeps its original data sequence
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", f.sequenceNumber)
+      e.put("file_sequence_number", f.sequenceNumber)
+      e.put("data_file", df)
+      e: GenericRecord
+    }
+    val entries = (newEntries ++ carriedEntries).sortBy(
+      _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+    val minSeq = (newSeq +: carried.map(_.sequenceNumber)).min
+
+    val schemaJson = mapper.writeValueAsString(
+      mapper.treeToValue(schemaNode, classOf[Object]))
+    val specFieldsJson = partCols.zipWithIndex.map { case (c, i) =>
+      Map[String, Any]("name" -> c, "transform" -> "identity",
+        "source-id" -> fieldIds(c), "field-id" -> (1000 + i))
+    }
+    val manifestPath = new Path(metaDir, s"$snapUuid-m0.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema,
+      Seq(
+        "schema" -> schemaJson,
+        "partition-spec" -> mapper.writeValueAsString(specFieldsJson),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "data"),
+      entries)
+
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", s"$location/$MetaDirName/${manifestPath.getName}")
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", newSeq)
+    mf.put("min_sequence_number", minSeq)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_files_count", newEntries.size)
+    mf.put("existing_files_count", carriedEntries.size)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", addedRows)
+    mf.put("existing_rows_count", existingRows)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$snapUuid.avro")
+    writeAvro(fs, listPath, manifestFileSchema,
+      Seq("snapshot-id" -> snapshotId.toString,
+        "parent-snapshot-id" ->
+          Option(node.get("current-snapshot-id")).map(_.asText()).getOrElse("null"),
+        "sequence-number" -> newSeq.toString,
+        "format-version" -> "2"),
+      Seq(mf))
+
+    // new metadata json: the old one converted to mutable form, with
+    // the snapshot machinery advanced and history appended (timestamps
+    // derive from data-file mtimes, keeping exports replayable)
+    val maxMtime = (freshNew.map(rel =>
+      fs.getFileStatus(new Path(root, rel)).getModificationTime) :+
+      node.get("last-updated-ms").asLong()).max
+    val meta = mapper.convertValue(node, classOf[java.util.LinkedHashMap[String, Object]])
+    meta.put("last-sequence-number", java.lang.Long.valueOf(newSeq))
+    meta.put("last-updated-ms", java.lang.Long.valueOf(maxMtime))
+    meta.put("current-snapshot-id", java.lang.Long.valueOf(snapshotId))
+    val newSnap = new java.util.LinkedHashMap[String, Object]()
+    newSnap.put("snapshot-id", java.lang.Long.valueOf(snapshotId))
+    newSnap.put("parent-snapshot-id",
+      Option(node.get("current-snapshot-id")).map(v =>
+        java.lang.Long.valueOf(v.asLong()): Object).orNull)
+    newSnap.put("timestamp-ms", java.lang.Long.valueOf(maxMtime))
+    newSnap.put("sequence-number", java.lang.Long.valueOf(newSeq))
+    val summary = new java.util.LinkedHashMap[String, Object]()
+    summary.put("operation", if (removedSet.nonEmpty) "overwrite" else "append")
+    summary.put("added-data-files", newEntries.size.toString)
+    summary.put("deleted-data-files", removedSet.size.toString)
+    summary.put("added-records", addedRows.toString)
+    newSnap.put("summary", summary)
+    newSnap.put("manifest-list", s"$location/$MetaDirName/${listPath.getName}")
+    newSnap.put("schema-id",
+      java.lang.Integer.valueOf(node.get("current-schema-id").asInt()))
+    // the scala-module mapper materializes JSON arrays as Scala Lists;
+    // append by rebuilding the sequence (order preserved)
+    def appendTo(key: String, item: Object): Unit = {
+      val prev = Option(meta.get(key)) match {
+        case Some(s: Seq[_]) => s.asInstanceOf[Seq[Object]]
+        case Some(l: java.util.List[_]) =>
+          l.asScala.toSeq.asInstanceOf[Seq[Object]]
+        case None => Seq.empty[Object]
+        case Some(other) => throw new IllegalArgumentException(
+          s"metadata '$key' is not a list: ${other.getClass}")
+      }
+      meta.put(key, prev :+ item)
+    }
+    appendTo("snapshots", newSnap)
+    val logEntry = new java.util.LinkedHashMap[String, Object]()
+    logEntry.put("snapshot-id", java.lang.Long.valueOf(snapshotId))
+    logEntry.put("timestamp-ms", java.lang.Long.valueOf(maxMtime))
+    appendTo("snapshot-log", logEntry)
+    val metaLogEntry = new java.util.LinkedHashMap[String, Object]()
+    metaLogEntry.put("metadata-file", s"$location/$MetaDirName/${metaFile.getName}")
+    metaLogEntry.put("timestamp-ms",
+      java.lang.Long.valueOf(node.get("last-updated-ms").asLong()))
+    appendTo("metadata-log", metaLogEntry)
+
+    val newMetaOut = fs.create(
+      new Path(metaDir, s"v${metaVersion + 1}.metadata.json"), true)
+    try newMetaOut.write(mapper.writeValueAsBytes(meta)) finally newMetaOut.close()
+    val hintOut = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hintOut.write(s"${metaVersion + 1}".getBytes(StandardCharsets.UTF_8))
+    finally hintOut.close()
+    snapshotId
+  }
+
   // ---------------------------------------------------------------
   // Read path
   // ---------------------------------------------------------------
@@ -480,7 +709,31 @@ object IcebergBridge {
   }
 
   private final case class DataFileEntry(
-      path: String, partitionValues: Map[String, String], recordCount: Long)
+      path: String,
+      partitionValues: Map[String, String],
+      recordCount: Long,
+      sizeBytes: Long,
+      sequenceNumber: Long)
+
+  /** The latest metadata file: version-hint first (HadoopCatalog
+    * convention), else max vN scan. Returns (path, version). */
+  private def currentMetaFile(fs: FileSystem, metaDir: Path): (Path, Long) = {
+    val hintPath = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hintPath)) {
+      val in = fs.open(hintPath)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      (new Path(metaDir, s"v$v.metadata.json"), v.toLong)
+    } else {
+      val vRe = """v(\d+)\.metadata\.json""".r
+      val versions = fs.listStatus(metaDir).toSeq.flatMap(_.getPath.getName match {
+        case vRe(v) => Some(v.toLong)
+        case _ => None
+      })
+      require(versions.nonEmpty, s"no vN.metadata.json under $metaDir")
+      (new Path(metaDir, s"v${versions.max}.metadata.json"), versions.max)
+    }
+  }
 
   private final case class TableState(
       schema: StructType,
@@ -496,25 +749,10 @@ object IcebergBridge {
   }
 
   private def loadState(
-      spark: SparkSession, fs: FileSystem, root: Path): TableState = {
+      spark: SparkSession, fs: FileSystem, root: Path,
+      snapshotId: Option[Long] = None): TableState = {
     val metaDir = new Path(root, MetaDirName)
-    // version-hint first (HadoopCatalog convention); else max vN
-    val hintPath = new Path(metaDir, "version-hint.text")
-    val metaFile =
-      if (fs.exists(hintPath)) {
-        val in = fs.open(hintPath)
-        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        new Path(metaDir, s"v$v.metadata.json")
-      } else {
-        val vRe = """v(\d+)\.metadata\.json""".r
-        val versions = fs.listStatus(metaDir).toSeq.flatMap(_.getPath.getName match {
-          case vRe(v) => Some(v.toLong)
-          case _ => None
-        })
-        require(versions.nonEmpty, s"no vN.metadata.json under $metaDir")
-        new Path(metaDir, s"v${versions.max}.metadata.json")
-      }
+    val (metaFile, _) = currentMetaFile(fs, metaDir)
     val in = fs.open(metaFile)
     val node = try mapper.readTree(in) finally in.close()
 
@@ -554,13 +792,15 @@ object IcebergBridge {
       }.toSeq
     }.getOrElse(Seq.empty)
 
-    val curSnap = Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L)
+    val curSnap = snapshotId.getOrElse(
+      Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L))
     if (curSnap == -1L)
       return TableState(StructType(fieldsById.values.toSeq), partCols, Seq.empty, location)
     val snap = node.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == curSnap)
       .getOrElse(throw new IllegalArgumentException(
-        s"current-snapshot-id $curSnap not among snapshots"))
+        s"snapshot-id $curSnap not among snapshots" +
+          (if (snapshotId.isDefined) " (time-travel target missing)" else "")))
     val listPath = resolve(root, location, jStr(snap, "manifest-list"))
 
     val (manifests, _) = readAvro(fs, listPath)
@@ -587,7 +827,12 @@ object IcebergBridge {
             c -> Option(part.get(c)).map(_.toString).orNull
           }.toMap
           files += DataFileEntry(df.get("file_path").toString, pv,
-            df.get("record_count").asInstanceOf[Long])
+            df.get("record_count").asInstanceOf[Long],
+            Option(df.get("file_size_in_bytes")).map(_.asInstanceOf[Long]).getOrElse(0L),
+            // v2 inheritance: a null sequence on an ADDED entry takes
+            // the manifest-list's sequence_number
+            Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
+              Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)))
         }
       }
     }
@@ -607,6 +852,18 @@ object IcebergBridge {
   def read(spark: SparkSession, dir: String, conf: Configuration = null): DataFrame =
     readPruned(spark, dir, _ => true, conf)
 
+  /** [[read]] pinned to a SNAPSHOT ID — Iceberg's time travel: older
+    * snapshots stay in the metadata and their manifests still name
+    * the pre-sync files (whose bytes appendSnapshot never deletes),
+    * so a reader holds a stable view while syncs land.
+    */
+  def readSnapshot(
+      spark: SparkSession,
+      dir: String,
+      snapshotId: Long,
+      conf: Configuration = null): DataFrame =
+    readPruned(spark, dir, _ => true, conf, Some(snapshotId))
+
   /** [[read]] with MANIFEST-DRIVEN partition pruning: `pred` sees each
     * data file's partition values and rejected files never reach the
     * scan — Iceberg's planning story, decided on driver-side metadata.
@@ -622,11 +879,12 @@ object IcebergBridge {
       spark: SparkSession,
       dir: String,
       keep: DataFileEntry => Boolean,
-      conf: Configuration): DataFrame = {
+      conf: Configuration,
+      snapshotId: Option[Long] = None): DataFrame = {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
-    val state = loadState(spark, fs, root)
+    val state = loadState(spark, fs, root, snapshotId)
     val files = state.files.filter(keep)
     val schema = state.schema
     val partCols = state.partCols

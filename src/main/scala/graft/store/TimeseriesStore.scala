@@ -1513,6 +1513,72 @@ class TimeseriesStore(
     v
   }
 
+  /** ONE new Iceberg snapshot on an [[exportSnapshotIceberg]] tree —
+    * the continuous leg, [[syncSnapshotDelta]]'s twin: new txlog files
+    * are byte-copied and become ADDED manifest entries, retired files
+    * drop out of the new snapshot (bytes stay for time travel), and
+    * the published metadata advances one version. Same preconditions
+    * as the Delta sync: verbatim export, same table, no schema epoch
+    * drift. Returns the synced txlog version; no-ops when idle.
+    */
+  def syncSnapshotIceberg(name: String, dstDir: String): Long = {
+    require(logBacked, "syncSnapshotIceberg requires the txlog backend")
+    val dst = new Path(dstDir)
+    val dstFs = dst.getFileSystem(hadoopConf)
+    val manifestPath = new Path(dst, TimeseriesStore.ManifestName)
+    require(dstFs.exists(manifestPath),
+      s"$dstDir carries no manifest — exportSnapshotIceberg first, then sync")
+    val in = dstFs.open(manifestPath)
+    val node = try TimeseriesStore.manifestMapper.readTree(
+      new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
+    require(node.get("table").asText() == name,
+      s"$dstDir was exported from '${node.get("table").asText()}', not '$name'")
+    require(node.get("mode").asText() == "verbatim",
+      s"$dstDir is an aligned (rewritten) export; sync needs verbatim — re-export")
+    val prevV = node.get("version").asLong()
+    val prevFiles = {
+      val fn = node.get("files")
+      (0 until fn.size()).map(fn.get(_).asText()).toSet
+    }
+    val prevSchema = Option(node.get("schemaJson")).filterNot(_.isNull).map(_.asText())
+
+    val log = txLog(name)
+    val v = log.latestVersion()
+    if (v == prevV) return v
+    require(v > prevV, s"table '$name' is at version $v but $dstDir was " +
+      s"exported at $prevV — a newer tree cannot sync backwards")
+    val adds = log.snapshot(Some(v))
+    val schemas = log.schemaHistory(Some(v))
+    require(schemas.lastOption == prevSchema,
+      s"schema of '$name' changed since the export; re-export (sync " +
+        "cannot mix physical schema epochs in a plain-parquet tree)")
+    require(adds.map(_.sv.getOrElse(0L)).distinct.size <= 1,
+      s"snapshot of '$name' spans schema epochs; re-export aligned")
+
+    val newFiles = adds.filterNot(a => prevFiles(a.path))
+    val goneFiles = (prevFiles -- adds.map(_.path)).toSeq.sorted
+    val f = fs(url)
+    val root = new Path(featurePath(name))
+    newFiles.foreach { a =>
+      val to = new Path(dst, a.path)
+      if (!dstFs.exists(to.getParent)) dstFs.mkdirs(to.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, new Path(root, a.path), dstFs, to, false, hadoopConf)
+    }
+    IcebergBridge.appendSnapshot(
+      spark, dstDir, newFiles.map(_.path), goneFiles, hadoopConf)
+
+    val manifest = Map[String, Any](
+      "table" -> name, "version" -> v, "mode" -> "verbatim",
+      "files" -> adds.map(_.path),
+      "rows" -> adds.flatMap(_.nrec).sum,
+      "schemaJson" -> schemas.lastOption.orNull)
+    val out = dstFs.create(manifestPath, true)
+    try out.write(TimeseriesStore.manifestMapper.writeValueAsBytes(manifest))
+    finally out.close()
+    v
+  }
+
   /** Incrementally publish txlog commits SINCE the last export/sync as
     * ONE new Delta commit on an [[exportSnapshotDelta]] tree: new
     * snapshot files are byte-copied (at object-store scale:
@@ -1615,13 +1681,17 @@ class TimeseriesStore(
           new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
         Option(node.get("schemaJson")).filterNot(_.isNull).map(_.asText())
       } else None
-    // a tree carrying a Delta log imports THROUGH the log (only live
-    // files, partition values from the log) — the return leg for
-    // exportSnapshotDelta trees and for tables other Delta writers
-    // produced, as long as they carry the store's `partition` column
+    // a tree carrying table-format metadata imports THROUGH it (only
+    // live files, partition values from the log/manifests) — the
+    // return leg for exportSnapshotDelta/-Iceberg trees and for tables
+    // other format writers produced, as long as they carry the store's
+    // `partition` column. Delta wins when both are present (it is the
+    // bridge's own sync format and always current on exported trees).
     val df =
       if (srcFs.exists(new Path(src, "_delta_log")))
         DeltaBridge.read(spark, srcDir, hadoopConf)
+      else if (srcFs.exists(new Path(src, "metadata/version-hint.text")))
+        IcebergBridge.read(spark, srcDir, hadoopConf)
       else spark.read.options(storageOptions)
         .option("basePath", srcDir).parquet(srcDir)
     require(df.columns.contains("partition"),

@@ -113,8 +113,9 @@ class PlanContractSpec extends SparkSpec {
       // sides metadata-sized by the MG construction
       "q_approx_topk", "fs_stream_topk",
       // txt_perplexity folds the 1-row train-vocab scalar into the
-      // scored bigrams — txt_keywords' corpus-size shape
-      "txt_perplexity")
+      // scored bigrams — txt_keywords' corpus-size shape; the trigram
+      // gate folds the same 1-row (N, V) scalar into its scored grams
+      "txt_perplexity", "txt_perplexity3")
 
   // Queries whose BUILD already executes jobs (store write paths, the
   // streaming gates driving whole pipelines to completion) — expensive

@@ -165,6 +165,53 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("syncSnapshotIceberg publishes append+delete as one new snapshot; time travel holds") {
+    val root = tmpDir("ibsync")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-02T02:00:00"), 2.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib") // snapshot 1
+    val metaV1 = Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
+    val snap1 = """"current-snapshot-id":(\d+)""".r.findFirstMatchIn(metaV1).get.group(1).toLong
+
+    st.save("f", Seq((ts("2024-01-03T03:00:00"), 3.0)).toDF("time", "value"))
+    st.deleteWhere("f", col("time") < ts("2024-01-02T00:00:00"))
+    st.syncSnapshotIceberg("f", s"$root/ib") // snapshot 2
+
+    // current snapshot sees the net state
+    assert(readBack(s"$root/ib") === Set(
+      ("2024-01-02 02:00:00.0", 2.0, "2024-01-02"),
+      ("2024-01-03 03:00:00.0", 3.0, "2024-01-03")))
+    // metadata advanced; v2 names both snapshots and the metadata-log
+    assert(Files.readString(Paths.get(s"$root/ib/metadata/version-hint.text")) === "2")
+    val metaV2 = Files.readString(Paths.get(s"$root/ib/metadata/v2.metadata.json"))
+    assert(metaV2.contains("\"metadata-log\":[{\"metadata-file\""))
+    assert("\"snapshot-id\"".r.findAllIn(metaV2).size >= 2)
+    // time travel: the pre-sync snapshot still reads the ORIGINAL rows
+    // (removed bytes stay on disk for exactly this)
+    val old = IcebergBridge.readSnapshot(spark, s"$root/ib", snap1)
+      .select(col("time"), col("value"), col("partition"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getString(2))).toSet
+    assert(old === expected)
+    // idle sync is a no-op: version-hint stays at 2
+    st.syncSnapshotIceberg("f", s"$root/ib")
+    assert(Files.readString(Paths.get(s"$root/ib/metadata/version-hint.text")) === "2")
+  }
+
+  test("importSnapshot routes an iceberg-metadata tree through the manifests") {
+    val root = tmpDir("ibimp")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    export(root)
+    // decoy: invisible to a manifest-driven import, fatal to a raw read
+    Seq((ts("2024-09-09T09:00:00"), 99.0)).toDF("time", "value")
+      .write.parquet(s"$root/ib/partition=9999-12-31")
+    st.importSnapshot("imported", s"$root/ib")
+    val got = st.read("imported").select(col("time"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    assert(got === Set(("2024-01-01 01:00:00.0", 1.0), ("2024-01-02 02:00:00.0", 2.0)))
+  }
+
   test("identical exports produce byte-identical metadata json") {
     val r1 = tmpDir("ibdet1"); val r2 = tmpDir("ibdet2")
     export(r1); export(r2)
