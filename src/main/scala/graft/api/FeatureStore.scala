@@ -445,6 +445,28 @@ class FeatureStore(val spark: SparkSession, val catalog: graft.catalog.CatalogAp
     store(nsObj).syncSnapshotDelta(f.name, dstDir, checkpointEvery)
   }
 
+  /** [[exportFeature]] plus Iceberg v2 table metadata, so any Iceberg
+    * reader (Spark+iceberg-runtime, Trino, DuckDB-iceberg, pyiceberg)
+    * opens the export natively
+    * ([[graft.store.TimeseriesStore.exportSnapshotIceberg]]). */
+  def exportFeatureIceberg(fullName: String, dstDir: String,
+                           asOfVersion: Option[Long] = None): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot export transformed feature '$fullName'")
+    store(nsObj).exportSnapshotIceberg(f.name, dstDir, asOfVersion)
+  }
+
+  /** Publish txlog commits landed since the last export/sync as ONE
+    * new Iceberg snapshot on an [[exportFeatureIceberg]] tree —
+    * [[syncFeatureDelta]]'s twin for Iceberg warehouses; no-ops when
+    * the feature hasn't moved
+    * ([[graft.store.TimeseriesStore.syncSnapshotIceberg]]). */
+  def syncFeatureIceberg(fullName: String, dstDir: String): Long = {
+    val (nsObj, f) = featureOf(fullName)
+    require(f.transform.isEmpty, s"cannot sync transformed feature '$fullName'")
+    store(nsObj).syncSnapshotIceberg(f.name, dstDir)
+  }
+
   /** Garbage-collect data files retired by compaction. Only meaningful
     * on a txlog-backed namespace, where compaction retires files
     * logically (readers with older snapshots keep working) and vacuum

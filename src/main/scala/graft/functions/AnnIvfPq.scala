@@ -24,23 +24,35 @@ object AnnIvfPq {
     * codeCol) — i.e. the corpus codes WITH their coarse assignment
     * (`ivf.assigned` is exactly that frame plus the embedding).
     */
+  /** Top-`topK` per query by ADC score, searched only in each query's
+    * `nProbe` nearest cells. `matchCols` adds FILTERED vector search —
+    * the production metadata-constrained retrieval pattern ("nearest
+    * neighbors WHERE label = X"): columns present on BOTH `encoded`
+    * and `queries` become extra equi-join keys next to the cell id, so
+    * the filter is not a post-hoc cut that starves the shortlist but
+    * part of the candidate join key itself — at scale, with the index
+    * (cell, matchCols)-partitioned, pruning gets STRONGER, never a
+    * scan-then-discard.
+    */
   def query(
       ivf: AnnIvf.Index,
       cb: AnnPq.Codebooks,
       encoded: DataFrame,
       queries: DataFrame, // (qIdCol, embCol)
       qIdCol: String, embCol: String, cIdCol: String, codeCol: String,
-      topK: Int, nProbe: Int): DataFrame = {
+      topK: Int, nProbe: Int, matchCols: Seq[String] = Nil): DataFrame = {
     val (qOut, cOut) =
       if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
     val qv: Column = col(embCol).cast("array<double>")
-    val q = queries.select(
+    val q = queries.select(Seq(
       col(qIdCol).as("__qid"),
       AnnPq.lutExpr(cb, qv).as("__lut"),
-      explode(AnnIvf.probeCells(ivf, qv, nProbe)).as("cell"))
+      explode(AnnIvf.probeCells(ivf, qv, nProbe)).as("cell")) ++
+      matchCols.map(col): _*)
     val scored = encoded
-      .select(col(cIdCol).as("__cid"), col("cell"), col(codeCol).as("__code"))
-      .join(broadcast(q), Seq("cell"))
+      .select(Seq(col(cIdCol).as("__cid"), col("cell"), col(codeCol).as("__code")) ++
+        matchCols.map(col): _*)
+      .join(broadcast(q), "cell" +: matchCols)
       .select(col("__qid").as(qOut), col("__cid").as(cOut),
         AnnPq.adcScoreLut(cb, col("__lut"), col("__code")).as("adc"))
     val w = Window.partitionBy(col(qOut)).orderBy(col("adc").desc, col(cOut))
@@ -68,13 +80,14 @@ object AnnIvfPq {
       corpus: DataFrame, // (cIdCol, embCol) — full-width vectors
       queries: DataFrame, // (qIdCol, embCol)
       qIdCol: String, embCol: String, cIdCol: String, codeCol: String,
-      topK: Int, shortlist: Int, nProbe: Int): DataFrame = {
+      topK: Int, shortlist: Int, nProbe: Int,
+      matchCols: Seq[String] = Nil): DataFrame = {
     require(shortlist >= topK,
       s"shortlist $shortlist must be >= topK $topK — the re-rank only reorders")
     val (qOut, cOut) =
       if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
     val short = query(ivf, cb, encoded, queries,
-        qIdCol, embCol, cIdCol, codeCol, shortlist, nProbe)
+        qIdCol, embCol, cIdCol, codeCol, shortlist, nProbe, matchCols)
       .select(col(qOut), col(cOut))
     val qv = queries.select(
       col(qIdCol).as(qOut), col(embCol).cast("array<double>").as("__qv"))

@@ -5002,6 +5002,89 @@ object QueryLib {
            |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
            |  FROM s2) WHERE rank <= 5""".stripMargin))
 
+  private val simAnnFiltered = Q(
+    "sim_ann_filtered",
+    // FILTERED vector search — the metadata-constrained retrieval
+    // pattern every production vector store headlines ("top-k WHERE
+    // label = X"): the label is an extra EQUI-JOIN KEY next to the
+    // probed cell id (AnnIvfPq matchCols), not a post-hoc cut that
+    // silently starves the shortlist — at scale, with the index
+    // (cell, label)-partitioned, the filter makes pruning STRONGER.
+    // Composed stack otherwise identical to sim_ann_ivfpq_rerank
+    // (fixed codebooks, probe 4/16, ADC shortlist 20, exact
+    // full-vector re-rank to top-5), so the whole filtered pipeline is
+    // recomputable bit-for-bit by the oracle. Queries whose label is
+    // rare in the probed cells legitimately return fewer than 5 rows —
+    // both engines must agree on exactly which.
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "c_id")
+      val ivf = graft.functions.AnnIvf.buildFixed(corpus, "embedding", idCol = "c_id", k = 16)
+      val pq = graft.functions.AnnPq.buildFixed(corpus, "embedding", idCol = "c_id", m = 8, k = 16)
+      val encoded = ivf.assigned.select(col("c_id"), col("cell"), col("label"),
+        graft.functions.AnnPq.encodeExpr(
+          pq, col("embedding").cast("array<double>")).as("code"))
+      graft.functions.AnnIvfPq.queryRerank(ivf, pq, encoded,
+        corpus.select(col("c_id"), col("embedding")),
+        e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "q_id"),
+        qIdCol = "q_id", embCol = "embedding", cIdCol = "c_id", codeCol = "code",
+        topK = 5, shortlist = 20, nProbe = 4, matchCols = Seq("label"))
+        .select("q_id", "c_id", "cosine", "rank")
+    },
+    // sim_ann_ivfpq_rerank's oracle with the label carried through
+    // assign/probe and equi-joined next to the cell
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv,
+           |         list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) / 2 AS half
+           |  FROM e WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+           |assign AS (SELECT vec_id AS c_id, label, cell FROM (
+           |    SELECT e.vec_id, e.label, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id >= 10)
+           |  WHERE rr = 1),
+           |probe AS (SELECT q_id, label, qv, cell FROM (
+           |    SELECT e.vec_id AS q_id, e.label, e.v AS qv, cent.j AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_sum(list_transform(range(1, 65), i -> e.v[i] * cent.cv[i]))
+           |              - cent.half, 6) DESC, cent.j DESC) AS pr
+           |    FROM e CROSS JOIN cent WHERE e.vec_id < 10)
+           |  WHERE pr <= 4),
+           |codes AS (SELECT c_id, m, cv FROM (
+           |    SELECT e.vec_id AS c_id, ms.m AS m, cent.cv,
+           |      row_number() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+           |        round(list_sum(list_transform(range(1, 9),
+           |                i -> e.v[ms.m * 8 + i] * cent.cv[ms.m * 8 + i]))
+           |          - list_sum(list_transform(range(1, 9),
+           |                i -> cent.cv[ms.m * 8 + i] * cent.cv[ms.m * 8 + i])) / 2, 6)
+           |        DESC, cent.j DESC) AS rr
+           |    FROM e CROSS JOIN cent CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms
+           |    WHERE e.vec_id >= 10)
+           |  WHERE rr = 1),
+           |rec AS (SELECT c_id,
+           |    flatten(list(list_slice(cv, m * 8 + 1, m * 8 + 8) ORDER BY m)) AS rv
+           |  FROM codes GROUP BY c_id),
+           |s AS (SELECT p.q_id, a.c_id, p.qv,
+           |    round(list_sum(list_transform(range(0, 8), m ->
+           |      list_sum(list_transform(range(1, 9),
+           |        i -> p.qv[m * 8 + i] * rec.rv[m * 8 + i])))), 6) AS adc
+           |  FROM probe p JOIN assign a ON a.cell = p.cell AND a.label = p.label
+           |       JOIN rec ON rec.c_id = a.c_id),
+           |short AS (SELECT q_id, c_id, qv FROM (
+           |  SELECT q_id, c_id, qv,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS r1
+           |  FROM s) WHERE r1 <= 20),
+           |s2 AS (SELECT sh.q_id, sh.c_id, round(
+           |    list_sum(list_transform(range(1, 65), i -> sh.qv[i] * c.v[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> sh.qv[i] * sh.qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))), 6) AS cosine
+           |  FROM short sh JOIN e c ON c.vec_id = sh.c_id)
+           |SELECT q_id, c_id, cosine, rank FROM (
+           |  SELECT q_id, c_id, cosine,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+           |  FROM s2) WHERE rank <= 5""".stripMargin))
+
   /** Measured recall of the TRAINED (KMeans) ANN paths vs exact cosine
     * top-10 — the quality configurations `sim_ann_ivf`/`sim_ann_pq`
     * cannot oracle-check bit-for-bit (Lloyd iterations are not
@@ -10154,7 +10237,7 @@ object QueryLib {
     dedupComponents, dedupIncremental, curateDocs, qPackShards, docPackContexts,
     docHoldoutGroups,
     simCosineTopk, simEmbedDedup, dedupEmbedLsh, simAnnLsh, simAnnIvf, simAnnIvfStored,
-    simAnnPq, simAnnIvfPq, simAnnIvfPqRerank,
+    simAnnPq, simAnnIvfPq, simAnnIvfPqRerank, simAnnFiltered,
     simAnnRecall, simLabelCentroid, simCentroidDrift,
     fsCatalogLifecycle, fsEwmaLast, qApproxDistinct, mlFeatureHash, mlChi2Select, mlMiSelect, mlTargetEncode,
     qTransitions, mlQuantileBin, mlMinmaxScale, dqOutliers,

@@ -566,6 +566,19 @@ object IcebergBridge {
       df.put("partition", part)
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.sizeBytes)
+      // carry the skipping bounds forward — a sync must not erode the
+      // zone map (value/null counts are not carried: only bounds feed
+      // file skipping, and a missing count costs nothing)
+      if (f.lowerBounds.nonEmpty)
+        df.put("lower_bounds", kvArray(
+          dataFileSchema.getField("lower_bounds").schema(),
+          f.lowerBounds.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (ByteBuffer.wrap(v): Any) }))
+      if (f.upperBounds.nonEmpty)
+        df.put("upper_bounds", kvArray(
+          dataFileSchema.getField("upper_bounds").schema(),
+          f.upperBounds.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (ByteBuffer.wrap(v): Any) }))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 0) // EXISTING — keeps its original data sequence
       e.put("snapshot_id", snapshotId)
@@ -713,7 +726,11 @@ object IcebergBridge {
       partitionValues: Map[String, String],
       recordCount: Long,
       sizeBytes: Long,
-      sequenceNumber: Long)
+      sequenceNumber: Long,
+      // raw single-value-serialized bounds by field id (absent entries
+      // always scan — the safe direction)
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** The latest metadata file: version-hint first (HadoopCatalog
     * convention), else max vN scan. Returns (path, version). */
@@ -826,13 +843,22 @@ object IcebergBridge {
           val pv = partCols.map { c =>
             c -> Option(part.get(c)).map(_.toString).orNull
           }.toMap
+          def boundsOf(field: String): Map[Int, Array[Byte]] =
+            Option(df.get(field)).map {
+              _.asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
+                val bb = kv.get("value").asInstanceOf[ByteBuffer].duplicate()
+                val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+                kv.get("key").asInstanceOf[Int] -> arr
+              }.toMap
+            }.getOrElse(Map.empty)
           files += DataFileEntry(df.get("file_path").toString, pv,
             df.get("record_count").asInstanceOf[Long],
             Option(df.get("file_size_in_bytes")).map(_.asInstanceOf[Long]).getOrElse(0L),
             // v2 inheritance: a null sequence on an ADDED entry takes
             // the manifest-list's sequence_number
             Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
-              Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)))
+              Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)),
+            boundsOf("lower_bounds"), boundsOf("upper_bounds"))
         }
       }
     }
@@ -874,6 +900,140 @@ object IcebergBridge {
       pred: Map[String, String] => Boolean,
       conf: Configuration = null): DataFrame =
     readPruned(spark, dir, f => pred(f.partitionValues), conf)
+
+  /** [[read]] with STATS-DRIVEN file skipping on one numeric column:
+    * drops files whose manifest bounds prove `[lo, hi]` cannot match.
+    * Files without bounds for the column always scan — the safe
+    * direction (the [[DeltaBridge.readRange]] contract). The returned
+    * frame is NOT post-filtered: callers compose their own row
+    * predicate; this prunes IO, the zone-map contract.
+    */
+  def readRange(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      conf: Configuration = null): DataFrame = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    // resolve the column's field id + type once, from the metadata
+    val (metaFile, _) = currentMetaFile(fs, new Path(root, MetaDirName))
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in) finally in.close()
+    val schemaNode = Option(node.get("schemas")).map { ss =>
+      val cur = node.get("current-schema-id").asInt()
+      ss.elements().asScala.find(_.get("schema-id").asInt() == cur).get
+    }.getOrElse(node.get("schema"))
+    val fieldNode = schemaNode.get("fields").elements().asScala
+      .find(f => jStr(f, "name") == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"readRange: no column '$column' in the Iceberg schema"))
+    val fieldId = fieldNode.get("id").asInt()
+    val tpe = fieldNode.get("type").asText()
+    def decode(b: Array[Byte]): Option[Double] = {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      tpe match {
+        case "int" if b.length == 4 => Some(bb.getInt.toDouble)
+        case "long" if b.length == 8 => Some(bb.getLong.toDouble)
+        case "float" if b.length == 4 => Some(bb.getFloat.toDouble)
+        case "double" if b.length == 8 => Some(bb.getDouble)
+        case _ => None // unsupported/torn bound: must scan
+      }
+    }
+    readPruned(spark, dir, f => {
+      val mn = f.lowerBounds.get(fieldId).flatMap(decode)
+      val mx = f.upperBounds.get(fieldId).flatMap(decode)
+      (mn, mx) match {
+        case (Some(a), Some(b)) => b >= lo && a <= hi
+        case _ => true // no bounds for the column: must scan
+      }
+    }, conf)
+  }
+
+  /** Iceberg snapshot expiry (the `expire_snapshots` maintenance
+    * action): keep the most recent `retainLast` snapshots, delete the
+    * DATA files referenced only by expired ones, delete the expired
+    * snapshots' manifest-list/manifest avro files, and publish a new
+    * metadata version without them. Time travel to kept snapshots
+    * keeps working; pins into the expired range now refuse (their
+    * snapshot ids are gone from the metadata — the reader's
+    * time-travel-target-missing error). Returns the number of data
+    * files deleted. At 100 TB this is the retention job that bounds
+    * storage: metadata-sized work plus one delete per expired file.
+    */
+  def expireSnapshots(
+      spark: SparkSession,
+      dir: String,
+      retainLast: Int = 1,
+      conf: Configuration = null): Int = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val metaDir = new Path(root, MetaDirName)
+    val (metaFile, metaVersion) = currentMetaFile(fs, metaDir)
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in) finally in.close()
+    val location = jStr(node, "location")
+    val snaps = node.get("snapshots").elements().asScala.toSeq
+      .sortBy(_.get("sequence-number").asLong())
+    if (snaps.size <= retainLast) return 0
+    val (expired, kept) = snaps.splitAt(snaps.size - retainLast)
+    val keptIds = kept.map(_.get("snapshot-id").asLong()).toSet
+    require(keptIds.contains(node.get("current-snapshot-id").asLong()),
+      "expireSnapshots would drop the current snapshot — refusing")
+
+    def filesOf(snapId: Long): (Set[String], Seq[Path]) = {
+      val state = loadState(spark, fs, root, Some(snapId))
+      val snap = snaps.find(_.get("snapshot-id").asLong() == snapId).get
+      val listPath = resolve(root, location, jStr(snap, "manifest-list"))
+      val (manifests, _) = readAvro(fs, listPath)
+      val manifestPaths = listPath +: manifests.map(mf =>
+        resolve(root, location, mf.get("manifest_path").toString))
+      (state.files.map(f => resolve(root, location, f.path).toString).toSet,
+        manifestPaths)
+    }
+    val keptFiles = keptIds.flatMap(id => filesOf(id)._1)
+    var deleted = 0
+    expired.foreach { snap =>
+      val id = snap.get("snapshot-id").asLong()
+      val (files, manifestPaths) = filesOf(id)
+      (files -- keptFiles).foreach { p =>
+        if (fs.delete(new Path(p), false)) deleted += 1
+      }
+      manifestPaths.foreach(p => fs.delete(p, false))
+    }
+
+    val meta = mapper.convertValue(node, classOf[java.util.LinkedHashMap[String, Object]])
+    def keepOnly(key: String, idKey: String): Unit =
+      Option(meta.get(key)).foreach { v =>
+        val seq = v match {
+          case s: Seq[_] => s.asInstanceOf[Seq[Object]]
+          case l: java.util.List[_] => l.asScala.toSeq.asInstanceOf[Seq[Object]]
+          case _ => Seq.empty[Object]
+        }
+        meta.put(key, seq.filter {
+          case m: scala.collection.Map[_, _] =>
+            m.asInstanceOf[scala.collection.Map[String, Any]].get(idKey)
+              .exists(x => keptIds.contains(x.asInstanceOf[Number].longValue()))
+          case m: java.util.Map[_, _] =>
+            Option(m.asInstanceOf[java.util.Map[String, Object]].get(idKey))
+              .exists(x => keptIds.contains(x.asInstanceOf[Number].longValue()))
+          case _ => true
+        })
+      }
+    keepOnly("snapshots", "snapshot-id")
+    keepOnly("snapshot-log", "snapshot-id")
+    val newMetaOut = fs.create(
+      new Path(metaDir, s"v${metaVersion + 1}.metadata.json"), true)
+    try newMetaOut.write(mapper.writeValueAsBytes(meta)) finally newMetaOut.close()
+    val hintOut = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hintOut.write(s"${metaVersion + 1}".getBytes(StandardCharsets.UTF_8))
+    finally hintOut.close()
+    deleted
+  }
 
   private def readPruned(
       spark: SparkSession,

@@ -212,6 +212,54 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(got === Set(("2024-01-01 01:00:00.0", 1.0), ("2024-01-02 02:00:00.0", 2.0)))
   }
 
+  test("readRange skips files from manifest bounds; bounds survive a sync") {
+    val root = tmpDir("ibrange")
+    val st = export(root)
+    // value bounds: file(1.0) and file(2.0); [1.5, 3.0] must skip one
+    val pruned = IcebergBridge.readRange(spark, s"$root/ib", "value", 1.5, 3.0)
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.select("value").as[Double].collect().toSeq === Seq(2.0))
+    // after a sync the CARRIED entries keep their bounds (the zone map
+    // must not erode) and the new files get their own. The sync also
+    // pulls in export()'s post-pin batch (3.0) — the store had it all
+    // along, only the pinned export excluded it.
+    st.save("f", Seq((ts("2024-01-04T04:00:00"), 9.0)).toDF("time", "value"))
+    st.syncSnapshotIceberg("f", s"$root/ib")
+    val pruned2 = IcebergBridge.readRange(spark, s"$root/ib", "value", 1.5, 3.0)
+    assert(pruned2.inputFiles.length === 2) // 2.0 (carried bounds) + 3.0 (new)
+    assert(pruned2.select("value").as[Double].collect().toSeq.sorted === Seq(2.0, 3.0))
+    val pruned9 = IcebergBridge.readRange(spark, s"$root/ib", "value", 8.0, 10.0)
+    assert(pruned9.inputFiles.length === 1)
+    assert(pruned9.select("value").as[Double].collect().toSeq === Seq(9.0))
+  }
+
+  test("expireSnapshots deletes expired-only files and drops old snapshots from metadata") {
+    val root = tmpDir("ibexp")
+    val st = export(root)
+    val metaV1 = Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
+    val snap1 = """"current-snapshot-id":(\d+)""".r.findFirstMatchIn(metaV1).get.group(1).toLong
+    st.save("f", Seq((ts("2024-01-04T04:00:00"), 9.0)).toDF("time", "value"))
+    st.deleteWhere("f", col("time") < ts("2024-01-02T00:00:00")) // retires 1.0's file
+    st.syncSnapshotIceberg("f", s"$root/ib")
+
+    val deleted = IcebergBridge.expireSnapshots(spark, s"$root/ib", retainLast = 1)
+    assert(deleted === 1) // exactly the retired 1.0 file
+    // current snapshot unaffected (includes export()'s post-pin 3.0,
+    // which the sync pulled in from the store)
+    assert(readBack(s"$root/ib") === Set(
+      ("2024-01-02 02:00:00.0", 2.0, "2024-01-02"),
+      ("2024-01-03 03:00:00.0", 3.0, "2024-01-03"),
+      ("2024-01-04 04:00:00.0", 9.0, "2024-01-04")))
+    // time travel into the expired range now refuses
+    val e = intercept[IllegalArgumentException](
+      IcebergBridge.readSnapshot(spark, s"$root/ib", snap1).collect())
+    assert(e.getMessage.contains("not among snapshots"))
+    // metadata advanced and carries exactly one snapshot
+    assert(Files.readString(Paths.get(s"$root/ib/metadata/version-hint.text")) === "3")
+    val metaV3 = Files.readString(Paths.get(s"$root/ib/metadata/v3.metadata.json"))
+    assert(""""snapshot-id":\d+,"parent""".r.findAllIn(metaV3).size <= 1)
+  }
+
   test("identical exports produce byte-identical metadata json") {
     val r1 = tmpDir("ibdet1"); val r2 = tmpDir("ibdet2")
     export(r1); export(r2)
