@@ -40,13 +40,16 @@ object AnnIvfPq {
       encoded: DataFrame,
       queries: DataFrame, // (qIdCol, embCol)
       qIdCol: String, embCol: String, cIdCol: String, codeCol: String,
-      topK: Int, nProbe: Int, matchCols: Seq[String] = Nil): DataFrame = {
+      topK: Int, nProbe: Int, matchCols: Seq[String] = Nil,
+      lutCol: Option[String] = None): DataFrame = {
     val (qOut, cOut) =
       if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
     val qv: Column = col(embCol).cast("array<double>")
     val q = queries.select(Seq(
       col(qIdCol).as("__qid"),
-      AnnPq.lutExpr(cb, qv).as("__lut"),
+      // big-k path: a precomputed AnnPq.lutOf column beats 1,024 dot
+      // subtrees riding the plan (codegen compile dominates small runs)
+      lutCol.map(col).getOrElse(AnnPq.lutExpr(cb, qv)).as("__lut"),
       explode(AnnIvf.probeCells(ivf, qv, nProbe)).as("cell")) ++
       matchCols.map(col): _*)
     val scored = encoded
@@ -81,13 +84,14 @@ object AnnIvfPq {
       queries: DataFrame, // (qIdCol, embCol)
       qIdCol: String, embCol: String, cIdCol: String, codeCol: String,
       topK: Int, shortlist: Int, nProbe: Int,
-      matchCols: Seq[String] = Nil): DataFrame = {
+      matchCols: Seq[String] = Nil,
+      lutCol: Option[String] = None): DataFrame = {
     require(shortlist >= topK,
       s"shortlist $shortlist must be >= topK $topK — the re-rank only reorders")
     val (qOut, cOut) =
       if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
     val short = query(ivf, cb, encoded, queries,
-        qIdCol, embCol, cIdCol, codeCol, shortlist, nProbe, matchCols)
+        qIdCol, embCol, cIdCol, codeCol, shortlist, nProbe, matchCols, lutCol)
       .select(col(qOut), col(cOut))
     val qv = queries.select(
       col(qIdCol).as(qOut), col(embCol).cast("array<double>").as("__qv"))

@@ -156,6 +156,68 @@ object AnnPq {
   def encodeExpr(cb: Codebooks, v: Column): Column =
     array((0 until cb.m).map(mi => codeExpr(cb, v, mi)): _*)
 
+  /** [[encodeExpr]] as a JVM KERNEL — the big-k escape hatch: the
+    * expression form materializes m×k scored-struct subtrees (k=64 ×
+    * m=16 = 1,024 dot subexpressions) whose codegen COMPILE time
+    * dominates a small corpus and bloats any plan it rides; this is
+    * the same narrow per-row pass as a tight loop over the
+    * closure-captured codebooks. Assignment rule identical:
+    * round-6(dot − |c|²/2) maximized with ties toward the larger
+    * centroid index; the round uses the same HALF_UP-on-decimal rule
+    * as Spark's `round`, so kernel and expression agree bit-for-bit
+    * (AnnPqSpec pins it). Input (idCol, cellCol, embCol) — the
+    * `ivf.assigned` shape; output adds `code`.
+    */
+  def encodeKernel(
+      df: DataFrame, idCol: String, cellCol: String, embCol: String,
+      cb: Codebooks): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val books: Array[Array[Array[Double]]] = cb.books.map(_.toArray).toArray
+    val halfNorms: Array[Array[Double]] =
+      books.map(_.map(c => c.map(x => x * x).sum / 2))
+    val subDim = cb.subDim
+    df.select(col(idCol).cast("long"), col(cellCol).cast("int"),
+        col(embCol).cast("array<double>"))
+      .as[(Long, Int, Seq[Double])]
+      .map { case (id, cell, emb) =>
+        val v = emb.toArray
+        val code = Array.tabulate(books.length) { mi =>
+          val ks = books(mi)
+          var best = 0
+          var bestS = Double.NegativeInfinity
+          var j = 0
+          while (j < ks.length) {
+            var dotv = 0.0
+            var t = 0
+            while (t < subDim) { dotv += v(mi * subDim + t) * ks(j)(t); t += 1 }
+            val s = BigDecimal(dotv - halfNorms(mi)(j))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (s >= bestS) { bestS = s; best = j } // ties -> larger j
+            j += 1
+          }
+          best
+        }
+        (id, cell, emb, code.toSeq)
+      }.toDF(idCol, cellCol, embCol, "code")
+  }
+
+  /** [[lutExpr]]'s driver-side twin for the big-k path: the m×k dot
+    * table of ONE query vector, computed in a JVM loop with the same
+    * ascending-index summation [[SimilarityOps.dot]]'s fold uses (so
+    * values are bit-identical). Callers attach the result as a plain
+    * literal/column instead of riding 1,024 dot subtrees per plan.
+    */
+  def lutOf(cb: Codebooks, qv: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(cb.m) { mi =>
+      cb.books(mi).map { c =>
+        var acc = 0.0
+        var t = 0
+        while (t < cb.subDim) { acc += qv(mi * cb.subDim + t) * c(t); t += 1 }
+        acc
+      }.toArray
+    }
+
   /** Reconstruction of a code: the chosen centroids concatenated back
     * to a dim-length array (the decoder side of ADC).
     */
@@ -206,12 +268,15 @@ object AnnPq {
       encoded: DataFrame, // (cIdCol, codeCol)
       queries: DataFrame, // (qIdCol, embCol)
       qIdCol: String, embCol: String, cIdCol: String, codeCol: String,
-      topK: Int): DataFrame = {
+      topK: Int, lutCol: Option[String] = None): DataFrame = {
     val (qOut, cOut) =
       if (qIdCol == cIdCol) (s"${qIdCol}_q", s"${cIdCol}_c") else (qIdCol, cIdCol)
+    // lutCol: the big-k path — queries already carry a precomputed
+    // [[lutOf]] table; otherwise the LUT rides the plan as lutExpr
     val q = queries.select(
       col(qIdCol).as("__qid"),
-      lutExpr(cb, col(embCol).cast("array<double>")).as("__lut"))
+      lutCol.map(col).getOrElse(
+        lutExpr(cb, col(embCol).cast("array<double>"))).as("__lut"))
     val scored = encoded.select(col(cIdCol).as("__cid"), col(codeCol).as("__code"))
       .crossJoin(broadcast(q))
       .select(col("__qid").as(qOut), col("__cid").as(cOut),

@@ -5142,10 +5142,30 @@ object QueryLib {
     // leg reads back
     val ivfIndex0 = graft.functions.AnnIvf.withCenters(
       corpus.withColumnRenamed("cv", "emb"), "emb", centers)
-    val encodedAll = mat(ivfIndex0.assigned.select(
-      col("c_id"), col("cell"), col("emb"),
-      graft.functions.AnnPq.encodeExpr(pq, col("emb")).as("code")))
+    // k=64 codebooks ride the JVM KERNEL, not the expression form: the
+    // 1,024-dot-subtree encodeExpr cost ~9 s of pure codegen COMPILE
+    // per bench run when k moved 16→64 (the r17 quality lever), while
+    // the kernel's per-row loop is the identical assignment rule at
+    // negligible plan size (AnnPqSpec pins kernel ≡ expression)
+    val encodedAll = mat(graft.functions.AnnPq.encodeKernel(
+      ivfIndex0.assigned.select(col("c_id"), col("cell"), col("emb")),
+      "c_id", "cell", "emb", pq))
     val ivfIndex = ivfIndex0.copy(assigned = encodedAll)
+    // same big-k doctrine for the per-query LUTs: 10 query vectors are
+    // driver-metadata; compute the m×k tables in JVM and attach them
+    // as ONE array literal column instead of 1,024 dot subtrees in
+    // every leg's plan
+    val queriesLut = {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val base = queries.select(col("q_id"), col("qv"))
+      val qvIdx = base.schema.fieldIndex("qv")
+      val rows = base.collect().map(r => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ (graft.functions.AnnPq.lutOf(
+          pq, r.getSeq[Double](qvIdx).toArray).map(_.toSeq).toSeq: Any)))
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        base.schema.add("lut", ArrayType(ArrayType(DoubleType))))
+    }
     // the evaluation legs are independent driver-coordinated pipelines
     // (recall joins); run them as concurrent job groups so the gate's
     // wall time is one branch, not the sum
@@ -5164,8 +5184,9 @@ object QueryLib {
       // exact-rerank the shortlist)
       val pqGot = graft.functions.AnnPq.query(pq,
           encodedAll.select(col("c_id"), col("code")),
-          queries.withColumnRenamed("qv", "emb"),
-          qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code", topK = 50)
+          queriesLut.withColumnRenamed("qv", "emb"),
+          qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code",
+          topK = 50, lutCol = Some("lut"))
         .select(col("q_id"), col("c_id"))
       truth.join(pqGot, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
     }
@@ -5176,9 +5197,9 @@ object QueryLib {
       // deployed retrieval index actually delivers
       val got = graft.functions.AnnIvfPq.query(ivfIndex, pq,
           encodedAll.select(col("c_id"), col("cell"), col("code")),
-          queries.withColumnRenamed("qv", "emb"),
+          queriesLut.withColumnRenamed("qv", "emb"),
           qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code",
-          topK = 50, nProbe = 8)
+          topK = 50, nProbe = 8, lutCol = Some("lut"))
         .select(col("q_id"), col("c_id"))
       truth.join(got, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
     }
@@ -5193,9 +5214,9 @@ object QueryLib {
       val got = graft.functions.AnnIvfPq.queryRerank(ivfIndex, pq,
           encodedAll.select(col("c_id"), col("cell"), col("code")),
           encodedAll.select(col("c_id"), col("emb")),
-          queries.withColumnRenamed("qv", "emb"),
+          queriesLut.withColumnRenamed("qv", "emb"),
           qIdCol = "q_id", embCol = "emb", cIdCol = "c_id", codeCol = "code",
-          topK = 10, shortlist = 100, nProbe = 12)
+          topK = 10, shortlist = 100, nProbe = 12, lutCol = Some("lut"))
         .select(col("q_id"), col("c_id"))
       truth.join(got, Seq("q_id", "c_id"), "left_semi").count().toDouble / total
     }

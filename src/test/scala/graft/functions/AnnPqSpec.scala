@@ -87,4 +87,29 @@ class AnnPqSpec extends SparkSpec {
     val recall = hits.toDouble / total
     assert(recall >= 0.7, f"trained-PQ shortlist recall@10-in-50 $recall%.3f fell below the 0.7 floor")
   }
+
+  test("encodeKernel is bit-identical to encodeExpr; lutOf matches lutExpr") {
+    // the big-k escape hatch must be the SAME assignment rule, not an
+    // approximation of it — pinned at both the oracle-gated size
+    // (k=16) and the quality size (k=64)
+    for (k <- Seq(16, 64)) {
+      val cb = AnnPq.buildTrainedSampled(emb, "v", m = 16, k = k, maxSample = 512)
+      val in = emb.limit(100).select(
+        col("vec_id").cast("long").as("id"), lit(0).as("cell"), col("v"))
+      val viaExpr = in.select(col("id"), AnnPq.encodeExpr(cb, col("v")).as("code"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val viaKernel = AnnPq.encodeKernel(in, "id", "cell", "v", cb)
+        .select(col("id"), col("code"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(viaExpr === viaKernel, s"kernel/expression encode disagree at k=$k")
+
+      val qv = emb.orderBy("vec_id").limit(1).select(col("v"))
+        .head().getSeq[Double](0).toArray
+      val lutE = spark.range(1).select(
+          AnnPq.lutExpr(cb, typedlit(qv.toSeq)).as("lut"))
+        .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+      val lutK = AnnPq.lutOf(cb, qv).map(_.toSeq).toSeq
+      assert(lutE === lutK, s"lutOf/lutExpr disagree at k=$k")
+    }
+  }
 }
