@@ -2876,6 +2876,21 @@ object QueryLib {
            |        / CAST(count(*) AS DOUBLE)), 6) AS perplexity
            |FROM sc GROUP BY 1""".stripMargin))
 
+  /** The best-half perplexity budget cut BOTH the probe and the spec
+    * measure (tools/PerplexityProbe, PerplexityFilterSpec): rank the
+    * scored slice by (perplexity, doc_id) and keep the lower half —
+    * ONE definition so the probe's reported overlap is exactly what
+    * the spec asserts.
+    */
+  private[graft] def perplexityKeptHalf(
+      s: SparkSession, dir: String, gate: String): Set[Long] = {
+    val df = queries(gate)(s, dir)
+      .select(col("doc_id").cast("long"), col("perplexity"))
+    val n = df.count().toInt
+    df.orderBy(col("perplexity"), col("doc_id")).limit(n / 2)
+      .collect().map(_.getLong(0)).toSet
+  }
+
   private val txtVocab = Q(
     "txt_vocab",
     // Global vocabulary builder — the tokenizer-training pre-step

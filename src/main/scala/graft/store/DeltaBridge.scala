@@ -67,6 +67,21 @@ object DeltaBridge {
   private def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).getRawPath.stripPrefix("/")
 
+  /** A file path in the exact string form Spark's `_metadata.file_path`
+    * reports (probed empirically — tools/PathProbe): URI-percent-encoded
+    * path with the AUTHORITY-LESS single-slash scheme form for local
+    * files (`file:/tmp/a%20b/x.parquet` — neither `Path.toString`,
+    * which keeps raw characters, nor `Path.toUri.toString`, which
+    * renders an empty authority as `file:///`). Used as the
+    * partition-value join key by both format bridges: a mismatched
+    * form silently drops every row of the affected file.
+    */
+  private[store] def scanPathKey(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val u = fs.makeQualified(p).toUri
+    val auth = u.getAuthority match { case "" => null; case a => a }
+    new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
+  }
+
   private def decodePath(enc: String): String =
     new java.net.URI(enc).getPath
 
@@ -681,26 +696,27 @@ object DeltaBridge {
         spark.sparkContext.emptyRDD[Row], schema)
 
     val adds = live.values.toSeq
-    // join key: the ROOT-RELATIVE path (unique by construction — it is
-    // the log map's key). Spark REUSES part-file basenames across
-    // partition directories of one write task, so the basename alone
-    // would misattribute partition values; the relative path is
-    // recovered by stripping the qualified root off the scan's
-    // _metadata.file_path.
-    val rootStr = fs.makeQualified(root).toString.stripSuffix("/")
+    // join key: the ABSOLUTE file path in the URI-ENCODED form Spark's
+    // scan reports (_metadata.file_path is a SparkPath: a partition
+    // value with a space/'#'/'%' arrives as %XX escapes). The previous
+    // scheme stripped the raw root prefix and joined on the DECODED
+    // root-relative path — correct for plain paths but silent row loss
+    // on encodable characters, since the scan-side remainder stays
+    // encoded. Path.toUri.toString reproduces the scan's encoding
+    // exactly; absolute paths are unique per file (the log map's key
+    // guarantees no duplicates), and basename reuse across partition
+    // dirs (Spark reuses part-file names per write task) stays
+    // unambiguous because the full path carries the directory.
     val paths = adds.map(a => new Path(root, a.path).toString)
     val data = spark.read.schema(dataSchema).parquet(paths: _*)
-      .withColumn("__file", when(
-        col("_metadata.file_path").startsWith(rootStr + "/"),
-        col("_metadata.file_path").substr(
-          lit(rootStr.length + 2), length(col("_metadata.file_path"))))
-        .otherwise(col("_metadata.file_path")))
+      .withColumn("__file", col("_metadata.file_path"))
     if (partCols.isEmpty) return data.drop("__file")
 
     val pvSchema = StructType(StructField("__file", StringType) +:
       partCols.map(c => StructField(s"__pv_$c", StringType, nullable = true)))
     val pvRows = adds.map(a => Row.fromSeq(
-      a.path +: partCols.map(c => a.partitionValues.getOrElse(c, null))))
+      scanPathKey(fs, new Path(root, a.path)) +:
+        partCols.map(c => a.partitionValues.getOrElse(c, null))))
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
 

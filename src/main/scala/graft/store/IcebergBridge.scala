@@ -207,10 +207,21 @@ object IcebergBridge {
                 case None =>
                   acc(name) = ColStats(mn, mx, st.getNumNulls, b.getRowCount, tn)
                 case Some(prev) =>
-                  def d(x: Any) = x.asInstanceOf[java.lang.Number].doubleValue()
+                  // EXACT comparison per physical type: int64 values
+                  // above 2^53 collapse under a double round-trip and
+                  // a wrong bound silently loses rows in a skipping
+                  // reader — the one failure this file must never have
+                  def lt(a: Any, b0: Any): Boolean = tn match {
+                    case "int" | "long" =>
+                      a.asInstanceOf[java.lang.Number].longValue() <
+                        b0.asInstanceOf[java.lang.Number].longValue()
+                    case _ =>
+                      a.asInstanceOf[java.lang.Number].doubleValue() <
+                        b0.asInstanceOf[java.lang.Number].doubleValue()
+                  }
                   acc(name) = ColStats(
-                    if (d(mn) < d(prev.min)) mn else prev.min,
-                    if (d(mx) > d(prev.max)) mx else prev.max,
+                    if (lt(mn, prev.min)) mn else prev.min,
+                    if (lt(prev.max, mx)) mx else prev.max,
                     prev.nulls + st.getNumNulls, prev.values + b.getRowCount, tn)
               }
             }
@@ -261,6 +272,48 @@ object IcebergBridge {
       val r = new GenericData.Record(items)
       r.put("key", k); r.put("value", v); r: GenericRecord
     }.asJava
+  }
+
+  /** The ADDED data_file record both writers share: footer stats read
+    * from the file, partition struct filled from hive segments, stat
+    * maps keyed by field id — export and sync must emit IDENTICAL
+    * entry shapes or readers see two dialects of the same table.
+    */
+  private def addedDataFile(
+      dataFileSchema: Schema,
+      fs: FileSystem, root: Path, hc: Configuration,
+      location: String, rel: String,
+      partValues: Seq[(String, String)],
+      fieldIds: Map[String, Int]): (GenericData.Record, Long) = {
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val p = new Path(root, rel)
+    val (rows, stats) = footerStats(p, hc)
+    val part = new GenericData.Record(partSchema)
+    partValues.foreach { case (k, v) => part.put(k, v) }
+    val df = new GenericData.Record(dataFileSchema)
+    df.put("content", 0)
+    df.put("file_path", s"$location/$rel")
+    df.put("file_format", "PARQUET")
+    df.put("partition", part)
+    df.put("record_count", rows)
+    df.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
+    val statEntries = stats.toSeq
+      .flatMap { case (n, s) => fieldIds.get(n).map(_ -> s) }.sortBy(_._1)
+    if (statEntries.nonEmpty) {
+      df.put("value_counts", kvArray(
+        dataFileSchema.getField("value_counts").schema(),
+        statEntries.map { case (id, s) => id -> (s.values: Any) }))
+      df.put("null_value_counts", kvArray(
+        dataFileSchema.getField("null_value_counts").schema(),
+        statEntries.map { case (id, s) => id -> (s.nulls: Any) }))
+      df.put("lower_bounds", kvArray(
+        dataFileSchema.getField("lower_bounds").schema(),
+        statEntries.map { case (id, s) => id -> (boundBytes(s.min, s.typeName): Any) }))
+      df.put("upper_bounds", kvArray(
+        dataFileSchema.getField("upper_bounds").schema(),
+        statEntries.map { case (id, s) => id -> (boundBytes(s.max, s.typeName): Any) }))
+    }
+    (df, rows)
   }
 
   /** Write Iceberg v2 table metadata describing the parquet tree under
@@ -331,36 +384,11 @@ object IcebergBridge {
     // ---- manifest: one ADDED entry per data file, with footer stats
     val entrySchema = manifestEntrySchema(partCols)
     val dataFileSchema = entrySchema.getField("data_file").schema()
-    val partSchema = dataFileSchema.getField("partition").schema()
     var totalRows = 0L
-    val entries = sorted.map { case (rel, size, _) =>
-      val (rows, stats) = footerStats(new Path(root, rel), hc)
+    val entries = sorted.map { case (rel, _, _) =>
+      val (df, rows) = addedDataFile(
+        dataFileSchema, fs, root, hc, location, rel, partsOf(rel), fieldIds)
       totalRows += rows
-      val part = new GenericData.Record(partSchema)
-      partsOf(rel).foreach { case (k, v) => part.put(k, v) }
-      val df = new GenericData.Record(dataFileSchema)
-      df.put("content", 0)
-      df.put("file_path", s"$location/$rel")
-      df.put("file_format", "PARQUET")
-      df.put("partition", part)
-      df.put("record_count", rows)
-      df.put("file_size_in_bytes", size)
-      val statEntries = stats.toSeq
-        .flatMap { case (n, s) => fieldIds.get(n).map(_ -> s) }.sortBy(_._1)
-      if (statEntries.nonEmpty) {
-        df.put("value_counts", kvArray(
-          dataFileSchema.getField("value_counts").schema(),
-          statEntries.map { case (id, s) => id -> (s.values: Any) }))
-        df.put("null_value_counts", kvArray(
-          dataFileSchema.getField("null_value_counts").schema(),
-          statEntries.map { case (id, s) => id -> (s.nulls: Any) }))
-        df.put("lower_bounds", kvArray(
-          dataFileSchema.getField("lower_bounds").schema(),
-          statEntries.map { case (id, s) => id -> (boundBytes(s.min, s.typeName): Any) }))
-        df.put("upper_bounds", kvArray(
-          dataFileSchema.getField("upper_bounds").schema(),
-          statEntries.map { case (id, s) => id -> (boundBytes(s.max, s.typeName): Any) }))
-      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -518,35 +546,11 @@ object IcebergBridge {
     var addedRows = 0L
     var existingRows = 0L
     val newEntries = freshNew.map { rel =>
-      val p = new Path(root, rel)
-      require(fs.exists(p), s"appendSnapshot: new file $rel not under $dir")
-      val (rows, stats) = footerStats(p, hc)
+      require(fs.exists(new Path(root, rel)),
+        s"appendSnapshot: new file $rel not under $dir")
+      val (df, rows) = addedDataFile(
+        dataFileSchema, fs, root, hc, location, rel, partsOf(rel), fieldIds)
       addedRows += rows
-      val part = new GenericData.Record(partSchema)
-      partsOf(rel).foreach { case (k, v) => part.put(k, v) }
-      val df = new GenericData.Record(dataFileSchema)
-      df.put("content", 0)
-      df.put("file_path", s"$location/$rel")
-      df.put("file_format", "PARQUET")
-      df.put("partition", part)
-      df.put("record_count", rows)
-      df.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
-      val statEntries = stats.toSeq
-        .flatMap { case (n, s) => fieldIds.get(n).map(_ -> s) }.sortBy(_._1)
-      if (statEntries.nonEmpty) {
-        df.put("value_counts", kvArray(
-          dataFileSchema.getField("value_counts").schema(),
-          statEntries.map { case (id, s) => id -> (s.values: Any) }))
-        df.put("null_value_counts", kvArray(
-          dataFileSchema.getField("null_value_counts").schema(),
-          statEntries.map { case (id, s) => id -> (s.nulls: Any) }))
-        df.put("lower_bounds", kvArray(
-          dataFileSchema.getField("lower_bounds").schema(),
-          statEntries.map { case (id, s) => id -> (boundBytes(s.min, s.typeName): Any) }))
-        df.put("upper_bounds", kvArray(
-          dataFileSchema.getField("upper_bounds").schema(),
-          statEntries.map { case (id, s) => id -> (boundBytes(s.max, s.typeName): Any) }))
-      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -796,18 +800,26 @@ object IcebergBridge {
           nullable = !f.get("required").asBoolean(false))
     }
 
-    // partition spec: default-spec-id, identity transforms only
-    val partCols: Seq[String] = Option(node.get("partition-specs")).map { specs =>
-      val cur = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-      val spec = specs.elements().asScala.find(_.get("spec-id").asInt() == cur)
-        .getOrElse(throw new IllegalArgumentException(s"default-spec-id $cur not in partition-specs"))
-      spec.get("fields").elements().asScala.map { f =>
+    // partition spec: default-spec-id, identity transforms only. A v1
+    // table may carry only the LEGACY singular "partition-spec" (a
+    // bare fields array) — falling back to "unpartitioned" there would
+    // both misread (identity source columns read all-null instead of
+    // filling from partition metadata) and BYPASS the transform
+    // refusal, so the legacy field is parsed with the same rules.
+    def identityFields(fields: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      fields.elements().asScala.map { f =>
         val t = jStr(f, "transform")
         require(t == "identity",
           s"IcebergBridge: partition transform '$t' unsupported (identity floor) — refusing")
         jStr(f, "name")
       }.toSeq
-    }.getOrElse(Seq.empty)
+    val partCols: Seq[String] = Option(node.get("partition-specs")).map { specs =>
+      val cur = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      val spec = specs.elements().asScala.find(_.get("spec-id").asInt() == cur)
+        .getOrElse(throw new IllegalArgumentException(s"default-spec-id $cur not in partition-specs"))
+      identityFields(spec.get("fields"))
+    }.orElse(Option(node.get("partition-spec")).map(identityFields))
+      .getOrElse(Seq.empty)
 
     val curSnap = snapshotId.getOrElse(
       Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L))
@@ -977,34 +989,44 @@ object IcebergBridge {
     val in = fs.open(metaFile)
     val node = try mapper.readTree(in) finally in.close()
     val location = jStr(node, "location")
-    val snaps = node.get("snapshots").elements().asScala.toSeq
-      .sortBy(_.get("sequence-number").asLong())
+    // v1 snapshots carry no sequence-number; order by it when every
+    // snapshot has one, else by timestamp-ms (never NPE on a v1 table)
+    val allSnaps = node.get("snapshots").elements().asScala.toSeq
+    val snaps =
+      if (allSnaps.forall(s => Option(s.get("sequence-number")).exists(!_.isNull)))
+        allSnaps.sortBy(_.get("sequence-number").asLong())
+      else allSnaps.sortBy(_.get("timestamp-ms").asLong())
     if (snaps.size <= retainLast) return 0
     val (expired, kept) = snaps.splitAt(snaps.size - retainLast)
     val keptIds = kept.map(_.get("snapshot-id").asLong()).toSet
     require(keptIds.contains(node.get("current-snapshot-id").asLong()),
       "expireSnapshots would drop the current snapshot — refusing")
 
-    def filesOf(snapId: Long): (Set[String], Seq[Path]) = {
+    def filesOf(snapId: Long): (Set[String], Set[Path]) = {
       val state = loadState(spark, fs, root, Some(snapId))
       val snap = snaps.find(_.get("snapshot-id").asLong() == snapId).get
       val listPath = resolve(root, location, jStr(snap, "manifest-list"))
       val (manifests, _) = readAvro(fs, listPath)
-      val manifestPaths = listPath +: manifests.map(mf =>
-        resolve(root, location, mf.get("manifest_path").toString))
+      val manifestPaths = (listPath +: manifests.map(mf =>
+        resolve(root, location, mf.get("manifest_path").toString))).toSet
       (state.files.map(f => resolve(root, location, f.path).toString).toSet,
         manifestPaths)
     }
-    val keptFiles = keptIds.flatMap(id => filesOf(id)._1)
-    var deleted = 0
-    expired.foreach { snap =>
-      val id = snap.get("snapshot-id").asLong()
-      val (files, manifestPaths) = filesOf(id)
-      (files -- keptFiles).foreach { p =>
-        if (fs.delete(new Path(p), false)) deleted += 1
-      }
-      manifestPaths.foreach(p => fs.delete(p, false))
-    }
+    // EVERY read happens before ANY delete, and the reachable set is
+    // the union over KEPT snapshots of both data files AND manifests:
+    // real Iceberg writers REUSE manifests across snapshots (snapshot
+    // N's manifest-list names manifests added by earlier snapshots),
+    // so an expired snapshot's manifest may still be live — deleting
+    // it would make the current snapshot unreadable. Metadata is also
+    // published BEFORE bytes are deleted (Iceberg's own expire order):
+    // a crash mid-delete leaves unreferenced garbage, never a
+    // metadata version naming deleted files.
+    val keptStates = keptIds.toSeq.map(filesOf)
+    val keptFiles = keptStates.flatMap(_._1).toSet
+    val keptManifests = keptStates.flatMap(_._2).toSet
+    val expiredStates = expired.map(s => filesOf(s.get("snapshot-id").asLong()))
+    val deadFiles = expiredStates.flatMap(_._1).toSet -- keptFiles
+    val deadManifests = expiredStates.flatMap(_._2).toSet -- keptManifests
 
     val meta = mapper.convertValue(node, classOf[java.util.LinkedHashMap[String, Object]])
     def keepOnly(key: String, idKey: String): Unit =
@@ -1032,6 +1054,11 @@ object IcebergBridge {
     val hintOut = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hintOut.write(s"${metaVersion + 1}".getBytes(StandardCharsets.UTF_8))
     finally hintOut.close()
+
+    // metadata is durable; now the bytes
+    var deleted = 0
+    deadFiles.foreach(p => if (fs.delete(new Path(p), false)) deleted += 1)
+    deadManifests.foreach(p => fs.delete(p, false))
     deleted
   }
 
@@ -1053,10 +1080,13 @@ object IcebergBridge {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
     val paths = files.map(f => resolve(root, state.location, f.path).toString)
-    // join key: the file path as Spark's scan reports it (qualified);
-    // unique per file by the duplicate-add refusal above
+    // join key: the file path in the exact form Spark's scan reports
+    // (DeltaBridge.scanPathKey — URI-encoded, authority-less scheme):
+    // a raw Path.toString key would match nothing for a partition
+    // value with a space/'#'/'%' and silently drop the file's rows.
+    // Unique per file by the duplicate-add refusal above.
     val qualified = files.zip(paths).map { case (f, p) =>
-      (fs.makeQualified(new Path(p)).toString, f)
+      (DeltaBridge.scanPathKey(fs, new Path(p)), f)
     }
     val data = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))

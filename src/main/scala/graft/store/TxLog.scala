@@ -506,8 +506,10 @@ class TxLog(
       // log, so sleeping a bounded attempt-scaled interval before the
       // re-list turns an N-writer retry storm — O(N^2) list+stage work
       // per committed version — into near-linear hand-offs. Timing
-      // only; committed bytes and version order are unaffected.
-      Thread.sleep(math.min(5L << math.min(attempt, 5), 100L))
+      // only; committed bytes and version order are unaffected. No
+      // sleep after the FINAL attempt — nothing retries behind it.
+      if (attempt < maxAttempts)
+        Thread.sleep(math.min(5L << math.min(attempt, 5), 100L))
     }
     throw new java.io.IOException(
       s"tx commit failed after $maxAttempts attempts (writer contention on $logDir)")

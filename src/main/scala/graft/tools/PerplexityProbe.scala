@@ -15,15 +15,9 @@ object PerplexityProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def kept(gate: String): Set[Long] = {
-      val df = graft.queries.QueryLib.queries(gate)(spark, dir)
-        .select(col("doc_id").cast("long"), col("perplexity"))
-      val n = df.count().toInt
-      df.orderBy(col("perplexity"), col("doc_id")).limit(n / 2)
-        .collect().map(_.getLong(0)).toSet
-    }
-    val bi = kept("txt_perplexity")
-    val tri = kept("txt_perplexity3")
+    // one cut rule, shared with PerplexityFilterSpec
+    val bi = graft.queries.QueryLib.perplexityKeptHalf(spark, dir, "txt_perplexity")
+    val tri = graft.queries.QueryLib.perplexityKeptHalf(spark, dir, "txt_perplexity3")
     val jac = (bi & tri).size.toDouble / (bi | tri).size
     println(f"[ppxprobe] dir=$dir n_kept=${bi.size} overlap=${(bi & tri).size} jaccard=$jac%.3f")
     spark.stop()

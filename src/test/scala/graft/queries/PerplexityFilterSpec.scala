@@ -22,17 +22,10 @@ class PerplexityFilterSpec extends SparkSpec {
 
   test("trigram filter reranks meaningfully but agrees with bigram far above chance") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists())
-    def keptSet(gate: String): Set[Long] = {
-      val df = QueryLib.queries(gate)(spark, sfDir)
-        .select(col("doc_id").cast("long"), col("perplexity"))
-      val n = df.count().toInt
-      // keep the best (lowest-perplexity) half, doc_id tie-broken —
-      // a deterministic budget cut
-      df.orderBy(col("perplexity"), col("doc_id")).limit(n / 2)
-        .collect().map(_.getLong(0)).toSet
-    }
-    val bi = keptSet("txt_perplexity")
-    val tri = keptSet("txt_perplexity3")
+    // the cut rule lives in ONE place (QueryLib.perplexityKeptHalf) so
+    // the probe's reported overlap is exactly what this spec asserts
+    val bi = QueryLib.perplexityKeptHalf(spark, sfDir, "txt_perplexity")
+    val tri = QueryLib.perplexityKeptHalf(spark, sfDir, "txt_perplexity3")
     assert(bi.size == tri.size, s"same budget cut: ${bi.size} vs ${tri.size}")
     val jac = (bi & tri).size.toDouble / (bi | tri).size
     info(f"kept-set Jaccard overlap (best-half cut): $jac%.3f (${(bi & tri).size} of ${(bi | tri).size})")

@@ -379,6 +379,39 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(got === expectedRows)
   }
 
+  test("third-party shapes: URL-encodable characters in file paths keep their rows") {
+    // _metadata.file_path is URI-encoded; the partition-value join is
+    // keyed by the identically-encoded absolute path, so a data file
+    // under a directory with a space keeps its rows and its log-carried
+    // partition value
+    val root = tmpDir("deltaspace")
+    Seq(7).toDF("v").coalesce(1).write.parquet(s"$root/s0")
+    Files.createDirectories(Paths.get(s"$root/p dir"))
+    val listing = Files.list(Paths.get(s"$root/s0"))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.toString)
+        .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+    } finally listing.close()
+    Files.move(Paths.get(part), Paths.get(s"$root/p dir/x.parquet"))
+    val logDir = Paths.get(s"$root/_delta_log")
+    Files.createDirectories(logDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType))).json.replace("\"", "\\\"")
+    // add.path is RFC 2396 percent-encoded per the Delta spec
+    Files.write(logDir.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["p"],"configuration":{}}}""",
+      """{"add":{"path":"p%20dir/x.parquet","partitionValues":{"p":"spacey east"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val got = DeltaBridge.read(spark, root)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((7, "spacey east")))
+  }
+
   test("third-party shapes: column mapping mode refuses rather than misreads") {
     val root = tmpDir("deltacm")
     Seq(1).toDF("v").coalesce(1).write.parquet(s"$root/s0")

@@ -260,6 +260,28 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(""""snapshot-id":\d+,"parent""".r.findAllIn(metaV3).size <= 1)
   }
 
+  test("partition values with URL-encodable characters survive the file_path join") {
+    // Spark reports _metadata.file_path URI-ENCODED (a space becomes
+    // %20); keying the partition-value join by the raw Path string
+    // would match nothing and silently drop the file's rows
+    val root = tmpDir("ibspace")
+    Seq((ts("2024-01-01T01:00:00"), 1.0)).toDF("time", "value")
+      .coalesce(1).write.parquet(s"$root/s0")
+    val listing = Files.list(Paths.get(s"$root/s0"))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.toString)
+        .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+    } finally listing.close()
+    Files.createDirectories(Paths.get(s"$root/ib/partition=a b"))
+    Files.move(Paths.get(part), Paths.get(s"$root/ib/partition=a b/x.parquet"))
+    IcebergBridge.writeTable(spark, s"$root/ib", "spacey")
+    val got = IcebergBridge.read(spark, s"$root/ib")
+      .select(col("value"), col("partition")).collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(got === Set((1.0, "a b")))
+  }
+
   test("identical exports produce byte-identical metadata json") {
     val r1 = tmpDir("ibdet1"); val r2 = tmpDir("ibdet2")
     export(r1); export(r2)
