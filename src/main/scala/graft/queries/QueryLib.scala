@@ -1204,6 +1204,54 @@ object QueryLib {
     Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
            |FROM events WHERE event_type = 'click'""".stripMargin))
 
+  private val fsStreamIceberg = Q(
+    "fs_stream_iceberg",
+    // The 26th streaming certification — fs_stream_delta's Iceberg
+    // twin: a LIVE stream publishes continuously to the SECOND open
+    // format. Two micro-batch txns land through the exactly-once sink,
+    // the snapshot exports as an Iceberg v2 table, the SAME stream
+    // (same checkpoint) resumes over two later-arriving files, and
+    // syncSnapshotIceberg publishes the new txlog commits as ONE new
+    // Iceberg snapshot (fresh single manifest, v2 sequence
+    // inheritance). What hashes red: a torn/doubled batch at the sink,
+    // a sync diff that misses or resurrects files, a manifest set that
+    // disagrees with the live txlog state. Both legs are certified
+    // alone (fs_stream_sink, fs_store_export_iceberg,
+    // fs_store_iceberg_sync); this certifies the COMPOSITION — the
+    // stream -> ACID table -> Iceberg-warehouse publication pipeline a
+    // Trino/Snowflake shop runs end-to-end.
+    (s, dir) => {
+      val tmp = scratchDir("sib")
+      val src = T(s, dir, "events").filter(col("event_type") === "error")
+        .select(col("ts").as("time"), col("value"))
+      val early = src.filter(col("time") < ts("2024-01-16"))
+      val late = src.filter(col("time") >= ts("2024-01-16"))
+      val sdir = s"$tmp/stream_src"
+      early.repartition(2).write.parquet(sdir)
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      def drain(): Unit = {
+        val stream = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(sdir)
+        val q = withStatePartitions(s, 4) {
+          graft.streaming.EventStreams
+            .featureSinkTx(stream, st, "errors",
+              checkpointDir = s"$tmp/ckpt", streamId = "sib")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+      }
+      drain() // batches 0-1: the early files
+      st.exportSnapshotIceberg("errors", s"$tmp/iceberg") // snapshot 1
+      late.repartition(2).write.mode("append").parquet(sdir)
+      drain() // the SAME checkpoint resumes over the 2 new files
+      st.syncSnapshotIceberg("errors", s"$tmp/iceberg") // snapshot 2
+      graft.store.IcebergBridge.read(s, s"$tmp/iceberg")
+        .select(col("time"), col("value"), col("partition"))
+    },
+    Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
+           |FROM events WHERE event_type = 'error'""".stripMargin))
+
   private val fsStreamWindow = Q(
     "fs_stream_window",
     // §2.10's stateful side under the oracle gate: the events table is
@@ -10257,7 +10305,7 @@ object QueryLib {
     fsDownsampleM4, mlSurvivalKm,
     fsFirst, fsLast, fsBounds, fsJsonProps, fsAsofJoin, fsAsofTolerance, fsAsofForward, fsAsofNearest,
     fsStoreRoundtrip, fsStoreTxlog,
-    fsStreamSink, fsStreamDelta, fsStreamWindow, fsStreamWindowWm, fsStreamM4, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
+    fsStreamSink, fsStreamDelta, fsStreamIceberg, fsStreamWindow, fsStreamWindowWm, fsStreamM4, fsStreamSession, fsStreamSessionWm, fsStreamDedup, fsStreamEwma,
     fsStreamAttrib, fsStreamAttribOuter, fsStreamEnrich, fsStreamDedupLsh,
     fsTrainingFrame, fsTransformDag,
     q1Pricing, q3Top10, q5NationRev, qWindowRunning, fsRollingWindow, qLagGap,

@@ -134,7 +134,7 @@ class PlanContractSpec extends SparkSpec {
       // shuffle-free join contract has its own dedicated test below
       "fs_store_bucketed",
       "fs_training_frame", "fs_transform_dag",
-      "fs_stream_sink", "fs_stream_delta", "fs_stream_window", "fs_stream_window_wm", "fs_stream_m4", "fs_stream_session", "fs_stream_session_wm",
+      "fs_stream_sink", "fs_stream_delta", "fs_stream_iceberg", "fs_stream_window", "fs_stream_window_wm", "fs_stream_m4", "fs_stream_session", "fs_stream_session_wm",
       "fs_stream_dedup", "fs_stream_attrib", "fs_stream_attrib_outer",
       "fs_stream_enrich", "fs_stream_hll", "fs_stream_ewma",
       "fs_stream_dedup_lsh", "fs_stream_quantile", "fs_stream_cms", "fs_stream_kmv",
