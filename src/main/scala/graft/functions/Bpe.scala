@@ -59,8 +59,18 @@ object Bpe {
     * trade; it is NOT a drop-in default because sequential greedy
     * recount IS the BPE definition the specs and oracles pin.
     */
-  def trainMerges(wordCounts: DataFrame, k: Int): Seq[Merge] =
+  def trainMerges(wordCounts: DataFrame, k: Int): Seq[Merge] = {
+    // hard guard behind the scale rule above: a 32k-merge vocabulary
+    // through this path is 32k sequential Spark jobs — a mistake no
+    // doc comment reliably prevents. Large-k callers must CHOOSE
+    // between exact-sequential (raise the cap consciously via
+    // trainMergesExact) and the batched fast trainer.
+    require(k <= 1024,
+      s"trainMerges(k=$k) is one driver round PER MERGE — past ~100 merges " +
+        "call trainMergesBatched (the fast-trainer shape; ScaleProbe-certified) " +
+        "or trainMergesExact directly if sequential-greedy semantics are required")
     trainMergesExact(wordCounts, k)
+  }
 
   /** The 1-merge-per-driver-round exact trainer behind [[trainMerges]]
     * — named so call sites can state the intent explicitly when both
