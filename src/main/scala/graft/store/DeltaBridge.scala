@@ -82,6 +82,29 @@ object DeltaBridge {
     new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
   }
 
+  /** Order-preserving bounded-parallel map for the bridges' per-file
+    * footer-stats reads: the reads are independent metadata IO
+    * (ParquetFileReader open/footer/close — Hadoop FileSystem is
+    * read-thread-safe), and the sequential loop was the measured
+    * bottleneck of describing a many-file tree (tools/BridgeProbe:
+    * ~15 ms/file → ~25 min at a 100k-file table). 16 daemon threads:
+    * enough to hide IO latency, bounded so a million-file tree cannot
+    * fork a thread storm.
+    */
+  private[graft] def parMapOrdered[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      16, (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    try {
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          items.map(a => scala.concurrent.Future(f(a)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   private def decodePath(enc: String): String =
     new java.net.URI(enc).getPath
 
@@ -222,7 +245,7 @@ object DeltaBridge {
       "partitionColumns" -> partCols,
       "configuration" -> Map.empty[String, String],
       "createdTime" -> maxMtime))
-    sorted.foreach { case (rel, size, mtime) =>
+    actions ++= parMapOrdered(sorted) { case (rel, size, mtime) =>
       val base = Map[String, Any](
         "path" -> encodePath(rel),
         "partitionValues" -> partsOf(rel).toMap,
@@ -230,7 +253,7 @@ object DeltaBridge {
         "dataChange" -> true)
       val withStats = fileStats(new Path(root, rel), hc)
         .map(s => base + ("stats" -> s)).getOrElse(base)
-      actions += Map("add" -> withStats)
+      Map("add" -> withStats): Map[String, Any]
     }
 
     val logDir = new Path(root, LogDirName)
@@ -459,7 +482,7 @@ object DeltaBridge {
       require(state.live.contains(rel), s"sync remove $rel is not live")
     }
 
-    val addSt = addRel.sorted.map { rel =>
+    val addSt = parMapOrdered(addRel.sorted) { rel =>
       val p = new Path(root, rel)
       val st = fs.getFileStatus(p)
       (rel, st.getLen, st.getModificationTime, fileStats(p, hc))
