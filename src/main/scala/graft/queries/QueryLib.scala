@@ -894,6 +894,49 @@ object QueryLib {
     Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS partition
            |FROM events WHERE event_type = 'signup' AND ts >= TIMESTAMP '2024-01-08'""".stripMargin))
 
+  private val fsIcebergTransforms = Q(
+    "fs_iceberg_transforms",
+    // The WIDENED Iceberg read floor: real third-party Iceberg tables
+    // are rarely identity-partitioned — days(ts) is the dominant
+    // layout — so the bridge reads temporal/bucket/truncate partition
+    // transforms instead of refusing them. A days(time)-partitioned
+    // tree (FULL rows in the data files — non-identity sources are
+    // never metadata-filled — with transform metadata published via
+    // writeTable's spec mode) is read back STRICTLY through the
+    // manifests. What's certified: the full scan returns every row
+    // with `time` scanned from the files; readWhere over the
+    // transform's HUMAN values ("2024-01-10".."2024-01-12") plans from
+    // the manifests' epoch-day partition structs alone; and a decoy
+    // parquet planted in the tree proves directory listing is never
+    // consulted. At 100 TB the pruned read is the shape that matters:
+    // three days of a 3-year table list three days' files.
+    (s, dir) => {
+      val tmp = scratchDir("ibtrans")
+      val src = T(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"))
+      // one file per day: repartition by the derived day so each
+      // partitionBy directory is a single part file
+      src.withColumn("ts_day", date_format(col("time"), "yyyy-MM-dd"))
+        .repartition(col("ts_day"))
+        .write.partitionBy("ts_day").parquet(s"$tmp/ib")
+      graft.store.IcebergBridge.writeTable(s, s"$tmp/ib", "transfix",
+        spec = Seq(graft.store.IcebergBridge.SpecCol("ts_day", "day", "time")))
+      // decoy: unreferenced parquet inside the tree — invisible to a
+      // manifest-driven reader, fatal to a directory-listing one
+      src.limit(5).write.parquet(s"$tmp/ib/ts_day=9999-12-31")
+      val full = graft.store.IcebergBridge.read(s, s"$tmp/ib")
+        .select(lit("full").as("side"), col("time"), col("value"))
+      val pruned = graft.store.IcebergBridge.readWhere(s, s"$tmp/ib",
+        pv => pv("ts_day") >= "2024-01-10" && pv("ts_day") <= "2024-01-12")
+        .select(lit("pruned").as("side"), col("time"), col("value"))
+      full.unionByName(pruned)
+    },
+    Some("""WITH d AS (SELECT ts AS time, value FROM events WHERE event_type = 'click')
+           |SELECT 'full' AS side, time, value FROM d
+           |UNION ALL
+           |SELECT 'pruned' AS side, time, value FROM d
+           |WHERE CAST(time AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'""".stripMargin))
+
   private val fsStreamDedupLsh = Q(
     "fs_stream_dedup_lsh",
     // Streaming NEAR-dedup (the 10th streaming hash gate): the batch
@@ -10336,7 +10379,7 @@ object QueryLib {
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
-    fsStoreExportIceberg, fsStoreIcebergSync,
+    fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

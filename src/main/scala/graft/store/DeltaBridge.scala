@@ -105,6 +105,24 @@ object DeltaBridge {
     } finally pool.shutdown()
   }
 
+  /** [[parMapOrdered]] with a per-worker Hadoop Configuration clone:
+    * Configuration's lazy resource loading has historically raced
+    * under concurrent first reads, so the 16 footer-read threads must
+    * never share one instance cold (tools/BridgeProbe pools copies for
+    * the same reason). Pool size matches the thread count; clones are
+    * amortized across all files, not paid per file.
+    */
+  private[graft] def parMapOrderedConf[A, B](
+      items: Seq[A], hc: Configuration)(f: (A, Configuration) => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f(_, hc))
+    val confs = new java.util.concurrent.ConcurrentLinkedQueue[Configuration]()
+    (0 until 16).foreach(_ => confs.add(new Configuration(hc)))
+    parMapOrdered(items) { a =>
+      val c = confs.poll()
+      try f(a, c) finally confs.add(c)
+    }
+  }
+
   private def decodePath(enc: String): String =
     new java.net.URI(enc).getPath
 
@@ -202,7 +220,11 @@ object DeltaBridge {
       val st = it.next()
       val p = st.getPath.toUri.getPath
       val rel = p.stripPrefix(rootUri).stripPrefix("/")
-      if (rel.endsWith(".parquet") && !rel.startsWith(LogDirName) &&
+      // exclude the log DIRECTORY itself, not a name prefix: a data
+      // partition directory named _delta_logs=x/ can't occur (leading
+      // '_' is already skipped) but the directory-vs-prefix distinction
+      // is kept explicit to match IcebergBridge.writeTable
+      if (rel.endsWith(".parquet") && !rel.startsWith(LogDirName + "/") &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         files += ((rel, st.getLen, st.getModificationTime))
     }
@@ -224,6 +246,13 @@ object DeltaBridge {
     // data schema from one footer; full schema appends partition cols
     val dataSchema = spark.read.parquet(
       new Path(root, sorted.head._1).toString).schema
+    // a physical column sharing a partition directory's name would
+    // produce a schema with the column declared twice — refuse
+    val clash = dataSchema.map(_.name).toSet.intersect(partCols.toSet)
+    require(clash.isEmpty,
+      s"DeltaBridge: column(s) ${clash.mkString(", ")} appear both in the " +
+        "parquet data and as hive partition directories — refusing rather " +
+        "than declaring a duplicate column in schemaString")
     val schema = StructType(dataSchema.fields ++
       partCols.map(c => StructField(c, StringType, nullable = true)))
 
@@ -245,13 +274,13 @@ object DeltaBridge {
       "partitionColumns" -> partCols,
       "configuration" -> Map.empty[String, String],
       "createdTime" -> maxMtime))
-    actions ++= parMapOrdered(sorted) { case (rel, size, mtime) =>
+    actions ++= parMapOrderedConf(sorted, hc) { case ((rel, size, mtime), c) =>
       val base = Map[String, Any](
         "path" -> encodePath(rel),
         "partitionValues" -> partsOf(rel).toMap,
         "size" -> size, "modificationTime" -> mtime,
         "dataChange" -> true)
-      val withStats = fileStats(new Path(root, rel), hc)
+      val withStats = fileStats(new Path(root, rel), c)
         .map(s => base + ("stats" -> s)).getOrElse(base)
       Map("add" -> withStats): Map[String, Any]
     }
@@ -482,10 +511,10 @@ object DeltaBridge {
       require(state.live.contains(rel), s"sync remove $rel is not live")
     }
 
-    val addSt = parMapOrdered(addRel.sorted) { rel =>
+    val addSt = parMapOrderedConf(addRel.sorted, hc) { (rel, c) =>
       val p = new Path(root, rel)
       val st = fs.getFileStatus(p)
-      (rel, st.getLen, st.getModificationTime, fileStats(p, hc))
+      (rel, st.getLen, st.getModificationTime, fileStats(p, c))
     }
     val ts = (addSt.map(_._3) ++ state.live.values.map(_.modificationTime)).max
 
@@ -735,15 +764,23 @@ object DeltaBridge {
       .withColumn("__file", col("_metadata.file_path"))
     if (partCols.isEmpty) return data.drop("__file")
 
-    val pvSchema = StructType(StructField("__file", StringType) +:
-      partCols.map(c => StructField(s"__pv_$c", StringType, nullable = true)))
+    // LEFT join + per-row assert, not an inner join: a drift in the
+    // empirically-probed _metadata.file_path form must fail LOUDLY,
+    // never silently drop a file's rows (see IcebergBridge.readPruned)
+    val pvSchema = StructType((StructField("__file", StringType) +:
+      partCols.map(c => StructField(s"__pv_$c", StringType, nullable = true))) :+
+      StructField("__pv_ok", BooleanType, nullable = false))
     val pvRows = adds.map(a => Row.fromSeq(
-      scanPathKey(fs, new Path(root, a.path)) +:
-        partCols.map(c => a.partitionValues.getOrElse(c, null))))
+      (scanPathKey(fs, new Path(root, a.path)) +:
+        partCols.map(c => a.partitionValues.getOrElse(c, null))) :+ true))
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
 
-    val joined = data.join(broadcast(pvDf), Seq("__file"))
+    val joined = data.join(broadcast(pvDf), Seq("__file"), "left")
+      .filter(isnull(assert_true(col("__pv_ok").isNotNull, concat(
+        lit("DeltaBridge: scanned file missing from the log partition map " +
+          "(has Spark's _metadata.file_path form changed?): "),
+        col("__file")))))
     joined.select(schema.fields.toIndexedSeq.map { f =>
       if (partCols.contains(f.name))
         col(s"__pv_${f.name}").cast(f.dataType).as(f.name)

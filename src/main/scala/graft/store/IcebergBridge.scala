@@ -66,19 +66,21 @@ object IcebergBridge {
        |    {"name": "value", "type": "$vType", "field-id": $vId}
        |]}}]""".stripMargin
 
-  /** The per-spec partition struct (r102): one optional string field
-    * per identity-partition column (the bridge's floor keeps exported
-    * partition values as strings, the hive k=v form they came from).
+  /** The per-spec partition struct (r102): one optional field per
+    * partition-spec field, typed by its transform's result type
+    * (identity exports stay strings — the hive k=v form they came
+    * from; temporal/bucket transforms carry ints per the spec).
+    * `fields` pairs each name with its Avro type JSON.
     */
-  private def partitionStructJson(partCols: Seq[String]): String = {
-    val fields = partCols.zipWithIndex.map { case (c, i) =>
-      s"""{"name": ${mapper.writeValueAsString(c)}, "type": ["null", "string"],
+  private def partitionStructJson(fields: Seq[(String, String)]): String = {
+    val fs = fields.zipWithIndex.map { case ((c, tpe), i) =>
+      s"""{"name": ${mapper.writeValueAsString(c)}, "type": ["null", $tpe],
          | "default": null, "field-id": ${1000 + i}}""".stripMargin
     }
-    s"""{"type": "record", "name": "r102", "fields": [${fields.mkString(",")}]}"""
+    s"""{"type": "record", "name": "r102", "fields": [${fs.mkString(",")}]}"""
   }
 
-  private def manifestEntrySchema(partCols: Seq[String]): Schema =
+  private def manifestEntrySchema(partCols: Seq[(String, String)]): Schema =
     new Schema.Parser().parse(
       s"""{"type": "record", "name": "manifest_entry", "fields": [
          |  {"name": "status", "type": "int", "field-id": 0},
@@ -156,6 +158,114 @@ object IcebergBridge {
     case other => throw new IllegalArgumentException(
       s"IcebergBridge: unsupported Iceberg type '$other' at $where — " +
         "refusing rather than misreading (bridge floor is primitives)")
+  }
+
+  // ---------------------------------------------------------------
+  // Partition transforms (spec "Partition Transforms"): the read
+  // floor accepts identity, void, the temporal family and
+  // bucket/truncate — for non-identity transforms the SOURCE column
+  // is required to be physically present in the data files (which the
+  // spec guarantees for real writers: derived partition values are
+  // never the only storage), so the scan needs no metadata fill.
+  // ---------------------------------------------------------------
+
+  /** A partition-spec field for [[writeTable]]'s transform mode:
+    * `name` is the spec field (and hive directory key), `transform`
+    * one of day/month/year/hour/bucket[N]/truncate[W], `source` the
+    * data column the transform derives from.
+    */
+  final case class SpecCol(name: String, transform: String, source: String)
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** Canonical transform name — real metadata carries both singular
+    * and plural spellings (`day` and `days`). */
+  private def canonTransform(t: String): String = t match {
+    case "years" => "year"
+    case "months" => "month"
+    case "days" | "date" => "day"
+    case "hours" | "date_hour" => "hour"
+    case other => other
+  }
+
+  private def transformSupported(t: String): Boolean = canonTransform(t) match {
+    case "identity" | "void" | "year" | "month" | "day" | "hour" => true
+    case BucketRe(_) | TruncateRe(_) => true
+    case _ => false
+  }
+
+  /** Avro type of a transform's partition value as this bridge WRITES
+    * it (read tolerates whatever the foreign writer's schema says). */
+  private def transformAvroType(t: String, where: String): String =
+    canonTransform(t) match {
+      case "identity" => "\"string\""
+      case "day" => """{"type": "int", "logicalType": "date"}"""
+      case "year" | "month" | "hour" => "\"int\""
+      case BucketRe(_) => "\"int\""
+      case TruncateRe(_) => "\"string\""
+      case other => throw new IllegalArgumentException(
+        s"IcebergBridge: cannot write partition transform '$other' at $where")
+    }
+
+  /** Parse a transform value from its HUMAN directory form (the form
+    * Iceberg itself uses in partition paths: day=2024-01-05,
+    * month=2024-01, year=2024, hour=2024-01-05-14) into the typed
+    * value the manifest partition struct stores.
+    */
+  private def transformedValue(t: String, human: String, where: String): Any =
+    canonTransform(t) match {
+      case "identity" => human
+      case "day" =>
+        java.time.LocalDate.parse(human).toEpochDay.toInt
+      case "year" => human.toInt - 1970
+      case "month" =>
+        val Array(y, m) = human.split("-")
+        (y.toInt - 1970) * 12 + (m.toInt - 1)
+      case "hour" =>
+        val i = human.lastIndexOf('-')
+        require(i > 0, s"IcebergBridge: hour value '$human' at $where is not yyyy-MM-dd-HH")
+        (java.time.LocalDate.parse(human.substring(0, i)).toEpochDay * 24 +
+          human.substring(i + 1).toInt).toInt
+      case BucketRe(n) =>
+        val v = human.toInt
+        require(v >= 0 && v < n.toInt,
+          s"IcebergBridge: bucket value $v out of [0, $n) at $where")
+        v
+      case TruncateRe(w) =>
+        require(human.length <= w.toInt,
+          s"IcebergBridge: truncate[$w] value '$human' at $where exceeds the width")
+        human
+      case other => throw new IllegalArgumentException(
+        s"IcebergBridge: cannot write partition transform '$other' at $where")
+    }
+
+  /** Render a manifest partition value in its HUMAN form for
+    * [[readWhere]] predicates — the same rendering Iceberg uses in
+    * partition paths, so a user writes `pv("ts_day") == "2024-01-05"`
+    * regardless of the int encoding in the struct. Non-numeric raw
+    * values (a foreign writer storing strings) pass through.
+    */
+  private def humanPartValue(t: String, raw: Any): String = {
+    if (raw == null) return null
+    val num = raw match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    canonTransform(t) match {
+      case "void" => null
+      case "year" => num.map(v => (1970 + v).toString).getOrElse(raw.toString)
+      case "month" => num.map(v =>
+        f"${1970 + Math.floorDiv(v, 12)}%04d-${Math.floorMod(v, 12) + 1}%02d")
+        .getOrElse(raw.toString)
+      case "day" => num.map(v => java.time.LocalDate.ofEpochDay(v).toString)
+        .getOrElse(raw.toString)
+      case "hour" => num.map(v =>
+        f"${java.time.LocalDate.ofEpochDay(Math.floorDiv(v, 24))}-${Math.floorMod(v, 24)}%02d")
+        .getOrElse(raw.toString)
+      // identity / bucket / truncate: the stored value IS the human form
+      case _ => raw.toString
+    }
   }
 
   // ---------------------------------------------------------------
@@ -283,7 +393,7 @@ object IcebergBridge {
       dataFileSchema: Schema,
       fs: FileSystem, root: Path, hc: Configuration,
       location: String, rel: String,
-      partValues: Seq[(String, String)],
+      partValues: Seq[(String, Any)],
       fieldIds: Map[String, Int]): (GenericData.Record, Long) = {
     val partSchema = dataFileSchema.getField("partition").schema()
     val p = new Path(root, rel)
@@ -329,7 +439,8 @@ object IcebergBridge {
       spark: SparkSession,
       dir: String,
       tableId: String,
-      conf: Configuration = null): Int = {
+      conf: Configuration = null,
+      spec: Seq[SpecCol] = Nil): Int = {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
@@ -342,7 +453,11 @@ object IcebergBridge {
       val st = it.next()
       val p = st.getPath.toUri.getPath
       val rel = p.stripPrefix(rootUri).stripPrefix("/")
-      if (rel.endsWith(".parquet") && !rel.startsWith(MetaDirName) &&
+      // the exclusion must be the metadata DIRECTORY itself, not a
+      // name prefix: a data partition directory named metadata_id=3/
+      // would otherwise silently drop out of the manifest — missing
+      // rows in every Iceberg reader
+      if (rel.endsWith(".parquet") && !rel.startsWith(MetaDirName + "/") &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         files += ((rel, st.getLen, st.getModificationTime))
     }
@@ -358,21 +473,50 @@ object IcebergBridge {
     sorted.foreach { case (rel, _, _) =>
       require(partsOf(rel).map(_._1) == partCols,
         s"inconsistent partition layout: $rel vs columns $partCols") }
+    if (spec.nonEmpty) {
+      require(spec.map(_.name) == partCols,
+        s"spec fields ${spec.map(_.name)} do not match the tree's hive keys $partCols")
+      spec.foreach(c => require(canonTransform(c.transform) != "identity",
+        s"spec field ${c.name}: identity transforms use the default (no-spec) path"))
+    }
 
-    // table schema: data columns (ids 1..n) + partition columns
-    // (string, ids n+1..) — Iceberg partition sources are ordinary
-    // table columns the spec references by id
+    // table schema: data columns (ids 1..n); the default (identity)
+    // path also appends the partition columns (string, ids n+1..) —
+    // Iceberg partition sources are ordinary table columns the spec
+    // references by id. In transform mode the sources already ARE
+    // data columns and the spec fields are derived, not columns.
     val dataSchema = spark.read.parquet(
       new Path(root, sorted.head._1).toString).schema
     dataSchema.foreach(f => icebergType(f.dataType, s"column ${f.name}"))
+    // a physical parquet column sharing a hive partition column's name
+    // would collapse the name->id map into two fields with one id — an
+    // invalid Iceberg schema strict readers reject or misbind
+    val clash = dataSchema.map(_.name).toSet.intersect(partCols.toSet)
+    require(clash.isEmpty,
+      s"IcebergBridge: column(s) ${clash.mkString(", ")} appear both in the " +
+        "parquet data and as hive partition directories — refusing rather " +
+        "than emitting duplicate field ids")
+    val schemaColNames: Seq[String] =
+      if (spec.isEmpty) dataSchema.map(_.name).toSeq ++ partCols
+      else dataSchema.map(_.name).toSeq
     val fieldIds: Map[String, Int] =
-      (dataSchema.map(_.name) ++ partCols).zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+      schemaColNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    spec.foreach(c => require(fieldIds.contains(c.source),
+      s"spec field ${c.name}: source column '${c.source}' is not a data column"))
     val schemaFields: Seq[Map[String, Any]] =
       dataSchema.map(f => Map[String, Any](
         "id" -> fieldIds(f.name), "name" -> f.name,
         "required" -> false, "type" -> icebergType(f.dataType, f.name))) ++
-      partCols.map(c => Map[String, Any](
+      (if (spec.isEmpty) partCols.map(c => Map[String, Any](
         "id" -> fieldIds(c), "name" -> c, "required" -> false, "type" -> "string"))
+       else Nil)
+    // (name, transform, source-id) for the partition spec, either
+    // derived identity columns or the caller's transform spec
+    val effSpec: Seq[(String, String, Int)] =
+      if (spec.isEmpty) partCols.map(c => (c, "identity", fieldIds(c)))
+      else spec.map(c => (c.name, c.transform, fieldIds(c.source)))
+    val partTypes: Seq[(String, String)] =
+      effSpec.map { case (n, t, _) => n -> transformAvroType(t, n) }
 
     val uuid = java.util.UUID.nameUUIDFromBytes(
       ("iceberg:" + tableId).getBytes(StandardCharsets.UTF_8))
@@ -382,14 +526,17 @@ object IcebergBridge {
     fs.mkdirs(metaDir)
 
     // ---- manifest: one ADDED entry per data file, with footer stats
-    val entrySchema = manifestEntrySchema(partCols)
+    val entrySchema = manifestEntrySchema(partTypes)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     // footer reads bounded-parallel (DeltaBridge.parMapOrdered): the
     // sequential loop was ~15 ms/file — the dominant term describing a
     // many-file tree (tools/BridgeProbe)
-    val built = DeltaBridge.parMapOrdered(sorted) { case (rel, _, _) =>
+    val built = DeltaBridge.parMapOrderedConf(sorted, hc) { case ((rel, _, _), c) =>
+      val pvTyped = partsOf(rel).map { case (k, v) =>
+        k -> transformedValue(effSpec.find(_._1 == k).get._2, v, rel)
+      }
       val (df, rows) = addedDataFile(
-        dataFileSchema, fs, root, hc, location, rel, partsOf(rel), fieldIds)
+        dataFileSchema, fs, root, c, location, rel, pvTyped, fieldIds)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -400,9 +547,9 @@ object IcebergBridge {
     }
     val entries = built.map(_._1)
     val totalRows = built.map(_._2).sum
-    val specFieldsJson = partCols.zipWithIndex.map { case (c, i) =>
-      Map[String, Any]("name" -> c, "transform" -> "identity",
-        "source-id" -> fieldIds(c), "field-id" -> (1000 + i))
+    val specFieldsJson = effSpec.zipWithIndex.map { case ((c, t, srcId), i) =>
+      Map[String, Any]("name" -> c, "transform" -> t,
+        "source-id" -> srcId, "field-id" -> (1000 + i))
     }
     val schemaJson = mapper.writeValueAsString(Map[String, Any](
       "type" -> "struct", "schema-id" -> 0, "fields" -> schemaFields))
@@ -452,7 +599,7 @@ object IcebergBridge {
       "default-spec-id" -> 0,
       "partition-specs" -> Seq(Map[String, Any](
         "spec-id" -> 0, "fields" -> specFieldsJson)),
-      "last-partition-id" -> (999 + partCols.size),
+      "last-partition-id" -> (999 + effSpec.size),
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map[String, Any](
         "order-id" -> 0, "fields" -> Seq.empty[Object])),
@@ -510,6 +657,12 @@ object IcebergBridge {
     require(fv == 2, s"appendSnapshot needs a v2 table, got format-version $fv")
     val location = jStr(node, "location")
     val prevState = loadState(spark, fs, root)
+    // the sync writer's floor is identity-partitioned bridge tables
+    // (the shape writeTable's default path and the store export lay
+    // down); transform-partitioned foreign tables are read-only here
+    require(prevState.specFields.forall(f => canonTransform(f.transform) == "identity"),
+      "appendSnapshot: table uses non-identity partition transforms — " +
+        "the bridge reads them but only syncs identity-partitioned exports")
     val partCols = prevState.partCols
 
     def relOf(p: String): String =
@@ -543,16 +696,16 @@ object IcebergBridge {
     freshNew.foreach(rel => require(partsOf(rel).map(_._1) == partCols,
       s"appendSnapshot: $rel does not match partition columns $partCols"))
 
-    val entrySchema = manifestEntrySchema(partCols)
+    val entrySchema = manifestEntrySchema(partCols.map(_ -> "\"string\""))
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     var addedRows = 0L
     var existingRows = 0L
-    val builtNew = DeltaBridge.parMapOrdered(freshNew) { rel =>
+    val builtNew = DeltaBridge.parMapOrderedConf(freshNew, hc) { (rel, c) =>
       require(fs.exists(new Path(root, rel)),
         s"appendSnapshot: new file $rel not under $dir")
       val (df, rows) = addedDataFile(
-        dataFileSchema, fs, root, hc, location, rel, partsOf(rel), fieldIds)
+        dataFileSchema, fs, root, c, location, rel, partsOf(rel), fieldIds)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -589,7 +742,11 @@ object IcebergBridge {
             .map { case (k, v) => k -> (ByteBuffer.wrap(v): Any) }))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 0) // EXISTING — keeps its original data sequence
-      e.put("snapshot_id", snapshotId)
+      // snapshot_id is the snapshot that ADDED the file (spec), not the
+      // one writing this manifest — misattributing carried files to the
+      // sync snapshot corrupts incremental/changelog consumers
+      e.put("snapshot_id",
+        if (f.addedSnapshotId >= 0) f.addedSnapshotId else snapshotId)
       e.put("sequence_number", f.sequenceNumber)
       e.put("file_sequence_number", f.sequenceNumber)
       e.put("data_file", df)
@@ -738,7 +895,13 @@ object IcebergBridge {
       // raw single-value-serialized bounds by field id (absent entries
       // always scan — the safe direction)
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      // the snapshot that ADDED the file (manifest_entry.snapshot_id's
+      // spec meaning) — carried EXISTING entries must keep it, or
+      // incremental/changelog consumers misattribute old files to the
+      // sync snapshot; -1 = unknown (pre-fix manifests), fall back to
+      // the writing snapshot
+      addedSnapshotId: Long = -1L)
 
   /** The latest metadata file: version-hint first (HadoopCatalog
     * convention), else max vN scan. Returns (path, version). */
@@ -760,12 +923,23 @@ object IcebergBridge {
     }
   }
 
+  private final case class SpecField(name: String, transform: String, sourceId: Int)
+
   private final case class TableState(
       schema: StructType,
+      // identity partition fields' SOURCE columns — the columns the
+      // read fills from manifest metadata instead of scanning
       partCols: Seq[String],
       files: Seq[DataFileEntry],
-      location: String) // the RECORDED location — path resolution must
+      location: String, // the RECORDED location — path resolution must
                         // strip this, not the reader's current root
+      // spec-field name -> identity source column (usually equal)
+      identityFill: Seq[(String, String)] = Nil,
+      // non-identity transforms' source columns: must physically exist
+      // in the data files (the read probes one footer and refuses
+      // otherwise, never silently returning nulls)
+      transformSources: Seq[String] = Nil,
+      specFields: Seq[SpecField] = Nil)
 
   private def jStr(n: com.fasterxml.jackson.databind.JsonNode, k: String): String = {
     val v = n.get(k)
@@ -804,31 +978,53 @@ object IcebergBridge {
           nullable = !f.get("required").asBoolean(false))
     }
 
-    // partition spec: default-spec-id, identity transforms only. A v1
-    // table may carry only the LEGACY singular "partition-spec" (a
-    // bare fields array) — falling back to "unpartitioned" there would
-    // both misread (identity source columns read all-null instead of
-    // filling from partition metadata) and BYPASS the transform
-    // refusal, so the legacy field is parsed with the same rules.
-    def identityFields(fields: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    // partition spec: default-spec-id; transforms within the supported
+    // floor (identity, void, temporal family, bucket/truncate) parse,
+    // anything else refuses. A v1 table may carry only the LEGACY
+    // singular "partition-spec" (a bare fields array) — falling back
+    // to "unpartitioned" there would both misread (identity source
+    // columns read all-null instead of filling from partition
+    // metadata) and BYPASS the transform refusal, so the legacy field
+    // is parsed with the same rules.
+    def parseSpec(fields: com.fasterxml.jackson.databind.JsonNode): Seq[SpecField] =
       fields.elements().asScala.map { f =>
         val t = jStr(f, "transform")
-        require(t == "identity",
-          s"IcebergBridge: partition transform '$t' unsupported (identity floor) — refusing")
-        jStr(f, "name")
+        require(transformSupported(t),
+          s"IcebergBridge: partition transform '$t' unsupported — refusing " +
+            "(floor: identity, void, year/month/day/hour, bucket[N], truncate[W])")
+        SpecField(jStr(f, "name"), t,
+          Option(f.get("source-id")).map(_.asInt()).getOrElse(-1))
       }.toSeq
-    val partCols: Seq[String] = Option(node.get("partition-specs")).map { specs =>
+    val specFields: Seq[SpecField] = Option(node.get("partition-specs")).map { specs =>
       val cur = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
       val spec = specs.elements().asScala.find(_.get("spec-id").asInt() == cur)
         .getOrElse(throw new IllegalArgumentException(s"default-spec-id $cur not in partition-specs"))
-      identityFields(spec.get("fields"))
-    }.orElse(Option(node.get("partition-spec")).map(identityFields))
+      parseSpec(spec.get("fields"))
+    }.orElse(Option(node.get("partition-spec")).map(parseSpec))
       .getOrElse(Seq.empty)
+    // identity fields fill their SOURCE column from partition metadata
+    // (resolved by source-id — the spec does not promise the field
+    // name equals the column name); non-identity sources must be in
+    // the data files and the field names are derived, not columns
+    val identityFill: Seq[(String, String)] = specFields
+      .filter(f => canonTransform(f.transform) == "identity")
+      .map(f => f.name -> fieldsById.get(f.sourceId).map(_.name).getOrElse(f.name))
+    val partCols = identityFill.map(_._2)
+    val transformSources: Seq[String] = specFields
+      .filter { f =>
+        val c = canonTransform(f.transform); c != "identity" && c != "void" }
+      .map { f =>
+        fieldsById.get(f.sourceId).map(_.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"IcebergBridge: partition field ${f.name} (${f.transform}) " +
+              s"references unknown source-id ${f.sourceId} — refusing"))
+      }
 
     val curSnap = snapshotId.getOrElse(
       Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L))
     if (curSnap == -1L)
-      return TableState(StructType(fieldsById.values.toSeq), partCols, Seq.empty, location)
+      return TableState(StructType(fieldsById.values.toSeq), partCols, Seq.empty,
+        location, identityFill, transformSources, specFields)
     val snap = node.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == curSnap)
       .getOrElse(throw new IllegalArgumentException(
@@ -856,8 +1052,10 @@ object IcebergBridge {
           require(fmt.equalsIgnoreCase("parquet"),
             s"IcebergBridge: file format $fmt unsupported (parquet floor) — refusing")
           val part = df.get("partition").asInstanceOf[GenericRecord]
-          val pv = partCols.map { c =>
-            c -> Option(part.get(c)).map(_.toString).orNull
+          // keyed by spec-field NAME, rendered in the transform's
+          // human form (day ints become "2024-01-05" etc.)
+          val pv = specFields.map { sf =>
+            sf.name -> humanPartValue(sf.transform, part.get(sf.name))
           }.toMap
           def boundsOf(field: String): Map[Int, Array[Byte]] =
             Option(df.get(field)).map {
@@ -874,14 +1072,24 @@ object IcebergBridge {
             // the manifest-list's sequence_number
             Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
               Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)),
-            boundsOf("lower_bounds"), boundsOf("upper_bounds"))
+            boundsOf("lower_bounds"), boundsOf("upper_bounds"),
+            // ADDED entries: snapshot_id IS the adding snapshot; a null
+            // inherits the manifest's added_snapshot_id (v2 inheritance)
+            addedSnapshotId =
+              if (status == 1)
+                Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(
+                  Option(mf.get("added_snapshot_id"))
+                    .map(_.asInstanceOf[Long]).getOrElse(-1L))
+              else
+                Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(-1L))
         }
       }
     }
     // duplicate adds across manifests would double-read rows
     val dup = files.groupBy(_.path).collectFirst { case (p, fs0) if fs0.size > 1 => p }
     require(dup.isEmpty, s"IcebergBridge: data file listed twice: ${dup.get} — refusing")
-    TableState(StructType(fieldsById.values.toSeq), partCols, files.toSeq, location)
+    TableState(StructType(fieldsById.values.toSeq), partCols, files.toSeq,
+      location, identityFill, transformSources, specFields)
   }
 
   /** Replay the table's CURRENT snapshot into a DataFrame: schema from
@@ -1084,6 +1292,20 @@ object IcebergBridge {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
     val paths = files.map(f => resolve(root, state.location, f.path).toString)
+    // non-identity transforms never fill from metadata — the SOURCE
+    // column must be physically in the data files (the spec's own
+    // contract for real writers). Probe ONE footer and refuse when it
+    // isn't, rather than scanning silent nulls into the source column.
+    val mustScan = state.transformSources.distinct
+      .filter(dataSchema.fieldNames.contains)
+    if (mustScan.nonEmpty) {
+      val probe = spark.read.parquet(paths.head).schema.fieldNames.toSet
+      val missing = mustScan.filterNot(probe)
+      require(missing.isEmpty,
+        s"IcebergBridge: non-identity partition source column(s) " +
+          s"${missing.mkString(", ")} absent from the data files — refusing " +
+          "rather than reading nulls")
+    }
     // join key: the file path in the exact form Spark's scan reports
     // (DeltaBridge.scanPathKey — URI-encoded, authority-less scheme):
     // a raw Path.toString key would match nothing for a partition
@@ -1096,13 +1318,27 @@ object IcebergBridge {
       .withColumn("__file", col("_metadata.file_path"))
     if (partCols.isEmpty) return data.drop("__file")
 
-    val pvSchema = StructType(StructField("__file", StringType) +:
-      partCols.map(c => StructField(s"__pv_$c", StringType, nullable = true)))
+    // LEFT join + per-row assert, not an inner join: the join key is
+    // the empirically-probed _metadata.file_path string form, and a
+    // future Spark change to SparkPath rendering must fail LOUDLY —
+    // an inner join would silently drop whole files' rows instead.
+    // The marker column distinguishes "no match" from a legitimately
+    // null partition value.
+    val pvSchema = StructType((StructField("__file", StringType) +:
+      partCols.map(c => StructField(s"__pv_$c", StringType, nullable = true))) :+
+      StructField("__pv_ok", BooleanType, nullable = false))
+    // partitionValues is keyed by spec-field NAME; identityFill maps
+    // each to the SOURCE column the output schema names
     val pvRows = qualified.map { case (q, f) => Row.fromSeq(
-      q +: partCols.map(c => f.partitionValues.getOrElse(c, null))) }
+      (q +: state.identityFill.map { case (fieldName, _) =>
+        f.partitionValues.getOrElse(fieldName, null) }) :+ true) }
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
-    val joined = data.join(broadcast(pvDf), Seq("__file"))
+    val joined = data.join(broadcast(pvDf), Seq("__file"), "left")
+      .filter(isnull(assert_true(col("__pv_ok").isNotNull, concat(
+        lit("IcebergBridge: scanned file missing from the manifest partition " +
+          "map (has Spark's _metadata.file_path form changed?): "),
+        col("__file")))))
     joined.select(schema.fields.toIndexedSeq.map { f =>
       if (partCols.contains(f.name))
         col(s"__pv_${f.name}").cast(f.dataType).as(f.name)

@@ -136,10 +136,17 @@ class IcebergBridgeSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](readBack(s"$root/ib"))
     assert(e1.getMessage.contains("format-version"))
 
-    // non-identity transform
-    rewrite(metaPath, meta.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[16]\""))
+    // unsupported transform spelling refuses at parse
+    rewrite(metaPath, meta.replace("\"transform\":\"identity\"", "\"transform\":\"zorder[2]\""))
     val e2 = intercept[IllegalArgumentException](readBack(s"$root/ib"))
     assert(e2.getMessage.contains("transform"))
+
+    // a SUPPORTED non-identity transform whose source column is not in
+    // the data files (store exports strip partition columns) must
+    // refuse at the scan probe, never read silent nulls
+    rewrite(metaPath, meta.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[16]\""))
+    val e2b = intercept[IllegalArgumentException](readBack(s"$root/ib"))
+    assert(e2b.getMessage.contains("absent from the data files"))
 
     // nested column type in the schema
     rewrite(metaPath, meta.replaceFirst(
@@ -280,6 +287,211 @@ class IcebergBridgeSpec extends SparkSpec {
       .select(col("value"), col("partition")).collect()
       .map(r => (r.getDouble(0), r.getString(1))).toSet
     assert(got === Set((1.0, "a b")))
+  }
+
+  test("a partition directory named metadata_id=... is data, not metadata") {
+    // the metadata/ exclusion must match the DIRECTORY, not the name
+    // prefix — a 'metadata_id=3/' partition dir silently dropping out
+    // of the manifest would mean missing rows in every Iceberg reader
+    val root = tmpDir("ibmetaid")
+    Seq((ts("2024-01-01T01:00:00"), 1.0)).toDF("time", "value")
+      .coalesce(1).write.parquet(s"$root/s0")
+    val listing = Files.list(Paths.get(s"$root/s0"))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.toString)
+        .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+    } finally listing.close()
+    Files.createDirectories(Paths.get(s"$root/ib/metadata_id=3"))
+    Files.move(Paths.get(part), Paths.get(s"$root/ib/metadata_id=3/x.parquet"))
+    assert(IcebergBridge.writeTable(spark, s"$root/ib", "metaid") === 1)
+    val got = IcebergBridge.read(spark, s"$root/ib")
+      .select(col("value"), col("metadata_id")).collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(got === Set((1.0, "3")))
+  }
+
+  test("refuses a data column that shadows a hive partition directory name") {
+    val root = tmpDir("ibclash")
+    Seq((ts("2024-01-01T01:00:00"), 1.0, "inline")).toDF("time", "value", "p")
+      .coalesce(1).write.parquet(s"$root/s0")
+    val listing = Files.list(Paths.get(s"$root/s0"))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.toString)
+        .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+    } finally listing.close()
+    Files.createDirectories(Paths.get(s"$root/ib/p=1"))
+    Files.move(Paths.get(part), Paths.get(s"$root/ib/p=1/x.parquet"))
+    val e = intercept[IllegalArgumentException](
+      IcebergBridge.writeTable(spark, s"$root/ib", "clash"))
+    assert(e.getMessage.contains("duplicate field ids"))
+  }
+
+  test("carried EXISTING entries keep the snapshot id that ADDED the file") {
+    // manifest_entry.snapshot_id is the ADDING snapshot per spec; a
+    // sync writing its own id onto carried files would make external
+    // incremental/changelog consumers misattribute them
+    val root = tmpDir("ibcarry")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq((ts("2024-01-01T01:00:00"), 1.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib") // snapshot 1
+    val metaV1 = Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
+    val snap1 = """"current-snapshot-id":(\d+)""".r.findFirstMatchIn(metaV1).get.group(1).toLong
+    st.save("f", Seq((ts("2024-01-02T02:00:00"), 2.0)).toDF("time", "value"))
+    st.syncSnapshotIceberg("f", s"$root/ib") // snapshot 2 carries file 1
+    val metaV2 = Files.readString(Paths.get(s"$root/ib/metadata/v2.metadata.json"))
+    val snap2 = """"current-snapshot-id":(\d+)""".r.findFirstMatchIn(metaV2).get.group(1).toLong
+    assert(snap1 !== snap2)
+    import scala.jdk.CollectionConverters._
+    val manifests = {
+      val l = Files.list(Paths.get(s"$root/ib/metadata"))
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith("-m0.avro")).toSeq
+      finally l.close()
+    }
+    val entries = manifests.flatMap { m =>
+      val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(m)),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try rd.iterator().asScala.toVector finally rd.close()
+    }
+    val existing = entries.filter(_.get("status").asInstanceOf[Int] == 0)
+    assert(existing.nonEmpty)
+    existing.foreach { e =>
+      assert(e.get("snapshot_id").asInstanceOf[Long] === snap1) }
+    // the ADDED entry of snapshot 2 names snapshot 2
+    val added2 = entries.filter(e => e.get("status").asInstanceOf[Int] == 1 &&
+      e.get("sequence_number").asInstanceOf[Long] == 2L)
+    assert(added2.nonEmpty)
+    added2.foreach { e =>
+      assert(e.get("snapshot_id").asInstanceOf[Long] === snap2) }
+  }
+
+  /** Drop one parquet file (the frame's single part) under `dir`. */
+  private def placeFile(dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = tmpDir("ibstage") + "/s"
+    df.coalesce(1).write.parquet(stage)
+    val listing = Files.list(Paths.get(stage))
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.toString)
+        .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+    } finally listing.close()
+    Files.createDirectories(Paths.get(dir))
+    Files.move(Paths.get(part), Paths.get(s"$dir/x.parquet"))
+  }
+
+  test("day transform: manifests carry epoch-day ints, read scans the source, readWhere prunes") {
+    val root = tmpDir("ibday")
+    // full rows (time IS in the data files) laid out one file per day
+    placeFile(s"$root/ib/ts_day=2024-01-01",
+      Seq((ts("2024-01-01T01:00:00"), 1.0)).toDF("time", "value"))
+    placeFile(s"$root/ib/ts_day=2024-01-02",
+      Seq((ts("2024-01-02T02:00:00"), 2.0)).toDF("time", "value"))
+    IcebergBridge.writeTable(spark, s"$root/ib", "dayfix",
+      spec = Seq(IcebergBridge.SpecCol("ts_day", "day", "time")))
+    // metadata declares the transform and the derived field is NOT a
+    // table column
+    val meta = Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
+    assert(meta.contains("\"transform\":\"day\""))
+    assert(!meta.contains("\"name\":\"ts_day\",\"required\""))
+    // the manifest partition struct stores the epoch-day INT
+    import scala.jdk.CollectionConverters._
+    val mPath = {
+      val l = Files.list(Paths.get(s"$root/ib/metadata"))
+      try l.iterator().asScala.find(_.getFileName.toString.endsWith("-m0.avro")).get
+      finally l.close()
+    }
+    val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(mPath)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val parts = try rd.iterator().asScala.toVector.map(_
+      .get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("ts_day").asInstanceOf[Int]) finally rd.close()
+    assert(parts.toSet === Set(
+      java.time.LocalDate.parse("2024-01-01").toEpochDay.toInt,
+      java.time.LocalDate.parse("2024-01-02").toEpochDay.toInt))
+    // full read: both rows, time scanned from the files
+    val full = IcebergBridge.read(spark, s"$root/ib")
+    assert(full.columns.toSeq === Seq("time", "value"))
+    assert(full.collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet ===
+      Set(("2024-01-01 01:00:00.0", 1.0), ("2024-01-02 02:00:00.0", 2.0)))
+    // readWhere sees the HUMAN form and prunes before the scan
+    val pruned = IcebergBridge.readWhere(spark, s"$root/ib",
+      pv => pv("ts_day") == "2024-01-02")
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.select("value").as[Double].collect().toSeq === Seq(2.0))
+  }
+
+  test("year/month/hour transforms round-trip their human directory forms") {
+    for ((transform, human, expectInt) <- Seq(
+      ("year", "2024", 54),
+      ("month", "2024-03", 54 * 12 + 2),
+      ("hour", "2024-01-02-14", (java.time.LocalDate.parse("2024-01-02").toEpochDay * 24 + 14).toInt))) {
+      val root = tmpDir(s"ib$transform")
+      placeFile(s"$root/ib/k=$human",
+        Seq((ts("2024-01-02T14:00:00"), 7.0)).toDF("time", "value"))
+      IcebergBridge.writeTable(spark, s"$root/ib", s"fix$transform",
+        spec = Seq(IcebergBridge.SpecCol("k", transform, "time")))
+      import scala.jdk.CollectionConverters._
+      val mPath = {
+        val l = Files.list(Paths.get(s"$root/ib/metadata"))
+        try l.iterator().asScala.find(_.getFileName.toString.endsWith("-m0.avro")).get
+        finally l.close()
+      }
+      val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.file.SeekableByteArrayInput(Files.readAllBytes(mPath)),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      val v = try rd.iterator().asScala.next()
+        .get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("k").asInstanceOf[Int] finally rd.close()
+      assert(v === expectInt, s"$transform($human)")
+      // pruning sees the human form back
+      val hit = IcebergBridge.readWhere(spark, s"$root/ib", pv => pv("k") == human)
+      assert(hit.count() === 1L, s"$transform($human) human round-trip")
+      val miss = IcebergBridge.readWhere(spark, s"$root/ib", pv => pv("k") == "other")
+      assert(miss.count() === 0L)
+    }
+  }
+
+  test("bucket and truncate transforms read and prune; sync refuses transform tables") {
+    val root = tmpDir("ibbt")
+    placeFile(s"$root/ib/id_bucket=3/name_tr=al",
+      Seq((1L, "alpha", 1.0)).toDF("id", "name", "value"))
+    placeFile(s"$root/ib/id_bucket=7/name_tr=be",
+      Seq((2L, "beta", 2.0)).toDF("id", "name", "value"))
+    IcebergBridge.writeTable(spark, s"$root/ib", "btfix",
+      spec = Seq(
+        IcebergBridge.SpecCol("id_bucket", "bucket[16]", "id"),
+        IcebergBridge.SpecCol("name_tr", "truncate[2]", "name")))
+    val full = IcebergBridge.read(spark, s"$root/ib")
+    assert(full.columns.toSeq === Seq("id", "name", "value"))
+    assert(full.count() === 2L)
+    val pruned = IcebergBridge.readWhere(spark, s"$root/ib",
+      pv => pv("id_bucket") == "7" && pv("name_tr") == "be")
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.select("name").as[String].collect().toSeq === Seq("beta"))
+    // the sync writer stays identity-only (read floor is wider than
+    // the write floor, per the refuse-don't-misread doctrine)
+    val e = intercept[IllegalArgumentException](
+      IcebergBridge.appendSnapshot(spark, s"$root/ib", Nil, Nil))
+    assert(e.getMessage.contains("non-identity"))
+  }
+
+  test("plural transform spellings (days) parse; readRange skips via bounds on transform tables") {
+    val root = tmpDir("ibdays")
+    placeFile(s"$root/ib/ts_day=2024-01-01",
+      Seq((ts("2024-01-01T01:00:00"), 1.0)).toDF("time", "value"))
+    IcebergBridge.writeTable(spark, s"$root/ib", "daysfix",
+      spec = Seq(IcebergBridge.SpecCol("ts_day", "day", "time")))
+    val metaPath = Paths.get(s"$root/ib/metadata/v1.metadata.json")
+    rewrite(metaPath, Files.readString(metaPath)
+      .replace("\"transform\":\"day\"", "\"transform\":\"days\""))
+    assert(IcebergBridge.read(spark, s"$root/ib").count() === 1L)
+    val skip = IcebergBridge.readRange(spark, s"$root/ib", "value", 5.0, 9.0)
+    assert(skip.inputFiles.length === 0)
   }
 
   test("identical exports produce byte-identical metadata json") {
