@@ -123,6 +123,52 @@ object DeltaBridge {
     }
   }
 
+  /** Hadoop Configuration shipped by VALUE (write/readFields), so each
+    * Spark task deserializes its OWN copy — Configuration itself is not
+    * Serializable, and sharing one instance across concurrent tasks
+    * would reintroduce the lazy-load race the per-thread clones avoid.
+    */
+  private[graft] final class SerializableHadoopConf(
+      @transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Per-file metadata describe, shaped to the file count. Small syncs
+    * (the daily case: tens of files) use the bounded driver thread
+    * pool — job-launch overhead would dominate. Above
+    * `graft.bridge.describeJobThreshold` (default 64 — an initial
+    * export of a 10k-100k-file table would stall the driver for
+    * minutes at the measured ~15 ms/footer, and the pool tops out at
+    * 16× while a cluster has thousands of cores) the reads run as ONE
+    * Spark job over the executors, results collected in input order.
+    * Collecting is safe by construction: each result is a manifest
+    * entry's worth of stats (KBs per FILE, never per row) — the same
+    * driver-resident state every table-format planner keeps.
+    */
+  private[graft] def describeFiles[A, B](
+      spark: SparkSession, hc: Configuration, items: Seq[A])(
+      f: (A, Configuration) => B)(
+      implicit ta: scala.reflect.ClassTag[A],
+      tb: scala.reflect.ClassTag[B]): Seq[B] = {
+    val threshold = spark.conf.getOption("graft.bridge.describeJobThreshold")
+      .map(_.toInt).getOrElse(64)
+    if (items.size < math.max(threshold, 2))
+      return parMapOrderedConf(items, hc)(f)
+    val ser = new SerializableHadoopConf(hc)
+    val slices = math.min(items.size, spark.sparkContext.defaultParallelism * 2)
+    spark.sparkContext.parallelize(items.zipWithIndex, slices)
+      .map { case (a, i) => (i, f(a, ser.value)) }
+      .collect().sortBy(_._1).map(_._2).toSeq
+  }
+
   private def decodePath(enc: String): String =
     new java.net.URI(enc).getPath
 
@@ -274,7 +320,7 @@ object DeltaBridge {
       "partitionColumns" -> partCols,
       "configuration" -> Map.empty[String, String],
       "createdTime" -> maxMtime))
-    actions ++= parMapOrderedConf(sorted, hc) { case ((rel, size, mtime), c) =>
+    actions ++= describeFiles(spark, hc, sorted) { case ((rel, size, mtime), c) =>
       val base = Map[String, Any](
         "path" -> encodePath(rel),
         "partitionValues" -> partsOf(rel).toMap,
@@ -511,9 +557,9 @@ object DeltaBridge {
       require(state.live.contains(rel), s"sync remove $rel is not live")
     }
 
-    val addSt = parMapOrderedConf(addRel.sorted, hc) { (rel, c) =>
+    val addSt = describeFiles(spark, hc, addRel.sorted) { (rel, c) =>
       val p = new Path(root, rel)
-      val st = fs.getFileStatus(p)
+      val st = p.getFileSystem(c).getFileStatus(p)
       (rel, st.getLen, st.getModificationTime, fileStats(p, c))
     }
     val ts = (addSt.map(_._3) ++ state.live.values.map(_.modificationTime)).max

@@ -385,19 +385,20 @@ object IcebergBridge {
   }
 
   /** The ADDED data_file record both writers share: footer stats read
-    * from the file, partition struct filled from hive segments, stat
-    * maps keyed by field id — export and sync must emit IDENTICAL
+    * from the file (by [[footerStats]], possibly on an executor —
+    * everything here is driver-side Avro assembly over the
+    * serializable stats), partition struct filled from hive segments,
+    * stat maps keyed by field id — export and sync must emit IDENTICAL
     * entry shapes or readers see two dialects of the same table.
     */
-  private def addedDataFile(
+  private def dataFileRecord(
       dataFileSchema: Schema,
-      fs: FileSystem, root: Path, hc: Configuration,
       location: String, rel: String,
       partValues: Seq[(String, Any)],
-      fieldIds: Map[String, Int]): (GenericData.Record, Long) = {
+      fieldIds: Map[String, Int],
+      rows: Long, size: Long,
+      stats: Map[String, ColStats]): GenericData.Record = {
     val partSchema = dataFileSchema.getField("partition").schema()
-    val p = new Path(root, rel)
-    val (rows, stats) = footerStats(p, hc)
     val part = new GenericData.Record(partSchema)
     partValues.foreach { case (k, v) => part.put(k, v) }
     val df = new GenericData.Record(dataFileSchema)
@@ -406,7 +407,7 @@ object IcebergBridge {
     df.put("file_format", "PARQUET")
     df.put("partition", part)
     df.put("record_count", rows)
-    df.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
+    df.put("file_size_in_bytes", size)
     val statEntries = stats.toSeq
       .flatMap { case (n, s) => fieldIds.get(n).map(_ -> s) }.sortBy(_._1)
     if (statEntries.nonEmpty) {
@@ -423,7 +424,7 @@ object IcebergBridge {
         dataFileSchema.getField("upper_bounds").schema(),
         statEntries.map { case (id, s) => id -> (boundBytes(s.max, s.typeName): Any) }))
     }
-    (df, rows)
+    df
   }
 
   /** Write Iceberg v2 table metadata describing the parquet tree under
@@ -528,15 +529,21 @@ object IcebergBridge {
     // ---- manifest: one ADDED entry per data file, with footer stats
     val entrySchema = manifestEntrySchema(partTypes)
     val dataFileSchema = entrySchema.getField("data_file").schema()
-    // footer reads bounded-parallel (DeltaBridge.parMapOrdered): the
+    // footer reads thread-pooled or as ONE Spark job over executors,
+    // shaped to the file count (DeltaBridge.describeFiles): the
     // sequential loop was ~15 ms/file — the dominant term describing a
-    // many-file tree (tools/BridgeProbe)
-    val built = DeltaBridge.parMapOrderedConf(sorted, hc) { case ((rel, _, _), c) =>
+    // many-file tree (tools/BridgeProbe); Avro assembly stays on the
+    // driver over the serializable (rows, stats) pairs
+    val descr = DeltaBridge.describeFiles(spark, hc, sorted) { case ((rel, size, _), c) =>
+      val (rows, stats) = footerStats(new Path(root, rel), c)
+      (rel, size, rows, stats)
+    }
+    val built = descr.map { case (rel, size, rows, stats) =>
       val pvTyped = partsOf(rel).map { case (k, v) =>
         k -> transformedValue(effSpec.find(_._1 == k).get._2, v, rel)
       }
-      val (df, rows) = addedDataFile(
-        dataFileSchema, fs, root, c, location, rel, pvTyped, fieldIds)
+      val df = dataFileRecord(
+        dataFileSchema, location, rel, pvTyped, fieldIds, rows, size, stats)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -701,11 +708,16 @@ object IcebergBridge {
     val partSchema = dataFileSchema.getField("partition").schema()
     var addedRows = 0L
     var existingRows = 0L
-    val builtNew = DeltaBridge.parMapOrderedConf(freshNew, hc) { (rel, c) =>
-      require(fs.exists(new Path(root, rel)),
-        s"appendSnapshot: new file $rel not under $dir")
-      val (df, rows) = addedDataFile(
-        dataFileSchema, fs, root, c, location, rel, partsOf(rel), fieldIds)
+    val descrNew = DeltaBridge.describeFiles(spark, hc, freshNew) { (rel, c) =>
+      val p = new Path(root, rel)
+      val fsl = p.getFileSystem(c)
+      require(fsl.exists(p), s"appendSnapshot: new file $rel not under $dir")
+      val (rows, stats) = footerStats(p, c)
+      (rel, fsl.getFileStatus(p).getLen, rows, stats)
+    }
+    val builtNew = descrNew.map { case (rel, size, rows, stats) =>
+      val df = dataFileRecord(
+        dataFileSchema, location, rel, partsOf(rel), fieldIds, rows, size, stats)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)

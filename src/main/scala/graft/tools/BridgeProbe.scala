@@ -64,7 +64,16 @@ object BridgeProbe {
         try r.getFooter.getBlocks.size() finally r.close()
       }
     }
-    val nIb = timed(s"IcebergBridge.writeTable over $nFiles files") {
+    // pool vs executor-job describe paths on the same tree: the pool
+    // tops out at 16 threads against one driver JVM; the job path
+    // scales with the cluster's cores (here local[32])
+    spark.conf.set("graft.bridge.describeJobThreshold", Int.MaxValue.toString)
+    val nIbPool = timed(s"IcebergBridge.writeTable over $nFiles files (driver pool)") {
+      graft.store.IcebergBridge.writeTable(spark, s"$root/tree", "probe")
+    }
+    require(nIbPool == nFiles, s"described $nIbPool of $nFiles")
+    spark.conf.unset("graft.bridge.describeJobThreshold")
+    val nIb = timed(s"IcebergBridge.writeTable over $nFiles files (executor job)") {
       graft.store.IcebergBridge.writeTable(spark, s"$root/tree", "probe")
     }
     require(nIb == nFiles, s"described $nIb of $nFiles")

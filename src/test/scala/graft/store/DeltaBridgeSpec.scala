@@ -12,6 +12,34 @@ import graft.SparkSpec
 class DeltaBridgeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("executor-job describe path writes a byte-identical Delta log") {
+    // above graft.bridge.describeJobThreshold the per-file stats run
+    // as a Spark job over executors; the JSON log is deterministic, so
+    // the two paths must produce byte-identical commits
+    def doExport(root: String): Unit = {
+      val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+      st.save("f", Seq(
+        (ts("2024-01-01T01:00:00"), 1.0),
+        (ts("2024-01-02T02:00:00"), 2.0)).toDF("time", "value"))
+      st.exportSnapshotDelta("f", s"$root/delta")
+    }
+    val r1 = tmpDir("dljob1"); val r2 = tmpDir("dljob2")
+    spark.conf.set("graft.bridge.describeJobThreshold", "2")
+    try doExport(r1) finally spark.conf.unset("graft.bridge.describeJobThreshold")
+    doExport(r2)
+    // the store's part files carry Spark's random write UUID in name
+    // and (by a byte) size; canonicalize those — the stats, partition
+    // values and action shapes are the describe paths' actual output
+    def log(root: String): String = Files.readString(
+      Paths.get(s"$root/delta/_delta_log/00000000000000000000.json"))
+      .replaceAll("\"modificationTime\":\\d+", "")
+      .replaceAll("\"timestamp\":\\d+", "")
+      .replaceAll("\"createdTime\":\\d+", "")
+      .replaceAll("part-\\d+-[0-9a-f-]+", "part")
+      .replaceAll("\"size\":\\d+", "")
+    assert(log(r1) === log(r2))
+  }
+
   test("exportSnapshotDelta roundtrips through DeltaBridge.read, pinned version honored") {
     val root = tmpDir("deltart")
     val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")

@@ -494,15 +494,34 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(skip.inputFiles.length === 0)
   }
 
+  private def canonMeta(root: String): String =
+    Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
+      .replaceAll("\"location\":\"[^\"]+\"", "")
+      .replaceAll("\"(manifest-list|manifest_path)\":\"[^\"]+\"", "")
+      .replaceAll("\"last-updated-ms\":\\d+", "")
+      .replaceAll("\"timestamp-ms\":\\d+", "")
+
   test("identical exports produce byte-identical metadata json") {
     val r1 = tmpDir("ibdet1"); val r2 = tmpDir("ibdet2")
     export(r1); export(r2)
-    def canon(root: String): String =
-      Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
-        .replaceAll("\"location\":\"[^\"]+\"", "")
-        .replaceAll("\"(manifest-list|manifest_path)\":\"[^\"]+\"", "")
-        .replaceAll("\"last-updated-ms\":\\d+", "")
-        .replaceAll("\"timestamp-ms\":\\d+", "")
-    assert(canon(r1) === canon(r2))
+    assert(canonMeta(r1) === canonMeta(r2))
+  }
+
+  test("executor-job describe path emits the same metadata as the driver pool") {
+    // above graft.bridge.describeJobThreshold the footer stats run as
+    // a Spark job; the published metadata must be indistinguishable
+    val r1 = tmpDir("ibjob1"); val r2 = tmpDir("ibjob2")
+    spark.conf.set("graft.bridge.describeJobThreshold", "2")
+    try export(r1) finally spark.conf.unset("graft.bridge.describeJobThreshold")
+    export(r2) // pool path (2 files < default 64)
+    assert(canonMeta(r1) === canonMeta(r2))
+    assert(readBack(s"$r1/ib") === expected)
+    // sync's ADDED entries take the job path too
+    val st = new TimeseriesStore(spark, s"$r1/wh", backend = "txlog")
+    st.save("f", Seq((ts("2024-01-05T05:00:00"), 5.0)).toDF("time", "value"))
+    spark.conf.set("graft.bridge.describeJobThreshold", "1")
+    try st.syncSnapshotIceberg("f", s"$r1/ib")
+    finally spark.conf.unset("graft.bridge.describeJobThreshold")
+    assert(readBack(s"$r1/ib").exists(_._2 == 5.0))
   }
 }
