@@ -937,6 +937,74 @@ object QueryLib {
            |SELECT 'pruned' AS side, time, value FROM d
            |WHERE CAST(time AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'""".stripMargin))
 
+  private val fsDeltaColmap = Q(
+    "fs_delta_colmap",
+    // Name-mode column mapping is the DEFAULT on current Databricks
+    // writers: the Delta schemaString keeps LOGICAL names while the
+    // parquet columns and the log's partitionValues keys use physical
+    // "col-N" names from schema field metadata — a reader ignoring the
+    // mapping returns all-null columns. The gate hand-builds such a
+    // log (protocol v2, mode=name) over day-partitioned files whose
+    // physical columns are renamed, then reads STRICTLY through it:
+    // logical names out, values scanned from the physical columns,
+    // the partition column mapped back from physical-keyed
+    // partitionValues, plus a readWhere prune addressed by LOGICAL
+    // name — all certified against the raw events recomputation.
+    (s, dir) => {
+      val tmp = scratchDir("dlcm")
+      val src = T(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("ts").as("time"), col("value"))
+      src.withColumn("d", date_format(col("time"), "yyyy-MM-dd"))
+        .select(col("time").as("col-1"), col("value").as("col-2"), col("d"))
+        .repartition(col("d"))
+        .write.partitionBy("d").parquet(s"$tmp/t")
+      val hc = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
+      val hfs = root.getFileSystem(hc)
+      val rootUri = hfs.makeQualified(root).toUri.getPath.stripSuffix("/")
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = hfs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        if (rel.endsWith(".parquet") && !st.getPath.getName.startsWith("_"))
+          files += rel
+      }
+      import org.apache.spark.sql.types._
+      def m(id: Long, phys: String) = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build()
+      val schemaJson = StructType(Seq(
+        StructField("time", TimestampType, nullable = true, m(1, "col-1")),
+        StructField("value", DoubleType, nullable = true, m(2, "col-2")),
+        StructField("day", StringType, nullable = true, m(3, "d"))))
+        .json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val adds = files.sorted.map { rel =>
+        val day = rel.split('/').head.stripPrefix("d=")
+        s"""{"add":{"path":"$rel","partitionValues":{"d":"$day"},"size":1,"modificationTime":1,"dataChange":true}}"""
+      }
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cmfix","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["day"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}""") ++ adds
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/t/_delta_log"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/t/_delta_log/00000000000000000000.json"),
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val full = graft.store.DeltaBridge.read(s, s"$tmp/t")
+        .select(lit("full").as("side"), col("time"), col("value"), col("day"))
+      val pruned = graft.store.DeltaBridge.readWhere(s, s"$tmp/t",
+        pv => pv("day") >= "2024-01-10" && pv("day") <= "2024-01-12")
+        .select(lit("pruned").as("side"), col("time"), col("value"), col("day"))
+      full.unionByName(pruned)
+    },
+    Some("""WITH d AS (SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS day
+           |           FROM events WHERE event_type = 'view')
+           |SELECT 'full' AS side, time, value, day FROM d
+           |UNION ALL
+           |SELECT 'pruned' AS side, time, value, day FROM d
+           |WHERE day BETWEEN '2024-01-10' AND '2024-01-12'""".stripMargin))
+
   private val fsStreamDedupLsh = Q(
     "fs_stream_dedup_lsh",
     // Streaming NEAR-dedup (the 10th streaming hash gate): the batch
@@ -10379,7 +10447,7 @@ object QueryLib {
     fsStoreBucketed,
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
-    fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms,
+    fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms, fsDeltaColmap,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

@@ -19,11 +19,15 @@ import org.apache.spark.sql.types._
   * DuckDB's delta extension, delta-rs) opens natively, and tables those
   * writers produce can be read here without format jars.
   *
-  * Deliberately scoped to protocol reader version 1 (the universally
-  * supported floor): no deletion vectors, no column mapping, no
-  * checkpoint REQUIREMENT (JSON commits are replayed directly; Delta
-  * only mandates checkpoints as an optimization). [[read]] REFUSES
-  * logs that demand a higher reader version instead of silently
+  * The WRITE floor is protocol reader version 1 (universally
+  * supported); the READ floor additionally honors reader v2's column
+  * mapping in NAME mode (the current Databricks writer default —
+  * logical schema names resolve to physical parquet columns via field
+  * metadata) and v3 tables whose readerFeatures are all supported.
+  * No deletion vectors (skipping one resurrects deleted rows), no id
+  * mapping, no checkpoint REQUIREMENT (JSON commits are replayed
+  * directly; Delta only mandates checkpoints as an optimization).
+  * [[read]] REFUSES logs beyond that floor instead of silently
   * misreading them.
   *
   * Scale shape: log replay is driver-side by design — the log is
@@ -60,7 +64,34 @@ object DeltaBridge {
       schemaString: String,
       partCols: Seq[String],
       live: mutable.LinkedHashMap[String, AddEntry],
-      latestVersion: Long)
+      latestVersion: Long,
+      configuration: Map[String, String] = Map.empty) {
+    /** Column-mapping mode (none | name; id refuses upstream). */
+    def mappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+
+    /** logical -> PHYSICAL column name. Under name-mode mapping the
+      * parquet columns, the adds' partitionValues keys and the stats
+      * keys all use the physical name from the schema field metadata;
+      * identity otherwise.
+      */
+    def physOf: Map[String, String] = {
+      val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
+      if (mappingMode != "name") schema.fieldNames.map(n => n -> n).toMap
+      else schema.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"column ${f.name}: delta.columnMapping.mode=name but the schema " +
+            "field carries no physicalName — refusing (malformed mapping)")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    }
+
+    /** An add's partition values re-keyed to LOGICAL names. */
+    def logicalPv(a: AddEntry): Map[String, String] = {
+      val p = physOf
+      partCols.map(c => c -> a.partitionValues.getOrElse(p.getOrElse(c, c), null)).toMap
+    }
+  }
 
   /** Percent-encode a relative file path the way the Delta spec stores
     * `add.path` (RFC 2396 path encoding, '/' kept as separator). */
@@ -340,17 +371,37 @@ object DeltaBridge {
     sorted.size
   }
 
-  /** Column mapping (name or id mode) renames the PHYSICAL parquet
-    * columns away from the logical schema names — a naive read returns
-    * all-null columns, silent row corruption. The bridge's floor is
-    * reader v1 without mapping; refuse, don't misread.
+  /** Reader-protocol floor, validated once per replay AFTER all
+    * actions are seen (a protocol action may precede or follow the
+    * metaData that explains it): v1 always; v2 adds exactly column
+    * mapping, supported in NAME mode (the current Databricks writer
+    * default — logical names map to physical parquet columns via
+    * schema field metadata) and refused in ID mode (field-id matching
+    * is a different scan contract); v3 only when every declared
+    * readerFeature is one this bridge honors — notably
+    * deletionVectors is NOT (skipping a DV would resurrect deleted
+    * rows: refuse, don't misread).
     */
-  private def requireNoColumnMapping(cfg: Map[String, String], dir: String): Unit = {
+  private val SupportedReaderFeatures = Set("columnMapping", "timestampNtz")
+
+  private def validateProtocol(
+      dir: String, maxReader: Int, features: Set[String],
+      cfg: Map[String, String]): Unit = {
+    require(maxReader <= 3,
+      s"unsupported Delta minReaderVersion $maxReader (bridge reads v1-v3/limited)")
+    if (maxReader == 3) {
+      require(features.nonEmpty,
+        s"$dir declares Delta minReaderVersion 3 without readerFeatures — " +
+          "malformed protocol, refusing")
+      val bad = features -- SupportedReaderFeatures
+      require(bad.isEmpty,
+        s"$dir declares Delta readerFeatures ${bad.mkString(", ")} this " +
+          "bridge cannot honor — refusing rather than misreading")
+    }
     val mode = cfg.getOrElse("delta.columnMapping.mode", "none")
-    require(mode == "none",
-      s"$dir uses delta.columnMapping.mode=$mode — physical parquet column " +
-        "names differ from the schema; the bridge refuses rather than " +
-        "return all-null columns (reader-v1-without-mapping floor)")
+    require(mode == "none" || mode == "name",
+      s"$dir uses delta.columnMapping.mode=$mode — the bridge reads none/name " +
+        "modes; id mode's field-id matching is refused rather than misread")
   }
 
   private def listCommits(
@@ -381,6 +432,9 @@ object DeltaBridge {
     var createdTime = 0L
     var schemaString: String = null
     var partCols: Seq[String] = Nil
+    var configuration: Map[String, String] = Map.empty
+    var maxReader = 1
+    var readerFeatures = Set.empty[String]
     val live = mutable.LinkedHashMap.empty[String, AddEntry]
     var seeded = -1L
 
@@ -419,8 +473,9 @@ object DeltaBridge {
       df.collect().foreach { r =>
         if (cols("protocol") && r.getAs[Row]("protocol") != null) {
           val pr = r.getAs[Row]("protocol")
-          val rv = pr.getAs[Int]("minReaderVersion")
-          require(rv <= 1, s"unsupported Delta minReaderVersion $rv (bridge reads v1)")
+          maxReader = math.max(maxReader, pr.getAs[Int]("minReaderVersion"))
+          readerFeatures ++= fOpt[scala.collection.Seq[String]](pr, "readerFeatures")
+            .map(_.toSet).getOrElse(Set.empty)
         }
         if (cols("metaData") && r.getAs[Row]("metaData") != null) {
           val md = r.getAs[Row]("metaData")
@@ -429,9 +484,8 @@ object DeltaBridge {
           partCols = md.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
           createdTime = fOpt[java.lang.Long](md, "createdTime")
             .map(_.longValue).getOrElse(0L)
-          requireNoColumnMapping(
-            fOpt[scala.collection.Map[String, String]](md, "configuration")
-              .map(_.toMap).getOrElse(Map.empty), dir)
+          configuration = fOpt[scala.collection.Map[String, String]](md, "configuration")
+            .map(_.toMap).getOrElse(Map.empty)
         }
         if (cols("add") && r.getAs[Row]("add") != null) {
           val a = r.getAs[Row]("add")
@@ -473,8 +527,10 @@ object DeltaBridge {
           catch { case e: Exception => throw new IllegalArgumentException(
             s"unparseable Delta action in ${p.getName}: ${e.getMessage}") }
         Option(node.get("protocol")).foreach { pr =>
-          val v = pr.get("minReaderVersion").asInt()
-          require(v <= 1, s"unsupported Delta minReaderVersion $v (bridge reads v1)")
+          maxReader = math.max(maxReader, pr.get("minReaderVersion").asInt())
+          Option(pr.get("readerFeatures")).filterNot(_.isNull).foreach { fts =>
+            readerFeatures ++= (0 until fts.size()).map(fts.get(_).asText())
+          }
         }
         Option(node.get("metaData")).foreach { md =>
           metaId = md.get("id").asText()
@@ -483,13 +539,12 @@ object DeltaBridge {
           partCols = (0 until pcs.size()).map(pcs.get(_).asText())
           createdTime = Option(md.get("createdTime"))
             .filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
-          val cfg = Option(md.get("configuration")).filterNot(_.isNull).map { c =>
+          configuration = Option(md.get("configuration")).filterNot(_.isNull).map { c =>
             val it = c.fields()
             val m = mutable.LinkedHashMap.empty[String, String]
             while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText() }
             m.toMap
           }.getOrElse(Map.empty[String, String])
-          requireNoColumnMapping(cfg, dir)
         }
         Option(node.get("add")).foreach { a =>
           val path = decodePath(a.get("path").asText())
@@ -517,9 +572,10 @@ object DeltaBridge {
           live.remove(decodePath(r.get("path").asText())))
       }
     }
+    validateProtocol(dir, maxReader, readerFeatures, configuration)
     require(schemaString != null, s"$dir log carries no metaData action")
     val latest = (seeded +: commits.map(_._1)).max
-    LogState(metaId, createdTime, schemaString, partCols, live, latest)
+    LogState(metaId, createdTime, schemaString, partCols, live, latest, configuration)
   }
 
   /** Append one Delta commit describing an incremental change: new data
@@ -541,6 +597,12 @@ object DeltaBridge {
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
     val state = replayState(spark, fs, root, dir)
+    // the sync writer's floor is unmapped bridge-written tables; a
+    // name-mapped foreign table is read-only here (its adds would need
+    // physical-name partition keys this writer does not produce)
+    require(state.mappingMode == "none",
+      s"appendCommit: $dir uses column mapping — the bridge reads it but " +
+        "only syncs unmapped exports")
     val version = state.latestVersion + 1
 
     def partsOf(rel: String): Seq[(String, String)] =
@@ -732,7 +794,7 @@ object DeltaBridge {
       dir: String,
       version: Option[Long],
       conf: Configuration = null): DataFrame =
-    readPruned(spark, dir, version, _ => true, conf)
+    readPruned(spark, dir, version, (_, _) => true, conf)
 
   /** [[read]] with LOG-DRIVEN partition pruning: `pred` sees each live
     * add's partitionValues map and files it rejects never reach the
@@ -745,7 +807,8 @@ object DeltaBridge {
       dir: String,
       pred: Map[String, String] => Boolean,
       conf: Configuration = null): DataFrame =
-    readPruned(spark, dir, None, a => pred(a.partitionValues), conf)
+    // pred sees LOGICAL column names even under name-mode mapping
+    readPruned(spark, dir, None, (a, st) => pred(st.logicalPv(a)), conf)
 
   /** [[read]] with STATS-DRIVEN file skipping on one numeric column:
     * drops files whose per-add stats prove `[lo, hi]` cannot match
@@ -762,11 +825,13 @@ object DeltaBridge {
       lo: Double,
       hi: Double,
       conf: Configuration = null): DataFrame =
-    readPruned(spark, dir, None, a => a.stats.forall { s =>
+    readPruned(spark, dir, None, (a, st) => a.stats.forall { s =>
       try {
+        // stats are keyed by PHYSICAL name under column mapping
+        val key = st.physOf.getOrElse(column, column)
         val node = mapper.readTree(s)
-        val mn = Option(node.get("minValues")).flatMap(m => Option(m.get(column)))
-        val mx = Option(node.get("maxValues")).flatMap(m => Option(m.get(column)))
+        val mn = Option(node.get("minValues")).flatMap(m => Option(m.get(key)))
+        val mx = Option(node.get("maxValues")).flatMap(m => Option(m.get(key)))
         (mn, mx) match {
           case (Some(a0), Some(b0)) => b0.asDouble() >= lo && a0.asDouble() <= hi
           case _ => true // no stats for the column: must scan
@@ -778,16 +843,25 @@ object DeltaBridge {
       spark: SparkSession,
       dir: String,
       version: Option[Long],
-      keep: AddEntry => Boolean,
+      keep: (AddEntry, LogState) => Boolean,
       conf: Configuration = null): DataFrame = {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
     val state = replayState(spark, fs, root, dir, version)
-    val live = mutable.LinkedHashMap.from(state.live.filter(kv => keep(kv._2)))
+    val live = mutable.LinkedHashMap.from(state.live.filter(kv => keep(kv._2, state)))
     val partCols = state.partCols
-    val schema = DataType.fromJson(state.schemaString).asInstanceOf[StructType]
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // the DECLARED schema keeps logical names; the scan schema and the
+    // partition-value/stat lookups use physical names (identical when
+    // no column mapping is in play)
+    val physOf = state.physOf
+    val rawSchema = DataType.fromJson(state.schemaString).asInstanceOf[StructType]
+    // strip mapping metadata from the OUTPUT schema: readers of the
+    // returned frame should see plain logical columns
+    val schema = StructType(rawSchema.fields.map(f =>
+      StructField(f.name, f.dataType, f.nullable)))
+    val dataSchema = StructType(rawSchema.filterNot(f => partCols.contains(f.name))
+      .map(f => StructField(physOf(f.name), f.dataType, f.nullable)))
 
     if (live.isEmpty)
       return spark.createDataFrame(
@@ -808,7 +882,9 @@ object DeltaBridge {
     val paths = adds.map(a => new Path(root, a.path).toString)
     val data = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
-    if (partCols.isEmpty) return data.drop("__file")
+    if (partCols.isEmpty)
+      return data.select(schema.fields.toIndexedSeq.map(f =>
+        col(physOf(f.name)).as(f.name)): _*)
 
     // LEFT join + per-row assert, not an inner join: a drift in the
     // empirically-probed _metadata.file_path form must fail LOUDLY,
@@ -818,7 +894,7 @@ object DeltaBridge {
       StructField("__pv_ok", BooleanType, nullable = false))
     val pvRows = adds.map(a => Row.fromSeq(
       (scanPathKey(fs, new Path(root, a.path)) +:
-        partCols.map(c => a.partitionValues.getOrElse(c, null))) :+ true))
+        partCols.map(c => a.partitionValues.getOrElse(physOf.getOrElse(c, c), null))) :+ true))
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
 
@@ -830,7 +906,7 @@ object DeltaBridge {
     joined.select(schema.fields.toIndexedSeq.map { f =>
       if (partCols.contains(f.name))
         col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
-      else col(f.name)
+      else col(physOf(f.name)).as(f.name)
     }: _*)
   }
 }

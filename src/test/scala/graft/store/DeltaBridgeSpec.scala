@@ -440,18 +440,103 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(got === Set((7, "spacey east")))
   }
 
-  test("third-party shapes: column mapping mode refuses rather than misreads") {
-    val root = tmpDir("deltacm")
-    Seq(1).toDF("v").coalesce(1).write.parquet(s"$root/s0")
-    plantFile(root, "s0", "a.parquet")
+  // logical (time, value, part) over physical (col-aaa, col-bbb,
+  // col-ccc) — the shape current Databricks writers produce by default
+  private def mappedSchemaJson: String = {
+    import org.apache.spark.sql.types._
+    def m(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    StructType(Seq(
+      StructField("time", TimestampType, nullable = true, m(1, "col-aaa")),
+      StructField("value", DoubleType, nullable = true, m(2, "col-bbb")),
+      StructField("part", StringType, nullable = true, m(3, "col-ccc"))))
+      .json.replace("\"", "\\\"")
+  }
+
+  test("third-party shapes: name-mode column mapping reads logical names from physical columns") {
+    val root = tmpDir("deltacmname")
+    // data files carry PHYSICAL column names; the partition column is
+    // not in the files (its values ride the log, keyed physical)
+    Seq((ts("2024-01-01T01:00:00"), 1.0)).toDF("col-aaa", "col-bbb")
+      .coalesce(1).write.parquet(s"$root/s0")
+    Seq((ts("2024-01-02T02:00:00"), 5.0)).toDF("col-aaa", "col-bbb")
+      .coalesce(1).write.parquet(s"$root/s1")
+    plantFile(root, "s0", "a.parquet"); plantFile(root, "s1", "b.parquet")
     val logDir = Paths.get(s"$root/_delta_log")
     Files.createDirectories(logDir)
     Files.write(logDir.resolve("00000000000000000000.json"), Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
-      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$mappedSchemaJson","partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{"col-ccc":"p1"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":1,\"minValues\":{\"col-bbb\":1.0},\"maxValues\":{\"col-bbb\":1.0},\"nullCount\":{\"col-bbb\":0}}"}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{"col-ccc":"p2"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":1,\"minValues\":{\"col-bbb\":5.0},\"maxValues\":{\"col-bbb\":5.0},\"nullCount\":{\"col-bbb\":0}}"}}"""
     ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    val e = intercept[IllegalArgumentException](DeltaBridge.read(spark, root))
-    assert(e.getMessage.contains("columnMapping"))
+
+    val out = DeltaBridge.read(spark, root)
+    assert(out.columns.toSeq === Seq("time", "value", "part"))
+    assert(out.collect().map(r =>
+      (r.getTimestamp(0).toString, r.getDouble(1), r.getString(2))).toSet === Set(
+      ("2024-01-01 01:00:00.0", 1.0, "p1"),
+      ("2024-01-02 02:00:00.0", 5.0, "p2")))
+    // readWhere predicates speak LOGICAL names
+    val w = DeltaBridge.readWhere(spark, root, pv => pv("part") == "p2")
+    assert(w.inputFiles.length === 1)
+    assert(w.select("value").as[Double].collect().toSeq === Seq(5.0))
+    // readRange translates the logical column to the physical stat key
+    val rng = DeltaBridge.readRange(spark, root, "value", 4.0, 6.0)
+    assert(rng.inputFiles.length === 1)
+    assert(rng.select("value").as[Double].collect().toSeq === Seq(5.0))
+    // the sync writer refuses mapped tables (read-only interop)
+    val e = intercept[IllegalArgumentException](
+      DeltaBridge.appendCommit(spark, root, Nil, Nil))
+    assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("third-party shapes: id mapping, malformed name mapping and deletion vectors refuse") {
+    def writeLog(root: String, lines: Seq[String]): Unit = {
+      val logDir = Paths.get(s"$root/_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve("00000000000000000000.json"),
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    }
+    // id mode: field-id matching is a different scan contract — refuse
+    val r1 = tmpDir("deltacmid")
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$r1/s0")
+    plantFile(r1, "s0", "a.parquet")
+    writeLog(r1, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
+    val e1 = intercept[IllegalArgumentException](DeltaBridge.read(spark, r1))
+    assert(e1.getMessage.contains("id mode"))
+    // name mode without physicalName metadata: malformed — refuse
+    val r2 = tmpDir("deltacmmal")
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$r2/s0")
+    plantFile(r2, "s0", "a.parquet")
+    writeLog(r2, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
+    val e2 = intercept[IllegalArgumentException](DeltaBridge.read(spark, r2))
+    assert(e2.getMessage.contains("physicalName"))
+    // v3 with deletionVectors: skipping a DV resurrects rows — refuse
+    val r3 = tmpDir("deltadv")
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$r3/s0")
+    plantFile(r3, "s0", "a.parquet")
+    writeLog(r3, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
+    val e3 = intercept[IllegalArgumentException](DeltaBridge.read(spark, r3))
+    assert(e3.getMessage.contains("deletionVectors"))
+    // v3 with ONLY supported features still reads
+    val r4 = tmpDir("deltav3ok")
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$r4/s0")
+    plantFile(r4, "s0", "a.parquet")
+    writeLog(r4, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
+    assert(DeltaBridge.read(spark, r4).select("v").as[Int].collect().toSeq === Seq(1))
   }
 }
