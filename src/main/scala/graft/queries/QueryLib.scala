@@ -937,6 +937,48 @@ object QueryLib {
            |SELECT 'pruned' AS side, time, value FROM d
            |WHERE CAST(time AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'""".stripMargin))
 
+  private val fsStoreIcebergEvolve = Q(
+    "fs_store_iceberg_evolve",
+    // Iceberg sync ACROSS a schema-evolution boundary (fs_store_evolve's
+    // open-format leg): the table gains a `quality` column after the
+    // initial export, and syncSnapshotIceberg publishes the change as a
+    // new snapshot pinned to a NEW schema-id (fresh field id past
+    // last-column-id, name mapping updated) — Iceberg's own evolution
+    // contract. What's certified: the CURRENT snapshot reads every row
+    // under the evolved schema with pre-evolution files null-filling
+    // the new column, while the pre-sync snapshot id still reads under
+    // ITS schema epoch (no quality column at all) — both recomputed by
+    // DuckDB from raw events. Type changes refuse (the verbatim parquet
+    // cannot satisfy a widened read) — spec-pinned, not gated.
+    (s, dir) => {
+      val tmp = scratchDir("ibevo")
+      val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
+      val src = T(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("ts").as("time"), col("value"))
+      val d15 = ts("2024-01-15")
+      st.save("ev", src.filter(col("time") < d15))
+      st.exportSnapshotIceberg("ev", s"$tmp/iceberg") // snapshot 1, schema 0
+      val snap1 = graft.store.IcebergBridge.currentSnapshotId(s, s"$tmp/iceberg")
+      st.evolveSchema("ev", st.tableSchema("ev").get
+        .add("quality", org.apache.spark.sql.types.DoubleType))
+      st.save("ev", src.filter(col("time") >= d15)
+        .withColumn("quality", col("value") * 0.5))
+      st.syncSnapshotIceberg("ev", s"$tmp/iceberg") // snapshot 2, schema 1
+      val latest = graft.store.IcebergBridge.read(s, s"$tmp/iceberg")
+        .select(lit("latest").as("snap"), col("time"), col("value"), col("quality"))
+      val old = graft.store.IcebergBridge.readSnapshot(s, s"$tmp/iceberg", snap1)
+        .select(lit("v1").as("snap"), col("time"), col("value"),
+          lit(null).cast("double").as("quality"))
+      latest.unionByName(old)
+    },
+    Some("""WITH d AS (SELECT ts AS time, value FROM events WHERE event_type = 'purchase')
+           |SELECT 'latest' AS snap, time, value,
+           |       CASE WHEN time >= TIMESTAMP '2024-01-15' THEN value * 0.5 END AS quality
+           |FROM d
+           |UNION ALL
+           |SELECT 'v1' AS snap, time, value, NULL AS quality FROM d
+           |WHERE time < TIMESTAMP '2024-01-15'""".stripMargin))
+
   private val fsDeltaColmap = Q(
     "fs_delta_colmap",
     // Name-mode column mapping is the DEFAULT on current Databricks
@@ -10448,6 +10490,7 @@ object QueryLib {
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
     fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms, fsDeltaColmap,
+    fsStoreIcebergEvolve,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

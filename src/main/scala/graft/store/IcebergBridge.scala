@@ -375,6 +375,16 @@ object IcebergBridge {
     fs.getFileStatus(p).getLen
   }
 
+  /** `schema.name-mapping.default` property (spec "Name Mapping
+    * Serialization"): bridge data files carry no parquet field ids, so
+    * REAL Iceberg readers need this name->id mapping to resolve
+    * columns — and to null-fill missing columns across schema
+    * evolution instead of failing.
+    */
+  private def nameMappingJson(fields: Seq[(String, Int)]): String =
+    mapper.writeValueAsString(fields.map { case (n, id) =>
+      Map[String, Any]("field-id" -> id, "names" -> Seq(n)) })
+
   private def kvArray(
       schema: Schema, entries: Seq[(Int, Any)]): java.util.List[GenericRecord] = {
     val items = schema.getTypes.get(1).getElementType // ["null", array] -> items
@@ -610,7 +620,8 @@ object IcebergBridge {
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map[String, Any](
         "order-id" -> 0, "fields" -> Seq.empty[Object])),
-      "properties" -> Map.empty[String, String],
+      "properties" -> Map("schema.name-mapping.default" ->
+        nameMappingJson(schemaColNames.map(n => n -> fieldIds(n)))),
       "current-snapshot-id" -> snapshotId,
       "snapshots" -> Seq(Map[String, Any](
         "snapshot-id" -> snapshotId,
@@ -652,7 +663,8 @@ object IcebergBridge {
       dir: String,
       newFiles: Seq[String],
       removedFiles: Seq[String],
-      conf: Configuration = null): Long = {
+      conf: Configuration = null,
+      newDataSchema: Option[StructType] = None): Long = {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
@@ -690,10 +702,57 @@ object IcebergBridge {
     val snapshotId = snapUuid.getMostSignificantBits & Long.MaxValue
 
     // field ids from the current schema (stats keys)
+    val curSchemaId = node.get("current-schema-id").asInt()
     val schemaNode = node.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == node.get("current-schema-id").asInt()).get
-    val fieldIds: Map[String, Int] = schemaNode.get("fields").elements().asScala
-      .map(f => jStr(f, "name") -> f.get("id").asInt()).toMap
+      .find(_.get("schema-id").asInt() == curSchemaId).get
+    val curFields: Seq[(String, Int, String)] =
+      schemaNode.get("fields").elements().asScala
+        .map(f => (jStr(f, "name"), f.get("id").asInt(),
+          f.get("type").asText())).toSeq
+
+    // schema EVOLUTION: when the caller hands a new data schema that
+    // differs from the table's by ADDED columns only, publish a new
+    // schema entry (fresh ids past last-column-id) and pin this
+    // snapshot to it — old snapshots keep their schema-id, so pinned
+    // readers still see their epoch (Iceberg's own evolution
+    // contract). Type changes and drops REFUSE: the verbatim-copied
+    // parquet can't satisfy a widened read and a dropped column needs
+    // delete semantics this writer doesn't produce.
+    val partSet = partCols.toSet
+    val evolved: Option[(Seq[(String, Int, String)], Int, Int)] =
+      newDataSchema.flatMap { st =>
+        val curByName = curFields.map(f => f._1 -> f).toMap
+        var lastColId = node.get("last-column-id").asInt()
+        val dataFields = st.fields.toSeq.filterNot(f => partSet(f.name)).map { f =>
+          val t = icebergType(f.dataType, s"column ${f.name}")
+          curByName.get(f.name) match {
+            case Some((_, id, t0)) =>
+              require(t0 == t,
+                s"appendSnapshot: column ${f.name} changed type $t0 -> $t — " +
+                  "only column ADDS sync across schema evolution; re-export")
+              (f.name, id, t)
+            case None =>
+              lastColId += 1
+              (f.name, lastColId, t)
+          }
+        }
+        val allFields = dataFields ++
+          partCols.map(c => curByName.getOrElse(c, throw new IllegalArgumentException(
+            s"appendSnapshot: partition column $c missing from the current schema")))
+        val dropped = curFields.map(_._1).filterNot(n => allFields.exists(_._1 == n))
+        require(dropped.isEmpty,
+          s"appendSnapshot: column(s) ${dropped.mkString(", ")} dropped — " +
+            "only column ADDS sync across schema evolution; re-export")
+        if (allFields == curFields) None
+        else {
+          val newSchemaId = node.get("schemas").elements().asScala
+            .map(_.get("schema-id").asInt()).max + 1
+          Some((allFields, newSchemaId, lastColId))
+        }
+      }
+    val effFields = evolved.map(_._1).getOrElse(curFields)
+    val effSchemaId = evolved.map(_._2).getOrElse(curSchemaId)
+    val fieldIds: Map[String, Int] = effFields.map(f => f._1 -> f._2).toMap
 
     def partsOf(rel: String): Seq[(String, String)] =
       rel.split('/').dropRight(1).toSeq.flatMap { seg =>
@@ -768,8 +827,14 @@ object IcebergBridge {
       _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
     val minSeq = (newSeq +: carried.map(_.sequenceNumber)).min
 
-    val schemaJson = mapper.writeValueAsString(
-      mapper.treeToValue(schemaNode, classOf[Object]))
+    val schemaJson = evolved match {
+      case Some((fields, sid, _)) => mapper.writeValueAsString(Map[String, Any](
+        "type" -> "struct", "schema-id" -> sid,
+        "fields" -> fields.map { case (n, id, t) => Map[String, Any](
+          "id" -> id, "name" -> n, "required" -> false, "type" -> t) }))
+      case None => mapper.writeValueAsString(
+        mapper.treeToValue(schemaNode, classOf[Object]))
+    }
     val specFieldsJson = partCols.zipWithIndex.map { case (c, i) =>
       Map[String, Any]("name" -> c, "transform" -> "identity",
         "source-id" -> fieldIds(c), "field-id" -> (1000 + i))
@@ -831,8 +896,7 @@ object IcebergBridge {
     summary.put("added-records", addedRows.toString)
     newSnap.put("summary", summary)
     newSnap.put("manifest-list", s"$location/$MetaDirName/${listPath.getName}")
-    newSnap.put("schema-id",
-      java.lang.Integer.valueOf(node.get("current-schema-id").asInt()))
+    newSnap.put("schema-id", java.lang.Integer.valueOf(effSchemaId))
     // the scala-module mapper materializes JSON arrays as Scala Lists;
     // append by rebuilding the sequence (order preserved)
     def appendTo(key: String, item: Object): Unit = {
@@ -845,6 +909,25 @@ object IcebergBridge {
           s"metadata '$key' is not a list: ${other.getClass}")
       }
       meta.put(key, prev :+ item)
+    }
+    evolved.foreach { case (fields, sid, lastColId) =>
+      appendTo("schemas", Map[String, Any](
+        "type" -> "struct", "schema-id" -> sid,
+        "fields" -> fields.map { case (n, id, t) => Map[String, Any](
+          "id" -> id, "name" -> n, "required" -> false, "type" -> t) }))
+      meta.put("current-schema-id", java.lang.Integer.valueOf(sid))
+      meta.put("last-column-id", java.lang.Integer.valueOf(lastColId))
+      // keep field-id-less data files resolvable by external readers
+      // across the evolution
+      val prevProps: Map[String, String] = Option(meta.get("properties")) match {
+        case Some(m: java.util.Map[_, _]) =>
+          m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+        case Some(m: scala.collection.Map[_, _]) =>
+          m.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+        case _ => Map.empty
+      }
+      meta.put("properties", prevProps + ("schema.name-mapping.default" ->
+        nameMappingJson(fields.map(f => f._1 -> f._2))))
     }
     appendTo("snapshots", newSnap)
     val logEntry = new java.util.LinkedHashMap[String, Object]()
@@ -972,12 +1055,30 @@ object IcebergBridge {
       s"Iceberg format-version $fv unsupported (bridge floor is v1/v2) — refusing")
     val location = jStr(node, "location")
 
-    // schema: current-schema-id among schemas (v1 fallback: "schema")
-    val schemaNode = Option(node.get("schemas")).map { ss =>
-      val cur = node.get("current-schema-id").asInt()
-      ss.elements().asScala.find(_.get("schema-id").asInt() == cur)
+    // resolve the target snapshot FIRST: each snapshot pins the
+    // schema-id it was written under, and a time-travel read must see
+    // THAT schema epoch, not the current one (Iceberg's own contract
+    // across schema evolution)
+    val curSnap = snapshotId.getOrElse(
+      Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L))
+    val snapOpt =
+      if (curSnap == -1L) None
+      else Some(node.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curSnap)
         .getOrElse(throw new IllegalArgumentException(
-          s"current-schema-id $cur not in schemas"))
+          s"snapshot-id $curSnap not among snapshots" +
+            (if (snapshotId.isDefined) " (time-travel target missing)" else ""))))
+
+    // schema: the snapshot's schema-id, else current-schema-id (v1
+    // fallback: the singular "schema")
+    val schemaNode = Option(node.get("schemas")).map { ss =>
+      val want = snapOpt
+        .flatMap(s => Option(s.get("schema-id")).filterNot(_.isNull).map(_.asInt()))
+        .orElse(Option(node.get("current-schema-id")).map(_.asInt()))
+        .getOrElse(0)
+      ss.elements().asScala.find(_.get("schema-id").asInt() == want)
+        .getOrElse(throw new IllegalArgumentException(
+          s"schema-id $want not in schemas"))
     }.orElse(Option(node.get("schema"))).getOrElse(
       throw new IllegalArgumentException("Iceberg metadata carries no schema"))
     val fieldsById = mutable.LinkedHashMap.empty[Int, StructField]
@@ -1032,16 +1133,10 @@ object IcebergBridge {
               s"references unknown source-id ${f.sourceId} — refusing"))
       }
 
-    val curSnap = snapshotId.getOrElse(
-      Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L))
-    if (curSnap == -1L)
+    if (snapOpt.isEmpty)
       return TableState(StructType(fieldsById.values.toSeq), partCols, Seq.empty,
         location, identityFill, transformSources, specFields)
-    val snap = node.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == curSnap)
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot-id $curSnap not among snapshots" +
-          (if (snapshotId.isDefined) " (time-travel target missing)" else "")))
+    val snap = snapOpt.get
     val listPath = resolve(root, location, jStr(snap, "manifest-list"))
 
     val (manifests, _) = readAvro(fs, listPath)
@@ -1186,6 +1281,21 @@ object IcebergBridge {
         case _ => true // no bounds for the column: must scan
       }
     }, conf)
+  }
+
+  /** The CURRENT snapshot id from the latest metadata — the handle a
+    * caller pins BEFORE a sync to keep a stable view via
+    * [[readSnapshot]] while new snapshots land.
+    */
+  def currentSnapshotId(
+      spark: SparkSession, dir: String, conf: Configuration = null): Long = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val (metaFile, _) = currentMetaFile(fs, new Path(root, MetaDirName))
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in) finally in.close()
+    Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L)
   }
 
   /** Iceberg snapshot expiry (the `expire_snapshots` maintenance

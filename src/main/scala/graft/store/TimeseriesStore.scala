@@ -1549,11 +1549,33 @@ class TimeseriesStore(
       s"exported at $prevV — a newer tree cannot sync backwards")
     val adds = log.snapshot(Some(v))
     val schemas = log.schemaHistory(Some(v))
-    require(schemas.lastOption == prevSchema,
-      s"schema of '$name' changed since the export; re-export (sync " +
-        "cannot mix physical schema epochs in a plain-parquet tree)")
-    require(adds.map(_.sv.getOrElse(0L)).distinct.size <= 1,
-      s"snapshot of '$name' spans schema epochs; re-export aligned")
+    // schema drift since the export: ADD-COLUMN-only evolution syncs —
+    // Iceberg's own evolution semantics make the mixed-epoch tree
+    // readable (old files lack the new column; readers null-fill via
+    // the name mapping, and appendSnapshot publishes a new schema-id
+    // so pinned snapshots keep their epoch) — while type changes or
+    // drops refuse: the verbatim-copied parquet cannot satisfy a
+    // widened read
+    val schemaChanged = schemas.lastOption != prevSchema
+    val newDataSchema: Option[StructType] =
+      if (!schemaChanged) None
+      else {
+        val prevSt = prevSchema.map(s =>
+          DataType.fromJson(s).asInstanceOf[StructType])
+        val newSt = schemas.lastOption.map(s =>
+          DataType.fromJson(s).asInstanceOf[StructType])
+        require(prevSt.isDefined && newSt.isDefined,
+          s"schema of '$name' changed since the export and one side is " +
+            "unreadable; re-export")
+        val newByName = newSt.get.fields.map(f => f.name -> f.dataType).toMap
+        val bad = prevSt.get.fields.filterNot(f =>
+          newByName.get(f.name).contains(f.dataType))
+        require(bad.isEmpty,
+          s"schema of '$name' changed beyond column adds since the export " +
+            s"(${bad.map(_.name).mkString(", ")}); re-export (a type change " +
+            "cannot be satisfied by the verbatim-copied parquet)")
+        newSt
+      }
 
     val newFiles = adds.filterNot(a => prevFiles(a.path))
     val goneFiles = (prevFiles -- adds.map(_.path)).toSeq.sorted
@@ -1566,7 +1588,8 @@ class TimeseriesStore(
         f, new Path(root, a.path), dstFs, to, false, hadoopConf)
     }
     IcebergBridge.appendSnapshot(
-      spark, dstDir, newFiles.map(_.path), goneFiles, hadoopConf)
+      spark, dstDir, newFiles.map(_.path), goneFiles, hadoopConf,
+      newDataSchema = newDataSchema)
 
     val manifest = Map[String, Any](
       "table" -> name, "version" -> v, "mode" -> "verbatim",

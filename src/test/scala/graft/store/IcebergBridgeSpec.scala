@@ -494,6 +494,51 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(skip.inputFiles.length === 0)
   }
 
+  test("sync across add-column evolution: new schema-id, pinned snapshot keeps its epoch") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val root = tmpDir("ibevolve")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq((ts("2024-01-01T01:00:00"), 1.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib") // snapshot 1, schema 0
+    val snap1 = IcebergBridge.currentSnapshotId(spark, s"$root/ib")
+    st.evolveSchema("f", st.tableSchema("f").get.add("quality", DoubleType))
+    st.save("f", Seq((ts("2024-01-02T02:00:00"), 2.0, 0.25))
+      .toDF("time", "value", "quality"))
+    st.syncSnapshotIceberg("f", s"$root/ib") // snapshot 2, schema 1
+
+    // current snapshot: evolved schema, old file's quality null-fills
+    val latest = IcebergBridge.read(spark, s"$root/ib")
+      .select(col("time"), col("value"), col("quality"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(latest === Set(
+      ("2024-01-01 01:00:00.0", 1.0, null),
+      ("2024-01-02 02:00:00.0", 2.0, 0.25)))
+    // pinned pre-evolution snapshot reads under ITS schema epoch
+    val old = IcebergBridge.readSnapshot(spark, s"$root/ib", snap1)
+    assert(!old.columns.contains("quality"))
+    assert(old.select("value").as[Double].collect().toSeq === Seq(1.0))
+    // metadata carries both schemas, current advanced, name mapping updated
+    val metaV2 = Files.readString(Paths.get(s"$root/ib/metadata/v2.metadata.json"))
+    assert("\"schema-id\":0".r.findAllIn(metaV2).nonEmpty)
+    assert(metaV2.contains("\"current-schema-id\":1"))
+    assert(metaV2.contains("schema.name-mapping.default"))
+    assert(metaV2.contains("quality"))
+
+    // a TYPE change refuses (the verbatim parquet can't satisfy it):
+    // int -> double is a store-legal widening but not syncable
+    val root2 = tmpDir("ibevolvebad")
+    val st2 = new TimeseriesStore(spark, s"$root2/wh", backend = "txlog")
+    st2.save("g", Seq((ts("2024-01-01T01:00:00"), 1))
+      .toDF("time", "value").withColumn("value", col("value").cast("int")))
+    st2.exportSnapshotIceberg("g", s"$root2/ib")
+    st2.evolveValueType("g", DoubleType)
+    st2.save("g", Seq((ts("2024-01-02T02:00:00"), 5.0)).toDF("time", "value"))
+    val e = intercept[IllegalArgumentException](
+      st2.syncSnapshotIceberg("g", s"$root2/ib"))
+    assert(e.getMessage.contains("beyond column adds"))
+  }
+
   private def canonMeta(root: String): String =
     Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
       .replaceAll("\"location\":\"[^\"]+\"", "")
