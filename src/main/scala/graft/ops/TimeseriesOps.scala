@@ -521,6 +521,41 @@ object TimeseriesOps {
       .orderBy(col(timeCol))
   }
 
+  /** [[alignJoin]] for VERY wide feature sets. Catalyst's optimizer
+    * goes super-linear in output width: at 10,000 columns in ONE plan,
+    * `RemoveRedundantAliases` and then `ColumnPruning` pin the driver
+    * single-core in AttributeSet arithmetic for >12 minutes (measured,
+    * tools/ScaleProbe, jstack-confirmed) vs seconds at 1,000. So past
+    * `blockSize` series the alignment runs in BLOCKS: one global time
+    * spine (distinct union of every series' times, checkpointed) rides
+    * into each block as an all-null series, so every block emits
+    * exactly the spine's rows and per-block forward fill equals the
+    * global fill (fill is per-column); each block's plan is then CUT
+    * with a localCheckpoint — the optimizer never sees more than one
+    * block's columns — and the blocks equi-join 1:1 on time. At a
+    * 10k-feature store this bounds driver plan time to
+    * O(blocks x blockSize²-ish) instead of O(width²) while the
+    * executors see the same one-shuffle-per-block pivot shape.
+    */
+  def alignJoinWide(
+      dfs: Seq[DataFrame],
+      timeCol: String = TimeCol,
+      blockSize: Int = 1024): DataFrame = {
+    require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
+    if (dfs.size <= blockSize) return alignJoin(dfs, timeCol)
+    val spine = unionBalanced(dfs.map(_.select(col(timeCol))))
+      .distinct().localCheckpoint(true)
+    val blocks = dfs.grouped(blockSize).toSeq.map { block =>
+      val vType = block.head.schema.fields
+        .filterNot(_.name == timeCol).head.dataType
+      val spineSeries = spine.withColumn("__spine", lit(null).cast(vType))
+      alignJoin(block :+ spineSeries, timeCol).drop("__spine")
+        .localCheckpoint(false) // lazy: plan cut now, materialized on use
+    }
+    blocks.reduce((a, b) => a.join(b, Seq(timeCol)))
+      .orderBy(col(timeCol))
+  }
+
   // ---------------------------------------------------------------------
   // As-of join: for each left row, attach the latest right value with
   // right.time <= left.time, matched within `by` keys (pandas

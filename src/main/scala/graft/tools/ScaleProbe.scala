@@ -1086,6 +1086,36 @@ object ScaleProbe {
         .linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
       println(s"[probe]   0 joins, $exchanges exchanges, ${series.length + 1} output cols")
     }
+    timed("alignJoinWide: 10000 series x 100 ts, blocked plans (optimizer headroom)") {
+      // 10x the 1,000-series probe in WIDTH — the plan-machinery
+      // dimension a user hits first. MEASURED LIMIT that forced the
+      // blocked operator: a single alignJoin plan at 10k output
+      // columns pins the driver single-core in Catalyst
+      // (RemoveRedundantAliases, then ColumnPruning — AttributeSet
+      // arithmetic, jstack-confirmed) for >12 minutes before this
+      // probe was killed, vs seconds at 1k columns. alignJoinWide
+      // bounds every plan to blockSize columns (spine + per-block
+      // pivot + checkpoint cut + 1:1 block joins), so 10k features
+      // plan in seconds-per-block regardless of total width.
+      val k = 10000
+      val series = (0 until k).map { i =>
+        spark.range(0, 100, 1, 1).select(
+          timestamp_millis(lit(base) + col("id") * 3600000L).as("time"),
+          (col("id") + lit(i)).cast("double").as(s"f$i"))
+      }
+      val out = TimeseriesOps.alignJoinWide(series, blockSize = 1024)
+      val rows = out.count()
+      require(rows == 100L, s"expected 100 aligned rows, got $rows")
+      require(out.columns.length == k + 1,
+        s"expected ${k + 1} output columns, got ${out.columns.length}")
+      // spot-check fill correctness at the far right edge of the width
+      val last = out.select(col("time"), col("f9999"))
+        .orderBy(col("time")).collect()
+      require(last.length == 100 && last.last.getDouble(1) == 99.0 + 9999.0,
+        s"f9999 tail mismatch: ${last.last}")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     timed(s"capByKey hot-key frequency cap over $n rows") {
       // 5 keys, one owning 60% of the corpus: the shape where the
       // naive per-key window funnels 6M rows through ONE task's sort

@@ -182,6 +182,34 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(viaPivot.collect().map(_.toSeq).toSeq == filled.collect().map(_.toSeq).toSeq)
   }
 
+  test("alignJoinWide (blocked plans) equals alignJoin exactly") {
+    // the blocked form exists because one 10k-column plan pins the
+    // Catalyst optimizer (ScaleProbe); with blockSize=2 over 5 series
+    // every seam is exercised: spine ride-in, per-block fill, 1:1
+    // block joins — and the result must be bit-identical to the
+    // single-plan alignment, including cross-block fill at times a
+    // block never saw
+    def s(name: String, points: (Int, Double)*) =
+      points.map { case (d, v) =>
+        (new Timestamp(ts("2021-01-01").getTime + d * 86400000L), v)
+      }.toDF("time", name)
+    val dfs = Seq(
+      s("a", 0 -> 1.0, 2 -> 3.0),
+      s("b", 1 -> 10.0),
+      s("c", 0 -> 100.0, 3 -> 300.0),
+      s("d", 2 -> 7.0),
+      s("e", 4 -> 9.0))
+    val wide = TimeseriesOps.alignJoinWide(dfs, blockSize = 2)
+    val narrow = TimeseriesOps.alignJoin(dfs)
+    assert(wide.columns.toSeq == narrow.columns.toSeq)
+    assert(wide.orderBy("time").collect().map(_.toSeq).toSeq ==
+      narrow.orderBy("time").collect().map(_.toSeq).toSeq)
+    // at or below the block size it IS alignJoin (no checkpoint cost)
+    val same = TimeseriesOps.alignJoinWide(dfs, blockSize = 5)
+    assert(same.collect().map(_.toSeq).toSeq ==
+      narrow.orderBy("time").collect().map(_.toSeq).toSeq)
+  }
+
   test("lastRow and timeBounds") {
     val df = series(
       ("2021-01-01 00:00:00", "2021-01-01 00:00:00", 1.0),
