@@ -979,6 +979,55 @@ object QueryLib {
            |SELECT 'v1' AS snap, time, value, NULL AS quality FROM d
            |WHERE time < TIMESTAMP '2024-01-15'""".stripMargin))
 
+  private val fsIcebergPosDelete = Q(
+    "fs_iceberg_posdelete",
+    // Iceberg v2 POSITION deletes — the merge-on-read row-delete shape
+    // (the bridge's largest former refuse case): a delete snapshot
+    // commits one sorted (file_path, pos) parquet + one DELETE
+    // manifest and touches ZERO data bytes; the read drops the dead
+    // ordinals via one left-anti join on (_metadata.file_path,
+    // _metadata.row_index) gated by the spec's sequence-number rule.
+    // The fixture tree is written with a DETERMINISTIC within-file
+    // order (sorted by time, event_id per day, one file per day), so
+    // "delete every 3rd position of every file" is exactly DuckDB's
+    // row_number()-derived predicate — any drift in ordinal
+    // accounting (row-group offsets, scan ordering, the anti-join
+    // key form) hash-fails. At 100 TB this is why row deletes cost
+    // O(deleted rows), not O(rewritten files).
+    (s, dir) => {
+      val tmp = scratchDir("ibpd")
+      val src = T(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"), col("event_id"))
+      src.withColumn("d", date_format(col("time"), "yyyy-MM-dd"))
+        .repartition(col("d"))
+        .sortWithinPartitions("d", "time", "event_id")
+        .write.partitionBy("d").parquet(s"$tmp/ib")
+      graft.store.IcebergBridge.writeTable(s, s"$tmp/ib", "pdfix")
+      // every 3rd position of every file (day = file by construction)
+      val counts = src.groupBy(date_format(col("time"), "yyyy-MM-dd").as("d"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1))
+      def relOf(day: String): String = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/ib/d=$day"))
+        try s"d=$day/" + l.iterator().asScala
+          .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+        finally l.close()
+      }
+      val dels = counts.toSeq.flatMap { case (day, n) =>
+        val rel = relOf(day)
+        (0L until n by 3).map(p => rel -> p)
+      }
+      graft.store.IcebergBridge.appendPositionDeletes(s, s"$tmp/ib", dels)
+      graft.store.IcebergBridge.read(s, s"$tmp/ib")
+        .select(col("time"), col("value"), col("d").as("day"))
+    },
+    Some("""WITH d AS (SELECT ts AS time, value, event_id,
+           |                  strftime(ts, '%Y-%m-%d') AS day
+           |           FROM events WHERE event_type = 'click'),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY day ORDER BY time, event_id) - 1 AS pos
+           |      FROM d)
+           |SELECT time, value, day FROM r WHERE pos % 3 <> 0""".stripMargin))
+
   private val fsDeltaColmap = Q(
     "fs_delta_colmap",
     // Name-mode column mapping is the DEFAULT on current Databricks
@@ -10490,7 +10539,7 @@ object QueryLib {
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
     fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms, fsDeltaColmap,
-    fsStoreIcebergEvolve,
+    fsStoreIcebergEvolve, fsIcebergPosDelete,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

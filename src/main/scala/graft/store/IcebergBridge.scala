@@ -29,13 +29,20 @@ import org.apache.spark.sql.types._
   * read here without format jars (Avro itself rides Spark's own
   * classpath).
   *
-  * Deliberately scoped to the floor every reader supports, with the
-  * [[DeltaBridge]] refuse-don't-misread doctrine: identity partition
-  * transforms only, no delete files (v2 row-level deletes), no
-  * branches/refs beyond `current-snapshot-id`, primitive column types.
-  * [[read]] REFUSES tables beyond the floor instead of silently
-  * misreading them — a skipped delete file would resurrect deleted
-  * rows, a misapplied transform would fabricate partition values.
+  * Scoped with the [[DeltaBridge]] refuse-don't-misread doctrine. The
+  * READ floor covers what real third-party tables are: identity AND
+  * temporal/bucket/truncate partition transforms (human-form pruning
+  * values; non-identity source columns must be physically in the data
+  * files — probed, else refused), POSITION delete files (applied as
+  * one anti-join on `_metadata.row_index` under the spec's
+  * sequence-number rule), and per-snapshot schema-ids across
+  * add-column evolution. Still refused: equality deletes (engine
+  * equality semantics), nested column types, branches/refs beyond
+  * `current-snapshot-id`, and future format versions — a skipped
+  * delete file would resurrect deleted rows, a misapplied transform
+  * would fabricate partition values. The WRITE floor is narrower
+  * (identity partitioning), since this bridge's writers describe the
+  * store's own exports.
   *
   * Scale shape: metadata replay is driver-side by design — Iceberg's
   * own planning is: the manifest LIST is one small Avro file per
@@ -682,6 +689,11 @@ object IcebergBridge {
     require(prevState.specFields.forall(f => canonTransform(f.transform) == "identity"),
       "appendSnapshot: table uses non-identity partition transforms — " +
         "the bridge reads them but only syncs identity-partitioned exports")
+    // the sync writer publishes ONE full data manifest; it cannot
+    // carry delete manifests, and dropping them would resurrect rows
+    require(prevState.deleteFiles.isEmpty,
+      "appendSnapshot: table carries row-level delete files — compact " +
+        "them (rewrite the affected data files) before syncing")
     val partCols = prevState.partCols
 
     def relOf(p: String): String =
@@ -878,6 +890,49 @@ object IcebergBridge {
     val maxMtime = (freshNew.map(rel =>
       fs.getFileStatus(new Path(root, rel)).getModificationTime) :+
       node.get("last-updated-ms").asLong()).max
+    advanceMetadata(fs, metaDir, node, metaFile, metaVersion, location,
+      snapshotId, newSeq, maxMtime, listPath.getName, effSchemaId,
+      summary = Seq(
+        "operation" -> (if (removedSet.nonEmpty) "overwrite" else "append"),
+        "added-data-files" -> newEntries.size.toString,
+        "deleted-data-files" -> removedSet.size.toString,
+        "added-records" -> addedRows.toString),
+      mutate = (meta, appendTo) => evolved.foreach { case (fields, sid, lastColId) =>
+        appendTo("schemas", Map[String, Any](
+          "type" -> "struct", "schema-id" -> sid,
+          "fields" -> fields.map { case (n, id, t) => Map[String, Any](
+            "id" -> id, "name" -> n, "required" -> false, "type" -> t) }))
+        meta.put("current-schema-id", java.lang.Integer.valueOf(sid))
+        meta.put("last-column-id", java.lang.Integer.valueOf(lastColId))
+        // keep field-id-less data files resolvable by external readers
+        // across the evolution
+        val prevProps: Map[String, String] = Option(meta.get("properties")) match {
+          case Some(m: java.util.Map[_, _]) =>
+            m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+          case Some(m: scala.collection.Map[_, _]) =>
+            m.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+          case _ => Map.empty
+        }
+        meta.put("properties", prevProps + ("schema.name-mapping.default" ->
+          nameMappingJson(fields.map(f => f._1 -> f._2))))
+      })
+    snapshotId
+  }
+
+  /** Publish v(N+1).metadata.json + version-hint: snapshot machinery
+    * advanced, history appended, `mutate` applied for caller-specific
+    * edits (schema evolution). Shared by every snapshot writer so the
+    * metadata dialect stays single-sourced.
+    */
+  private def advanceMetadata(
+      fs: FileSystem, metaDir: Path,
+      node: com.fasterxml.jackson.databind.JsonNode,
+      metaFile: Path, metaVersion: Long, location: String,
+      snapshotId: Long, newSeq: Long, maxMtime: Long,
+      listName: String, schemaId: Int,
+      summary: Seq[(String, String)],
+      mutate: (java.util.LinkedHashMap[String, Object],
+        (String, Object) => Unit) => Unit = (_, _) => ()): Unit = {
     val meta = mapper.convertValue(node, classOf[java.util.LinkedHashMap[String, Object]])
     meta.put("last-sequence-number", java.lang.Long.valueOf(newSeq))
     meta.put("last-updated-ms", java.lang.Long.valueOf(maxMtime))
@@ -889,14 +944,11 @@ object IcebergBridge {
         java.lang.Long.valueOf(v.asLong()): Object).orNull)
     newSnap.put("timestamp-ms", java.lang.Long.valueOf(maxMtime))
     newSnap.put("sequence-number", java.lang.Long.valueOf(newSeq))
-    val summary = new java.util.LinkedHashMap[String, Object]()
-    summary.put("operation", if (removedSet.nonEmpty) "overwrite" else "append")
-    summary.put("added-data-files", newEntries.size.toString)
-    summary.put("deleted-data-files", removedSet.size.toString)
-    summary.put("added-records", addedRows.toString)
-    newSnap.put("summary", summary)
-    newSnap.put("manifest-list", s"$location/$MetaDirName/${listPath.getName}")
-    newSnap.put("schema-id", java.lang.Integer.valueOf(effSchemaId))
+    val summaryMap = new java.util.LinkedHashMap[String, Object]()
+    summary.foreach { case (k, v) => summaryMap.put(k, v) }
+    newSnap.put("summary", summaryMap)
+    newSnap.put("manifest-list", s"$location/$MetaDirName/$listName")
+    newSnap.put("schema-id", java.lang.Integer.valueOf(schemaId))
     // the scala-module mapper materializes JSON arrays as Scala Lists;
     // append by rebuilding the sequence (order preserved)
     def appendTo(key: String, item: Object): Unit = {
@@ -910,25 +962,7 @@ object IcebergBridge {
       }
       meta.put(key, prev :+ item)
     }
-    evolved.foreach { case (fields, sid, lastColId) =>
-      appendTo("schemas", Map[String, Any](
-        "type" -> "struct", "schema-id" -> sid,
-        "fields" -> fields.map { case (n, id, t) => Map[String, Any](
-          "id" -> id, "name" -> n, "required" -> false, "type" -> t) }))
-      meta.put("current-schema-id", java.lang.Integer.valueOf(sid))
-      meta.put("last-column-id", java.lang.Integer.valueOf(lastColId))
-      // keep field-id-less data files resolvable by external readers
-      // across the evolution
-      val prevProps: Map[String, String] = Option(meta.get("properties")) match {
-        case Some(m: java.util.Map[_, _]) =>
-          m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
-        case Some(m: scala.collection.Map[_, _]) =>
-          m.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
-        case _ => Map.empty
-      }
-      meta.put("properties", prevProps + ("schema.name-mapping.default" ->
-        nameMappingJson(fields.map(f => f._1 -> f._2))))
-    }
+    mutate(meta, appendTo)
     appendTo("snapshots", newSnap)
     val logEntry = new java.util.LinkedHashMap[String, Object]()
     logEntry.put("snapshot-id", java.lang.Long.valueOf(snapshotId))
@@ -946,6 +980,156 @@ object IcebergBridge {
     val hintOut = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hintOut.write(s"${metaVersion + 1}".getBytes(StandardCharsets.UTF_8))
     finally hintOut.close()
+  }
+
+  /** Publish one MERGE-ON-READ snapshot of POSITION deletes on a
+    * bridge-written table: `deletes` are (root-relative data file,
+    * 0-based row ordinal) pairs. One sorted position-delete parquet is
+    * written (spec order: file_path, then pos), one DELETE manifest
+    * names it, and the new manifest-list carries the prior snapshot's
+    * manifests UNCHANGED plus the delete manifest — the commit touches
+    * zero data bytes, the merge-on-read shape that makes row deletes
+    * O(deleted rows) at 100 TB instead of O(rewritten files). Readers
+    * (this bridge's [[read]] and real Iceberg engines) drop the
+    * positions at scan time. Returns the new snapshot id.
+    */
+  def appendPositionDeletes(
+      spark: SparkSession,
+      dir: String,
+      deletes: Seq[(String, Long)],
+      conf: Configuration = null): Long = {
+    require(deletes.nonEmpty, "appendPositionDeletes: no positions given")
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val metaDir = new Path(root, MetaDirName)
+    val (metaFile, metaVersion) = currentMetaFile(fs, metaDir)
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in) finally in.close()
+    require(node.get("format-version").asInt() == 2,
+      "appendPositionDeletes needs a v2 table")
+    val location = jStr(node, "location")
+    val loc = location.stripSuffix("/")
+    val state = loadState(spark, fs, root)
+    require(state.specFields.forall(f => canonTransform(f.transform) == "identity"),
+      "appendPositionDeletes: identity-partitioned bridge tables only")
+    def relOf(p: String): String =
+      if (p.startsWith(loc + "/")) p.substring(loc.length + 1) else p
+    val liveRel = state.files.map(f => relOf(f.path)).toSet
+    deletes.foreach { case (rel, pos) =>
+      require(liveRel(rel),
+        s"appendPositionDeletes: $rel is not a live data file of the current snapshot")
+      require(pos >= 0, s"appendPositionDeletes: negative position $pos for $rel")
+    }
+
+    val newSeq = node.get("last-sequence-number").asLong() + 1
+    val tableUuid = jStr(node, "table-uuid")
+    val snapUuid = java.util.UUID.nameUUIDFromBytes(
+      s"iceberg-del:$tableUuid:$newSeq".getBytes(StandardCharsets.UTF_8))
+    val snapshotId = snapUuid.getMostSignificantBits & Long.MaxValue
+
+    // the position-delete parquet, sorted by (file_path, pos) per spec
+    val delRel = s"deletes/del-$newSeq.parquet"
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val delRows = deletes.map { case (rel, pos) => (s"$loc/$rel", pos) }
+      .sorted.map { case (p, pos) => Row(p, pos) }
+    val tmp = new Path(root, s".del_tmp_$newSeq")
+    spark.createDataFrame(spark.sparkContext.parallelize(delRows, 1), delSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"delete write under $tmp produced no part file"))
+    val dst = new Path(root, delRel)
+    fs.mkdirs(dst.getParent)
+    fs.delete(dst, false)
+    fs.rename(part, dst)
+    fs.delete(tmp, true)
+
+    // DELETE manifest: one ADDED entry, content=1, global scope
+    // (all-null partition — applies across partitions)
+    val curSchemaId = node.get("current-schema-id").asInt()
+    val schemaNode = node.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).get
+    val fieldIds: Map[String, Int] = schemaNode.get("fields").elements().asScala
+      .map(f => jStr(f, "name") -> f.get("id").asInt()).toMap
+    val entrySchema = manifestEntrySchema(state.partCols.map(_ -> "\"string\""))
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val df = new GenericData.Record(dataFileSchema)
+    df.put("content", 1) // POSITION DELETES
+    df.put("file_path", s"$loc/$delRel")
+    df.put("file_format", "PARQUET")
+    df.put("partition", new GenericData.Record(partSchema))
+    df.put("record_count", deletes.size.toLong)
+    df.put("file_size_in_bytes", fs.getFileStatus(dst).getLen)
+    val entry = new GenericData.Record(entrySchema)
+    entry.put("status", 1) // ADDED
+    entry.put("snapshot_id", snapshotId)
+    entry.put("sequence_number", newSeq)
+    entry.put("file_sequence_number", newSeq)
+    entry.put("data_file", df)
+    val schemaJson = mapper.writeValueAsString(
+      mapper.treeToValue(schemaNode, classOf[Object]))
+    val specFieldsJson = state.partCols.zipWithIndex.map { case (c, i) =>
+      Map[String, Any]("name" -> c, "transform" -> "identity",
+        "source-id" -> fieldIds(c), "field-id" -> (1000 + i))
+    }
+    val manifestPath = new Path(metaDir, s"$snapUuid-m0.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema,
+      Seq(
+        "schema" -> schemaJson,
+        "partition-spec" -> mapper.writeValueAsString(specFieldsJson),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "deletes"),
+      Seq(entry))
+
+    // manifest-list: the CURRENT snapshot's manifests carried
+    // verbatim + the new delete manifest (real writers reuse manifest
+    // files across snapshots exactly like this)
+    val curSnapId = node.get("current-snapshot-id").asLong()
+    val snap = node.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curSnapId)
+      .getOrElse(throw new IllegalArgumentException(
+        "appendPositionDeletes: table has no current snapshot"))
+    val (oldList, _) = readAvro(fs, resolve(root, location, jStr(snap, "manifest-list")))
+    val carried = oldList.map { r =>
+      val c = new GenericData.Record(manifestFileSchema)
+      manifestFileSchema.getFields.forEach(f => c.put(f.name(), r.get(f.name())))
+      c: GenericRecord
+    }
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", s"$loc/$MetaDirName/${manifestPath.getName}")
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1) // deletes
+    mf.put("sequence_number", newSeq)
+    mf.put("min_sequence_number", newSeq)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_files_count", 1)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", deletes.size.toLong)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(metaDir, s"snap-$snapshotId-1-$snapUuid.avro")
+    writeAvro(fs, listPath, manifestFileSchema,
+      Seq("snapshot-id" -> snapshotId.toString,
+        "parent-snapshot-id" -> curSnapId.toString,
+        "sequence-number" -> newSeq.toString,
+        "format-version" -> "2"),
+      carried :+ (mf: GenericRecord))
+
+    val maxMtime = math.max(fs.getFileStatus(dst).getModificationTime,
+      node.get("last-updated-ms").asLong())
+    advanceMetadata(fs, metaDir, node, metaFile, metaVersion, location,
+      snapshotId, newSeq, maxMtime, listPath.getName, curSchemaId,
+      summary = Seq(
+        "operation" -> "delete",
+        "added-delete-files" -> "1",
+        "added-position-deletes" -> deletes.size.toString))
     snapshotId
   }
 
@@ -1020,6 +1204,18 @@ object IcebergBridge {
 
   private final case class SpecField(name: String, transform: String, sourceId: Int)
 
+  /** A POSITION delete file (v2 row-level deletes, content=1): parquet
+    * rows of (file_path, pos) marking dead rows by their ordinal in
+    * the target data file. `sequenceNumber` gates application: the
+    * delete applies to data files whose data sequence number is <= its
+    * own (the spec's rule — a file REWRITTEN at the same path after
+    * the delete must not lose rows). Equality deletes (content=2)
+    * refuse: applying them needs the engine's equality semantics.
+    */
+  private final case class DeleteFileEntry(
+      path: String,
+      sequenceNumber: Long)
+
   private final case class TableState(
       schema: StructType,
       // identity partition fields' SOURCE columns — the columns the
@@ -1034,7 +1230,8 @@ object IcebergBridge {
       // in the data files (the read probes one footer and refuses
       // otherwise, never silently returning nulls)
       transformSources: Seq[String] = Nil,
-      specFields: Seq[SpecField] = Nil)
+      specFields: Seq[SpecField] = Nil,
+      deleteFiles: Seq[DeleteFileEntry] = Nil)
 
   private def jStr(n: com.fasterxml.jackson.databind.JsonNode, k: String): String = {
     val v = n.get(k)
@@ -1141,14 +1338,34 @@ object IcebergBridge {
 
     val (manifests, _) = readAvro(fs, listPath)
     val files = mutable.ArrayBuffer.empty[DataFileEntry]
+    val deletes = mutable.ArrayBuffer.empty[DeleteFileEntry]
     manifests.foreach { mf =>
       val content = Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-      require(content == 0,
-        "IcebergBridge: DELETE manifest present (v2 row-level deletes) — " +
-          "refusing rather than resurrecting deleted rows")
+      require(content == 0 || content == 1,
+        s"IcebergBridge: manifest content $content unknown — refusing")
       val mPath = resolve(root, location, mf.get("manifest_path").toString)
       val (entries, _) = readAvro(fs, mPath)
-      entries.foreach { e =>
+      if (content == 1) {
+        // DELETE manifest: position deletes apply on read; equality
+        // deletes refuse (their application needs engine equality
+        // semantics this bridge does not promise)
+        entries.foreach { e =>
+          val status = e.get("status").asInstanceOf[Int]
+          if (status != 2) {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val fileContent = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+            require(fileContent == 1,
+              "IcebergBridge: EQUALITY delete file present (content=" +
+                s"$fileContent) — refusing rather than resurrecting deleted rows")
+            val fmt = df.get("file_format").toString
+            require(fmt.equalsIgnoreCase("parquet"),
+              s"IcebergBridge: delete file format $fmt unsupported — refusing")
+            deletes += DeleteFileEntry(df.get("file_path").toString,
+              Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
+                Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)))
+          }
+        }
+      } else entries.foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status != 2) { // 0=existing, 1=added; 2=deleted drops out
           val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -1196,7 +1413,7 @@ object IcebergBridge {
     val dup = files.groupBy(_.path).collectFirst { case (p, fs0) if fs0.size > 1 => p }
     require(dup.isEmpty, s"IcebergBridge: data file listed twice: ${dup.get} — refusing")
     TableState(StructType(fieldsById.values.toSeq), partCols, files.toSeq,
-      location, identityFill, transformSources, specFields)
+      location, identityFill, transformSources, specFields, deletes.toSeq)
   }
 
   /** Replay the table's CURRENT snapshot into a DataFrame: schema from
@@ -1436,8 +1653,43 @@ object IcebergBridge {
     val qualified = files.zip(paths).map { case (f, p) =>
       (DeltaBridge.scanPathKey(fs, new Path(p)), f)
     }
-    val data = spark.read.schema(dataSchema).parquet(paths: _*)
+    val data0 = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
+    val data =
+      if (state.deleteFiles.isEmpty) data0
+      else {
+        // POSITION deletes: drop rows by (data file, row ordinal) via
+        // one left-anti join on (_metadata.file_path,
+        // _metadata.row_index). Delete files store the data file's
+        // MANIFEST path — map it to the scan's key form with a
+        // broadcast, carrying the data file's sequence number so the
+        // spec's rule (delete applies iff deleteSeq >= dataSeq) gates
+        // application. The anti-join side is row-scale (one row per
+        // deleted position), so it stays a plain join for AQE to
+        // shape — never a forced driver-side collect.
+        val mapSchema = StructType(Seq(
+          StructField("__dfile", StringType),
+          StructField("__file", StringType),
+          StructField("__dataseq", LongType)))
+        val mapRows = qualified.map { case (k, f) =>
+          Row(f.path, k, f.sequenceNumber) }
+        val mapDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType)))
+        val dels = state.deleteFiles.map { d =>
+          spark.read.schema(delSchema)
+            .parquet(resolve(root, state.location, d.path).toString)
+            .withColumn("__delseq", lit(d.sequenceNumber))
+        }.reduce(_ unionByName _)
+          .join(broadcast(mapDf), col("file_path") === col("__dfile"))
+          .filter(col("__delseq") >= col("__dataseq"))
+          .select(col("__file"), col("pos").as("__pos"))
+        data0.withColumn("__pos", col("_metadata.row_index"))
+          .join(dels, Seq("__file", "__pos"), "left_anti")
+          .drop("__pos")
+      }
     if (partCols.isEmpty) return data.drop("__file")
 
     // LEFT join + per-row assert, not an inner join: the join key is

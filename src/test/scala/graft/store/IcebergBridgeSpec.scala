@@ -539,6 +539,80 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("beyond column adds"))
   }
 
+  test("position deletes: merge-on-read snapshot drops rows; travel, pruning, stacking, equality refuse") {
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("ibposdel")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-01T02:00:00"), 2.0),
+      (ts("2024-01-02T03:00:00"), 3.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib")
+    val snap1 = IcebergBridge.currentSnapshotId(spark, s"$root/ib")
+    def relUnder(day: String): String = {
+      val l = Files.list(Paths.get(s"$root/ib/partition=$day"))
+      try s"partition=$day/" + l.iterator().asScala
+        .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+      finally l.close()
+    }
+    val relD1 = relUnder("2024-01-01")
+    // pos 0 of the two-row day file — resolve which VALUE that is from
+    // the file itself, not an assumption about the store's row order
+    val fileVals = spark.read.parquet(s"$root/ib/$relD1")
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    val dead = fileVals.head
+    val survivor = fileVals(1)
+    IcebergBridge.appendPositionDeletes(spark, s"$root/ib", Seq(relD1 -> 0L))
+
+    // current snapshot: the deleted position is gone, zero data bytes moved
+    assert(readBack(s"$root/ib").map(_._2).toSet === Set(survivor, 3.0))
+    // pre-delete snapshot still reads every row (time travel)
+    val old = IcebergBridge.readSnapshot(spark, s"$root/ib", snap1)
+    assert(old.select("value").as[Double].collect().toSet === Set(1.0, 2.0, 3.0))
+    // manifest-driven pruning composes with delete application
+    val pruned = IcebergBridge.readWhere(spark, s"$root/ib",
+      pv => pv("partition") == "2024-01-01")
+    assert(pruned.inputFiles.count(_.contains("partition=")) === 1)
+    assert(pruned.select("value").as[Double].collect().toSeq === Seq(survivor))
+    // a second delete snapshot STACKS on the first
+    val relD2 = relUnder("2024-01-02")
+    IcebergBridge.appendPositionDeletes(spark, s"$root/ib", Seq(relD2 -> 0L))
+    assert(readBack(s"$root/ib").map(_._2).toSet === Set(survivor))
+    // the sync writer refuses tables carrying delete files
+    val e0 = intercept[IllegalArgumentException](
+      IcebergBridge.appendSnapshot(spark, s"$root/ib", Nil, Nil))
+    assert(e0.getMessage.contains("delete files"))
+
+    // EQUALITY deletes refuse: flip the delete manifest's content
+    val delManifest = {
+      val l = Files.list(Paths.get(s"$root/ib/metadata"))
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith("-m0.avro"))
+        .map(_.toFile).filter { f =>
+          val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+            f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+          try rd.getMetaString("content") == "deletes" finally rd.close()
+        }.toSeq.head
+      finally l.close()
+    }
+    val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      delManifest, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val (sch, entries) = try {
+      (rd.getSchema, rd.iterator().asScala.toVector)
+    } finally rd.close()
+    entries.foreach(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord].put("content", 2))
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](sch))
+    w.setMeta("content", "deletes")
+    w.setMeta("format-version", "2")
+    w.create(sch, delManifest)
+    entries.foreach(w.append)
+    w.close()
+    Files.deleteIfExists(delManifest.toPath.getParent.resolve("." + delManifest.getName + ".crc"))
+    val e = intercept[IllegalArgumentException](readBack(s"$root/ib"))
+    assert(e.getMessage.contains("EQUALITY"))
+  }
+
   private def canonMeta(root: String): String =
     Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
       .replaceAll("\"location\":\"[^\"]+\"", "")
