@@ -1028,6 +1028,35 @@ object QueryLib {
            |      FROM d)
            |SELECT time, value, day FROM r WHERE pos % 3 <> 0""".stripMargin))
 
+  private val fsIcebergEqDelete = Q(
+    "fs_iceberg_eqdelete",
+    // Iceberg v2 EQUALITY deletes — the CDC delete shape (Flink
+    // writers): a delete snapshot commits one parquet of KEY VALUES +
+    // one DELETE manifest carrying the equality field ids, touching
+    // zero data bytes; on read every data row whose key null-safe-
+    // equals a delete row dies, but only for data files with sequence
+    // STRICTLY below the delete's (the spec's rule — a key re-inserted
+    // after the delete survives). Here the key is event_id and the
+    // kill set is every id divisible by 5 — DuckDB recomputes the
+    // survivor set directly from events, so a drift in key matching,
+    // null semantics or sequence gating hash-fails.
+    (s, dir) => {
+      val tmp = scratchDir("ibeq")
+      val src = T(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("ts").as("time"), col("value"), col("event_id"))
+      src.withColumn("d", date_format(col("time"), "yyyy-MM-dd"))
+        .repartition(col("d"))
+        .write.partitionBy("d").parquet(s"$tmp/ib")
+      graft.store.IcebergBridge.writeTable(s, s"$tmp/ib", "eqfix")
+      val dead = src.filter(col("event_id") % 5 === 0).select(col("event_id"))
+      graft.store.IcebergBridge.appendEqualityDeletes(
+        s, s"$tmp/ib", dead, Seq("event_id"))
+      graft.store.IcebergBridge.read(s, s"$tmp/ib")
+        .select(col("time"), col("value"), col("d").as("day"))
+    },
+    Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS day
+           |FROM events WHERE event_type = 'view' AND event_id % 5 <> 0""".stripMargin))
+
   private val fsDeltaColmap = Q(
     "fs_delta_colmap",
     // Name-mode column mapping is the DEFAULT on current Databricks
@@ -10539,7 +10568,7 @@ object QueryLib {
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
     fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms, fsDeltaColmap,
-    fsStoreIcebergEvolve, fsIcebergPosDelete,
+    fsStoreIcebergEvolve, fsIcebergPosDelete, fsIcebergEqDelete,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

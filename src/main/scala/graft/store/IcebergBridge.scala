@@ -33,16 +33,18 @@ import org.apache.spark.sql.types._
   * READ floor covers what real third-party tables are: identity AND
   * temporal/bucket/truncate partition transforms (human-form pruning
   * values; non-identity source columns must be physically in the data
-  * files — probed, else refused), POSITION delete files (applied as
-  * one anti-join on `_metadata.row_index` under the spec's
-  * sequence-number rule), and per-snapshot schema-ids across
-  * add-column evolution. Still refused: equality deletes (engine
-  * equality semantics), nested column types, branches/refs beyond
+  * files — probed, else refused), POSITION delete files (one anti-join
+  * on `_metadata.row_index`, applied to data sequence <= delete's),
+  * EQUALITY delete files (null-safe anti-join on the declared key
+  * columns, applied to data sequence strictly below — the Flink CDC
+  * shape), and per-snapshot schema-ids across add-column evolution.
+  * Still refused: nested column types, branches/refs beyond
   * `current-snapshot-id`, and future format versions — a skipped
   * delete file would resurrect deleted rows, a misapplied transform
   * would fabricate partition values. The WRITE floor is narrower
   * (identity partitioning), since this bridge's writers describe the
-  * store's own exports.
+  * store's own exports — plus merge-on-read delete commits via
+  * [[appendPositionDeletes]]/[[appendEqualityDeletes]].
   *
   * Scale shape: metadata replay is driver-side by design — Iceberg's
   * own planning is: the manifest LIST is one small Avro file per
@@ -102,6 +104,7 @@ object IcebergBridge {
          |      {"name": "partition", "type": ${partitionStructJson(partCols)}, "field-id": 102},
          |      {"name": "record_count", "type": "long", "field-id": 103},
          |      {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+         |      {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}], "default": null, "field-id": 135},
          |      {"name": "value_counts", "type": ${kvMapSchema("k119_v120", 119, 120, "long")}, "default": null, "field-id": 109},
          |      {"name": "null_value_counts", "type": ${kvMapSchema("k121_v122", 121, 122, "long")}, "default": null, "field-id": 110},
          |      {"name": "lower_bounds", "type": ${kvMapSchema("k126_v127", 126, 127, "bytes")}, "default": null, "field-id": 125},
@@ -1002,17 +1005,8 @@ object IcebergBridge {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
-    val metaDir = new Path(root, MetaDirName)
-    val (metaFile, metaVersion) = currentMetaFile(fs, metaDir)
-    val in = fs.open(metaFile)
-    val node = try mapper.readTree(in) finally in.close()
-    require(node.get("format-version").asInt() == 2,
-      "appendPositionDeletes needs a v2 table")
-    val location = jStr(node, "location")
-    val loc = location.stripSuffix("/")
+    val loc = jStr(readMetaNode(fs, root)._1, "location").stripSuffix("/")
     val state = loadState(spark, fs, root)
-    require(state.specFields.forall(f => canonTransform(f.transform) == "identity"),
-      "appendPositionDeletes: identity-partitioned bridge tables only")
     def relOf(p: String): String =
       if (p.startsWith(loc + "/")) p.substring(loc.length + 1) else p
     val liveRel = state.files.map(f => relOf(f.path)).toSet
@@ -1021,6 +1015,85 @@ object IcebergBridge {
         s"appendPositionDeletes: $rel is not a live data file of the current snapshot")
       require(pos >= 0, s"appendPositionDeletes: negative position $pos for $rel")
     }
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val delRows = deletes.map { case (rel, pos) => (s"$loc/$rel", pos) }
+      .sorted.map { case (p, pos) => Row(p, pos) }
+    val delDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(delRows, 1), delSchema)
+    commitDeleteSnapshot(spark, hc, root, delDf, deletes.size.toLong,
+      content = 1, equalityIds = Nil,
+      summaryExtra = Seq("added-position-deletes" -> deletes.size.toString))
+  }
+
+  /** Publish one MERGE-ON-READ snapshot of EQUALITY deletes (the CDC
+    * delete shape Flink writers produce): every data row whose
+    * `eqCols` null-safe-equal some row of `values` dies for readers —
+    * matching only data files with sequence STRICTLY below this
+    * snapshot's, per spec. Commits one delete parquet + one DELETE
+    * manifest, zero data bytes moved. Returns the new snapshot id.
+    */
+  def appendEqualityDeletes(
+      spark: SparkSession,
+      dir: String,
+      values: DataFrame,
+      eqCols: Seq[String],
+      conf: Configuration = null): Long = {
+    require(eqCols.nonEmpty, "appendEqualityDeletes: no equality columns given")
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val state = loadState(spark, fs, root)
+    val idByName = state.fieldNamesById.map(_.swap)
+    val eqIds = eqCols.map(c => idByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"appendEqualityDeletes: '$c' is not a table column")))
+    require(eqCols.forall(c => !state.partCols.contains(c)),
+      "appendEqualityDeletes: equality columns must be scanned data " +
+        "columns, not metadata-filled identity partition columns")
+    val delDf = values.select(eqCols.map(col): _*)
+      .coalesce(1).sortWithinPartitions(eqCols.map(col): _*)
+    val rows = delDf.count()
+    require(rows > 0, "appendEqualityDeletes: no delete rows given")
+    commitDeleteSnapshot(spark, hc, root, delDf, rows,
+      content = 2, equalityIds = eqIds,
+      summaryExtra = Seq("added-equality-deletes" -> rows.toString))
+  }
+
+  private def readMetaNode(
+      fs: FileSystem, root: Path): (com.fasterxml.jackson.databind.JsonNode, Path, Long) = {
+    val metaDir = new Path(root, MetaDirName)
+    val (metaFile, metaVersion) = currentMetaFile(fs, metaDir)
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in) finally in.close()
+    (node, metaFile, metaVersion)
+  }
+
+  /** Shared delete-commit core: write the delete parquet, the DELETE
+    * manifest (entry content 1=position / 2=equality with its
+    * equality_ids), a manifest-list carrying the prior snapshot's
+    * manifests verbatim plus the new one, and the advanced metadata.
+    */
+  private def commitDeleteSnapshot(
+      spark: SparkSession,
+      hc: Configuration,
+      root: Path,
+      delDf: DataFrame,
+      rowCount: Long,
+      content: Int,
+      equalityIds: Seq[Int],
+      summaryExtra: Seq[(String, String)]): Long = {
+    val fs = root.getFileSystem(hc)
+    val metaDir = new Path(root, MetaDirName)
+    val (node, metaFile, metaVersion) = readMetaNode(fs, root)
+    require(node.get("format-version").asInt() == 2,
+      "row-level delete snapshots need a v2 table")
+    val location = jStr(node, "location")
+    val loc = location.stripSuffix("/")
+    val state = loadState(spark, fs, root)
+    require(state.specFields.forall(f => canonTransform(f.transform) == "identity"),
+      "delete snapshots: identity-partitioned bridge tables only")
 
     val newSeq = node.get("last-sequence-number").asLong() + 1
     val tableUuid = jStr(node, "table-uuid")
@@ -1028,16 +1101,10 @@ object IcebergBridge {
       s"iceberg-del:$tableUuid:$newSeq".getBytes(StandardCharsets.UTF_8))
     val snapshotId = snapUuid.getMostSignificantBits & Long.MaxValue
 
-    // the position-delete parquet, sorted by (file_path, pos) per spec
+    // the delete parquet (caller pre-sorted per spec), moved into place
     val delRel = s"deletes/del-$newSeq.parquet"
-    val delSchema = StructType(Seq(
-      StructField("file_path", StringType, nullable = false),
-      StructField("pos", LongType, nullable = false)))
-    val delRows = deletes.map { case (rel, pos) => (s"$loc/$rel", pos) }
-      .sorted.map { case (p, pos) => Row(p, pos) }
     val tmp = new Path(root, s".del_tmp_$newSeq")
-    spark.createDataFrame(spark.sparkContext.parallelize(delRows, 1), delSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    delDf.write.mode("overwrite").parquet(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"delete write under $tmp produced no part file"))
@@ -1047,8 +1114,8 @@ object IcebergBridge {
     fs.rename(part, dst)
     fs.delete(tmp, true)
 
-    // DELETE manifest: one ADDED entry, content=1, global scope
-    // (all-null partition — applies across partitions)
+    // DELETE manifest: one ADDED entry, global scope (all-null
+    // partition — applies across partitions)
     val curSchemaId = node.get("current-schema-id").asInt()
     val schemaNode = node.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == curSchemaId).get
@@ -1058,12 +1125,14 @@ object IcebergBridge {
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     val df = new GenericData.Record(dataFileSchema)
-    df.put("content", 1) // POSITION DELETES
+    df.put("content", content)
     df.put("file_path", s"$loc/$delRel")
     df.put("file_format", "PARQUET")
     df.put("partition", new GenericData.Record(partSchema))
-    df.put("record_count", deletes.size.toLong)
+    df.put("record_count", rowCount)
     df.put("file_size_in_bytes", fs.getFileStatus(dst).getLen)
+    if (equalityIds.nonEmpty)
+      df.put("equality_ids", equalityIds.map(java.lang.Integer.valueOf).asJava)
     val entry = new GenericData.Record(entrySchema)
     entry.put("status", 1) // ADDED
     entry.put("snapshot_id", snapshotId)
@@ -1111,7 +1180,7 @@ object IcebergBridge {
     mf.put("added_files_count", 1)
     mf.put("existing_files_count", 0)
     mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", deletes.size.toLong)
+    mf.put("added_rows_count", rowCount)
     mf.put("existing_rows_count", 0L)
     mf.put("deleted_rows_count", 0L)
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-$snapUuid.avro")
@@ -1128,8 +1197,7 @@ object IcebergBridge {
       snapshotId, newSeq, maxMtime, listPath.getName, curSchemaId,
       summary = Seq(
         "operation" -> "delete",
-        "added-delete-files" -> "1",
-        "added-position-deletes" -> deletes.size.toString))
+        "added-delete-files" -> "1") ++ summaryExtra)
     snapshotId
   }
 
@@ -1204,17 +1272,21 @@ object IcebergBridge {
 
   private final case class SpecField(name: String, transform: String, sourceId: Int)
 
-  /** A POSITION delete file (v2 row-level deletes, content=1): parquet
-    * rows of (file_path, pos) marking dead rows by their ordinal in
-    * the target data file. `sequenceNumber` gates application: the
-    * delete applies to data files whose data sequence number is <= its
-    * own (the spec's rule — a file REWRITTEN at the same path after
-    * the delete must not lose rows). Equality deletes (content=2)
-    * refuse: applying them needs the engine's equality semantics.
+  /** A v2 row-level delete file. POSITION deletes (content=1,
+    * `equalityIds` empty): parquet rows of (file_path, pos) marking
+    * dead rows by ordinal in the target data file, applied to data
+    * files with data sequence number <= the delete's. EQUALITY deletes
+    * (content=2, `equalityIds` = field ids of the match columns):
+    * parquet rows of values; a data row dies when every equality
+    * column is null-safe-equal to some delete row's AND its file's
+    * sequence number is STRICTLY LESS than the delete's (both rules
+    * per spec — a file rewritten/added after the delete keeps its
+    * rows).
     */
   private final case class DeleteFileEntry(
       path: String,
-      sequenceNumber: Long)
+      sequenceNumber: Long,
+      equalityIds: Seq[Int] = Nil)
 
   private final case class TableState(
       schema: StructType,
@@ -1231,7 +1303,10 @@ object IcebergBridge {
       // otherwise, never silently returning nulls)
       transformSources: Seq[String] = Nil,
       specFields: Seq[SpecField] = Nil,
-      deleteFiles: Seq[DeleteFileEntry] = Nil)
+      deleteFiles: Seq[DeleteFileEntry] = Nil,
+      // field id -> column name of the SNAPSHOT's schema (resolves
+      // equality-delete ids)
+      fieldNamesById: Map[Int, String] = Map.empty)
 
   private def jStr(n: com.fasterxml.jackson.databind.JsonNode, k: String): String = {
     val v = n.get(k)
@@ -1332,7 +1407,8 @@ object IcebergBridge {
 
     if (snapOpt.isEmpty)
       return TableState(StructType(fieldsById.values.toSeq), partCols, Seq.empty,
-        location, identityFill, transformSources, specFields)
+        location, identityFill, transformSources, specFields,
+        fieldNamesById = fieldsById.map { case (id, f) => id -> f.name }.toMap)
     val snap = snapOpt.get
     val listPath = resolve(root, location, jStr(snap, "manifest-list"))
 
@@ -1346,23 +1422,30 @@ object IcebergBridge {
       val mPath = resolve(root, location, mf.get("manifest_path").toString)
       val (entries, _) = readAvro(fs, mPath)
       if (content == 1) {
-        // DELETE manifest: position deletes apply on read; equality
-        // deletes refuse (their application needs engine equality
-        // semantics this bridge does not promise)
+        // DELETE manifest: position AND equality deletes apply on
+        // read; anything else (or an equality file without its match
+        // columns) refuses
         entries.foreach { e =>
           val status = e.get("status").asInstanceOf[Int]
           if (status != 2) {
             val df = e.get("data_file").asInstanceOf[GenericRecord]
             val fileContent = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-            require(fileContent == 1,
-              "IcebergBridge: EQUALITY delete file present (content=" +
-                s"$fileContent) — refusing rather than resurrecting deleted rows")
+            require(fileContent == 1 || fileContent == 2,
+              s"IcebergBridge: delete file content $fileContent unknown — refusing")
             val fmt = df.get("file_format").toString
             require(fmt.equalsIgnoreCase("parquet"),
               s"IcebergBridge: delete file format $fmt unsupported — refusing")
+            val eqIds: Seq[Int] =
+              Option(df.get("equality_ids")).map(
+                _.asInstanceOf[java.util.List[Int]].asScala.toSeq).getOrElse(Nil)
+            if (fileContent == 2)
+              require(eqIds.nonEmpty,
+                "IcebergBridge: EQUALITY delete file without equality_ids — " +
+                  "refusing rather than resurrecting deleted rows")
             deletes += DeleteFileEntry(df.get("file_path").toString,
               Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
-                Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)))
+                Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)),
+              if (fileContent == 2) eqIds else Nil)
           }
         }
       } else entries.foreach { e =>
@@ -1413,7 +1496,8 @@ object IcebergBridge {
     val dup = files.groupBy(_.path).collectFirst { case (p, fs0) if fs0.size > 1 => p }
     require(dup.isEmpty, s"IcebergBridge: data file listed twice: ${dup.get} — refusing")
     TableState(StructType(fieldsById.values.toSeq), partCols, files.toSeq,
-      location, identityFill, transformSources, specFields, deletes.toSeq)
+      location, identityFill, transformSources, specFields, deletes.toSeq,
+      fieldNamesById = fieldsById.map { case (id, f) => id -> f.name }.toMap)
   }
 
   /** Replay the table's CURRENT snapshot into a DataFrame: schema from
@@ -1655,41 +1739,73 @@ object IcebergBridge {
     }
     val data0 = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
-    val data =
-      if (state.deleteFiles.isEmpty) data0
-      else {
-        // POSITION deletes: drop rows by (data file, row ordinal) via
-        // one left-anti join on (_metadata.file_path,
-        // _metadata.row_index). Delete files store the data file's
-        // MANIFEST path — map it to the scan's key form with a
-        // broadcast, carrying the data file's sequence number so the
-        // spec's rule (delete applies iff deleteSeq >= dataSeq) gates
-        // application. The anti-join side is row-scale (one row per
-        // deleted position), so it stays a plain join for AQE to
-        // shape — never a forced driver-side collect.
-        val mapSchema = StructType(Seq(
-          StructField("__dfile", StringType),
-          StructField("__file", StringType),
-          StructField("__dataseq", LongType)))
-        val mapRows = qualified.map { case (k, f) =>
-          Row(f.path, k, f.sequenceNumber) }
-        val mapDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(mapRows, 1), mapSchema)
-        val delSchema = StructType(Seq(
-          StructField("file_path", StringType),
-          StructField("pos", LongType)))
-        val dels = state.deleteFiles.map { d =>
+    val posDeletes = state.deleteFiles.filter(_.equalityIds.isEmpty)
+    val eqDeletes = state.deleteFiles.filter(_.equalityIds.nonEmpty)
+    // per-file (manifest path -> scan key, data sequence) broadcast —
+    // both delete kinds gate application on the data file's sequence
+    lazy val mapDf = {
+      val mapSchema = StructType(Seq(
+        StructField("__dfile", StringType),
+        StructField("__file", StringType),
+        StructField("__dataseq", LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          qualified.map { case (k, f) => Row(f.path, k, f.sequenceNumber) }, 1),
+        mapSchema)
+    }
+    var data = data0
+    if (posDeletes.nonEmpty) {
+      // POSITION deletes: drop rows by (data file, row ordinal) via
+      // one left-anti join on (_metadata.file_path,
+      // _metadata.row_index); applies iff deleteSeq >= dataSeq. The
+      // anti-join side is row-scale (one row per deleted position),
+      // so it stays a plain join for AQE to shape — never a forced
+      // driver-side collect.
+      val delSchema = StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val dels = posDeletes.map { d =>
+        spark.read.schema(delSchema)
+          .parquet(resolve(root, state.location, d.path).toString)
+          .withColumn("__delseq", lit(d.sequenceNumber))
+      }.reduce(_ unionByName _)
+        .join(broadcast(mapDf), col("file_path") === col("__dfile"))
+        .filter(col("__delseq") >= col("__dataseq"))
+        .select(col("__file"), col("pos").as("__pos"))
+      data = data.withColumn("__pos", col("_metadata.row_index"))
+        .join(dels, Seq("__file", "__pos"), "left_anti")
+        .drop("__pos")
+    }
+    if (eqDeletes.nonEmpty) {
+      // EQUALITY deletes: a data row dies when every equality column
+      // null-safe-equals some delete row's AND its file's sequence is
+      // STRICTLY below the delete's. One left-anti join per distinct
+      // equality-id set (usually one — the table's CDC key).
+      data = data.join(broadcast(mapDf.select("__file", "__dataseq")), Seq("__file"))
+      eqDeletes.groupBy(_.equalityIds.sorted).foreach { case (ids, group) =>
+        val cols = ids.map(id => state.fieldNamesById.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"IcebergBridge: equality delete references unknown field id $id — refusing")))
+        val missing = cols.filterNot(dataSchema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"IcebergBridge: equality delete column(s) ${missing.mkString(", ")} " +
+            "are not scanned data columns — refusing rather than misapplying")
+        val delSchema = StructType(cols.map(c =>
+          dataSchema(dataSchema.fieldIndex(c)).copy(nullable = true)))
+        val dels = group.map { d =>
           spark.read.schema(delSchema)
             .parquet(resolve(root, state.location, d.path).toString)
             .withColumn("__delseq", lit(d.sequenceNumber))
         }.reduce(_ unionByName _)
-          .join(broadcast(mapDf), col("file_path") === col("__dfile"))
-          .filter(col("__delseq") >= col("__dataseq"))
-          .select(col("__file"), col("pos").as("__pos"))
-        data0.withColumn("__pos", col("_metadata.row_index"))
-          .join(dels, Seq("__file", "__pos"), "left_anti")
-          .drop("__pos")
+        val dAl = data.alias("__d")
+        val xAl = dels.alias("__x")
+        val cond = cols.map(c =>
+          col(s"__d.`$c`") <=> col(s"__x.`$c`")).reduce(_ && _) &&
+          col("__x.__delseq") > col("__d.__dataseq")
+        data = dAl.join(xAl, cond, "left_anti")
       }
+      data = data.drop("__dataseq")
+    }
     if (partCols.isEmpty) return data.drop("__file")
 
     // LEFT join + per-row assert, not an inner join: the join key is

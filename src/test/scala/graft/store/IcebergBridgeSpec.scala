@@ -613,6 +613,44 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("EQUALITY"))
   }
 
+  test("equality deletes: CDC-shaped row kills by key, null-safe match, stacks with position deletes") {
+    val root = tmpDir("ibeqdel")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-01T02:00:00"), 2.0),
+      (ts("2024-01-02T03:00:00"), 3.0),
+      (ts("2024-01-02T04:00:00"), 4.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib")
+    val snap1 = IcebergBridge.currentSnapshotId(spark, s"$root/ib")
+    // kill value in {2.0, 4.0} by equality on the value column
+    IcebergBridge.appendEqualityDeletes(spark, s"$root/ib",
+      Seq(2.0, 4.0).toDF("value"), Seq("value"))
+    assert(readBack(s"$root/ib").map(_._2) === Set(1.0, 3.0))
+    // pre-delete snapshot unaffected
+    val old = IcebergBridge.readSnapshot(spark, s"$root/ib", snap1)
+    assert(old.count() === 4L)
+    // stacking: a POSITION delete on top of the equality delete
+    import scala.jdk.CollectionConverters._
+    val relD1 = {
+      val l = Files.list(Paths.get(s"$root/ib/partition=2024-01-01"))
+      try "partition=2024-01-01/" + l.iterator().asScala
+        .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+      finally l.close()
+    }
+    val fileVals = spark.read.parquet(s"$root/ib/$relD1")
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    IcebergBridge.appendPositionDeletes(spark, s"$root/ib",
+      Seq(relD1 -> fileVals.indexOf(1.0).toLong))
+    assert(readBack(s"$root/ib").map(_._2) === Set(3.0))
+    // identity partition columns are not equality-deletable (they are
+    // metadata-filled, never scanned)
+    val e = intercept[IllegalArgumentException](
+      IcebergBridge.appendEqualityDeletes(spark, s"$root/ib",
+        Seq("2024-01-01").toDF("partition"), Seq("partition")))
+    assert(e.getMessage.contains("identity partition"))
+  }
+
   private def canonMeta(root: String): String =
     Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
       .replaceAll("\"location\":\"[^\"]+\"", "")
