@@ -70,19 +70,30 @@ object DeltaBridge {
     def mappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
 
-    /** logical -> PHYSICAL column name. Under name-mode mapping the
-      * parquet columns, the adds' partitionValues keys and the stats
-      * keys all use the physical name from the schema field metadata;
-      * identity otherwise.
+    /** logical -> PHYSICAL column name. Under column mapping (name OR
+      * id mode) the adds' partitionValues keys and the stats keys use
+      * the physical name from the schema field metadata — and in name
+      * mode the parquet columns do too; identity when unmapped.
       */
     def physOf: Map[String, String] = {
       val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
-      if (mappingMode != "name") schema.fieldNames.map(n => n -> n).toMap
+      if (mappingMode == "none") schema.fieldNames.map(n => n -> n).toMap
       else schema.fields.map { f =>
         require(f.metadata.contains("delta.columnMapping.physicalName"),
-          s"column ${f.name}: delta.columnMapping.mode=name but the schema " +
-            "field carries no physicalName — refusing (malformed mapping)")
+          s"column ${f.name}: delta.columnMapping.mode=$mappingMode but the " +
+            "schema field carries no physicalName — refusing (malformed mapping)")
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    }
+
+    /** logical column -> parquet FIELD ID (id-mode scan matching). */
+    def fieldIdOf: Map[String, Long] = {
+      val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
+      schema.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"column ${f.name}: delta.columnMapping.mode=id but the schema " +
+            "field carries no columnMapping.id — refusing (malformed mapping)")
+        f.name -> f.metadata.getLong("delta.columnMapping.id")
       }.toMap
     }
 
@@ -399,9 +410,9 @@ object DeltaBridge {
           "bridge cannot honor — refusing rather than misreading")
     }
     val mode = cfg.getOrElse("delta.columnMapping.mode", "none")
-    require(mode == "none" || mode == "name",
-      s"$dir uses delta.columnMapping.mode=$mode — the bridge reads none/name " +
-        "modes; id mode's field-id matching is refused rather than misread")
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"$dir uses delta.columnMapping.mode=$mode — the bridge reads " +
+        "none/name/id modes only")
   }
 
   private def listCommits(
@@ -851,17 +862,30 @@ object DeltaBridge {
     val state = replayState(spark, fs, root, dir, version)
     val live = mutable.LinkedHashMap.from(state.live.filter(kv => keep(kv._2, state)))
     val partCols = state.partCols
-    // the DECLARED schema keeps logical names; the scan schema and the
-    // partition-value/stat lookups use physical names (identical when
-    // no column mapping is in play)
+    // the DECLARED schema keeps logical names; the partition-value and
+    // stat lookups use physical names. The SCAN resolves columns per
+    // mode: name mode requests the physical parquet names; id mode
+    // requests LOGICAL names tagged with parquet.field.id metadata and
+    // lets Spark's field-id matcher bind them (the parquet column
+    // names are arbitrary there); unmapped is the identity of both.
+    val mode = state.mappingMode
     val physOf = state.physOf
     val rawSchema = DataType.fromJson(state.schemaString).asInstanceOf[StructType]
     // strip mapping metadata from the OUTPUT schema: readers of the
     // returned frame should see plain logical columns
     val schema = StructType(rawSchema.fields.map(f =>
       StructField(f.name, f.dataType, f.nullable)))
-    val dataSchema = StructType(rawSchema.filterNot(f => partCols.contains(f.name))
-      .map(f => StructField(physOf(f.name), f.dataType, f.nullable)))
+    val scanName: String => String = if (mode == "id") identity else physOf
+    val dataSchema =
+      if (mode == "id") {
+        val fids = state.fieldIdOf
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        StructType(rawSchema.filterNot(f => partCols.contains(f.name)).map(f =>
+          StructField(f.name, f.dataType, f.nullable,
+            new MetadataBuilder().putLong("parquet.field.id", fids(f.name)).build())))
+      } else
+        StructType(rawSchema.filterNot(f => partCols.contains(f.name))
+          .map(f => StructField(physOf(f.name), f.dataType, f.nullable)))
 
     if (live.isEmpty)
       return spark.createDataFrame(
@@ -884,7 +908,7 @@ object DeltaBridge {
       .withColumn("__file", col("_metadata.file_path"))
     if (partCols.isEmpty)
       return data.select(schema.fields.toIndexedSeq.map(f =>
-        col(physOf(f.name)).as(f.name)): _*)
+        col(scanName(f.name)).as(f.name)): _*)
 
     // LEFT join + per-row assert, not an inner join: a drift in the
     // empirically-probed _metadata.file_path form must fail LOUDLY,
@@ -906,7 +930,7 @@ object DeltaBridge {
     joined.select(schema.fields.toIndexedSeq.map { f =>
       if (partCols.contains(f.name))
         col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
-      else col(physOf(f.name)).as(f.name)
+      else col(scanName(f.name)).as(f.name)
     }: _*)
   }
 }

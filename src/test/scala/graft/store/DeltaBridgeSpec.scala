@@ -492,14 +492,43 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("column mapping"))
   }
 
-  test("third-party shapes: id mapping, malformed name mapping and deletion vectors refuse") {
+  test("third-party shapes: id-mode column mapping binds columns by parquet field id") {
+    // the parquet columns are named NEITHER the logical nor the
+    // physical names — only the embedded field ids can bind them, so
+    // this passes iff the scan really matches by id
+    import org.apache.spark.sql.types._
+    def fid(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val root = tmpDir("deltaidmode")
+    val fileSchema = StructType(Seq(
+      StructField("whatever_a", TimestampType, nullable = true, fid(1)),
+      StructField("whatever_b", DoubleType, nullable = true, fid(2))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(ts("2024-01-01T01:00:00"), 1.5)), 1), fileSchema)
+      .coalesce(1).write.parquet(s"$root/s0")
+    plantFile(root, "s0", "a.parquet")
+    val logDir = Paths.get(s"$root/_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$mappedSchemaJson","partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{"col-ccc":"px"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val out = DeltaBridge.read(spark, root)
+    assert(out.columns.toSeq === Seq("time", "value", "part"))
+    assert(out.collect().map(r =>
+      (r.getTimestamp(0).toString, r.getDouble(1), r.getString(2))).toSet ===
+      Set(("2024-01-01 01:00:00.0", 1.5, "px")))
+  }
+
+  test("third-party shapes: malformed mappings, unknown modes and deletion vectors refuse") {
     def writeLog(root: String, lines: Seq[String]): Unit = {
       val logDir = Paths.get(s"$root/_delta_log")
       Files.createDirectories(logDir)
       Files.write(logDir.resolve("00000000000000000000.json"),
         lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     }
-    // id mode: field-id matching is a different scan contract — refuse
+    // id mode without mapping metadata: malformed — refuse
     val r1 = tmpDir("deltacmid")
     Seq(1).toDF("v").coalesce(1).write.parquet(s"$r1/s0")
     plantFile(r1, "s0", "a.parquet")
@@ -508,7 +537,17 @@ class DeltaBridgeSpec extends SparkSpec {
       s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
       """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
     val e1 = intercept[IllegalArgumentException](DeltaBridge.read(spark, r1))
-    assert(e1.getMessage.contains("id mode"))
+    assert(e1.getMessage.contains("malformed mapping"))
+    // an unknown future mapping mode refuses at protocol validation
+    val r1b = tmpDir("deltacmfut")
+    Seq(1).toDF("v").coalesce(1).write.parquet(s"$r1b/s0")
+    plantFile(r1b, "s0", "a.parquet")
+    writeLog(r1b, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"hash"}}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
+    val e1b = intercept[IllegalArgumentException](DeltaBridge.read(spark, r1b))
+    assert(e1b.getMessage.contains("columnMapping.mode=hash"))
     // name mode without physicalName metadata: malformed — refuse
     val r2 = tmpDir("deltacmmal")
     Seq(1).toDF("v").coalesce(1).write.parquet(s"$r2/s0")
