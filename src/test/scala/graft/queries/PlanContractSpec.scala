@@ -292,6 +292,17 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, s"dedup should shuffle once:\n$p")
   }
 
+  test("iceberg row-level delete reads are single anti-joins, never row-multiplying") {
+    // merge-on-read deletes must be ONE left-anti join against the
+    // delete set — an inner/outer formulation could multiply or drop
+    // surviving rows, and a second anti-join would mean the per-kind
+    // grouping regressed
+    val pd = plan("fs_iceberg_posdelete")
+    assert(count(pd, "LeftAnti") === 1, s"posdelete expected 1 anti-join:\n$pd")
+    val eq = plan("fs_iceberg_eqdelete")
+    assert(count(eq, "LeftAnti") === 1, s"eqdelete expected 1 anti-join:\n$eq")
+  }
+
   test("txt_pii_redact is a pure narrow pass: the whole redaction fuses with the scan") {
     // the 100 TB contract of the scrubbing pass: regexp counting +
     // replacement chain must pipeline with the parquet read — any
