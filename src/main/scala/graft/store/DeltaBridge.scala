@@ -21,11 +21,12 @@ import org.apache.spark.sql.types._
   *
   * The WRITE floor is protocol reader version 1 (universally
   * supported); the READ floor additionally honors reader v2's column
-  * mapping in NAME mode (the current Databricks writer default —
-  * logical schema names resolve to physical parquet columns via field
-  * metadata) and v3 tables whose readerFeatures are all supported.
-  * No deletion vectors (skipping one resurrects deleted rows), no id
-  * mapping, no checkpoint REQUIREMENT (JSON commits are replayed
+  * mapping in NAME and ID modes (name is the current Databricks
+  * writer default — logical schema names resolve to physical parquet
+  * columns via field metadata; id binds by embedded parquet field
+  * ids) and v3 tables whose readerFeatures are all supported.
+  * No deletion vectors (skipping one resurrects deleted rows), no
+  * checkpoint REQUIREMENT (JSON commits are replayed
   * directly; Delta only mandates checkpoints as an optimization).
   * [[read]] REFUSES logs beyond that floor instead of silently
   * misreading them.
@@ -66,7 +67,7 @@ object DeltaBridge {
       live: mutable.LinkedHashMap[String, AddEntry],
       latestVersion: Long,
       configuration: Map[String, String] = Map.empty) {
-    /** Column-mapping mode (none | name; id refuses upstream). */
+    /** Column-mapping mode (none | name | id — all three read). */
     def mappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
 
@@ -876,10 +877,23 @@ object DeltaBridge {
     val schema = StructType(rawSchema.fields.map(f =>
       StructField(f.name, f.dataType, f.nullable)))
     val scanName: String => String = if (mode == "id") identity else physOf
+    // id mode needs spark.sql.parquet.fieldId.read.enabled, which is a
+    // SESSION conf (ParquetFileFormat overwrites any per-read option
+    // from it). Setting it on the caller's session would silently
+    // change parquet resolution for every unrelated read in the
+    // session, and set-then-restore races the LAZY conf read at first
+    // execution — so the scan is built on a cloned session carrying
+    // the flag: HadoopFsRelation pins its creating session and the
+    // scan reads the conf from there wherever the frame is composed.
+    val scanSession =
+      if (mode == "id") {
+        val s2 = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(spark)
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2
+      } else spark
     val dataSchema =
       if (mode == "id") {
         val fids = state.fieldIdOf
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         StructType(rawSchema.filterNot(f => partCols.contains(f.name)).map(f =>
           StructField(f.name, f.dataType, f.nullable,
             new MetadataBuilder().putLong("parquet.field.id", fids(f.name)).build())))
@@ -904,7 +918,7 @@ object DeltaBridge {
     // dirs (Spark reuses part-file names per write task) stays
     // unambiguous because the full path carries the directory.
     val paths = adds.map(a => new Path(root, a.path).toString)
-    val data = spark.read.schema(dataSchema).parquet(paths: _*)
+    val data = scanSession.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
     if (partCols.isEmpty)
       return data.select(schema.fields.toIndexedSeq.map(f =>

@@ -1015,9 +1015,15 @@ object IcebergBridge {
         s"appendPositionDeletes: $rel is not a live data file of the current snapshot")
       require(pos >= 0, s"appendPositionDeletes: negative position $pos for $rel")
     }
+    // position-delete columns carry the spec's RESERVED field ids
+    // (2147483546 / 2147483545) as parquet field-id metadata — real
+    // engines resolve delete-file columns by id, and the table's
+    // name-mapping does not cover them
+    def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
     val delSchema = StructType(Seq(
-      StructField("file_path", StringType, nullable = false),
-      StructField("pos", LongType, nullable = false)))
+      StructField("file_path", StringType, nullable = false, fid(2147483546L)),
+      StructField("pos", LongType, nullable = false, fid(2147483545L))))
     val delRows = deletes.map { case (rel, pos) => (s"$loc/$rel", pos) }
       .sorted.map { case (p, pos) => Row(p, pos) }
     val delDf = spark.createDataFrame(
@@ -1052,8 +1058,13 @@ object IcebergBridge {
     require(eqCols.forall(c => !state.partCols.contains(c)),
       "appendEqualityDeletes: equality columns must be scanned data " +
         "columns, not metadata-filled identity partition columns")
-    val delDf = values.select(eqCols.map(col): _*)
-      .coalesce(1).sortWithinPartitions(eqCols.map(col): _*)
+    // equality-delete columns carry the TABLE's field ids as parquet
+    // field-id metadata (real engines resolve them by id; the table's
+    // name-mapping does not cover delete files)
+    val delDf = values.select(eqCols.zip(eqIds).map { case (c, id) =>
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id.toLong).build())
+    }: _*).coalesce(1).sortWithinPartitions(eqCols.map(col): _*)
     val rows = delDf.count()
     require(rows > 0, "appendEqualityDeletes: no delete rows given")
     commitDeleteSnapshot(spark, hc, root, delDf, rows,
@@ -1114,14 +1125,27 @@ object IcebergBridge {
     fs.rename(part, dst)
     fs.delete(tmp, true)
 
-    // DELETE manifest: one ADDED entry, global scope (all-null
-    // partition — applies across partitions)
+    // DELETE manifest: one ADDED entry under an UNPARTITIONED spec —
+    // the spec's ONLY way to express global scope. A delete file under
+    // a partitioned spec applies exclusively to data files whose
+    // partition equals its own, so the pre-r19 shape (all-null tuple
+    // under partitioned spec 0) made real engines apply these deletes
+    // to NOTHING and deleted rows resurrect. The unpartitioned spec is
+    // reused when the table already has one, else added to
+    // partition-specs (default-spec-id unchanged).
     val curSchemaId = node.get("current-schema-id").asInt()
     val schemaNode = node.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == curSchemaId).get
-    val fieldIds: Map[String, Int] = schemaNode.get("fields").elements().asScala
-      .map(f => jStr(f, "name") -> f.get("id").asInt()).toMap
-    val entrySchema = manifestEntrySchema(state.partCols.map(_ -> "\"string\""))
+    val specsNode = node.get("partition-specs")
+    require(specsNode != null,
+      "commitDeleteSnapshot: v2 table without partition-specs — refusing")
+    val existingSpecs = specsNode.elements().asScala.toSeq
+    val unpartSpecId: Int = existingSpecs
+      .find(sp => !sp.get("fields").elements().hasNext)
+      .map(_.get("spec-id").asInt())
+      .getOrElse(existingSpecs.map(_.get("spec-id").asInt()).max + 1)
+    val needNewSpec = !existingSpecs.exists(_.get("spec-id").asInt() == unpartSpecId)
+    val entrySchema = manifestEntrySchema(Seq.empty)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     val df = new GenericData.Record(dataFileSchema)
@@ -1141,16 +1165,12 @@ object IcebergBridge {
     entry.put("data_file", df)
     val schemaJson = mapper.writeValueAsString(
       mapper.treeToValue(schemaNode, classOf[Object]))
-    val specFieldsJson = state.partCols.zipWithIndex.map { case (c, i) =>
-      Map[String, Any]("name" -> c, "transform" -> "identity",
-        "source-id" -> fieldIds(c), "field-id" -> (1000 + i))
-    }
     val manifestPath = new Path(metaDir, s"$snapUuid-m0.avro")
     val manifestLen = writeAvro(fs, manifestPath, entrySchema,
       Seq(
         "schema" -> schemaJson,
-        "partition-spec" -> mapper.writeValueAsString(specFieldsJson),
-        "partition-spec-id" -> "0",
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> unpartSpecId.toString,
         "format-version" -> "2",
         "content" -> "deletes"),
       Seq(entry))
@@ -1172,7 +1192,7 @@ object IcebergBridge {
     val mf = new GenericData.Record(manifestFileSchema)
     mf.put("manifest_path", s"$loc/$MetaDirName/${manifestPath.getName}")
     mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", unpartSpecId)
     mf.put("content", 1) // deletes
     mf.put("sequence_number", newSeq)
     mf.put("min_sequence_number", newSeq)
@@ -1197,7 +1217,11 @@ object IcebergBridge {
       snapshotId, newSeq, maxMtime, listPath.getName, curSchemaId,
       summary = Seq(
         "operation" -> "delete",
-        "added-delete-files" -> "1") ++ summaryExtra)
+        "added-delete-files" -> "1") ++ summaryExtra,
+      mutate = (_, appendTo) =>
+        if (needNewSpec)
+          appendTo("partition-specs", Map[String, Any](
+            "spec-id" -> unpartSpecId, "fields" -> Seq.empty[Any])))
     snapshotId
   }
 
@@ -1248,7 +1272,10 @@ object IcebergBridge {
       // incremental/changelog consumers misattribute old files to the
       // sync snapshot; -1 = unknown (pre-fix manifests), fall back to
       // the writing snapshot
-      addedSnapshotId: Long = -1L)
+      addedSnapshotId: Long = -1L,
+      // the data manifest's partition-spec id — half of the partition
+      // EQUALITY key that scopes row-level deletes
+      specId: Int = 0)
 
   /** The latest metadata file: version-hint first (HadoopCatalog
     * convention), else max vN scan. Returns (path, version). */
@@ -1286,7 +1313,16 @@ object IcebergBridge {
   private final case class DeleteFileEntry(
       path: String,
       sequenceNumber: Long,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      // the delete manifest's partition-spec id and this file's
+      // HUMAN-rendered partition tuple in that spec's field order.
+      // None = the spec is UNPARTITIONED, i.e. global scope. Per spec
+      // a delete file applies only to data files whose partition
+      // (spec id AND values) equals the delete file's, unless the
+      // delete's spec is unpartitioned — the Flink CDC shape on
+      // partitioned tables relies on this scoping.
+      specId: Int = 0,
+      partitionTuple: Option[Seq[String]] = None)
 
   private final case class TableState(
       schema: StructType,
@@ -1306,7 +1342,8 @@ object IcebergBridge {
       deleteFiles: Seq[DeleteFileEntry] = Nil,
       // field id -> column name of the SNAPSHOT's schema (resolves
       // equality-delete ids)
-      fieldNamesById: Map[Int, String] = Map.empty)
+      fieldNamesById: Map[Int, String] = Map.empty,
+      defaultSpecId: Int = 0)
 
   private def jStr(n: com.fasterxml.jackson.databind.JsonNode, k: String): String = {
     val v = n.get(k)
@@ -1387,6 +1424,20 @@ object IcebergBridge {
       parseSpec(spec.get("fields"))
     }.orElse(Option(node.get("partition-spec")).map(parseSpec))
       .getOrElse(Seq.empty)
+    val defaultSpecId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    // EVERY spec by id, transforms unvalidated at parse time (a
+    // historic spec with an unsupported transform must not fail reads
+    // that never touch it) — validated at the point of use, which is
+    // delete-file partition scoping
+    val rawSpecs: Map[Int, Seq[SpecField]] =
+      Option(node.get("partition-specs")).map { specs =>
+        specs.elements().asScala.map { sp =>
+          sp.get("spec-id").asInt() -> sp.get("fields").elements().asScala.map { f =>
+            SpecField(jStr(f, "name"), jStr(f, "transform"),
+              Option(f.get("source-id")).map(_.asInt()).getOrElse(-1))
+          }.toSeq
+        }.toMap
+      }.getOrElse(Map(defaultSpecId -> specFields))
     // identity fields fill their SOURCE column from partition metadata
     // (resolved by source-id — the spec does not promise the field
     // name equals the column name); non-identity sources must be in
@@ -1408,7 +1459,8 @@ object IcebergBridge {
     if (snapOpt.isEmpty)
       return TableState(StructType(fieldsById.values.toSeq), partCols, Seq.empty,
         location, identityFill, transformSources, specFields,
-        fieldNamesById = fieldsById.map { case (id, f) => id -> f.name }.toMap)
+        fieldNamesById = fieldsById.map { case (id, f) => id -> f.name }.toMap,
+        defaultSpecId = defaultSpecId)
     val snap = snapOpt.get
     val listPath = resolve(root, location, jStr(snap, "manifest-list"))
 
@@ -1419,6 +1471,8 @@ object IcebergBridge {
       val content = Option(mf.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
       require(content == 0 || content == 1,
         s"IcebergBridge: manifest content $content unknown — refusing")
+      val mSpecId = Option(mf.get("partition_spec_id"))
+        .map(_.asInstanceOf[Int]).getOrElse(0)
       val mPath = resolve(root, location, mf.get("manifest_path").toString)
       val (entries, _) = readAvro(fs, mPath)
       if (content == 1) {
@@ -1442,10 +1496,30 @@ object IcebergBridge {
               require(eqIds.nonEmpty,
                 "IcebergBridge: EQUALITY delete file without equality_ids — " +
                   "refusing rather than resurrecting deleted rows")
+            // partition SCOPE: a delete under an unpartitioned spec is
+            // global; otherwise it applies only to data files with an
+            // EQUAL partition (spec id + values) — record the tuple in
+            // the delete spec's field order, human-rendered so it
+            // compares against DataFileEntry.partitionValues
+            val delSpec = rawSpecs.getOrElse(mSpecId,
+              throw new IllegalArgumentException(
+                s"IcebergBridge: delete manifest references unknown " +
+                  s"partition-spec id $mSpecId — refusing"))
+            val scope: Option[Seq[String]] =
+              if (delSpec.isEmpty) None
+              else {
+                delSpec.foreach(sf => require(transformSupported(sf.transform),
+                  s"IcebergBridge: delete file under a spec with unsupported " +
+                    s"transform '${sf.transform}' — refusing rather than " +
+                    "misscoping the delete"))
+                val part = df.get("partition").asInstanceOf[GenericRecord]
+                Some(delSpec.map(sf => humanPartValue(sf.transform, part.get(sf.name))))
+              }
             deletes += DeleteFileEntry(df.get("file_path").toString,
               Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(
                 Option(mf.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)),
-              if (fileContent == 2) eqIds else Nil)
+              if (fileContent == 2) eqIds else Nil,
+              specId = mSpecId, partitionTuple = scope)
           }
         }
       } else entries.foreach { e =>
@@ -1488,7 +1562,8 @@ object IcebergBridge {
                   Option(mf.get("added_snapshot_id"))
                     .map(_.asInstanceOf[Long]).getOrElse(-1L))
               else
-                Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(-1L))
+                Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(-1L),
+            specId = mSpecId)
         }
       }
     }
@@ -1497,7 +1572,8 @@ object IcebergBridge {
     require(dup.isEmpty, s"IcebergBridge: data file listed twice: ${dup.get} — refusing")
     TableState(StructType(fieldsById.values.toSeq), partCols, files.toSeq,
       location, identityFill, transformSources, specFields, deletes.toSeq,
-      fieldNamesById = fieldsById.map { case (id, f) => id -> f.name }.toMap)
+      fieldNamesById = fieldsById.map { case (id, f) => id -> f.name }.toMap,
+      defaultSpecId = defaultSpecId)
   }
 
   /** Replay the table's CURRENT snapshot into a DataFrame: schema from
@@ -1741,16 +1817,27 @@ object IcebergBridge {
       .withColumn("__file", col("_metadata.file_path"))
     val posDeletes = state.deleteFiles.filter(_.equalityIds.isEmpty)
     val eqDeletes = state.deleteFiles.filter(_.equalityIds.nonEmpty)
-    // per-file (manifest path -> scan key, data sequence) broadcast —
-    // both delete kinds gate application on the data file's sequence
+    // the partition EQUALITY key scoping row-level deletes: spec id +
+    // the spec-ordered human-rendered values, null-safe and
+    // LENGTH-PREFIXED -- unambiguous for any value content (a plain
+    // separator would collide: ("x|y","z") vs ("x","y|z"))
+    def partKeyOf(specId: Int, values: Seq[String]): String =
+      specId.toString + values.map(v =>
+        if (v == null) "|N" else s"|V${v.length}:$v").mkString
+    // per-file (manifest path -> scan key, data sequence, partition
+    // key) broadcast — both delete kinds gate application on the data
+    // file's sequence; equality deletes additionally on its partition
     lazy val mapDf = {
       val mapSchema = StructType(Seq(
         StructField("__dfile", StringType),
         StructField("__file", StringType),
-        StructField("__dataseq", LongType)))
+        StructField("__dataseq", LongType),
+        StructField("__partkey", StringType)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(
-          qualified.map { case (k, f) => Row(f.path, k, f.sequenceNumber) }, 1),
+          qualified.map { case (k, f) => Row(f.path, k, f.sequenceNumber,
+            partKeyOf(f.specId, state.specFields.map(sf =>
+              f.partitionValues.getOrElse(sf.name, null)))) }, 1),
         mapSchema)
     }
     var data = data0
@@ -1758,6 +1845,9 @@ object IcebergBridge {
       // POSITION deletes: drop rows by (data file, row ordinal) via
       // one left-anti join on (_metadata.file_path,
       // _metadata.row_index); applies iff deleteSeq >= dataSeq. The
+      // spec's partition scope is implied by the file_path equality (a
+      // well-formed writer's position delete only names files whose
+      // partition its own tuple covers), so no explicit gate here. The
       // anti-join side is row-scale (one row per deleted position),
       // so it stays a plain join for AQE to shape — never a forced
       // driver-side collect.
@@ -1779,10 +1869,21 @@ object IcebergBridge {
     if (eqDeletes.nonEmpty) {
       // EQUALITY deletes: a data row dies when every equality column
       // null-safe-equals some delete row's AND its file's sequence is
-      // STRICTLY below the delete's. One left-anti join per distinct
-      // equality-id set (usually one — the table's CDC key).
-      data = data.join(broadcast(mapDf.select("__file", "__dataseq")), Seq("__file"))
-      eqDeletes.groupBy(_.equalityIds.sorted).foreach { case (ids, group) =>
+      // STRICTLY below the delete's AND the delete's partition scope
+      // covers the file — global when the delete's spec is
+      // unpartitioned, else only data files whose partition (spec id
+      // + values) EQUALS the delete's (the spec rule; a scoped CDC
+      // delete must never kill matching keys in other partitions).
+      // One left-anti join per distinct (equality-id set, scope).
+      eqDeletes.filter(_.partitionTuple.isDefined).foreach(d =>
+        require(d.specId == state.defaultSpecId,
+          s"IcebergBridge: partition-scoped equality delete under " +
+            s"non-default spec ${d.specId} — refusing (scoped deletes " +
+            "across partition evolution are beyond the bridge floor)"))
+      data = data.join(
+        broadcast(mapDf.select("__file", "__dataseq", "__partkey")), Seq("__file"))
+      eqDeletes.groupBy(d => (d.equalityIds.sorted, d.specId, d.partitionTuple))
+        .foreach { case ((ids, dSpecId, scope), group) =>
         val cols = ids.map(id => state.fieldNamesById.getOrElse(id,
           throw new IllegalArgumentException(
             s"IcebergBridge: equality delete references unknown field id $id — refusing")))
@@ -1799,12 +1900,16 @@ object IcebergBridge {
         }.reduce(_ unionByName _)
         val dAl = data.alias("__d")
         val xAl = dels.alias("__x")
+        val partGate = scope match {
+          case Some(values) => col("__d.__partkey") === lit(partKeyOf(dSpecId, values))
+          case None => lit(true)
+        }
         val cond = cols.map(c =>
           col(s"__d.`$c`") <=> col(s"__x.`$c`")).reduce(_ && _) &&
-          col("__x.__delseq") > col("__d.__dataseq")
+          col("__x.__delseq") > col("__d.__dataseq") && partGate
         data = dAl.join(xAl, cond, "left_anti")
       }
-      data = data.drop("__dataseq")
+      data = data.drop("__dataseq").drop("__partkey")
     }
     if (partCols.isEmpty) return data.drop("__file")
 

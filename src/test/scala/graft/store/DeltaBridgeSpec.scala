@@ -519,6 +519,14 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(out.collect().map(r =>
       (r.getTimestamp(0).toString, r.getDouble(1), r.getString(2))).toSet ===
       Set(("2024-01-01 01:00:00.0", 1.5, "px")))
+    // the field-id flag rides a CLONED session pinned to the scan
+    // relation — the caller's session conf must stay untouched (it
+    // silently changes parquet resolution for unrelated reads), and
+    // the binding must survive an action AFTER the read returns
+    // (set-then-restore would race the lazy conf read)
+    assert(spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+      .forall(_ == "false"))
+    assert(out.select("value").as[Double].collect().toSeq === Seq(1.5))
   }
 
   test("third-party shapes: malformed mappings, unknown modes and deletion vectors refuse") {

@@ -651,6 +651,223 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("identity partition"))
   }
 
+  test("delete snapshots commit under an unpartitioned spec and carry parquet field ids") {
+    val root = tmpDir("ibdelspec")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-01T02:00:00"), 2.0),
+      (ts("2024-01-02T03:00:00"), 3.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib")
+    import scala.jdk.CollectionConverters._
+    val relD1 = {
+      val l = Files.list(Paths.get(s"$root/ib/partition=2024-01-01"))
+      try "partition=2024-01-01/" + l.iterator().asScala
+        .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+      finally l.close()
+    }
+    IcebergBridge.appendPositionDeletes(spark, s"$root/ib", Seq(relD1 -> 0L))
+    IcebergBridge.appendEqualityDeletes(spark, s"$root/ib",
+      Seq(3.0).toDF("value"), Seq("value"))
+
+    // metadata gained ONE unpartitioned spec; the default is unchanged
+    // (global delete scope REQUIRES an unpartitioned spec — under a
+    // partitioned one real engines apply the delete only to its own
+    // partition tuple, i.e. to nothing for an all-null tuple)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readString(Paths.get(s"$root/ib/metadata/v3.metadata.json")))
+    assert(meta.get("default-spec-id").asInt() === 0)
+    val specs = meta.get("partition-specs").elements().asScala.toSeq
+    val unpart = specs.filter(sp => !sp.get("fields").elements().hasNext)
+    assert(unpart.size === 1)
+    val unpartId = unpart.head.get("spec-id").asInt()
+    assert(unpartId === 1)
+    // both delete manifests declare the unpartitioned spec, in the
+    // manifest meta AND the manifest-list entries
+    val delManifests = Files.list(Paths.get(s"$root/ib/metadata")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith("-m0.avro")).map(_.toFile).filter { f =>
+        val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+          f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+        try rd.getMetaString("content") == "deletes" finally rd.close()
+      }.toSeq
+    assert(delManifests.size === 2)
+    delManifests.foreach { f =>
+      val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try {
+        assert(rd.getMetaString("partition-spec-id") === unpartId.toString)
+        assert(rd.getMetaString("partition-spec") === "[]")
+      } finally rd.close()
+    }
+    val curSnap = meta.get("current-snapshot-id").asLong()
+    val listPath = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curSnap).get
+      .get("manifest-list").asText().split('/').last
+    val lrd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      Paths.get(s"$root/ib/metadata/$listPath").toFile,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val listEntries = try lrd.iterator().asScala.toVector finally lrd.close()
+    val delListEntries = listEntries.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(delListEntries.size === 2)
+    delListEntries.foreach(e =>
+      assert(e.get("partition_spec_id").asInstanceOf[Int] === unpartId))
+
+    // delete parquet columns carry field ids: the spec's RESERVED ids
+    // for position deletes, the TABLE's ids for equality columns
+    def footerSchema(rel: String): org.apache.parquet.schema.MessageType = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/ib/$rel"),
+          spark.sessionState.newHadoopConf()))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    def fieldId(mt: org.apache.parquet.schema.MessageType, name: String): Int =
+      mt.getFields.asScala.find(_.getName == name).get.getId.intValue
+    val posSchema = footerSchema("deletes/del-2.parquet")
+    assert(fieldId(posSchema, "file_path") === 2147483546)
+    assert(fieldId(posSchema, "pos") === 2147483545)
+    val eqSchema = footerSchema("deletes/del-3.parquet")
+    val valueFieldId = meta.get("schemas").elements().asScala.next()
+      .get("fields").elements().asScala.find(f => f.get("name").asText() == "value")
+      .get.get("id").asInt()
+    assert(fieldId(eqSchema, "value") === valueFieldId)
+
+    // and the read still applies both deletes globally
+    val vals = IcebergBridge.read(spark, s"$root/ib")
+      .select("value").as[Double].collect().toSet
+    assert(!vals.contains(3.0) && vals.size === 1)
+  }
+
+  test("foreign partition-scoped equality deletes apply only within their partition") {
+    val root = tmpDir("ibscoped")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-01T02:00:00"), 2.0),
+      (ts("2024-01-02T03:00:00"), 3.0),
+      (ts("2024-01-02T04:00:00"), 4.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib")
+    // a GLOBAL (unpartitioned-spec) delete of value in {2.0, 4.0}
+    IcebergBridge.appendEqualityDeletes(spark, s"$root/ib",
+      Seq(2.0, 4.0).toDF("value"), Seq("value"))
+    assert(IcebergBridge.read(spark, s"$root/ib")
+      .select("value").as[Double].collect().toSet === Set(1.0, 3.0))
+
+    // rewrite the delete to the FOREIGN shape: same key file, but
+    // under partitioned spec 0 with partition tuple 2024-01-01 — the
+    // Flink CDC shape. Per spec it now applies ONLY to data files in
+    // that partition: 4.0 (in 2024-01-02) must resurrect.
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val metaDir = Paths.get(s"$root/ib/metadata")
+    def findDelManifest(): java.io.File = {
+      val l = Files.list(metaDir)
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith("-m0.avro"))
+        .map(_.toFile).filter { f =>
+          val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
+            f, new GenericDatumReader[GenericRecord]())
+          try rd.getMetaString("content") == "deletes" finally rd.close()
+        }.toSeq.head
+      finally l.close()
+    }
+    val delManifest = findDelManifest()
+    val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
+      delManifest, new GenericDatumReader[GenericRecord]())
+    val oldEntries = try rd.iterator().asScala.toVector finally rd.close()
+    // the SCOPED entry schema: same shape, partition struct carrying
+    // the spec-0 field
+    val scopedSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type": "record", "name": "manifest_entry", "fields": [
+        |  {"name": "status", "type": "int", "field-id": 0},
+        |  {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+        |  {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+        |  {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+        |  {"name": "data_file", "field-id": 2, "type": {
+        |    "type": "record", "name": "r2", "fields": [
+        |      {"name": "content", "type": "int", "field-id": 134},
+        |      {"name": "file_path", "type": "string", "field-id": 100},
+        |      {"name": "file_format", "type": "string", "field-id": 101},
+        |      {"name": "partition", "field-id": 102, "type": {
+        |        "type": "record", "name": "r102", "fields": [
+        |          {"name": "partition", "type": ["null", "string"], "default": null, "field-id": 1000}]}},
+        |      {"name": "record_count", "type": "long", "field-id": 103},
+        |      {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        |      {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}], "default": null, "field-id": 135}
+        |  ]}}
+        |]}""".stripMargin)
+    def rewriteScoped(partValue: Option[String]): Unit = {
+      val dfSchema = scopedSchema.getField("data_file").schema()
+      val pSchema = dfSchema.getField("partition").schema()
+      val recs = oldEntries.map { e =>
+        val o = e.get("data_file").asInstanceOf[GenericRecord]
+        val p = new GenericData.Record(pSchema)
+        partValue.foreach(v => p.put("partition", v))
+        val d = new GenericData.Record(dfSchema)
+        Seq("content", "file_path", "file_format", "record_count",
+          "file_size_in_bytes", "equality_ids").foreach(k => d.put(k, o.get(k)))
+        d.put("partition", p)
+        val n = new GenericData.Record(scopedSchema)
+        Seq("status", "snapshot_id", "sequence_number",
+          "file_sequence_number").foreach(k => n.put(k, e.get(k)))
+        n.put("data_file", d)
+        n: GenericRecord
+      }
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](scopedSchema))
+      w.setMeta("content", "deletes")
+      w.setMeta("format-version", "2")
+      w.setMeta("partition-spec-id", "0")
+      w.create(scopedSchema, delManifest)
+      recs.foreach(w.append)
+      w.close()
+      Files.deleteIfExists(
+        delManifest.toPath.getParent.resolve("." + delManifest.getName + ".crc"))
+    }
+    def setListSpecId(specId: Int): Unit = {
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        Files.readString(metaDir.resolve("v2.metadata.json")))
+      val curSnap = meta.get("current-snapshot-id").asLong()
+      val listFile = metaDir.resolve(meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curSnap).get
+        .get("manifest-list").asText().split('/').last)
+      val lrd = new org.apache.avro.file.DataFileReader[GenericRecord](
+        listFile.toFile, new GenericDatumReader[GenericRecord]())
+      val (lSchema, lMeta, lRecs) = try {
+        (lrd.getSchema,
+          lrd.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+            .map(k => k -> lrd.getMetaString(k)).toSeq,
+          lrd.iterator().asScala.toVector)
+      } finally lrd.close()
+      lRecs.foreach { r =>
+        if (r.get("content").asInstanceOf[Int] == 1)
+          r.put("partition_spec_id", specId)
+      }
+      val lw = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](lSchema))
+      lMeta.foreach { case (k, v) => lw.setMeta(k, v) }
+      lw.create(lSchema, listFile.toFile)
+      lRecs.foreach(lw.append)
+      lw.close()
+      Files.deleteIfExists(
+        listFile.getParent.resolve("." + listFile.getFileName.toString + ".crc"))
+    }
+    rewriteScoped(Some("2024-01-01"))
+    setListSpecId(0)
+    assert(IcebergBridge.read(spark, s"$root/ib")
+      .select("value").as[Double].collect().toSet === Set(1.0, 3.0, 4.0))
+    // an all-NULL tuple under a partitioned spec scopes to the null
+    // partition — here no file has one, so every row survives
+    rewriteScoped(None)
+    assert(IcebergBridge.read(spark, s"$root/ib")
+      .select("value").as[Double].collect().toSet === Set(1.0, 2.0, 3.0, 4.0))
+    // an unknown spec id on a delete manifest refuses
+    setListSpecId(7)
+    val e = intercept[IllegalArgumentException](
+      IcebergBridge.read(spark, s"$root/ib").collect())
+    assert(e.getMessage.contains("unknown partition-spec id 7"))
+  }
+
   private def canonMeta(root: String): String =
     Files.readString(Paths.get(s"$root/ib/metadata/v1.metadata.json"))
       .replaceAll("\"location\":\"[^\"]+\"", "")
