@@ -1125,6 +1125,81 @@ object QueryLib {
            |SELECT 'pruned' AS side, time, value, day FROM d
            |WHERE day BETWEEN '2024-01-10' AND '2024-01-12'""".stripMargin))
 
+  private val fsDeltaDv = Q(
+    "fs_delta_dv",
+    // Delta DELETION VECTORS — default-on for new Databricks tables,
+    // so the single most likely day-one refusal a real Delta user
+    // hits: an `add` carries a bitmap of dead PHYSICAL row indexes
+    // (inline z85 text in the log, or a sidecar .bin file), and the
+    // read decodes the public z85 + portable-roaring formats on
+    // EXECUTORS and drops the dead ordinals via one left-anti join on
+    // (_metadata.file_path, _metadata.row_index) — the same plan
+    // shape as Iceberg position deletes, O(deleted rows) at 100 TB.
+    // The fixture tree has DETERMINISTIC within-file order (one file
+    // per day, sorted by time, event_id); days alternate inline vs
+    // on-disk vectors killing every 4th position, so the survivor set
+    // is exactly DuckDB's row_number()-derived predicate — any drift
+    // in bitmap decode, z85 padding, sidecar framing, ordinal
+    // accounting or the anti-join key form hash-fails.
+    (s, dir) => {
+      val tmp = scratchDir("dldv")
+      val src = T(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"), col("event_id"))
+      src.withColumn("d", date_format(col("time"), "yyyy-MM-dd"))
+        .repartition(col("d"))
+        .sortWithinPartitions("d", "time", "event_id")
+        .write.partitionBy("d").parquet(s"$tmp/t")
+      val counts = src.groupBy(date_format(col("time"), "yyyy-MM-dd").as("d"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      def relOf(day: String): String = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/t/d=$day"))
+        try s"d=$day/" + l.iterator().asScala
+          .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+        finally l.close()
+      }
+      import graft.store.DeletionVectors
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/t/dv"))
+      val adds = counts.zipWithIndex.map { case ((day, n), i) =>
+        val rel = relOf(day)
+        val dead = (0L until n by 4L).toSeq
+        val data = DeletionVectors.serialize(dead)
+        val dvJson =
+          if (i % 2 == 0)
+            s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.z85Encode(data)}","sizeInBytes":${data.length},"cardinality":${dead.size}}"""
+          else {
+            val uuid = java.util.UUID.nameUUIDFromBytes(
+              s"dv-$day".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/t/dv/deletion_vector_$uuid.bin"),
+              DeletionVectors.sidecarFileBytes(data))
+            s"""{"storageType":"u","pathOrInlineDv":"dv/${DeletionVectors.encodeUuid(uuid)}","offset":1,"sizeInBytes":${data.length},"cardinality":${dead.size}}"""
+          }
+        s"""{"add":{"path":"$rel","partitionValues":{"d":"$day"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}"""
+      }
+      import org.apache.spark.sql.types._
+      val schemaJson = StructType(Seq(
+        StructField("time", TimestampType), StructField("value", DoubleType),
+        StructField("event_id", LongType), StructField("d", StringType)))
+        .json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"dvfix","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["d"],"configuration":{},"createdTime":1}}""") ++ adds
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/t/_delta_log"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/t/_delta_log/00000000000000000000.json"),
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.store.DeltaBridge.read(s, s"$tmp/t")
+        .select(col("time"), col("value"), col("d").as("day"))
+    },
+    Some("""WITH d AS (SELECT ts AS time, value, event_id,
+           |                  strftime(ts, '%Y-%m-%d') AS day
+           |           FROM events WHERE event_type = 'click'),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY day ORDER BY time, event_id) - 1 AS pos
+           |      FROM d)
+           |SELECT time, value, day FROM r WHERE pos % 4 <> 0""".stripMargin))
+
   private val fsStreamDedupLsh = Q(
     "fs_stream_dedup_lsh",
     // Streaming NEAR-dedup (the 10th streaming hash gate): the batch
@@ -10568,7 +10643,7 @@ object QueryLib {
     fsStoreDeleteRows, fsStoreUpdateRows, fsStoreChanges, fsStoreEvolve, fsStoreMerge,
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
     fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms, fsDeltaColmap,
-    fsStoreIcebergEvolve, fsIcebergPosDelete, fsIcebergEqDelete,
+    fsStoreIcebergEvolve, fsIcebergPosDelete, fsIcebergEqDelete, fsDeltaDv,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

@@ -24,9 +24,11 @@ import org.apache.spark.sql.types._
   * mapping in NAME and ID modes (name is the current Databricks
   * writer default — logical schema names resolve to physical parquet
   * columns via field metadata; id binds by embedded parquet field
-  * ids) and v3 tables whose readerFeatures are all supported.
-  * No deletion vectors (skipping one resurrects deleted rows), no
-  * checkpoint REQUIREMENT (JSON commits are replayed
+  * ids) and v3 tables whose readerFeatures are all supported —
+  * including deletionVectors (dead row indexes decoded from the
+  * public z85 + portable-roaring formats and dropped via one
+  * anti-join; see [[DeletionVectors]]). No checkpoint REQUIREMENT
+  * (JSON commits are replayed
   * directly; Delta only mandates checkpoints as an optimization).
   * [[read]] REFUSES logs beyond that floor instead of silently
   * misreading them.
@@ -52,7 +54,10 @@ object DeltaBridge {
       partitionValues: Map[String, String],
       size: Long,
       modificationTime: Long,
-      stats: Option[String])
+      stats: Option[String],
+      // reader-v3 deletionVectors: dead physical row indexes of this
+      // file; None for the overwhelmingly common DV-less add
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   /** The driver-side replay result: protocol floor, table metadata and
     * the live add set, in first-seen order. This is metadata-sized by
@@ -388,13 +393,14 @@ object DeltaBridge {
     * metaData that explains it): v1 always; v2 adds exactly column
     * mapping, supported in NAME mode (the current Databricks writer
     * default — logical names map to physical parquet columns via
-    * schema field metadata) and refused in ID mode (field-id matching
-    * is a different scan contract); v3 only when every declared
-    * readerFeature is one this bridge honors — notably
-    * deletionVectors is NOT (skipping a DV would resurrect deleted
-    * rows: refuse, don't misread).
+    * schema field metadata) or ID mode (parquet field-id binding); v3
+    * only when every declared readerFeature is one this bridge honors
+    * — deletionVectors now IS (dead row indexes drop via one anti-join
+    * on _metadata.row_index; an unreadable vector still refuses inside
+    * [[DeletionVectors.positions]] rather than resurrecting rows).
     */
-  private val SupportedReaderFeatures = Set("columnMapping", "timestampNtz")
+  private val SupportedReaderFeatures =
+    Set("columnMapping", "timestampNtz", "deletionVectors")
 
   private def validateProtocol(
       dir: String, maxReader: Int, features: Set[String],
@@ -501,13 +507,29 @@ object DeltaBridge {
         }
         if (cols("add") && r.getAs[Row]("add") != null) {
           val a = r.getAs[Row]("add")
+          val dv = fOpt[Row](a, "deletionVector").map { d =>
+            def g[T](name: String): Option[T] =
+              if (d.schema.fieldNames.contains(name) && !d.isNullAt(d.fieldIndex(name)))
+                Some(d.getAs[T](name)) else None
+            DeletionVectors.Descriptor(
+              d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              g[java.lang.Integer]("offset").map(_.intValue),
+              g[java.lang.Number]("sizeInBytes").map(_.intValue).getOrElse(
+                throw new IllegalArgumentException(
+                  "checkpoint deletionVector without sizeInBytes — refusing")),
+              g[java.lang.Number]("cardinality").map(_.longValue).getOrElse(
+                throw new IllegalArgumentException(
+                  "checkpoint deletionVector without cardinality — refusing")))
+          }
           live(decodePath(a.getAs[String]("path"))) = AddEntry(
             decodePath(a.getAs[String]("path")),
             fOpt[scala.collection.Map[String, String]](a, "partitionValues")
               .map(_.toMap).getOrElse(Map.empty),
             fOpt[java.lang.Long](a, "size").map(_.longValue).getOrElse(0L),
             fOpt[java.lang.Long](a, "modificationTime").map(_.longValue).getOrElse(0L),
-            fOpt[String](a, "stats"))
+            fOpt[String](a, "stats"),
+            dv)
         }
         if (cols("remove") && r.getAs[Row]("remove") != null)
           live.remove(decodePath(r.getAs[Row]("remove").getAs[String]("path")))
@@ -574,11 +596,20 @@ object DeltaBridge {
             }
             m.toMap
           }.getOrElse(Map.empty)
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { n =>
+            DeletionVectors.Descriptor(
+              n.get("storageType").asText(),
+              n.get("pathOrInlineDv").asText(),
+              Option(n.get("offset")).filterNot(_.isNull).map(_.asInt()),
+              n.get("sizeInBytes").asInt(),
+              n.get("cardinality").asLong())
+          }
           live(path) = AddEntry(path, pv,
             Option(a.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
             Option(a.get("modificationTime")).filterNot(_.isNull)
               .map(_.asLong()).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+            dv)
         }
         Option(node.get("remove")).foreach(r =>
           live.remove(decodePath(r.get("path").asText())))
@@ -682,6 +713,12 @@ object DeltaBridge {
     val state = replayState(spark, fs, root, dir)
     val v = state.latestVersion
     require(v >= 0, s"$dir has no committed Delta version to checkpoint")
+    // this checkpoint layout has no deletionVector column — writing it
+    // for a DV-bearing table would hand checkpoint-seeded readers a
+    // live set WITHOUT the vectors, resurrecting deleted rows
+    require(state.live.values.forall(_.dv.isEmpty),
+      s"$dir carries deletion vectors — this writer cannot checkpoint " +
+        "them; refusing rather than publishing a resurrect-on-read checkpoint")
 
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -918,8 +955,37 @@ object DeltaBridge {
     // dirs (Spark reuses part-file names per write task) stays
     // unambiguous because the full path carries the directory.
     val paths = adds.map(a => new Path(root, a.path).toString)
-    val data = scanSession.read.schema(dataSchema).parquet(paths: _*)
+    val dataScanned = scanSession.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
+    // DELETION VECTORS: dead physical row indexes per file. The
+    // descriptors are log metadata, but a bitmap can be millions of
+    // positions — so each vector decodes in an EXECUTOR task
+    // ([[DeletionVectors.positions]]), expanding straight into join
+    // rows that never materialize on the driver, then ONE left-anti
+    // join on (_metadata.file_path, _metadata.row_index) — the same
+    // plan shape as Iceberg position deletes, row-scale on the anti
+    // side so AQE can pick the join strategy.
+    val dvAdds = adds.filter(_.dv.isDefined)
+    val data =
+      if (dvAdds.isEmpty) dataScanned
+      else {
+        val rootStr = root.toString
+        val ser = new SerializableHadoopConf(hc)
+        val descs = dvAdds.map(a =>
+          (scanPathKey(fs, new Path(root, a.path)), a.dv.get))
+        val delRows = spark.sparkContext
+          .parallelize(descs, math.min(descs.size, 256).max(1))
+          .flatMap { case (key, d) =>
+            DeletionVectors.positions(d, rootStr, ser.value)
+              .iterator.map(p => Row(key, p))
+          }
+        val delDf = spark.createDataFrame(delRows, StructType(Seq(
+          StructField("__file", StringType, nullable = false),
+          StructField("__pos", LongType, nullable = false))))
+        dataScanned.withColumn("__pos", col("_metadata.row_index"))
+          .join(delDf, Seq("__file", "__pos"), "left_anti")
+          .drop("__pos")
+      }
     if (partCols.isEmpty)
       return data.select(schema.fields.toIndexedSeq.map(f =>
         col(scanName(f.name)).as(f.name)): _*)

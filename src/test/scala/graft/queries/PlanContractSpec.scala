@@ -301,6 +301,11 @@ class PlanContractSpec extends SparkSpec {
     assert(count(pd, "LeftAnti") === 1, s"posdelete expected 1 anti-join:\n$pd")
     val eq = plan("fs_iceberg_eqdelete")
     assert(count(eq, "LeftAnti") === 1, s"eqdelete expected 1 anti-join:\n$eq")
+    // Delta deletion vectors ride the SAME shape: the bitmaps expand
+    // on executors into one row-scale anti side — never a driver-side
+    // position list, never a second join
+    val dv = plan("fs_delta_dv")
+    assert(count(dv, "LeftAnti") === 1, s"delta dv expected 1 anti-join:\n$dv")
   }
 
   test("txt_pii_redact is a pure narrow pass: the whole redaction fuses with the scan") {

@@ -566,16 +566,17 @@ class DeltaBridgeSpec extends SparkSpec {
       """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
     val e2 = intercept[IllegalArgumentException](DeltaBridge.read(spark, r2))
     assert(e2.getMessage.contains("physicalName"))
-    // v3 with deletionVectors: skipping a DV resurrects rows — refuse
-    val r3 = tmpDir("deltadv")
+    // an UNKNOWN v3 reader feature still refuses (deletionVectors is
+    // supported since r19 — see the dedicated DV tests)
+    val r3 = tmpDir("deltav2ckpt")
     Seq(1).toDF("v").coalesce(1).write.parquet(s"$r3/s0")
     plantFile(r3, "s0", "a.parquet")
     writeLog(r3, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{}}}""",
       """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
     val e3 = intercept[IllegalArgumentException](DeltaBridge.read(spark, r3))
-    assert(e3.getMessage.contains("deletionVectors"))
+    assert(e3.getMessage.contains("v2Checkpoint"))
     // v3 with ONLY supported features still reads
     val r4 = tmpDir("deltav3ok")
     Seq(1).toDF("v").coalesce(1).write.parquet(s"$r4/s0")
@@ -585,5 +586,102 @@ class DeltaBridgeSpec extends SparkSpec {
       s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{}}}""",
       """{"add":{"path":"a.parquet","partitionValues":{},"dataChange":true}}"""))
     assert(DeltaBridge.read(spark, r4).select("v").as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("deletion vector codec: z85, uuid and portable roaring round-trip") {
+    import DeletionVectors._
+    // z85: non-multiple-of-4 input pads to groups and trims back
+    val raw = Array.tabulate[Byte](11)(i => (i * 37 + 5).toByte)
+    val enc = z85Encode(raw)
+    assert(enc.length === 15)
+    assert(z85Decode(enc).take(11).toSeq === raw.toSeq)
+    assert(encodeUuid(new java.util.UUID(1L, 2L)).length === 20)
+    // roaring: a dense chunk (bitmap container), a sparse chunk
+    // (array container) and a high key >= 2^32 in ONE vector
+    val positions: Seq[Long] =
+      (0L until 5000L) ++ Seq(70000L, 70002L) ++
+        Seq((1L << 32) + 3L, (1L << 32) + 70000L)
+    val data = serialize(positions)
+    assert(deserialize(data).toSeq === positions.sorted)
+    val fileBytes = sidecarFileBytes(data)
+    assert(fileBytes(0) === 1.toByte)
+    assert(fileBytes.length === 1 + 4 + data.length + 4)
+  }
+
+  test("third-party shapes: deletion vectors (inline and on-disk) drop dead rows") {
+    val root = tmpDir("deltadvread")
+    // two partition files with KNOWN physical row order (one local
+    // partition preserves the seq order: row_index == v mod 10)
+    (0 until 10).map(v => (v, s"p1")).toDF("v", "pdrop").drop("pdrop")
+      .coalesce(1).write.parquet(s"$root/s0")
+    (10 until 20).map(v => (v, s"p2")).toDF("v", "pdrop").drop("pdrop")
+      .coalesce(1).write.parquet(s"$root/s1")
+    plantFile(root, "s0", "a.parquet"); plantFile(root, "s1", "b.parquet")
+    import DeletionVectors._
+    // file A: INLINE vector killing positions 0,3,6,9
+    val dataA = serialize(Seq(0L, 3L, 6L, 9L))
+    val inlineA = z85Encode(dataA)
+    // file B: ON-DISK "u" vector with a random prefix, killing 0..4
+    val dataB = serialize(Seq(0L, 1L, 2L, 3L, 4L))
+    val uuidB = new java.util.UUID(0x1122334455667788L, 0x99AABBCCDDEEFF00L)
+    Files.createDirectories(Paths.get(s"$root/ab"))
+    Files.write(Paths.get(s"$root/ab/deletion_vector_$uuidB.bin"),
+      sidecarFileBytes(dataB))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.StringType))).json.replace("\"", "\\\"")
+    val logDir = Paths.get(s"$root/_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":["part"],"configuration":{}}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{"part":"p1"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inlineA","sizeInBytes":${dataA.length},"cardinality":4}}}""",
+      s"""{"add":{"path":"b.parquet","partitionValues":{"part":"p2"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab${encodeUuid(uuidB)}","offset":1,"sizeInBytes":${dataB.length},"cardinality":5}}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    val out = DeltaBridge.read(spark, root)
+    assert(out.select("v").as[Int].collect().toSet ===
+      Set(1, 2, 4, 5, 7, 8) ++ (15 until 20).toSet)
+    // partition values and pruning compose with DV application
+    val w = DeltaBridge.readWhere(spark, root, pv => pv("part") == "p2")
+    assert(w.select("v").as[Int].collect().toSet === (15 until 20).toSet)
+    // this checkpoint layout cannot carry DVs — refuse, never publish
+    // a checkpoint that resurrects deleted rows
+    val e = intercept[IllegalArgumentException](
+      DeltaBridge.writeCheckpoint(spark, root))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("third-party shapes: corrupt or unknown deletion vectors refuse, never resurrect") {
+    import DeletionVectors._
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    def dvTable(name: String, dvJson: String): String = {
+      val root = tmpDir(name)
+      Seq(1, 2, 3).toDF("v").coalesce(1).write.parquet(s"$root/s0")
+      plantFile(root, "s0", "a.parquet")
+      val logDir = Paths.get(s"$root/_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve("00000000000000000000.json"), Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$flatSchemaJson","partitionColumns":[],"configuration":{}}}""",
+        s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}"""
+      ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      root
+    }
+    // declared cardinality contradicts the decoded vector
+    val data = serialize(Seq(0L))
+    val badCard = dvTable("deltadvcard",
+      s"""{"storageType":"i","pathOrInlineDv":"${z85Encode(data)}","sizeInBytes":${data.length},"cardinality":2}""")
+    val e1 = intercept[Exception](DeltaBridge.read(spark, badCard).collect())
+    assert(deepMsg(e1).contains("cardinality"))
+    // an unknown storage type must refuse, not skip the vector
+    val badStore = dvTable("deltadvstore",
+      s"""{"storageType":"x","pathOrInlineDv":"zz","sizeInBytes":4,"cardinality":1}""")
+    val e2 = intercept[Exception](DeltaBridge.read(spark, badStore).collect())
+    assert(deepMsg(e2).contains("storageType"))
   }
 }
