@@ -1057,6 +1057,82 @@ object QueryLib {
     Some("""SELECT ts AS time, value, strftime(ts, '%Y-%m-%d') AS day
            |FROM events WHERE event_type = 'view' AND event_id % 5 <> 0""".stripMargin))
 
+  private val fsIcebergCompact = Q(
+    "fs_iceberg_compact",
+    // COMPACTION closes the merge-on-read loop: a CDC-maintained
+    // table accumulates position + equality delete files (cheap
+    // commits, read-side anti-join cost), then compactDeletes
+    // rewrites exactly the AFFECTED data files with the deletes
+    // applied and publishes a data-only snapshot — after which the
+    // sync writer (appendSnapshot) works again. The gate drives the
+    // full managed-table lifecycle: deterministic day tree →
+    // writeTable → position deletes (every 3rd ordinal per file) →
+    // equality deletes (event_id % 7) → compact → a post-compaction
+    // sync appending the later days → read. DuckDB recomputes the
+    // survivor set from raw events, so any drift in the rewrite
+    // (deletes half-applied, rows duplicated across the rewritten /
+    // carried file split, delete manifests leaking into the new
+    // snapshot) hash-fails. At 100 TB compaction moves bytes
+    // proportional to the affected files once — never the table.
+    (s, dir) => {
+      val tmp = scratchDir("ibcmp")
+      val d15 = "2024-01-15"
+      val src = T(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("ts").as("time"), col("value"), col("event_id"))
+        .withColumn("d", date_format(col("time"), "yyyy-MM-dd"))
+      src.filter(col("d") < d15)
+        .repartition(col("d"))
+        .sortWithinPartitions("d", "time", "event_id")
+        .write.partitionBy("d").parquet(s"$tmp/ib")
+      graft.store.IcebergBridge.writeTable(s, s"$tmp/ib", "cmpfix")
+      import scala.jdk.CollectionConverters._
+      def partFileIn(dirPath: java.nio.file.Path): java.nio.file.Path = {
+        val l = java.nio.file.Files.list(dirPath)
+        try l.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      // every 3rd ordinal of every initial day file
+      val counts = src.filter(col("d") < d15).groupBy("d")
+        .count().collect().map(r => r.getString(0) -> r.getLong(1))
+      val dels = counts.toSeq.flatMap { case (day, n) =>
+        val rel = s"d=$day/" +
+          partFileIn(java.nio.file.Paths.get(s"$tmp/ib/d=$day")).getFileName
+        (0L until n by 3).map(p => rel -> p)
+      }
+      graft.store.IcebergBridge.appendPositionDeletes(s, s"$tmp/ib", dels)
+      graft.store.IcebergBridge.appendEqualityDeletes(s, s"$tmp/ib",
+        src.filter(col("event_id") % 7 === 0).select("event_id"), Seq("event_id"))
+      graft.store.IcebergBridge.compactDeletes(s, s"$tmp/ib")
+      // post-compaction sync: the later days land as plain adds
+      src.filter(col("d") >= d15)
+        .repartition(col("d"))
+        .write.partitionBy("d").parquet(s"$tmp/stage")
+      val stage = java.nio.file.Paths.get(s"$tmp/stage")
+      val ls = java.nio.file.Files.list(stage)
+      val newRels = try ls.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("d="))
+        .sortBy(_.getFileName.toString).map { dayDir =>
+          val day = dayDir.getFileName.toString
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$tmp/ib/$day"))
+          val tgt = java.nio.file.Paths.get(s"$tmp/ib/$day/sync-0.parquet")
+          java.nio.file.Files.move(partFileIn(dayDir), tgt)
+          s"$day/sync-0.parquet"
+        }
+      finally ls.close()
+      graft.store.IcebergBridge.appendSnapshot(s, s"$tmp/ib", newRels, Nil)
+      graft.store.IcebergBridge.read(s, s"$tmp/ib")
+        .select(col("time"), col("value"), col("d").as("day"))
+    },
+    Some("""WITH d AS (SELECT ts AS time, value, event_id,
+           |                  strftime(ts, '%Y-%m-%d') AS day
+           |           FROM events WHERE event_type = 'view'),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY day ORDER BY time, event_id) - 1 AS pos
+           |      FROM d WHERE day < '2024-01-15')
+           |SELECT time, value, day FROM r WHERE pos % 3 <> 0 AND event_id % 7 <> 0
+           |UNION ALL
+           |SELECT time, value, day FROM d WHERE day >= '2024-01-15'""".stripMargin))
+
   private val fsDeltaColmap = Q(
     "fs_delta_colmap",
     // Name-mode column mapping is the DEFAULT on current Databricks
@@ -10644,6 +10720,7 @@ object QueryLib {
     fsStoreRestore, fsStoreCheck, fsStoreExport, fsStoreExportDelta, fsStoreDeltaSync,
     fsStoreExportIceberg, fsStoreIcebergSync, fsIcebergTransforms, fsDeltaColmap,
     fsStoreIcebergEvolve, fsIcebergPosDelete, fsIcebergEqDelete, fsDeltaDv,
+    fsIcebergCompact,
     fsStoreBloomSkip,
     fsIncrementalAgg,
     mmBinaryMeta, mmImageHeaders, mmFrameSample, mmVideoIndex, mmVideoFrames, mmVideoDecode,

@@ -674,7 +674,22 @@ object IcebergBridge {
       newFiles: Seq[String],
       removedFiles: Seq[String],
       conf: Configuration = null,
-      newDataSchema: Option[StructType] = None): Long = {
+      newDataSchema: Option[StructType] = None): Long =
+    appendSnapshotImpl(spark, dir, newFiles, removedFiles, conf,
+      newDataSchema, dropDeletes = false)
+
+  /** [[appendSnapshot]] body; `dropDeletes` is true ONLY from
+    * [[compactDeletes]], whose rewritten files already reflect every
+    * delete — publishing the data-only manifest is then safe.
+    */
+  private def appendSnapshotImpl(
+      spark: SparkSession,
+      dir: String,
+      newFiles: Seq[String],
+      removedFiles: Seq[String],
+      conf: Configuration,
+      newDataSchema: Option[StructType],
+      dropDeletes: Boolean): Long = {
     val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
     val root = new Path(dir)
     val fs = root.getFileSystem(hc)
@@ -694,9 +709,10 @@ object IcebergBridge {
         "the bridge reads them but only syncs identity-partitioned exports")
     // the sync writer publishes ONE full data manifest; it cannot
     // carry delete manifests, and dropping them would resurrect rows
-    require(prevState.deleteFiles.isEmpty,
-      "appendSnapshot: table carries row-level delete files — compact " +
-        "them (rewrite the affected data files) before syncing")
+    require(dropDeletes || prevState.deleteFiles.isEmpty,
+      "appendSnapshot: table carries row-level delete files — run " +
+        "compactDeletes (rewrites the affected data files with the " +
+        "deletes applied) before syncing")
     val partCols = prevState.partCols
 
     def relOf(p: String): String =
@@ -1072,6 +1088,104 @@ object IcebergBridge {
       summaryExtra = Seq("added-equality-deletes" -> rows.toString))
   }
 
+  /** COMPACT row-level deletes into the data: rewrite every data file
+    * a delete file could touch with the deletes APPLIED (one Spark job
+    * through the same read path the scan uses), publish one data-only
+    * snapshot — rewritten files added, originals removed, delete
+    * manifests dropped, which is safe ONLY because the new bytes
+    * already reflect them — and return the new snapshot id. This is
+    * the merge-on-read maintenance trade: deletes accumulate
+    * read-side anti-join cost; compaction pays it down by moving
+    * bytes proportional to the AFFECTED files once (never the table).
+    * Older snapshots keep reading the original files + delete files
+    * (time travel; nothing is physically deleted). After compaction
+    * [[appendSnapshot]]/sync work again — the managed-CDC-table flow.
+    *
+    * Affected-file rules mirror the scan: a position delete touches
+    * exactly the files its rows name (sequence-gated); an equality
+    * delete marks every sequence- and partition-scope-covered file
+    * affected WITHOUT scanning for key matches — correct, possibly
+    * rewriting a file that held no matching key. No-op (current
+    * snapshot id) when the table carries no delete files.
+    */
+  def compactDeletes(
+      spark: SparkSession,
+      dir: String,
+      conf: Configuration = null): Long = {
+    val hc = if (conf == null) spark.sessionState.newHadoopConf() else conf
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hc)
+    val state = loadState(spark, fs, root)
+    if (state.deleteFiles.isEmpty) return currentSnapshotId(spark, dir, conf)
+    require(state.specFields.forall(f => canonTransform(f.transform) == "identity"),
+      "compactDeletes: identity-partitioned bridge tables only")
+    val loc = state.location.stripSuffix("/")
+    def relOf(p: String): String =
+      if (p.startsWith(loc + "/")) p.substring(loc.length + 1) else p
+    val posDeletes = state.deleteFiles.filter(_.equalityIds.isEmpty)
+    val eqDeletes = state.deleteFiles.filter(_.equalityIds.nonEmpty)
+    // position-delete targets: rel path -> max delete sequence naming it
+    val posTargets: Map[String, Long] =
+      if (posDeletes.isEmpty) Map.empty
+      else {
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType), StructField("pos", LongType)))
+        posDeletes.flatMap { d =>
+          spark.read.schema(delSchema)
+            .parquet(resolve(root, state.location, d.path).toString)
+            .select("file_path").distinct().collect()
+            .map(r => relOf(r.getString(0)) -> d.sequenceNumber)
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).max }
+      }
+    val affected = state.files.filter { f =>
+      val byPos = posTargets.get(relOf(f.path)).exists(_ >= f.sequenceNumber)
+      val byEq = eqDeletes.exists(d => d.sequenceNumber > f.sequenceNumber &&
+        (d.partitionTuple match {
+          case None => true
+          case Some(values) =>
+            d.specId == f.specId &&
+              partKeyOf(d.specId, values) == dataPartKey(state, f)
+        }))
+      byPos || byEq
+    }
+    val affectedRel = affected.map(f => relOf(f.path)).toSet
+    val metaV = currentMetaFile(fs, new Path(root, MetaDirName))._2
+    val newRels = mutable.ArrayBuffer.empty[String]
+    if (affected.nonEmpty) {
+      // ONE job: the affected files through the normal read path (all
+      // deletes applied, partition columns filled), written back in
+      // the same hive layout the manifests derive values from
+      val survivors = readPruned(spark, dir, f => affectedRel(relOf(f.path)), hc)
+      val staging = new Path(root, ".compact_tmp")
+      fs.delete(staging, true)
+      val w = survivors.write.mode("overwrite")
+      (if (state.partCols.nonEmpty) w.partitionBy(state.partCols: _*) else w)
+        .parquet(staging.toString)
+      val stack = mutable.Stack[(Path, String)]((staging, ""))
+      while (stack.nonEmpty) {
+        val (p, rel) = stack.pop()
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory) {
+            if (!name.startsWith("_") && !name.startsWith("."))
+              stack.push((st.getPath, if (rel.isEmpty) name else s"$rel/$name"))
+          } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
+            val tgtRel = (if (rel.isEmpty) "" else rel + "/") +
+              s"compact-$metaV-${newRels.size}.parquet"
+            val tgt = new Path(root, tgtRel)
+            fs.mkdirs(tgt.getParent)
+            require(!fs.exists(tgt), s"compactDeletes: $tgtRel already exists")
+            require(fs.rename(st.getPath, tgt), s"compactDeletes: rename to $tgtRel failed")
+            newRels += tgtRel
+          }
+        }
+      }
+      fs.delete(staging, true)
+    }
+    appendSnapshotImpl(spark, dir, newRels.toSeq, affectedRel.toSeq, hc,
+      newDataSchema = None, dropDeletes = true)
+  }
+
   private def readMetaNode(
       fs: FileSystem, root: Path): (com.fasterxml.jackson.databind.JsonNode, Path, Long) = {
     val metaDir = new Path(root, MetaDirName)
@@ -1298,6 +1412,20 @@ object IcebergBridge {
   }
 
   private final case class SpecField(name: String, transform: String, sourceId: Int)
+
+  /** The partition EQUALITY key scoping row-level deletes: spec id +
+    * the spec-ordered human-rendered values, null-safe and
+    * LENGTH-PREFIXED — unambiguous for any value content (a plain
+    * separator would collide: ("x|y","z") vs ("x","y|z")).
+    */
+  private def partKeyOf(specId: Int, values: Seq[String]): String =
+    specId.toString + values.map(v =>
+      if (v == null) "|N" else s"|V${v.length}:$v").mkString
+
+  /** A data file's partition key under the DEFAULT spec's field order. */
+  private def dataPartKey(state: TableState, f: DataFileEntry): String =
+    partKeyOf(f.specId, state.specFields.map(sf =>
+      f.partitionValues.getOrElse(sf.name, null)))
 
   /** A v2 row-level delete file. POSITION deletes (content=1,
     * `equalityIds` empty): parquet rows of (file_path, pos) marking
@@ -1817,13 +1945,6 @@ object IcebergBridge {
       .withColumn("__file", col("_metadata.file_path"))
     val posDeletes = state.deleteFiles.filter(_.equalityIds.isEmpty)
     val eqDeletes = state.deleteFiles.filter(_.equalityIds.nonEmpty)
-    // the partition EQUALITY key scoping row-level deletes: spec id +
-    // the spec-ordered human-rendered values, null-safe and
-    // LENGTH-PREFIXED -- unambiguous for any value content (a plain
-    // separator would collide: ("x|y","z") vs ("x","y|z"))
-    def partKeyOf(specId: Int, values: Seq[String]): String =
-      specId.toString + values.map(v =>
-        if (v == null) "|N" else s"|V${v.length}:$v").mkString
     // per-file (manifest path -> scan key, data sequence, partition
     // key) broadcast — both delete kinds gate application on the data
     // file's sequence; equality deletes additionally on its partition
@@ -1835,9 +1956,8 @@ object IcebergBridge {
         StructField("__partkey", StringType)))
       spark.createDataFrame(
         spark.sparkContext.parallelize(
-          qualified.map { case (k, f) => Row(f.path, k, f.sequenceNumber,
-            partKeyOf(f.specId, state.specFields.map(sf =>
-              f.partitionValues.getOrElse(sf.name, null)))) }, 1),
+          qualified.map { case (k, f) =>
+            Row(f.path, k, f.sequenceNumber, dataPartKey(state, f)) }, 1),
         mapSchema)
     }
     var data = data0

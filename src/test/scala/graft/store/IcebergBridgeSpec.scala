@@ -651,6 +651,61 @@ class IcebergBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("identity partition"))
   }
 
+  test("compactDeletes rewrites only affected files, drops delete manifests, re-enables sync") {
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("ibcompact")
+    val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
+    st.save("f", Seq(
+      (ts("2024-01-01T01:00:00"), 1.0),
+      (ts("2024-01-01T02:00:00"), 2.0),
+      (ts("2024-01-02T03:00:00"), 3.0)).toDF("time", "value"))
+    st.exportSnapshotIceberg("f", s"$root/ib")
+    val snapData = IcebergBridge.currentSnapshotId(spark, s"$root/ib")
+    // compaction with no deletes is a no-op returning the current id
+    assert(IcebergBridge.compactDeletes(spark, s"$root/ib") === snapData)
+
+    def relUnder(day: String): String = {
+      val l = Files.list(Paths.get(s"$root/ib/partition=$day"))
+      try s"partition=$day/" + l.iterator().asScala
+        .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+      finally l.close()
+    }
+    val relD1 = relUnder("2024-01-01")
+    val fileVals = spark.read.parquet(s"$root/ib/$relD1")
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    val dead = fileVals.head
+    val survivor = fileVals(1)
+    IcebergBridge.appendPositionDeletes(spark, s"$root/ib", Seq(relD1 -> 0L))
+    val snapDeleted = IcebergBridge.currentSnapshotId(spark, s"$root/ib")
+
+    IcebergBridge.compactDeletes(spark, s"$root/ib")
+    // current snapshot: deletes applied INTO the data
+    assert(readBack(s"$root/ib").map(_._2) === Set(survivor, 3.0))
+    // only the targeted file was rewritten; the untouched day kept its
+    // original bytes (compaction moves affected files, never the table)
+    val scanned = IcebergBridge.read(spark, s"$root/ib").inputFiles.toSeq
+    assert(scanned.exists(_.contains("compact-")), scanned.mkString(","))
+    assert(scanned.exists(_.contains(relUnder("2024-01-02"))), scanned.mkString(","))
+    assert(scanned.forall(!_.contains(relD1)), scanned.mkString(","))
+    // time travel: the delete snapshot still merges on read; the
+    // pre-delete snapshot still sees every row
+    assert(IcebergBridge.readSnapshot(spark, s"$root/ib", snapDeleted)
+      .select("value").as[Double].collect().toSet === Set(survivor, 3.0))
+    assert(IcebergBridge.readSnapshot(spark, s"$root/ib", snapData)
+      .select("value").as[Double].collect().toSet === Set(dead, survivor, 3.0))
+
+    // equality deletes: sync refuses while they are live, compaction
+    // applies them and re-enables the sync writer
+    IcebergBridge.appendEqualityDeletes(spark, s"$root/ib",
+      Seq(3.0).toDF("value"), Seq("value"))
+    val e = intercept[IllegalArgumentException](
+      IcebergBridge.appendSnapshot(spark, s"$root/ib", Nil, Nil))
+    assert(e.getMessage.contains("compactDeletes"))
+    IcebergBridge.compactDeletes(spark, s"$root/ib")
+    IcebergBridge.appendSnapshot(spark, s"$root/ib", Nil, Nil) // no longer refuses
+    assert(readBack(s"$root/ib").map(_._2) === Set(survivor))
+  }
+
   test("delete snapshots commit under an unpartitioned spec and carry parquet field ids") {
     val root = tmpDir("ibdelspec")
     val st = new TimeseriesStore(spark, s"$root/wh", backend = "txlog")
