@@ -43,11 +43,41 @@ object Tables {
   // no narrower scope available in Spark).
   private val confLock = new Object
 
+  // Per-session memo of the ANALYZED testdata frames (plan-level only —
+  // a DataFrame is a lazy plan; every action still computes from the
+  // parquet bytes): each `spark.read.parquet` call re-lists the path
+  // and re-reads a footer for schema inference, a fixed ~10-40 ms
+  // metadata tax paid by every query build (×4 bench runs ×258 gates).
+  // The testdata directories are immutable for a harness run, so the
+  // resolved relation (schema + file listing) is reusable — the same
+  // scaffolding-memo doctrine as QueryLib.stagedDirs. Keyed WEAKLY by
+  // session (a closed session's plans must not pin its state), then by
+  // (dir, name).
+  private val resolved =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private def memo(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val perSession = resolved.synchronized {
+      var m = resolved.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        resolved.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => build)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else
-      confLock.synchronized { spark.read.parquet(s"$dir/$name.parquet") }
+      memo(spark, dir, name) {
+        confLock.synchronized { spark.read.parquet(s"$dir/$name.parquet") }
+      }
 
-  def events(spark: SparkSession, dir: String): DataFrame = confLock.synchronized {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "events")(eventsUncached(spark, dir))
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = confLock.synchronized {
     // scope both flags to THIS read: left set session-wide they would
     // silently change how every later parquet read resolves timestamps.
     // Schema resolution happens eagerly at spark.read.parquet, and the

@@ -349,9 +349,25 @@ class TimeseriesStore(
       val target = schemaOf(schemas.last)
       adds.groupBy(_.sv.getOrElse(0L)).toSeq.sortBy(_._1).map { case (sv, group) =>
         val fileSchema = schemaOf(schemas(sv.toInt))
-        val df = spark.read.options(storageOptions).option("basePath", root)
-          .schema(StructType(fileSchema.fields.toIndexedSeq :+ StructField("partition", pType)))
-          .parquet(group.map(path): _*)
+        // log-metadata scan (Delta's TahoeFileIndex shape): when every
+        // add carries its byte size, the FileIndex is built straight
+        // from the log — partition values from the add, no driver
+        // listing pass, no "Listing leaf files" job (guide §6: manifest
+        // metadata beats directory listing; this closes the half of
+        // that promise the old spark.read.parquet(paths) open left on
+        // the table). Pre-upgrade adds (no fsize) keep the listing read.
+        val df =
+          if (group.forall(_.fsize.isDefined))
+            org.apache.spark.sql.graftbridge.MetaFileIndex.read(
+              spark,
+              group.map(a => (new Path(path(a)), a.fsize.get,
+                if (pType == IntegerType) a.partition.toInt else a.partition)),
+              partitionSchema = StructType(Seq(StructField("partition", pType))),
+              dataSchema = fileSchema,
+              options = storageOptions)
+          else spark.read.options(storageOptions).option("basePath", root)
+            .schema(StructType(fileSchema.fields.toIndexedSeq :+ StructField("partition", pType)))
+            .parquet(group.map(path): _*)
         val aligned = target.fields.map { f =>
           if (fileSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
@@ -410,6 +426,24 @@ class TimeseriesStore(
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.get(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // Writer parallelism on SMALL batches (guide §2.2/§6): AQE's
+    // partition coalescer targets advisoryPartitionSizeInBytes (64 MB),
+    // so a micro-batch-sized append collapses the ranged exchange to ONE
+    // task that then opens every hive-partition parquet writer
+    // SERIALLY — ~10-15 ms/file locally, a full network round-trip per
+    // file on an object store. A 16k floor makes the coalescer honor
+    // parallelismFirst below the advisory target (post-shuffle target =
+    // max(shuffleBytes / parallelism, 16k)), so a medium batch keeps
+    // several write tasks and the per-partition writer opens run in
+    // parallel; a TINY batch (≤16 KB — a few hundred rows) still
+    // coalesces to one task, keeping each day's rows co-located in one
+    // file instead of shattering row-per-file; LARGE batches are
+    // unaffected (their bytes/parallelism exceeds the advisory cap,
+    // which still bounds the target). Scoped set/restore like the
+    // timestamp type above.
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "16k")
     // preLaid: the caller already chose the row layout (a z-order
     // clustered rewrite) — re-ranging by (partition, time) here would
     // destroy exactly the multi-dimensional locality being installed
@@ -417,7 +451,13 @@ class TimeseriesStore(
     try laid.write
       .options(storageOptions).option("compression", "snappy")
       .partitionBy("partition").parquet(stage.toString)
-    finally spark.conf.set(tsKey, prevTs)
+    finally {
+      spark.conf.set(tsKey, prevTs)
+      prevMin match {
+        case Some(v) => spark.conf.set(minKey, v)
+        case None    => spark.conf.unset(minKey)
+      }
+    }
     // per-file bloom build BEFORE the renames (one Spark job over the
     // staged tree, page-cached bytes): rewrites (DELETE/UPDATE/merge/
     // optimize) route through here too, so blooms survive them the
@@ -433,31 +473,43 @@ class TimeseriesStore(
     }
     val f = fs(url)
     val featureRoot = new Path(featurePath(name))
-    val adds = Seq.newBuilder[TxAdd]
-    f.listStatus(stage).filter(_.isDirectory).foreach { pdir =>
-      val pname = pdir.getPath.getName // "partition=<p>"
-      val destDir = new Path(featureRoot, pname)
-      if (!f.exists(destDir)) f.mkdirs(destDir)
-      f.listStatus(pdir.getPath)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          // footer stats BEFORE the rename: the file was just written,
-          // the footer is page-cached, and a stats failure degrades to
-          // a never-skipped file, never to a failed install
-          val fst = footerStats(st.getPath)
-          val dest = new Path(destDir, st.getPath.getName)
-          if (!f.rename(st.getPath, dest))
-            throw new java.io.IOException(s"stage install failed: ${st.getPath} -> $dest")
-          val rel = s"$pname/${st.getPath.getName}"
-          adds += TxAdd(rel, pname.stripPrefix("partition="),
-            tmin = fst.tmin, tmax = fst.tmax, vmin = fst.vmin, vmax = fst.vmax,
-            nrec = fst.nrec,
-            blc = blooms.get(rel).flatMap(_ => bloomCfg.map(_._1)),
-            bl = blooms.get(rel))
-        }
+    // per-file footer read + install rename, PARALLELIZED on the bridges'
+    // bounded driver pool (guide §1/§5: the sequential loop was the
+    // measured driver-side gap after every staged write — ~10 ms/file of
+    // footer IO plus a rename round-trip, ×(files per append) on the
+    // commit path of every save/stream micro-batch; on an object store
+    // each round-trip is 10-100× worse). mkdirs stays serial (one per
+    // partition dir); per-thread Configuration clones as everywhere else.
+    // Order, rel paths and add contents are identical to the sequential
+    // loop — parMapOrderedConf preserves input order.
+    val staged: Seq[(String, org.apache.hadoop.fs.FileStatus, Path)] =
+      f.listStatus(stage).filter(_.isDirectory).toSeq.flatMap { pdir =>
+        val pname = pdir.getPath.getName // "partition=<p>"
+        val destDir = new Path(featureRoot, pname)
+        if (!f.exists(destDir)) f.mkdirs(destDir)
+        f.listStatus(pdir.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => (pname, st, new Path(destDir, st.getPath.getName)))
+      }
+    val adds = DeltaBridge.parMapOrderedConf(staged, hadoopConf) {
+      case ((pname, st, dest), conf) =>
+        val src = st.getPath
+        // footer stats BEFORE the rename: the file was just written,
+        // the footer is page-cached, and a stats failure degrades to
+        // a never-skipped file, never to a failed install
+        val fst = footerStats(src, conf)
+        if (!f.rename(src, dest))
+          throw new java.io.IOException(s"stage install failed: $src -> $dest")
+        val rel = s"$pname/${src.getName}"
+        TxAdd(rel, pname.stripPrefix("partition="),
+          tmin = fst.tmin, tmax = fst.tmax, vmin = fst.vmin, vmax = fst.vmax,
+          nrec = fst.nrec,
+          blc = blooms.get(rel).flatMap(_ => bloomCfg.map(_._1)),
+          bl = blooms.get(rel),
+          fsize = Some(st.getLen))
     }
     f.delete(stage, true)
-    adds.result()
+    adds
   }
 
   /** Per-file statistics from ONE footer read: event-time bounds
@@ -472,9 +524,11 @@ class TimeseriesStore(
       tmin: Option[Long], tmax: Option[Long], nrec: Option[Long],
       vmin: Option[Double], vmax: Option[Double])
 
-  private def footerStats(p: Path): FooterStats =
+  private def footerStats(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration = hadoopConf): FooterStats =
     try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
@@ -538,7 +592,13 @@ class TimeseriesStore(
         .parquet(featurePath(name))
 
   def save(name: String, df: DataFrame, partitionStyle: String = "date"): Unit = {
-    if (df.isEmpty) return // no-op on empty, dask.py:231-232
+    // no-op on empty, dask.py:231-232. The txlog backend gets this FREE
+    // from the stage/commit split (an empty batch stages no partition
+    // dirs → no adds → no commit, and the feature tree is untouched), so
+    // only the plain backend pays the take(1) probe — on the log backend
+    // the probe was a full extra execution of the source plan in front
+    // of EVERY save (guide §1.2: don't compute things you throw away).
+    if (!logBacked && df.isEmpty) return
     // columns beyond the 3-column envelope pass validation ONLY when a
     // declared (evolved) schema names them — Delta-without-autoMerge:
     // new columns enter through evolveSchema, never through a save

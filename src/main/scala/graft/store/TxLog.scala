@@ -48,7 +48,12 @@ final case class TxAdd(
     // absent (pre-declaration files, undecodable payloads, probes on
     // a different column) degrades to never-skip
     blc: Option[String] = None,
-    bl: Option[String] = None)
+    bl: Option[String] = None,
+    // file byte size (Delta's `size`): lets reads build the scan's
+    // FileIndex from log metadata alone — no filesystem listing, no
+    // footer probe for split planning. Absent on pre-upgrade adds,
+    // which fall back to the listing read path only
+    fsize: Option[Long] = None)
 
 /** One file logically deleted from the table (bytes stay on disk until
   * `vacuum`, so readers holding an older snapshot keep working).
@@ -666,6 +671,8 @@ object TxLog {
     .registerReferencedValueType(classOf[TxAdd], "vmax", classOf[Double])
   com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
     .registerReferencedValueType(classOf[TxAdd], "nrec", classOf[Long])
+  com.fasterxml.jackson.module.scala.introspect.ScalaAnnotationIntrospectorModule
+    .registerReferencedValueType(classOf[TxAdd], "fsize", classOf[Long])
 
   val LogDirName = "_txlog"
   val CheckpointEvery = 10
