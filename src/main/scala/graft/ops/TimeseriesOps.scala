@@ -473,6 +473,26 @@ object TimeseriesOps {
     level.head
   }
 
+  /** Collapse a MANY-TINY-SERIES union's task storm (guide §2.2: fewer,
+    * larger map tasks). A wide feature load unions one frame per
+    * series; each series typically reads as ONE partition, so the
+    * union stage schedules one near-empty task per series — at 10k
+    * series the r18 ScaleProbe measured the 10k×100 wide-align wall
+    * DOMINATED by that scheduling (~709 s), not by data. When the
+    * union's partition count tracks the input count (single-partition
+    * leaves) and far exceeds the cluster's parallelism, a shuffle-free
+    * coalesce merges adjacent leaves so each task computes many small
+    * series. A union of BIG series (partitions >> inputs) keeps its
+    * scan parallelism — the branch must not fire there, and at 4×cores
+    * the merged shape still saturates the cluster.
+    */
+  private def compactUnion(u: DataFrame, nInputs: Int): DataFrame = {
+    val cores = u.sparkSession.sparkContext.defaultParallelism
+    if (nInputs <= 2 * cores) return u
+    val parts = u.rdd.getNumPartitions
+    if (parts <= 2 * nInputs && parts > 4 * cores) u.coalesce(4 * cores) else u
+  }
+
   def alignJoin(dfs: Seq[DataFrame], timeCol: String = TimeCol): DataFrame = {
     require(dfs.nonEmpty, "alignJoin needs at least one input")
     // guard BOTH paths: the join chain would otherwise fail much later
@@ -507,7 +527,7 @@ object TimeseriesOps {
         // DeduplicateRelations before ever shuffling a row. Pairwise
         // levels keep plan depth at log2(N) (~10 at width 1,000) with
         // the identical flattened physical union.
-        unionBalanced(tagged)
+        compactUnion(unionBalanced(tagged), tagged.size)
           .groupBy(col(timeCol))
           .pivot("__series", names)
           .agg(max(col("__value")))
@@ -543,7 +563,7 @@ object TimeseriesOps {
       blockSize: Int = 1024): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
     if (dfs.size <= blockSize) return alignJoin(dfs, timeCol)
-    val spine = unionBalanced(dfs.map(_.select(col(timeCol))))
+    val spine = compactUnion(unionBalanced(dfs.map(_.select(col(timeCol)))), dfs.size)
       .distinct().localCheckpoint(true)
     val blocks = dfs.grouped(blockSize).toSeq.map { block =>
       val vType = block.head.schema.fields

@@ -58,6 +58,24 @@ object QueryLib {
   private def mat(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Give a CPU-dense per-row stage at least cluster parallelism
+    * (guide §2.5, input skew: "repartition immediately after the
+    * read"). The corpus tables are small-but-dense — documents at
+    * sf0.1 is 584 KB = ONE input split at the 128 MB default, so every
+    * shingle/digest/signature fold above it ran on one core while all
+    * downstream branches queued behind the single task (JobProbe:
+    * 8 concurrent 1.47 s jobs all blocked on the same one-partition
+    * persist materialization in curate_survivors). A conditional
+    * round-robin exchange of the raw rows fixes the local shape and is
+    * a NO-OP at scale: any real corpus reads as more splits than
+    * cores, so the branch never fires (and it must not — blanket
+    * repartition(cores) would COALESCE a large scan).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Scratch warehouse for the facade (write-path) queries. Bench runs
     * every query 4x (cold + 3 warm) and Verify once more — a bare
     * createTempDirectory would leak a full parquet warehouse per
@@ -137,7 +155,17 @@ object QueryLib {
       s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val src = T(s, dir, "events").select(
       col("ts"), col("event_id"), col("user_id"), col("event_type"), col("value"))
-    (stagedSrc("sevw", dir)(p => src.repartition(4).write.parquet(p)), src.schema)
+    // r19: TIME-RANGED slices instead of round-robin. Batch membership
+    // stays arbitrary-but-deterministic (these are the non-watermarked
+    // gates — the doc above pins that membership is free), but each
+    // micro-batch now covers a CONTIGUOUS time slice, so a sink batch
+    // writes ~(month/4) day-partitions instead of all 30 — 4× fewer
+    // files per append, 4× fewer footer/rename/commit round-trips, and
+    // the production shape besides (real streams arrive in time order).
+    // The (ts, event_id) tie-break keeps the split total-ordered and
+    // bit-stable across runs.
+    (stagedSrc("sevw", dir)(p =>
+      src.repartitionByRange(4, col("ts"), col("event_id")).write.parquet(p)), src.schema)
   }
 
   private def stagedDocsWide(
@@ -1561,7 +1589,10 @@ object QueryLib {
       val early = src.filter(col("time") < ts("2024-01-16"))
       val late = src.filter(col("time") >= ts("2024-01-16"))
       val sdir = s"$tmp/stream_src"
-      early.repartition(2).write.parquet(sdir)
+      // time-ranged halves (r19, the stagedEventsWide rationale): each
+      // micro-batch appends a contiguous ~week instead of scattering
+      // over the full half-month — fewer files per commit, same rows
+      early.repartitionByRange(2, col("time")).write.parquet(sdir)
       val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
       def drain(): Unit = {
         val stream = s.readStream.schema(src.schema)
@@ -1577,7 +1608,7 @@ object QueryLib {
       }
       drain() // batches 0-1: the early files
       st.exportSnapshotDelta("clicks", s"$tmp/delta") // Delta v0
-      late.repartition(2).write.mode("append").parquet(sdir)
+      late.repartitionByRange(2, col("time")).write.mode("append").parquet(sdir)
       drain() // the SAME checkpoint resumes over the 2 new files
       st.syncSnapshotDelta("clicks", s"$tmp/delta", checkpointEvery = 1) // Delta v1 + ckpt
       graft.store.DeltaBridge.read(s, s"$tmp/delta")
@@ -1609,7 +1640,8 @@ object QueryLib {
       val early = src.filter(col("time") < ts("2024-01-16"))
       val late = src.filter(col("time") >= ts("2024-01-16"))
       val sdir = s"$tmp/stream_src"
-      early.repartition(2).write.parquet(sdir)
+      // time-ranged halves — see fs_stream_delta
+      early.repartitionByRange(2, col("time")).write.parquet(sdir)
       val st = new graft.store.TimeseriesStore(s, s"$tmp/warehouse", backend = "txlog")
       def drain(): Unit = {
         val stream = s.readStream.schema(src.schema)
@@ -1625,7 +1657,7 @@ object QueryLib {
       }
       drain() // batches 0-1: the early files
       st.exportSnapshotIceberg("errors", s"$tmp/iceberg") // snapshot 1
-      late.repartition(2).write.mode("append").parquet(sdir)
+      late.repartitionByRange(2, col("time")).write.mode("append").parquet(sdir)
       drain() // the SAME checkpoint resumes over the 2 new files
       st.syncSnapshotIceberg("errors", s"$tmp/iceberg") // snapshot 2
       graft.store.IcebergBridge.read(s, s"$tmp/iceberg")
@@ -2781,7 +2813,7 @@ object QueryLib {
     // partial-agg max/sum per doc. Both shuffles carry O(distinct
     // bigrams) rows, never the corpus text.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val dup = d.select(col("doc_id"),
         ((size(toks) - size(array_distinct(toks))).cast("double") /
           size(toks).cast("double")).as("dup_token_ratio"))
@@ -2823,7 +2855,7 @@ object QueryLib {
     // and rational arithmetic only, no shuffle, no UDF; at 100 TB this
     // is pure map tasks inside whole-stage codegen.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val n = size(toks).cast("double")
       val meanLen = TextOps.avgTokenLen(col("text"), toks)
       val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n
@@ -2900,7 +2932,7 @@ object QueryLib {
     // DuckDB's arithmetic recomputation of the hash, the smoothing and
     // the log-ratio sum.
     (s, dir) =>
-      Dsir.weights(T(s, dir, "documents"), "doc_id", toks, col("lang") === "en"),
+      Dsir.weights(spread(T(s, dir, "documents")), "doc_id", toks, col("lang") === "en"),
     Some(s"""WITH $dsirOracleCtes
            |SELECT doc_id, n_feats, weight FROM w""".stripMargin))
 
@@ -2914,7 +2946,7 @@ object QueryLib {
     // gate also certifies the expected behavior: the en slice (whose
     // n-grams the target model was fit on) dominates the selection.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       Dsir.weights(d, "doc_id", toks, col("lang") === "en")
         .join(d.select("doc_id", "lang"), "doc_id")
         .orderBy(col("weight").desc, col("doc_id"))
@@ -2936,7 +2968,7 @@ object QueryLib {
     // joined back on term -> per-doc WindowGroupLimit top-k; every
     // shuffle carries O(distinct terms), never the corpus text.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val tf = d.select(col("doc_id"), explode(toks).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -3143,7 +3175,7 @@ object QueryLib {
     // window bound every training doc already obeys. Shuffles carry
     // (w1, w2, count) and per-doc scalars, never text.
     (s, dir) => {
-      val lst = T(s, dir, "documents").select(col("doc_id"),
+      val lst = spread(T(s, dir, "documents")).select(col("doc_id"),
         filter(toks, t => length(t) > 0).as("tk"))
       val trainTok = lst.filter(col("doc_id") < 400)
         .select(explode(col("tk")).as("t"))
@@ -3220,7 +3252,7 @@ object QueryLib {
     // tables are corpus-dictionary-sized, the joins are plain
     // hash-partitioned equi-joins at any corpus size.
     (s, dir) => {
-      val lst = T(s, dir, "documents").select(col("doc_id"),
+      val lst = spread(T(s, dir, "documents")).select(col("doc_id"),
         filter(toks, t => length(t) > 0).as("tk"))
       val train = lst.filter(col("doc_id") < 400)
       val c1 = train.select(explode(col("tk")).as("t"))
@@ -3384,7 +3416,7 @@ object QueryLib {
     // at 100 TB this is a plain hash-partitioned join whose key space
     // grows with distinct grams, never a text comparison.
     (s, dir) => {
-      val d = T(s, dir, "documents").select(
+      val d = spread(T(s, dir, "documents")).select(
         col("doc_id"), splitCol.as("split"), toks.as("tk"))
       val grams = d.select(col("doc_id"), col("split"),
           explode(array_distinct(TextOps.wordShingles(col("tk"), 5))).as("g"))
@@ -3422,6 +3454,10 @@ object QueryLib {
     // correctness: the hash gate certifies bit-equality with the
     // un-pruned formulation.
     (s, dir) => {
+      // NO spread here (r19): BloomProbeSpec pins the probe's clean
+      // path — the bloom filter must sit directly above the scan with
+      // no exchange below it; a parallelizing repartition would break
+      // exactly the prune-before-shuffle shape this gate certifies
       val d = T(s, dir, "documents").select(
         col("doc_id"), splitCol.as("split"), toks.as("tk"))
       val grams = d.select(col("doc_id"), col("split"),
@@ -3892,7 +3928,7 @@ object QueryLib {
     // shuffle-partitions at any corpus size — and the exact bigram
     // Jaccard verifies candidates only, never blocked all pairs.
     (s, dir) => {
-      val base = mat(T(s, dir, "documents").select(
+      val base = mat(spread(T(s, dir, "documents")).select(
         col("doc_id"), col("lang"), col("source"),
         digestShingles(TextOps.wordShingles(toks, 2)).as("sh"))
         .filter(size(col("sh")) > 0))
@@ -3926,7 +3962,7 @@ object QueryLib {
       // < 3 tokens share the sentinel minhash signature — one quadratic
       // bucket — and their 0/0 verification Jaccard THROWS under this
       // build's ANSI-on Spark while DuckDB yields NaN (> 0.5!)
-      val base = mat(T(s, dir, "documents").select(
+      val base = mat(spread(T(s, dir, "documents")).select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
@@ -3965,7 +4001,7 @@ object QueryLib {
     // Jaccard is one IEEE division, recall is one division rounded at
     // 6 — no transcendentals, bit-stable.
     (s, dir) => {
-      val base = mat(T(s, dir, "documents").select(
+      val base = mat(spread(T(s, dir, "documents")).select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       val post = base.select(col("doc_id"), explode(col("sh")).as("t"))
@@ -4036,7 +4072,7 @@ object QueryLib {
     // span lists are bounded by doc length and the rebuild is one
     // array expression, never a shuffle of token rows.
     (s, dir) => TextOps.substringDedup(
-      T(s, dir, "documents").select(col("doc_id"), toks.as("tk")),
+      spread(T(s, dir, "documents")).select(col("doc_id"), toks.as("tk")),
       idCol = "doc_id", tokensCol = "tk", w = 8),
     Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
            |g AS (SELECT doc_id, i AS pos,
@@ -4076,7 +4112,7 @@ object QueryLib {
     // the closure INDEPENDENTLY (recursive-CTE BFS) — only the pair
     // list is shared, so a contraction bug cannot cancel out.
     (s, dir) => {
-      val base = mat(T(s, dir, "documents").select(
+      val base = mat(spread(T(s, dir, "documents")).select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       val pairs = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
@@ -4129,7 +4165,7 @@ object QueryLib {
     // shape. The oracle recomputes triangles INDEPENDENTLY from the
     // shared pair list, so a wedge/closure bug cannot cancel out.
     (s, dir) => {
-      val base = mat(T(s, dir, "documents").select(
+      val base = mat(spread(T(s, dir, "documents")).select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       val edges = mat(SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
@@ -4180,7 +4216,7 @@ object QueryLib {
     // round is a full shuffle — unbounded iteration is a scale bug,
     // not a feature).
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val base = mat(d.select(
           col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
@@ -4239,7 +4275,7 @@ object QueryLib {
     // per doc plus a metadata-narrow per-doc sentence count joined on
     // doc_id: shuffles carry (doc_id, three longs), never text.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val tok = d.select(col("doc_id"), explode(toks).as("t"))
         .filter(length(col("t")) > 0)
       val per = tok.groupBy(col("doc_id")).agg(
@@ -4284,7 +4320,7 @@ object QueryLib {
     // (token, count) and per-doc longs; the 1-row (N, V) corpus scalar
     // broadcasts like txt_keywords'.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val tok = d.select(col("doc_id"), explode(toks).as("t"))
         .filter(length(col("t")) > 0)
       val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
@@ -4327,7 +4363,7 @@ object QueryLib {
     // extraction is a NARROW array transform (no position self-join);
     // the 1-row (N, V) scalar broadcasts like txt_keywords'.
     (s, dir) => {
-      val lst = T(s, dir, "documents").select(col("doc_id"),
+      val lst = spread(T(s, dir, "documents")).select(col("doc_id"),
         filter(toks, t => length(t) > 0).as("tk"))
       val tok = lst.select(col("doc_id"), explode(col("tk")).as("t"))
       val c1 = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
@@ -4387,7 +4423,7 @@ object QueryLib {
     // the closure independently (recursive-CTE BFS) and applies the
     // same group hash — a doc on the wrong side hashes red.
     (s, dir) => {
-      val base = mat(T(s, dir, "documents").select(
+      val base = mat(spread(T(s, dir, "documents")).select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       val pairs = SimilarityOps.lshCandidatePairs(base, "doc_id", "sh",
@@ -4574,7 +4610,7 @@ object QueryLib {
       // pin the fingerprint frame: the explode+md5+60-vote hash-agg is
       // the expensive stage, and the 4 band projections × 2 self-join
       // sides would otherwise rebuild it ~8x
-      val t = mat(SimilarityOps.simhashAgg60(T(s, dir, "documents"), "doc_id", toks))
+      val t = mat(SimilarityOps.simhashAgg60(spread(T(s, dir, "documents")), "doc_id", toks))
       val bands = (0 until 4).map { bi =>
         t.select(col("doc_id"), col("fp"), lit(bi).as("band"),
           SimilarityOps.simhashBandKey(col("fp"), bi).as("bkey"))
@@ -5721,7 +5757,7 @@ object QueryLib {
     // exactly "appears as doc_b", and survivors fall out of one
     // anti-join.
     (s, dir) => {
-      val base = mat(T(s, dir, "documents").select(
+      val base = mat(spread(T(s, dir, "documents")).select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
       // banding sized for the verify threshold (0.5 -> 6 x 2 on the
@@ -5774,7 +5810,7 @@ object QueryLib {
     // the corpus — shuffle-partitionable at any scale — and the exact
     // Jaccard verification runs on candidates only, never all pairs.
     (s, dir) => {
-      val base = T(s, dir, "documents").select(
+      val base = spread(T(s, dir, "documents")).select(
         col("doc_id"), col("lang"), col("source"), col("text"),
         size(toks).as("n_tokens"),
         (length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
@@ -6559,7 +6595,7 @@ object QueryLib {
     // move.
     (s, dir) => {
       import s.implicits._
-      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+      val payloads = spread(T(s, dir, "documents")).select(col("doc_id").cast("long"))
         .as[Long]
         .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticPng(id))))
         .toDF("doc_id", "payload")
@@ -6603,7 +6639,7 @@ object QueryLib {
     // split; only (id, gx, gy, luma) rows move, never rasters.
     (s, dir) => {
       import s.implicits._
-      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+      val payloads = spread(T(s, dir, "documents")).select(col("doc_id").cast("long"))
         .as[Long]
         .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticPng(id))))
         .toDF("doc_id", "payload")
@@ -6639,7 +6675,7 @@ object QueryLib {
     // narrow mapPartitions per split; only per-frame integer rows move.
     (s, dir) => {
       import s.implicits._
-      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+      val payloads = spread(T(s, dir, "documents")).select(col("doc_id").cast("long"))
         .as[Long]
         .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticWav(id))))
         .toDF("doc_id", "payload")
@@ -6676,7 +6712,7 @@ object QueryLib {
     // back-to-back, no shuffle anywhere.
     (s, dir) => {
       import s.implicits._
-      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+      val payloads = spread(T(s, dir, "documents")).select(col("doc_id").cast("long"))
         .as[Long]
         .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticWav(id))))
         .toDF("doc_id", "payload")
@@ -6902,7 +6938,7 @@ object QueryLib {
     // the same explode → hash-agg shape as txt_repetition, so every
     // shuffle carries O(distinct bigrams), never the corpus text.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val bg = d.select(col("doc_id"),
         explode(array_distinct(TextOps.wordShingles(toks, 2))).as("bg"))
       val df_ = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
@@ -7215,7 +7251,7 @@ object QueryLib {
     // U+0002 word separator keeps merges word-local in the whole-doc
     // string; the oracle replays train AND encode in the same CTEs.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val merges = graft.functions.Bpe.trainMerges(
         graft.functions.Bpe.wordCounts(d, "text"), 3)
       d.select(col("doc_id"),
@@ -7347,7 +7383,7 @@ object QueryLib {
     // exact integer space — both engines implement unit-cost
     // Levenshtein identically, so distances hash bit-for-bit.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val base = mat(d.select(
         col("doc_id"), col("lang"), col("source"),
         digestShingles(TextOps.wordShingles(toks, 2)).as("sh"))
@@ -7462,7 +7498,7 @@ object QueryLib {
     // corpus size); estimates join the tiny counter table on (j,
     // bucket) and take the min of d rows.
     (s, dir) => {
-      val tokens = T(s, dir, "documents").select(explode(toks).as("term"))
+      val tokens = spread(T(s, dir, "documents")).select(explode(toks).as("term"))
       val sk = graft.functions.Cms.sketch(tokens, col("term"))
       val top = tokens.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("term")).limit(10)
@@ -7502,7 +7538,7 @@ object QueryLib {
           .start()
       }
       query.awaitTermination()
-      val tokens = T(s, dir, "documents").select(explode(toks).as("term"))
+      val tokens = spread(T(s, dir, "documents")).select(explode(toks).as("term"))
       val top = tokens.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("term")).limit(10)
       graft.functions.Cms.estimate(s.table(view), top, "term")
@@ -8564,7 +8600,7 @@ object QueryLib {
     // (bit-length of N/df, the native BinLength) — `ln` is not
     // cross-engine-stable, bit-length is.
     (s, dir) => SimilarityOps.tfidfPairs(
-      T(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+      spread(T(s, dir, "documents")), idCol = "doc_id", textCol = "text",
       minCosNum = 3, minCosDen = 5),
     Some("""WITH tf AS (
            |  SELECT doc_id, term, count(*) AS tf
@@ -8599,7 +8635,7 @@ object QueryLib {
     // test 5·shared ≥ 4·min; the reported containment is the one
     // closing divide, rounded at 6.
     (s, dir) => SimilarityOps.containmentPairs(
-      T(s, dir, "documents").select(
+      spread(T(s, dir, "documents")).select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0),
       idCol = "doc_id", setCol = "sh",
@@ -8930,7 +8966,7 @@ object QueryLib {
     // (id, one long) rides the candidate join — never rasters.
     (s, dir) => {
       import s.implicits._
-      val payloads = T(s, dir, "documents").select(col("doc_id").cast("long"))
+      val payloads = spread(T(s, dir, "documents")).select(col("doc_id").cast("long"))
         .as[Long]
         .mapPartitions(_.map(id => (id, graft.functions.MultimodalOps.syntheticPng(id))))
         .toDF("doc_id", "payload")
@@ -9491,7 +9527,7 @@ object QueryLib {
     // surface, not just the final fit quality.
     (s, dir) => {
       val m = graft.functions.LogReg.train(
-        T(s, dir, "documents"), "doc_id", toks, col("lang") === "en")
+        spread(T(s, dir, "documents")), "doc_id", toks, col("lang") === "en")
       m.weightsDF.select(col("b"), round(col("w"), 6).as("w"))
     },
     Some(s"""WITH ${logregOracleCtes(3, 0.5)}
@@ -9505,7 +9541,7 @@ object QueryLib {
     // end-to-end: hash -> counts -> margin -> sigmoid per doc.
     (s, dir) => {
       val m = graft.functions.LogReg.train(
-        T(s, dir, "documents"), "doc_id", toks, col("lang") === "en")
+        spread(T(s, dir, "documents")), "doc_id", toks, col("lang") === "en")
       m.scores.select(col("doc_id"), round(col("score"), 6).as("score"))
     },
     Some(s"""WITH ${logregOracleCtes(3, 0.5)}
@@ -9663,7 +9699,7 @@ object QueryLib {
     // key fanned by a |classes|-row broadcast — both ends distributed,
     // nothing driver-side. Self-classification of `documents` by lang.
     (s, dir) => graft.functions.NbClassifier.classify(
-      T(s, dir, "documents"), idCol = "doc_id", labelCol = "lang", toksCol = toks),
+      spread(T(s, dir, "documents")), idCol = "doc_id", labelCol = "lang", toksCol = toks),
     Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
            |            FROM documents),
            |tk AS (SELECT * FROM tok WHERE length(t) > 0),
@@ -10225,7 +10261,7 @@ object QueryLib {
     // INDEPENDENTLY (recursive-CTE BFS) like dedup_components, so a
     // contraction bug cannot cancel out.
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = spread(T(s, dir, "documents"))
       val base = mat(d.select(
         col("doc_id"), digestShingles(TextOps.wordShingles(toks, 3)).as("sh"))
         .filter(size(col("sh")) > 0))
@@ -10564,7 +10600,7 @@ object QueryLib {
     // left joins back onto the corpus — the report costs one extra
     // broadcast-join pass over the pipeline it explains.
     (s, dir) => {
-      val base = T(s, dir, "documents").select(
+      val base = spread(T(s, dir, "documents")).select(
         col("doc_id"), col("lang"), col("source"), col("text"),
         size(toks).as("n_tokens"),
         (length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
