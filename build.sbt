@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through VERBATIM instead of re-logging each
+// line behind sbt's "[info] " prefix: the bench driver machine-reads the
+// final JSON line of `runMain graft.Bench`, and the logger prefix made
+// every round's bench artifact parse as null (BENCH_r01..r19).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -136,24 +136,14 @@ object Bench {
     // cannot read a misleadingly fast total without noticing the errors.
     val value = if (errList.isEmpty) f3(total) else "null"
     val line = s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"spread":$spreads,"reruns":$reruns,"load":$loads,"errs":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures only the TAIL of stdout; round 12 proved a long
-    // errs array can push the line's head out of the capture window
-    // ("parsed": null). Persist the full line to a file so the evidence
-    // survives truncation regardless of line length.
+    // Persist the full line to a file so the evidence survives any stdout
+    // truncation regardless of line length.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), line + "\n")
     catch { case _: Throwable => }
-    // The file was necessary but not sufficient: EVERY round's driver
-    // artifact (BENCH_r01..r14) still recorded parsed:null, because the
-    // 2000-char tail holds only the MIDDLE of the full line once the
-    // suite passed ~80 gates (~9 KB at 194). The LAST stdout line is
-    // therefore a self-contained <=1.8 KB digest with the same schema:
-    // the full-suite total (every gate still counts toward "value"),
-    // per-query entries for the slowest gates that fit a byte budget,
-    // and exact reconstruction fields for the elided rest — so a tail
-    // capture of ANY length >= the digest always ends with one complete
-    // parseable line, whichever of head-grep / tail-grep / last-line
-    // the consumer uses (the full line above parses for the first two).
+    // A short self-contained digest FIRST (same schema: full-suite total,
+    // per-query entries for the slowest gates within a byte budget, exact
+    // reconstruction fields for the elided rest) — kept for consumers with
+    // a small tail-capture window...
     val bySlowest = results.toSeq.sortBy(-_._3)
     var used = 0
     val picked = bySlowest.takeWhile { case (k, _, t, _, _, _) =>
@@ -170,6 +160,15 @@ object Bench {
       s""""reruns":${rerunList.size},"n_errs":${errList.size},"errs":$errsC,""" +
       s""""load":$loads,"sf":"$sfDir"}"""
     println(compact)
+    // ...and the COMPLETE per-query JSON as the LAST stdout line (the
+    // driver's parse target). Through round 19 the driver recorded
+    // parsed:null every round: the full line was printed first (so a tail
+    // capture held only its middle) and, worse, sbt's logger re-prefixed
+    // every forked line with "[info] " (fixed via run/outputStrategy in
+    // build.sbt). Last + unprefixed makes head-grep, tail-grep and
+    // last-JSON-line consumers all land on a complete parseable object
+    // carrying EVERY gate.
+    println(line)
     spark.stop()
     // A crashed query must surface as a failed RUN, not just a JSON field:
     // round 12 recorded rc:0 with 31 erred gates and read as a pass.

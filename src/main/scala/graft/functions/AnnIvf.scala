@@ -94,16 +94,24 @@ object AnnIvf {
     * between engines can never reorder two centroids.
     */
   private[graft] def probeCells(index: Index, q: Column, nProbe: Int): Column = {
-    val scored = index.centers.zipWithIndex.map { case (c, j) =>
-      val cArr = array(c.toIndexedSeq.map(lit): _*)
-      val negHalfDist = round(
-        SimilarityOps.dot(q, cArr) - lit(c.map(x => x * x).sum / 2), 6)
-      struct(negHalfDist.as("s"), lit(j).as("j"))
-    }
+    // NARROW form (r20): the previous k unrolled per-centroid subtrees
+    // (k × dim literal nodes + k zip_with/aggregate lambdas) made every
+    // ANN plan thousands of expression nodes, and the measured sim_ann
+    // cost was the DRIVER walking those trees (analysis/optimization/
+    // codegen), not the data. One array<array<double>> literal plus one
+    // higher-order transform keeps the tree O(1) in k and dim. The
+    // arithmetic is unchanged term for term — same zip_with product,
+    // same ascending left-fold sum, same round-6, same larger-j tie via
+    // the struct sort — so scores and ranks stay bit-identical.
+    val cents = typedLit(index.centers.map(_.toSeq))
+    val halves = typedLit(index.centers.map(c => c.map(x => x * x).sum / 2))
+    val scored = transform(sequence(lit(0), lit(index.centers.size - 1)), j =>
+      struct(
+        round(SimilarityOps.dot(q, element_at(cents, j + 1))
+          - element_at(halves, j + 1), 6).as("s"),
+        j.as("j")))
     // sort ascending by score, take the top nProbe from the tail
-    transform(
-      slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nProbe),
-      s => s.getField("j"))
+    transform(slice(reverse(array_sort(scored)), 1, nProbe), s => s.getField("j"))
   }
 
   /** Top-`topK` candidates per query by exact cosine, searched only in

@@ -134,27 +134,37 @@ object AnnPq {
                           maxSample: Int = 4096): Codebooks =
     buildTrainedFromSample(Lloyd.sampleVectors(df, embCol, maxSample), m, k, seed, maxIter)
 
-  private def litArr(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
 
-  /** Per-subspace nearest-centroid code (L2 via the negHalfDist trick,
-    * round-6 + larger-j tie rule). Returns the code for subspace `mi`.
+  /** The full codebook tensor as ONE literal (books[m][j] = subDim
+    * doubles) — the r20 narrow-expression doctrine: the unrolled m×k
+    * per-centroid subtrees cost the driver more than the data does.
     */
-  private def codeExpr(cb: Codebooks, v: Column, mi: Int): Column = {
-    val sub = slice(v, mi * cb.subDim + 1, cb.subDim)
-    val scored = cb.books(mi).zipWithIndex.map { case (c, j) =>
-      val negHalfDist = round(
-        SimilarityOps.dot(sub, litArr(c)) - lit(c.map(x => x * x).sum / 2), 6)
-      struct(negHalfDist.as("s"), lit(j).as("j"))
-    }
-    element_at(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1).getField("j")
-  }
+  private def booksLit(cb: Codebooks): Column =
+    typedLit(cb.books.map(_.map(_.toSeq)))
+  private def halvesLit(cb: Codebooks): Column =
+    typedLit(cb.books.map(_.map(c => c.map(x => x * x).sum / 2)))
 
   /** Encode an embedding column into its PQ code: array<int> of length
     * M. Narrow — the 100 TB corpus pass that writes the compressed
-    * index.
+    * index. Tree size is O(1) in m and k (one codebook literal + nested
+    * transforms); the per-subspace rule is unchanged term for term —
+    * round-6(dot − |c|²/2) maximized with ties toward the larger j —
+    * so codes stay bit-identical to the unrolled form and to
+    * [[encodeKernel]] (AnnPqSpec pins both).
     */
-  def encodeExpr(cb: Codebooks, v: Column): Column =
-    array((0 until cb.m).map(mi => codeExpr(cb, v, mi)): _*)
+  def encodeExpr(cb: Codebooks, v: Column): Column = {
+    val books = booksLit(cb)
+    val halves = halvesLit(cb)
+    transform(sequence(lit(0), lit(cb.m - 1)), mi => {
+      val sub = slice(v, mi * lit(cb.subDim) + 1, lit(cb.subDim))
+      val scored = transform(sequence(lit(0), lit(cb.k - 1)), j =>
+        struct(
+          round(SimilarityOps.dot(sub, element_at(element_at(books, mi + 1), j + 1))
+            - element_at(element_at(halves, mi + 1), j + 1), 6).as("s"),
+          j.as("j")))
+      element_at(reverse(array_sort(scored)), 1).getField("j")
+    })
+  }
 
   /** [[encodeExpr]] as a JVM KERNEL — the big-k escape hatch: the
     * expression form materializes m×k scored-struct subtrees (k=64 ×
@@ -221,12 +231,13 @@ object AnnPq {
   /** Reconstruction of a code: the chosen centroids concatenated back
     * to a dim-length array (the decoder side of ADC).
     */
-  def reconstructExpr(cb: Codebooks, code: Column): Column =
-    concat((0 until cb.m).map { mi =>
-      // codebook as a nested literal array, indexed by the stored code
-      val book = array(cb.books(mi).map(litArr): _*)
-      element_at(book, element_at(code, lit(mi + 1)) + 1)
-    }: _*)
+  def reconstructExpr(cb: Codebooks, code: Column): Column = {
+    // one codebook literal indexed by the stored code; flatten ==
+    // concat of the m chosen sub-centroids in ascending m
+    val books = booksLit(cb)
+    flatten(transform(sequence(lit(0), lit(cb.m - 1)), mi =>
+      element_at(element_at(books, mi + 1), element_at(code, mi + 1) + 1)))
+  }
 
   /** ADC inner-product score of a query embedding against a stored
     * code, rounded to 6 decimals (the oracle-determinism cut). The
@@ -243,11 +254,14 @@ object AnnPq {
     * (array<array<double>>), the table the compressed scan indexes
     * into.
     */
-  def lutExpr(cb: Codebooks, qv: Column): Column =
-    array((0 until cb.m).map { mi =>
-      val sub = slice(qv, mi * cb.subDim + 1, cb.subDim)
-      array(cb.books(mi).map(c => SimilarityOps.dot(sub, litArr(c))): _*)
-    }: _*)
+  def lutExpr(cb: Codebooks, qv: Column): Column = {
+    val books = booksLit(cb)
+    transform(sequence(lit(0), lit(cb.m - 1)), mi => {
+      val sub = slice(qv, mi * lit(cb.subDim) + 1, lit(cb.subDim))
+      transform(sequence(lit(0), lit(cb.k - 1)), j =>
+        SimilarityOps.dot(sub, element_at(element_at(books, mi + 1), j + 1)))
+    })
+  }
 
   /** LUT-form ADC: sum of M table lookups per candidate. Summation
     * association is per-subspace partials in ascending m — the oracle

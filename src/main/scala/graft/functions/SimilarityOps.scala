@@ -441,18 +441,28 @@ object SimilarityOps {
     * any ranking/threshold cut) — so a last-ulp summation difference
     * between engines can never flip a bucket bit.
     */
-  def signBucket(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.toIndexedSeq.map(lit): _*)
-      when(round(dot(v, planeCol), 6) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  def signBucket(v: Column, planes: Seq[Array[Double]]): Column = {
+    // NARROW form (r20, the AnnIvf.probeCells doctrine): one plane
+    // literal + one fold instead of nPlanes unrolled dot subtrees —
+    // O(1) tree size in planes and dim. Exact: the bit terms are
+    // disjoint powers of two, so the left-fold sum (with its 0 seed)
+    // equals the unrolled reduce bit for bit; the per-plane dot,
+    // round-6 and sign cut are unchanged.
+    val planesL = typedLit(planes.map(_.toSeq))
+    val pows = typedLit(planes.indices.map(j => 1 << j))
+    aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0), (acc, j) =>
+      acc + when(round(dot(v, element_at(planesL, j + 1)), 6) > 0,
+        element_at(pows, j + 1)).otherwise(lit(0)))
+  }
 
   /** Long-packed variant for > 30 planes (wide multi-band keys). */
-  def signBucketLong(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.toIndexedSeq.map(lit): _*)
-      when(round(dot(v, planeCol), 6) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  def signBucketLong(v: Column, planes: Seq[Array[Double]]): Column = {
+    val planesL = typedLit(planes.map(_.toSeq))
+    val pows = typedLit(planes.indices.map(j => 1L << j))
+    aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0L), (acc, j) =>
+      acc.bitwiseOR(when(round(dot(v, element_at(planesL, j + 1)), 6) > 0,
+        element_at(pows, j + 1)).otherwise(lit(0L))))
+  }
 
   /** Banded sign-LSH candidate pairs over an embedding column — the
     * scale path for embedding near-dedup. All `bands * planesPerBand`

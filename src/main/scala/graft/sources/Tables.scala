@@ -53,17 +53,27 @@ object Tables {
   // scaffolding-memo doctrine as QueryLib.stagedDirs. Keyed WEAKLY by
   // session (a closed session's plans must not pin its state), then by
   // (dir, name).
+  // The per-session map is held through a SoftReference: a cached
+  // DataFrame strongly references its SparkSession (value -> key), which
+  // would defeat the WeakHashMap's weak keying outright — entries could
+  // never be collected and a closed session's plans and listing caches
+  // would stay pinned for process lifetime (ADVICE r19). Soft values
+  // keep the memo hot in steady state but let the GC reclaim the whole
+  // chain (map -> frames -> session) under memory pressure, which also
+  // releases the weak key.
   private val resolved =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]]()
   private def memo(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     val perSession = resolved.synchronized {
-      var m = resolved.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        resolved.put(spark, m)
-      }
-      m
+      val ref = resolved.get(spark)
+      val cur = if (ref == null) null else ref.get()
+      if (cur == null) {
+        val m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        resolved.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      } else cur
     }
     perSession.computeIfAbsent((dir, name), _ => build)
   }

@@ -598,6 +598,12 @@ class TimeseriesStore(
     // only the plain backend pays the take(1) probe — on the log backend
     // the probe was a full extra execution of the source plan in front
     // of EVERY save (guide §1.2: don't compute things you throw away).
+    // INTENTIONAL parity deviation (r19/ADVICE): on the log backend an
+    // EMPTY batch carrying undeclared extra columns now FAILS
+    // normalize's column validation instead of silently no-op'ing — the
+    // stricter behavior (a malformed writer should not pass just
+    // because its first batch was empty); the plain backend keeps the
+    // reference's empty-before-validate order.
     if (!logBacked && df.isEmpty) return
     // columns beyond the 3-column envelope pass validation ONLY when a
     // declared (evolved) schema names them — Delta-without-autoMerge:

@@ -568,7 +568,23 @@ class TxLog(
       // versionAt keeps resolving v after vacuum prunes the commit.
       // Schema declarations replay IN ORDER ahead of the adds — their
       // indices (the adds' `sv` epochs) must survive the checkpoint.
-      val (adds, txns, apps, schemas, checks, blooms) = replay(Some(v))
+      val (adds0, txns, apps, schemas, checks, blooms) = replay(Some(v))
+      // fsize BACKFILL (r20): pre-upgrade adds carry no byte size, which
+      // drops their whole read group back to the listing path
+      // (TimeseriesStore.openAdds). The checkpoint rewrite already
+      // touches every live add, so stat the missing sizes here ONCE —
+      // after one checkpoint cycle a reopened old-format table reads
+      // through MetaFileIndex like a freshly written one. Best-effort
+      // per file: an unstattable path just keeps fsize absent (the safe
+      // listing fallback). Cost is one getFileStatus per fsize-less add
+      // on the FIRST checkpoint only — later checkpoints replay the
+      // backfilled adds.
+      val adds = adds0.map { a =>
+        if (a.fsize.isDefined) a
+        else try a.copy(fsize =
+          Some(fs.getFileStatus(new Path(tableDir, a.path)).getLen))
+        catch { case _: java.io.IOException => a }
+      }
       val lines = (TxAction(commitTs = Some(commitTs)) +:
         (schemas.map(sj => TxAction(schemaJson = Some(sj))) ++
           checks.map { case (cn, ce) =>

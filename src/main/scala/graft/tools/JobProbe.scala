@@ -27,7 +27,12 @@ object JobProbe {
     var capture = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (capture) synchronized {
-        val site = Option(e.properties.getProperty("callSite.short")).getOrElse("?")
+        val site = Option(e.properties.getProperty("callSite.short"))
+          // callSite is absent on many internally-submitted jobs; the
+          // final stage's name carries the operator (e.g. "parquet at",
+          // "collect at", "$anonfun$...") — far more useful than "?"
+          .orElse(e.stageInfos.lastOption.map(_.name))
+          .getOrElse("?")
         val desc = Option(e.properties.getProperty("spark.job.description")).getOrElse("")
         jobs += J(e.jobId, System.nanoTime(), -1L, site, desc)
       }

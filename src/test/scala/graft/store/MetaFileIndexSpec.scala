@@ -115,4 +115,53 @@ class MetaFileIndexSpec extends SparkSpec {
     assert(scan.relation.location.getClass.getSimpleName != "MetaFileIndex")
     assert(df.count() == 200)
   }
+
+  test("checkpoint rewrite backfills fsize: pre-upgrade table reads via MetaFileIndex after one cycle") {
+    val (st, dir) = mkStore()
+    st.save("f", sampleDf)
+    // simulate an r18 table: strip fsize from every committed add
+    val logDir = java.nio.file.Paths.get(dir, "feature", "f", "_txlog")
+    java.nio.file.Files.list(logDir).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json")) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val stripped = txt.linesIterator
+          .map(_.replaceAll(""","fsize":\d+""", ""))
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+      }
+    }
+    // drive the log to its next checkpoint boundary with empty-ish
+    // appends; the rewrite must stat + backfill the stripped adds
+    val st2 = new TimeseriesStore(spark, dir, backend = "txlog")
+    val preScan = st2.read("f").queryExecution.executedPlan
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(preScan.relation.location.getClass.getSimpleName != "MetaFileIndex")
+    val log = new TxLog(spark.sparkContext.hadoopConfiguration, s"$dir/feature/f")
+    // drive at least one commit (the save's commit is version 0, which
+    // satisfies v % N == 0 without ever checkpointing), then continue
+    // to the next checkpoint boundary. Each is a trivially-true CHECK
+    // declaration: a version bump with no effect on the live set.
+    var v = 0L
+    while ({
+      v = log.commit(Seq.empty, check = Some(("__ckpt_probe", "true")))
+      v % TxLog.CheckpointEvery != 0
+    }) ()
+    // a FRESH instance replays from the backfilled checkpoint
+    val log2 = new TxLog(spark.sparkContext.hadoopConfiguration, s"$dir/feature/f")
+    val adds = log2.snapshot()
+    assert(adds.nonEmpty && adds.forall(_.fsize.isDefined),
+      s"checkpoint did not backfill fsize: ${adds.count(_.fsize.isEmpty)} of ${adds.size} missing")
+    // and the backfilled sizes are the REAL byte sizes (a wrong length
+    // would corrupt parquet split planning)
+    adds.foreach { a =>
+      val real = java.nio.file.Files.size(java.nio.file.Paths.get(dir, "feature", "f", a.path))
+      assert(a.fsize.contains(real), s"${a.path}: fsize ${a.fsize} != $real")
+    }
+    val st3 = new TimeseriesStore(spark, dir, backend = "txlog")
+    val df = st3.read("f")
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.relation.location.getClass.getSimpleName == "MetaFileIndex")
+    assert(df.count() == 200)
+  }
 }
